@@ -1,13 +1,207 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps operator names (SURVEY.md §2 inventory) to DataFrame
+  * builders over a testdata scale-factor dir; `oracleSql` carries the
+  * equivalent DuckDB SQL the driver hash-compares against. Column names and
+  * value rounding are aligned pairwise — see Relational's scaladoc.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary"   -> (Relational.q1PricingSummary _),
+    "q2_filter_project"    -> (Relational.q2FilterProject _),
+    "q3_broadcast_join"    -> (Relational.q3BroadcastJoin _),
+    "q4_shuffle_join_agg"  -> (Relational.q4ShuffleJoinAgg _),
+    "q5_semi_join"         -> (Relational.q5SemiJoin _),
+    "q6_anti_join"         -> (Relational.q6AntiJoin _),
+    "q7_window_cumsum"     -> (Relational.q7WindowCumsum _),
+    "q8_window_topk"       -> (Relational.q8WindowTopkPerGroup _),
+    "q9_pivot"             -> (Relational.q9Pivot _),
+    "q10_rollup"           -> (Relational.q10Rollup _),
+    "q11_distinct_agg"     -> (Relational.q11DistinctAgg _),
+    "q12_topk"             -> (Relational.q12TopK _),
+    "q13_union_dedup"      -> (Relational.q13UnionDedupKeepFirst _),
+    "q14_string_predicates"-> (Relational.q14StringPredicates _),
+    "q15_regex_extract"    -> (Relational.q15RegexExtract _),
+    "q16_conditional_case" -> (Relational.q16ConditionalCase _),
+    "q17_rule_cascade"     -> (Relational.q17RuleCascade _),
+    "q18_fingerprint_sha2" -> (Relational.q18FingerprintSha2 _),
+    "q19_json"             -> (Relational.q19Json _),
+    "q20_tumbling_window"  -> (Relational.q20TumblingWindow _),
+    "q21_date_functions"   -> (Relational.q21DateFunctions _),
+    "q22_min_max"          -> (Relational.q22MinMax _),
+    "q23_cents_bround"     -> (Relational.q23CentsBround _),
+    "q24_german_number"    -> (Relational.q24GermanNumberParse _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         ROUND(SUM(l_quantity), 2) AS sum_qty,
+         ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+         ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+         ROUND(AVG(l_quantity), 2) AS avg_qty,
+         ROUND(AVG(l_discount), 4) AS avg_disc,
+         COUNT(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+         ROUND(l_extendedprice, 2) AS price
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1997-03-01 00:00:00'
+           AND l_quantity < 3
+         ORDER BY l_orderkey, l_linenumber""",
+    "q3_broadcast_join" ->
+      """SELECT r_name, COUNT(*) AS n_customers,
+         ROUND(SUM(c_acctbal), 2) AS sum_acctbal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+    "q4_shuffle_join_agg" ->
+      """SELECT o_orderpriority,
+         ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+         COUNT(*) AS n_items
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q5_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+         ORDER BY c_custkey""",
+    "q6_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 500000)
+         ORDER BY c_custkey""",
+    "q7_window_cumsum" ->
+      """SELECT o_custkey, o_orderkey,
+         ROUND(SUM(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+         FROM orders WHERE o_custkey < 50
+         ORDER BY o_custkey, o_orderkey""",
+    "q8_window_topk" ->
+      """SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS totalprice, rn
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+               FROM orders)
+         WHERE rn <= 2 AND o_custkey < 100
+         ORDER BY o_custkey, rn""",
+    "q9_pivot" ->
+      """SELECT o_orderpriority,
+         ROUND(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0), 2) AS "F",
+         ROUND(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0), 2) AS "O",
+         ROUND(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 0), 2) AS "P"
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q10_rollup" ->
+      """SELECT COALESCE(r_name, '(all)') AS region,
+         COALESCE(n_name, '(all)') AS nation,
+         COUNT(*) AS n_customers, ROUND(SUM(c_acctbal), 2) AS sum_acctbal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)
+         ORDER BY region, nation""",
+    "q11_distinct_agg" ->
+      """SELECT COUNT(DISTINCT o_custkey) AS n_customers,
+         COUNT(DISTINCT o_orderpriority) AS n_priorities,
+         COUNT(*) AS n_orders FROM orders""",
+    "q12_topk" ->
+      """SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS totalprice
+         FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q13_union_dedup" ->
+      """WITH unioned AS (
+           SELECT o_custkey, o_orderkey, 0 AS src FROM orders WHERE o_orderstatus = 'F'
+           UNION ALL
+           SELECT o_custkey, o_orderkey, 1 AS src FROM orders WHERE o_totalprice > 300000),
+         ranked AS (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY src, o_orderkey) AS rn
+           FROM unioned)
+         SELECT o_custkey, o_orderkey, src FROM ranked WHERE rn = 1
+         ORDER BY o_custkey""",
+    "q14_string_predicates" ->
+      """SELECT p_partkey, p_name, p_type FROM part
+         WHERE contains(lower(COALESCE(p_name, '')), 'red')
+           AND NOT p_type LIKE 'SMALL%'
+           AND regexp_matches(COALESCE(p_name, ''), '(?i)(RED|BLUE) (widget|bolt|ring)')
+         ORDER BY p_partkey""",
+    "q15_regex_extract" ->
+      """SELECT event_type,
+         CAST(SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+         COUNT(*) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q16_conditional_case" ->
+      """SELECT event_type,
+         CASE WHEN value > 150 THEN 'high'
+              WHEN value > 50 THEN 'mid'
+              ELSE 'low' END AS value_band,
+         COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY event_type, value_band""",
+    "q17_rule_cascade" ->
+      """SELECT COALESCE(category, 'uncategorized') AS category, n FROM (
+           SELECT CASE
+             WHEN contains(lower(COALESCE(p_name, '')), 'small')  THEN 'cat_small'
+             WHEN contains(lower(COALESCE(p_name, '')), 'bolt')   THEN 'cat_bolt'
+             WHEN contains(lower(COALESCE(p_name, '')), 'widget') THEN 'cat_widget'
+             WHEN contains(lower(COALESCE(p_name, '')), 'blue')   THEN 'cat_blue'
+             WHEN contains(lower(COALESCE(p_name, '')), 'red')    THEN 'cat_red'
+           END AS category, COUNT(*) AS n
+           FROM part GROUP BY 1)
+         ORDER BY category""",
+    "q18_fingerprint_sha2" ->
+      """SELECT o_orderkey, sha256(
+           COALESCE(CAST(o_orderkey AS VARCHAR), '') || '|' ||
+           COALESCE(o_orderstatus, '') || '|' ||
+           COALESCE(strftime(o_orderdate, '%Y-%m-%d'), '') || '|' ||
+           COALESCE(o_orderpriority, '')) AS fingerprint
+         FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey""",
+    "q19_json" ->
+      """SELECT event_type,
+         ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+         CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q20_tumbling_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+         COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+         FROM events
+         WHERE date_trunc('hour', ts) < TIMESTAMP '2024-01-03 00:00:00'
+         GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "q21_date_functions" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+         CAST(month(o_orderdate) AS INTEGER) AS m,
+         COUNT(*) AS n, ROUND(SUM(ROUND(o_totalprice, 2)), 2) AS sum_price
+         FROM orders GROUP BY 1, 2 ORDER BY y, m""",
+    "q22_min_max" ->
+      """SELECT MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date,
+         CAST(COALESCE(MAX(CASE WHEN o_totalprice < 0 THEN o_orderkey END), 0) AS BIGINT) AS max_neg_key
+         FROM orders""",
+    "q23_cents_bround" ->
+      """SELECT o_orderkey, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+         FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""",
+    "q24_german_number" ->
+      """SELECT o_orderkey,
+         CAST(replace(replace(replace(CAST(ROUND(o_totalprice, 2) AS VARCHAR), '.', ','),
+                              '.', ''), ',', '.') AS DOUBLE) AS parsed
+         FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""",
+  )
 }

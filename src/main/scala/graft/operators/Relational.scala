@@ -1,0 +1,329 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Core relational operator library over the TPC-H-ish testdata.
+  *
+  * Each method is one `queries()` entry in [[graft.SparkEntry]], exercising a
+  * row of SURVEY.md §2's operator inventory. Design rules applied throughout:
+  *
+  *   - declarative DataFrame plans only — Catalyst chooses the join strategy,
+  *     pushes predicates into the parquet scan, prunes columns;
+  *   - small dimension tables are explicitly `broadcast()` so the 100TB plan
+  *     never shuffles a fact table against a KB-sized dim;
+  *   - every double aggregate is `round(_, 2)` so results hash-compare stably
+  *     against the DuckDB oracle (float summation order differs per engine);
+  *   - every output carries a deterministic ORDER BY on a unique key.
+  */
+object Relational {
+
+  private def disc(priceCol: Column, discountCol: Column): Column =
+    priceCol * (lit(1.0) - discountCol)
+
+  /** TPC-H Q1-style pricing summary: full-scan partial-agg → 6-group final
+    * agg. SURVEY §2.5 A1/A3/A6. Map-side combine makes this shuffle ~bytes.
+    */
+  def q1PricingSummary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(disc(col("l_extendedprice"), col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Filter + projection; predicates and the 4-column ReadSchema both push
+    * into the parquet scan (verify via explain: PushedFilters). SURVEY §2.2.
+    */
+  def q2FilterProject(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+             col("l_shipdate") <  lit("1997-03-01").cast("timestamp") &&
+             col("l_quantity") < 3)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+              round(col("l_extendedprice"), 2).as("price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Star join through two broadcast dims (region→nation→customer).
+    * SURVEY §2.4 J1/J3: dim lookups compile to broadcast hash joins — at
+    * 100TB the fact side never moves.
+    */
+  def q3BroadcastJoin(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+            col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)),
+            col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_customers"),
+           round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+      .orderBy(col("r_name"))
+
+  /** Fact-to-fact equi-join (orders ⋈ lineitem) + aggregation: the one join
+    * here that legitimately shuffles both sides on the key. AQE handles
+    * skew/coalesce at scale. SURVEY §2.4.
+    */
+  def q4ShuffleJoinAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .join(Tables.lineitem(spark, sfDir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(round(sum(disc(col("l_extendedprice"), col("l_discount"))), 2).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Left-semi join: customers that placed at least one big order. */
+  def q5SemiJoin(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir).where(col("o_totalprice") > 400000),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  /** Left-anti join: customers with no orders at all. */
+  def q6AntiJoin(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir).where(col("o_totalprice") > 500000),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Running total per customer over order date (SURVEY §2.6 W1 — the
+    * reference's cumulative-sum curve). Window partitioned by customer →
+    * single shuffle, parallel across customers.
+    */
+  def q7WindowCumsum(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, sfDir)
+      .where(col("o_custkey") < 50)
+      .select(col("o_custkey"), col("o_orderkey"),
+              round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Top-2 orders per customer via row_number window (SURVEY §2.7 top-k;
+    * also the keep-first dedup device of §2.8 U2).
+    */
+  def q8WindowTopkPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 2 && col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"),
+              round(col("o_totalprice"), 2).as("totalprice"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** groupBy + pivot with explicit value list (SURVEY §2.5 A2). Explicit
+    * values avoid the extra distinct-values job the implicit form runs.
+    */
+  def q9Pivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2))
+      .na.fill(0.0, Seq("F", "O", "P"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Rollup over region→nation with grand totals (SURVEY §2.5 A7: the
+    * reference's Overall-Sum rows, done the Catalyst-native way).
+    */
+  def q10Rollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+           round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+      .select(coalesce(col("r_name"), lit("(all)")).as("region"),
+              coalesce(col("n_name"), lit("(all)")).as("nation"),
+              col("n_customers"), col("sum_acctbal"))
+      .orderBy(col("region"), col("nation"))
+
+  /** Exact distinct aggregation (expand + two-phase agg under the hood). */
+  def q11DistinctAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+           countDistinct(col("o_orderpriority")).as("n_priorities"),
+           count(lit(1)).as("n_orders"))
+
+  /** Global top-k: ORDER BY + LIMIT compiles to TakeOrderedAndProject — no
+    * global sort materialization, each partition ships only its local top-k.
+    */
+  def q12TopK(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"),
+              round(col("o_totalprice"), 2).as("totalprice"))
+      .limit(10)
+
+  /** Union-all + deterministic keep-first dedup (SURVEY §2.8 U1/U2): rows
+    * from the first branch win, encoded with an explicit source priority +
+    * row_number — never bare dropDuplicates, which is nondeterministic.
+    */
+  def q13UnionDedupKeepFirst(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val store = orders.where(col("o_orderstatus") === "F").withColumn("src", lit(0))
+    val batch = orders.where(col("o_totalprice") > 300000).withColumn("src", lit(1))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("src"), col("o_orderkey"))
+    store.unionByName(batch)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("src"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** String predicate battery (SURVEY §2.2 P7-P10): case-insensitive literal
+    * contains, prefix match, case-insensitive regex alternation — all
+    * null-safe by construction (testdata has no nulls; coalesce kept for
+    * shape parity with the reference semantics).
+    */
+  def q14StringPredicates(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir)
+      .where(lower(coalesce(col("p_name"), lit(""))).contains("red") &&
+             !col("p_type").startsWith("SMALL") &&
+             coalesce(col("p_name"), lit("")).rlike("(?i)(RED|BLUE) (widget|bolt|ring)"))
+      .select(col("p_partkey"), col("p_name"), col("p_type"))
+      .orderBy(col("p_partkey"))
+
+  /** Regex capture-group extraction (SURVEY §2.9 F9) + numeric cast + agg. */
+  def q15RegexExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+              regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  /** Conditional column derivation (SURVEY §2.2 P12 — the amount_type
+    * pattern) + grouped agg over the derived column.
+    */
+  def q16ConditionalCase(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("value_band",
+        when(col("value") > 150, "high")
+          .when(col("value") > 50, "mid")
+          .otherwise("low"))
+      .groupBy(col("event_type"), col("value_band"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"), col("value_band"))
+
+  /** Last-writer-wins rule cascade (SURVEY §2.3) compiled the Spark-first
+    * way: iterate rules in REVERSE order so the first matching `when` branch
+    * is the reference's last writer. Overlapping patterns included on
+    * purpose — they pin the precedence semantics.
+    */
+  def q17RuleCascade(spark: SparkSession, sfDir: String): DataFrame = {
+    // (pattern, category) in reference textual order; later entries override.
+    // "red widget" matches both rule 1 and rule 3 → must land in cat_widget.
+    val rules = Seq(
+      "red"    -> "cat_red",
+      "blue"   -> "cat_blue",
+      "widget" -> "cat_widget",
+      "bolt"   -> "cat_bolt",
+      "small"  -> "cat_small")
+    val subject = lower(coalesce(col("p_name"), lit("")))
+    // foldLeft in textual order: each later rule WRAPS the earlier chain, so
+    // it is tested first at eval time — exactly last-writer-wins.
+    val cat = rules.foldLeft(lit(null).cast("string")) {
+      case (rest, (pat, c)) => when(subject.contains(pat), c).otherwise(rest)
+    }
+    Tables.part(spark, sfDir)
+      .withColumn("category", cat)
+      .groupBy(col("category"))
+      .agg(count(lit(1)).as("n"))
+      .select(coalesce(col("category"), lit("uncategorized")).as("category"), col("n"))
+      .orderBy(col("category"))
+  }
+
+  /** Natural-key sha-256 fingerprint (SURVEY §2.9 F13): explicit per-field
+    * coalesce BEFORE concat_ws (concat_ws silently skips nulls — the
+    * reference inserts ""). Codegen'd builtin, no UDF.
+    */
+  def q18FingerprintSha2(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .where(col("o_orderkey") < 100)
+      .select(col("o_orderkey"),
+        sha2(concat_ws("|",
+          coalesce(col("o_orderkey").cast("string"), lit("")),
+          coalesce(col("o_orderstatus"), lit("")),
+          coalesce(date_format(col("o_orderdate"), "yyyy-MM-dd"), lit("")),
+          coalesce(col("o_orderpriority"), lit(""))), 256).as("fingerprint"))
+      .orderBy(col("o_orderkey"))
+
+  /** JSON field extraction from the events.props payload (§2.9 note). */
+  def q19Json(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+              get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(round(avg(col("k")), 4).as("avg_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  /** Tumbling 1-hour event-time window aggregation — written with the same
+    * `window()` construct Structured Streaming uses, so the identical plan
+    * runs under readStream + watermark (SURVEY §2.10).
+    */
+  def q20TumblingWindow(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+              col("n"), col("sum_value"))
+      .where(col("window_start") < lit("2024-01-03").cast("timestamp"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** Date-part functions battery (SURVEY §2.9 F3-F5). */
+  def q21DateFunctions(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(year(col("o_orderdate")).as("y"),
+              month(col("o_orderdate")).as("m"),
+              round(col("o_totalprice"), 2).as("price"))
+      .groupBy(col("y"), col("m"))
+      .agg(count(lit(1)).as("n"), round(sum(col("price")), 2).as("sum_price"))
+      .orderBy(col("y"), col("m"))
+
+  /** Scalar min/max + null-coalesced max (SURVEY §2.5 A4/A5). */
+  def q22MinMax(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .agg(min(col("o_orderdate")).as("min_date"),
+           max(col("o_orderdate")).as("max_date"),
+           coalesce(max(when(col("o_totalprice") < 0, col("o_orderkey"))), lit(0L)).as("max_neg_key"))
+
+  /** Banker's-rounded integer-cents conversion (SURVEY §1.4): money as
+    * exact LongType cents via bround, never floats, at any scale.
+    */
+  def q23CentsBround(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .where(col("o_orderkey") < 1000)
+      .select(col("o_orderkey"),
+              bround(col("o_totalprice") * 100, 0).cast("long").as("price_cents"))
+      .orderBy(col("o_orderkey"))
+
+  /** German-locale number normalization ("1.234,56" → 1234.56d), the
+    * reference's ingest parse (SURVEY §2.9 F1/F2) as pure builtins.
+    */
+  def q24GermanNumberParse(spark: SparkSession, sfDir: String): DataFrame = {
+    // Render a German-decimal string ("473274,17") then parse it back with
+    // the reference's normalization — strip '.'-thousands, ','→'.' — so the
+    // round-trip must equal round(x, 2). Pure codegen'd builtins, no UDF.
+    val germanized = translate(bround(col("o_totalprice"), 2).cast("string"), ".", ",")
+    Tables.orders(spark, sfDir)
+      .where(col("o_orderkey") < 1000)
+      .select(col("o_orderkey"),
+        regexp_replace(regexp_replace(germanized, "\\.", ""), ",", ".")
+          .cast("double").as("parsed"))
+      .orderBy(col("o_orderkey"))
+  }
+}

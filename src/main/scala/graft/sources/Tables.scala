@@ -1,0 +1,36 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * All loaders are plain `spark.read.parquet` so Catalyst keeps full
+  * pushdown/pruning freedom — no eager caching, no schema coercion.
+  * Column pruning + predicate pushdown reach the parquet scan because
+  * nothing here materializes the DataFrame.
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(spark: SparkSession, sfDir: String): DataFrame    = table(spark, sfDir, "region")
+  def nation(spark: SparkSession, sfDir: String): DataFrame    = table(spark, sfDir, "nation")
+  def customer(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame      = table(spark, sfDir, "part")
+  def orders(spark: SparkSession, sfDir: String): DataFrame    = table(spark, sfDir, "orders")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "lineitem")
+  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects. Read nanos as raw long (legacy conf) and floor-convert
+    * to a micros TimestampType — same truncation DuckDB applies when
+    * materializing TIMESTAMP_NS, so oracle comparisons stay exact.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, sfDir, "events")
+      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+  }
+  def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+}
