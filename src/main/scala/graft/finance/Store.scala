@@ -1,0 +1,155 @@
+package graft.finance
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Durable transaction store: fingerprinting, cents encoding, id assignment
+  * and the fingerprint-keyed merge-upsert.
+  *
+  * Reference semantics (/root/reference/panda.py:560-733) re-expressed as a
+  * deterministic two-phase Spark job over a parquet system-of-record:
+  *
+  *   - money persists as exact integer cents via banker's rounding
+  *     (pandas `.round()` is half-to-even → Spark `bround`, panda.py:678-679);
+  *   - `fingerprint` = sha256 of the 7-field natural key with NULL→"" (amount
+  *     NULL→"0"), '|'-separated, UTF-8 (panda.py:569-592) — computed with the
+  *     codegen'd `sha2`/`concat` builtins, not a row-wise UDF;
+  *   - upsert: rows whose fingerprint already exists keep their identity
+  *     columns (`transaction_id`, natural key, `imported_at`) and take ONLY
+  *     `transfer_category, category, category_manual, balance_cents` from the
+  *     batch (panda.py:722-727); new rows get `MAX(id)+position` ids where
+  *     position enumerates the whole batch in canonical order — conflicting
+  *     rows burn their candidate ids, exactly like the reference
+  *     (panda.py:685-691).
+  *
+  * Scale posture: the merge is one shuffle join keyed on fingerprint. At
+  * fleet scale, write the store bucketed by fingerprint
+  * (`bucketBy(n, "fingerprint")`) so the join is co-located and shuffle-free,
+  * and partition by `year(book_date)` so re-categorization jobs prune.
+  */
+object Store {
+
+  /** Canonical output ordering (panda.py:647, 742-744), nulls last. */
+  val canonicalOrder: Seq[Column] = Seq(
+    asc_nulls_last("book_date"), asc_nulls_last("account"),
+    asc_nulls_last("valuta_date"), asc_nulls_last("party"),
+    asc_nulls_last("purpose"))
+
+  /** `amount` (euros, double) → exact integer cents, banker's rounding. */
+  def cents(c: Column): Column = bround(c * 100, 0).cast("long")
+
+  /** sha256 natural-key fingerprint (panda.py:569-592). `concat_ws` would
+    * skip NULLs instead of inserting "" — each field is coalesced explicitly.
+    */
+  def fingerprint(
+      account: Column, bookDate: Column, valutaDate: Column, party: Column,
+      bookText: Column, purpose: Column, amountCents: Column): Column =
+    sha2(concat(
+      coalesce(account, lit("")), lit("|"),
+      coalesce(date_format(bookDate, "yyyy-MM-dd"), lit("")), lit("|"),
+      coalesce(date_format(valutaDate, "yyyy-MM-dd"), lit("")), lit("|"),
+      coalesce(party, lit("")), lit("|"),
+      coalesce(bookText, lit("")), lit("|"),
+      coalesce(purpose, lit("")), lit("|"),
+      coalesce(amountCents.cast("string"), lit("0"))), 256)
+
+  /** Decorate an in-memory batch (8-col raw layout + category columns) with
+    * `amount_cents`, `balance_cents`, `fingerprint` (panda.py:672-682).
+    */
+  def withStoreColumns(df: DataFrame): DataFrame = {
+    val d = df
+      .withColumn("amount_cents", cents(col("amount")))
+      .withColumn("balance_cents", cents(col("balance")))
+    d.withColumn("fingerprint",
+      fingerprint(col("account"), col("book_date"), col("valuta_date"),
+        col("party"), col("book_text"), col("purpose"), col("amount_cents")))
+  }
+
+  /** Merge a prepared batch into the existing store (both carrying
+    * [[TransactionSchema.storeSchema]] columns minus ids on the batch side).
+    *
+    * `existing` may be empty (first import). Returns the new store content.
+    */
+  def upsert(existing: DataFrame, batch: DataFrame): DataFrame = {
+    val spark = existing.sparkSession
+    import spark.implicits._
+
+    // MAX(id)+1 offset — single tiny driver-side aggregate (panda.py:685-688).
+    val maxId: Long = existing.agg(coalesce(max("transaction_id"), lit(0L)))
+      .as[Long].head()
+
+    // Candidate ids enumerate the WHOLE batch in canonical order; ids of
+    // conflicting rows are burned (panda.py:691). The global row_number is a
+    // single-partition window — fine for batch sizes (imports are small);
+    // at fleet scale switch to zipWithIndex-style partition offsets.
+    val idWindow = Window.orderBy(canonicalOrder: _*)
+    val candidate = batch.withColumn(
+      "transaction_id", row_number().over(idWindow).cast("long") + maxId)
+
+    val updateCols = Seq("transfer_category", "category", "category_manual",
+      "balance_cents")
+    val identityCols = TransactionSchema.storeSchema.fieldNames.toSeq
+      .filterNot(updateCols.contains)
+
+    val ex = existing.select(
+      col("fingerprint").as("fp"),
+      struct(existing.columns.map(col).toSeq: _*).as("ex"))
+    val ba = candidate.select(
+      col("fingerprint").as("fp"),
+      struct(candidate.columns.map(col).toSeq: _*).as("ba"))
+
+    // Full outer join on fingerprint = MERGE. Matched rows keep identity
+    // columns from the store and take the 4 update columns from the batch.
+    ex.join(ba, Seq("fp"), "full_outer").select(
+      (identityCols.map(c =>
+        coalesce(col(s"ex.$c"), col(s"ba.$c")).as(c)) ++
+       updateCols.map(c =>
+        when(col("ba").isNotNull, col(s"ba.$c"))
+          .otherwise(col(s"ex.$c")).as(c))): _*)
+      .select(TransactionSchema.storeSchema.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** Batch-import composition (panda.py:736-745): store rows win over
+    * re-imported rows on the 7-col natural key (keep='first' over the
+    * store-then-batch concat). Encoded explicitly with a source-priority
+    * row_number — bare `dropDuplicates` is non-deterministic about survivors.
+    */
+  def importBatch(store: DataFrame, batch: DataFrame): DataFrame = {
+    val tagged = store.withColumn("_src", lit(0))
+      .unionByName(batch.withColumn("_src", lit(1)), allowMissingColumns = true)
+    val w = Window
+      .partitionBy(TransactionSchema.dedupKey.map(col): _*)
+      .orderBy(col("_src"))
+    tagged.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_src", "_rn")
+  }
+
+  /** Store reader (panda.py:620-660): cents → float euros, canonical order.
+    * The sort only materializes at this read boundary — the store itself
+    * stays unsorted so writes never pay a global sort.
+    */
+  def load(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .orderBy(canonicalOrder: _*)
+      .withColumn("amount", col("amount_cents") / 100.0)
+      .withColumn("balance", col("balance_cents") / 100.0)
+      .select("account", "book_date", "valuta_date", "party", "book_text",
+        "purpose", "transfer_category", "category", "category_manual",
+        "amount", "balance")
+
+  /** Two-phase overwrite: stage to `<path>.staging`, then swap. Parquet has
+    * no in-place upsert; the staging write keeps the store readable until
+    * the swap (at fleet scale this is a partition-level replace).
+    */
+  def save(df: DataFrame, path: String): Unit = {
+    val staging = path + ".staging"
+    df.write.mode("overwrite").parquet(staging)
+    val spark = df.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(staging), dst)
+  }
+}

@@ -1,0 +1,139 @@
+package graft.finance
+
+import java.nio.file.Files
+import java.security.MessageDigest
+import java.sql.Date
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class StoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rawRow(
+      account: String, bookDate: String, valutaDate: String, party: String,
+      bookText: String, purpose: String, amount: Double, balance: Double) =
+    (account, Date.valueOf(bookDate), Date.valueOf(valutaDate), party,
+      bookText, purpose, amount, balance)
+
+  private def rawDf(rows: Seq[(String, Date, Date, String, String, String, Double, Double)]): DataFrame =
+    rows.toDF("account", "book_date", "valuta_date", "party", "book_text",
+      "purpose", "amount", "balance")
+      .withColumn("transfer_category", lit(null).cast("string"))
+      .withColumn("category", lit(null).cast("string"))
+      .withColumn("category_manual", lit(null).cast("string"))
+
+  private def sha256Hex(s: String): String =
+    MessageDigest.getInstance("SHA-256").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("fingerprint matches the reference format (golden vector)") {
+    val d = Store.withStoreColumns(rawDf(Seq(
+      rawRow("giro", "2024-06-03", "2024-06-04", "REWE MARKT", "Lastschrift",
+        "Einkauf", -45.67, 1234.56),
+      rawRow("giro", "2024-06-03", "2024-06-04", null, null, null, -45.67, 0.0))))
+    val fps = d.orderBy(asc_nulls_last("party")).select("fingerprint")
+      .as[String].collect()
+    assert(fps(0) === sha256Hex(
+      "giro|2024-06-03|2024-06-04|REWE MARKT|Lastschrift|Einkauf|-4567"))
+    // NULL text fields → "", never the literal "null"
+    assert(fps(1) === sha256Hex("giro|2024-06-03|2024-06-04||||-4567"))
+  }
+
+  test("cents use banker's rounding (half-to-even), matching pandas .round()") {
+    val d = rawDf(Seq(
+      rawRow("giro", "2024-01-01", "2024-01-01", "a", null, null, 0.125, 0.135),
+      rawRow("giro", "2024-01-02", "2024-01-02", "b", null, null, -0.125, 0.0)))
+    val out = Store.withStoreColumns(d)
+      .orderBy("book_date").select("amount_cents", "balance_cents")
+      .as[(Long, Long)].collect()
+    assert(out(0) === ((12L, 14L)))  // 12.5 → 12 (even), 13.5 → 14 (even)
+    assert(out(1)._1 === -12L)
+  }
+
+  test("upsert: new rows inserted with MAX(id)+position ids, burned on conflict") {
+    val first = Store.withStoreColumns(rawDf(Seq(
+      rawRow("giro", "2024-01-01", "2024-01-01", "a", null, "p1", -1.0, 0.0),
+      rawRow("giro", "2024-01-02", "2024-01-02", "b", null, "p2", -2.0, 0.0))))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      TransactionSchema.storeSchema)
+    val store1 = Store.upsert(empty, first
+      .withColumn("imported_at", current_timestamp()))
+    assert(store1.select("transaction_id").as[Long].collect().sorted
+      === Array(1L, 2L))
+
+    // Second import: one existing row (conflict) + one new row. The batch
+    // enumerates ids 3,4 in canonical order; the conflicting row burns its
+    // candidate id; the new row keeps its position-based id.
+    val second = Store.withStoreColumns(rawDf(Seq(
+      rawRow("giro", "2024-01-01", "2024-01-01", "a", null, "p1", -1.0, 0.0),
+      rawRow("giro", "2024-01-03", "2024-01-03", "c", null, "p3", -3.0, 0.0))))
+    val store2 = Store.upsert(store1,
+      second.withColumn("imported_at", current_timestamp()))
+    val ids = store2.orderBy("book_date")
+      .select("party", "transaction_id").as[(String, Long)].collect()
+    assert(ids === Array(("a", 1L), ("b", 2L), ("c", 4L)))
+  }
+
+  test("upsert updates ONLY the 4-column policy, preserving identity columns") {
+    val v1 = Store.withStoreColumns(rawDf(Seq(
+      rawRow("giro", "2024-01-01", "2024-01-01", "a", null, "p1", -1.0, 10.0)))
+      .withColumn("category", lit("old::cat")))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      TransactionSchema.storeSchema)
+    val store1 = Store.upsert(empty,
+      v1.withColumn("imported_at", to_timestamp(lit("2024-01-01 00:00:00"))))
+
+    // Re-import the same natural key with new categorization and balance.
+    val v2 = Store.withStoreColumns(rawDf(Seq(
+      rawRow("giro", "2024-01-01", "2024-01-01", "a", null, "p1", -1.0, 99.0))
+      ).withColumn("category", lit("new::cat"))
+       .withColumn("transfer_category", lit("t::x")))
+    // same fingerprint: balance is NOT part of the natural key
+    val store2 = Store.upsert(store1,
+      v2.withColumn("imported_at", to_timestamp(lit("2025-01-01 00:00:00"))))
+
+    val row = store2.collect().head
+    assert(store2.count() === 1)
+    assert(row.getAs[Long]("transaction_id") === 1L)            // preserved
+    assert(row.getAs[java.sql.Timestamp]("imported_at").toString
+      .startsWith("2024-01-01"))                                // preserved
+    assert(row.getAs[String]("category") === "new::cat")        // updated
+    assert(row.getAs[String]("transfer_category") === "t::x")   // updated
+    assert(row.getAs[Long]("balance_cents") === 9900L)          // updated
+  }
+
+  test("importBatch: store rows beat re-imported rows on the natural key") {
+    val store = rawDf(Seq(
+      rawRow("giro", "2024-01-01", "2024-01-01", "a", "t", "p", -1.0, 0.0)))
+      .withColumn("category", lit("kept"))
+    val batch = rawDf(Seq(
+      rawRow("giro", "2024-01-01", "2024-01-01", "a", "t", "p", -1.0, 50.0),
+      rawRow("giro", "2024-01-05", "2024-01-05", "z", "t", "p", -9.0, 0.0)))
+    val out = Store.importBatch(store, batch).orderBy("book_date").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[String]("category") === "kept")
+    assert(out(0).getAs[Double]("balance") === 0.0)  // store row survived
+    assert(out(1).getAs[String]("party") === "z")
+  }
+
+  test("save + load round-trip restores euros and canonical order") {
+    val dir = Files.createTempDirectory("store").resolve("tx.parquet").toString
+    val batch = Store.withStoreColumns(rawDf(Seq(
+      rawRow("giro", "2024-02-01", "2024-02-01", "b", null, null, -2.5, 1.0),
+      rawRow("common", "2024-01-01", "2024-01-01", "a", null, null, 1.25, 2.0))))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      TransactionSchema.storeSchema)
+    Store.save(Store.upsert(empty,
+      batch.withColumn("imported_at", current_timestamp())), dir)
+    val back = Store.load(spark, dir)
+    val rows = back.collect()
+    assert(rows.map(_.getAs[String]("account")).toSeq === Seq("common", "giro"))
+    assert(rows.map(_.getAs[Double]("amount")).toSeq === Seq(1.25, -2.5))
+  }
+}
