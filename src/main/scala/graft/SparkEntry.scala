@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.Relational
+import graft.operators.{Relational, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -43,6 +43,16 @@ object SparkEntry {
     "q22_min_max"          -> (Relational.q22MinMax _),
     "q23_cents_bround"     -> (Relational.q23CentsBround _),
     "q24_german_number"    -> (Relational.q24GermanNumberParse _),
+    "q25_token_stats"      -> (TextQueries.q25TokenStats _),
+    "q26_quality_bands"    -> (TextQueries.q26QualityBands _),
+    "q27_exact_dedup"      -> (TextQueries.q27ExactDedup _),
+    "q28_ngram_jaccard"    -> (TextQueries.q28NgramJaccard _),
+    "q29_minhash_lsh"      -> (TextQueries.q29MinhashLsh _),
+    "q30_simhash"          -> (TextQueries.q30Simhash _),
+    "q31_cosine_topk"      -> (TextQueries.q31CosineTopK _),
+    "q32_ann_lsh"          -> (TextQueries.q32AnnLsh _),
+    "q33_langid"           -> (TextQueries.q33LangId _),
+    "q34_cosine_near_dup"  -> (TextQueries.q34CosineNearDup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -203,5 +213,123 @@ object SparkEntry {
          CAST(replace(replace(replace(CAST(ROUND(o_totalprice, 2) AS VARCHAR), '.', ','),
                               '.', ''), ',', '.') AS DOUBLE) AS parsed
          FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""",
+    "q25_token_stats" ->
+      """SELECT lang,
+         CAST(SUM(CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(lower(trim(text)), '\s+')) END)
+              AS BIGINT) AS n_tokens,
+         CAST(SUM(len(regexp_extract_all(lower(text),
+              '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS n_bpe_tokens,
+         COUNT(*) AS n_docs
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "q26_quality_bands" ->
+      """WITH sig AS (
+           SELECT length(text) AS n_chars,
+             len(string_split_regex(lower(trim(text)), '\s+')) AS n_words,
+             CAST(length(text) - length(regexp_replace(text,
+               '[.,!?;:''"()\[\]-]', '', 'g')) AS DOUBLE)
+               / (CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END)
+               AS punct_ratio,
+             CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+               AS DOUBLE)
+               / (CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END)
+               AS digit_ratio,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> list_contains(['the','and','of','to','in','is','that','it',
+                 'for','on','with','as','a','an','at','by','be','this','are',
+                 'was'], x))) AS DOUBLE)
+               / (CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) = 0
+                  THEN 1 ELSE len(string_split_regex(lower(trim(text)), '\s+')) END)
+               AS stopword_ratio
+           FROM documents),
+         scored AS (
+           SELECT stopword_ratio,
+             greatest(0.0, least(1.0,
+               (0.5 + stopword_ratio - punct_ratio * 2 - digit_ratio)
+               * (CASE WHEN n_words >= 5 AND n_chars >= 20 THEN 1.0 ELSE 0.2 END)))
+               AS score
+           FROM sig)
+         SELECT CASE WHEN score >= 0.7 THEN 'high'
+                     WHEN score >= 0.4 THEN 'mid' ELSE 'low' END AS band,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(score), 4) AS avg_score,
+           ROUND(AVG(stopword_ratio), 4) AS avg_stopword_ratio
+         FROM scored GROUP BY 1 ORDER BY band""",
+    "q27_exact_dedup" ->
+      """SELECT sha256(array_to_string(
+           string_split_regex(lower(trim(text)), '\s+'), ' ')) AS fingerprint,
+         CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS n_docs
+         FROM documents GROUP BY 1 ORDER BY fingerprint""",
+    "q28_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS w
+           FROM documents),
+         sh AS (SELECT doc_id, list_distinct(
+             CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+             ELSE list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+           FROM d),
+         sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh),
+         post AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             COUNT(*) AS n_common
+           FROM post a JOIN post b
+             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b,
+           ROUND(CAST(n_common AS DOUBLE)
+             / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = id_a
+         JOIN sizes sb ON sb.doc_id = id_b
+         WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+         ORDER BY id_a, id_b""",
+    "q31_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+           FROM embeddings),
+         scored AS (SELECT query_id, neighbor_id,
+             list_cosine_similarity(qv, cv) AS cos_sim
+           FROM q, c WHERE query_id <> neighbor_id),
+         ranked AS (SELECT query_id, neighbor_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+           FROM scored)
+         SELECT query_id, neighbor_id, ROUND(cos_sim, 4) AS cos_sim, rank
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q33_langid" ->
+      """WITH s AS (SELECT lang,
+           len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             x -> list_contains(['the','and','of','to','in','is','that','it',
+               'for','on'], x))) AS s_en,
+           len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             x -> list_contains(['der','die','das','und','ist','nicht','mit',
+               'ein','zu','den'], x))) AS s_de,
+           len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             x -> list_contains(['le','la','les','et','est','dans','une',
+               'pour','que','des'], x))) AS s_fr,
+           len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             x -> list_contains(['el','los','las','es','una','por','para',
+               'con','del','se'], x))) AS s_es
+           FROM documents),
+         det AS (SELECT lang,
+           CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+                ELSE 'und' END AS detected
+           FROM s)
+         SELECT detected, lang, COUNT(*) AS n FROM det
+         GROUP BY detected, lang ORDER BY detected, lang""",
+    "q34_cosine_near_dup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+             b.embedding::DOUBLE[]), 4) AS cos_sim
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+           b.embedding::DOUBLE[]) >= 0.38
+         ORDER BY id_a, id_b""",
   )
 }

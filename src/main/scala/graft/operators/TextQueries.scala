@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.textops.{Dedup, Similarity, TextStats}
+
+/** Driver-gated queries over the `documents`/`embeddings` testdata tables
+  * exercising the training-data-pipeline operators (graft.textops).
+  * Column names and rounding are aligned pairwise with the DuckDB oracle
+  * SQL in [[graft.SparkEntry.oracleSql]].
+  */
+object TextQueries {
+
+  /** q25: per-language token statistics (whitespace + BPE-ish tokenizer). */
+  def q25TokenStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("lang"),
+        TextStats.tokenCount(col("text")).as("tok"),
+        TextStats.bpeTokenCount(col("text")).as("bpe"))
+      .groupBy("lang")
+      .agg(sum("tok").as("n_tokens"), sum("bpe").as("n_bpe_tokens"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+
+  /** q26: quality-score banding + mean stopword ratio per band. */
+  def q26QualityBands(spark: SparkSession, sfDir: String): DataFrame = {
+    val score = TextStats.qualityScore(col("text"))
+    val stop = TextStats.qualitySignals(col("text")).toMap.apply("stopword_ratio")
+    Tables.documents(spark, sfDir)
+      .select(
+        when(score >= 0.7, "high").when(score >= 0.4, "mid")
+          .otherwise("low").as("band"),
+        score.as("score"), stop.as("stopword_ratio"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("score"), 4).as("avg_score"),
+        round(avg("stopword_ratio"), 4).as("avg_stopword_ratio"))
+      .orderBy("band")
+  }
+
+  /** q27: exact dedup groups — content fingerprint → survivor + count. */
+  def q27ExactDedup(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.exactDupStats(Tables.documents(spark, sfDir))
+      .orderBy("fingerprint")
+
+  /** q28: word-3-gram Jaccard near-dup pairs (exact, posting-list join). */
+  def q28NgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(spark, sfDir),
+        n = 3, threshold = 0.5)
+      .withColumn("jaccard", round(col("jaccard"), 4))
+      .orderBy("id_a", "id_b")
+
+  /** q29: MinHash+LSH near-dup candidates (no SQL oracle — signature
+    * permutations aren't expressible; the spec cross-checks recall
+    * against q28's exact pairs instead).
+    */
+  def q29MinhashLsh(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.minhashLshPairs(Tables.documents(spark, sfDir),
+        n = 3, k = 64, bands = 16, estThreshold = 0.5)
+      .withColumn("est_jaccard", round(col("est_jaccard"), 4))
+      .orderBy("id_a", "id_b")
+
+  /** q30: SimHash near-dup pairs via 16-bit chunk banding (no SQL oracle). */
+  def q30Simhash(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(spark, sfDir), maxDist = 6)
+      .orderBy("id_a", "id_b")
+
+  private def asDouble(df: DataFrame): DataFrame =
+    df.withColumn("embedding",
+      transform(col("embedding"), x => x.cast("double")))
+
+  /** q31: exact brute-force cosine top-5 for query vectors vec_id < 8. */
+  def q31CosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = asDouble(Tables.embeddings(spark, sfDir))
+    Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
+      .withColumn("cos_sim", round(col("cos_sim"), 4))
+      .orderBy("query_id", "rank")
+  }
+
+  /** q32: LSH-bucketed approximate top-k (no SQL oracle; spec checks
+    * recall against q31).
+    */
+  def q32AnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = asDouble(Tables.embeddings(spark, sfDir))
+    Similarity.annLshTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
+      .withColumn("cos_sim", round(col("cos_sim"), 4))
+      .orderBy("query_id", "rank")
+  }
+
+  /** q33: language-ID distribution: detected vs labeled language counts. */
+  def q33LangId(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(TextStats.langId(col("text")).as("detected"), col("lang"))
+      .groupBy("detected", "lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("detected", "lang")
+
+  /** q34: embedding near-dup pairs (semantic dedup). The synthetic
+    * embeddings are near-uniform (max pairwise cosine ≈ 0.48), so the
+    * "near-dup" threshold is 0.38 to exercise a non-trivial result set.
+    */
+  def q34CosineNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.cosineNearDupPairs(
+        asDouble(Tables.embeddings(spark, sfDir)), threshold = 0.38)
+      .withColumn("cos_sim", round(col("cos_sim"), 4))
+      .orderBy("id_a", "id_b")
+}

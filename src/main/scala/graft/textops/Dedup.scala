@@ -1,0 +1,178 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for document corpora: exact, n-gram Jaccard,
+  * MinHash+LSH, and SimHash — the standard near-dup toolkit of large-scale
+  * training-data pipelines (Lee et al. 2021 "Deduplicating Training Data
+  * Makes Language Models Better"; Broder 1997 resemblance sketches).
+  *
+  * Scale posture (100 TB): every operator here avoids the O(n²) all-pairs
+  * comparison. Exact dedup is one hash-partitioned groupBy. MinHash-LSH and
+  * SimHash banding shuffle each document once per band keyed on the bucket
+  * hash, so candidate generation touches only same-bucket pairs; the final
+  * verification join is between the (small) candidate-pair set and the
+  * corpus. The only quadratic term is within-bucket, bounded by bucket size.
+  */
+object Dedup {
+
+  /** Exact dedup on normalized content: keep the smallest `idCol` per
+    * distinct text (deterministic survivor — never bare dropDuplicates).
+    * One shuffle on the 256-bit fingerprint; skew-free by construction.
+    */
+  def exact(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val fp = TextStats.contentFingerprint(col(textCol))
+    val w = Window.partitionBy(col("fingerprint")).orderBy(col(idCol))
+    docs.withColumn("fingerprint", fp)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Exact-dup groups: fingerprint → surviving id + victim count. */
+  def exactDupStats(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.withColumn("fingerprint", TextStats.contentFingerprint(col(textCol)))
+      .groupBy("fingerprint")
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_docs"))
+
+  /** All pairs (a<b) whose word-n-gram Jaccard similarity ≥ `threshold`,
+    * computed exactly by joining documents on shared distinct shingles and
+    * counting: |A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|.
+    *
+    * The shuffle is keyed on the shingle, so only documents sharing at
+    * least one shingle ever meet — no cross join. At fleet scale, prefix-
+    * filtering (only the rarest shingles per doc) bounds the fan-out; here
+    * the corpus vocabulary is small so full posting lists are fine.
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
+      threshold: Double = 0.8, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val withSh = docs.select(col(idCol).as("id"),
+      array_distinct(TextStats.shingles(col(textCol), n)).as("sh"))
+    val sizes = withSh.select(col("id"), size(col("sh")).as("n_sh"))
+    val posting = withSh.select(col("id"), explode(col("sh")).as("shingle"))
+    val inter = posting.as("a").join(posting.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ---------------------------------------------------------------- MinHash
+
+  /** Deterministic universal-hash parameters for the MinHash signature:
+    * h_i(x) = (a_i·x + b_i) mod p over Murmur3 shingle hashes. Fixed seeds
+    * (splitmix-style constants), NOT Math.random — resumable and identical
+    * across executors by construction.
+    */
+  private val P = 2147483647L // 2^31 - 1 (Mersenne prime)
+  private def hashParams(k: Int): Seq[(Long, Long)] = {
+    var s = 0x9e3779b97f4a7c15L
+    def next(): Long = { // splitmix64 step
+      s += 0x9e3779b97f4a7c15L
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    (0 until k).map(_ => ((next() & 0x7fffffffL) | 1L, next() & 0x7fffffffL))
+  }
+
+  /** k-permutation MinHash signature column over word-n-gram shingles.
+    * All higher-order builtins: one pass over the shingle array per
+    * permutation, no UDF, fully codegen-compatible.
+    */
+  def minhashSignature(text: Column, n: Int = 3, k: Int = 64): Column = {
+    val hashes = transform(array_distinct(TextStats.shingles(text, n)),
+      s => pmod(hash(s).cast("long"), lit(P)))
+    val sig = hashParams(k).map { case (a, b) =>
+      array_min(transform(hashes, x => pmod(x * a + b, lit(P))))
+    }
+    array(sig: _*)
+  }
+
+  /** MinHash-LSH candidate pairs: signatures banded into `bands` groups of
+    * rows; documents colliding in ≥1 band meet; pairs are scored by
+    * signature agreement (estimated Jaccard) and optionally verified
+    * exactly. Threshold tuning: collision prob ≈ 1-(1-j^r)^b.
+    *
+    * Shuffle plan: explode to (band, bucketHash) → one shuffle; per-bucket
+    * self-join; distinct pair set. Never materializes n² pairs.
+    */
+  def minhashLshPairs(docs: DataFrame, n: Int = 3, k: Int = 64,
+      bands: Int = 16, estThreshold: Double = 0.5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val sigs = docs.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), n, k).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      explode(array((0 until bands).map(j =>
+        struct(lit(j).as("band"),
+          xxhash64(concat_ws(",",
+            transform(slice(col("sig"), j * r + 1, r),
+              x => x.cast("string")))).as("bucket"))): _*)).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+    pairs.withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => x === y), b => b)).cast("double") / k)
+      .filter(col("est_jaccard") >= estThreshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash over word tokens: per bit position, sum ±1 weighted by
+    * each token's xxhash64 bit; the sign vector packs into one long.
+    * Computed as 64 array-aggregate expressions — wide but shuffle-free.
+    */
+  def simhash(text: Column): Column = {
+    val tokenHashes = transform(TextStats.words(text), w => xxhash64(w))
+    val bits = (0 until 64).map { j =>
+      val bitSum = aggregate(tokenHashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L)
+          .otherwise(-1L))
+      when(bitSum > 0, shiftleft(lit(1L), j)).otherwise(0L)
+    }
+    bits.reduce(_ bitwiseOR _)
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxDist`, found by
+    * banding the 64-bit hash into 4 16-bit chunks (pigeonhole: any pair at
+    * distance ≤3 agrees exactly on ≥1 chunk). One shuffle per chunk key.
+    */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val chunks = sh.select(col("id"), col("sh"),
+      explode(array((0 until 4).map(j => struct(lit(j).as("chunk"),
+        shiftright(col("sh"), j * 16).bitwiseAND(0xffffL).as("key"))): _*))
+        .as("c"))
+      .select(col("id"), col("sh"), col("c.chunk"), col("c.key"))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,129 @@
+package graft.textops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting, quality scoring, language ID, document
+  * fingerprinting.
+  *
+  * Everything here is a pure Column expression over the codegen'd builtins
+  * (split / filter / aggregate / regexp_*) — no UDFs, no shuffles, each
+  * operator is an embarrassingly-parallel projection that scales linearly
+  * with input splits. Language profiles are literal arrays folded into the
+  * plan (broadcast-free: they are constants, not data).
+  */
+object TextStats {
+
+  /** Whitespace word tokenization (lowered). */
+  def words(text: Column): Column =
+    split(lower(trim(text)), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(size(words(text)))
+
+  /** BPE-ish sub-word tokenization: letter runs, digit runs, and single
+    * punctuation marks — the shape a byte-pair tokenizer's pre-tokenizer
+    * produces. `regexp_extract_all` is codegen'd; no UDF.
+    */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
+  /** English stopword profile used for the quality score. */
+  val enStopwords: Seq[String] = Seq(
+    "the", "and", "of", "to", "in", "is", "that", "it", "for", "on",
+    "with", "as", "a", "an", "at", "by", "be", "this", "are", "was")
+
+  private def countIn(ws: Column, set: Seq[String]): Column =
+    size(filter(ws, w => array_contains(lit(set.toArray), w)))
+
+  /** Punctuation character count (explicit class, dialect-portable). */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,!?;:'\"()\\[\\]-]", ""))
+
+  /** Heuristic document quality signals: length, token stats, punctuation /
+    * digit / stopword ratios. Mirrors the usual pre-training quality
+    * filters (C4/Gopher-style rules) as one wide projection.
+    */
+  def qualitySignals(text: Column): Seq[(String, Column)] = {
+    val ws = words(text)
+    val nChars = length(text)
+    val nWords = size(ws)
+    Seq(
+      "n_chars" -> nChars,
+      "n_words" -> nWords,
+      "mean_word_len" ->
+        (nChars.cast("double") / when(nWords === 0, 1).otherwise(nWords)),
+      "punct_ratio" ->
+        (punctCount(text).cast("double") /
+          when(nChars === 0, 1).otherwise(nChars)),
+      "digit_ratio" ->
+        ((nChars - length(regexp_replace(text, "[0-9]", ""))).cast("double") /
+          when(nChars === 0, 1).otherwise(nChars)),
+      "stopword_ratio" ->
+        (countIn(ws, enStopwords).cast("double") /
+          when(nWords === 0, 1).otherwise(nWords)))
+  }
+
+  /** Composite quality score in [0,1]: stopword presence up-weights,
+    * excessive punctuation/digits down-weight, degenerate length zeroes.
+    */
+  def qualityScore(text: Column): Column = {
+    val s = qualitySignals(text).toMap
+    val lengthOk = when(s("n_words") >= 5 && s("n_chars") >= 20, 1.0)
+      .otherwise(0.2)
+    val base = lit(0.5) + s("stopword_ratio") -
+      s("punct_ratio") * 2 - s("digit_ratio")
+    greatest(lit(0.0), least(lit(1.0), base * lengthOk))
+  }
+
+  /** Per-language stopword profiles for the n-gram/stopword language-ID
+    * heuristic. Order = deterministic tie-break priority.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "on"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "dans", "une", "pour", "que", "des"),
+    "es" -> Seq("el", "los", "las", "es", "una", "por", "para", "con", "del", "se"))
+
+  /** Language ID: argmax of per-profile stopword hit counts, ties resolved
+    * by profile order, all-zero → "und" (undetermined). One projection, no
+    * shuffle; the same CASE shape is expressible in any SQL dialect, which
+    * is what the DuckDB oracle runs.
+    */
+  def langId(text: Column): Column = {
+    val ws = words(text)
+    val scores = langProfiles.map { case (lang, set) => lang -> countIn(ws, set) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val chain = scores.foldLeft(when(best === 0, "und")) {
+      case (acc, (lang, score)) => acc.when(score === best, lang)
+    }
+    chain.otherwise("und")
+  }
+
+  /** Exact-content fingerprint: sha256 over whitespace-normalized lowered
+    * text — the key for exact dedup.
+    */
+  def contentFingerprint(text: Column): Column =
+    sha2(concat_ws(" ", words(text)), 256)
+
+  /** Rolling polynomial fingerprints over word w-shingles (winnowing-style
+    * document fingerprinting): hash each w-gram, keep the per-document
+    * minimum k — a compact locality signature. Deterministic (no
+    * Math.random): fixed base/modulus.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val ws = words(text)
+    when(size(ws) < n, array(concat_ws(" ", ws)))
+      .otherwise(transform(sequence(lit(1), size(ws) - (n - 1)),
+        i => concat_ws(" ", slice(ws, i, lit(n)))))
+  }
+
+  /** xxhash64-based shingle fingerprint set (bottom-k sketch of w-grams). */
+  def docFingerprint(text: Column, n: Int = 3, k: Int = 8): Column =
+    slice(array_sort(transform(array_distinct(shingles(text, n)),
+      s => xxhash64(s))), 1, k)
+}

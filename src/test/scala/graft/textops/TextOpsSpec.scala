@@ -1,0 +1,116 @@
+package graft.textops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bend"),  // near-dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank"),  // exact dup of 1
+    (4L, "der schnelle braune fuchs springt und ist nicht mit dem hund"),
+    (5L, "completely different words about spark catalyst optimizer plans"),
+    (6L, "le chat est dans la maison et les oiseaux dans les arbres pour que"),
+    (7L, "el perro es una mascota por para con los gatos del jardin se"),
+    (8L, "12345 67890 !!! ??? ... ;;; 11111 22222"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps min doc_id per identical content") {
+    val out = Dedup.exact(docs).select("doc_id").as[Long].collect().sorted
+    assert(out === Array(1L, 2L, 4L, 5L, 6L, 7L, 8L))  // 3 deduped into 1
+    val stats = Dedup.exactDupStats(docs)
+      .filter(col("n_docs") > 1).collect()
+    assert(stats.length === 1)
+    assert(stats.head.getAs[Long]("keep_id") === 1L)
+    assert(stats.head.getAs[Long]("n_docs") === 2L)
+  }
+
+  test("ngram Jaccard finds near-dup and exact-dup pairs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 3L)))  // exact dup: jaccard 1.0
+    assert(pairs.contains((1L, 2L)))  // near dup: 1 word differs
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("minhash LSH recalls the exact high-jaccard pairs") {
+    val exact = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val approx = Dedup.minhashLshPairs(docs, n = 3, k = 64, bands = 16,
+        estThreshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(exact.subsetOf(approx),
+      s"missed pairs: ${exact.diff(approx)}")
+  }
+
+  test("simhash: identical texts collide, near-dups are close, distinct far") {
+    val sh = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) === sh(3L))
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(2L)) <= 12)
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(5L)) > 12)
+    val pairs = Dedup.simhashPairs(docs, maxDist = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 3L)))
+  }
+
+  test("langId picks the profile with most stopword hits") {
+    val out = docs.select(col("doc_id"), TextStats.langId(col("text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === "en")
+    assert(out(4L) === "de")
+    assert(out(6L) === "fr")
+    assert(out(7L) === "es")
+    assert(out(8L) === "und")
+  }
+
+  test("quality score: English prose scores high, digit soup scores low") {
+    val out = docs.select(col("doc_id"),
+        TextStats.qualityScore(col("text")).as("q"))
+      .as[(Long, Double)].collect().toMap
+    assert(out(1L) > 0.6)
+    assert(out(8L) < 0.2)
+    assert(out.values.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("token counts: whitespace vs BPE-ish") {
+    val out = docs.filter(col("doc_id") === 8)
+      .select(TextStats.tokenCount(col("text")),
+        TextStats.bpeTokenCount(col("text")))
+      .as[(Int, Int)].head()
+    assert(out._1 === 8)
+    // 4 digit runs stay whole; each of the 12 punctuation chars is its own token
+    assert(out._2 === 4 + 12)
+  }
+
+  test("cosine topK: exact and LSH agree on the top neighbor") {
+    val vecs = Seq(
+      (0L, Array(1.0, 0.0, 0.0, 0.0)),
+      (1L, Array(0.9, 0.1, 0.0, 0.0)),   // closest to 0
+      (2L, Array(0.0, 1.0, 0.0, 0.0)),
+      (3L, Array(0.0, 0.9, 0.1, 0.0)),   // closest to 2
+      (4L, Array(-1.0, 0.0, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val exact = Similarity.cosineTopK(vecs, vecs.filter(col("vec_id") < 2), 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(exact(0L) === 1L)
+    assert(exact(1L) === 0L)
+    val approx = Similarity.annLshTopK(vecs, vecs.filter(col("vec_id") < 2),
+        k = 1, planes = 8, bands = 4, dims = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(approx(0L) === 1L)
+  }
+
+  test("near-dup pairs by cosine threshold") {
+    val vecs = Seq(
+      (0L, Array(1.0, 0.0)), (1L, Array(0.999, 0.01)), (2L, Array(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(vecs, 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 1L)))
+  }
+}
