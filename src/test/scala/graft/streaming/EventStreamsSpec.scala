@@ -1,0 +1,122 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+/** Streaming specs: feed MemoryStream micro-batches through the SAME
+  * transforms the batch driver queries use and check streamed results
+  * equal the batch computation — the unified-API contract.
+  */
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+  import EventStreams._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private val eventRows = Seq(
+    (1L, ts("2024-01-01 10:05:00"), 1L, "click", 10.0),
+    (2L, ts("2024-01-01 10:20:00"), 1L, "click", 5.0),
+    (3L, ts("2024-01-01 11:30:00"), 1L, "view", 2.0),   // new session (>30m gap)
+    (4L, ts("2024-01-01 10:10:00"), 2L, "click", 7.0),
+    (5L, ts("2024-01-01 12:00:00"), 2L, "view", 1.0))
+
+  private def eventsDf(rows: Seq[(Long, Timestamp, Long, String, Double)]) =
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("streaming tumbling agg (complete mode) equals batch tumbling agg") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = tumblingAgg(
+        stream.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+        "1 hour")
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      stream.addData(eventRows.take(3))
+      q.processAllAvailable()
+      stream.addData(eventRows.drop(3))
+      q.processAllAvailable()
+      val streamed = spark.table("tumbling_out")
+        .orderBy("window_start", "event_type").collect().toSeq
+      val batch = tumblingAgg(eventsDf(eventRows), "1 hour")
+        .orderBy("window_start", "event_type").collect().toSeq
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("batch session windows: gap semantics and end = last + gap") {
+    val out = sessionAgg(eventsDf(eventRows), "30 minutes")
+      .orderBy("user_id", "session_start").collect()
+    // user 1: events 10:05,10:20 in one session (gap 15m), 11:30 alone
+    assert(out.length === 4)
+    val s0 = out(0)
+    assert(s0.getAs[Timestamp]("session_start") === ts("2024-01-01 10:05:00"))
+    assert(s0.getAs[Timestamp]("session_end") === ts("2024-01-01 10:50:00"))
+    assert(s0.getAs[Long]("n_events") === 2L)
+    assert(s0.getAs[Double]("sum_value") === 15.0)
+  }
+
+  test("streaming dedup within watermark drops replayed event_ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = dedupedStream(
+        stream.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+        "1 hour")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(eventRows.take(2))
+      q.processAllAvailable()
+      stream.addData(eventRows.take(2))  // exact replay (at-least-once source)
+      stream.addData(eventRows.drop(2))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() === eventRows.length.toLong)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState running totals accumulate across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[UserEvent]
+    val q = runningUserTotals(stream.toDS())
+      .writeStream.format("memory").queryName("totals_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      stream.addData(UserEvent(1L, ts("2024-01-01 10:00:00"), 1L, 10.0))
+      q.processAllAvailable()
+      stream.addData(UserEvent(2L, ts("2024-01-01 10:05:00"), 1L, 5.0),
+        UserEvent(3L, ts("2024-01-01 10:06:00"), 2L, 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("totals_out").collect()
+      val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+      assert(byUser(1L).map(_.getAs[Long]("n_events")).max === 2L)
+      assert(byUser(1L).map(_.getAs[Double]("total_value")).max === 15.0)
+      assert(byUser(2L).map(_.getAs[Long]("n_events")).max === 1L)
+    } finally q.stop()
+  }
+
+  test("categorizer lifts to streaming unchanged (stateless projection)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, String, Double)]
+    val txStream = stream.toDF().toDF("account", "party", "amount")
+      .withColumn("book_text", lit(null).cast("string"))
+      .withColumn("purpose", lit(null).cast("string"))
+      .withColumn("category_manual", lit(null).cast("string"))
+    val q = EventStreams.categorizeStream(txStream)
+      .writeStream.format("memory").queryName("cat_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(("giro", "REWE MARKT GMBH", -12.0),
+        ("giro", "VISA APPLE.COM/BILL", -9.99))
+      q.processAllAvailable()
+      val cats = spark.table("cat_out").select("party", "category")
+        .as[(String, String)].collect().toMap
+      assert(cats("REWE MARKT GMBH") === "einkaufen")
+      assert(cats("VISA APPLE.COM/BILL") === "media")
+    } finally q.stop()
+  }
+}
