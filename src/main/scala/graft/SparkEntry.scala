@@ -55,6 +55,7 @@ object SparkEntry {
     "q34_cosine_near_dup"  -> (TextQueries.q34CosineNearDup _),
     "q35_sessionization"   -> (StreamQueries.q35Sessionization _),
     "q36_sliding_window"   -> (StreamQueries.q36SlidingWindow _),
+    "q37_binary_payload"   -> (TextQueries.q37BinaryPayload _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -357,5 +358,10 @@ object SparkEntry {
            FROM events)
          SELECT ws AS window_start, event_type, COUNT(*) AS n
          FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "q37_binary_payload" ->
+      """SELECT doc_id,
+         CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+         base64(encode(text)) AS payload_b64
+         FROM documents ORDER BY doc_id""",
   )
 }

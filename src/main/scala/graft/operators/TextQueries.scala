@@ -106,4 +106,21 @@ object TextQueries {
         asDouble(Tables.embeddings(spark, sfDir)), threshold = 0.38)
       .withColumn("cos_sim", round(col("cos_sim"), 4))
       .orderBy("id_a", "id_b")
+
+  /** q37: opaque-binary column plumbing through the gate — documents' text
+    * treated as a binary payload (UTF-8 bytes): byte length, base64 prefix
+    * of the payload head. Stands in for the multimodal payload path
+    * (graft.multimodal), whose decode stages are spec-tested.
+    */
+  def q37BinaryPayload(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        col("text").cast("binary").as("payload"))
+      .select(col("doc_id"),
+        length(col("payload")).as("n_bytes"),
+        // Spark's base64 inserts MIME \r\n line breaks every 76 chars;
+        // strip for the canonical (RFC 4648, unchunked) form DuckDB emits.
+        regexp_replace(base64(col("payload")), "[\\r\\n]", "")
+          .as("payload_b64"))
+      .orderBy("doc_id")
 }
