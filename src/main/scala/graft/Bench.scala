@@ -1,24 +1,53 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — driver contract (builder prompt).
+  *
+  * Runs every SparkEntry query over `SPARK_GRAFT_SF_DIR` and prints exactly
+  * one JSON line: {"metric","value","unit","queries","sf"}.
+  *
+  * Each query is materialized through the `noop` datasource writer so the
+  * full result set (all columns, all rows) is produced — `count()` alone
+  * would let Catalyst prune projections and undercount the real work.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession
+      .builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
       .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // JVM + parquet-footer warm-up on the smallest query so the first timed
+    // entry does not absorb one-time class-loading/codegen costs.
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+      val sec = (System.nanoTime() - t0) / 1e9
+      Console.err.println(f"[bench] $name%-24s $sec%8.3f s")
+      name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    )
     spark.stop()
   }
 }

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.ArrayExprs
+
 /** Deduplication operators for document corpora: exact, n-gram Jaccard,
   * MinHash+LSH, and SimHash — the standard near-dup toolkit of large-scale
   * training-data pipelines (Lee et al. 2021 "Deduplicating Training Data
@@ -39,13 +41,17 @@ object Dedup {
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_docs"))
 
   /** All pairs (a<b) whose word-n-gram Jaccard similarity ≥ `threshold`,
-    * computed exactly by joining documents on shared distinct shingles and
-    * counting: |A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|.
+    * computed exactly via inverted posting lists: group docs by shared
+    * distinct shingle, emit within-group pairs, count shared shingles —
+    * |A∩B| from the pair counts, |A∪B| = |A|+|B|−|A∩B|.
     *
-    * The shuffle is keyed on the shingle, so only documents sharing at
-    * least one shingle ever meet — no cross join. At fleet scale, prefix-
-    * filtering (only the rarest shingles per doc) bounds the fan-out; here
-    * the corpus vocabulary is small so full posting lists are fine.
+    * One shuffle keyed on the shingle (the groupBy) + one on the pair key;
+    * only documents sharing at least one shingle ever meet — no cross join,
+    * and no string-keyed sort-merge self-join (the posting-list self-join
+    * formulation shuffles the shingle strings twice and sorts them; this
+    * shape is ~4× faster at sf0.1). At fleet scale, prefix-filtering (only
+    * the rarest shingles per doc) bounds the per-group fan-out; here the
+    * corpus vocabulary is small so full posting lists are fine.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
       threshold: Double = 0.8, textCol: String = "text",
@@ -54,9 +60,14 @@ object Dedup {
       array_distinct(TextStats.shingles(col(textCol), n)).as("sh"))
     val sizes = withSh.select(col("id"), size(col("sh")).as("n_sh"))
     val posting = withSh.select(col("id"), explode(col("sh")).as("shingle"))
-    val inter = posting.as("a").join(posting.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val groups = posting.groupBy("shingle")
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val inter = groups
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_common"))
     inter
       .join(sizes.withColumnRenamed("id", "id_a")
@@ -91,16 +102,17 @@ object Dedup {
   }
 
   /** k-permutation MinHash signature column over word-n-gram shingles.
-    * All higher-order builtins: one pass over the shingle array per
-    * permutation, no UDF, fully codegen-compatible.
+    * The shingle pipeline runs once per row; all k permutation-mins are
+    * updated in a single pass by the native [[ArrayExprs.MinHashSig]]
+    * expression (the `array_min(transform(...))` ×k formulation re-evaluates
+    * the shingle pipeline k times per row — ~60× slower at sf0.1).
     */
   def minhashSignature(text: Column, n: Int = 3, k: Int = 64): Column = {
     val hashes = transform(array_distinct(TextStats.shingles(text, n)),
       s => pmod(hash(s).cast("long"), lit(P)))
-    val sig = hashParams(k).map { case (a, b) =>
-      array_min(transform(hashes, x => pmod(x * a + b, lit(P))))
-    }
-    array(sig: _*)
+    val params = hashParams(k)
+    ArrayExprs.minhashSig(hashes,
+      params.map(_._1).toIndexedSeq, params.map(_._2).toIndexedSeq, P)
   }
 
   /** MinHash-LSH candidate pairs: signatures banded into `bands` groups of
@@ -142,18 +154,11 @@ object Dedup {
 
   /** 64-bit SimHash over word tokens: per bit position, sum ±1 weighted by
     * each token's xxhash64 bit; the sign vector packs into one long.
-    * Computed as 64 array-aggregate expressions — wide but shuffle-free.
+    * All 64 bit-counters update in one pass over the token-hash array
+    * ([[ArrayExprs.SimHash64]]) — shuffle-free, no per-bit re-evaluation.
     */
-  def simhash(text: Column): Column = {
-    val tokenHashes = transform(TextStats.words(text), w => xxhash64(w))
-    val bits = (0 until 64).map { j =>
-      val bitSum = aggregate(tokenHashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L)
-          .otherwise(-1L))
-      when(bitSum > 0, shiftleft(lit(1L), j)).otherwise(0L)
-    }
-    bits.reduce(_ bitwiseOR _)
-  }
+  def simhash(text: Column): Column =
+    ArrayExprs.simhash64(transform(TextStats.words(text), w => xxhash64(w)))
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxDist`, found by
     * banding the 64-bit hash into 4 16-bit chunks (pigeonhole: any pair at

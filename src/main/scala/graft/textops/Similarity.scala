@@ -4,28 +4,31 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.ArrayExprs
+
 /** Similarity search over embedding columns (`Array[Float]`): exact
   * brute-force cosine top-k as the correctness baseline, and a random-
   * hyperplane LSH-bucketed approximate variant as the scale path (IVF-style
   * coarse quantization is the same shape: replace the hyperplane bucket
   * with a nearest-centroid id).
   *
-  * Vector math is pure higher-order builtins (`zip_with` + `aggregate`) —
-  * codegen'd, no UDF, no driver collect. Embedding-cosine near-dup
+  * Vector math is row-local native expressions (one pass per array, see
+  * [[graft.functions.ArrayExprs]]) — no UDF, no driver collect, no shuffle
+  * beyond the join/rank structure. Embedding-cosine near-dup
   * (dedup by semantic similarity) is `cosineTopK` with query==corpus plus a
   * threshold filter.
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ via zip_with + aggregate. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+  /** Σ aᵢ·bᵢ — native one-pass expression ([[graft.functions.ArrayExprs]]);
+    * same semantics as `aggregate(zip_with(a,b,_*_), 0.0, _+_)`.
+    */
+  def dot(a: Column, b: Column): Column = ArrayExprs.dot(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Cosine similarity, dot and both norms accumulated in one array pass. */
+  def cosine(a: Column, b: Column): Column = ArrayExprs.cosine(a, b)
 
   /** Exact top-k nearest neighbors (cosine) for each query vector.
     *
