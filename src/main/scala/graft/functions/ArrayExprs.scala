@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.{columnExpr, exprColumn}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the array-heavy sketch/similarity hot
   * paths (SURVEY.md §4.3: custom `Expression` where the builtin shape
@@ -205,6 +206,50 @@ object ArrayExprs {
       copy(child = c)
   }
 
+  /** Word n-gram shingles over an array<string> of words, one pass:
+    * out[i] = words[i..i+n-1] joined by " "; fewer than n words → a single
+    * shingle of all words. Exactly the semantics of
+    * `transform(sequence(1, size(ws)-n+1), i -> concat_ws(" ", slice(ws,i,n)))`
+    * — which re-evaluates the whole upstream word-split pipeline once PER
+    * SHINGLE POSITION in interpreted HOF eval (~50× per doc; measured 3 s
+    * for 5k docs at sf0.1 vs ~0.1 s here). Null words are skipped by the
+    * join, matching concat_ws.
+    */
+  case class WordShingles(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(n >= 1)
+    override def dataType: DataType =
+      ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_word_shingles"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val m = arr.numElements()
+      val sep = UTF8String.fromString(" ")
+      def join(from: Int, len: Int): UTF8String = {
+        val parts = new Array[UTF8String](len)
+        var i = 0
+        while (i < len) {
+          // concat_ws skips nulls; represent them as null inputs to concatWs
+          parts(i) = if (arr.isNullAt(from + i)) null
+            else arr.getUTF8String(from + i)
+          i += 1
+        }
+        UTF8String.concatWs(sep, parts: _*)
+      }
+      if (m < n) new GenericArrayData(Array[Any](join(0, m)))
+      else {
+        val out = new Array[Any](m - n + 1)
+        var i = 0
+        while (i <= m - n) { out(i) = join(i, n); i += 1 }
+        new GenericArrayData(out)
+      }
+    }
+
+    override protected def withNewChildInternal(c: Expression): WordShingles =
+      copy(child = c)
+  }
+
   // ------------------------------------------------------- Column wrappers
 
   def dot(a: Column, b: Column): Column =
@@ -219,4 +264,7 @@ object ArrayExprs {
 
   def simhash64(tokenHashes: Column): Column =
     exprColumn(SimHash64(columnExpr(tokenHashes)))
+
+  def wordShingles(words: Column, n: Int): Column =
+    exprColumn(WordShingles(columnExpr(words), n))
 }

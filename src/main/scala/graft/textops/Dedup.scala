@@ -56,24 +56,26 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
       threshold: Double = 0.8, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val withSh = docs.select(col(idCol).as("id"),
-      array_distinct(TextStats.shingles(col(textCol), n)).as("sh"))
-    val sizes = withSh.select(col("id"), size(col("sh")).as("n_sh"))
-    val posting = withSh.select(col("id"), explode(col("sh")).as("shingle"))
+    // Carry each doc's shingle count inside the posting list so |A|,|B|
+    // ride along to the pair aggregation — no join back to a sizes table,
+    // and the (expensive) shingle pipeline is evaluated exactly once per doc
+    // instead of once per downstream consumer.
+    val posting = docs
+      .select(col(idCol).as("id"),
+        array_distinct(TextStats.shingles(col(textCol), n)).as("sh"))
+      .select(col("id"), size(col("sh")).as("n_sh"),
+        explode(col("sh")).as("shingle"))
     val groups = posting.groupBy("shingle")
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-    val inter = groups
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
+      .agg(collect_list(struct(col("id"), col("n_sh"))).as("members"))
+      .filter(size(col("members")) > 1)
+    groups
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a.id").as("id_a"), col("a.n_sh").as("n_a"),
+        explode(col("members")).as("b"))
+      .filter(col("id_a") < col("b.id"))
+      .groupBy(col("id_a"), col("n_a"),
+        col("b.id").as("id_b"), col("b.n_sh").as("n_b"))
       .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a")
-        .withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("id", "id_b")
-        .withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")))
@@ -130,6 +132,11 @@ object Dedup {
     val r = k / bands
     val sigs = docs.select(col(idCol).as("id"),
       minhashSignature(col(textCol), n, k).as("sig"))
+    // Bucket-grouped candidate generation (same shape as the Jaccard
+    // posting list): one shuffle keyed on (band, bucket), within-bucket
+    // pair explode. A banded-self-join formulation evaluates the whole
+    // signature pipeline twice and sort-merges on the bucket key — this
+    // computes each signature once and only groups colliding docs.
     val banded = sigs.select(col("id"), col("sig"),
       explode(array((0 until bands).map(j =>
         struct(lit(j).as("band"),
@@ -137,11 +144,15 @@ object Dedup {
             transform(slice(col("sig"), j * r + 1, r),
               x => x.cast("string")))).as("bucket"))): _*)).as("bb"))
       .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
-    val pairs = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+    val pairs = banded.groupBy("band", "bucket")
+      .agg(collect_list(struct(col("id"), col("sig"))).as("members"))
+      .filter(size(col("members")) > 1)
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a.id").as("id_a"), col("a.sig").as("sig_a"),
+        explode(col("members")).as("b"))
+      .filter(col("id_a") < col("b.id"))
+      .select(col("id_a"), col("sig_a"),
+        col("b.id").as("id_b"), col("b.sig").as("sig_b"))
       .dropDuplicates("id_a", "id_b")
     pairs.withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"),
@@ -172,11 +183,17 @@ object Dedup {
         shiftright(col("sh"), j * 16).bitwiseAND(0xffffL).as("key"))): _*))
         .as("c"))
       .select(col("id"), col("sh"), col("c.chunk"), col("c.key"))
-    chunks.as("a").join(chunks.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+    // Bucket-grouped pair generation — simhash evaluated once per doc (a
+    // chunks-self-join would run the token pipeline twice; see LSH above).
+    chunks.groupBy("chunk", "key")
+      .agg(collect_list(struct(col("id"), col("sh"))).as("members"))
+      .filter(size(col("members")) > 1)
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a.id").as("id_a"), col("a.sh").as("sh_a"),
+        explode(col("members")).as("b"))
+      .filter(col("id_a") < col("b.id"))
+      .select(col("id_a"), col("b.id").as("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("b.sh"))).as("hamming"))
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxDist)
   }

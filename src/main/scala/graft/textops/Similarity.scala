@@ -58,10 +58,17 @@ object Similarity {
     */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    // O(n²) pairs are unavoidable for the exact variant, but each vector's
+    // L2 norm is computed once here (n sqrt'd self-dots) instead of twice
+    // per pair — the pair loop does a single dot. Bit-identical to
+    // CosineSim: sab/(√saa·√sbb) with the same accumulation order.
+    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+      l2Norm(col(vecCol)).as("norm_a"))
+    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      l2Norm(col(vecCol)).as("norm_b"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos_sim", cosine(col("va"), col("vb")))
+      .withColumn("cos_sim",
+        dot(col("va"), col("vb")) / (col("norm_a") * col("norm_b")))
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
   }

@@ -115,12 +115,8 @@ object TextStats {
     * minimum k — a compact locality signature. Deterministic (no
     * Math.random): fixed base/modulus.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val ws = words(text)
-    when(size(ws) < n, array(concat_ws(" ", ws)))
-      .otherwise(transform(sequence(lit(1), size(ws) - (n - 1)),
-        i => concat_ws(" ", slice(ws, i, lit(n)))))
-  }
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.ArrayExprs.wordShingles(words(text), n)
 
   /** xxhash64-based shingle fingerprint set (bottom-k sketch of w-grams). */
   def docFingerprint(text: Column, n: Int = 3, k: Int = 8): Column =
