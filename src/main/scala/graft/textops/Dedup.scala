@@ -3,6 +3,7 @@ package graft.textops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.ArrayExprs
 
@@ -16,7 +17,11 @@ import graft.functions.ArrayExprs
   * SimHash banding shuffle each document once per band keyed on the bucket
   * hash, so candidate generation touches only same-bucket pairs; the final
   * verification join is between the (small) candidate-pair set and the
-  * corpus. The only quadratic term is within-bucket, bounded by bucket size.
+  * corpus. The only quadratic term is within-bucket, bounded by the
+  * `maxBucket` cap: a degenerate bucket (a stop-shingle shared by most of
+  * the corpus, an adversarial LSH collision) is DROPPED rather than
+  * collected into one executor — bounded memory traded for recall on
+  * pathological keys, the standard posture for fleet dedup jobs.
   */
 object Dedup {
 
@@ -40,6 +45,19 @@ object Dedup {
       .groupBy("fingerprint")
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_docs"))
 
+  /** Within-group (a<b) pair explode over a capped posting list. Groups
+    * above `maxGroup` are dropped: an oversize group means a key shared by
+    * a large corpus fraction — quadratic pair fan-out and a collect_list
+    * buffer that must fit one executor. The cap bounds both.
+    */
+  private def groupPairs(groups: DataFrame, memberCol: String,
+      maxGroup: Int): DataFrame =
+    groups
+      .filter(size(col(memberCol)).between(2, maxGroup))
+      .select(explode(col(memberCol)).as("a"), col(memberCol))
+      .select(col("a"), explode(col(memberCol)).as("b"))
+      .filter(col("a") < col("b"))
+
   /** All pairs (a<b) whose word-n-gram Jaccard similarity ≥ `threshold`,
     * computed exactly via inverted posting lists: group docs by shared
     * distinct shingle, emit within-group pairs, count shared shingles —
@@ -49,13 +67,16 @@ object Dedup {
     * only documents sharing at least one shingle ever meet — no cross join,
     * and no string-keyed sort-merge self-join (the posting-list self-join
     * formulation shuffles the shingle strings twice and sorts them; this
-    * shape is ~4× faster at sf0.1). At fleet scale, prefix-filtering (only
-    * the rarest shingles per doc) bounds the per-group fan-out; here the
-    * corpus vocabulary is small so full posting lists are fine.
+    * shape is ~4× faster at sf0.1). `maxPostingList` bounds the per-shingle
+    * group (a stop-shingle like "the quick brown" in a web corpus); groups
+    * above it are dropped, which can only LOWER recall on pairs whose sole
+    * shared shingles are corpus-wide stop-shingles — pairs that are almost
+    * never true near-dups. For a guaranteed-exact candidate set with
+    * bounded fan-out see [[ngramJaccardPairsPrefix]].
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
       threshold: Double = 0.8, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id", maxPostingList: Int = 1 << 14): DataFrame = {
     // Carry each doc's shingle count inside the posting list so |A|,|B|
     // ride along to the pair aggregation — no join back to a sizes table,
     // and the (expensive) shingle pipeline is evaluated exactly once per doc
@@ -67,18 +88,62 @@ object Dedup {
         explode(col("sh")).as("shingle"))
     val groups = posting.groupBy("shingle")
       .agg(collect_list(struct(col("id"), col("n_sh"))).as("members"))
-      .filter(size(col("members")) > 1)
-    groups
-      .select(explode(col("members")).as("a"), col("members"))
-      .select(col("a.id").as("id_a"), col("a.n_sh").as("n_a"),
-        explode(col("members")).as("b"))
-      .filter(col("id_a") < col("b.id"))
-      .groupBy(col("id_a"), col("n_a"),
+    groupPairs(groups, "members", maxPostingList)
+      .groupBy(col("a.id").as("id_a"), col("a.n_sh").as("n_a"),
         col("b.id").as("id_b"), col("b.n_sh").as("n_b"))
       .agg(count(lit(1)).as("n_common"))
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Exact n-gram Jaccard pairs via PREFIX FILTERING (PPJoin-style): each
+    * document posts only the first ⌊(1−t)·|d|⌋+1 of its shingles under a
+    * global total order (xxhash64 — any total order is correct; hash order
+    * needs no frequency statistics and therefore no extra aggregate). Any
+    * pair with Jaccard ≥ t must share ≥1 prefix shingle, so the candidate
+    * set is complete; candidates are then verified EXACTLY by intersecting
+    * the full shingle arrays.
+    *
+    * vs [[ngramJaccardPairs]]: posting-list volume shrinks by ~(1−t) and,
+    * more importantly, the per-shingle group fan-out is bounded by how many
+    * documents RANK the shingle inside their prefix — corpus-wide
+    * stop-shingles land in most documents' suffix and never form giant
+    * groups, making this the 100 TB shape for high thresholds. Two extra
+    * narrow joins (the verification) are the price.
+    */
+  def ngramJaccardPairsPrefix(docs: DataFrame, n: Int = 3,
+      threshold: Double = 0.8, textCol: String = "text",
+      idCol: String = "doc_id", maxPostingList: Int = 1 << 14): DataFrame = {
+    // Distinct shingles sorted by (xxhash64, shingle): array_sort on the
+    // (hash, shingle) struct gives the global order; the shingle rides
+    // along for exact (collision-free) equality joins.
+    val sorted = docs.select(col(idCol).as("id"),
+      array_sort(transform(
+        array_distinct(TextStats.shingles(col(textCol), n)),
+        s => struct(xxhash64(s).as("h"), s.as("s")))).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Prefix length for Jaccard t over a set of size m: m − ⌈t·m⌉ + 1.
+    val prefLen = (size(col("sh")) -
+      ceil(lit(threshold) * size(col("sh"))).cast("int") + 1)
+    val posting = sorted
+      .select(col("id"), explode(slice(col("sh"), lit(1), prefLen)).as("p"))
+      .select(col("id"), col("p.s").as("shingle"))
+    val cands = groupPairs(
+        posting.groupBy("shingle").agg(collect_list(col("id")).as("members")),
+        "members", maxPostingList)
+      .select(col("a").as("id_a"), col("b").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    // Exact verification: intersect the full (distinct) shingle arrays.
+    cands
+      .join(sorted.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sorted.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("n_common",
+        size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("n_common")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -119,42 +184,47 @@ object Dedup {
 
   /** MinHash-LSH candidate pairs: signatures banded into `bands` groups of
     * rows; documents colliding in ≥1 band meet; pairs are scored by
-    * signature agreement (estimated Jaccard) and optionally verified
-    * exactly. Threshold tuning: collision prob ≈ 1-(1-j^r)^b.
+    * signature agreement (estimated Jaccard). Threshold tuning: collision
+    * prob ≈ 1-(1-j^r)^b.
     *
-    * Shuffle plan: explode to (band, bucketHash) → one shuffle; per-bucket
-    * self-join; distinct pair set. Never materializes n² pairs.
+    * Shuffle plan: signatures are computed ONCE and disk-backed; only
+    * (id, band, bucket) triples — never the k-long signatures — flow
+    * through the banding shuffle, the pair explode and the pair-dedup
+    * (round 1 carried 64-long arrays ×16 bands through all three, and that
+    * single query was 14% of the whole bench). Signatures rejoin the
+    * (small) deduped candidate-pair set for scoring. Never materializes n²
+    * pairs; per-bucket fan-out bounded by `maxBucket`.
     */
   def minhashLshPairs(docs: DataFrame, n: Int = 3, k: Int = 64,
       bands: Int = 16, estThreshold: Double = 0.5,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      maxBucket: Int = 1 << 12): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
+    // Persisted because three plan consumers need it (banding + both sides
+    // of the scoring join); without the persist the whole shingle+minhash
+    // pipeline would run 3×. MEMORY_AND_DISK: signatures are ~k·8 B/doc —
+    // at fleet scale this spills to local disk, never to the driver.
     val sigs = docs.select(col(idCol).as("id"),
       minhashSignature(col(textCol), n, k).as("sig"))
-    // Bucket-grouped candidate generation (same shape as the Jaccard
-    // posting list): one shuffle keyed on (band, bucket), within-bucket
-    // pair explode. A banded-self-join formulation evaluates the whole
-    // signature pipeline twice and sort-merges on the bucket key — this
-    // computes each signature once and only groups colliding docs.
-    val banded = sigs.select(col("id"), col("sig"),
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs.select(col("id"),
       explode(array((0 until bands).map(j =>
         struct(lit(j).as("band"),
           xxhash64(concat_ws(",",
             transform(slice(col("sig"), j * r + 1, r),
               x => x.cast("string")))).as("bucket"))): _*)).as("bb"))
-      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
-    val pairs = banded.groupBy("band", "bucket")
-      .agg(collect_list(struct(col("id"), col("sig"))).as("members"))
-      .filter(size(col("members")) > 1)
-      .select(explode(col("members")).as("a"), col("members"))
-      .select(col("a.id").as("id_a"), col("a.sig").as("sig_a"),
-        explode(col("members")).as("b"))
-      .filter(col("id_a") < col("b.id"))
-      .select(col("id_a"), col("sig_a"),
-        col("b.id").as("id_b"), col("b.sig").as("sig_b"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    val pairs = groupPairs(
+        banded.groupBy("band", "bucket")
+          .agg(collect_list(col("id")).as("members")),
+        "members", maxBucket)
+      .select(col("a").as("id_a"), col("b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    pairs.withColumn("est_jaccard",
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => x === y), b => b)).cast("double") / k)
       .filter(col("est_jaccard") >= estThreshold)
@@ -173,10 +243,16 @@ object Dedup {
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxDist`, found by
     * banding the 64-bit hash into 4 16-bit chunks (pigeonhole: any pair at
-    * distance ≤3 agrees exactly on ≥1 chunk). One shuffle per chunk key.
+    * distance ≤3 agrees exactly on ≥1 chunk). One shuffle per chunk key;
+    * the simhash itself is one long, so unlike the MinHash plan there is
+    * nothing to strip before the shuffle — members carry (id, sh) and the
+    * Hamming distance is computed in-group. `maxBucket` bounds degenerate
+    * chunks (e.g. a corpus-wide boilerplate prefix driving one 16-bit chunk
+    * to a single value).
     */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      maxBucket: Int = 1 << 12): DataFrame = {
     val sh = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
     val chunks = sh.select(col("id"), col("sh"),
       explode(array((0 until 4).map(j => struct(lit(j).as("chunk"),
@@ -185,15 +261,12 @@ object Dedup {
       .select(col("id"), col("sh"), col("c.chunk"), col("c.key"))
     // Bucket-grouped pair generation — simhash evaluated once per doc (a
     // chunks-self-join would run the token pipeline twice; see LSH above).
-    chunks.groupBy("chunk", "key")
-      .agg(collect_list(struct(col("id"), col("sh"))).as("members"))
-      .filter(size(col("members")) > 1)
-      .select(explode(col("members")).as("a"), col("members"))
-      .select(col("a.id").as("id_a"), col("a.sh").as("sh_a"),
-        explode(col("members")).as("b"))
-      .filter(col("id_a") < col("b.id"))
-      .select(col("id_a"), col("b.id").as("id_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("b.sh"))).as("hamming"))
+    groupPairs(
+        chunks.groupBy("chunk", "key")
+          .agg(collect_list(struct(col("id"), col("sh"))).as("members")),
+        "members", maxBucket)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxDist)
   }

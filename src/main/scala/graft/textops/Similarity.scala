@@ -58,18 +58,24 @@ object Similarity {
     */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // O(n²) pairs are unavoidable for the exact variant, but each vector's
-    // L2 norm is computed once here (n sqrt'd self-dots) instead of twice
-    // per pair — the pair loop does a single dot. Bit-identical to
-    // CosineSim: sab/(√saa·√sbb) with the same accumulation order.
+    // O(n²) pair evaluations are unavoidable for the exact variant, but
+    // each vector's L2 norm is computed once here (n sqrt'd self-dots)
+    // instead of twice per pair, and — critically — the similarity
+    // threshold lives INSIDE the join condition: the broadcast-nested-loop
+    // join evaluates the (codegen'd, see ArrayExprs.DotProduct) predicate
+    // per pair and only MATERIALIZES surviving rows. A join-then-filter
+    // formulation copies both embedding arrays into 12.5M joined rows at
+    // sf0.1 (~12 GB of row traffic) before dropping nearly all of them —
+    // that copy, not the arithmetic, was 3.3 s of round 1's q34.
+    // Bit-identical to CosineSim: sab/(√saa·√sbb), same accumulation order;
+    // the survivors' cos_sim re-evaluation is ~|result| dots, negligible.
     val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"),
       l2Norm(col(vecCol)).as("norm_a"))
     val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
       l2Norm(col(vecCol)).as("norm_b"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos_sim",
-        dot(col("va"), col("vb")) / (col("norm_a") * col("norm_b")))
-      .filter(col("cos_sim") >= threshold)
+    val sim = dot(col("va"), col("vb")) / (col("norm_a") * col("norm_b"))
+    a.join(b, col("id_a") < col("id_b") && sim >= threshold)
+      .withColumn("cos_sim", sim)
       .select("id_a", "id_b", "cos_sim")
   }
 

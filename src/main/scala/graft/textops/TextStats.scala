@@ -91,10 +91,20 @@ object TextStats {
 
   /** Language ID: argmax of per-profile stopword hit counts, ties resolved
     * by profile order, all-zero → "und" (undetermined). One projection, no
-    * shuffle; the same CASE shape is expressible in any SQL dialect, which
-    * is what the DuckDB oracle runs.
+    * shuffle. All profile counts accumulate in ONE pass over the word array
+    * via the native [[graft.functions.ArrayExprs.LangIdExpr]]; the
+    * SQL-expressible `greatest + CASE` formulation it replaces (kept below
+    * as [[langIdHof]] — it is what the DuckDB oracle runs, and the spec
+    * asserts parity) re-evaluates the word split once per profile per CASE
+    * branch.
     */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column =
+    graft.functions.ArrayExprs.langId(words(text), langProfiles)
+
+  /** HOF/CASE formulation of [[langId]] — oracle-shaped reference
+    * implementation, used by the parity spec.
+    */
+  def langIdHof(text: Column): Column = {
     val ws = words(text)
     val scores = langProfiles.map { case (lang, set) => lang -> countIn(ws, set) }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))

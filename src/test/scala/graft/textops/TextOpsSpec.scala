@@ -58,6 +58,40 @@ class TextOpsSpec extends SparkSpec {
     assert(pairs.contains((1L, 3L)))
   }
 
+  test("prefix-filtered Jaccard pairs equal the posting-list exact pairs") {
+    for (t <- Seq(0.5, 0.7, 0.9)) {
+      val full = Dedup.ngramJaccardPairs(docs, n = 3, threshold = t)
+        .select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      val pref = Dedup.ngramJaccardPairsPrefix(docs, n = 3, threshold = t)
+        .select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pref === full, s"threshold $t")
+    }
+  }
+
+  test("bucket caps bound adversarial skew with bounded recall loss") {
+    // Every doc shares one corpus-wide boilerplate prefix (the adversarial
+    // stop-shingle case): with an uncapped posting list all 200 docs land
+    // in a handful of groups; with the cap those groups are dropped and the
+    // operators still complete, finding pairs only via non-degenerate keys.
+    val boiler = "terms of service apply to this document all rights reserved"
+    val skewed = (0L until 200L).map { i =>
+      val tail = if (i % 2 == 0) s"unique payload number $i alpha beta"
+                 else s"unique payload number $i gamma delta"
+      (i, s"$boiler $tail")
+    }.toDF("doc_id", "text")
+    // cap smaller than the degenerate group (200) but bigger than real ones
+    val capped = Dedup.ngramJaccardPairs(skewed, n = 3, threshold = 0.9,
+      maxPostingList = 64)
+    assert(capped.count() === 0) // boilerplate-only overlap is not a dup
+    val lsh = Dedup.minhashLshPairs(skewed, n = 3, estThreshold = 0.9,
+      maxBucket = 64)
+    assert(lsh.count() < 200 * 199 / 2) // never the quadratic blowup
+    val sim = Dedup.simhashPairs(skewed, maxDist = 1, maxBucket = 64)
+    assert(sim.count() < 200 * 199 / 2)
+  }
+
   test("langId picks the profile with most stopword hits") {
     val out = docs.select(col("doc_id"), TextStats.langId(col("text")).as("l"))
       .as[(Long, String)].collect().toMap
@@ -66,6 +100,18 @@ class TextOpsSpec extends SparkSpec {
     assert(out(6L) === "fr")
     assert(out(7L) === "es")
     assert(out(8L) === "und")
+  }
+
+  test("native langId equals the HOF/CASE oracle formulation") {
+    // parity corpus includes ties (equal en/de hits) and empty-ish rows
+    val tricky = docs.select(col("text"))
+      .union(Seq("the und der is ist", "", "   ", "le el la los")
+        .toDF("text"))
+    val mismatch = tricky.select(
+        TextStats.langId(col("text")).as("native"),
+        TextStats.langIdHof(col("text")).as("hof"))
+      .filter(not(col("native") <=> col("hof")))
+    assert(mismatch.count() === 0)
   }
 
   test("quality score: English prose scores high, digit soup scores low") {
