@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Relational, StreamQueries, TextQueries}
+import graft.operators.{FinanceQueries, Relational, StreamQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -56,6 +56,10 @@ object SparkEntry {
     "q35_sessionization"   -> (StreamQueries.q35Sessionization _),
     "q36_sliding_window"   -> (StreamQueries.q36SlidingWindow _),
     "q37_binary_payload"   -> (TextQueries.q37BinaryPayload _),
+    "q38_ing_pipeline"     -> (FinanceQueries.q38IngPipeline _),
+    "q39_upsert_merge"     -> (FinanceQueries.q39UpsertMerge _),
+    "q40_multimodal_decode"-> (TextQueries.q40MultimodalDecode _),
+    "q41_rule_cascade_full"-> (FinanceQueries.q41RuleCascadeFull _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -363,5 +367,14 @@ object SparkEntry {
          CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
          base64(encode(text)) AS payload_b64
          FROM documents ORDER BY doc_id""",
+    "q38_ing_pipeline" -> FinanceQueries.q38Oracle,
+    "q39_upsert_merge" -> FinanceQueries.q39Oracle,
+    "q40_multimodal_decode" ->
+      """SELECT doc_id AS media_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         ROUND(list_avg(list_transform(regexp_extract_all(text, '(?s).'),
+           c -> ascii(c))), 4) AS mean_intensity
+         FROM documents ORDER BY media_id""",
+    "q41_rule_cascade_full" -> FinanceQueries.q41Oracle,
   )
 }

@@ -73,10 +73,44 @@ object Categorizer {
 
   /** Set `category` from the 303-rule table + 5 special rules
     * (panda.py:85-525).
+    *
+    * The table rules compile to Aho–Corasick automata
+    * ([[graft.functions.TextExprs.MultiContainsMax]]) — one per
+    * (attribute, accountScope) group, each walking its text ONCE and
+    * returning the highest-matching GLOBAL rule index; `greatest` across
+    * groups + an index→category array lookup reproduces last-writer-wins
+    * exactly (last writer == max rule index). The flat 308-branch CaseWhen
+    * this replaces re-scanned each attribute per rule — O(rules×len) vs
+    * O(len); 3.6× on the full table at sf0.1, and the gap grows with the
+    * rule count. [[categorizeCaseWhen]] keeps the naive compilation for
+    * the parity spec. The 5 special rules (non-substring predicates) stay
+    * an ordinary when-chain wrapped OUTSIDE the table lookup, preserving
+    * their post-loop precedence.
     */
   def categorize(df: DataFrame): DataFrame = {
-    // One ordered branch list: table rules first, special rules after (they
-    // run post-loop in the reference, so they win over every table rule).
+    val rules = CategoryRuleTable.categoryRules
+    val groups = rules.zipWithIndex
+      .groupBy { case (r, _) => (r.attribute, r.accountScope) }
+    val groupIdx: Seq[Column] = groups.toSeq.map {
+      case ((attr, scope), rs) =>
+        val idx = graft.functions.TextExprs.multiContainsMax(
+          lower(coalesce(col(attr), lit(""))),
+          rs.map(_._1.pattern.toLowerCase), rs.map(_._2))
+        scope.fold(idx)(a =>
+          when(col("account") === a, idx).otherwise(lit(-1)))
+    }
+    val best = groupIdx.reduce((a, b) => greatest(a, b))
+    val tableCat = when(best >= 0,
+      element_at(lit(rules.map(_.category).toArray), best + 1))
+      .otherwise(existingOrNull(df, "category"))
+    val branches = specialRules.map { case (cond, cat) => cond(df) -> cat }
+    df.withColumn("category", compileChain(branches, tableCat))
+  }
+
+  /** Naive CaseWhen compilation of the same cascade (reference shape for
+    * the parity spec; semantics identical to [[categorize]]).
+    */
+  private[finance] def categorizeCaseWhen(df: DataFrame): DataFrame = {
     val branches =
       CategoryRuleTable.categoryRules.map(r => ruleCondition(r) -> r.category) ++
       specialRules.map { case (cond, cat) => cond(df) -> cat }

@@ -80,12 +80,21 @@ object Store {
       .as[Long].head()
 
     // Candidate ids enumerate the WHOLE batch in canonical order; ids of
-    // conflicting rows are burned (panda.py:691). The global row_number is a
-    // single-partition window — fine for batch sizes (imports are small);
-    // at fleet scale switch to zipWithIndex-style partition offsets.
-    val idWindow = Window.orderBy(canonicalOrder: _*)
-    val candidate = batch.withColumn(
-      "transaction_id", row_number().over(idWindow).cast("long") + maxId)
+    // conflicting rows are burned (panda.py:691). Range-repartition + local
+    // sort gives a total order ACROSS partitions, then zipWithIndex adds
+    // per-partition offsets — MAX(id)+position semantics with no
+    // single-partition exchange (a bare `Window.orderBy` funnels every row
+    // through one task; at 100 TB that is the whole job's bottleneck).
+    // zipWithIndex runs one extra tiny job to count partition sizes.
+    val sorted = batch.drop("transaction_id")
+      .repartitionByRange(canonicalOrder: _*)
+      .sortWithinPartitions(canonicalOrder: _*)
+    val candidate = spark.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (row, idx) =>
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (maxId + idx + 1L))
+      },
+      sorted.schema.add("transaction_id",
+        org.apache.spark.sql.types.LongType, nullable = false))
 
     val updateCols = Seq("transfer_category", "category", "category_manual",
       "balance_cents")

@@ -123,4 +123,27 @@ object TextQueries {
         regexp_replace(base64(col("payload")), "[\\r\\n]", "")
           .as("payload_b64"))
       .orderBy("doc_id")
+
+  /** q40: the multimodal DECODE stage (graft.multimodal.Multimodal
+    * .decodeImages — batched mapPartitions over typed MediaRows, the
+    * mapInPandas shape) driver-gated end to end: documents' UTF-8 bytes
+    * stand in for image payloads (the corpus is pure ASCII, so the DuckDB
+    * oracle can re-state the stub decoder's byte math: mean intensity =
+    * mean character code). The decode plumbing — binary column, Dataset
+    * encoder, batch iteration — is exactly what a real codec would ride.
+    */
+  def q40MultimodalDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, sfDir).select(
+      col("doc_id").as("media_id"), lit("image").as("kind"),
+      col("text").cast("binary").as("payload"),
+      lit(64).as("width"), lit(64).as("height"),
+      lit(16000).as("sample_rate"), lit(0).as("n_frames"),
+      lit("fake").as("format"))
+      .as[graft.multimodal.Multimodal.MediaRow]
+    graft.multimodal.Multimodal.decodeImages(media).toDF()
+      .select(col("media_id"), col("n_bytes"),
+        round(col("mean_intensity"), 4).as("mean_intensity"))
+      .orderBy("media_id")
+  }
 }

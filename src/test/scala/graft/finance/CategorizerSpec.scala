@@ -101,6 +101,30 @@ class CategorizerSpec extends SparkSpec {
     assert(out === Seq("preexisting"))
   }
 
+  test("automaton categorize equals the naive CaseWhen compilation") {
+    // adversarial corpus: every rule pattern embedded in noise (as party,
+    // purpose and book_text), every account, overlapping pattern pairs,
+    // NULLs, and amounts either side of the Apple -50 boundary
+    val rules = CategoryRuleTable.categoryRules
+    val rows = rules.zipWithIndex.flatMap { case (r, i) =>
+      val acct = Seq("giro", "gesa", "common", "extra")(i % 4)
+      val amt = if (i % 2 == 0) -10.0 else -100.0
+      Seq(
+        tx(account = acct, party = s"xx ${r.pattern} yy", amount = amt),
+        tx(account = acct, purpose = s"A ${r.pattern.toUpperCase} B", amount = amt),
+        tx(account = acct, bookText = r.pattern, amount = amt))
+    } ++ Seq(
+      tx(party = null, purpose = null, bookText = null),
+      tx(party = "VISA APPLE.COM/BILL", amount = -49.0),
+      tx(party = "VISA APPLE.COM/BILL", amount = -51.0),
+      tx(account = "gesa", bookText = "Gehalt/Rente"),
+      tx(party = "edeka zirngibl"))
+    val d = df(rows)
+    val fast = Categorizer.categorize(d).select("category").as[String].collect().toSeq
+    val naive = Categorizer.categorizeCaseWhen(d).select("category").as[String].collect().toSeq
+    assert(fast === naive)
+  }
+
   test("rule table shape matches the reference inventory") {
     assert(CategoryRuleTable.categoryRules.length === 303)
     assert(CategoryRuleTable.categoryRules.count(_.accountScope.isDefined) === 2)
