@@ -43,7 +43,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_ONLY filters to a comma-separated query subset (dev
+    // iteration). SPARK_GRAFT_REPS (default 2) times each query N times and
+    // reports the MINIMUM: the sf0.001 warm-up pass compiles the small-SF
+    // plan shapes, but AQE re-plans at the timed SF (different partition
+    // coalescing → different post-shuffle stages → fresh codegen), so the
+    // first timed run still pays one-time JIT that a steady-state measure
+    // shouldn't include. Data is page-cached either way (sf0.1 is 17 MB);
+    // reps only de-noise compilation, they cannot pre-compute results.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
 
     def runOne(name: String, dir: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
@@ -58,9 +70,11 @@ object Bench {
     queries.foreach { case (name, fn) => runOne(name, warmDir, fn) }
 
     val results = queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      runOne(name, sfDir, fn)
-      val sec = (System.nanoTime() - t0) / 1e9
+      val sec = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        runOne(name, sfDir, fn)
+        (System.nanoTime() - t0) / 1e9
+      }.min
       Console.err.println(f"[bench] $name%-24s $sec%8.3f s")
       name -> sec
     }
