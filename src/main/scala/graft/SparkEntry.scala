@@ -60,6 +60,7 @@ object SparkEntry {
     "q39_upsert_merge"     -> (FinanceQueries.q39UpsertMerge _),
     "q40_multimodal_decode"-> (TextQueries.q40MultimodalDecode _),
     "q41_rule_cascade_full"-> (FinanceQueries.q41RuleCascadeFull _),
+    "q42_set_ops"          -> (Relational.q42SetOps _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -376,5 +377,12 @@ object SparkEntry {
            c -> ascii(c))), 4) AS mean_intensity
          FROM documents ORDER BY media_id""",
     "q41_rule_cascade_full" -> FinanceQueries.q41Oracle,
+    "q42_set_ops" ->
+      """(SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
+          INTERSECT
+          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995)
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+         ORDER BY o_custkey""",
   )
 }

@@ -326,4 +326,19 @@ object Relational {
           .cast("double").as("parsed"))
       .orderBy(col("o_orderkey"))
   }
+
+  /** Set operators (SURVEY §2.7): customers ordering in BOTH 1994 and 1995
+    * but NOT in 1996 — `intersect`/`except` (SQL INTERSECT/EXCEPT DISTINCT
+    * semantics). Each compiles to a hash-distinct left-semi/anti join on
+    * the shuffle key, map-side partial-distinct first — no row explosion
+    * at scale, and AQE can broadcast the (smaller) distinct year-sets.
+    */
+  def q42SetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    def custsIn(yr: Int): DataFrame =
+      Tables.orders(spark, sfDir)
+        .where(year(col("o_orderdate")) === yr)
+        .select(col("o_custkey"))
+    custsIn(1994).intersect(custsIn(1995)).except(custsIn(1996))
+      .orderBy(col("o_custkey"))
+  }
 }

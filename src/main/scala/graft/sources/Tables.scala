@@ -27,12 +27,31 @@ object Tables {
     * materializing TIMESTAMP_NS, so oracle comparisons stay exact.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // `ts div 1000` — INTEGER division. `floor(ts / 1000)` would divide in
-    // double, and epoch-nanos (~1.7e18) exceed double's 2^53 mantissa →
-    // off-by-±1µs vs DuckDB's exact ns→µs truncation.
-    table(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // The legacy conf is needed while the parquet footer schema is converted
+    // (eager, at read time) and again when the physical scan captures its
+    // hadoopConf (lazy, at first action). Leaving it set globally would be a
+    // side effect on a shared session (it changes how OTHER nanos parquet
+    // reads decode), so: set → force schema resolution → restore, and pin
+    // the scan's own copy by re-stating the conf as a per-read option
+    // (DataFrameReader options overlay the session conf in the scan's
+    // hadoopConf, surviving the restore).
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      val df = spark.read.option(key, "true")
+        .parquet(s"$sfDir/events.parquet")
+      df.schema // force footer→catalyst conversion under the scoped conf
+      // `ts div 1000` — INTEGER division. `floor(ts / 1000)` would divide in
+      // double, and epoch-nanos (~1.7e18) exceed double's 2^53 mantissa →
+      // off-by-±1µs vs DuckDB's exact ns→µs truncation.
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")

@@ -86,6 +86,40 @@ object EventStreams {
       }
   }
 
+  /** Threshold-crossing alerts with flatMapGroupsWithState: each user emits
+    * ONE ROW PER multiple of `step` their running value total crosses in
+    * this micro-batch — zero to many outputs per group invocation, which
+    * `mapGroupsWithState`'s exactly-one contract cannot express. State is
+    * the same running total as [[runningUserTotals]].
+    */
+  case class UserAlert(user_id: Long, crossed: Double, total_value: Double)
+
+  def thresholdAlerts(events: Dataset[UserEvent],
+      step: Double): Dataset[UserAlert] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, UserAlert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, batch: Iterator[UserEvent], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+          var n = prev.n
+          var total = prev.total
+          val alerts = Seq.newBuilder[UserAlert]
+          batch.foreach { e =>
+            val before = total
+            total += e.value
+            n += 1
+            var k = math.floor(before / step).toLong + 1
+            while (k * step <= total) {
+              alerts += UserAlert(uid, k * step, total)
+              k += 1
+            }
+          }
+          state.update(UserState(n, total))
+          alerts.result().iterator
+      }
+  }
+
   /** The finance categorizer under streaming: it is a stateless projection
     * (one flat CaseWhen), so it lifts to readStream unchanged — this just
     * documents/spec-anchors that property.

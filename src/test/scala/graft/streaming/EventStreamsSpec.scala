@@ -99,6 +99,27 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState emits 0..n threshold alerts per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[UserEvent]
+    val q = thresholdAlerts(stream.toDS(), step = 5.0)
+      .writeStream.format("memory").queryName("alerts_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: 3.0 then 4.0 → total 7, crosses 5 once; user 2: 1.0 → none
+      stream.addData(UserEvent(1L, ts("2024-01-01 10:00:00"), 1L, 3.0),
+        UserEvent(2L, ts("2024-01-01 10:01:00"), 1L, 4.0),
+        UserEvent(3L, ts("2024-01-01 10:02:00"), 2L, 1.0))
+      q.processAllAvailable()
+      // user 1: +8.0 → total 15, crosses 10 AND 15 → TWO alerts in one batch
+      stream.addData(UserEvent(4L, ts("2024-01-01 10:10:00"), 1L, 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("alerts_out")
+        .select("user_id", "crossed").as[(Long, Double)].collect().toSeq
+      assert(rows.sorted === Seq((1L, 5.0), (1L, 10.0), (1L, 15.0)))
+    } finally q.stop()
+  }
+
   test("categorizer lifts to streaming unchanged (stateless projection)") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(String, String, Double)]
