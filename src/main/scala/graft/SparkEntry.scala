@@ -61,6 +61,7 @@ object SparkEntry {
     "q40_multimodal_decode"-> (TextQueries.q40MultimodalDecode _),
     "q41_rule_cascade_full"-> (FinanceQueries.q41RuleCascadeFull _),
     "q42_set_ops"          -> (Relational.q42SetOps _),
+    "q43_frame_sample"     -> (TextQueries.q43FrameSample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -384,5 +385,22 @@ object SparkEntry {
          EXCEPT
          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
          ORDER BY o_custkey""",
+    "q43_frame_sample" ->
+      """WITH f AS (
+           SELECT doc_id, text, octet_length(encode(text)) AS len,
+                  greatest(1, octet_length(encode(text)) // 16) AS flen
+           FROM documents),
+         i AS (SELECT unnest([0, 4, 8, 12]) AS frame_idx)
+         SELECT f.doc_id AS media_id, i.frame_idx,
+           CAST(CASE WHEN i.frame_idx * f.flen >= f.len THEN 0
+                ELSE least(f.flen, f.len - i.frame_idx * f.flen) END
+             AS BIGINT) AS n_bytes,
+           CASE WHEN i.frame_idx * f.flen >= f.len THEN 0.0
+                ELSE ROUND(list_avg(list_transform(regexp_extract_all(
+                  substring(f.text, i.frame_idx * f.flen + 1,
+                    least(f.flen, f.len - i.frame_idx * f.flen)), '(?s).'),
+                  c -> ascii(c))), 4) END AS mean_intensity
+         FROM f CROSS JOIN i
+         ORDER BY media_id, frame_idx""",
   )
 }

@@ -132,6 +132,35 @@ object TextQueries {
     * mean character code). The decode plumbing — binary column, Dataset
     * encoder, batch iteration — is exactly what a real codec would ride.
     */
+  /** q43: the VIDEO path — frame sampling (slice-before-explode, so
+    * shuffles move frames not videos) + per-frame decode, driver-gated.
+    * Documents stand in as 16-frame videos; every 4th frame is sampled and
+    * "decoded" (byte-mean intensity). The DuckDB oracle restates the exact
+    * slice arithmetic: frameLen = max(1, len div 16), frame i = bytes
+    * [i*frameLen, min(len, (i+1)*frameLen)), empty when the start passes
+    * end-of-payload.
+    */
+  def q43FrameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val media = Tables.documents(spark, sfDir).select(
+      col("doc_id").as("media_id"), lit("video").as("kind"),
+      col("text").cast("binary").as("payload"),
+      lit(64).as("width"), lit(64).as("height"),
+      lit(16000).as("sample_rate"), lit(16).as("n_frames"),
+      lit("fake").as("format"))
+      .as[Multimodal.MediaRow]
+    Multimodal.sampleFrames(media, stride = 4)
+      .map { f =>
+        val feat = Multimodal.StubCodecs.decodeImage(Multimodal.MediaRow(
+          f.media_id, "image", f.frame_bytes, 0, 0, 0, 0, "fake"))
+        (f.media_id, f.frame_idx, feat.n_bytes, feat.mean_intensity)
+      }
+      .toDF("media_id", "frame_idx", "n_bytes", "mean_intensity")
+      .withColumn("mean_intensity", round(col("mean_intensity"), 4))
+      .orderBy("media_id", "frame_idx")
+  }
+
   def q40MultimodalDecode(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val media = Tables.documents(spark, sfDir).select(
