@@ -62,6 +62,7 @@ object SparkEntry {
     "q41_rule_cascade_full"-> (FinanceQueries.q41RuleCascadeFull _),
     "q42_set_ops"          -> (Relational.q42SetOps _),
     "q43_frame_sample"     -> (TextQueries.q43FrameSample _),
+    "q44_ivf_topk"         -> (TextQueries.q44IvfTopK _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -89,6 +89,16 @@ object TextQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** q44: IVF-bucketed approximate top-k (no SQL oracle; spec checks
+    * recall against q31, same contract as q32's LSH variant).
+    */
+  def q44IvfTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = asDouble(Tables.embeddings(spark, sfDir))
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), k = 5, iters = 2)
+      .withColumn("cos_sim", round(col("cos_sim"), 4))
+      .orderBy("query_id", "rank")
+  }
+
   /** q33: language-ID distribution: detected vs labeled language counts. */
   def q33LangId(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)

@@ -99,6 +99,83 @@ object Similarity {
       when(dot(vec, h) > 0, shiftleft(lit(1L), p)).otherwise(0L)
     }.reduce(_ bitwiseOR _)
 
+  /** Argmax-cosine centroid id for a vector against a (small, literal)
+    * centroid table — codegen'd one-pass dots, no shuffle.
+    */
+  private def nearestCentroid(vec: Column,
+      cents: Array[Array[Double]]): Column = {
+    val sims = array(cents.map(c => cosine(vec, lit(c))): _*)
+    (array_position(sims, array_max(sims)) - 1).cast("int")
+  }
+
+  /** IVF (inverted-file) ANN — the FAISS IVF shape in DataFrames: a
+    * spherical k-means coarse quantizer assigns every corpus vector to its
+    * nearest centroid (the "inverted list"); a query scores only the
+    * `nProbe` lists whose centroids are closest. LSH ([[annLshTopK]]) cuts
+    * the same candidate space data-independently; IVF adapts to the actual
+    * embedding distribution.
+    *
+    * Scale shape: training runs on a deterministic `xxhash64 % trainMod`
+    * sample (standard IVF practice — FAISS trains on a subsample); each
+    * Lloyd iteration is one distributed assign (argmax over k literal
+    * centroids, codegen'd) + one posexplode/groupBy mean whose RESULT
+    * (k·dims rows) is collected — the only driver traffic is the centroid
+    * table itself. Corpus assignment is a projection; the probe join is
+    * keyed on centroid id: bounded fan-out, corpus never self-shuffles.
+    * Empty clusters keep their previous centroid. Deterministic end-to-end
+    * (hash-picked init, no RNG) — resumable fleet jobs re-derive identical
+    * indexes.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 3,
+      trainMod: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val train = (if (trainMod <= 1) corpus
+      else corpus.filter(pmod(xxhash64(col(idCol)), lit(trainMod)) === 0))
+      .select(col(idCol), col(vecCol))
+      .cache() // scanned iters+1 times; the sample is small by construction
+    // deterministic init: the nCentroids rows with smallest id-hash
+    var cents: Array[Array[Double]] = train
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(nCentroids)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Double](0).toArray)
+    try {
+      for (_ <- 1 to iters) {
+        val means = train
+          .select(nearestCentroid(col(vecCol), cents).as("cid"),
+            posexplode(col(vecCol)).as(Seq("pos", "v")))
+          .groupBy("cid", "pos").agg(avg("v").as("m"))
+          .collect()
+        val next = cents.map(_.clone())
+        means.foreach { r =>
+          next(r.getAs[Int]("cid"))(r.getAs[Int]("pos")) = r.getAs[Double]("m")
+        }
+        cents = next
+      }
+    } finally train.unpersist(blocking = false)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cid", nearestCentroid(col("cv"), cents))
+    // each query probes its nProbe closest inverted lists
+    val probeW = Window.partitionBy("query_id").orderBy(
+      col("centroid_sim").desc, col("cid"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .select(col("query_id"), col("qv"),
+        posexplode(array(cents.map(ct => cosine(col("qv"), lit(ct))): _*))
+          .as(Seq("cid", "centroid_sim")))
+      .withColumn("probe_rank", row_number().over(probeW))
+      .filter(col("probe_rank") <= nProbe)
+      .select("query_id", "qv", "cid")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    q.join(c, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+  }
+
   /** Approximate top-k: corpus and queries bucketed by hyperplane
     * signature bands; each query only scores corpus vectors sharing ≥1
     * band bucket. Recall is tunable via bands×bits; the corpus-side

@@ -151,6 +151,38 @@ class TextOpsSpec extends SparkSpec {
     assert(approx(0L) === 1L)
   }
 
+  test("IVF topK: deterministic and exact on a separable corpus") {
+    val vecs = Seq(
+      (0L, Array(1.0, 0.0, 0.0, 0.0)),
+      (1L, Array(0.9, 0.1, 0.0, 0.0)),
+      (2L, Array(0.0, 1.0, 0.0, 0.0)),
+      (3L, Array(0.0, 0.9, 0.1, 0.0)),
+      (4L, Array(-1.0, 0.0, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    def run() = Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") < 2),
+        k = 1, nCentroids = 3, nProbe = 2, iters = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val out = run()
+    assert(out(0L) === 1L)
+    assert(out(1L) === 0L)
+    assert(run() === out) // hash-picked init, no RNG → identical re-runs
+  }
+
+  test("IVF topK recall vs exact top-5 on the real embeddings table") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val queries = emb.filter(col("vec_id") < 8)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = df
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.cosineTopK(emb, queries, k = 5))
+    val ivf = pairs(Similarity.ivfTopK(emb, queries, k = 5,
+      nCentroids = 16, nProbe = 4, iters = 3))
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall $recall below 0.6")
+  }
+
   test("near-dup pairs by cosine threshold") {
     val vecs = Seq(
       (0L, Array(1.0, 0.0)), (1L, Array(0.999, 0.01)), (2L, Array(0.0, 1.0)))
