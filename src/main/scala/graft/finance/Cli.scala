@@ -97,12 +97,16 @@ object Cli {
         ingImport(spark, store, csvs.mkString(","))
       case "categorize" :: store :: Nil => categorize(spark, store)
       case "report" :: store :: yr :: Nil => report(spark, store, yr.toInt)
+      case "migrate" :: yaml :: store :: Nil =>
+        // one-time YAML backup → store migration (reference migrate.py)
+        if (!YamlStore.migrate(spark, yaml, store)) sys.exit(1)
       case other =>
         System.err.println(
           s"""unknown command: ${other.mkString(" ")}
              |usage: ing-import <store.parquet> <csv> [csv...]
              |       categorize <store.parquet>
-             |       report <store.parquet> <year>""".stripMargin)
+             |       report <store.parquet> <year>
+             |       migrate <backup.yaml> <store.parquet>""".stripMargin)
         sys.exit(2)
     } finally spark.stop()
   }
