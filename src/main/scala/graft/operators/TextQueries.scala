@@ -94,7 +94,8 @@ object TextQueries {
     */
   def q44IvfTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = asDouble(Tables.embeddings(spark, sfDir))
-    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), k = 5, iters = 2)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), k = 5, iters = 2,
+      trainMod = 2)
       .withColumn("cos_sim", round(col("cos_sim"), 4))
       .orderBy("query_id", "rank")
   }
