@@ -63,6 +63,7 @@ object SparkEntry {
     "q42_set_ops"          -> (Relational.q42SetOps _),
     "q43_frame_sample"     -> (TextQueries.q43FrameSample _),
     "q44_ivf_topk"         -> (TextQueries.q44IvfTopK _),
+    "q45_audio_windows"    -> (TextQueries.q45AudioWindows _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -403,5 +404,18 @@ object SparkEntry {
                   c -> ascii(c))), 4) END AS mean_intensity
          FROM f CROSS JOIN i
          ORDER BY media_id, frame_idx""",
+    "q45_audio_windows" ->
+      """WITH f AS (
+           SELECT doc_id, text, octet_length(encode(text)) AS len
+           FROM documents),
+         i AS (SELECT unnest(range(0, 8)) AS w)
+         SELECT f.doc_id AS media_id, i.w,
+           ROUND(sqrt(list_avg(list_transform(regexp_extract_all(
+             substring(f.text, i.w * 256 + 1, least(256, f.len - i.w * 256)),
+             '(?s).'),
+             c -> (ascii(c) - 128.0) * (ascii(c) - 128.0)))), 4) AS rms
+         FROM f CROSS JOIN i
+         WHERE i.w * 256 < f.len
+         ORDER BY media_id, w""",
   )
 }

@@ -172,6 +172,29 @@ object TextQueries {
       .orderBy("media_id", "frame_idx")
   }
 
+  /** q45: the AUDIO path — batched decode to per-window RMS energy,
+    * driver-gated. Documents' bytes stand in as PCM samples; the DuckDB
+    * oracle restates the stub codec's window math (256-byte windows,
+    * RMS of signed-centered byte values, partial last window).
+    */
+  def q45AudioWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val media = Tables.documents(spark, sfDir).select(
+      col("doc_id").as("media_id"), lit("audio").as("kind"),
+      col("text").cast("binary").as("payload"),
+      lit(0).as("width"), lit(0).as("height"),
+      lit(16000).as("sample_rate"), lit(0).as("n_frames"),
+      lit("pcm8").as("format"))
+      .as[Multimodal.MediaRow]
+    Multimodal.decodeAudioBatched(media, windowSize = 256).toDF()
+      .select(col("media_id"),
+        posexplode(col("rms_energy")).as(Seq("w", "rms")))
+      .select(col("media_id"), col("w").cast("long").as("w"),
+        round(col("rms"), 4).as("rms"))
+      .orderBy("media_id", "w")
+  }
+
   def q40MultimodalDecode(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val media = Tables.documents(spark, sfDir).select(
