@@ -71,6 +71,12 @@ object Bench {
 
     val results = queries.map { case (name, fn) =>
       val sec = (1 to reps).map { _ =>
+        // Some operators persist() intermediates (LSH signatures, IVF train
+        // sets). Spark's CacheManager substitutes a prior rep's (or the
+        // warm-up's) materialized cache into canonically-equal plans, which
+        // would let rep 2 skip real work — clear before EVERY timed rep so
+        // the minimum measures computation, not cache hits.
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         runOne(name, sfDir, fn)
         (System.nanoTime() - t0) / 1e9

@@ -376,8 +376,8 @@ object SparkEntry {
     "q40_multimodal_decode" ->
       """SELECT doc_id AS media_id,
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-         ROUND(list_avg(list_transform(regexp_extract_all(text, '(?s).'),
-           c -> ascii(c))), 4) AS mean_intensity
+         COALESCE(ROUND(list_avg(list_transform(regexp_extract_all(
+           text, '(?s).'), c -> ascii(c))), 4), 0.0) AS mean_intensity
          FROM documents ORDER BY media_id""",
     "q41_rule_cascade_full" -> FinanceQueries.q41Oracle,
     "q42_set_ops" ->
@@ -407,15 +407,13 @@ object SparkEntry {
     "q45_audio_windows" ->
       """WITH f AS (
            SELECT doc_id, text, octet_length(encode(text)) AS len
-           FROM documents),
-         i AS (SELECT unnest(range(0, 8)) AS w)
+           FROM documents)
          SELECT f.doc_id AS media_id, i.w,
            ROUND(sqrt(list_avg(list_transform(regexp_extract_all(
              substring(f.text, i.w * 256 + 1, least(256, f.len - i.w * 256)),
              '(?s).'),
              c -> (ascii(c) - 128.0) * (ascii(c) - 128.0)))), 4) AS rms
-         FROM f CROSS JOIN i
-         WHERE i.w * 256 < f.len
+         FROM f, LATERAL (SELECT unnest(range((f.len + 255) // 256)) AS w) i
          ORDER BY media_id, w""",
   )
 }

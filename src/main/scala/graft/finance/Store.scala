@@ -85,10 +85,17 @@ object Store {
     // per-partition offsets — MAX(id)+position semantics with no
     // single-partition exchange (a bare `Window.orderBy` funnels every row
     // through one task; at 100 TB that is the whole job's bottleneck).
-    // zipWithIndex runs one extra tiny job to count partition sizes.
+    //
+    // NOTE: zipWithIndex computes partition sizes EAGERLY (a job runs when
+    // this method is called, not at the downstream action) — upsert is an
+    // import-time command, not a lazy query. The sorted batch is persisted
+    // so that count job materializes the lineage once instead of running
+    // the whole ingest pipeline twice; the cache entry lives until the
+    // import session ends (or `spark.catalog.clearCache()`).
     val sorted = batch.drop("transaction_id")
       .repartitionByRange(canonicalOrder: _*)
       .sortWithinPartitions(canonicalOrder: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidate = spark.createDataFrame(
       sorted.rdd.zipWithIndex().map { case (row, idx) =>
         org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (maxId + idx + 1L))

@@ -77,9 +77,14 @@ object YamlStore {
       Row.fromSeq(cols.map { c =>
         (columnType(c), m.get(c)) match {
           case (_, null) => null
-          // snakeyaml parses unquoted ISO dates as java.util.Date itself
+          // snakeyaml parses unquoted ISO dates (legacy PyYAML dumps) as
+          // java.util.Date at UTC midnight; extract the civil date in UTC —
+          // `new java.sql.Date(d.getTime)` would re-render the instant in
+          // the JVM's local zone and shift the day backwards anywhere
+          // west of UTC, silently changing every fingerprint.
           case (DateType, d: java.util.Date) =>
-            new java.sql.Date(d.getTime)
+            java.sql.Date.valueOf(
+              d.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate)
           case (DateType, s) => java.sql.Date.valueOf(s.toString)
           case (DoubleType, n: Number) => n.doubleValue()
           case (DoubleType, s) => s.toString.toDouble

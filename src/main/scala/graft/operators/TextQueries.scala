@@ -135,14 +135,6 @@ object TextQueries {
           .as("payload_b64"))
       .orderBy("doc_id")
 
-  /** q40: the multimodal DECODE stage (graft.multimodal.Multimodal
-    * .decodeImages — batched mapPartitions over typed MediaRows, the
-    * mapInPandas shape) driver-gated end to end: documents' UTF-8 bytes
-    * stand in for image payloads (the corpus is pure ASCII, so the DuckDB
-    * oracle can re-state the stub decoder's byte math: mean intensity =
-    * mean character code). The decode plumbing — binary column, Dataset
-    * encoder, batch iteration — is exactly what a real codec would ride.
-    */
   /** q43: the VIDEO path — frame sampling (slice-before-explode, so
     * shuffles move frames not videos) + per-frame decode, driver-gated.
     * Documents stand in as 16-frame videos; every 4th frame is sampled and
@@ -195,6 +187,14 @@ object TextQueries {
       .orderBy("media_id", "w")
   }
 
+  /** q40: the multimodal DECODE stage (graft.multimodal.Multimodal
+    * .decodeImages — batched mapPartitions over typed MediaRows, the
+    * mapInPandas shape) driver-gated end to end: documents' UTF-8 bytes
+    * stand in for image payloads (the corpus is pure ASCII, so the DuckDB
+    * oracle can re-state the stub decoder's byte math: mean intensity =
+    * mean character code). The decode plumbing — binary column, Dataset
+    * encoder, batch iteration — is exactly what a real codec would ride.
+    */
   def q40MultimodalDecode(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val media = Tables.documents(spark, sfDir).select(

@@ -96,6 +96,8 @@ object EventStreams {
 
   def thresholdAlerts(events: Dataset[UserEvent],
       step: Double): Dataset[UserAlert] = {
+    // step <= 0 would make the crossing loop non-terminating inside a task
+    require(step > 0, s"step must be positive, got $step")
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[UserState, UserAlert](

@@ -120,6 +120,8 @@ object Dedup {
     // Distinct shingles sorted by (xxhash64, shingle): array_sort on the
     // (hash, shingle) struct gives the global order; the shingle rides
     // along for exact (collision-free) equality joins.
+    // (Same cache lifecycle as minhashLshPairs' sigs: released by session
+    // end or spark.catalog.clearCache(), not unpersistable here.)
     val sorted = docs.select(col(idCol).as("id"),
       array_sort(transform(
         array_distinct(TextStats.shingles(col(textCol), n)),
@@ -205,6 +207,9 @@ object Dedup {
     // of the scoring join); without the persist the whole shingle+minhash
     // pipeline would run 3×. MEMORY_AND_DISK: signatures are ~k·8 B/doc —
     // at fleet scale this spills to local disk, never to the driver.
+    // Lifecycle: the entry lives until the session ends or the caller runs
+    // `spark.catalog.clearCache()` (it cannot be unpersisted here — the
+    // returned plan still reads it). Bench clears between timed reps.
     val sigs = docs.select(col(idCol).as("id"),
       minhashSignature(col(textCol), n, k).as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK)

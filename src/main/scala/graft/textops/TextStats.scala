@@ -99,7 +99,11 @@ object TextStats {
     * branch.
     */
   def langId(text: Column): Column =
-    graft.functions.ArrayExprs.langId(words(text), langProfiles)
+    // the native expression is null-intolerant (NULL text → NULL); the
+    // HOF/CASE formulation and the DuckDB oracle both fall through to
+    // "und" — keep parity on NULL rows
+    coalesce(graft.functions.ArrayExprs.langId(words(text), langProfiles),
+      lit("und"))
 
   /** HOF/CASE formulation of [[langId]] — oracle-shaped reference
     * implementation, used by the parity spec.

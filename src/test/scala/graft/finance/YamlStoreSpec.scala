@@ -63,6 +63,25 @@ class YamlStoreSpec extends SparkSpec {
     assert(r.getAs[String]("category_manual") === "")
   }
 
+  test("fromYaml parses UNQUOTED PyYAML dates as the civil UTC date") {
+    // reference migrate.py dumps quote dates, but hand-edited/legacy YAML
+    // may not; snakeyaml parses these as java.util.Date at UTC midnight,
+    // which must not shift a day in UTC-negative JVM timezones
+    val legacy =
+      """- index: 0
+        |  account: giro
+        |  book_date: 2024-01-02
+        |  valuta_date: 2024-01-02
+        |  party: X
+        |  book_text: b
+        |  purpose: p
+        |  amount: -1.0
+        |  balance: 0.0
+        |""".stripMargin
+    val r = YamlStore.fromYaml(spark, legacy).collect().head
+    assert(r.getAs[Date]("book_date") === Date.valueOf("2024-01-02"))
+  }
+
   test("load of a missing file yields an empty frame") {
     assert(YamlStore.load(spark, "/tmp/does-not-exist.yml").isEmpty)
   }

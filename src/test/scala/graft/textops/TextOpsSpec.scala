@@ -103,10 +103,11 @@ class TextOpsSpec extends SparkSpec {
   }
 
   test("native langId equals the HOF/CASE oracle formulation") {
-    // parity corpus includes ties (equal en/de hits) and empty-ish rows
+    // parity corpus includes ties (equal en/de hits), empty-ish rows and
+    // NULL (both sides must say "und", not NULL)
     val tricky = docs.select(col("text"))
-      .union(Seq("the und der is ist", "", "   ", "le el la los")
-        .toDF("text"))
+      .union(Seq("the und der is ist", "", "   ", "le el la los",
+        null.asInstanceOf[String]).toDF("text"))
     val mismatch = tricky.select(
         TextStats.langId(col("text")).as("native"),
         TextStats.langIdHof(col("text")).as("hof"))
