@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.textops.{Dedup, Similarity, TextStats}
+
+/** Scale-validation harness: multiplies the documents/embeddings corpora
+  * Nx with deterministic perturbations and drives the dedup/similarity/
+  * text-stats family through the result, printing rows and wall-clock per
+  * operator. This is the empirical check behind the 100 TB posture claims:
+  * the multiplied corpus is intentionally ADVERSARIAL for bucketed
+  * operators — every document gains N-1 near-duplicates, so LSH buckets,
+  * shingle posting lists and SimHash chunks all grow N-fold, exercising
+  * the `maxBucket` caps and the id-only shuffle paths under real volume.
+  *
+  * Usage: SPARK_GRAFT_SCALE=20 runMain graft.ScaleSmoke
+  * (20x sf0.1 = 100k documents / 100k embeddings; all operators must
+  * complete without OOM and roughly linearly vs the 1x timings.)
+  */
+object ScaleSmoke {
+
+  def scaledDocs(spark: SparkSession, sfDir: String, mult: Int): DataFrame = {
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val copies = spark.range(mult.toLong).toDF("copy")
+    // copy 0 is the original; others append a small deterministic suffix →
+    // near-duplicates (high but not perfect Jaccard), the worst case for
+    // candidate-pair fan-out
+    base.crossJoin(broadcast(copies))
+      .select(
+        (col("doc_id") * mult + col("copy")).as("doc_id"),
+        when(col("copy") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" v"), col("copy"))).as("text"))
+  }
+
+  def scaledEmbeddings(spark: SparkSession, sfDir: String,
+      mult: Int): DataFrame = {
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>")
+        .as("embedding"))
+    val copies = spark.range(mult.toLong).toDF("copy")
+    // jitter one dimension per copy → tight clusters of near-identical
+    // vectors (the ANN bucket stress shape)
+    base.crossJoin(broadcast(copies))
+      .select(
+        (col("vec_id") * mult + col("copy")).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x + when(i === pmod(col("copy"), lit(64)),
+            col("copy").cast("double") / 1000.0).otherwise(0.0))
+          .as("embedding"))
+  }
+
+  private def time(name: String)(df: => DataFrame): Unit = {
+    val t0 = System.nanoTime()
+    val n = df.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"[scale] $name%-28s $n%10d rows  $sec%8.2f s")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val mult = sys.env.getOrElse("SPARK_GRAFT_SCALE", "20").toInt
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scale-smoke")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = scaledDocs(spark, sfDir, mult).persist()
+    val embs = scaledEmbeddings(spark, sfDir, mult).persist()
+    println(s"[scale] corpus: ${docs.count()} docs, " +
+      s"${embs.count()} embeddings (${mult}x $sfDir)")
+
+    time("exact_dedup")(Dedup.exact(docs))
+    time("minhash_lsh_pairs")(
+      Dedup.minhashLshPairs(docs, estThreshold = 0.8))
+    time("simhash_pairs")(Dedup.simhashPairs(docs, maxDist = 3))
+    time("jaccard_prefix_pairs")(
+      Dedup.ngramJaccardPairsPrefix(docs, threshold = 0.9))
+    time("ann_lsh_topk")(Similarity.annLshTopK(
+      embs, embs.filter(col("vec_id") < 64), k = 5))
+    time("ivf_topk")(Similarity.ivfTopK(
+      embs, embs.filter(col("vec_id") < 64), k = 5, trainMod = mult))
+    time("langid_quality")(docs.select(
+      TextStats.langId(col("text")).as("lang"),
+      TextStats.qualityScore(col("text")).as("q"))
+      .groupBy("lang").agg(avg("q").as("avg_q")))
+
+    spark.stop()
+  }
+}
