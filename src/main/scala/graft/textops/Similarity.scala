@@ -108,28 +108,24 @@ object Similarity {
     (array_position(sims, array_max(sims)) - 1).cast("int")
   }
 
-  /** IVF (inverted-file) ANN — the FAISS IVF shape in DataFrames: a
-    * spherical k-means coarse quantizer assigns every corpus vector to its
-    * nearest centroid (the "inverted list"); a query scores only the
-    * `nProbe` lists whose centroids are closest. LSH ([[annLshTopK]]) cuts
-    * the same candidate space data-independently; IVF adapts to the actual
-    * embedding distribution.
-    *
-    * Scale shape: training runs on a deterministic `xxhash64 % trainMod`
-    * sample (standard IVF practice — FAISS trains on a subsample); each
-    * Lloyd iteration is one distributed assign (argmax over k literal
-    * centroids, codegen'd) + one posexplode/groupBy mean whose RESULT
-    * (k·dims rows) is collected — the only driver traffic is the centroid
-    * table itself. Corpus assignment is a projection; the probe join is
-    * keyed on centroid id: bounded fan-out, corpus never self-shuffles.
-    * Empty clusters keep their previous centroid. Deterministic end-to-end
-    * (hash-picked init, no RNG) — resumable fleet jobs re-derive identical
-    * indexes.
+  /** Train an IVF coarse quantizer: spherical k-means over a deterministic
+    * `xxhash64 % trainMod` subsample (standard IVF practice — FAISS trains
+    * on a sample). Each Lloyd iteration is one distributed assign (argmax
+    * over k literal centroids, codegen'd) + one posexplode/groupBy mean
+    * whose RESULT (k·dims rows) is collected — the only driver traffic is
+    * the centroid table itself. Empty clusters keep their previous
+    * centroid. No RNG anywhere (hash-picked init), so the index is
+    * reproducible up to floating-point aggregation order: `avg()` over
+    * doubles accumulates in partition/task-completion order, which can
+    * shift the low bits of a centroid across runs or cluster sizes. Train
+    * ONCE and reuse via [[ivfTopKWith]] for bit-stable serving — exactly
+    * what a real pipeline does (the index is built offline, probed by many
+    * jobs).
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 3,
-      trainMod: Int = 1,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  def trainIvfCentroids(corpus: DataFrame, nCentroids: Int = 16,
+      iters: Int = 3, trainMod: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : Array[Array[Double]] = {
     val train = (if (trainMod <= 1) corpus
       else corpus.filter(pmod(xxhash64(col(idCol)), lit(trainMod)) === 0))
       .select(col(idCol), col(vecCol))
@@ -154,6 +150,41 @@ object Similarity {
         cents = next
       }
     } finally train.unpersist(blocking = false)
+    cents
+  }
+
+  /** [[trainIvfCentroids]] as a saveable centroid TABLE (cid, centroid) —
+    * a real pipeline parquets this next to the corpus and probes it from
+    * every serving job.
+    */
+  def trainIvf(corpus: DataFrame, nCentroids: Int = 16, iters: Int = 3,
+      trainMod: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    trainIvfCentroids(corpus, nCentroids, iters, trainMod, idCol, vecCol)
+      .toSeq.map(_.toSeq).zipWithIndex
+      .map { case (c, i) => (i, c) }
+      .toDF("cid", "centroid")
+  }
+
+  /** Centroid table → in-memory array (tiny: nCentroids × dims), ordered
+    * by cid — the literal form the codegen'd argmax probes against.
+    */
+  def centroidArray(centroids: DataFrame): Array[Array[Double]] =
+    centroids.select("cid", "centroid").collect()
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+
+  /** IVF probe+score against a PRE-TRAINED quantizer: corpus vectors are
+    * assigned to inverted lists by a codegen'd argmax projection (no
+    * shuffle); each query scores only its `nProbe` closest lists. The probe
+    * join is keyed on centroid id — bounded fan-out, the corpus never
+    * self-shuffles. Deterministic given the centroids.
+    */
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame, k: Int,
+      cents: Array[Array[Double]], nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("cid", nearestCentroid(col("cv"), cents))
     // each query probes its nProbe closest inverted lists
@@ -176,34 +207,62 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos_sim", "rank")
   }
 
+  /** IVF (inverted-file) ANN — the FAISS IVF shape in DataFrames: train a
+    * coarse quantizer ([[trainIvfCentroids]]), then probe it
+    * ([[ivfTopKWith]]). One-shot convenience; pipelines that probe more
+    * than once should train once and call [[ivfTopKWith]] directly. LSH
+    * ([[annLshTopK]]) cuts the same candidate space data-independently;
+    * IVF adapts to the actual embedding distribution.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 3,
+      trainMod: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfTopKWith(corpus, queries, k,
+      trainIvfCentroids(corpus, nCentroids, iters, trainMod, idCol, vecCol),
+      nProbe, idCol, vecCol)
+
   /** Approximate top-k: corpus and queries bucketed by hyperplane
     * signature bands; each query only scores corpus vectors sharing ≥1
     * band bucket. Recall is tunable via bands×bits; the corpus-side
     * shuffle is keyed on (band, bucket) — bounded fan-out, no full scan
     * per query, which is the property that survives 100 TB.
+    *
+    * Shuffle plan (mirrors [[Dedup.minhashLshPairs]]): only
+    * (id, band, bucket) triples flow through the banding join and the
+    * candidate-pair dedup — at fleet scale an embedding is ~KBs/row, and
+    * round 2 carried BOTH the query and corpus vectors through the dedup
+    * Exchange. Vectors rejoin the (small) deduped pair set for scoring:
+    * the query side re-reads only (id, vec) — a pruned scan, no signature
+    * recompute — and is broadcast; the corpus side joins on its id.
     */
   def annLshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       planes: Int = 16, bands: Int = 4, dims: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(planes % bands == 0)
     val r = planes / bands
-    def banded(df: DataFrame, id: String, vec: String): DataFrame = {
-      val sig = hyperplaneSignature(col(vec), planes, dims)
-      df.select(col(id), col(vec), sig.as("sig"))
-        .select(col(id), col(vec),
+    def banded(df: DataFrame, id: String): DataFrame = {
+      val sig = hyperplaneSignature(col(vecCol), planes, dims)
+      df.select(col(id), sig.as("sig"))
+        .select(col(id),
           explode(array((0 until bands).map(j => struct(lit(j).as("band"),
             shiftright(col("sig"), j * r)
               .bitwiseAND((1L << r) - 1).as("bucket"))): _*)).as("bb"))
-        .select(col(id), col(vec), col("bb.band"), col("bb.bucket"))
+        .select(col(id), col("bb.band"), col("bb.bucket"))
     }
     val c = banded(corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("cv")), "neighbor_id", "cv")
+      col(vecCol)), "neighbor_id")
     val q = banded(queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("qv")), "query_id", "qv")
-    val cand = q.join(c, Seq("band", "bucket"))
+      col(vecCol)), "query_id")
+    val pairs = q.join(c, Seq("band", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qv", "neighbor_id", "cv")
+      .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
+    val qv = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv")))
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"))
+    val cand = pairs.join(qv, "query_id").join(cv, "neighbor_id")
       .withColumn("cos_sim", cosine(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id"))

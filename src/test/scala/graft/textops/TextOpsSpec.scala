@@ -184,6 +184,68 @@ class TextOpsSpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall $recall below 0.6")
   }
 
+  test("ANN LSH recall vs exact top-5 on the real embeddings table") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val queries = emb.filter(col("vec_id") < 8)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = df
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.cosineTopK(emb, queries, k = 5))
+    val ann = pairs(Similarity.annLshTopK(emb, queries, k = 5))
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    assert(recall >= 0.3, s"LSH recall $recall below 0.3")
+  }
+
+  test("ANN LSH candidate dedup shuffles ids only, never embedding arrays") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.types.ArrayType
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val df = Similarity.annLshTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
+    // dropDuplicates lowers to an Aggregate whose grouping is its whole
+    // output; its input is what the dedup Exchange carries — assert no
+    // array column (i.e. no embedding) rides through it.
+    val dedups = df.queryExecution.optimizedPlan.collect {
+      case a: Aggregate
+        if a.aggregateExpressions.size == a.groupingExpressions.size => a
+    }
+    assert(dedups.nonEmpty, "expected a dedup Aggregate in the plan")
+    for (a <- dedups; attr <- a.child.output)
+      assert(!attr.dataType.isInstanceOf[ArrayType],
+        s"dedup input carries array column ${attr.name}")
+  }
+
+  test("IVF train-once/probe-many: identical probes from a saved quantizer") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val queries = emb.filter(col("vec_id") < 8)
+    // the centroid TABLE round-trips through its collected array form
+    val table = Similarity.trainIvf(emb, nCentroids = 8, iters = 2,
+      trainMod = 2)
+    val cents = Similarity.centroidArray(table)
+    assert(cents.length === 8)
+    def probe() = Similarity.ivfTopKWith(emb, queries, k = 5, cents)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val first = probe()
+    assert(first.nonEmpty)
+    // probing is purely deterministic given the centroids (the float-order
+    // caveat lives in TRAINING only — see trainIvfCentroids' scaladoc)
+    assert(probe() === first)
+    // the one-shot ivfTopK is exactly train-then-probe composed
+    val oneShot = Similarity.ivfTopK(emb, queries, k = 5, nCentroids = 8,
+      nProbe = 4, iters = 2, trainMod = 2)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(oneShot === first)
+  }
+
   test("near-dup pairs by cosine threshold") {
     val vecs = Seq(
       (0L, Array(1.0, 0.0)), (1L, Array(0.999, 0.01)), (2L, Array(0.0, 1.0)))
