@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.textops.{Dedup, Similarity, TextStats}
@@ -58,6 +58,18 @@ object ScaleSmoke {
     println(f"[scale] $name%-28s $n%10d rows  $sec%8.2f s")
   }
 
+  /** Like [[time]] but also prints the operator's posting-list drop stats
+    * (CollectMetrics): a nonzero `dropped_groups` means the cap fired and
+    * recall is bounded, not silent.
+    */
+  private def timeObserved(name: String, obs: Observation)(
+      df: => DataFrame): Unit = {
+    time(name)(df)
+    val m = obs.get
+    println(f"[scale]   ${name}_caps: dropped_groups=${m("dropped_groups")} " +
+      s"max_group=${m("max_group")} n_groups=${m("n_groups")}")
+  }
+
   def main(args: Array[String]): Unit = {
     val mult = sys.env.getOrElse("SPARK_GRAFT_SCALE", "20").toInt
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -81,8 +93,17 @@ object ScaleSmoke {
     time("minhash_lsh_pairs")(
       Dedup.minhashLshPairs(docs, estThreshold = 0.8))
     time("simhash_pairs")(Dedup.simhashPairs(docs, maxDist = 3))
-    time("jaccard_prefix_pairs")(
-      Dedup.ngramJaccardPairsPrefix(docs, threshold = 0.9))
+    val prefixObs = Observation("jaccard_prefix_caps")
+    timeObserved("jaccard_prefix_pairs", prefixObs)(
+      Dedup.ngramJaccardPairsPrefix(docs, threshold = 0.9,
+        dropStats = Some(prefixObs)))
+    // posting-list variant with a deliberately tight cap: on this corpus
+    // every shingle group holds ~mult near-identical members, so a cap of
+    // mult/2 fires on most groups — values must stay exact regardless
+    val cappedObs = Observation("jaccard_capped_caps")
+    timeObserved("jaccard_pairs_capped", cappedObs)(
+      Dedup.ngramJaccardPairs(docs, threshold = 0.9,
+        maxPostingList = math.max(2, mult / 2), dropStats = Some(cappedObs)))
     time("ann_lsh_topk")(Similarity.annLshTopK(
       embs, embs.filter(col("vec_id") < 64), k = 5))
     time("ivf_topk")(Similarity.ivfTopK(

@@ -1,6 +1,6 @@
 package graft.textops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -49,19 +49,33 @@ object Dedup {
     * above `maxGroup` are dropped: an oversize group means a key shared by
     * a large corpus fraction — quadratic pair fan-out and a collect_list
     * buffer that must fit one executor. The cap bounds both.
+    *
+    * When `dropStats` is supplied, a CollectMetrics node (Dataset.observe —
+    * the Spark-native accumulator surface: computed inline by the action,
+    * no extra job) reports `dropped_groups` (how many groups the cap
+    * discarded), `max_group` and `n_groups`, so cap hits are observable
+    * instead of silent at fleet scale.
     */
   private def groupPairs(groups: DataFrame, memberCol: String,
-      maxGroup: Int): DataFrame =
-    groups
+      maxGroup: Int, dropStats: Option[Observation] = None): DataFrame = {
+    val observed = dropStats.map(o => groups.observe(o,
+        sum(when(size(col(memberCol)) > maxGroup, 1L).otherwise(0L))
+          .as("dropped_groups"),
+        max(size(col(memberCol))).as("max_group"),
+        count(lit(1)).as("n_groups")))
+      .getOrElse(groups)
+    observed
       .filter(size(col(memberCol)).between(2, maxGroup))
       .select(explode(col(memberCol)).as("a"), col(memberCol))
       .select(col("a"), explode(col(memberCol)).as("b"))
       .filter(col("a") < col("b"))
+  }
 
   /** All pairs (a<b) whose word-n-gram Jaccard similarity ≥ `threshold`,
-    * computed exactly via inverted posting lists: group docs by shared
-    * distinct shingle, emit within-group pairs, count shared shingles —
-    * |A∩B| from the pair counts, |A∪B| = |A|+|B|−|A∩B|.
+    * found via inverted posting lists and verified EXACTLY: group docs by
+    * shared distinct shingle, emit within-group pairs, count shared
+    * shingles as a candidate score, then recompute |A∩B| from the full
+    * shingle arrays (`array_intersect`) for every surviving pair.
     *
     * One shuffle keyed on the shingle (the groupBy) + one on the pair key;
     * only documents sharing at least one shingle ever meet — no cross join,
@@ -69,32 +83,60 @@ object Dedup {
     * formulation shuffles the shingle strings twice and sorts them; this
     * shape is ~4× faster at sf0.1). `maxPostingList` bounds the per-shingle
     * group (a stop-shingle like "the quick brown" in a web corpus); groups
-    * above it are dropped, which can only LOWER recall on pairs whose sole
-    * shared shingles are corpus-wide stop-shingles — pairs that are almost
-    * never true near-dups. For a guaranteed-exact candidate set with
-    * bounded fan-out see [[ngramJaccardPairsPrefix]].
+    * above it are DROPPED, which biases the counted score downward for
+    * every pair sharing a dropped shingle. Consequences, made exact where
+    * it matters:
+    *
+    *   - reported `jaccard` VALUES are always exact: the counted score is
+    *     only a candidate filter; survivors are re-verified against the
+    *     full arrays, so a dropped shingle still counts in |A∩B|;
+    *   - RECALL can drop: a pair whose counted score falls below the
+    *     threshold because of dropped groups is never re-examined — that
+    *     loss is the cap's documented price, and `dropStats` makes it
+    *     observable (a run with `dropped_groups = 0` is provably exact
+    *     AND complete).
+    *
+    * The counted score is a lower bound on true jaccard (undercounting
+    * |A∩B| also overcounts |A∪B|), so exact verification can only keep
+    * pairs, never reject them — the final threshold filter is a no-op kept
+    * for the contract. For bounded fan-out without the stop-shingle recall
+    * caveat at high thresholds see [[ngramJaccardPairsPrefix]].
+    *
+    * The doc→shingle-array frame is persisted (three consumers: posting
+    * build + both verification sides); released by session end or
+    * `spark.catalog.clearCache()` — same lifecycle as the prefix variant.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
       threshold: Double = 0.8, textCol: String = "text",
-      idCol: String = "doc_id", maxPostingList: Int = 1 << 14): DataFrame = {
-    // Carry each doc's shingle count inside the posting list so |A|,|B|
-    // ride along to the pair aggregation — no join back to a sizes table,
-    // and the (expensive) shingle pipeline is evaluated exactly once per doc
-    // instead of once per downstream consumer.
-    val posting = docs
+      idCol: String = "doc_id", maxPostingList: Int = 1 << 14,
+      dropStats: Option[Observation] = None): DataFrame = {
+    val sh = docs
       .select(col(idCol).as("id"),
         array_distinct(TextStats.shingles(col(textCol), n)).as("sh"))
-      .select(col("id"), size(col("sh")).as("n_sh"),
-        explode(col("sh")).as("shingle"))
+      .select(col("id"), col("sh"), size(col("sh")).as("n_sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Carry each doc's shingle count inside the posting list so |A|,|B|
+    // ride along to the pair aggregation — no join back to a sizes table.
+    val posting = sh.select(col("id"), col("n_sh"),
+      explode(col("sh")).as("shingle"))
     val groups = posting.groupBy("shingle")
       .agg(collect_list(struct(col("id"), col("n_sh"))).as("members"))
-    groupPairs(groups, "members", maxPostingList)
+    val cands = groupPairs(groups, "members", maxPostingList, dropStats)
       .groupBy(col("a.id").as("id_a"), col("a.n_sh").as("n_a"),
         col("b.id").as("id_b"), col("b.n_sh").as("n_b"))
-      .agg(count(lit(1)).as("n_common"))
-      .withColumn("jaccard",
-        col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common")))
+      .agg(count(lit(1)).as("n_counted"))
+      // lower-bound pre-filter (see scaladoc): exact-verify survivors only
+      .filter(col("n_counted").cast("double") /
+        (col("n_a") + col("n_b") - col("n_counted")) >= threshold)
+      .select("id_a", "id_b")
+    cands
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a"),
+        col("n_sh").as("n_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b"),
+        col("n_sh").as("n_b")), "id_b")
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("n_a") + col("n_b") - col("n_common")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -104,8 +146,11 @@ object Dedup {
     * global total order (xxhash64 — any total order is correct; hash order
     * needs no frequency statistics and therefore no extra aggregate). Any
     * pair with Jaccard ≥ t must share ≥1 prefix shingle, so the candidate
-    * set is complete; candidates are then verified EXACTLY by intersecting
-    * the full shingle arrays.
+    * set is complete WHILE no prefix-shingle group exceeds
+    * `maxPostingList` (an over-cap group is dropped, losing the pairs
+    * whose only shared prefix shingle it held — observable via
+    * `dropStats`); candidates are then verified EXACTLY by intersecting
+    * the full shingle arrays, so reported values are always exact.
     *
     * vs [[ngramJaccardPairs]]: posting-list volume shrinks by ~(1−t) and,
     * more importantly, the per-shingle group fan-out is bounded by how many
@@ -116,7 +161,8 @@ object Dedup {
     */
   def ngramJaccardPairsPrefix(docs: DataFrame, n: Int = 3,
       threshold: Double = 0.8, textCol: String = "text",
-      idCol: String = "doc_id", maxPostingList: Int = 1 << 14): DataFrame = {
+      idCol: String = "doc_id", maxPostingList: Int = 1 << 14,
+      dropStats: Option[Observation] = None): DataFrame = {
     // Distinct shingles sorted by (xxhash64, shingle): array_sort on the
     // (hash, shingle) struct gives the global order; the shingle rides
     // along for exact (collision-free) equality joins.
@@ -135,7 +181,7 @@ object Dedup {
       .select(col("id"), col("p.s").as("shingle"))
     val cands = groupPairs(
         posting.groupBy("shingle").agg(collect_list(col("id")).as("members")),
-        "members", maxPostingList)
+        "members", maxPostingList, dropStats)
       .select(col("a").as("id_a"), col("b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     // Exact verification: intersect the full (distinct) shingle arrays.

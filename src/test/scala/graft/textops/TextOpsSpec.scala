@@ -92,6 +92,40 @@ class TextOpsSpec extends SparkSpec {
     assert(sim.count() < 200 * 199 / 2)
   }
 
+  test("capped posting lists: jaccard values stay exact, drops observable") {
+    // 12 docs share the stop-shingle run "terms of service apply"; docs 100
+    // and 101 are true near-dups whose shared shingles INCLUDE the dropped
+    // stop-shingles. With maxPostingList=8 the boilerplate groups (12 and
+    // 14 members) are dropped, but the reported jaccard for (100,101) must
+    // still count those shingles in |A∩B| — the exact-verify path.
+    val boiler = "terms of service apply"
+    val corpus = (0L until 12L).map(i =>
+        (i, s"$boiler unique filler payload number $i"))
+      .toDF("doc_id", "text")
+      .union(Seq(
+        (100L, s"$boiler shared body of the near duplicate pair alpha"),
+        (101L, s"$boiler shared body of the near duplicate pair beta"))
+        .toDF("doc_id", "text"))
+    val obs = new org.apache.spark.sql.Observation("cap-stats")
+    val out = Dedup.ngramJaccardPairs(corpus, n = 3, threshold = 0.5,
+        maxPostingList = 8, dropStats = Some(obs))
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    // brute-force oracle jaccard over full distinct shingle sets
+    def shingleSet(t: String): Set[String] =
+      t.toLowerCase.split("\\s+").sliding(3).map(_.mkString(" ")).toSet
+    val sa = shingleSet(s"$boiler shared body of the near duplicate pair alpha")
+    val sb = shingleSet(s"$boiler shared body of the near duplicate pair beta")
+    val exact = sa.intersect(sb).size.toDouble / sa.union(sb).size
+    assert(out.get((100L, 101L)).contains(exact),
+      s"reported ${out.get((100L, 101L))} vs exact $exact")
+    val m = obs.get
+    assert(m("dropped_groups").asInstanceOf[Long] >= 1L,
+      "cap should have fired on the boilerplate groups")
+    assert(m("max_group").asInstanceOf[Int] === 14)
+  }
+
   test("langId picks the profile with most stopword hits") {
     val out = docs.select(col("doc_id"), TextStats.langId(col("text")).as("l"))
       .as[(Long, String)].collect().toMap
