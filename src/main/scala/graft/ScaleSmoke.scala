@@ -66,8 +66,16 @@ object ScaleSmoke {
       df: => DataFrame): Unit = {
     time(name)(df)
     val m = obs.get
-    println(f"[scale]   ${name}_caps: dropped_groups=${m("dropped_groups")} " +
-      s"max_group=${m("max_group")} n_groups=${m("n_groups")}")
+    if (m.isEmpty)
+      // CollectMetrics that execute inside a broadcast-exchange subtree
+      // (AQE may broadcast an empty candidate side) don't reach the
+      // Observation listener — absence of metrics, not absence of caps
+      println(s"[scale]   ${name}_caps: metrics unavailable " +
+        "(observed node ran inside a broadcast subtree)")
+    else
+      println(s"[scale]   ${name}_caps: " +
+        s"dropped_groups=${m("dropped_groups")} " +
+        s"max_group=${m("max_group")} n_groups=${m("n_groups")}")
   }
 
   def main(args: Array[String]): Unit = {
@@ -84,8 +92,13 @@ object ScaleSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val docs = scaledDocs(spark, sfDir, mult).persist()
-    val embs = scaledEmbeddings(spark, sfDir, mult).persist()
+    // repartition: the scaled corpus inherits ONE split from the single
+    // testdata parquet file, which would serialize every non-shuffle stage
+    // (e.g. a verification join against the cached corpus) onto one core —
+    // a real 100 TB corpus arrives in thousands of splits, so simulate that
+    val docs = scaledDocs(spark, sfDir, mult).repartition(cpus.toInt).persist()
+    val embs = scaledEmbeddings(spark, sfDir, mult)
+      .repartition(cpus.toInt).persist()
     println(s"[scale] corpus: ${docs.count()} docs, " +
       s"${embs.count()} embeddings (${mult}x $sfDir)")
 
@@ -106,6 +119,14 @@ object ScaleSmoke {
         maxPostingList = math.max(2, mult / 2), dropStats = Some(cappedObs)))
     time("ann_lsh_topk")(Similarity.annLshTopK(
       embs, embs.filter(col("vec_id") < 64), k = 5))
+    // jittered copies are ~identical vectors (cos ≈ 0.9999) → they collide
+    // even in 12-bit bands, while 4096 buckets/band keep the within-bucket
+    // quadratic term bounded at 100k vectors — the "grow r with log n"
+    // tuning rule from the operator's scaladoc, exercised for real
+    val lshPairObs = Observation("lsh_near_dup_caps")
+    timeObserved("lsh_near_dup_pairs", lshPairObs)(
+      Similarity.cosineNearDupPairsLsh(embs, threshold = 0.98,
+        planes = 48, bands = 4, dropStats = Some(lshPairObs)))
     time("ivf_topk")(Similarity.ivfTopK(
       embs, embs.filter(col("vec_id") < 64), k = 5, trainMod = mult))
     time("langid_quality")(docs.select(

@@ -64,6 +64,7 @@ object SparkEntry {
     "q43_frame_sample"     -> (TextQueries.q43FrameSample _),
     "q44_ivf_topk"         -> (TextQueries.q44IvfTopK _),
     "q45_audio_windows"    -> (TextQueries.q45AudioWindows _),
+    "q46_lsh_near_dup"     -> (TextQueries.q46LshNearDup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

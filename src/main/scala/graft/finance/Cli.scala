@@ -56,8 +56,9 @@ object Cli {
       .select("account", "book_date", "valuta_date", "party", "book_text",
         "purpose", "amount_cents", "balance_cents", "transfer_category",
         "category", "category_manual", "fingerprint", "imported_at")
-    val next = Store.upsert(existing, prepared)
+    val (next, release) = Store.upsertReleasable(existing, prepared)
     Store.save(next, storePath)
+    release() // the save materialized the batch — free its cache entry
     println(s"Stored $storePath with ${spark.read.parquet(storePath).count()} rows in total")
   }
 
@@ -74,13 +75,18 @@ object Cli {
       .select("account", "book_date", "valuta_date", "party", "book_text",
         "purpose", "amount_cents", "balance_cents", "transfer_category",
         "category", "category_manual", "fingerprint", "imported_at")
-    val next = Store.upsert(existing, prepared)
+    val (next, release) = Store.upsertReleasable(existing, prepared)
     Store.save(next, storePath)
+    release()
     println(s"Stored $storePath with ${spark.read.parquet(storePath).count()} rows in total")
   }
 
-  /** Analysis report (§3.3): the notebook's headline queries for a year. */
-  def report(spark: SparkSession, storePath: String, yr: Int): Unit = {
+  /** Analysis report (§3.3): the notebook's headline queries for a year.
+    * With `htmlOut` set, also writes the self-contained HTML report
+    * ([[Report]] — the finanzberatung-report.html shape).
+    */
+  def report(spark: SparkSession, storePath: String, yr: Int,
+      htmlOut: Option[String] = None): Unit = {
     val pc = Categorizer.addCat(Store.load(spark, storePath))
     println(s"== Uncategorized $yr ==")
     Analysis.uncategorized(pc, yr).show(50, truncate = false)
@@ -88,6 +94,10 @@ object Cli {
     Analysis.incomeOverview(pc, yr).show(50, truncate = false)
     println(s"== Expense overview $yr ==")
     Analysis.expenseOverview(pc, yr).show(100, truncate = false)
+    htmlOut.foreach { p =>
+      Report.write(pc, yr, p)
+      println(s"Wrote HTML report $p")
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -97,6 +107,8 @@ object Cli {
         ingImport(spark, store, csvs.mkString(","))
       case "categorize" :: store :: Nil => categorize(spark, store)
       case "report" :: store :: yr :: Nil => report(spark, store, yr.toInt)
+      case "report" :: store :: yr :: out :: Nil =>
+        report(spark, store, yr.toInt, Some(out))
       case "migrate" :: yaml :: store :: Nil =>
         // one-time YAML backup → store migration (reference migrate.py)
         if (!YamlStore.migrate(spark, yaml, store)) sys.exit(1)
@@ -105,7 +117,7 @@ object Cli {
           s"""unknown command: ${other.mkString(" ")}
              |usage: ing-import <store.parquet> <csv> [csv...]
              |       categorize <store.parquet>
-             |       report <store.parquet> <year>
+             |       report <store.parquet> <year> [report.html]
              |       migrate <backup.yaml> <store.parquet>""".stripMargin)
         sys.exit(2)
     } finally spark.stop()

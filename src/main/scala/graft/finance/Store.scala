@@ -25,8 +25,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale posture: the merge is one shuffle join keyed on fingerprint. At
   * fleet scale, write the store bucketed by fingerprint
-  * (`bucketBy(n, "fingerprint")`) so the join is co-located and shuffle-free,
-  * and partition by `year(book_date)` so re-categorization jobs prune.
+  * ([[saveBucketed]]: `bucketBy(n, "fingerprint")` + `partitionBy(
+  * book_year)`) so the merge join is co-located — the store side reads its
+  * buckets with NO Exchange (only the small batch shuffles) — and
+  * re-categorization jobs prune to the years they touch. StoreSpec asserts
+  * both properties on the physical plan.
   */
 object Store {
 
@@ -71,7 +74,19 @@ object Store {
     *
     * `existing` may be empty (first import). Returns the new store content.
     */
-  def upsert(existing: DataFrame, batch: DataFrame): DataFrame = {
+  def upsert(existing: DataFrame, batch: DataFrame): DataFrame =
+    upsertReleasable(existing, batch)._1
+
+  /** [[upsert]] plus a release handle that frees the internally persisted
+    * sorted batch. Import COMMANDS (Cli.ingImport / Cli.categorize /
+    * YamlStore.migrate) must call the handle after [[save]] materializes
+    * the result — otherwise a long-lived import session accumulates one
+    * MEMORY_AND_DISK entry per batch until `clearCache`. Lazy QUERY
+    * consumers (the q39 gate) may ignore the handle: their cache entry is
+    * released with the session, bounded by one entry per upsert call.
+    */
+  def upsertReleasable(existing: DataFrame,
+      batch: DataFrame): (DataFrame, () => Unit) = {
     val spark = existing.sparkSession
     import spark.implicits._
 
@@ -117,13 +132,16 @@ object Store {
 
     // Full outer join on fingerprint = MERGE. Matched rows keep identity
     // columns from the store and take the 4 update columns from the batch.
-    ex.join(ba, Seq("fp"), "full_outer").select(
+    val merged = ex.join(ba, Seq("fp"), "full_outer").select(
       (identityCols.map(c =>
         coalesce(col(s"ex.$c"), col(s"ba.$c")).as(c)) ++
        updateCols.map(c =>
         when(col("ba").isNotNull, col(s"ba.$c"))
           .otherwise(col(s"ex.$c")).as(c))): _*)
       .select(TransactionSchema.storeSchema.fieldNames.map(col).toSeq: _*)
+    // blocking: at a command boundary the point is freeing executor
+    // memory BEFORE the next batch starts, not eventually
+    (merged, () => { sorted.unpersist(blocking = true); () })
   }
 
   /** Batch-import composition (panda.py:736-745): store rows win over
@@ -153,6 +171,39 @@ object Store {
       .select("account", "book_date", "valuta_date", "party", "book_text",
         "purpose", "transfer_category", "category", "category_manual",
         "amount", "balance")
+
+  /** The fleet-scale store layout, realized: fingerprint-bucketed,
+    * `book_year`-partitioned parquet table. Properties this buys (both
+    * asserted by StoreSpec on the physical plan):
+    *
+    *   - the [[upsert]] merge join reads the store side straight from its
+    *     buckets — hashpartitioning(fingerprint, n) is satisfied by the
+    *     layout, so EnsureRequirements inserts NO Exchange over the store
+    *     scan; only the (small) incoming batch shuffles. At 100 TB the
+    *     store never re-shuffles for its own merge.
+    *   - year-scoped jobs (re-categorization, reports) prune to the
+    *     `book_year=` directories they touch instead of scanning history.
+    *
+    * `sortBy(fingerprint)` keeps bucket files merge-ready. NULL book_date
+    * lands in the `__HIVE_DEFAULT_PARTITION__` directory — still scanned
+    * by unfiltered reads. saveAsTable registers in the session catalog; a
+    * deployment would declare the same layout as an EXTERNAL table at the
+    * store path.
+    */
+  def saveBucketed(df: DataFrame, table: String, nBuckets: Int = 16): Unit =
+    df.withColumn("book_year", year(col("book_date")))
+      .write.mode("overwrite")
+      .partitionBy("book_year")
+      .bucketBy(nBuckets, "fingerprint")
+      .sortBy("fingerprint")
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Read the bucketed store. Keeps the `book_year` partition column so
+    * callers' year filters prune; [[upsert]] callers drop it.
+    */
+  def loadBucketed(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
 
   /** Two-phase overwrite: stage to `<path>.staging`, then swap. Parquet has
     * no in-place upsert; the staging write keeps the store readable until

@@ -128,7 +128,9 @@ object YamlStore {
       else
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[Row], TransactionSchema.storeSchema)
-    Store.save(Store.upsert(existing, batch), storePath)
+    val (next, release) = Store.upsertReleasable(existing, batch)
+    Store.save(next, storePath)
+    release() // free the upsert's internal cache entry per migrated batch
     val nStore = spark.read.parquet(storePath).count()
     if (nStore == nYaml) {
       println(s"✓ Migration successful! ($nStore rows)")

@@ -120,12 +120,25 @@ object TextQueries {
       .agg(count(lit(1)).as("n"))
       .orderBy("detected", "lang")
 
-  /** q34: embedding near-dup pairs (semantic dedup). The synthetic
-    * embeddings are near-uniform (max pairwise cosine ≈ 0.48), so the
-    * "near-dup" threshold is 0.38 to exercise a non-trivial result set.
+  /** q34: embedding near-dup pairs (semantic dedup), EXACT baseline — the
+    * oracle-checked O(n²) reference the LSH path (q46) is measured
+    * against; at fleet scale run q46, not this. The synthetic embeddings
+    * are near-uniform (max pairwise cosine ≈ 0.48), so the "near-dup"
+    * threshold is 0.38 to exercise a non-trivial result set.
     */
   def q34CosineNearDup(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.cosineNearDupPairs(
+        asDouble(Tables.embeddings(spark, sfDir)), threshold = 0.38)
+      .withColumn("cos_sim", round(col("cos_sim"), 4))
+      .orderBy("id_a", "id_b")
+
+  /** q46: embedding near-dup pairs via hyperplane-LSH banding — the scale
+    * route for q34 (no SQL oracle: the banded candidate set isn't
+    * SQL-expressible; the spec checks recall ≥ 0.8 vs q34's exact pairs
+    * and that every emitted row carries the exact cosine).
+    */
+  def q46LshNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.cosineNearDupPairsLsh(
         asDouble(Tables.embeddings(spark, sfDir)), threshold = 0.38)
       .withColumn("cos_sim", round(col("cos_sim"), 4))
       .orderBy("id_a", "id_b")

@@ -56,7 +56,7 @@ object Dedup {
     * discarded), `max_group` and `n_groups`, so cap hits are observable
     * instead of silent at fleet scale.
     */
-  private def groupPairs(groups: DataFrame, memberCol: String,
+  private[textops] def groupPairs(groups: DataFrame, memberCol: String,
       maxGroup: Int, dropStats: Option[Observation] = None): DataFrame = {
     val observed = dropStats.map(o => groups.observe(o,
         sum(when(size(col(memberCol)) > maxGroup, 1L).otherwise(0L))
@@ -185,11 +185,16 @@ object Dedup {
       .select(col("a").as("id_a"), col("b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     // Exact verification: intersect the full (distinct) shingle arrays.
+    // Intersect the STRING projection, not the (h, s) struct arrays:
+    // ArrayIntersect hashes atomic element types (one OpenHashSet pass)
+    // but falls back to interpreted pairwise O(|a|·|b|) comparison for
+    // struct elements — ~100× slower per pair on real shingle counts.
+    val strings = (c: Column) => transform(c, p => p.getField("s"))
     cands
       .join(sorted.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sorted.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("n_common",
-        size(array_intersect(col("sh_a"), col("sh_b"))))
+        size(array_intersect(strings(col("sh_a")), strings(col("sh_b")))))
       .withColumn("jaccard", col("n_common").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("n_common")))
       .filter(col("jaccard") >= threshold)

@@ -53,8 +53,10 @@ object Similarity {
   }
 
   /** Embedding near-dup pairs: all (a<b) pairs with cosine ≥ threshold.
-    * Exact variant for modest corpora — the scale path is [[annLshTopK]]'s
-    * bucketing with query==corpus.
+    * EXACT baseline — O(n²) pair evaluations by construction, so it's the
+    * spec/verification reference for modest corpora, never the fleet path.
+    * The scale route is [[cosineNearDupPairsLsh]]: hyperplane-banded
+    * buckets, within-bucket pairs, exact cosine verify.
     */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -221,6 +223,61 @@ object Similarity {
     ivfTopKWith(corpus, queries, k,
       trainIvfCentroids(corpus, nCentroids, iters, trainMod, idCol, vecCol),
       nProbe, idCol, vecCol)
+
+  /** Embedding near-dup PAIRS at scale — the hyperplane-LSH analogue of
+    * [[Dedup.minhashLshPairs]]: each vector's `planes`-bit random-
+    * hyperplane signature is banded into `bands` chunks of r bits; vectors
+    * colliding in ≥1 band's 2^r-way bucket become candidate pairs; every
+    * candidate is verified by EXACT cosine, so emitted values are exact
+    * and output ⊆ the exact [[cosineNearDupPairs]] result (approximation
+    * shows up only as recall, never as wrong rows).
+    *
+    * Shuffle plan: only (id, band, bucket) triples ride the banding
+    * shuffle and the pair dedup — never the embedding arrays; vectors
+    * rejoin the (small) candidate-pair set for verification, same
+    * discipline as [[Dedup.minhashLshPairs]] / [[annLshTopK]]. Per-bucket
+    * fan-out is bounded by `maxBucket` (drops observable via `dropStats`,
+    * a CollectMetrics observation — see [[Dedup.groupPairs]]).
+    *
+    * Tuning (Charikar 2002: P(bits agree) = 1 − θ/π): recall at a target
+    * cosine t needs bands of FEW bits when t is low — at t=0.38 (θ≈68°,
+    * p≈0.62) the defaults (64 planes, 16 bands of 4 bits) measure ~0.94
+    * recall on the synthetic corpus, whose pairs all sit just above the
+    * threshold (the worst case: no cluster structure to exploit). True
+    * near-dup corpora (t≥0.8, p≥0.8) reach the same recall with far fewer
+    * bands. At fleet scale, r (bits per band) sets expected bucket density
+    * n/2^r — grow r with log n to hold within-bucket cost, add bands to
+    * buy the recall back; `maxBucket` stays the hard memory bound.
+    */
+  def cosineNearDupPairsLsh(corpus: DataFrame, threshold: Double,
+      planes: Int = 64, bands: Int = 16, dims: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBucket: Int = 1 << 12,
+      dropStats: Option[org.apache.spark.sql.Observation] = None)
+      : DataFrame = {
+    require(planes % bands == 0, "bands must divide planes")
+    val r = planes / bands
+    val banded = corpus
+      .select(col(idCol).as("id"),
+        hyperplaneSignature(col(vecCol), planes, dims).as("sig"))
+      .select(col("id"),
+        explode(array((0 until bands).map(j => struct(lit(j).as("band"),
+          shiftright(col("sig"), j * r)
+            .bitwiseAND((1L << r) - 1).as("bucket"))): _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    val pairs = Dedup.groupPairs(
+        banded.groupBy("band", "bucket")
+          .agg(collect_list(col("id")).as("members")),
+        "members", maxBucket, dropStats)
+      .select(col("a").as("id_a"), col("b").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    pairs
+      .join(corpus.select(col(idCol).as("id_a"), col(vecCol).as("va")), "id_a")
+      .join(corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb")), "id_b")
+      .withColumn("cos_sim", cosine(col("va"), col("vb")))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+  }
 
   /** Approximate top-k: corpus and queries bucketed by hyperplane
     * signature bands; each query only scores corpus vectors sharing ≥1

@@ -19,6 +19,55 @@ class CliSpec extends SparkSpec {
   private val csvs = FinanceQueries.ingFixtures
     .map(f => s"${FinanceQueries.fixtureDir}/${f._2}").mkString(",")
 
+  test("HTML report render matches the committed golden file") {
+    import java.sql.Date
+    // deterministic categorized frame (post-addCat shape) covering income,
+    // account-pivoted expenses, an uncategorized row, HTML-escaping in a
+    // category name, and every home-office signal (Naturstrom, Wohngeld,
+    // Grundst, Darl.-Leistung Zinsen extract)
+    val pc = Seq(
+      ("giro", Date.valueOf("2024-01-15"), "Arbeitgeber GmbH", "Gehalt",
+        "Gehalt Januar", 3500.0, "einnahmen::gehalt::andreas"),
+      ("gesa", Date.valueOf("2024-02-15"), "Uni", "Gehalt/Rente",
+        "Gehalt Februar", 2800.5, "einnahmen::gehalt::gesa"),
+      ("giro", Date.valueOf("2024-03-01"), "REWE", "Lastschrift",
+        "Einkauf", -54.32, "einkaufen"),
+      ("giro", Date.valueOf("2024-03-02"), "Laden", "Lastschrift",
+        "Spezial", -10.0, "sonder & <besonders>"),
+      ("common", Date.valueOf("2024-03-05"), "Naturstrom AG", "Lastschrift",
+        "Strom Abschlag", -89.0, "wohnen::strom"),
+      ("common", Date.valueOf("2024-04-01"), "WEG Verwaltung", "Dauerauftrag",
+        "Wohngeld April", -320.0, "wohnen::wohngeld"),
+      ("common", Date.valueOf("2024-05-10"), "Finanzamt", "Lastschrift",
+        "Grundsteuer Q2 Grundst.", -150.0, "wohnen"),
+      ("common", Date.valueOf("2024-06-01"), "Bank", "Rate",
+        "Darl.-Leistung Tilgung 898,22 Zinsen 140,12", -1038.34,
+        "wohnen::rate"),
+      ("gesa", Date.valueOf("2024-07-01"), "Bäckerei", "Lastschrift",
+        "Brot", -12.5, "einkaufen"),
+      ("giro", Date.valueOf("2024-08-01"), "Unbekannt", "Lastschrift",
+        "offen", -5.0, null.asInstanceOf[String]))
+      .toDF("account", "book_date", "party", "book_text", "purpose",
+        "amount", "cat")
+      .withColumn("transfer_category", lit(null).cast("string"))
+      .withColumn("valuta_date", col("book_date"))
+      .withColumn("balance", lit(0.0))
+    val html = Report.render(pc, 2024,
+      afaCosts = Seq("Wohnung (AfA)" -> 250000.0), afaYears = 50,
+      officeRatio = 13.0 / 110.0)
+    // content sanity independent of the snapshot
+    assert(html.contains("sonder &amp; &lt;besonders&gt;")) // escaped
+    assert(html.contains("<tr class=\"total\">"))           // total rows
+    assert(html.contains("3.500,00"))                       // German format
+    assert(html.contains("140,12"))                         // Zinsen extract
+    val goldenPath = java.nio.file.Paths.get(
+      "src/test/resources/golden_report.html")
+    if (sys.env.contains("REGENERATE_GOLDEN")) // dev hook: refresh snapshot
+      Files.writeString(goldenPath, html)
+    val golden = Files.readString(goldenPath)
+    assert(html === golden)
+  }
+
   test("ing-import: fixtures → categorized fingerprinted parquet store") {
     val dir = Files.createTempDirectory("clistore")
     val store = dir.resolve("tx.parquet").toString

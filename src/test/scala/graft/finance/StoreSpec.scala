@@ -121,6 +121,82 @@ class StoreSpec extends SparkSpec {
     assert(out(1).getAs[String]("party") === "z")
   }
 
+  test("bucketed store: shuffle-free store side in upsert, pruned year scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prior = spark.conf.get(aqeKey)
+    spark.conf.set(aqeKey, "false") // deterministic physical plan to assert
+    try {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        TransactionSchema.storeSchema)
+      val batch1 = Store.withStoreColumns(rawDf(Seq(
+        rawRow("giro", "2023-03-01", "2023-03-01", "a", null, "p1", -1.0, 0.0),
+        rawRow("giro", "2024-01-02", "2024-01-02", "b", null, "p2", -2.0, 0.0),
+        rawRow("common", "2024-05-01", "2024-05-01", "c", null, "p3", -3.0, 0.0))))
+        .withColumn("imported_at", current_timestamp())
+      spark.sql("DROP TABLE IF EXISTS store_bucketed_spec")
+      Store.saveBucketed(Store.upsert(empty, batch1),
+        "store_bucketed_spec", nBuckets = 4)
+
+      // (a) year filters prune partitions: only book_year=2024 is scanned
+      val bucketed = Store.loadBucketed(spark, "store_bucketed_spec")
+      val pruned = bucketed.filter(col("book_year") === 2024)
+      val scan = pruned.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f }.head
+      assert(scan.partitionFilters.nonEmpty, "year filter must prune")
+      assert(scan.relation.location.listFiles(scan.partitionFilters, Nil)
+        .map(_.values.getInt(0)).toSet === Set(2024))
+
+      // (b) upsert over the bucketed store: the merge SMJ reads the store
+      // side straight from its buckets — no Exchange in that subtree; only
+      // the batch side shuffles
+      val batch2 = Store.withStoreColumns(rawDf(Seq(
+        rawRow("giro", "2024-01-02", "2024-01-02", "b", null, "p2", -2.0, 9.0),
+        rawRow("giro", "2024-06-06", "2024-06-06", "d", null, "p4", -4.0, 0.0))))
+        .withColumn("imported_at", current_timestamp())
+      val next = Store.upsert(bucketed.drop("book_year"), batch2)
+      val smjs = next.queryExecution.executedPlan.collect {
+        case j: SortMergeJoinExec => j }
+      assert(smjs.nonEmpty, "expected the merge to be a sort-merge join")
+      val storeSide = smjs.head.left // ex (store) side of the full-outer join
+      assert(storeSide.collect { case f: FileSourceScanExec => f }
+        .exists(_.bucketedScan), "store side must be a bucketed scan")
+      assert(storeSide.collect { case e: ShuffleExchangeLike => e }.isEmpty,
+        "bucketed store side must not re-shuffle for its own merge")
+      // and the merge result is still correct
+      val out = next.orderBy("book_date")
+        .select("party", "balance_cents").as[(String, Long)].collect()
+      assert(out === Array(("a", 0L), ("b", 900L), ("c", 0L), ("d", 0L)))
+    } finally {
+      spark.conf.set(aqeKey, prior)
+      spark.sql("DROP TABLE IF EXISTS store_bucketed_spec")
+    }
+  }
+
+  test("upsertReleasable frees the internal cache entry after save") {
+    val dir = Files.createTempDirectory("store-rel").resolve("tx.parquet")
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      TransactionSchema.storeSchema)
+    val batch = Store.withStoreColumns(rawDf(Seq(
+      rawRow("giro", "2024-01-01", "2024-01-01", "a", null, "p1", -1.0, 0.0))))
+      .withColumn("imported_at", current_timestamp())
+    // delta-based so other suites' (never-released) persists don't bleed in
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (next, release) = Store.upsertReleasable(empty, batch)
+    Store.save(next, dir.toString) // materializes → the cached RDD exists
+    val mine = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(mine.nonEmpty, "upsert persists its sorted batch")
+    release()
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(after.intersect(mine).isEmpty,
+      "release() must leave zero cache entries after the command")
+    assert(spark.read.parquet(dir.toString).count() === 1)
+  }
+
   test("save + load round-trip restores euros and canonical order") {
     val dir = Files.createTempDirectory("store").resolve("tx.parquet").toString
     val batch = Store.withStoreColumns(rawDf(Seq(

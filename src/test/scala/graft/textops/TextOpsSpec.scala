@@ -280,6 +280,47 @@ class TextOpsSpec extends SparkSpec {
     assert(oneShot === first)
   }
 
+  test("LSH near-dup pairs: recall ≥ 0.8 vs exact, values exact, subset") {
+    // sf0.01 embeddings: all 112 exact pairs sit just above the 0.38
+    // threshold (max sim 0.513) — the worst case for hyperplane LSH, so
+    // this recall bound is the operator's honest floor.
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    def toMap(df: org.apache.spark.sql.DataFrame) = df
+      .select("id_a", "id_b", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, s) => (a, b) -> s }.toMap
+    val exact = toMap(Similarity.cosineNearDupPairs(emb, 0.38))
+    val lsh = toMap(Similarity.cosineNearDupPairsLsh(emb, 0.38))
+    assert(exact.nonEmpty)
+    // every LSH row is a true pair with the exact cosine value
+    lsh.foreach { case (k, v) =>
+      assert(exact.get(k).contains(v), s"pair $k: lsh=$v exact=${exact.get(k)}")
+    }
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.8, s"LSH pair recall $recall below 0.8")
+  }
+
+  test("LSH near-dup pair dedup shuffles ids only, never embedding arrays") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.types.ArrayType
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val df = Similarity.cosineNearDupPairsLsh(emb, 0.38)
+    val dedups = df.queryExecution.optimizedPlan.collect {
+      case a: Aggregate
+        if a.aggregateExpressions.size == a.groupingExpressions.size => a
+    }
+    assert(dedups.nonEmpty, "expected a dedup Aggregate in the plan")
+    for (a <- dedups; attr <- a.child.output)
+      assert(!attr.dataType.isInstanceOf[ArrayType],
+        s"dedup input carries array column ${attr.name}")
+  }
+
   test("near-dup pairs by cosine threshold") {
     val vecs = Seq(
       (0L, Array(1.0, 0.0)), (1L, Array(0.999, 0.01)), (2L, Array(0.0, 1.0)))
