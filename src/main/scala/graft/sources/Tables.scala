@@ -28,13 +28,20 @@ object Tables {
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     // The legacy conf is needed while the parquet footer schema is converted
-    // (eager, at read time) and again when the physical scan captures its
-    // hadoopConf (lazy, at first action). Leaving it set globally would be a
-    // side effect on a shared session (it changes how OTHER nanos parquet
-    // reads decode), so: set → force schema resolution → restore, and pin
-    // the scan's own copy by re-stating the conf as a per-read option
-    // (DataFrameReader options overlay the session conf in the scan's
-    // hadoopConf, surviving the restore).
+    // (eager, at read time — the schema converter reads the SESSION conf and
+    // ignores reader options for this key; verified on this Spark version:
+    // an option-only read throws PARQUET_TYPE_ILLEGAL) and again when the
+    // physical scan captures its hadoopConf (lazy, at first action). Leaving
+    // it set globally would be a side effect on a shared session, so:
+    // set → force schema resolution → restore, and pin the scan's own copy
+    // by re-stating the conf as a per-read option (DataFrameReader options
+    // overlay the session conf in the scan's hadoopConf, surviving the
+    // restore — TablesSpec asserts decoded VALUES post-restore).
+    //
+    // NOT thread-safe on a shared session: a concurrent reader resolving
+    // OTHER nanos parquet during the set→restore window would see the
+    // legacy decode. Callers doing concurrent nanos reads should serialize
+    // schema resolution (one-line sync) or pre-resolve schemas up front.
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prior = spark.conf.getOption(key)
     spark.conf.set(key, "true")
