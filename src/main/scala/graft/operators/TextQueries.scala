@@ -138,6 +138,10 @@ object TextQueries {
     * and that every emitted row carries the exact cosine).
     */
   def q46LshNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    // default (pre-verify) dedup placement — the fleet posture for real
+    // near-dup corpora; on this synthetic low-collision corpus the two
+    // placements measure within noise of each other (the cost is the
+    // candidate volume itself, which only r-vs-log(n) tuning changes)
     Similarity.cosineNearDupPairsLsh(
         asDouble(Tables.embeddings(spark, sfDir)), threshold = 0.38)
       .withColumn("cos_sim", round(col("cos_sim"), 4))

@@ -248,11 +248,23 @@ object Similarity {
     * bands. At fleet scale, r (bits per band) sets expected bucket density
     * n/2^r — grow r with log n to hold within-bucket cost, add bands to
     * buy the recall back; `maxBucket` stays the hard memory bound.
+    *
+    * `dedupCandidates` places the duplicate-elimination shuffle:
+    *   - `true` (default, the fleet posture for CLUSTERED corpora):
+    *     dedup the id-pair set BEFORE verification — near-identical
+    *     vectors collide in many/all bands, so dedup saves up to `bands`×
+    *     the verification dot products;
+    *   - `false` (low-collision regimes, e.g. near-threshold corpora where
+    *     pairs collide in ~1 band): verify every banded candidate and
+    *     dedup only the (tiny) surviving rows — skips the full-volume
+    *     id-pair shuffle for ~(dup-factor −1) extra dots. Identical
+    *     output either way (cos_sim is a deterministic function of the
+    *     pair, so duplicate rows are exact duplicates).
     */
   def cosineNearDupPairsLsh(corpus: DataFrame, threshold: Double,
       planes: Int = 64, bands: Int = 16, dims: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      maxBucket: Int = 1 << 12,
+      maxBucket: Int = 1 << 12, dedupCandidates: Boolean = true,
       dropStats: Option[org.apache.spark.sql.Observation] = None)
       : DataFrame = {
     require(planes % bands == 0, "bands must divide planes")
@@ -265,18 +277,21 @@ object Similarity {
           shiftright(col("sig"), j * r)
             .bitwiseAND((1L << r) - 1).as("bucket"))): _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
-    val pairs = Dedup.groupPairs(
+    val raw = Dedup.groupPairs(
         banded.groupBy("band", "bucket")
           .agg(collect_list(col("id")).as("members")),
         "members", maxBucket, dropStats)
       .select(col("a").as("id_a"), col("b").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    pairs
+    val pairs =
+      if (dedupCandidates) raw.dropDuplicates("id_a", "id_b") else raw
+    val verified = pairs
       .join(corpus.select(col(idCol).as("id_a"), col(vecCol).as("va")), "id_a")
       .join(corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb")), "id_b")
       .withColumn("cos_sim", cosine(col("va"), col("vb")))
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
+    if (dedupCandidates) verified
+    else verified.dropDuplicates("id_a", "id_b", "cos_sim")
   }
 
   /** Approximate top-k: corpus and queries bucketed by hyperplane

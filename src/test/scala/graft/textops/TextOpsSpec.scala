@@ -301,6 +301,10 @@ class TextOpsSpec extends SparkSpec {
     }
     val recall = lsh.size.toDouble / exact.size
     assert(recall >= 0.8, s"LSH pair recall $recall below 0.8")
+    // both dedup placements are the same operator: identical output
+    val late = toMap(Similarity.cosineNearDupPairsLsh(emb, 0.38,
+      dedupCandidates = false))
+    assert(late === lsh)
   }
 
   test("LSH near-dup pair dedup shuffles ids only, never embedding arrays") {
