@@ -65,6 +65,7 @@ object SparkEntry {
     "q44_ivf_topk"         -> (TextQueries.q44IvfTopK _),
     "q45_audio_windows"    -> (TextQueries.q45AudioWindows _),
     "q46_lsh_near_dup"     -> (TextQueries.q46LshNearDup _),
+    "q47_winnowing"        -> (TextQueries.q47Winnowing _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -416,5 +417,30 @@ object SparkEntry {
              c -> (ascii(c) - 128.0) * (ascii(c) - 128.0)))), 4) AS rms
          FROM f, LATERAL (SELECT unnest(range((f.len + 255) // 256)) AS w) i
          ORDER BY media_id, w""",
+    // Winnowing (k=8 char grams, w=8 windows, Karp–Rabin base 257 mod
+    // 1e9+7): every gram hash recomputed DIRECTLY as Σ code·B^j mod M with
+    // the B^j mod M constants inlined (powers of 257 exceed 2^53 at j≥7,
+    // so pow() in double would lose exactness) — deliberately NON-rolling,
+    // the independent ground truth for the Spark side's rolling recurrence.
+    "q47_winnowing" ->
+      """WITH d AS (SELECT doc_id,
+             list_transform(regexp_extract_all(lower(trim(text)), '(?s).'),
+               c -> ascii(c)) AS cs
+           FROM documents),
+         g AS (SELECT doc_id, cs, len(cs) AS n FROM d WHERE len(cs) >= 8),
+         h AS (SELECT doc_id,
+             list_transform(range(1, n - 8 + 2), i ->
+               CAST(list_sum(list_transform(range(0, 8), j ->
+                 (CAST(cs[i + j] AS BIGINT) * ([1, 257, 66049, 16974593,
+                    362470373, 154885210, 805498697, 13163680][8 - j]))
+                 % 1000000007)) % 1000000007 AS BIGINT)) AS hs
+           FROM g),
+         m AS (SELECT doc_id,
+             CASE WHEN len(hs) <= 8 THEN [list_min(hs)]
+                  ELSE list_transform(range(1, len(hs) - 8 + 2),
+                    i -> list_min(hs[i:i+7])) END AS ms
+           FROM h)
+         SELECT doc_id, unnest(list_sort(list_distinct(ms))) AS fp
+         FROM m ORDER BY doc_id, fp""",
   )
 }

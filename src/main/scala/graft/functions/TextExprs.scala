@@ -111,4 +111,90 @@ object TextExprs {
   def multiContainsMax(text: Column, patterns: Seq[String],
       priorities: Seq[Int]): Column =
     exprColumn(MultiContainsMax(columnExpr(text), patterns, priorities))
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    * "Winnowing: Local Algorithms for Document Fingerprinting"):
+    * Karp–Rabin ROLLING hashes over character k-grams, then the minimum of
+    * every w-hash window; the distinct selected minima (sorted) are the
+    * document's fingerprint set.
+    *
+    * Guarantees: any substring match of length ≥ w+k−1 contributes at
+    * least one COMMON fingerprint to both documents; no fingerprint
+    * matches without a shared k-gram. Density ≈ 2/(w+1) of the gram
+    * count — a compact, alignment-robust signature for copy detection
+    * and containment-style dedup, complementary to the whole-document
+    * sketches (MinHash estimates global resemblance; winnowing localizes
+    * shared passages).
+    *
+    * ONE pass over the text: O(len) rolling updates (each gram hash from
+    * its predecessor: drop cps[i-1]·B^(k-1), shift by B, add cps[i+k-1],
+    * all mod M) plus an O(len) monotonic-deque window minimum. The
+    * non-rolling formulation is O(len·k) hash work — the gap the "rolling"
+    * in rolling hash exists to close. Values are pure modular arithmetic
+    * over code points — reproducible in ANSI SQL, so the gate oracle
+    * recomputes every gram hash DIRECTLY (non-rolling) and equality
+    * proves the recurrence. Per-row projection: no shuffle, trivially
+    * data-parallel at any scale.
+    */
+  case class WinnowingFp(child: Expression, k: Int, w: Int,
+      base: Long, mod: Long)
+      extends UnaryExpression with CodegenFallback {
+    require(k >= 1 && w >= 1 && base > 0 && mod > 1)
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false)
+    override def prettyName: String = "graft_winnow"
+
+    @transient private lazy val dropPow: Long = { // B^(k-1) mod M
+      var p = 1L; var i = 0
+      while (i < k - 1) { p = p * base % mod; i += 1 }
+      p
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+      val g = cps.length - k + 1
+      if (g < 1)
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Array.emptyLongArray)
+      val hs = new Array[Long](g)
+      var h = 0L
+      var i = 0
+      while (i < k) { h = (h * base + cps(i)) % mod; i += 1 }
+      hs(0) = h
+      i = 1
+      while (i < g) {
+        h = ((h - cps(i - 1) * dropPow % mod + mod) % mod * base +
+          cps(i + k - 1)) % mod
+        hs(i) = h
+        i += 1
+      }
+      // sliding-window minimum via monotonic index deque; ties keep the
+      // earlier index, which cannot change the selected VALUE set
+      val sel = new java.util.TreeSet[java.lang.Long]()
+      val dq = new Array[Int](g)
+      var head = 0; var tail = 0
+      var j = 0
+      while (j < g) {
+        while (tail > head && hs(dq(tail - 1)) >= hs(j)) tail -= 1
+        dq(tail) = j; tail += 1
+        while (dq(head) <= j - w) head += 1
+        if (j >= w - 1) sel.add(hs(dq(head)))
+        j += 1
+      }
+      if (g < w) sel.add(hs(dq(head))) // short doc: one window over all
+      val out = new Array[Long](sel.size)
+      val it = sel.iterator()
+      var o = 0
+      while (it.hasNext) { out(o) = it.next(); o += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): WinnowingFp =
+      copy(child = c)
+  }
+
+  def winnowingFp(text: Column, k: Int, w: Int,
+      base: Long = 257L, mod: Long = 1000000007L): Column =
+    exprColumn(WinnowingFp(columnExpr(text), k, w, base, mod))
 }

@@ -147,6 +147,19 @@ object TextQueries {
       .withColumn("cos_sim", round(col("cos_sim"), 4))
       .orderBy("id_a", "id_b")
 
+  /** q47: winnowing document fingerprints, exploded to (doc_id, fp) rows.
+    * The DuckDB oracle recomputes every k-gram hash DIRECTLY (polynomial
+    * sum with inlined B^j mod M constants) and re-derives the window
+    * minima with list functions — an independent non-rolling formulation,
+    * so hash equality proves the rolling recurrence and the deque
+    * window-min against ANSI-SQL ground truth.
+    */
+  def q47Winnowing(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(TextStats.winnowingFingerprint(col("text"))).as("fp"))
+      .orderBy("doc_id", "fp")
+
   /** q37: opaque-binary column plumbing through the gate — documents' text
     * treated as a binary payload (UTF-8 bytes): byte length, base64 prefix
     * of the payload head. Stands in for the multimodal payload path

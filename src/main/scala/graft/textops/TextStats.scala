@@ -136,4 +136,16 @@ object TextStats {
   def docFingerprint(text: Column, n: Int = 3, k: Int = 8): Column =
     slice(array_sort(transform(array_distinct(shingles(text, n)),
       s => xxhash64(s))), 1, k)
+
+  /** TRUE rolling-hash winnowing fingerprints over character k-grams
+    * ([[graft.functions.TextExprs.WinnowingFp]] — Schleimer et al. 2003):
+    * the sorted distinct window-minimum Karp–Rabin hashes. Unlike
+    * [[docFingerprint]]'s global bottom-k sketch, winnowing is LOCAL —
+    * any shared passage of length ≥ w+k−1 chars yields a shared
+    * fingerprint, so it detects contained/partial copies that
+    * whole-document resemblance sketches dilute away. Text is lowered and
+    * trimmed first (same normalization as every other text op here).
+    */
+  def winnowingFingerprint(text: Column, k: Int = 8, w: Int = 8): Column =
+    graft.functions.TextExprs.winnowingFp(lower(trim(text)), k, w)
 }

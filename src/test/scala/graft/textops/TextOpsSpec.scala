@@ -168,6 +168,54 @@ class TextOpsSpec extends SparkSpec {
     assert(out._2 === 4 + 12)
   }
 
+  test("winnowing: rolling recurrence equals the direct polynomial oracle") {
+    // independent naive mirror: every k-gram hash computed directly,
+    // window minima by brute force — no rolling, no deque
+    val (k, w, b, m) = (8, 8, 257L, 1000000007L)
+    def naive(text: String): Seq[Long] = {
+      val cps = text.toLowerCase.trim.codePoints().toArray
+      val g = cps.length - k + 1
+      if (g < 1) return Seq.empty
+      val hs = (0 until g).map { i =>
+        (0 until k).foldLeft(0L)((h, j) => (h * b + cps(i + j)) % m)
+      }
+      val mins =
+        if (g <= w) Seq(hs.min)
+        else (0 to g - w).map(i => hs.slice(i, i + w).min)
+      mins.distinct.sorted
+    }
+    val samples = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaaaaaaaaaa",                  // degenerate: all grams equal
+      "короткий пример с юникодом über äöü", // non-ASCII code points
+      "exactly8",                            // single gram
+      "short",                               // below k → empty
+      "abcdefghijklmnop")
+    val out = samples.toDF("text")
+      .select(TextStats.winnowingFingerprint(col("text")).as("fp"))
+      .as[Seq[Long]].collect()
+    samples.zip(out).foreach { case (s, got) =>
+      assert(got === naive(s), s"mismatch for '$s'")
+    }
+  }
+
+  test("winnowing guarantee: shared passage ≥ w+k−1 chars ⇒ shared fp") {
+    val passage = "this exact shared passage is long enough to guarantee"
+    val a = s"prefix words before $passage and then a different ending"
+    val b = s"совершенно другой текст $passage completely other tail words"
+    val fps = Seq(a, b).toDF("text")
+      .select(TextStats.winnowingFingerprint(col("text")).as("fp"))
+      .as[Seq[Long]].collect()
+    assert(fps(0).toSet.intersect(fps(1).toSet).nonEmpty)
+    // and unrelated texts share nothing
+    val unrel = Seq("one entirely distinct document body here",
+      "what can possibly collide between these")
+      .toDF("text")
+      .select(TextStats.winnowingFingerprint(col("text")).as("fp"))
+      .as[Seq[Long]].collect()
+    assert(unrel(0).toSet.intersect(unrel(1).toSet).isEmpty)
+  }
+
   test("cosine topK: exact and LSH agree on the top neighbor") {
     val vecs = Seq(
       (0L, Array(1.0, 0.0, 0.0, 0.0)),
