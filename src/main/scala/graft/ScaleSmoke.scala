@@ -133,6 +133,10 @@ object ScaleSmoke {
       TextStats.langId(col("text")).as("lang"),
       TextStats.qualityScore(col("text")).as("q"))
       .groupBy("lang").agg(avg("q").as("avg_q")))
+    // per-doc rolling-hash fingerprinting is a pure projection — must
+    // scale linearly with the corpus, no caps involved
+    time("winnowing_fp")(docs.select(col("doc_id"),
+      explode(TextStats.winnowingFingerprint(col("text"))).as("fp")))
 
     spark.stop()
   }

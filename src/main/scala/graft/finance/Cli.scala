@@ -57,8 +57,9 @@ object Cli {
         "purpose", "amount_cents", "balance_cents", "transfer_category",
         "category", "category_manual", "fingerprint", "imported_at")
     val (next, release) = Store.upsertReleasable(existing, prepared)
-    Store.save(next, storePath)
-    release() // the save materialized the batch — free its cache entry
+    // finally: a failed save must not leak the cache entry either — a
+    // session retrying failed batches would otherwise accumulate one per attempt
+    try Store.save(next, storePath) finally release()
     println(s"Stored $storePath with ${spark.read.parquet(storePath).count()} rows in total")
   }
 
@@ -76,8 +77,7 @@ object Cli {
         "purpose", "amount_cents", "balance_cents", "transfer_category",
         "category", "category_manual", "fingerprint", "imported_at")
     val (next, release) = Store.upsertReleasable(existing, prepared)
-    Store.save(next, storePath)
-    release()
+    try Store.save(next, storePath) finally release()
     println(s"Stored $storePath with ${spark.read.parquet(storePath).count()} rows in total")
   }
 

@@ -129,8 +129,8 @@ object YamlStore {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[Row], TransactionSchema.storeSchema)
     val (next, release) = Store.upsertReleasable(existing, batch)
-    Store.save(next, storePath)
-    release() // free the upsert's internal cache entry per migrated batch
+    // finally: release the upsert's cache entry even when the save fails
+    try Store.save(next, storePath) finally release()
     val nStore = spark.read.parquet(storePath).count()
     if (nStore == nYaml) {
       println(s"✓ Migration successful! ($nStore rows)")

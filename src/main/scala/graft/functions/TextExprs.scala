@@ -169,8 +169,11 @@ object TextExprs {
         hs(i) = h
         i += 1
       }
-      // sliding-window minimum via monotonic index deque; ties keep the
-      // earlier index, which cannot change the selected VALUE set
+      // sliding-window minimum via monotonic index deque; the >= pop keeps
+      // the LATEST index on ties — irrelevant here because only the
+      // selected VALUES are emitted (robust winnowing, which records
+      // (hash, position) pairs, would need the rightmost-min policy this
+      // happens to implement)
       val sel = new java.util.TreeSet[java.lang.Long]()
       val dq = new Array[Int](g)
       var head = 0; var tail = 0

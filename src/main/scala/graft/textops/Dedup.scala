@@ -22,6 +22,15 @@ import graft.functions.ArrayExprs
   * the corpus, an adversarial LSH collision) is DROPPED rather than
   * collected into one executor — bounded memory traded for recall on
   * pathological keys, the standard posture for fleet dedup jobs.
+  *
+  * Cache lifecycle: [[ngramJaccardPairs]], [[ngramJaccardPairsPrefix]] and
+  * [[minhashLshPairs]] persist an intermediate (the shingle arrays /
+  * signatures) that the RETURNED lazy plan still reads, so it cannot be
+  * unpersisted here — one MEMORY_AND_DISK entry per call, released by
+  * session end or `spark.catalog.clearCache()`. Long-lived sessions
+  * invoking these repeatedly should clear between batches (the bench
+  * does); command-shaped callers that materialize immediately can follow
+  * the [[graft.finance.Store.upsertReleasable]] pattern instead.
   */
 object Dedup {
 

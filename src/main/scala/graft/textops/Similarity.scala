@@ -93,13 +93,37 @@ object Similarity {
     }
 
   /** Random-hyperplane signature: bit i = sign(v · hᵢ), packed to a long.
-    * Charikar 2002 — P(bits agree) = 1 − θ/π.
+    * Charikar 2002 — P(bits agree) = 1 − θ/π. At most 64 planes fit the
+    * packing (shiftleft past bit 63 would silently wrap).
     */
-  def hyperplaneSignature(vec: Column, planes: Int, dims: Int): Column =
+  def hyperplaneSignature(vec: Column, planes: Int, dims: Int): Column = {
+    require(planes >= 1 && planes <= 64,
+      s"planes must be in [1,64] to pack into a long, got $planes")
     (0 until planes).map { p =>
       val h = lit(hyperplane(p, dims).toArray)
       when(dot(vec, h) > 0, shiftleft(lit(1L), p)).otherwise(0L)
     }.reduce(_ bitwiseOR _)
+  }
+
+  /** Shared banding: explode each vector's signature into `bands` chunks
+    * of r = planes/bands bits keyed (band, bucket). r is capped at 63:
+    * `(1L << 64) - 1` is 0 on the JVM, which would collapse every vector
+    * into bucket 0 — and a 1-band/64-bit config belongs in an exact join
+    * on the full signature anyway.
+    */
+  private def banded(df: DataFrame, idName: String, planes: Int,
+      bands: Int, dims: Int, vecCol: String): DataFrame = {
+    require(planes % bands == 0, "bands must divide planes")
+    val r = planes / bands
+    require(r <= 63, s"bits per band must be <= 63, got $r")
+    df.select(col(idName),
+        hyperplaneSignature(col(vecCol), planes, dims).as("sig"))
+      .select(col(idName),
+        explode(array((0 until bands).map(j => struct(lit(j).as("band"),
+          shiftright(col("sig"), j * r)
+            .bitwiseAND((1L << r) - 1).as("bucket"))): _*)).as("bb"))
+      .select(col(idName), col("bb.band"), col("bb.bucket"))
+  }
 
   /** Argmax-cosine centroid id for a vector against a (small, literal)
     * centroid table — codegen'd one-pass dots, no shuffle.
@@ -267,18 +291,10 @@ object Similarity {
       maxBucket: Int = 1 << 12, dedupCandidates: Boolean = true,
       dropStats: Option[org.apache.spark.sql.Observation] = None)
       : DataFrame = {
-    require(planes % bands == 0, "bands must divide planes")
-    val r = planes / bands
-    val banded = corpus
-      .select(col(idCol).as("id"),
-        hyperplaneSignature(col(vecCol), planes, dims).as("sig"))
-      .select(col("id"),
-        explode(array((0 until bands).map(j => struct(lit(j).as("band"),
-          shiftright(col("sig"), j * r)
-            .bitwiseAND((1L << r) - 1).as("bucket"))): _*)).as("bb"))
-      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    val chunks = banded(corpus.select(col(idCol).as("id"), col(vecCol)),
+      "id", planes, bands, dims, vecCol)
     val raw = Dedup.groupPairs(
-        banded.groupBy("band", "bucket")
+        chunks.groupBy("band", "bucket")
           .agg(collect_list(col("id")).as("members")),
         "members", maxBucket, dropStats)
       .select(col("a").as("id_a"), col("b").as("id_b"))
@@ -311,21 +327,10 @@ object Similarity {
   def annLshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       planes: Int = 16, bands: Int = 4, dims: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(planes % bands == 0)
-    val r = planes / bands
-    def banded(df: DataFrame, id: String): DataFrame = {
-      val sig = hyperplaneSignature(col(vecCol), planes, dims)
-      df.select(col(id), sig.as("sig"))
-        .select(col(id),
-          explode(array((0 until bands).map(j => struct(lit(j).as("band"),
-            shiftright(col("sig"), j * r)
-              .bitwiseAND((1L << r) - 1).as("bucket"))): _*)).as("bb"))
-        .select(col(id), col("bb.band"), col("bb.bucket"))
-    }
     val c = banded(corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol)), "neighbor_id")
+      col(vecCol)), "neighbor_id", planes, bands, dims, vecCol)
     val q = banded(queries.select(col(idCol).as("query_id"),
-      col(vecCol)), "query_id")
+      col(vecCol)), "query_id", planes, bands, dims, vecCol)
     val pairs = q.join(c, Seq("band", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")

@@ -373,6 +373,21 @@ class TextOpsSpec extends SparkSpec {
         s"dedup input carries array column ${attr.name}")
   }
 
+  test("LSH banding rejects configs that overflow the long packing") {
+    val emb = Seq((0L, Array(1.0, 0.0))).toDF("vec_id", "embedding")
+    // r = 64: (1L << 64) - 1 == 0 on the JVM → every vector would land in
+    // bucket 0 and the cap would silently drop the whole corpus
+    intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupPairsLsh(emb, 0.5, planes = 64, bands = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.annLshTopK(emb, emb, k = 1, planes = 64, bands = 1, dims = 2)
+    }
+    intercept[IllegalArgumentException] { // > 64 planes can't pack at all
+      Similarity.cosineNearDupPairsLsh(emb, 0.5, planes = 80, bands = 20)
+    }
+  }
+
   test("near-dup pairs by cosine threshold") {
     val vecs = Seq(
       (0L, Array(1.0, 0.0)), (1L, Array(0.999, 0.01)), (2L, Array(0.0, 1.0)))
