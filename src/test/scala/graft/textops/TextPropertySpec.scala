@@ -1,0 +1,81 @@
+package graft.textops
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+/** Property-based invariants for the text operators, mirroring
+  * finance.PropertySpec's harness (fixed seed → deterministic suite):
+  * the winnowing rolling recurrence equals a naive per-gram oracle on
+  * arbitrary unicode-ish strings, and the posting-list Jaccard operator
+  * equals a driver-side brute force on arbitrary small corpora.
+  */
+class TextPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(name: String, prop: Prop): Unit = {
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(5)
+      .withInitialSeed(Seed(0xBEEFL))
+    val res = SCTest.check(params, prop)
+    assert(res.passed, s"$name: ${res.status}")
+  }
+
+  // words from a tiny vocabulary → high shingle overlap (the interesting
+  // regime for jaccard), plus unicode and repeated-char degenerates
+  private val genDoc: Gen[String] = Gen.oneOf(
+    Gen.listOfN(12, Gen.oneOf("the", "quick", "brown", "fox", "über",
+      "straße", "data", "spark", "rolls", "fast")).map(_.mkString(" ")),
+    Gen.listOfN(30, Gen.oneOf('a', 'b', ' ')).map(_.mkString),
+    Gen.alphaNumStr.map(_.take(40)))
+
+  test("winnowing: rolling == naive direct polynomial on arbitrary strings") {
+    val (k, w, b, m) = (8, 8, 257L, 1000000007L)
+    def naive(text: String): Seq[Long] = {
+      val cps = text.toLowerCase.trim.codePoints().toArray
+      val g = cps.length - k + 1
+      if (g < 1) return Seq.empty
+      val hs = (0 until g).map { i =>
+        (0 until k).foldLeft(0L)((h, j) => (h * b + cps(i + j)) % m)
+      }
+      val mins =
+        if (g <= w) Seq(hs.min)
+        else (0 to g - w).map(i => hs.slice(i, i + w).min)
+      mins.distinct.sorted
+    }
+    check("winnowing", Prop.forAll(Gen.listOfN(6, genDoc)) { docs =>
+      val got = docs.toDF("text")
+        .select(TextStats.winnowingFingerprint(col("text")).as("fp"))
+        .as[Seq[Long]].collect()
+      docs.zip(got).forall { case (s, fp) => fp == naive(s) }
+    })
+  }
+
+  test("ngram Jaccard pairs == driver-side brute force on small corpora") {
+    def shingleSet(t: String): Set[String] = {
+      val ws = t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      if (ws.length < 3) Set(ws.mkString(" "))
+      else ws.sliding(3).map(_.mkString(" ")).toSet
+    }
+    check("jaccard", Prop.forAll(Gen.listOfN(6, genDoc)) { docs0 =>
+      // non-degenerate texts only (empty shingle sets divide by zero in
+      // the brute force; the operator never emits them either way)
+      val docs = docs0.filter(_.trim.nonEmpty).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val expected = (for {
+        (ia, a) <- docs; (ib, b) <- docs if ia < ib
+        sa = shingleSet(a); sb = shingleSet(b)
+        u = sa.union(sb).size if u > 0
+        j = sa.intersect(sb).size.toDouble / u if j >= 0.5
+      } yield (ia, ib) -> j).toMap
+      val got = Dedup.ngramJaccardPairs(docs.toDF("doc_id", "text"),
+          n = 3, threshold = 0.5)
+        .select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect()
+        .map { case (x, y, j) => (x, y) -> j }.toMap
+      got == expected
+    })
+  }
+}
