@@ -1,0 +1,159 @@
+package graft
+
+import graft.textops.{Dedup, Similarity}
+
+/** DuckDB oracle SQL for the sketch-family queries (q29 MinHash+LSH, q32
+  * hyperplane-LSH ANN top-k, q46 hyperplane-LSH near-dup pairs) — the q47
+  * winnowing precedent generalized: every pseudo-random constant the Spark
+  * expressions use (hyperplane components, MinHash permutation params) is
+  * deterministic, so it can be INLINED into ANSI SQL and the whole pipeline
+  * restated independently in DuckDB. The SQL recomputes signatures from
+  * scratch (dot-sign tests / Horner Karp–Rabin + universal-hash mins), bands
+  * them with plain integer arithmetic, and re-verifies candidates — no Spark
+  * value is trusted, only the shared constants.
+  *
+  * The one semantic shortcut: Spark buckets MinHash bands by
+  * `xxhash64(slice)` (not available in DuckDB); the SQL groups by the slice
+  * VALUES directly. Identical partitioning unless xxhash64 collides — a
+  * 2^-64-scale event that would only ADD a candidate pair, which the
+  * est-jaccard filter then re-checks.
+  *
+  * Constants are emitted via Double.toString (shortest round-trip repr), so
+  * DuckDB parses back the exact same IEEE double; integer constants are
+  * exact by construction. Lists are cast `::DOUBLE[][]` so decimal literals
+  * never land in DECIMAL arithmetic.
+  */
+object OracleGen {
+
+  /** `[[h00, h01, ...], ...]` literal of the SAME hyperplanes the Spark
+    * signature uses ([[Similarity.hyperplane]]).
+    */
+  private def planesSql(planes: Int, dims: Int): String =
+    (0 until planes).map(p => Similarity.hyperplane(p, dims)
+      .map(_.toString).mkString("[", ", ", "]"))
+      .mkString("[", ",\n       ", "]")
+
+  /** Bit values 2^p as signed int64 — bit 63 is Long.MinValue, exactly the
+    * signed bit pattern Spark's `shiftleft(1L, 63)` packs.
+    */
+  private def bitsSql(planes: Int): String =
+    (0 until planes).map(p => (1L << p).toString).mkString("[", ", ", "]")
+
+  /** Shared CTE: per-vector `planes`-bit signature as a signed int64 —
+    * bit p set iff v · hyperplane(p) > 0. Bits are disjoint so summing the
+    * bit values equals the bitwise OR; HUGEINT intermediates keep the
+    * (negative) bit-63 value exact before the BIGINT cast.
+    */
+  private def sigSql(planes: Int): String =
+    s"""sg AS (SELECT id, CAST(list_sum(list_transform(range($planes), p ->
+       CASE WHEN list_dot_product(v, pl[p + 1]) > 0
+            THEN CAST(bits[p + 1] AS HUGEINT) ELSE CAST(0 AS HUGEINT) END))
+       AS BIGINT) AS sig FROM e, consts)"""
+
+  /** q46: hyperplane-LSH near-dup pairs — band signatures into `bands`
+    * r-bit buckets, within-bucket (a<b) pairs with the 2..maxBucket group
+    * cap, exact-cosine verify at `threshold`. Mirrors
+    * [[Similarity.cosineNearDupPairsLsh]] including the cap semantics.
+    */
+  def q46Sql(threshold: Double = 0.38, planes: Int = 64, bands: Int = 16,
+      dims: Int = 64, maxBucket: Int = 1 << 12): String = {
+    val r = planes / bands
+    val mask = (1L << r) - 1
+    s"""WITH consts AS (SELECT ${planesSql(planes, dims)}::DOUBLE[][] AS pl,
+       ${bitsSql(planes)} AS bits),
+     e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+     ${sigSql(planes)},
+     bb AS (SELECT id, b AS band, (sig >> (b * $r)) & $mask AS bucket
+            FROM sg, (SELECT unnest(range($bands)) AS b)),
+     ok AS (SELECT band, bucket FROM bb GROUP BY 1, 2
+            HAVING COUNT(*) BETWEEN 2 AND $maxBucket),
+     pr AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+            FROM bb x JOIN bb y ON x.band = y.band AND x.bucket = y.bucket
+              AND x.id < y.id
+            JOIN ok o ON o.band = x.band AND o.bucket = x.bucket)
+     SELECT p.id_a, p.id_b,
+       ROUND(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+     FROM pr p JOIN e a ON a.id = p.id_a JOIN e b ON b.id = p.id_b
+     WHERE list_cosine_similarity(a.v, b.v) >= $threshold
+     ORDER BY id_a, id_b"""
+  }
+
+  /** q32: hyperplane-LSH ANN top-k — queries (vec_id < `maxQueryId`) and
+    * corpus banded identically; candidates = same-bucket (query, neighbor)
+    * pairs; exact cosine scored and ranked per query. Mirrors
+    * [[Similarity.annLshTopK]] (which has no bucket cap — the query side
+    * bounds fan-out).
+    */
+  def q32Sql(k: Int = 5, planes: Int = 16, bands: Int = 4, dims: Int = 64,
+      maxQueryId: Int = 8): String = {
+    val r = planes / bands
+    val mask = (1L << r) - 1
+    s"""WITH consts AS (SELECT ${planesSql(planes, dims)}::DOUBLE[][] AS pl,
+       ${bitsSql(planes)} AS bits),
+     e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+     ${sigSql(planes)},
+     bb AS (SELECT id, b AS band, (sig >> (b * $r)) & $mask AS bucket
+            FROM sg, (SELECT unnest(range($bands)) AS b)),
+     pr AS (SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id
+            FROM bb q JOIN bb c ON q.band = c.band AND q.bucket = c.bucket
+              AND q.id <> c.id
+            WHERE q.id < $maxQueryId),
+     sc AS (SELECT query_id, neighbor_id,
+              list_cosine_similarity(a.v, b.v) AS cs
+            FROM pr JOIN e a ON a.id = query_id JOIN e b ON b.id = neighbor_id),
+     rk AS (SELECT query_id, neighbor_id, cs,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cs DESC, neighbor_id) AS INTEGER) AS rank
+            FROM sc)
+     SELECT query_id, neighbor_id, ROUND(cs, 4) AS cos_sim, rank
+     FROM rk WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
+  /** q29: MinHash+LSH near-dup candidates — word-3-gram shingles (the q28
+    * formulation), Karp–Rabin shingle hashes (Horner over ascii codes, the
+    * exact [[graft.functions.TextExprs.KrHash]] recurrence), 64 universal-
+    * hash permutation mins with the Spark side's (a, b) params inlined,
+    * 16 bands of 4 signature rows grouped by slice value, the 2..maxBucket
+    * cap, and estimated-Jaccard scoring over the full signatures.
+    */
+  def q29Sql(n: Int = 3, k: Int = 64, bands: Int = 16,
+      estThreshold: Double = 0.5, maxBucket: Int = 1 << 12): String = {
+    val r = k / bands
+    val params = Dedup.hashParams(k)
+    val pa = params.map(_._1).mkString("[", ", ", "]")
+    val pb = params.map(_._2).mkString("[", ", ", "]")
+    s"""WITH consts AS (SELECT $pa AS pa, $pb AS pb),
+     d AS (SELECT doc_id AS id,
+             string_split_regex(lower(trim(text)), '\\s+') AS w
+           FROM documents),
+     sh AS (SELECT id, list_distinct(
+             CASE WHEN len(w) < $n THEN [array_to_string(w, ' ')]
+             ELSE list_transform(range(1, len(w) - ${n - 2}),
+               i -> ${(0 until n).map(j => s"w[i + $j]").mkString(" || ' ' || ")}) END) AS s
+           FROM d),
+     hx AS (SELECT id, list_transform(s, g -> list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(regexp_extract_all(g, '(?s).'),
+                 c -> CAST(ascii(c) AS BIGINT))),
+             (acc, c) -> (acc * 257 + c) % 1000000007)) AS xs
+           FROM sh),
+     sg AS (SELECT id, list_transform(range($k), j ->
+             list_min(list_transform(xs,
+               x -> (x * pa[j + 1] + pb[j + 1]) % ${Dedup.P}))) AS sig
+           FROM hx, consts),
+     bb AS (SELECT id, b AS band, sig[b * $r + 1 : b * $r + $r] AS key
+            FROM sg, (SELECT unnest(range($bands)) AS b)),
+     ok AS (SELECT band, key FROM bb GROUP BY 1, 2
+            HAVING COUNT(*) BETWEEN 2 AND $maxBucket),
+     pr AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+            FROM bb x JOIN bb y ON x.band = y.band AND x.key = y.key
+              AND x.id < y.id
+            JOIN ok o ON o.band = x.band AND o.key = x.key),
+     est AS (SELECT id_a, id_b,
+              CAST(len(list_filter(range($k),
+                j -> sa.sig[j + 1] = sb.sig[j + 1])) AS DOUBLE) / $k AS ej
+             FROM pr JOIN sg sa ON sa.id = id_a JOIN sg sb ON sb.id = id_b)
+     SELECT id_a, id_b, ROUND(ej, 4) AS est_jaccard
+     FROM est WHERE ej >= $estThreshold ORDER BY id_a, id_b"""
+  }
+}

@@ -297,6 +297,10 @@ object SparkEntry {
          JOIN sizes sb ON sb.doc_id = id_b
          WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
          ORDER BY id_a, id_b""",
+    // MinHash+LSH restated end-to-end in SQL: Karp–Rabin shingle hashes +
+    // inlined permutation params (constants generated from the same code
+    // the Spark expressions use — see OracleGen).
+    "q29_minhash_lsh" -> OracleGen.q29Sql(),
     "q31_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
            FROM embeddings WHERE vec_id < 8),
@@ -311,6 +315,9 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, neighbor_id, ROUND(cos_sim, 4) AS cos_sim, rank
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    // Hyperplane-LSH ANN: dot-sign signature bits against inlined plane
+    // constants, banded join, exact-cosine rank — fully SQL-expressible.
+    "q32_ann_lsh" -> OracleGen.q32Sql(),
     "q33_langid" ->
       """WITH s AS (SELECT lang,
            len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
@@ -382,6 +389,8 @@ object SparkEntry {
            text, '(?s).'), c -> ascii(c))), 4), 0.0) AS mean_intensity
          FROM documents ORDER BY media_id""",
     "q41_rule_cascade_full" -> FinanceQueries.q41Oracle,
+    // Hyperplane-LSH near-dup pairs incl. the bucket-cap semantics.
+    "q46_lsh_near_dup" -> OracleGen.q46Sql(),
     "q42_set_ops" ->
       """(SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
           INTERSECT

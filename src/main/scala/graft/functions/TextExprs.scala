@@ -200,4 +200,35 @@ object TextExprs {
   def winnowingFp(text: Column, k: Int, w: Int,
       base: Long = 257L, mod: Long = 1000000007L): Column =
     exprColumn(WinnowingFp(columnExpr(text), k, w, base, mod))
+
+  /** Karp–Rabin polynomial hash of a WHOLE string: Horner fold over code
+    * points, h ← (h·B + cp) mod M — the same arithmetic family as
+    * [[WinnowingFp]]'s gram hashes. Chosen as the MinHash shingle hash
+    * (replacing Murmur3) precisely because it is restatable in ANSI SQL
+    * (`list_reduce` Horner over `ascii()` codes), which lets the driver
+    * oracle recompute the ENTIRE MinHash+LSH pipeline in DuckDB; hash
+    * quality is equivalent for sketching (distinct shingles → near-uniform
+    * residues mod the prime). Intermediates stay < B·M ≈ 2^38 — exact in
+    * int64 on both engines.
+    */
+  case class KrHash(child: Expression, base: Long, mod: Long)
+      extends UnaryExpression with CodegenFallback {
+    require(base > 0 && mod > 1)
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+    override def prettyName: String = "graft_kr_hash"
+
+    override def nullSafeEval(input: Any): Any = {
+      val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+      var h = 0L
+      var i = 0
+      while (i < cps.length) { h = (h * base + cps(i)) % mod; i += 1 }
+      h
+    }
+
+    override protected def withNewChildInternal(c: Expression): KrHash =
+      copy(child = c)
+  }
+
+  def krHash(s: Column, base: Long = 257L, mod: Long = 1000000007L): Column =
+    exprColumn(KrHash(columnExpr(s), base, mod))
 }

@@ -52,9 +52,12 @@ object TextQueries {
       .withColumn("jaccard", round(col("jaccard"), 4))
       .orderBy("id_a", "id_b")
 
-  /** q29: MinHash+LSH near-dup candidates (no SQL oracle — signature
-    * permutations aren't expressible; the spec cross-checks recall
-    * against q28's exact pairs instead).
+  /** q29: MinHash+LSH near-dup candidates. DuckDB-oracled end to end
+    * ([[graft.OracleGen.q29Sql]]): Karp–Rabin shingle hashes and the
+    * universal-hash permutation params are deterministic shared constants,
+    * so the oracle recomputes signatures, banding, the bucket cap and the
+    * est-jaccard scoring independently; the spec additionally cross-checks
+    * recall against q28's exact pairs.
     */
   def q29MinhashLsh(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.minhashLshPairs(Tables.documents(spark, sfDir),
@@ -79,8 +82,10 @@ object TextQueries {
       .orderBy("query_id", "rank")
   }
 
-  /** q32: LSH-bucketed approximate top-k (no SQL oracle; spec checks
-    * recall against q31).
+  /** q32: LSH-bucketed approximate top-k. DuckDB-oracled
+    * ([[graft.OracleGen.q32Sql]]): the hyperplane signature is a dot-sign
+    * test against deterministic plane constants, directly restatable in
+    * SQL; the spec additionally checks recall against q31.
     */
   def q32AnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = asDouble(Tables.embeddings(spark, sfDir))
@@ -133,9 +138,9 @@ object TextQueries {
       .orderBy("id_a", "id_b")
 
   /** q46: embedding near-dup pairs via hyperplane-LSH banding — the scale
-    * route for q34 (no SQL oracle: the banded candidate set isn't
-    * SQL-expressible; the spec checks recall ≥ 0.8 vs q34's exact pairs
-    * and that every emitted row carries the exact cosine).
+    * route for q34. DuckDB-oracled ([[graft.OracleGen.q46Sql]]) including
+    * the banding arithmetic and bucket-cap semantics; the spec additionally
+    * checks recall ≥ 0.8 vs q34's exact pairs.
     */
   def q46LshNearDup(spark: SparkSession, sfDir: String): DataFrame =
     // default (pre-verify) dedup placement — the fleet posture for real

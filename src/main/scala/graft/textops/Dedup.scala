@@ -217,8 +217,8 @@ object Dedup {
     * (splitmix-style constants), NOT Math.random — resumable and identical
     * across executors by construction.
     */
-  private val P = 2147483647L // 2^31 - 1 (Mersenne prime)
-  private def hashParams(k: Int): Seq[(Long, Long)] = {
+  private[graft] val P = 2147483647L // 2^31 - 1 (Mersenne prime)
+  private[graft] def hashParams(k: Int): Seq[(Long, Long)] = {
     var s = 0x9e3779b97f4a7c15L
     def next(): Long = { // splitmix64 step
       s += 0x9e3779b97f4a7c15L
@@ -235,10 +235,17 @@ object Dedup {
     * updated in a single pass by the native [[ArrayExprs.MinHashSig]]
     * expression (the `array_min(transform(...))` ×k formulation re-evaluates
     * the shingle pipeline k times per row — ~60× slower at sf0.1).
+    *
+    * Shingle → integer via the Karp–Rabin polynomial hash
+    * ([[graft.functions.TextExprs.krHash]], base 257 mod 1e9+7) rather
+    * than Murmur3: identical sketching quality, but DIRECTLY restatable in
+    * DuckDB SQL, so the driver's hard gate can recompute the full
+    * MinHash+LSH pipeline ([[graft.OracleGen.q29Sql]]) instead of trusting
+    * a rows-only check.
     */
   def minhashSignature(text: Column, n: Int = 3, k: Int = 64): Column = {
     val hashes = transform(array_distinct(TextStats.shingles(text, n)),
-      s => pmod(hash(s).cast("long"), lit(P)))
+      s => graft.functions.TextExprs.krHash(s))
     val params = hashParams(k)
     ArrayExprs.minhashSig(hashes,
       params.map(_._1).toIndexedSeq, params.map(_._2).toIndexedSeq, P)

@@ -84,7 +84,7 @@ object Similarity {
   /** Deterministic pseudo-random hyperplanes (splitmix64 over (plane, dim)
     * index — identical on every executor, no Math.random).
     */
-  private def hyperplane(plane: Int, dims: Int): Seq[Double] =
+  private[graft] def hyperplane(plane: Int, dims: Int): Seq[Double] =
     (0 until dims).map { d =>
       var z = (plane.toLong * 1048573L + d.toLong + 1L) * 0x9e3779b97f4a7c15L
       z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
