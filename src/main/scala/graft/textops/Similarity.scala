@@ -105,23 +105,48 @@ object Similarity {
     }.reduce(_ bitwiseOR _)
   }
 
-  /** Shared banding: explode each vector's signature into `bands` chunks
-    * of r = planes/bands bits keyed (band, bucket). r is capped at 63:
-    * `(1L << 64) - 1` is 0 on the JVM, which would collapse every vector
-    * into bucket 0 — and a 1-band/64-bit config belongs in an exact join
-    * on the full signature anyway.
+  /** Bits-per-band for a corpus of `corpusCount` vectors: expected bucket
+    * density is n/2^r, so r = ⌈log₂(n / targetBucketDensity)⌉ holds the
+    * expected same-bucket population at ~`targetBucketDensity` regardless
+    * of corpus size — the knob the round-4 audit flagged as missing (fixed
+    * r=4 puts ~6×10⁷ ids in every bucket at n=10⁹, and the `maxBucket` cap
+    * then silently drops them all). Floored at 4 bits (below that the
+    * within-bucket quadratic term dominates even for tiny corpora) and
+    * capped at 63 (the long packing bound). Recall at a fixed band count
+    * falls as r grows — `bands` is the recall knob: grow it alongside r
+    * (total dot tests = bands × r; the banding no longer packs into a
+    * single 64-bit word, so bands × r may exceed 64 freely).
     */
-  private def banded(df: DataFrame, idName: String, planes: Int,
-      bands: Int, dims: Int, vecCol: String): DataFrame = {
-    require(planes % bands == 0, "bands must divide planes")
-    val r = planes / bands
-    require(r <= 63, s"bits per band must be <= 63, got $r")
+  def autoBandBits(corpusCount: Long, targetBucketDensity: Long = 256): Int = {
+    require(targetBucketDensity >= 1, "targetBucketDensity must be >= 1")
+    val ratio = math.max(corpusCount.toDouble / targetBucketDensity, 1.0)
+    math.min(63, math.max(4, math.ceil(math.log(ratio) / math.log(2.0)).toInt))
+  }
+
+  /** Shared banding: `bands` independent buckets per vector, band j's
+    * bucket bit i = sign(v · hyperplane(j·r + i)). Each band's bucket is
+    * built directly (one long per band), so bands × bitsPerBand — the total
+    * hyperplane count — is NOT capped at 64; bitsPerBand itself is capped
+    * at 63: `(1L << 64) - 1` is 0 on the JVM, which would collapse every
+    * vector into bucket 0 — and a 1-band/64-bit config belongs in an exact
+    * join on the full signature anyway. For bands × bitsPerBand ≤ 64 the
+    * buckets are bit-identical to slicing [[hyperplaneSignature]] (band j =
+    * bits [j·r, (j+1)·r)), which is what the driver's SQL oracle restates.
+    */
+  private def banded(df: DataFrame, idName: String, bands: Int,
+      bitsPerBand: Int, dims: Int, vecCol: String): DataFrame = {
+    require(bands >= 1, "bands must be >= 1")
+    require(bitsPerBand >= 1 && bitsPerBand <= 63,
+      s"bits per band must be in [1,63], got $bitsPerBand")
     df.select(col(idName),
-        hyperplaneSignature(col(vecCol), planes, dims).as("sig"))
-      .select(col(idName),
-        explode(array((0 until bands).map(j => struct(lit(j).as("band"),
-          shiftright(col("sig"), j * r)
-            .bitwiseAND((1L << r) - 1).as("bucket"))): _*)).as("bb"))
+        explode(array((0 until bands).map { j =>
+          val bucket = (0 until bitsPerBand).map { i =>
+            when(dot(col(vecCol),
+              lit(hyperplane(j * bitsPerBand + i, dims).toArray)) > 0,
+              lit(1L << i)).otherwise(0L)
+          }.reduce(_ bitwiseOR _)
+          struct(lit(j).as("band"), bucket.as("bucket"))
+        }: _*)).as("bb"))
       .select(col(idName), col("bb.band"), col("bb.bucket"))
   }
 
@@ -263,15 +288,25 @@ object Similarity {
     * fan-out is bounded by `maxBucket` (drops observable via `dropStats`,
     * a CollectMetrics observation — see [[Dedup.groupPairs]]).
     *
+    * Geometry is N-AWARE by default: `bitsPerBand = 0` derives r from the
+    * corpus size via [[autoBandBits]] (r = ⌈log₂(n / targetBucketDensity)⌉,
+    * floored at 4), so bucket density stays ~targetBucketDensity at ANY
+    * corpus size instead of collapsing the cap at fleet scale. The count
+    * comes from `corpusCount` when supplied (a fleet pipeline knows its
+    * table size; metadata-cheap on parquet) or one `corpus.count()`
+    * otherwise. Pass `bitsPerBand > 0` to pin the geometry explicitly.
+    *
     * Tuning (Charikar 2002: P(bits agree) = 1 − θ/π): recall at a target
     * cosine t needs bands of FEW bits when t is low — at t=0.38 (θ≈68°,
-    * p≈0.62) the defaults (64 planes, 16 bands of 4 bits) measure ~0.94
-    * recall on the synthetic corpus, whose pairs all sit just above the
-    * threshold (the worst case: no cluster structure to exploit). True
-    * near-dup corpora (t≥0.8, p≥0.8) reach the same recall with far fewer
-    * bands. At fleet scale, r (bits per band) sets expected bucket density
-    * n/2^r — grow r with log n to hold within-bucket cost, add bands to
-    * buy the recall back; `maxBucket` stays the hard memory bound.
+    * p≈0.62) 16 bands of 4 bits measure ~0.94 recall on the synthetic
+    * corpus, whose pairs all sit just above the threshold (the worst case:
+    * no cluster structure to exploit). True near-dup corpora (t≥0.8,
+    * p≥0.8) reach the same recall with far fewer bands. As auto-r grows
+    * with log n, per-band match probability p^r falls — `bands` is the
+    * recall knob to grow alongside it (total dot tests = bands × r, no
+    * longer capped at 64); `maxBucket` stays the hard memory bound, and
+    * cap hits are never silent: callers that don't pass `dropStats` get a
+    * WARN-logged [[DropWarnings]] observation instead.
     *
     * `dedupCandidates` places the duplicate-elimination shuffle:
     *   - `true` (default, the fleet posture for CLUSTERED corpora):
@@ -286,13 +321,19 @@ object Similarity {
     *     pair, so duplicate rows are exact duplicates).
     */
   def cosineNearDupPairsLsh(corpus: DataFrame, threshold: Double,
-      planes: Int = 64, bands: Int = 16, dims: Int = 64,
+      bands: Int = 16, bitsPerBand: Int = 0,
+      corpusCount: Option[Long] = None, targetBucketDensity: Long = 256,
+      dims: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding",
       maxBucket: Int = 1 << 12, dedupCandidates: Boolean = true,
       dropStats: Option[org.apache.spark.sql.Observation] = None)
       : DataFrame = {
+    val r =
+      if (bitsPerBand > 0) bitsPerBand
+      else autoBandBits(corpusCount.getOrElse(corpus.count()),
+        targetBucketDensity)
     val chunks = banded(corpus.select(col(idCol).as("id"), col(vecCol)),
-      "id", planes, bands, dims, vecCol)
+      "id", bands, r, dims, vecCol)
     val raw = Dedup.groupPairs(
         chunks.groupBy("band", "bucket")
           .agg(collect_list(col("id")).as("members")),
@@ -327,10 +368,12 @@ object Similarity {
   def annLshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       planes: Int = 16, bands: Int = 4, dims: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(planes % bands == 0, "bands must divide planes")
+    val r = planes / bands
     val c = banded(corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol)), "neighbor_id", planes, bands, dims, vecCol)
+      col(vecCol)), "neighbor_id", bands, r, dims, vecCol)
     val q = banded(queries.select(col(idCol).as("query_id"),
-      col(vecCol)), "query_id", planes, bands, dims, vecCol)
+      col(vecCol)), "query_id", bands, r, dims, vecCol)
     val pairs = q.join(c, Seq("band", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")

@@ -378,14 +378,96 @@ class TextOpsSpec extends SparkSpec {
     // r = 64: (1L << 64) - 1 == 0 on the JVM → every vector would land in
     // bucket 0 and the cap would silently drop the whole corpus
     intercept[IllegalArgumentException] {
-      Similarity.cosineNearDupPairsLsh(emb, 0.5, planes = 64, bands = 1)
+      Similarity.cosineNearDupPairsLsh(emb, 0.5, bands = 1, bitsPerBand = 64)
     }
     intercept[IllegalArgumentException] {
       Similarity.annLshTopK(emb, emb, k = 1, planes = 64, bands = 1, dims = 2)
     }
-    intercept[IllegalArgumentException] { // > 64 planes can't pack at all
-      Similarity.cosineNearDupPairsLsh(emb, 0.5, planes = 80, bands = 20)
+  }
+
+  test("banding is not capped at 64 total planes (bands × bits > 64)") {
+    // 20 bands × 4 bits = 80 hyperplanes — impossible under the old packed-
+    // long signature, required so recall (bands) can grow alongside auto-r
+    val emb = Seq((0L, Array(1.0, 0.01)), (1L, Array(1.0, 0.012)),
+      (2L, Array(-1.0, 0.5))).toDF("vec_id", "embedding")
+    val out = Similarity.cosineNearDupPairsLsh(emb, 0.99,
+        bands = 20, bitsPerBand = 4, dims = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out === Set((0L, 1L))) // near-identical pair found, far pair not
+  }
+
+  test("autoBandBits holds bucket density across corpus sizes") {
+    import Similarity.autoBandBits
+    // gate scales: sf0.01 (500) and sf0.1 (2000) both derive r=4, the
+    // geometry the driver's q46 oracle SQL pins
+    assert(autoBandBits(500) === 4)
+    assert(autoBandBits(2000) === 4)
+    // fleet scales: r grows with log n so n/2^r stays ≤ targetDensity —
+    // the round-4 audit's failure case (n=1e9, fixed r=4 → 6e7 ids/bucket)
+    for (n <- Seq(1000000L, 1000000000L, 100000000000L)) {
+      val r = autoBandBits(n)
+      assert(n.toDouble / math.pow(2.0, r.toDouble) <= 256.0,
+        s"n=$n r=$r density ${n / math.pow(2, r)}")
     }
+    assert(autoBandBits(1000000L) === 12)
+    assert(autoBandBits(1000000000L) === 22)
+    assert(autoBandBits(Long.MaxValue, 1) === 63) // packing cap
+  }
+
+  test("auto-r LSH recall ≥ 0.8 at two corpus sizes") {
+    // same-operator recall check at both gate scales under the n-aware
+    // DEFAULT geometry (bitsPerBand = 0 → autoBandBits); sf0.1 is 4× the
+    // corpus with its own exact baseline
+    for (sf <- Seq("sf0.01", "sf0.1")) {
+      val emb = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+      val exact = Similarity.cosineNearDupPairs(emb, 0.38)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val auto = Similarity.cosineNearDupPairsLsh(emb, 0.38)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(exact.nonEmpty)
+      assert(auto.subsetOf(exact), s"$sf: false pairs ${auto.diff(exact)}")
+      val recall = auto.size.toDouble / exact.size
+      assert(recall >= 0.8, s"$sf: auto-r recall $recall below 0.8")
+    }
+  }
+
+  test("cap drops WARN via DropWarnings when no dropStats is wired") {
+    val before = DropWarnings.warned.get()
+    // 8 exact duplicates: one minhash bucket of 8 members per band, capped
+    // at 4 → every group dropped; no dropStats passed → named observation.
+    // Delivery caveat (documented in DropWarnings): CollectMetrics inside a
+    // broadcast-exchange subtree never reaches the listener, and an all-
+    // dropped run makes the candidate side empty — exactly what AQE loves
+    // to broadcast. Pin the deliverable path by disabling broadcast joins
+    // for this query; the warning is best-effort by design elsewhere.
+    // ... and an all-dropped (empty-result) plan lets AQE propagate the
+    // empty relation over the observe node entirely, so keep one small
+    // surviving group (the 100/101 pair) alongside the 8 dropped dups
+    val dups = (0L until 8L).map(i => (i, "identical text in every row"))
+      .toDF("doc_id", "text")
+      .union(Seq((100L, "another smaller duplicate group here"),
+        (101L, "another smaller duplicate group here")).toDF("doc_id", "text"))
+    val conf = spark.conf
+    val prev = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      assert(Dedup.minhashLshPairs(dups, maxBucket = 4).count() === 1)
+    } finally {
+      prev.fold(conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+      prevA.fold(conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold"))(
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", _))
+    }
+    // QueryExecutionListener delivery is async — poll briefly
+    val deadline = System.nanoTime() + 5000000000L
+    while (DropWarnings.warned.get() === before &&
+      System.nanoTime() < deadline) Thread.sleep(50)
+    assert(DropWarnings.warned.get() > before,
+      "expected a cap-drop warning from the unwatched minhash run")
   }
 
   test("near-dup pairs by cosine threshold") {
