@@ -189,15 +189,72 @@ object Store {
     * by unfiltered reads. saveAsTable registers in the session catalog; a
     * deployment would declare the same layout as an EXTERNAL table at the
     * store path.
+    *
+    * Two-phase like [[save]]: the frame is staged to `<table>_staging` and
+    * swapped in via DROP + RENAME — a direct `mode("overwrite")` into the
+    * table the frame was read from throws (Spark refuses to overwrite a
+    * relation it is scanning), which would break the system-of-record cycle
+    * `loadBucketed → upsert → saveBucketed`. The swap window (between DROP
+    * and RENAME) mirrors [[save]]'s delete-then-rename. Year-SCOPED
+    * rewrites should use [[replaceYearPartitions]] instead — a full-store
+    * swap for a one-year re-categorization rewrites 100 TB to change one
+    * partition.
     */
-  def saveBucketed(df: DataFrame, table: String, nBuckets: Int = 16): Unit =
+  def saveBucketed(df: DataFrame, table: String, nBuckets: Int = 16): Unit = {
+    val spark = df.sparkSession
+    val staging = table + "_staging"
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
     df.withColumn("book_year", year(col("book_date")))
       .write.mode("overwrite")
       .partitionBy("book_year")
       .bucketBy(nBuckets, "fingerprint")
       .sortBy("fingerprint")
       .format("parquet")
-      .saveAsTable(table)
+      .saveAsTable(staging)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+    // RENAME moves the managed table DIRECTORY but partition entries keep
+    // their absolute staging locations — re-register them from the moved
+    // tree or every partitioned scan resolves to the old (gone) paths
+    spark.sql(s"ALTER TABLE $table RECOVER PARTITIONS")
+  }
+
+  /** Partition-level replace: overwrite ONLY the `book_year=` partitions
+    * present in `updated`, leaving every other partition's data files
+    * untouched (byte-identical — StoreSpec asserts checksums). This is the
+    * fleet-scale shape of the reference's idempotent re-categorization
+    * (panda.py:770-775): a year-scoped categorize touches that year's
+    * directories, never the rest of history.
+    *
+    * Mechanics: dynamic partition overwrite (`partitionOverwriteMode=
+    * dynamic`) through `insertInto`, which inherits the table's bucket
+    * spec, so replaced partitions stay fingerprint-bucketed and the
+    * upsert-merge stays Exchange-free afterwards. The replacement slice is
+    * staged to a temp table first: Spark (correctly) refuses to overwrite
+    * files that the insert's own plan is reading, and the slice is small —
+    * proportional to the touched years, not the store.
+    */
+  def replaceYearPartitions(updated: DataFrame, table: String): Unit = {
+    val spark = updated.sparkSession
+    val staging = table + "_slice_staging"
+    val cols = spark.table(table).columns // catalog order, book_year last
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    updated.withColumn("book_year", year(col("book_date")))
+      .select(cols.map(col).toSeq: _*)
+      .write.mode("overwrite").format("parquet").saveAsTable(staging)
+    // session conf, not a writer option: insertInto into a catalog table
+    // ignores writer options — with the conf unset a STATIC overwrite
+    // would silently delete every untouched partition
+    val modeKey = "spark.sql.sources.partitionOverwriteMode"
+    val prevMode = spark.conf.getOption(modeKey)
+    spark.conf.set(modeKey, "dynamic")
+    try {
+      spark.table(staging).write.mode("overwrite").insertInto(table)
+    } finally {
+      prevMode.fold(spark.conf.unset(modeKey))(spark.conf.set(modeKey, _))
+      spark.sql(s"DROP TABLE IF EXISTS $staging")
+    }
+  }
 
   /** Read the bucketed store. Keeps the `book_year` partition column so
     * callers' year filters prune; [[upsert]] callers drop it.

@@ -176,6 +176,109 @@ class StoreSpec extends SparkSpec {
     }
   }
 
+  test("bucketed store survives the read-modify-write cycle (staged swap)") {
+    // loadBucketed → upsert → saveBucketed into the SAME table: the direct
+    // overwrite threw AnalysisException (writing a relation being read);
+    // the staged swap must make the full system-of-record cycle work.
+    val table = "store_rmw_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    try {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        TransactionSchema.storeSchema)
+      // distinct row contents (rmw-*): identical literal batches elsewhere
+      // in the suite would let CacheManager dedup upsert's internal persist
+      val batch1 = Store.withStoreColumns(rawDf(Seq(
+        rawRow("giro", "2024-01-01", "2024-01-01", "rmw-a", null, "p1", -1.0, 0.0))))
+        .withColumn("imported_at", current_timestamp())
+      Store.saveBucketed(Store.upsert(empty, batch1), table, nBuckets = 4)
+      val batch2 = Store.withStoreColumns(rawDf(Seq(
+        rawRow("giro", "2024-02-02", "2024-02-02", "rmw-b", null, "p2", -2.0, 0.0))))
+        .withColumn("imported_at", current_timestamp())
+      Store.saveBucketed(
+        Store.upsert(Store.loadBucketed(spark, table).drop("book_year"),
+          batch2), table, nBuckets = 4)
+      val back = Store.loadBucketed(spark, table)
+      assert(back.select("party").as[String].collect().sorted
+        === Array("rmw-a", "rmw-b"))
+      // the swapped-in table keeps the bucket layout (catalog bucket spec
+      // survives RENAME): scans can still satisfy the merge without an
+      // Exchange on the store side
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      val aqeKey = "spark.sql.adaptive.enabled"
+      val prior = spark.conf.get(aqeKey)
+      spark.conf.set(aqeKey, "false")
+      try {
+        val scan = Store.upsert(back.drop("book_year"), batch1)
+          .queryExecution.executedPlan.collect {
+            case f: FileSourceScanExec => f }
+        assert(scan.exists(_.bucketedScan),
+          "renamed table must still produce a bucketed scan")
+      } finally spark.conf.set(aqeKey, prior)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("replaceYearPartitions rewrites only touched partitions byte-for-byte") {
+    val table = "store_partrepl_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    try {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        TransactionSchema.storeSchema)
+      val batch = Store.withStoreColumns(rawDf(Seq(
+        rawRow("giro", "2023-03-01", "2023-03-01", "pr-a", null, "p1", -1.0, 0.0),
+        rawRow("giro", "2023-07-01", "2023-07-01", "pr-b", null, "p2", -2.0, 0.0),
+        rawRow("giro", "2024-01-02", "2024-01-02", "pr-c", null, "p3", -3.0, 0.0))))
+        .withColumn("imported_at", to_timestamp(lit("2024-01-01 00:00:00")))
+      Store.saveBucketed(Store.upsert(empty, batch), table, nBuckets = 4)
+
+      val loc = java.nio.file.Paths.get(new java.net.URI(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table))
+          .location.toString))
+      def partFiles(year: Int): Map[String, String] = {
+        val dir = loc.resolve(s"book_year=$year")
+        val files = Files.list(dir).toArray.map(_.toString).filter(
+          _.endsWith(".parquet"))
+        files.map { f =>
+          val bytes = Files.readAllBytes(java.nio.file.Paths.get(f))
+          f -> MessageDigest.getInstance("SHA-256").digest(bytes)
+            .map("%02x".format(_)).mkString
+        }.toMap
+      }
+      val before2023 = partFiles(2023)
+      assert(before2023.nonEmpty)
+
+      // year-scoped re-categorization: touch ONLY 2024
+      val updated = Store.loadBucketed(spark, table)
+        .filter(col("book_year") === 2024).drop("book_year")
+        .withColumn("category", lit("recat::done"))
+      Store.replaceYearPartitions(updated, table)
+
+      // 2023 partition data files: same paths, same bytes
+      assert(partFiles(2023) === before2023,
+        "untouched partition files must be byte-identical")
+      // 2024 content replaced, everything else intact
+      val back = Store.loadBucketed(spark, table)
+      val cats = back.orderBy("book_date")
+        .select("party", "category").as[(String, String)].collect()
+      assert(cats === Array(("pr-a", null), ("pr-b", null),
+        ("pr-c", "recat::done")))
+      // replaced partition keeps the bucket layout for the merge join
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      val aqeKey = "spark.sql.adaptive.enabled"
+      val prior = spark.conf.get(aqeKey)
+      spark.conf.set(aqeKey, "false")
+      try {
+        val scans = Store.upsert(back.drop("book_year"),
+          batch).queryExecution.executedPlan.collect {
+            case f: FileSourceScanExec => f }
+        assert(scans.exists(_.bucketedScan),
+          "store must stay a bucketed scan after partition replace")
+      } finally spark.conf.set(aqeKey, prior)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("upsertReleasable frees the internal cache entry after save") {
     val dir = Files.createTempDirectory("store-rel").resolve("tx.parquet")
     val empty = spark.createDataFrame(
