@@ -39,7 +39,17 @@ object IngCsv {
           .filter(_.nonEmpty)
           .map(l => Row(path, l))
     }
-    val raw = spark.createDataFrame(lines, fileLineSchema)
+    project(spark.createDataFrame(lines, fileLineSchema))
+  }
+
+  /** The declarative half of the reader: (path, line) rows → canonical
+    * 8-column layout. Shared by the batch `binaryFiles` path above and the
+    * streaming `binaryFile`-source path
+    * ([[graft.streaming.FinanceStream.ingStream]]) — the projection is
+    * identical, so batch output IS the streaming correctness oracle.
+    */
+  private[graft] def project(lines: DataFrame): DataFrame = {
+    val raw = lines
       .select(col("path"),
         from_csv(col("line"), TransactionSchema.ingRawSchema,
           Map("sep" -> ";")).as("r"))

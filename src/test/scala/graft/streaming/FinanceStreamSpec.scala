@@ -1,0 +1,57 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.finance.Store
+import graft.operators.FinanceQueries
+
+/** End-to-end gate for the STREAMING finance spine: readStream over the
+  * committed ING fixtures → categorize → watermarked fingerprint dedup →
+  * foreachBatch upsert → parquet store, drained in MULTIPLE micro-batches,
+  * must reproduce the batch pipeline (q38 — itself DuckDB-hash-gated)
+  * row-for-row. This is SURVEY §2.10's composition promise, not just the
+  * per-operator streaming specs.
+  */
+class FinanceStreamSpec extends SparkSpec {
+
+  test("streaming spine output equals the q38 batch pipeline") {
+    val tmp = Files.createTempDirectory("fin-stream")
+    val inDir = tmp.resolve("in")
+    Files.createDirectories(inDir)
+    FinanceQueries.ingFixtures.foreach { case (_, f, _) =>
+      Files.copy(Paths.get(s"${FinanceQueries.fixtureDir}/$f"),
+        inDir.resolve(f))
+    }
+    val store = tmp.resolve("store.parquet").toString
+    val q = FinanceStream.runSpine(spark, inDir.toString, store,
+      tmp.resolve("ckpt").toString, maxFilesPerTrigger = Some(2))
+    q.awaitTermination()
+
+    // incremental for real: the 4 files drained in ≥2 non-empty batches
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      s"expected ≥2 micro-batches, got " +
+        q.recentProgress.map(_.numInputRows).mkString(","))
+
+    val cols = Seq("account", "book_date", "valuta_date", "party",
+      "book_text", "purpose", "amount_cents", "balance_cents",
+      "transfer_category", "category", "fingerprint")
+    val streamed = spark.read.parquet(store)
+      .select(cols.map(col): _*).collect().map(_.toSeq)
+      .sortBy(_.toString)
+    val batch = FinanceQueries.q38IngPipeline(spark, "unused")
+      .select(cols.map(col): _*).collect().map(_.toSeq)
+      .sortBy(_.toString)
+    assert(batch.nonEmpty)
+    assert(streamed === batch,
+      "streamed store must equal the batch pipeline row-for-row")
+
+    // upsert composed correctly across batches: ids are 1..n and unique
+    val ids = spark.read.parquet(store)
+      .select("transaction_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().sorted
+    assert(ids.head >= 1L && ids.distinct.length === ids.length)
+  }
+}
