@@ -66,6 +66,7 @@ object SparkEntry {
     "q45_audio_windows"    -> (TextQueries.q45AudioWindows _),
     "q46_lsh_near_dup"     -> (TextQueries.q46LshNearDup _),
     "q47_winnowing"        -> (TextQueries.q47Winnowing _),
+    "q48_winnowing_pos"    -> (TextQueries.q48WinnowingPos _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -451,5 +452,37 @@ object SparkEntry {
            FROM h)
          SELECT doc_id, unnest(list_sort(list_distinct(ms))) AS fp
          FROM m ORDER BY doc_id, fp""",
+    // Robust winnowing: q47's non-rolling hash recomputation, plus each
+    // window's RIGHTMOST minimum located via reversed list_position —
+    // window i (1-based) selecting in-window index j maps to 0-based gram
+    // position (i-1)+(j-1); distinct (fp, pos) = distinct occurrences.
+    "q48_winnowing_pos" ->
+      """WITH d AS (SELECT doc_id,
+             list_transform(regexp_extract_all(lower(trim(text)), '(?s).'),
+               c -> ascii(c)) AS cs
+           FROM documents),
+         g AS (SELECT doc_id, cs, len(cs) AS n FROM d WHERE len(cs) >= 8),
+         h AS (SELECT doc_id,
+             list_transform(range(1, n - 8 + 2), i ->
+               CAST(list_sum(list_transform(range(0, 8), j ->
+                 (CAST(cs[i + j] AS BIGINT) * ([1, 257, 66049, 16974593,
+                    362470373, 154885210, 805498697, 13163680][8 - j]))
+                 % 1000000007)) % 1000000007 AS BIGINT)) AS hs
+           FROM g),
+         m AS (SELECT doc_id,
+             CASE WHEN len(hs) <= 8 THEN
+               [struct_pack(fp := list_min(hs),
+                  pos := CAST(len(hs) - list_position(list_reverse(hs),
+                    list_min(hs)) AS INTEGER))]
+             ELSE list_transform(range(1, len(hs) - 8 + 2), i ->
+               struct_pack(fp := list_min(hs[i:i+7]),
+                 pos := CAST(i - 1 + 8 - list_position(
+                   list_reverse(hs[i:i+7]), list_min(hs[i:i+7]))
+                   AS INTEGER)))
+             END AS sel
+           FROM h)
+         SELECT DISTINCT doc_id, s.fp AS fp, s.pos AS pos
+         FROM (SELECT doc_id, unnest(sel) AS s FROM m)
+         ORDER BY doc_id, pos""",
   )
 }

@@ -3,8 +3,9 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.graftshim.{columnExpr, exprColumn}
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native multi-pattern substring matching for the rule cascade
@@ -136,20 +137,38 @@ object TextExprs {
     * proves the recurrence. Per-row projection: no shuffle, trivially
     * data-parallel at any scale.
     */
+  /** Rolling Karp–Rabin hashes of every char k-gram: hs(i) covers
+    * cps[i, i+k). O(len) — each gram hash derived from its predecessor.
+    * Shared by [[WinnowingFp]] and [[WinnowingFpPos]].
+    */
+  private def gramHashes(cps: Array[Int], k: Int, base: Long,
+      mod: Long): Array[Long] = {
+    val g = cps.length - k + 1
+    var dropPow = 1L // B^(k-1) mod M
+    var p = 0
+    while (p < k - 1) { dropPow = dropPow * base % mod; p += 1 }
+    val hs = new Array[Long](g)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = (h * base + cps(i)) % mod; i += 1 }
+    hs(0) = h
+    i = 1
+    while (i < g) {
+      h = ((h - cps(i - 1) * dropPow % mod + mod) % mod * base +
+        cps(i + k - 1)) % mod
+      hs(i) = h
+      i += 1
+    }
+    hs
+  }
+
   case class WinnowingFp(child: Expression, k: Int, w: Int,
       base: Long, mod: Long)
       extends UnaryExpression with CodegenFallback {
     require(k >= 1 && w >= 1 && base > 0 && mod > 1)
     override def dataType: DataType =
-      org.apache.spark.sql.types.ArrayType(
-        org.apache.spark.sql.types.LongType, containsNull = false)
+      ArrayType(LongType, containsNull = false)
     override def prettyName: String = "graft_winnow"
-
-    @transient private lazy val dropPow: Long = { // B^(k-1) mod M
-      var p = 1L; var i = 0
-      while (i < k - 1) { p = p * base % mod; i += 1 }
-      p
-    }
 
     override def nullSafeEval(input: Any): Any = {
       val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
@@ -157,18 +176,7 @@ object TextExprs {
       if (g < 1)
         return new org.apache.spark.sql.catalyst.util.GenericArrayData(
           Array.emptyLongArray)
-      val hs = new Array[Long](g)
-      var h = 0L
-      var i = 0
-      while (i < k) { h = (h * base + cps(i)) % mod; i += 1 }
-      hs(0) = h
-      i = 1
-      while (i < g) {
-        h = ((h - cps(i - 1) * dropPow % mod + mod) % mod * base +
-          cps(i + k - 1)) % mod
-        hs(i) = h
-        i += 1
-      }
+      val hs = gramHashes(cps, k, base, mod)
       // sliding-window minimum via monotonic index deque; the >= pop keeps
       // the LATEST index on ties — irrelevant here because only the
       // selected VALUES are emitted (robust winnowing, which records
@@ -200,6 +208,66 @@ object TextExprs {
   def winnowingFp(text: Column, k: Int, w: Int,
       base: Long = 257L, mod: Long = 1000000007L): Column =
     exprColumn(WinnowingFp(columnExpr(text), k, w, base, mod))
+
+  /** ROBUST winnowing (Schleimer/Wilkerson/Aiken SIGMOD'03 §3.2.1): like
+    * [[WinnowingFp]] but each selected minimum is emitted WITH the gram
+    * position it was selected at — `array<struct<fp, pos>>` ordered by
+    * position — enabling passage LOCALIZATION, the main consumer of
+    * winnowing in contamination/plagiarism checks (a matching fp tells you
+    * two docs share a passage; the positions tell you WHERE).
+    *
+    * The robust variant's tie rule — within a window, select the RIGHTMOST
+    * minimal hash, and record an occurrence only once even when many
+    * windows select it — is exactly what the monotonic deque's `>=` pop
+    * implements: the selected gram index is non-decreasing as the window
+    * slides, so "new occurrence" == "selected index changed". Documents
+    * shorter than w grams yield their single whole-document window's
+    * selection; shorter than k chars yield an empty array.
+    */
+  case class WinnowingFpPos(child: Expression, k: Int, w: Int,
+      base: Long, mod: Long)
+      extends UnaryExpression with CodegenFallback {
+    require(k >= 1 && w >= 1 && base > 0 && mod > 1)
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("fp", LongType, nullable = false),
+      StructField("pos", IntegerType, nullable = false))),
+      containsNull = false)
+    override def prettyName: String = "graft_winnow_pos"
+
+    override def nullSafeEval(input: Any): Any = {
+      val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+      val g = cps.length - k + 1
+      if (g < 1)
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Array.empty[Any])
+      val hs = gramHashes(cps, k, base, mod)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      val dq = new Array[Int](g)
+      var head = 0; var tail = 0
+      var last = -1
+      var j = 0
+      while (j < g) {
+        while (tail > head && hs(dq(tail - 1)) >= hs(j)) tail -= 1
+        dq(tail) = j; tail += 1
+        while (dq(head) <= j - w) head += 1
+        if (j >= w - 1 && dq(head) != last) {
+          last = dq(head)
+          out += new GenericInternalRow(Array[Any](hs(last), last))
+        }
+        j += 1
+      }
+      if (g < w) // short doc: one window over all grams
+        out += new GenericInternalRow(Array[Any](hs(dq(head)), dq(head)))
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+    }
+
+    override protected def withNewChildInternal(c: Expression): WinnowingFpPos =
+      copy(child = c)
+  }
+
+  def winnowingFpPos(text: Column, k: Int, w: Int,
+      base: Long = 257L, mod: Long = 1000000007L): Column =
+    exprColumn(WinnowingFpPos(columnExpr(text), k, w, base, mod))
 
   /** Karp–Rabin polynomial hash of a WHOLE string: Horner fold over code
     * points, h ← (h·B + cp) mod M — the same arithmetic family as

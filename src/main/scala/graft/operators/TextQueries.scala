@@ -165,6 +165,20 @@ object TextQueries {
         explode(TextStats.winnowingFingerprint(col("text"))).as("fp"))
       .orderBy("doc_id", "fp")
 
+  /** q48: ROBUST winnowing — (fp, selected gram position) pairs, the
+    * passage-localization variant. The DuckDB oracle recomputes every gram
+    * hash non-rolling (the q47 formulation) and re-derives each window's
+    * RIGHTMOST minimum via reversed list_position, then distinct
+    * occurrences — independently proving the deque's tie policy and the
+    * occurrence-dedup, not just the selected values.
+    */
+  def q48WinnowingPos(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(TextStats.winnowingFingerprintPos(col("text"))).as("s"))
+      .select(col("doc_id"), col("s.fp").as("fp"), col("s.pos").as("pos"))
+      .orderBy("doc_id", "pos")
+
   /** q37: opaque-binary column plumbing through the gate — documents' text
     * treated as a binary payload (UTF-8 bytes): byte length, base64 prefix
     * of the payload head. Stands in for the multimodal payload path

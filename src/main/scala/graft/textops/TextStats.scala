@@ -148,4 +148,13 @@ object TextStats {
     */
   def winnowingFingerprint(text: Column, k: Int = 8, w: Int = 8): Column =
     graft.functions.TextExprs.winnowingFp(lower(trim(text)), k, w)
+
+  /** ROBUST [[winnowingFingerprint]]: `array<struct<fp, pos>>` — each
+    * selected window-minimum with the (0-based) gram position it covers,
+    * ordered by position ([[graft.functions.TextExprs.WinnowingFpPos]]).
+    * The variant contamination checks consume: shared fps LOCALIZE the
+    * shared passage on both sides.
+    */
+  def winnowingFingerprintPos(text: Column, k: Int = 8, w: Int = 8): Column =
+    graft.functions.TextExprs.winnowingFpPos(lower(trim(text)), k, w)
 }

@@ -53,6 +53,35 @@ class TextPropertySpec extends SparkSpec {
     })
   }
 
+  test("robust winnowing: (fp, pos) == naive rightmost-min oracle") {
+    val (k, w, b, m) = (8, 8, 257L, 1000000007L)
+    // naive mirror of SIGMOD'03 §3.2.1: direct (non-rolling) gram hashes;
+    // per window the RIGHTMOST minimal index; record an occurrence once
+    def naive(text: String): Seq[(Long, Int)] = {
+      val cps = text.toLowerCase.trim.codePoints().toArray
+      val g = cps.length - k + 1
+      if (g < 1) return Seq.empty
+      val hs = (0 until g).map { i =>
+        (0 until k).foldLeft(0L)((h, j) => (h * b + cps(i + j)) % m)
+      }
+      def rightmostMin(from: Int, until: Int): Int = {
+        var best = from
+        for (i <- from until until) if (hs(i) <= hs(best)) best = i
+        best
+      }
+      val picks =
+        if (g <= w) Seq(rightmostMin(0, g))
+        else (0 to g - w).map(i => rightmostMin(i, i + w))
+      picks.distinct.map(i => (hs(i), i))
+    }
+    check("winnowing-pos", Prop.forAll(Gen.listOfN(6, genDoc)) { docs =>
+      val got = docs.toDF("text")
+        .select(TextStats.winnowingFingerprintPos(col("text")).as("s"))
+        .as[Seq[(Long, Int)]].collect()
+      docs.zip(got).forall { case (s, fps) => fps == naive(s) }
+    })
+  }
+
   test("ngram Jaccard pairs == driver-side brute force on small corpora") {
     def shingleSet(t: String): Set[String] = {
       val ws = t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
