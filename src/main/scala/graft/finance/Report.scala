@@ -76,23 +76,41 @@ object Report {
   private def section(no: Int, title: String, html: String): String =
     s"""<section><h2><em class="no">$no</em>${esc(title)}</h2>\n$html\n</section>"""
 
+  /** Categories alphabetical, the 'Overall Sum' row last — imposed on the
+    * COLLECTED rows, not inherited from the plan: Spark does not guarantee
+    * that `orderBy(...).unionByName(total)` order survives collect-time
+    * partition concatenation across plan changes (AQE, partition count), and
+    * the report is byte-golden-tested.
+    */
+  private def stableRows(rows: Array[Seq[Any]]): Seq[Seq[Any]] = {
+    val (total, cats) = rows.partition(_.headOption.contains("Overall Sum"))
+    (cats.sortBy(_.head.asInstanceOf[String]) ++ total).toSeq
+  }
+
   /** Build the full report document for a year. `pc` is the categorized
     * store frame (post-[[Categorizer.addCat]]).
     */
   def render(pc: DataFrame, yr: Int,
       afaCosts: Seq[(String, Double)], afaYears: Int,
       officeRatio: Double): String = {
-    val income = Analysis.incomeOverview(pc, yr).collect()
+    val income = stableRows(Analysis.incomeOverview(pc, yr).collect()
       .map(r => Seq[Any](r.getAs[String]("cat"),
-        r.getAs[Double]("category_sum")))
-    val expense = Analysis.expenseOverview(pc, yr).collect()
+        r.getAs[Double]("category_sum"))))
+    val expense = stableRows(Analysis.expenseOverview(pc, yr).collect()
       .map(r => Seq[Any](r.getAs[String]("cat"),
         r.getAs[Double]("category_sum"), r.getAs[Double]("giro"),
-        r.getAs[Double]("gesa"), r.getAs[Double]("common")))
+        r.getAs[Double]("gesa"), r.getAs[Double]("common"))))
+    // Office positions in presentation order: AfA entries as given, then the
+    // fixed running-cost positions (Analysis.homeOfficeReport's union order,
+    // re-imposed driver-side for the same order-stability reason).
+    val officeOrder = (afaCosts.map(_._1) ++
+      Seq("Darlehenszinsen", "Stromkosten", "Hausgeld", "Grundsteuer"))
+      .zipWithIndex.toMap
     val office = Analysis.homeOfficeReport(pc, yr, afaCosts, afaYears,
         officeRatio).collect()
       .map(r => Seq[Any](r.getAs[String]("position"),
         r.getAs[Double]("gesamtkosten"), r.getAs[Double]("raumkosten")))
+      .sortBy(r => officeOrder.getOrElse(r.head.asInstanceOf[String], Int.MaxValue))
     val officeTotal = Seq[Any]("Overall Sum",
       office.map(_(1).asInstanceOf[Double]).sum,
       office.map(_(2).asInstanceOf[Double]).sum)

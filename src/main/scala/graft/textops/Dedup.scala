@@ -26,11 +26,14 @@ import graft.functions.ArrayExprs
   * Cache lifecycle: [[ngramJaccardPairs]], [[ngramJaccardPairsPrefix]] and
   * [[minhashLshPairs]] persist an intermediate (the shingle arrays /
   * signatures) that the RETURNED lazy plan still reads, so it cannot be
-  * unpersisted here — one MEMORY_AND_DISK entry per call, released by
-  * session end or `spark.catalog.clearCache()`. Long-lived sessions
-  * invoking these repeatedly should clear between batches (the bench
-  * does); command-shaped callers that materialize immediately can follow
-  * the [[graft.finance.Store.upsertReleasable]] pattern instead.
+  * unpersisted inside the call — one MEMORY_AND_DISK entry per call.
+  * Each has a `...Releasable` twin returning `(frame, release)` — the
+  * [[graft.finance.Store.upsertReleasable]] pattern: callers that
+  * materialize the result (write it, collect it) MUST call the handle
+  * afterwards, or a long-lived session accumulates one cache entry per
+  * call until `spark.catalog.clearCache()`. The plain variants remain for
+  * lazy one-shot consumers (the driver gates; the bench clears between
+  * reps) whose entries die with the session.
   */
 object Dedup {
 
@@ -125,7 +128,18 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
       threshold: Double = 0.8, textCol: String = "text",
       idCol: String = "doc_id", maxPostingList: Int = 1 << 14,
-      dropStats: Option[Observation] = None): DataFrame = {
+      dropStats: Option[Observation] = None): DataFrame =
+    ngramJaccardPairsReleasable(docs, n, threshold, textCol, idCol,
+      maxPostingList, dropStats)._1
+
+  /** [[ngramJaccardPairs]] plus a release handle freeing the persisted
+    * shingle frame — call it after materializing the result (see the
+    * object scaladoc's cache-lifecycle contract).
+    */
+  def ngramJaccardPairsReleasable(docs: DataFrame, n: Int = 3,
+      threshold: Double = 0.8, textCol: String = "text",
+      idCol: String = "doc_id", maxPostingList: Int = 1 << 14,
+      dropStats: Option[Observation] = None): (DataFrame, () => Unit) = {
     val sh = docs
       .select(col(idCol).as("id"),
         array_distinct(TextStats.shingles(col(textCol), n)).as("sh"))
@@ -145,7 +159,7 @@ object Dedup {
       .filter(col("n_counted").cast("double") /
         (col("n_a") + col("n_b") - col("n_counted")) >= threshold)
       .select("id_a", "id_b")
-    cands
+    val result = cands
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a"),
         col("n_sh").as("n_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b"),
@@ -155,6 +169,7 @@ object Dedup {
         (col("n_a") + col("n_b") - col("n_common")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    (result, () => { sh.unpersist(blocking = false); () })
   }
 
   /** Exact n-gram Jaccard pairs via PREFIX FILTERING (PPJoin-style): each
@@ -178,12 +193,20 @@ object Dedup {
   def ngramJaccardPairsPrefix(docs: DataFrame, n: Int = 3,
       threshold: Double = 0.8, textCol: String = "text",
       idCol: String = "doc_id", maxPostingList: Int = 1 << 14,
-      dropStats: Option[Observation] = None): DataFrame = {
+      dropStats: Option[Observation] = None): DataFrame =
+    ngramJaccardPairsPrefixReleasable(docs, n, threshold, textCol, idCol,
+      maxPostingList, dropStats)._1
+
+  /** [[ngramJaccardPairsPrefix]] plus a release handle freeing the
+    * persisted sorted-shingle frame (object-scaladoc lifecycle contract).
+    */
+  def ngramJaccardPairsPrefixReleasable(docs: DataFrame, n: Int = 3,
+      threshold: Double = 0.8, textCol: String = "text",
+      idCol: String = "doc_id", maxPostingList: Int = 1 << 14,
+      dropStats: Option[Observation] = None): (DataFrame, () => Unit) = {
     // Distinct shingles sorted by (xxhash64, shingle): array_sort on the
     // (hash, shingle) struct gives the global order; the shingle rides
     // along for exact (collision-free) equality joins.
-    // (Same cache lifecycle as minhashLshPairs' sigs: released by session
-    // end or spark.catalog.clearCache(), not unpersistable here.)
     val sorted = docs.select(col(idCol).as("id"),
       array_sort(transform(
         array_distinct(TextStats.shingles(col(textCol), n)),
@@ -206,7 +229,7 @@ object Dedup {
     // but falls back to interpreted pairwise O(|a|·|b|) comparison for
     // struct elements — ~100× slower per pair on real shingle counts.
     val strings = (c: Column) => transform(c, p => p.getField("s"))
-    cands
+    val result = cands
       .join(sorted.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sorted.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("n_common",
@@ -215,6 +238,7 @@ object Dedup {
         (size(col("sh_a")) + size(col("sh_b")) - col("n_common")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    (result, () => { sorted.unpersist(blocking = false); () })
   }
 
   // ---------------------------------------------------------------- MinHash
@@ -285,16 +309,24 @@ object Dedup {
       bands: Int = 16, estThreshold: Double = 0.5,
       textCol: String = "text", idCol: String = "doc_id",
       maxBucket: Int = 1 << 12,
-      dropStats: Option[Observation] = None): DataFrame = {
+      dropStats: Option[Observation] = None): DataFrame =
+    minhashLshPairsReleasable(docs, n, k, bands, estThreshold, textCol,
+      idCol, maxBucket, dropStats)._1
+
+  /** [[minhashLshPairs]] plus a release handle freeing the persisted
+    * signature frame (object-scaladoc lifecycle contract).
+    */
+  def minhashLshPairsReleasable(docs: DataFrame, n: Int = 3, k: Int = 64,
+      bands: Int = 16, estThreshold: Double = 0.5,
+      textCol: String = "text", idCol: String = "doc_id",
+      maxBucket: Int = 1 << 12,
+      dropStats: Option[Observation] = None): (DataFrame, () => Unit) = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     // Persisted because three plan consumers need it (banding + both sides
     // of the scoring join); without the persist the whole shingle+minhash
     // pipeline would run 3×. MEMORY_AND_DISK: signatures are ~k·8 B/doc —
     // at fleet scale this spills to local disk, never to the driver.
-    // Lifecycle: the entry lives until the session ends or the caller runs
-    // `spark.catalog.clearCache()` (it cannot be unpersisted here — the
-    // returned plan still reads it). Bench clears between timed reps.
     val sigs = docs.select(col(idCol).as("id"),
       minhashSignature(col(textCol), n, k).as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -311,7 +343,7 @@ object Dedup {
         "members", maxBucket, dropStats)
       .select(col("a").as("id_a"), col("b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    pairs
+    val result = pairs
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .withColumn("est_jaccard",
@@ -319,6 +351,7 @@ object Dedup {
           (x, y) => x === y), b => b)).cast("double") / k)
       .filter(col("est_jaccard") >= estThreshold)
       .select("id_a", "id_b", "est_jaccard")
+    (result, () => { sigs.unpersist(blocking = false); () })
   }
 
   // ---------------------------------------------------------------- SimHash

@@ -47,6 +47,24 @@ class TextOpsSpec extends SparkSpec {
       s"missed pairs: ${exact.diff(approx)}")
   }
 
+  test("releasable twins free their persisted intermediate on release()") {
+    def cached = spark.sparkContext.getPersistentRDDs.size
+    spark.catalog.clearCache()
+    val base = cached
+    val variants = Seq[(String, (org.apache.spark.sql.DataFrame, () => Unit))](
+      "jaccard" -> Dedup.ngramJaccardPairsReleasable(docs, n = 3,
+        threshold = 0.5),
+      "prefix" -> Dedup.ngramJaccardPairsPrefixReleasable(docs, n = 3,
+        threshold = 0.7),
+      "minhash" -> Dedup.minhashLshPairsReleasable(docs, n = 3))
+    variants.foreach { case (name, (pairs, release)) =>
+      pairs.count() // materialize → the internal persist registers its RDD
+      assert(cached > base, s"$name: expected a cache entry after the action")
+      release()
+      assert(cached === base, s"$name: release() must drop the cache entry")
+    }
+  }
+
   test("simhash: identical texts collide, near-dups are close, distinct far") {
     val sh = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
       .as[(Long, Long)].collect().toMap
