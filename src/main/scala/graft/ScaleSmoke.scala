@@ -1,8 +1,10 @@
 package graft
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.finance.Store
 import graft.textops.{Dedup, Similarity, TextStats}
 
 /** Scale-validation harness: multiplies the documents/embeddings corpora
@@ -58,6 +60,18 @@ object ScaleSmoke {
     println(f"[scale] $name%-28s $n%10d rows  $sec%8.2f s")
   }
 
+  /** [[time]] for operators exposing a Releasable twin: frees the
+    * operator's persisted intermediate right after the timed action, so
+    * sequential smoke entries don't stack cache entries until the heap
+    * gives out — the exact long-session accumulation the release handles
+    * exist for (20× corpora leave ~GB-scale shingle caches each).
+    */
+  private def timeReleasing(name: String)(
+      dfr: => (DataFrame, () => Unit)): Unit = {
+    val (df, release) = dfr
+    try time(name)(df) finally release()
+  }
+
   /** Like [[time]] but also prints the operator's posting-list drop stats
     * (CollectMetrics): a nonzero `dropped_groups` means the cap fired and
     * recall is bounded, not silent.
@@ -65,6 +79,10 @@ object ScaleSmoke {
   private def timeObserved(name: String, obs: Observation)(
       df: => DataFrame): Unit = {
     time(name)(df)
+    printCaps(name, obs)
+  }
+
+  private def printCaps(name: String, obs: Observation): Unit = {
     val m = obs.get
     if (m.isEmpty)
       // CollectMetrics that execute inside a broadcast-exchange subtree
@@ -76,6 +94,89 @@ object ScaleSmoke {
       println(s"[scale]   ${name}_caps: " +
         s"dropped_groups=${m("dropped_groups")} " +
         s"max_group=${m("max_group")} n_groups=${m("n_groups")}")
+  }
+
+  // ------------------------------------------------------------ skew audit
+
+  /** Collects per-stage task durations while registered. */
+  private class StageTaskTimes extends SparkListener {
+    private val byStage = scala.collection.mutable
+      .Map.empty[Int, scala.collection.mutable.ArrayBuffer[Long]]
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = synchronized {
+      if (e.taskInfo != null)
+        byStage.getOrElseUpdate(e.stageId,
+          scala.collection.mutable.ArrayBuffer.empty) += e.taskInfo.duration
+    }
+    def total: Int = synchronized(byStage.valuesIterator.map(_.size).sum)
+    def snapshot: Map[Int, Seq[Long]] =
+      synchronized(byStage.map { case (k, v) => (k, v.toSeq) }.toMap)
+  }
+
+  /** [[time]] plus a straggler audit: runs `df` under a task listener and
+    * FAILS (require) if the dominant stage — the one with the largest
+    * summed task time, where a skewed key would concentrate — has a task
+    * slower than `maxRatio`× its median. The median is floored at 25 ms:
+    * below that, task-time ratios measure scheduler jitter, not skew (a
+    * real hot-key straggler shows up as seconds against a small median, so
+    * the floor cannot mask one).
+    */
+  private def timeSkewAudited(spark: SparkSession, name: String,
+      maxRatio: Double = 5.0)(df: => DataFrame): Unit = {
+    val listener = new StageTaskTimes
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val t0 = System.nanoTime()
+      val n = df.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // the listener bus is async — poll until the task stream drains
+      var prev = -1
+      while (prev != listener.total) {
+        prev = listener.total; Thread.sleep(250)
+      }
+      val stages = listener.snapshot.filter(_._2.size >= 8)
+      require(stages.nonEmpty, s"$name: no multi-task stage to audit")
+      val (sid, ts) = stages.maxBy(_._2.sum)
+      val sorted = ts.sorted
+      val median = sorted(sorted.size / 2)
+      val ratio = sorted.last.toDouble / math.max(median, 25L)
+      println(f"[scale] $name%-28s $n%10d rows  $sec%8.2f s")
+      println(f"[scale]   ${name}_tasks: dominant stage $sid — ${ts.size} " +
+        f"tasks, median ${median} ms, max ${sorted.last} ms, " +
+        f"max/median(floored) $ratio%.1f")
+      require(ratio <= maxRatio, s"$name: straggler — max/median " +
+        f"$ratio%.1f exceeds $maxRatio in stage $sid " +
+        s"(median ${median} ms, max ${sorted.last} ms)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  /** Raw-layout transaction batch where every 10th row repeats ONE natural
+    * key verbatim — all 7 dedup-key columns identical, so a single
+    * fingerprint carries 10 % of the batch. This is the duplicate-heavy
+    * re-import shape that made the previous window-based keep-first dedup
+    * straggle (one task sorting 10 % of the batch).
+    */
+  def skewedTransactions(spark: SparkSession, n: Long, par: Int): DataFrame = {
+    val hot = pmod(col("id"), lit(10)) === 0
+    spark.range(0, n, 1, par).select(
+      lit("giro").as("account"),
+      when(hot, to_date(lit("2024-01-15")))
+        .otherwise(date_add(to_date(lit("2020-01-01")),
+          pmod(col("id"), lit(1460)).cast("int"))).as("book_date"),
+      when(hot, to_date(lit("2024-01-16")))
+        .otherwise(date_add(to_date(lit("2020-01-02")),
+          pmod(col("id"), lit(1460)).cast("int"))).as("valuta_date"),
+      when(hot, lit("HOT RECURRING GMBH"))
+        .otherwise(concat(lit("party-"), col("id"))).as("party"),
+      lit("Lastschrift").as("book_text"),
+      when(hot, lit("identical recurring purpose line"))
+        .otherwise(concat(lit("purpose-"), col("id"))).as("purpose"),
+      when(hot, lit(-42.5))
+        .otherwise((pmod(col("id"), lit(100000)).cast("double") - 50000.0)
+          / 100.0).as("amount"),
+      lit(1000.0).as("balance"),
+      lit(null).cast("string").as("transfer_category"),
+      lit(null).cast("string").as("category"),
+      lit(null).cast("string").as("category_manual"))
   }
 
   def main(args: Array[String]): Unit = {
@@ -103,20 +204,22 @@ object ScaleSmoke {
       s"${embs.count()} embeddings (${mult}x $sfDir)")
 
     time("exact_dedup")(Dedup.exact(docs))
-    time("minhash_lsh_pairs")(
-      Dedup.minhashLshPairs(docs, estThreshold = 0.8))
+    timeReleasing("minhash_lsh_pairs")(
+      Dedup.minhashLshPairsReleasable(docs, estThreshold = 0.8))
     time("simhash_pairs")(Dedup.simhashPairs(docs, maxDist = 3))
     val prefixObs = Observation("jaccard_prefix_caps")
-    timeObserved("jaccard_prefix_pairs", prefixObs)(
-      Dedup.ngramJaccardPairsPrefix(docs, threshold = 0.9,
+    timeReleasing("jaccard_prefix_pairs")(
+      Dedup.ngramJaccardPairsPrefixReleasable(docs, threshold = 0.9,
         dropStats = Some(prefixObs)))
+    printCaps("jaccard_prefix_pairs", prefixObs)
     // posting-list variant with a deliberately tight cap: on this corpus
     // every shingle group holds ~mult near-identical members, so a cap of
     // mult/2 fires on most groups — values must stay exact regardless
     val cappedObs = Observation("jaccard_capped_caps")
-    timeObserved("jaccard_pairs_capped", cappedObs)(
-      Dedup.ngramJaccardPairs(docs, threshold = 0.9,
+    timeReleasing("jaccard_pairs_capped")(
+      Dedup.ngramJaccardPairsReleasable(docs, threshold = 0.9,
         maxPostingList = math.max(2, mult / 2), dropStats = Some(cappedObs)))
+    printCaps("jaccard_pairs_capped", cappedObs)
     time("ann_lsh_topk")(Similarity.annLshTopK(
       embs, embs.filter(col("vec_id") < 64), k = 5))
     // jittered copies are ~identical vectors (cos ≈ 0.9999) → they collide
@@ -140,6 +243,48 @@ object ScaleSmoke {
     // scale linearly with the corpus, no caps involved
     time("winnowing_fp")(docs.select(col("doc_id"),
       explode(TextStats.winnowingFingerprint(col("text"))).as("fp")))
+
+    // ---- adversarial skew: ONE hot key at 10 % frequency -----------------
+    // Exact dedup: every 10th document is the same boilerplate text → one
+    // fingerprint holds 10 % of the corpus. The groupBy+semi-join shape
+    // must absorb it (partial min() map-side; the join hashes on
+    // (fingerprint, id) so the hot key's rows spread over the id range).
+    val hotText = "hot boilerplate paragraph shared verbatim by one in " +
+      "ten documents in this corpus exercising the dedup straggler path"
+    val skewedCorpus = docs.withColumn("text",
+      when(pmod(col("doc_id"), lit(10)) === 0, lit(hotText))
+        .otherwise(col("text")))
+    timeSkewAudited(spark, "exact_dedup_skew10pct")(Dedup.exact(skewedCorpus))
+
+    // Import keep-first dedup: 10 % of a 2M-row batch is one repeated
+    // natural key. min_by partial-aggregates map-side, so the hot key
+    // reaches its reducer as ≤ one row per map partition.
+    val nTx = sys.env.getOrElse("SPARK_GRAFT_SKEW_ROWS", "2000000").toLong
+    val rawTx = skewedTransactions(spark, nTx, cpus.toInt)
+    timeSkewAudited(spark, "import_dedup_skew10pct")(
+      Store.importBatch(rawTx.limit(0), rawTx))
+
+    // Upsert merge under the same distribution: post-dedup fingerprints are
+    // unique on BOTH sides (importBatch is the upsert's contract), so the
+    // full-outer merge join cannot skew by construction — audited here to
+    // prove the composition, not just the parts.
+    val deduped = Store.importBatch(rawTx.limit(0), rawTx)
+    val prepared = Store.withStoreColumns(deduped)
+      .withColumn("imported_at", to_timestamp(lit("2026-01-01 00:00:00")))
+      .select("account", "book_date", "valuta_date", "party", "book_text",
+        "purpose", "amount_cents", "balance_cents", "transfer_category",
+        "category", "category_manual", "fingerprint", "imported_at")
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      graft.finance.TransactionSchema.storeSchema)
+    val (seeded, releaseSeed) = Store.upsertReleasable(empty, prepared)
+    val store = seeded.persist()
+    store.count()
+    releaseSeed()
+    timeSkewAudited(spark, "upsert_merge_skew10pct") {
+      val (merged, _) = Store.upsertReleasable(store, prepared)
+      merged
+    }
 
     spark.stop()
   }

@@ -1,7 +1,6 @@
 package graft.finance
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Durable transaction store: fingerprinting, cents encoding, id assignment
@@ -146,17 +145,27 @@ object Store {
 
   /** Batch-import composition (panda.py:736-745): store rows win over
     * re-imported rows on the 7-col natural key (keep='first' over the
-    * store-then-batch concat). Encoded explicitly with a source-priority
-    * row_number — bare `dropDuplicates` is non-deterministic about survivors.
+    * store-then-batch concat). Encoded as a source-priority min_by
+    * aggregation — bare `dropDuplicates` is non-deterministic about
+    * survivors, and the previous `row_number over (partition by key)`
+    * funnels every occurrence of a hot natural key into ONE window task
+    * (a duplicate-heavy re-import at fleet scale = one straggler sorting
+    * 10 % of the batch). min_by partial-aggregates map-side, so a hot key
+    * reaches the reducer as ≤ one row per map partition; the `_pos`
+    * tie-break keeps the survivor unique and store-first (ids are unique
+    * per row, so min_by never sees ordering ties). ScaleSmoke drives the
+    * hot-key shape and asserts no straggler.
     */
   def importBatch(store: DataFrame, batch: DataFrame): DataFrame = {
-    val tagged = store.withColumn("_src", lit(0))
-      .unionByName(batch.withColumn("_src", lit(1)), allowMissingColumns = true)
-    val w = Window
-      .partitionBy(TransactionSchema.dedupKey.map(col): _*)
-      .orderBy(col("_src"))
-    tagged.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_src", "_rn")
+    val tagged = store.withColumn("_src", lit(0L))
+      .unionByName(batch.withColumn("_src", lit(1L)), allowMissingColumns = true)
+      .withColumn("_pos", monotonically_increasing_id())
+    val dataCols = tagged.columns.filterNot(Seq("_src", "_pos").contains).toSeq
+    tagged
+      .groupBy(TransactionSchema.dedupKey.map(col): _*)
+      .agg(min_by(struct(dataCols.map(col): _*),
+        struct(col("_src"), col("_pos"))).as("_row"))
+      .select(dataCols.map(c => col(s"_row.$c").as(c)): _*)
   }
 
   /** Store reader (panda.py:620-660): cents → float euros, canonical order.

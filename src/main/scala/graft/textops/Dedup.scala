@@ -1,7 +1,6 @@
 package graft.textops
 
 import org.apache.spark.sql.{Column, DataFrame, Observation}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -39,15 +38,25 @@ object Dedup {
 
   /** Exact dedup on normalized content: keep the smallest `idCol` per
     * distinct text (deterministic survivor — never bare dropDuplicates).
-    * One shuffle on the 256-bit fingerprint; skew-free by construction.
+    *
+    * Shape: survivor ids via groupBy(fingerprint).min(id), then a semi-join
+    * back on (fingerprint, id). SKEW-RESISTANT where the obvious
+    * `row_number over (partition by fingerprint)` is not: a boilerplate
+    * document at 10 % corpus frequency funnels 10 % of ALL rows into one
+    * window task (windows sort whole partitions; AQE cannot split them),
+    * while here the hot key collapses map-side in the partial min() and the
+    * semi-join hashes on BOTH (fingerprint, id) — the hot fingerprint's
+    * rows spread across the full id range. ScaleSmoke drives exactly this
+    * corpus and asserts no straggler.
     */
   def exact(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val fp = TextStats.contentFingerprint(col(textCol))
-    val w = Window.partitionBy(col("fingerprint")).orderBy(col(idCol))
-    docs.withColumn("fingerprint", fp)
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
+    val withFp = docs.withColumn("fingerprint",
+      TextStats.contentFingerprint(col(textCol)))
+    val survivors = withFp.groupBy("fingerprint")
+      .agg(min(col(idCol)).as(idCol))
+    withFp.join(survivors, Seq("fingerprint", idCol), "left_semi")
+      .select(docs.columns.map(col).toSeq :+ col("fingerprint"): _*)
   }
 
   /** Exact-dup groups: fingerprint → surviving id + victim count. */
@@ -122,8 +131,8 @@ object Dedup {
     * caveat at high thresholds see [[ngramJaccardPairsPrefix]].
     *
     * The doc→shingle-array frame is persisted (three consumers: posting
-    * build + both verification sides); released by session end or
-    * `spark.catalog.clearCache()` — same lifecycle as the prefix variant.
+    * build + both verification sides); see the object scaladoc's cache
+    * lifecycle — materializing callers should use the Releasable twin.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
       threshold: Double = 0.8, textCol: String = "text",
@@ -357,12 +366,17 @@ object Dedup {
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over word tokens: per bit position, sum ±1 weighted by
-    * each token's xxhash64 bit; the sign vector packs into one long.
-    * All 64 bit-counters update in one pass over the token-hash array
+    * each token's hash bit; the sign vector packs into one long. All 64
+    * bit-counters update in one pass over the token-hash array
     * ([[ArrayExprs.SimHash64]]) — shuffle-free, no per-bit re-evaluation.
+    * Token hash = splitmix64-finalized Karp–Rabin
+    * ([[graft.functions.TextExprs.krHash64]]): same per-bit uniformity as
+    * xxhash64 but restatable in DuckDB SQL, so the driver gate recomputes
+    * the whole SimHash pipeline independently ([[graft.OracleGen.q30Sql]]).
     */
   def simhash(text: Column): Column =
-    ArrayExprs.simhash64(transform(TextStats.words(text), w => xxhash64(w)))
+    ArrayExprs.simhash64(transform(TextStats.words(text),
+      w => graft.functions.TextExprs.krHash64(w)))
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxDist`, found by
     * banding the 64-bit hash into 4 16-bit chunks (pigeonhole: any pair at
