@@ -5,7 +5,9 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main — driver contract (builder prompt).
   *
   * Runs every SparkEntry query over `SPARK_GRAFT_SF_DIR` and prints exactly
-  * one JSON line: {"metric","value","unit","queries","sf"}.
+  * one JSON line: {"metric","value","unit","queries","reps","rep_policy",
+  * "jit_ms_at_timing_end","sf"} — `queries` carries the per-query minimum
+  * (the recorded number), `reps` the raw per-rep times behind it.
   *
   * Each query is materialized through the `noop` datasource writer so the
   * full result set (all columns, all rows) is produced — `count()` alone
@@ -71,7 +73,7 @@ object Bench {
     queries.foreach { case (name, fn) => runOne(name, warmDir, fn) }
 
     val results = queries.map { case (name, fn) =>
-      val sec = (1 to reps).map { _ =>
+      val repSecs = (1 to reps).map { _ =>
         // Some operators persist() intermediates (LSH signatures, IVF train
         // sets). Spark's CacheManager substitutes a prior rep's (or the
         // warm-up's) materialized cache into canonically-equal plans, which
@@ -90,16 +92,32 @@ object Bench {
         val t0 = System.nanoTime()
         runOne(name, sfDir, fn)
         (System.nanoTime() - t0) / 1e9
-      }.min
-      Console.err.println(f"[bench] $name%-24s $sec%8.3f s")
-      name -> sec
+      }
+      val sec = repSecs.min
+      Console.err.println(f"[bench] $name%-24s $sec%8.3f s" +
+        repSecs.map(s => f"$s%.3f").mkString("  (reps: ", " ", ")"))
+      (name, sec, repSecs)
     }
     val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    // Per-rep raw times + warm-state markers make a single hot run
+    // interpretable: a machine-load artifact shows as uniformly slow reps
+    // (min ≈ median), a one-time compile spike as rep1 >> rep2..n. The
+    // JIT marker records how much compilation the JVM had already done
+    // when the timed phase started — two runs with very different values
+    // are not comparable rep-for-rep.
+    val repsJson = results
+      .map { case (k, _, rs) =>
+        "\"" + k + "\":" + rs.map(s => f"$s%.3f").mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val jitMs = java.lang.management.ManagementFactory
+      .getCompilationMXBean.getTotalCompilationTime
     val total = results.map(_._2).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""reps":$repsJson,"rep_policy":"min","jit_ms_at_timing_end":$jitMs,""" +
+      s""""sf":"$sfDir"}"""
     )
     spark.stop()
   }
