@@ -2,8 +2,9 @@ package graft
 
 import graft.textops.{Dedup, Similarity}
 
-/** DuckDB oracle SQL for the sketch-family queries (q29 MinHash+LSH, q32
-  * hyperplane-LSH ANN top-k, q46 hyperplane-LSH near-dup pairs) — the q47
+/** DuckDB oracle SQL for the sketch-family queries (q29 MinHash+LSH, q30
+  * SimHash, q32 hyperplane-LSH ANN top-k, q46 hyperplane-LSH near-dup
+  * pairs) — the q47
   * winnowing precedent generalized: every pseudo-random constant the Spark
   * expressions use (hyperplane components, MinHash permutation params) is
   * deterministic, so it can be INLINED into ANSI SQL and the whole pipeline
@@ -155,5 +156,66 @@ object OracleGen {
              FROM pr JOIN sg sa ON sa.id = id_a JOIN sg sb ON sb.id = id_b)
      SELECT id_a, id_b, ROUND(ej, 4) AS est_jaccard
      FROM est WHERE ej >= $estThreshold ORDER BY id_a, id_b"""
+  }
+
+  /** q30: SimHash near-dup pairs — whitespace tokens, splitmix64-finalized
+    * Karp–Rabin token hashes ([[graft.functions.TextExprs.KrHash64]]),
+    * 64 majority-vote bit counters packed into a signed int64, 16-bit
+    * chunk banding with the 2..maxBucket cap, Hamming ≤ `maxDist`.
+    *
+    * The splitmix64 finalizer is exact mod-2^64 arithmetic: DuckDB
+    * reproduces it in UHUGEINT (multiply can reach 2^128 − ε, which
+    * UHUGEINT holds; `% 2^64` then truncates exactly like Java's wrapping
+    * long multiply). The nested single-element `list_transform` chain is a
+    * let-binding — each xor/multiply step's result is bound once instead
+    * of textually duplicated. Signed packing reuses the q46 bits trick
+    * (bit 63 = Long.MinValue); the chunk extraction maps the signed value
+    * back to its unsigned bit pattern before shifting.
+    */
+  def q30Sql(maxDist: Int = 6, maxBucket: Int = 1 << 12): String = {
+    val two64 = "18446744073709551616"
+    val c1 = java.lang.Long.toUnsignedString(0xbf58476d1ce4e5b9L)
+    val c2 = java.lang.Long.toUnsignedString(0x94d049bb133111ebL)
+    s"""WITH consts AS (SELECT ${bitsSql(64)} AS bits),
+     d AS (SELECT doc_id AS id,
+             string_split_regex(lower(trim(text)), '\\s+') AS w
+           FROM documents),
+     hx AS (SELECT id, list_transform(w, t -> list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(regexp_extract_all(t, '(?s).'),
+                 c -> CAST(ascii(c) AS BIGINT))),
+             (acc, c) -> (acc * 257 + c) % 1000000007)) AS ks
+           FROM d),
+     mx AS (SELECT id, list_transform(ks, x ->
+             list_transform([xor(x::UHUGEINT, x::UHUGEINT >> 30::UHUGEINT)],
+               a ->
+               list_transform([(a * $c1::UHUGEINT) % $two64::UHUGEINT], b ->
+                 list_transform([xor(b, b >> 27::UHUGEINT)], c ->
+                   list_transform([(c * $c2::UHUGEINT) % $two64::UHUGEINT],
+                     m -> xor(m, m >> 31::UHUGEINT))[1])[1])[1])[1]) AS hs
+           FROM hx),
+     sm AS (SELECT id, CAST(list_sum(list_transform(range(64), p ->
+             CASE WHEN 2 * len(list_filter(hs,
+                      h -> (h >> CAST(p AS UHUGEINT)) & 1::UHUGEINT
+                             = 1::UHUGEINT)) > len(hs)
+                  THEN CAST(bits[p + 1] AS HUGEINT)
+                  ELSE CAST(0 AS HUGEINT) END)) AS BIGINT) AS sh
+           FROM mx, consts),
+     cc AS (SELECT id, sh, j AS chunk,
+             CAST(((CASE WHEN sh < 0
+                    THEN CAST(sh AS HUGEINT) + $two64::HUGEINT
+                    ELSE CAST(sh AS HUGEINT) END)::UHUGEINT
+                 >> CAST(j * 16 AS UHUGEINT)) & 65535::UHUGEINT
+               AS BIGINT) AS key
+            FROM sm, (SELECT unnest(range(4)) AS j)),
+     ok AS (SELECT chunk, key FROM cc GROUP BY 1, 2
+            HAVING COUNT(*) BETWEEN 2 AND $maxBucket),
+     pr AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+              CAST(bit_count(xor(x.sh, y.sh)) AS INTEGER) AS hamming
+            FROM cc x JOIN cc y ON x.chunk = y.chunk AND x.key = y.key
+              AND x.id < y.id
+            JOIN ok o ON o.chunk = x.chunk AND o.key = x.key)
+     SELECT id_a, id_b, hamming FROM pr
+     WHERE hamming <= $maxDist ORDER BY id_a, id_b"""
   }
 }

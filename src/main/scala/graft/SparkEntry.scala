@@ -302,6 +302,7 @@ object SparkEntry {
     // inlined permutation params (constants generated from the same code
     // the Spark expressions use — see OracleGen).
     "q29_minhash_lsh" -> OracleGen.q29Sql(),
+    "q30_simhash" -> OracleGen.q30Sql(),
     "q31_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
            FROM embeddings WHERE vec_id < 8),

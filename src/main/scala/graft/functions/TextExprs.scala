@@ -299,4 +299,39 @@ object TextExprs {
 
   def krHash(s: Column, base: Long = 257L, mod: Long = 1000000007L): Column =
     exprColumn(KrHash(columnExpr(s), base, mod))
+
+  /** [[KrHash]] diffused to 64 bits: the ~30-bit Karp–Rabin residue is
+    * passed through the splitmix64 finalizer (Steele et al. 2014's
+    * xor-shift-multiply chain), giving per-bit uniformity so ALL 64
+    * SimHash bit-counters carry signal (the raw residue would leave bits
+    * 30..63 constant and the sketch 30-bit). Chosen over xxhash64 as the
+    * SimHash token hash because it stays SQL-restatable: the finalizer is
+    * exact mod-2^64 arithmetic, which DuckDB reproduces in UHUGEINT
+    * ([[graft.OracleGen.q30Sql]]) — the q29 Karp–Rabin precedent extended
+    * to 64-bit hashing.
+    */
+  case class KrHash64(child: Expression, base: Long, mod: Long)
+      extends UnaryExpression with CodegenFallback {
+    require(base > 0 && mod > 1)
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+    override def prettyName: String = "graft_kr_hash64"
+
+    override def nullSafeEval(input: Any): Any = {
+      val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+      var h = 0L
+      var i = 0
+      while (i < cps.length) { h = (h * base + cps(i)) % mod; i += 1 }
+      // splitmix64 finalizer — Java Long semantics (wrap on overflow)
+      var z = h
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+
+    override protected def withNewChildInternal(c: Expression): KrHash64 =
+      copy(child = c)
+  }
+
+  def krHash64(s: Column, base: Long = 257L, mod: Long = 1000000007L): Column =
+    exprColumn(KrHash64(columnExpr(s), base, mod))
 }

@@ -65,7 +65,11 @@ object TextQueries {
       .withColumn("est_jaccard", round(col("est_jaccard"), 4))
       .orderBy("id_a", "id_b")
 
-  /** q30: SimHash near-dup pairs via 16-bit chunk banding (no SQL oracle). */
+  /** q30: SimHash near-dup pairs via 16-bit chunk banding. DuckDB-oracled
+    * end to end ([[graft.OracleGen.q30Sql]]): the splitmix64-finalized
+    * Karp–Rabin token hash is exact mod-2^64 arithmetic, reproduced in
+    * UHUGEINT on the oracle side.
+    */
   def q30Simhash(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(spark, sfDir), maxDist = 6)
       .orderBy("id_a", "id_b")
