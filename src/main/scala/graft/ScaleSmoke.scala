@@ -246,9 +246,9 @@ object ScaleSmoke {
 
     // ---- adversarial skew: ONE hot key at 10 % frequency -----------------
     // Exact dedup: every 10th document is the same boilerplate text → one
-    // fingerprint holds 10 % of the corpus. The groupBy+semi-join shape
-    // must absorb it (partial min() map-side; the join hashes on
-    // (fingerprint, id) so the hot key's rows spread over the id range).
+    // fingerprint holds 10 % of the corpus. The min_by aggregation must
+    // absorb it map-side (partial agg → ≤ one row per map partition
+    // reaches the hot key's reducer).
     val hotText = "hot boilerplate paragraph shared verbatim by one in " +
       "ten documents in this corpus exercising the dedup straggler path"
     val skewedCorpus = docs.withColumn("text",

@@ -24,9 +24,10 @@ object Cli {
     s
   }
 
-  private def storeExists(spark: SparkSession, path: String): Boolean =
-    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-      .exists(new org.apache.hadoop.fs.Path(path))
+  private def storeExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 
   private def loadOrEmpty(spark: SparkSession, path: String): DataFrame =
     if (storeExists(spark, path)) spark.read.parquet(path)

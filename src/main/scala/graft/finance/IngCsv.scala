@@ -25,19 +25,26 @@ object IngCsv {
     StructField("path", StringType, nullable = false),
     StructField("line", StringType, nullable = false)))
 
+  /** Decode one statement file and emit its post-preamble data lines. The
+    * ONE imperative step of the reader, shared by the batch `binaryFiles`
+    * path and the streaming `binaryFile` source
+    * ([[graft.streaming.FinanceStream]]) — batch/stream parity is the
+    * design's correctness argument, so a charset/header fix must be
+    * impossible to apply to one path and miss in the other.
+    */
+  private[graft] def statementLines(bytes: Array[Byte]): Iterator[String] =
+    new String(bytes, "ISO-8859-1").split("\r?\n", -1).iterator
+      .dropWhile(!_.startsWith(TransactionSchema.ingHeaderPrefix))
+      .drop(1) // the header line itself
+      .filter(_.nonEmpty)
+
   /** Read one or more ING CSV files (comma-separated globs OK) into the
     * canonical 8-column raw layout of [[TransactionSchema.rawColumns]].
     */
   def read(spark: SparkSession, paths: String): DataFrame = {
-    val header = TransactionSchema.ingHeaderPrefix
     val lines = spark.sparkContext.binaryFiles(paths).flatMap {
       case (path, stream) =>
-        val text = new String(stream.toArray(), "ISO-8859-1")
-        text.split("\r?\n", -1).iterator
-          .dropWhile(!_.startsWith(header))
-          .drop(1) // the header line itself
-          .filter(_.nonEmpty)
-          .map(l => Row(path, l))
+        statementLines(stream.toArray()).map(l => Row(path, l))
     }
     project(spark.createDataFrame(lines, fileLineSchema))
   }

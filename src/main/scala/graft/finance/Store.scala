@@ -279,9 +279,10 @@ object Store {
     val staging = path + ".staging"
     df.write.mode("overwrite").parquet(staging)
     val spark = df.sparkSession
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
+    // the path's own filesystem — the store may live on a different
+    // scheme (s3a://, file:///) than the cluster's fs.defaultFS
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(dst, true)
     fs.rename(new org.apache.hadoop.fs.Path(staging), dst)
   }

@@ -262,7 +262,19 @@ object Relational {
           coalesce(col("o_orderpriority"), lit(""))), 256).as("fingerprint"))
       .orderBy(col("o_orderkey"))
 
-  /** JSON field extraction from the events.props payload (§2.9 note). */
+  /** JSON field extraction from the events.props payload (§2.9 note).
+    *
+    * Local-floor note (audited round 5): the plan is already right —
+    * ReadSchema pruned to (event_type, props), partial agg map-side, two
+    * exchanges (agg + order). The residual ~0.25 s over the ~0.24 s local
+    * query floor is get_json_object's per-row parse running on ONE task,
+    * because the sf0.1 test file is a single parquet row group (Spark
+    * cannot split inside a row group). A pre-parse repartition(32) wins
+    * only ~0.08 s here (the exchange eats most of the parallelism gain)
+    * and at fleet scale would shuffle the whole table to parallelize work
+    * that thousands of row groups already parallelize — so the shape
+    * deliberately stays shuffle-free before the aggregation.
+    */
   def q19Json(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .select(col("event_type"),

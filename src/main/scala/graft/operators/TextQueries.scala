@@ -145,6 +145,15 @@ object TextQueries {
     * route for q34. DuckDB-oracled ([[graft.OracleGen.q46Sql]]) including
     * the banding arithmetic and bucket-cap semantics; the spec additionally
     * checks recall ≥ 0.8 vs q34's exact pairs.
+    *
+    * `bitsPerBand = 4` is PINNED to the oracle's stated geometry (16 bands
+    * × 4 bits over 64 planes): a gated query and its oracle must compute
+    * the same function at EVERY scale factor, and the library's n-aware
+    * default would silently grow r past the oracle's constants once the
+    * embeddings table exceeds 4096 rows (autoBandBits(5000) = 5). Pinning
+    * also keeps the gate/bench path free of the derive-time corpus.count()
+    * job. The n-aware default remains the library posture for fleet
+    * callers ([[Similarity.autoBandBits]], exercised by ScaleSmoke).
     */
   def q46LshNearDup(spark: SparkSession, sfDir: String): DataFrame =
     // default (pre-verify) dedup placement — the fleet posture for real
@@ -152,7 +161,8 @@ object TextQueries {
     // placements measure within noise of each other (the cost is the
     // candidate volume itself, which only r-vs-log(n) tuning changes)
     Similarity.cosineNearDupPairsLsh(
-        asDouble(Tables.embeddings(spark, sfDir)), threshold = 0.38)
+        asDouble(Tables.embeddings(spark, sfDir)), threshold = 0.38,
+        bitsPerBand = 4)
       .withColumn("cos_sim", round(col("cos_sim"), 4))
       .orderBy("id_a", "id_b")
 

@@ -51,7 +51,6 @@ object FinanceStream {
   private def ingLines(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int]): DataFrame = {
     import spark.implicits._
-    val header = TransactionSchema.ingHeaderPrefix
     val reader = spark.readStream.format("binaryFile")
       .schema(binaryFileSchema)
       .option("pathGlobFilter", "*.csv")
@@ -61,11 +60,9 @@ object FinanceStream {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
-        new String(bytes, "ISO-8859-1").split("\r?\n", -1).iterator
-          .dropWhile(!_.startsWith(header))
-          .drop(1) // the header line itself
-          .filter(_.nonEmpty)
-          .map(l => (path, l))
+        // the SAME decode + preamble-skip as the batch reader — parity by
+        // shared code, not by parallel implementations
+        IngCsv.statementLines(bytes).map(l => (path, l))
       }
       .toDF("path", "line")
   }
@@ -77,18 +74,22 @@ object FinanceStream {
     IngCsv.project(ingLines(spark, dir, None))
 
   /** Raw 8-column transactions → categorized, fingerprinted, watermark-
-    * deduplicated store-ready rows. Works on a streaming OR batch frame
-    * (`dropDuplicatesWithinWatermark` requires streaming; that is the one
-    * streaming-only node, by design — batch dedup is importBatch's
+    * deduplicated store-ready rows (`dropDuplicatesWithinWatermark` is the
+    * one streaming-only node, by design — batch dedup is importBatch's
     * keep-first, same key via the fingerprint).
     *
-    * The watermark rides `book_date` (the only event time a bank statement
-    * carries): duplicate fingerprints arriving within `watermarkDelay` of
-    * the max seen book_date are dropped; state evicts beyond it. Statement
-    * re-exports overlap by days-to-weeks, so the default horizon is 30
-    * days — a re-import older than that reaches the store upsert instead,
-    * which handles it as an update (identity preserved), so correctness
-    * degrades gracefully to the batch semantics, never to duplicates.
+    * The watermark rides INGEST time, deliberately NOT `book_date`:
+    * stateful operators DROP input rows older than the watermark, so a
+    * book_date watermark would silently discard an entire forgotten
+    * statement file the moment newer statements had advanced the horizon —
+    * data loss, not dedup. Ingest time is monotonic (each micro-batch's
+    * rows stamp later than the watermark left by the previous one), so NO
+    * row is ever late, while state still evicts `watermarkDelay` after a
+    * fingerprint was last ingested — bounded by the re-import window, the
+    * thing actually being deduplicated. A fingerprint re-ingested beyond
+    * the horizon passes through to the store upsert, which handles it as
+    * an update (identity preserved): correctness degrades gracefully to
+    * the batch merge semantics, never to duplicates or loss.
     */
   def spine(raw: DataFrame, watermarkDelay: String = "30 days"): DataFrame = {
     val withCats = raw
@@ -96,10 +97,10 @@ object FinanceStream {
       .withColumn("category", lit(null).cast("string"))
       .withColumn("category_manual", lit(null).cast("string"))
     Store.withStoreColumns(EventStreams.categorizeStream(withCats))
-      .withColumn("book_ts", col("book_date").cast("timestamp"))
-      .withWatermark("book_ts", watermarkDelay)
+      .withColumn("ingest_ts", current_timestamp())
+      .withWatermark("ingest_ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("fingerprint")
-      .drop("book_ts")
+      .drop("ingest_ts")
   }
 
   /** Run the spine over everything currently in `dir`, upserting each
@@ -120,10 +121,12 @@ object FinanceStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val sess = batch.sparkSession
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          sess.sparkContext.hadoopConfiguration)
+        // the PATH's filesystem, not the default one — storePath may live
+        // on a different scheme (s3a://, file:///) than fs.defaultFS
+        val storeP = new org.apache.hadoop.fs.Path(storePath)
+        val fs = storeP.getFileSystem(sess.sparkContext.hadoopConfiguration)
         val existing =
-          if (fs.exists(new org.apache.hadoop.fs.Path(storePath)))
+          if (fs.exists(storeP))
             sess.read.parquet(storePath)
           else sess.createDataFrame(
             sess.sparkContext.emptyRDD[org.apache.spark.sql.Row],

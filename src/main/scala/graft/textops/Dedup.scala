@@ -36,28 +36,28 @@ import graft.functions.ArrayExprs
   */
 object Dedup {
 
-  /** Exact dedup on normalized content: keep the smallest `idCol` per
-    * distinct text (deterministic survivor — never bare dropDuplicates).
+  /** Exact dedup on normalized content: keep the smallest-`idCol` row per
+    * distinct text (deterministic survivor — never bare dropDuplicates),
+    * exactly ONE output row per fingerprint even if ids repeat.
     *
-    * Shape: survivor ids via groupBy(fingerprint).min(id), then a semi-join
-    * back on (fingerprint, id). SKEW-RESISTANT where the obvious
-    * `row_number over (partition by fingerprint)` is not: a boilerplate
-    * document at 10 % corpus frequency funnels 10 % of ALL rows into one
-    * window task (windows sort whole partitions; AQE cannot split them),
-    * while here the hot key collapses map-side in the partial min() and the
-    * semi-join hashes on BOTH (fingerprint, id) — the hot fingerprint's
-    * rows spread across the full id range. ScaleSmoke drives exactly this
-    * corpus and asserts no straggler.
+    * Shape: groupBy(fingerprint).agg(min_by(row, id)) — one shuffle,
+    * SKEW-RESISTANT where the obvious `row_number over (partition by
+    * fingerprint)` is not: a boilerplate document at 10 % corpus frequency
+    * funnels 10 % of ALL rows into one window task (windows sort whole
+    * partitions; AQE cannot split them), while min_by partial-aggregates
+    * map-side, so the hot fingerprint reaches its reducer as ≤ one row per
+    * map partition. ScaleSmoke drives exactly this corpus and asserts no
+    * straggler.
     */
   def exact(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
-    val withFp = docs.withColumn("fingerprint",
-      TextStats.contentFingerprint(col(textCol)))
-    val survivors = withFp.groupBy("fingerprint")
-      .agg(min(col(idCol)).as(idCol))
-    withFp.join(survivors, Seq("fingerprint", idCol), "left_semi")
-      .select(docs.columns.map(col).toSeq :+ col("fingerprint"): _*)
-  }
+      idCol: String = "doc_id"): DataFrame =
+    docs.withColumn("fingerprint",
+        TextStats.contentFingerprint(col(textCol)))
+      .groupBy("fingerprint")
+      .agg(min_by(struct(docs.columns.map(col).toSeq: _*),
+        col(idCol)).as("_row"))
+      .select(docs.columns.map(c => col(s"_row.$c").as(c)).toSeq
+        :+ col("fingerprint"): _*)
 
   /** Exact-dup groups: fingerprint → surviving id + victim count. */
   def exactDupStats(docs: DataFrame, textCol: String = "text",

@@ -27,8 +27,13 @@ object DropWarnings {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
   private val counter = new AtomicLong()
+  // Weak keys: the session's listenerManager holds the listener (session →
+  // listener, never the reverse), so a stopped session must stay
+  // collectable — a strong set here would pin every session a long-lived
+  // driver (notebook server, multi-tenant service) ever created.
   private val installed = java.util.Collections.newSetFromMap(
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   private[textops] def nextName(): String =
     s"graft_drops_${counter.incrementAndGet()}"

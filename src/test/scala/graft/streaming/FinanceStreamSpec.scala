@@ -54,4 +54,41 @@ class FinanceStreamSpec extends SparkSpec {
       .collect().sorted
     assert(ids.head >= 1L && ids.distinct.length === ids.length)
   }
+
+  test("a statement older than the dedup horizon still reaches the store") {
+    val tmp = Files.createTempDirectory("fin-stream-late")
+    val inDir = tmp.resolve("in")
+    Files.createDirectories(inDir)
+    val header = "Buchung;Wertstellungsdatum;Auftraggeber/Empfaenger;" +
+      "Buchungstext;Verwendungszweck;Saldo;Waehrung;Betrag;Waehrung"
+    def write(name: String, row: String, modMs: Long): Unit = {
+      val p = inDir.resolve(name)
+      Files.write(p,
+        s"Umsatzanzeige preamble;x\n$header\n$row\n"
+          .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(modMs))
+    }
+    // Recent statement FIRST (its micro-batch advances any event-time
+    // watermark deep into 2024), forgotten 2020 statement second — the
+    // regression shape where a book_date-riding watermark would classify
+    // the whole late file as too-old input and silently drop it. The
+    // ingest-time watermark must let it through to the upsert.
+    write("a_DE69500105175402313946_1.csv",
+      "01.06.2024;01.06.2024;ACME;Lastschrift;rent;1.000,00;EUR;-42,50;EUR",
+      modMs = 1000000L)
+    write("b_DE69500105175402313946_2.csv",
+      "01.01.2020;01.01.2020;OLDCO;Lastschrift;forgotten;1,00;EUR;-1,00;EUR",
+      modMs = 2000000L)
+    val store = tmp.resolve("store.parquet").toString
+    val q = FinanceStream.runSpine(spark, inDir.toString, store,
+      tmp.resolve("ckpt").toString, maxFilesPerTrigger = Some(1))
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "the two files must drain in separate micro-batches")
+    val dates = spark.read.parquet(store)
+      .select("book_date").collect().map(_.get(0).toString).sorted
+    assert(dates === Array("2020-01-01", "2024-06-01"),
+      "the old statement must reach the store, not be dropped as late")
+  }
 }

@@ -28,6 +28,18 @@ class TextOpsSpec extends SparkSpec {
     assert(stats.head.getAs[Long]("n_docs") === 2L)
   }
 
+  test("exact dedup emits ONE row per fingerprint even when ids repeat") {
+    // duplicated ingestion: the surviving (fingerprint, id) appears twice —
+    // a semi-join-on-min-id shape would keep both copies
+    val dupIngested = Seq(
+      (1L, "same text twice"), (1L, "same text twice"),
+      (2L, "same text twice"), (3L, "unrelated other text")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exact(dupIngested).collect()
+    assert(out.length === 2)
+    assert(out.map(_.getAs[Long]("doc_id")).sorted === Array(1L, 3L))
+  }
+
   test("ngram Jaccard finds near-dup and exact-dup pairs") {
     val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
