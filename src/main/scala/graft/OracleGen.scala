@@ -218,4 +218,109 @@ object OracleGen {
      SELECT id_a, id_b, hamming FROM pr
      WHERE hamming <= $maxDist ORDER BY id_a, id_b"""
   }
+
+  /** Spark's `xxhash64` of a single BIGINT (seed 42) as a SQL scalar —
+    * XXH64's one-8-byte-block path is a fixed sequence of mod-2^64
+    * multiplies/rotates/xors, reproduced in UHUGEINT (validated
+    * bit-for-bit against the Spark builtin). The nested single-element
+    * `list_transform` chain is the q30 let-binding idiom.
+    */
+  private def xx64LongSql(inner: String): String = {
+    val two64 = "18446744073709551616::UHUGEINT"
+    def u(x: Long) = java.lang.Long.toUnsignedString(x) + "::UHUGEINT"
+    val (p1, p2, p3, p4, p5) = (0x9E3779B185EBCA87L, 0xC2B2AE3D27D4EB4FL,
+      0x165667B19E3779F9L, 0x85EBCA77C2B2AE63L, 0x27D4EB2F165667C5L)
+    val h0 = 42L + p5 + 8L // seed + PRIME64_5 + input length (8 bytes)
+    s"""CAST(list_transform([(CAST($inner AS UHUGEINT) * ${u(p2)}) % $two64], k ->
+     list_transform([((k << 31::UHUGEINT) % $two64 + (k >> 33::UHUGEINT))], k1 ->
+     list_transform([xor(${u(h0)}, (k1 * ${u(p1)}) % $two64)], h1 ->
+     list_transform([((h1 << 27::UHUGEINT) % $two64 + (h1 >> 37::UHUGEINT))], h2 ->
+     list_transform([((h2 * ${u(p1)}) % $two64 + ${u(p4)}) % $two64], h4 ->
+     list_transform([xor(h4, h4 >> 33::UHUGEINT)], f1 ->
+     list_transform([(f1 * ${u(p2)}) % $two64], f2 ->
+     list_transform([xor(f2, f2 >> 29::UHUGEINT)], f3 ->
+     list_transform([(f3 * ${u(p3)}) % $two64], f4 ->
+     list_transform([xor(f4, f4 >> 32::UHUGEINT)], f5 ->
+      CASE WHEN f5 >= 9223372036854775808::UHUGEINT
+           THEN CAST(f5 AS HUGEINT) - 18446744073709551616::HUGEINT
+           ELSE CAST(f5 AS HUGEINT)
+      END)[1])[1])[1])[1])[1])[1])[1])[1])[1])[1] AS BIGINT)"""
+  }
+
+  /** q44: IVF top-k with the quantizer TRAINED IN SQL — the whole
+    * train-then-probe pipeline restated: xxhash64 subsample + init order
+    * ([[xx64LongSql]]), `iters` unrolled Lloyd iterations on the
+    * [[Similarity.IvfQuantScale]] integer grid (every dot/sum is exact
+    * integer arithmetic in double — order-independent, so centroids are
+    * bit-identical to Spark's), nProbe probe lists per query, exact-cosine
+    * scoring of the probed lists on the RAW vectors. Assignment argmax
+    * ranks by dot/√|c|² (≡ cosine per row), first cid wins ties; empty
+    * clusters keep their previous centroid.
+    */
+  def q44Sql(k: Int = 5, nCentroids: Int = 16, iters: Int = 2,
+      trainMod: Int = 2, nProbe: Int = 4, dims: Int = 64,
+      maxQueryId: Int = 8): String = {
+    val scale = Similarity.IvfQuantScale
+    // one Lloyd iteration: assign (argmax over current centroids) → per
+    // (cid, pos) mean floored back onto the grid; empty clusters carry over
+    def iter(i: Int): String = {
+      val (prev, nxt) = (s"c$i", s"c${i + 1}")
+      s"""n$i AS (SELECT cid, c, list_dot_product(c, c) AS nrm FROM $prev),
+     a$i AS (SELECT id, qv, cid FROM (
+            SELECT t.id, t.qv, n.cid,
+              ROW_NUMBER() OVER (PARTITION BY t.id ORDER BY
+                (CASE WHEN n.nrm = 0 THEN '-infinity'::DOUBLE
+                      ELSE list_dot_product(t.qv, n.c) / sqrt(n.nrm) END)
+                DESC, n.cid) AS rn
+            FROM tr t CROSS JOIN n$i n) WHERE rn = 1),
+     s$i AS (SELECT cid, unnest(range($dims)) AS pos, unnest(qv) AS val
+             FROM a$i),
+     g$i AS (SELECT cid, pos, floor(SUM(val) / COUNT(*)) AS m
+             FROM s$i GROUP BY 1, 2),
+     $nxt AS (SELECT o.cid, CASE WHEN COUNT(g.m) = 0 THEN ANY_VALUE(o.c)
+                  ELSE list(g.m ORDER BY g.pos) END AS c
+              FROM $prev o LEFT JOIN g$i g ON g.cid = o.cid
+              GROUP BY o.cid)"""
+    }
+    val cf = s"c$iters"
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+           FROM embeddings),
+     qz AS (SELECT id, v, list_transform(v,
+              x -> CAST(floor(x * $scale) AS DOUBLE)) AS qv FROM e),
+     hh AS (SELECT id, qv, ${xx64LongSql("id")} AS h FROM qz),
+     tr AS (SELECT id, qv, h FROM hh WHERE ((h % $trainMod) + $trainMod)
+              % $trainMod = 0),
+     c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, id) - 1 AS INTEGER)
+              AS cid, qv AS c
+            FROM tr ORDER BY h, id LIMIT $nCentroids),
+     ${(0 until iters).map(iter).mkString(",\n     ")},
+     nf AS (SELECT cid, c, list_dot_product(c, c) AS nrm FROM $cf),
+     asg AS (SELECT id, cid FROM (
+            SELECT z.id, n.cid,
+              ROW_NUMBER() OVER (PARTITION BY z.id ORDER BY
+                (CASE WHEN n.nrm = 0 THEN '-infinity'::DOUBLE
+                      ELSE list_dot_product(z.qv, n.c) / sqrt(n.nrm) END)
+                DESC, n.cid) AS rn
+            FROM qz z CROSS JOIN nf n) WHERE rn = 1),
+     prb AS (SELECT query_id, cid FROM (
+            SELECT z.id AS query_id, n.cid,
+              ROW_NUMBER() OVER (PARTITION BY z.id ORDER BY
+                (CASE WHEN n.nrm = 0 THEN '-infinity'::DOUBLE
+                      ELSE list_dot_product(z.qv, n.c) / sqrt(n.nrm) END)
+                DESC, n.cid) AS pr
+            FROM qz z CROSS JOIN nf n WHERE z.id < $maxQueryId)
+            WHERE pr <= $nProbe),
+     sc AS (SELECT p.query_id, a.id AS neighbor_id,
+              list_cosine_similarity(q.v, b.v) AS cs
+            FROM prb p
+            JOIN asg a ON a.cid = p.cid AND a.id <> p.query_id
+            JOIN e q ON q.id = p.query_id
+            JOIN e b ON b.id = a.id),
+     rk AS (SELECT query_id, neighbor_id, cs,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cs DESC, neighbor_id) AS INTEGER) AS rank
+            FROM sc)
+     SELECT query_id, neighbor_id, ROUND(cs, 4) AS cos_sim, rank
+     FROM rk WHERE rank <= $k ORDER BY query_id, rank"""
+  }
 }

@@ -320,6 +320,7 @@ object SparkEntry {
     // Hyperplane-LSH ANN: dot-sign signature bits against inlined plane
     // constants, banded join, exact-cosine rank — fully SQL-expressible.
     "q32_ann_lsh" -> OracleGen.q32Sql(),
+    "q44_ivf_topk" -> OracleGen.q44Sql(),
     "q33_langid" ->
       """WITH s AS (SELECT lang,
            len(list_filter(string_split_regex(lower(trim(text)), '\s+'),

@@ -107,9 +107,15 @@ object TextQueries {
   private val ivfIndex =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
 
-  /** q44: IVF-bucketed approximate top-k against a pre-trained quantizer
-    * (no SQL oracle; spec checks recall against q31 and pins
-    * train-once/probe-many determinism).
+  /** q44: IVF-bucketed approximate top-k against a pre-trained quantizer.
+    * DuckDB-oracled END TO END including training
+    * ([[graft.OracleGen.q44Sql]]): the trainer runs on an integer
+    * quantization grid where every sum is exact (order-independent), and
+    * its xxhash64 subsample/init is reimplemented in mod-2^64 SQL — so the
+    * oracle re-derives the same centroids from scratch and the gate
+    * hash-compares the full train-then-probe pipeline. The spec
+    * additionally checks recall against q31 and train-once/probe-many
+    * determinism.
     */
   def q44IvfTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = asDouble(Tables.embeddings(spark, sfDir))

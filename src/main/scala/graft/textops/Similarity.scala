@@ -150,28 +150,57 @@ object Similarity {
       .select(col(idName), col("bb.band"), col("bb.bucket"))
   }
 
-  /** Argmax-cosine centroid id for a vector against a (small, literal)
-    * centroid table — codegen'd one-pass dots, no shuffle.
+  /** Integer quantization grid for the IVF coarse quantizer: component
+    * x → floor(x · 4096), kept as integer-VALUED doubles. The point is
+    * exactness, not compression: dot products and cluster sums of
+    * integers below 2^53 are EXACT in IEEE double, hence
+    * order-independent — the whole trainer becomes bit-deterministic
+    * across run orders AND across engines, which is what lets the driver
+    * oracle restate it in DuckDB SQL ([[graft.OracleGen.q44Sql]]). The
+    * 1/4096 grid error is ~2⁻¹² relative on unit-scale embeddings —
+    * far below the coarse quantizer's own approximation (recall specs
+    * are unaffected).
     */
-  private def nearestCentroid(vec: Column,
+  private[graft] val IvfQuantScale = 4096.0
+
+  private[graft] def ivfQuantized(vec: Column): Column =
+    transform(vec, x => floor(x * IvfQuantScale).cast("double"))
+
+  /** Argmax spherical-similarity centroid id for a QUANTIZED vector
+    * against integer-grid centroids: score_c = dot(qv, c) / √|c|² ranks
+    * identically to cosine (|qv| is constant per row) but costs one
+    * division, and with exact-integer inputs both dot and |c|² are exact —
+    * the score is ONE deterministic rounding, so the argmax can never
+    * flip on accumulation order. First index wins ties (array_position);
+    * an all-zero centroid scores -∞.
+    */
+  private def nearestCentroidQ(qvec: Column,
       cents: Array[Array[Double]]): Column = {
-    val sims = array(cents.map(c => cosine(vec, lit(c))): _*)
+    val sims = array(cents.map { c =>
+      val n2 = c.map(x => x * x).sum
+      if (n2 == 0.0) lit(Double.NegativeInfinity)
+      else dot(qvec, lit(c)) / math.sqrt(n2)
+    }: _*)
     (array_position(sims, array_max(sims)) - 1).cast("int")
   }
 
   /** Train an IVF coarse quantizer: spherical k-means over a deterministic
-    * `xxhash64 % trainMod` subsample (standard IVF practice — FAISS trains
-    * on a sample). Each Lloyd iteration is one distributed assign (argmax
-    * over k literal centroids, codegen'd) + one posexplode/groupBy mean
-    * whose RESULT (k·dims rows) is collected — the only driver traffic is
-    * the centroid table itself. Empty clusters keep their previous
-    * centroid. No RNG anywhere (hash-picked init), so the index is
-    * reproducible up to floating-point aggregation order: `avg()` over
-    * doubles accumulates in partition/task-completion order, which can
-    * shift the low bits of a centroid across runs or cluster sizes. Train
-    * ONCE and reuse via [[ivfTopKWith]] for bit-stable serving — exactly
-    * what a real pipeline does (the index is built offline, probed by many
-    * jobs).
+    * hash subsample (standard IVF practice — FAISS trains on a sample),
+    * computed on the [[IvfQuantScale]] integer grid. Each Lloyd iteration
+    * is one distributed assign (argmax over k literal centroids,
+    * codegen'd) + one posexplode/groupBy sum whose RESULT (k·dims rows) is
+    * collected — the only driver traffic is the centroid table itself.
+    * Centroid components update to floor(Σv / n), staying on the grid;
+    * empty clusters keep their previous centroid.
+    *
+    * BIT-DETERMINISTIC, not merely "up to FP aggregation order": no RNG
+    * (the subsample and init use `xxhash64(id)` — a fixed public algorithm
+    * the oracle reimplements in mod-2^64 SQL arithmetic), and every sum
+    * the trainer takes is over exact integers (< 2^53) in double, which is
+    * order-independent. The same arithmetic is restatable in ANSI SQL, so
+    * the driver gate recomputes training + probe end to end
+    * ([[graft.OracleGen.q44Sql]]). Train ONCE and reuse via
+    * [[ivfTopKWith]] — the index is built offline, probed by many jobs.
     */
   def trainIvfCentroids(corpus: DataFrame, nCentroids: Int = 16,
       iters: Int = 3, trainMod: Int = 1,
@@ -179,24 +208,26 @@ object Similarity {
       : Array[Array[Double]] = {
     val train = (if (trainMod <= 1) corpus
       else corpus.filter(pmod(xxhash64(col(idCol)), lit(trainMod)) === 0))
-      .select(col(idCol), col(vecCol))
+      .select(col(idCol), ivfQuantized(col(vecCol)).as("qv"))
       .cache() // scanned iters+1 times; the sample is small by construction
     // deterministic init: the nCentroids rows with smallest id-hash
     var cents: Array[Array[Double]] = train
       .orderBy(xxhash64(col(idCol)), col(idCol))
       .limit(nCentroids)
-      .select(col(vecCol)).collect()
+      .select(col("qv")).collect()
       .map(_.getSeq[Double](0).toArray)
     try {
       for (_ <- 1 to iters) {
-        val means = train
-          .select(nearestCentroid(col(vecCol), cents).as("cid"),
-            posexplode(col(vecCol)).as(Seq("pos", "v")))
-          .groupBy("cid", "pos").agg(avg("v").as("m"))
+        val sums = train
+          .select(nearestCentroidQ(col("qv"), cents).as("cid"),
+            posexplode(col("qv")).as(Seq("pos", "v")))
+          .groupBy("cid", "pos")
+          .agg(sum("v").as("s"), count(lit(1)).as("n"))
           .collect()
         val next = cents.map(_.clone())
-        means.foreach { r =>
-          next(r.getAs[Int]("cid"))(r.getAs[Int]("pos")) = r.getAs[Double]("m")
+        sums.foreach { r =>
+          next(r.getAs[Int]("cid"))(r.getAs[Int]("pos")) =
+            math.floor(r.getAs[Double]("s") / r.getAs[Long]("n"))
         }
         cents = next
       }
@@ -231,20 +262,33 @@ object Similarity {
     * assigned to inverted lists by a codegen'd argmax projection (no
     * shuffle); each query scores only its `nProbe` closest lists. The probe
     * join is keyed on centroid id — bounded fan-out, the corpus never
-    * self-shuffles. Deterministic given the centroids.
+    * self-shuffles. Assignment and probe selection run on the
+    * [[IvfQuantScale]] integer grid (exact arithmetic — deterministic by
+    * construction, see [[trainIvfCentroids]]); final scoring uses the RAW
+    * vectors. Centroids must lie on the grid (integral components), which
+    * [[trainIvfCentroids]] guarantees.
     */
   def ivfTopKWith(corpus: DataFrame, queries: DataFrame, k: Int,
       cents: Array[Array[Double]], nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(cents.forall(_.forall(_.isWhole)),
+      "IVF centroids live on the integer quantization grid — train with " +
+        "trainIvfCentroids (arbitrary float centroids would re-introduce " +
+        "the FP-order nondeterminism the grid removes)")
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("cid", nearestCentroid(col("cv"), cents))
-    // each query probes its nProbe closest inverted lists
+      .withColumn("cid", nearestCentroidQ(ivfQuantized(col("cv")), cents))
+    // each query probes its nProbe closest inverted lists; the probe score
+    // is the same exact-integer spherical similarity as assignment
     val probeW = Window.partitionBy("query_id").orderBy(
       col("centroid_sim").desc, col("cid"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qq", ivfQuantized(col("qv")))
       .select(col("query_id"), col("qv"),
-        posexplode(array(cents.map(ct => cosine(col("qv"), lit(ct))): _*))
-          .as(Seq("cid", "centroid_sim")))
+        posexplode(array(cents.map { ct =>
+          val n2 = ct.map(x => x * x).sum
+          if (n2 == 0.0) lit(Double.NegativeInfinity)
+          else dot(col("qq"), lit(ct)) / math.sqrt(n2)
+        }: _*)).as(Seq("cid", "centroid_sim")))
       .withColumn("probe_rank", row_number().over(probeW))
       .filter(col("probe_rank") <= nProbe)
       .select("query_id", "qv", "cid")

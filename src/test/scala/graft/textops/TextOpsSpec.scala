@@ -347,8 +347,8 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(_.toSeq).sortBy(_.toString)
     val first = probe()
     assert(first.nonEmpty)
-    // probing is purely deterministic given the centroids (the float-order
-    // caveat lives in TRAINING only — see trainIvfCentroids' scaladoc)
+    // probing is purely deterministic given the centroids (and training
+    // itself is bit-deterministic on the integer grid — trainIvfCentroids)
     assert(probe() === first)
     // the one-shot ivfTopK is exactly train-then-probe composed
     val oneShot = Similarity.ivfTopK(emb, queries, k = 5, nCentroids = 8,
