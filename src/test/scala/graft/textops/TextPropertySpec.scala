@@ -107,4 +107,46 @@ class TextPropertySpec extends SparkSpec {
       got == expected
     })
   }
+
+  test("IVF trainer: distributed == naive mirror BIT-exactly (integer grid)") {
+    // the q44 oracle's premise, property-tested: because every sum the
+    // trainer takes is over exact integers, the distributed groupBy result
+    // equals a sequential driver-side mirror EXACTLY — not approximately —
+    // on arbitrary corpora
+    def xx(l: Long): Long =
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(l, 42L)
+    def naiveTrain(vecs: Seq[(Long, Array[Double])], k: Int,
+        iters: Int): Array[Array[Double]] = {
+      val train = vecs.map { case (id, v) =>
+        (id, v.map(x => math.floor(x * Similarity.IvfQuantScale))) }
+      var cents = train.sortBy { case (id, _) => (xx(id), id) }
+        .take(k).map(_._2.clone()).toArray
+      def nearest(qv: Array[Double]): Int = {
+        val scores = cents.map { c =>
+          val n2 = c.map(x => x * x).sum
+          if (n2 == 0.0) Double.NegativeInfinity
+          else qv.indices.map(i => qv(i) * c(i)).sum / math.sqrt(n2)
+        }
+        scores.indexOf(scores.max)
+      }
+      for (_ <- 1 to iters) {
+        val byCid = train.groupBy { case (_, qv) => nearest(qv) }
+        cents = cents.zipWithIndex.map { case (old, cid) =>
+          byCid.get(cid).fold(old) { members =>
+            old.indices.map(p =>
+              math.floor(members.map(_._2(p)).sum / members.size)).toArray
+          }
+        }
+      }
+      cents
+    }
+    val genVec = Gen.listOfN(6, Gen.chooseNum(-1.0, 1.0)).map(_.toArray)
+    check("ivf-train", Prop.forAll(Gen.listOfN(12, genVec)) { vecs0 =>
+      val vecs = vecs0.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val expected = naiveTrain(vecs, k = 4, iters = 2)
+      val got = Similarity.trainIvfCentroids(
+        vecs.toDF("vec_id", "embedding"), nCentroids = 4, iters = 2)
+      got.map(_.toSeq).toSeq == expected.map(_.toSeq).toSeq
+    })
+  }
 }
