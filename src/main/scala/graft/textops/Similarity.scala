@@ -176,7 +176,7 @@ object Similarity {
     */
   private def nearestCentroidQ(qvec: Column,
       cents: Array[Array[Double]]): Column = {
-    val sims = array(cents.map { c =>
+    val sims = array(cents.toIndexedSeq.map { c =>
       val n2 = c.map(x => x * x).sum
       if (n2 == 0.0) lit(Double.NegativeInfinity)
       else dot(qvec, lit(c)) / math.sqrt(n2)
@@ -284,7 +284,7 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qq", ivfQuantized(col("qv")))
       .select(col("query_id"), col("qv"),
-        posexplode(array(cents.map { ct =>
+        posexplode(array(cents.toIndexedSeq.map { ct =>
           val n2 = ct.map(x => x * x).sum
           if (n2 == 0.0) lit(Double.NegativeInfinity)
           else dot(col("qq"), lit(ct)) / math.sqrt(n2)

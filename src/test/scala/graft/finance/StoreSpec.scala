@@ -291,7 +291,8 @@ class StoreSpec extends SparkSpec {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val (next, release) = Store.upsertReleasable(empty, batch)
     Store.save(next, dir.toString) // materializes → the cached RDD exists
-    val mine = spark.sparkContext.getPersistentRDDs.keySet -- before
+    val mine = spark.sparkContext.getPersistentRDDs.keySet
+      .filterNot(before.contains)
     assert(mine.nonEmpty, "upsert persists its sorted batch")
     release()
     val after = spark.sparkContext.getPersistentRDDs.keySet
