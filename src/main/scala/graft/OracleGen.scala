@@ -231,7 +231,13 @@ object OracleGen {
     val (p1, p2, p3, p4, p5) = (0x9E3779B185EBCA87L, 0xC2B2AE3D27D4EB4FL,
       0x165667B19E3779F9L, 0x85EBCA77C2B2AE63L, 0x27D4EB2F165667C5L)
     val h0 = 42L + p5 + 8L // seed + PRIME64_5 + input length (8 bytes)
-    s"""CAST(list_transform([(CAST($inner AS UHUGEINT) * ${u(p2)}) % $two64], k ->
+    // two's complement into the unsigned domain first: a negative BIGINT
+    // is a legal xxhash64 input on the Spark side, but DuckDB rejects a
+    // direct negative→UHUGEINT cast
+    val unsignedInner = s"""(CASE WHEN ($inner) < 0
+       THEN CAST(($inner) AS HUGEINT) + 18446744073709551616::HUGEINT
+       ELSE CAST(($inner) AS HUGEINT) END)::UHUGEINT"""
+    s"""CAST(list_transform([($unsignedInner * ${u(p2)}) % $two64], k ->
      list_transform([((k << 31::UHUGEINT) % $two64 + (k >> 33::UHUGEINT))], k1 ->
      list_transform([xor(${u(h0)}, (k1 * ${u(p1)}) % $two64)], h1 ->
      list_transform([((h1 << 27::UHUGEINT) % $two64 + (h1 >> 37::UHUGEINT))], h2 ->
@@ -258,8 +264,10 @@ object OracleGen {
     * clusters keep their previous centroid.
     */
   def q44Sql(k: Int = 5, nCentroids: Int = 16, iters: Int = 2,
-      trainMod: Int = 2, nProbe: Int = 4, dims: Int = 64,
+      trainMod: Int = 2, nProbe: Int = 4,
       maxQueryId: Int = 8): String = {
+    require(iters >= 1, "iters must be >= 1 (0 would emit invalid SQL)")
+    require(trainMod >= 1, "trainMod must be >= 1 (h % 0 is NULL in SQL)")
     val scale = Similarity.IvfQuantScale
     // one Lloyd iteration: assign (argmax over current centroids) → per
     // (cid, pos) mean floored back onto the grid; empty clusters carry over
@@ -273,7 +281,7 @@ object OracleGen {
                       ELSE list_dot_product(t.qv, n.c) / sqrt(n.nrm) END)
                 DESC, n.cid) AS rn
             FROM tr t CROSS JOIN n$i n) WHERE rn = 1),
-     s$i AS (SELECT cid, unnest(range($dims)) AS pos, unnest(qv) AS val
+     s$i AS (SELECT cid, unnest(range(len(qv))) AS pos, unnest(qv) AS val
              FROM a$i),
      g$i AS (SELECT cid, pos, floor(SUM(val) / COUNT(*)) AS m
              FROM s$i GROUP BY 1, 2),

@@ -166,21 +166,30 @@ object Similarity {
   private[graft] def ivfQuantized(vec: Column): Column =
     transform(vec, x => floor(x * IvfQuantScale).cast("double"))
 
-  /** Argmax spherical-similarity centroid id for a QUANTIZED vector
+  /** Per-centroid spherical-similarity scores for a QUANTIZED vector
     * against integer-grid centroids: score_c = dot(qv, c) / √|c|² ranks
     * identically to cosine (|qv| is constant per row) but costs one
     * division, and with exact-integer inputs both dot and |c|² are exact —
-    * the score is ONE deterministic rounding, so the argmax can never
-    * flip on accumulation order. First index wins ties (array_position);
-    * an all-zero centroid scores -∞.
+    * the score is ONE deterministic rounding, so rankings can never flip
+    * on accumulation order. An all-zero centroid scores -∞. SHARED by
+    * assignment ([[nearestCentroidQ]]) and probe selection
+    * ([[ivfTopKWith]]) — the q44 oracle requires the two to stay
+    * bit-identical, so there is exactly one definition.
     */
-  private def nearestCentroidQ(qvec: Column,
-      cents: Array[Array[Double]]): Column = {
-    val sims = array(cents.toIndexedSeq.map { c =>
+  private def centroidScores(qvec: Column,
+      cents: Array[Array[Double]]): Seq[Column] =
+    cents.toIndexedSeq.map { c =>
       val n2 = c.map(x => x * x).sum
       if (n2 == 0.0) lit(Double.NegativeInfinity)
       else dot(qvec, lit(c)) / math.sqrt(n2)
-    }: _*)
+    }
+
+  /** Argmax of [[centroidScores]]; first index wins ties
+    * (array_position).
+    */
+  private def nearestCentroidQ(qvec: Column,
+      cents: Array[Array[Double]]): Column = {
+    val sims = array(centroidScores(qvec, cents): _*)
     (array_position(sims, array_max(sims)) - 1).cast("int")
   }
 
@@ -210,6 +219,21 @@ object Similarity {
       else corpus.filter(pmod(xxhash64(col(idCol)), lit(trainMod)) === 0))
       .select(col(idCol), ivfQuantized(col(vecCol)).as("qv"))
       .cache() // scanned iters+1 times; the sample is small by construction
+    // ENFORCE the exactness invariant the whole contract rests on, don't
+    // just document it: with |component| ≤ 2^20 on the grid, dots stay
+    // ≤ dims·2^40 and cluster sums stay exact up to ~2^33 members — all
+    // far inside double's 2^53 exact-integer range. Un-normalized inputs
+    // (components ~1e10) would silently reintroduce order-dependent
+    // rounding; fail loudly instead. One tiny aggregate on the cached
+    // sample.
+    import org.apache.spark.sql.Row
+    val maxAbs = train
+      .agg(max(array_max(transform(col("qv"), x => abs(x)))))
+      .head() match { case Row(v: Double) => v; case _ => 0.0 }
+    require(maxAbs <= (1L << 20).toDouble,
+      f"IVF quantized components reach |$maxAbs%.0f| > 2^20 — inputs must " +
+        "be roughly unit-scale for the integer-grid exactness contract " +
+        "(rescale embeddings before training)")
     // deterministic init: the nCentroids rows with smallest id-hash
     var cents: Array[Array[Double]] = train
       .orderBy(xxhash64(col(idCol)), col(idCol))
@@ -284,11 +308,8 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qq", ivfQuantized(col("qv")))
       .select(col("query_id"), col("qv"),
-        posexplode(array(cents.toIndexedSeq.map { ct =>
-          val n2 = ct.map(x => x * x).sum
-          if (n2 == 0.0) lit(Double.NegativeInfinity)
-          else dot(col("qq"), lit(ct)) / math.sqrt(n2)
-        }: _*)).as(Seq("cid", "centroid_sim")))
+        posexplode(array(centroidScores(col("qq"), cents): _*))
+          .as(Seq("cid", "centroid_sim")))
       .withColumn("probe_rank", row_number().over(probeW))
       .filter(col("probe_rank") <= nProbe)
       .select("query_id", "qv", "cid")
