@@ -81,12 +81,14 @@ object OracleGen {
 
   /** q32: hyperplane-LSH ANN top-k — queries (vec_id < `maxQueryId`) and
     * corpus banded identically; candidates = same-bucket (query, neighbor)
-    * pairs; exact cosine scored and ranked per query. Mirrors
-    * [[Similarity.annLshTopK]] (which has no bucket cap — the query side
-    * bounds fan-out).
+    * pairs drawn from corpus buckets of ≤ `maxBucket` members (the
+    * 1..maxBucket cap — singleton corpus buckets still pair with queries,
+    * unlike q46's within-bucket 2..maxBucket); exact cosine scored and
+    * ranked per query. Mirrors [[Similarity.annLshTopK]] with its pinned
+    * 4×4 geometry including the corpus-side bucket cap.
     */
   def q32Sql(k: Int = 5, planes: Int = 16, bands: Int = 4, dims: Int = 64,
-      maxQueryId: Int = 8): String = {
+      maxQueryId: Int = 8, maxBucket: Int = 1 << 12): String = {
     val r = planes / bands
     val mask = (1L << r) - 1
     s"""WITH consts AS (SELECT ${planesSql(planes, dims)}::DOUBLE[][] AS pl,
@@ -95,9 +97,12 @@ object OracleGen {
      ${sigSql(planes)},
      bb AS (SELECT id, b AS band, (sig >> (b * $r)) & $mask AS bucket
             FROM sg, (SELECT unnest(range($bands)) AS b)),
+     ok AS (SELECT band, bucket FROM bb GROUP BY 1, 2
+            HAVING COUNT(*) BETWEEN 1 AND $maxBucket),
      pr AS (SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id
             FROM bb q JOIN bb c ON q.band = c.band AND q.bucket = c.bucket
               AND q.id <> c.id
+            JOIN ok o ON o.band = c.band AND o.bucket = c.bucket
             WHERE q.id < $maxQueryId),
      sc AS (SELECT query_id, neighbor_id,
               list_cosine_similarity(a.v, b.v) AS cs
@@ -171,6 +176,12 @@ object OracleGen {
     * of textually duplicated. Signed packing reuses the q46 bits trick
     * (bit 63 = Long.MinValue); the chunk extraction maps the signed value
     * back to its unsigned bit pattern before shifting.
+    *
+    * Tokenizer boundary: both sides split on `\s+`, but Java's regex `\s`
+    * includes `\x0B` (vertical tab) while DuckDB's RE2 `\s` does not — a
+    * document containing a vertical tab would tokenize differently across
+    * engines. The test corpus contains none; documented as the known
+    * cross-engine seam rather than papered over with a custom class.
     */
   def q30Sql(maxDist: Int = 6, maxBucket: Int = 1 << 12): String = {
     val two64 = "18446744073709551616"
@@ -262,6 +273,16 @@ object OracleGen {
     * scoring of the probed lists on the RAW vectors. Assignment argmax
     * ranks by dot/√|c|² (≡ cosine per row), first cid wins ties; empty
     * clusters keep their previous centroid.
+    *
+    * Exactness boundary (the q31/q32 precedent): training, assignment and
+    * probe SELECTION are bit-identical across engines (integer-grid
+    * arithmetic). The final `ORDER BY cs DESC` ranks on RAW-double cosine
+    * computed independently by each engine (DuckDB
+    * `list_cosine_similarity` vs Spark's one-pass CosineSim) — the one
+    * cross-engine FP link: a near-tie in raw cosine, or a value exactly on
+    * a 4-dp rounding boundary, could flip a rank or a rounded `cos_sim`
+    * at some other scale factor even though sf0.1/sf0.01 hash-match. The
+    * `neighbor_id` tiebreak bounds the damage to genuinely-equal scores.
     */
   def q44Sql(k: Int = 5, nCentroids: Int = 16, iters: Int = 2,
       trainMod: Int = 2, nProbe: Int = 4,

@@ -84,14 +84,17 @@ object Store {
     * consumers (the q39 gate) may ignore the handle: their cache entry is
     * released with the session, bounded by one entry per upsert call.
     */
-  def upsertReleasable(existing: DataFrame,
-      batch: DataFrame): (DataFrame, () => Unit) = {
+  def upsertReleasable(existing: DataFrame, batch: DataFrame,
+      idBase: Option[Long] = None): (DataFrame, () => Unit) = {
     val spark = existing.sparkSession
     import spark.implicits._
 
     // MAX(id)+1 offset — single tiny driver-side aggregate (panda.py:685-688).
-    val maxId: Long = existing.agg(coalesce(max("transaction_id"), lit(0L)))
-      .as[Long].head()
+    // `idBase` overrides it for callers merging against a SLICE of the
+    // store ([[upsertBucketedYears]]): ids must continue from the GLOBAL
+    // max, not the slice's.
+    val maxId: Long = idBase.getOrElse(
+      existing.agg(coalesce(max("transaction_id"), lit(0L))).as[Long].head())
 
     // Candidate ids enumerate the WHOLE batch in canonical order; ids of
     // conflicting rows are burned (panda.py:691). Range-repartition + local
@@ -155,6 +158,18 @@ object Store {
     * tie-break keeps the survivor unique and store-first (ids are unique
     * per row, so min_by never sees ordering ties). ScaleSmoke drives the
     * hot-key shape and asserts no straggler.
+    *
+    * Survivor determinism, precisely: store-vs-batch priority is always
+    * deterministic (`_src`). WITHIN one batch, `_pos` is
+    * `monotonically_increasing_id()`, which follows partition layout — if
+    * the same natural key repeats in a batch with DIFFERING non-key
+    * columns, the surviving row can change when upstream partitioning
+    * changes (AQE, different parallelism). The reference's pandas
+    * keep='first' is file-order-stable instead; callers needing that
+    * stability should carry an explicit ingest-order column (e.g. file
+    * path + line offset) and pre-dedup on it. For the ING pipeline this
+    * is moot: in-batch duplicates are full-row duplicates (same non-key
+    * columns), so any survivor is the same row.
     */
   def importBatch(store: DataFrame, batch: DataFrame): DataFrame = {
     val tagged = store.withColumn("_src", lit(0L))
@@ -270,6 +285,56 @@ object Store {
     */
   def loadBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Incremental upsert into a bucketed store table, scoped to the
+    * `book_year` partitions the batch touches — per-call cost is
+    * O(touched years + batch), never O(store). This is the continuous-
+    * ingest write shape ([[graft.streaming.FinanceStream.runSpineBucketed]]
+    * calls it per micro-batch); a full [[save]]/[[saveBucketed]] rewrite
+    * per batch would be O(100 TB) per trigger at fleet scale.
+    *
+    * Why the year scoping is CORRECT, not approximate: `book_date` is a
+    * fingerprint field ([[fingerprint]]), so a batch row can only match a
+    * store row with the identical book_date — i.e. inside its own
+    * `book_year` partition — and the upsert's update columns
+    * (categories + balance) never move a row across years. Untouched
+    * years therefore cannot contain matches and their data files stay
+    * byte-identical ([[replaceYearPartitions]] never opens them;
+    * FinanceStreamSpec asserts checksums).
+    *
+    * Plan shape: the store slice is read through the table's partition
+    * pruning (only touched `book_year=` directories are scanned) and its
+    * fingerprint bucketing keeps the merge join Exchange-free on the
+    * store side — only the batch shuffles. New ids continue from the
+    * GLOBAL max id: one column-pruned aggregate over the store (parquet
+    * footer stats), the single whole-store touch this path keeps.
+    */
+  def upsertBucketedYears(spark: SparkSession, table: String,
+      batch: DataFrame): Unit = {
+    import spark.implicits._
+    val store = loadBucketed(spark, table)
+    val maxId: Long = store.agg(coalesce(max("transaction_id"), lit(0L)))
+      .as[Long].head()
+    // the touched-year set is small by construction (statements span few
+    // years) — collect is driver-safe; NULL book_date rows live in the
+    // null partition, included via an explicit isNull branch
+    val years = batch.select(year(col("book_date")).as("y")).distinct()
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    if (years.nonEmpty) {
+      val inYears = years.flatten.toSeq match {
+        case Seq() => None
+        case ys    => Some(col("book_year").isin(ys: _*))
+      }
+      val nullYear =
+        if (years.contains(None)) Some(col("book_year").isNull) else None
+      val pred = (inYears ++ nullYear).reduce(_ || _)
+      val slice = store.filter(pred).drop("book_year")
+      val (merged, release) =
+        upsertReleasable(slice, batch, idBase = Some(maxId))
+      try replaceYearPartitions(merged, table)
+      finally release()
+    }
+  }
 
   /** Two-phase overwrite: stage to `<path>.staging`, then swap. Parquet has
     * no in-place upsert; the staging write keeps the store readable until

@@ -264,24 +264,43 @@ object Relational {
 
   /** JSON field extraction from the events.props payload (§2.9 note).
     *
-    * Local-floor note (audited round 5): the plan is already right —
-    * ReadSchema pruned to (event_type, props), partial agg map-side, two
-    * exchanges (agg + order). The residual ~0.25 s over the ~0.24 s local
-    * query floor is get_json_object's per-row parse running on ONE task,
-    * because the sf0.1 test file is a single parquet row group (Spark
-    * cannot split inside a row group). A pre-parse repartition(32) wins
-    * only ~0.08 s here (the exchange eats most of the parallelism gain)
-    * and at fleet scale would shuffle the whole table to parallelize work
-    * that thousands of row groups already parallelize — so the shape
-    * deliberately stays shuffle-free before the aggregation.
+    * CPU-bound projection over an under-split scan: the sf0.1 test file is
+    * ONE parquet row group, so Spark cannot split it — the per-row JSON
+    * parse would run on a single task while 31 cores idle. The fix is
+    * scan-shape-AWARE, not unconditional: when the scan yields fewer
+    * input splits than the session's parallelism, redistribute the (column-
+    * pruned: event_type + props only) rows before the parse; when the scan
+    * is already well-split — the fleet case, thousands of row groups —
+    * the repartition is skipped and the plan stays shuffle-free before
+    * the aggregation, exactly as the round-5 audit wanted it. Reading
+    * `rdd.getNumPartitions` is plan metadata (no job).
     */
-  def q19Json(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.events(spark, sfDir)
+  def q19Json(spark: SparkSession, sfDir: String): DataFrame = {
+    val pruned = Tables.events(spark, sfDir).select("event_type", "props")
+    val par = spark.sparkContext.defaultParallelism
+    // estimate the scan's split count from file bytes (driver-side FS
+    // metadata, ~ms) — `rdd.getNumPartitions` would be exact but compiles
+    // the physical plan a second time (~90 ms, a fifth of this query)
+    val p = new org.apache.hadoop.fs.Path(s"$sfDir/events.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val maxSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
+      .stripSuffix("b").toLong
+    val estSplits = math.max(1L, bytes / math.max(1L, maxSplit))
+    val spread =
+      if (estSplits < par) pruned.repartition(par)
+      else pruned
+    spread
       .select(col("event_type"),
               get_json_object(col("props"), "$.k").cast("long").as("k"))
       .groupBy(col("event_type"))
       .agg(round(avg(col("k")), 4).as("avg_k"), max(col("k")).as("max_k"))
-      .orderBy(col("event_type"))
+      // global order on a |event_type|-row result: coalesce(1) + local
+      // sort — a bare orderBy is a RangePartitioning exchange whose
+      // sampling pass is a whole extra JOB, the single largest slice of
+      // this query's local floor (and pure waste for a handful of rows)
+      .coalesce(1).sortWithinPartitions(col("event_type"))
+  }
 
   /** Tumbling 1-hour event-time window aggregation — written with the same
     * `window()` construct Structured Streaming uses, so the identical plan

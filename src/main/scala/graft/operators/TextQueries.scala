@@ -89,11 +89,15 @@ object TextQueries {
   /** q32: LSH-bucketed approximate top-k. DuckDB-oracled
     * ([[graft.OracleGen.q32Sql]]): the hyperplane signature is a dot-sign
     * test against deterministic plane constants, directly restatable in
-    * SQL; the spec additionally checks recall against q31.
+    * SQL; the spec additionally checks recall against q31. Geometry is
+    * PINNED (4 bands × 4 bits — the planes the static oracle SQL bakes
+    * in); production callers should leave `bitsPerBand = 0` and let
+    * [[graft.textops.Similarity.autoBandBits]] scale r with the corpus.
     */
   def q32AnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = asDouble(Tables.embeddings(spark, sfDir))
-    Similarity.annLshTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
+    Similarity.annLshTopK(emb, emb.filter(col("vec_id") < 8), k = 5,
+        bands = 4, bitsPerBand = 4)
       .withColumn("cos_sim", round(col("cos_sim"), 4))
       .orderBy("query_id", "rank")
   }

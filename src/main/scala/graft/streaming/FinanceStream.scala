@@ -84,12 +84,13 @@ object FinanceStream {
     * statement file the moment newer statements had advanced the horizon —
     * data loss, not dedup. Ingest time is monotonic (each micro-batch's
     * rows stamp later than the watermark left by the previous one), so NO
-    * row is ever late, while state still evicts `watermarkDelay` after a
-    * fingerprint was last ingested — bounded by the re-import window, the
-    * thing actually being deduplicated. A fingerprint re-ingested beyond
-    * the horizon passes through to the store upsert, which handles it as
-    * an update (identity preserved): correctness degrades gracefully to
-    * the batch merge semantics, never to duplicates or loss.
+    * row is ever late, while state evicts `watermarkDelay` after a
+    * fingerprint was FIRST ingested (`dropDuplicatesWithinWatermark` keys
+    * state expiry to the first arrival's event time; duplicates do NOT
+    * extend it). A fingerprint re-ingested beyond that horizon passes
+    * through to the store upsert, which handles it as an update (identity
+    * preserved): correctness degrades gracefully to the batch merge
+    * semantics, never to duplicates or loss.
     */
   def spine(raw: DataFrame, watermarkDelay: String = "30 days"): DataFrame = {
     val withCats = raw
@@ -106,9 +107,15 @@ object FinanceStream {
   /** Run the spine over everything currently in `dir`, upserting each
     * micro-batch into the parquet store at `storePath` and stopping when
     * the input is drained (Trigger.AvailableNow — the streaming analogue
-    * of one import command; a deployment would drop the trigger and let it
-    * run). `maxFilesPerTrigger` splits the drain into multiple micro-
-    * batches — the spec uses it to prove incremental upserts compose.
+    * of one import command). `maxFilesPerTrigger` splits the drain into
+    * multiple micro-batches — the spec uses it to prove incremental
+    * upserts compose.
+    *
+    * Each micro-batch re-reads and REWRITES the whole path-based store —
+    * O(store) per trigger, acceptable only for this one-shot import shape.
+    * A continuous deployment (drop the trigger, let it run) must use
+    * [[runSpineBucketed]], whose per-trigger cost is O(touched years +
+    * batch).
     */
   def runSpine(spark: SparkSession, dir: String, storePath: String,
       checkpoint: String, watermarkDelay: String = "30 days",
@@ -140,6 +147,57 @@ object FinanceStream {
         val (merged, release) = Store.upsertReleasable(existing, prepared)
         try Store.save(merged, storePath)
         finally release()
+      }
+      .start()
+  }
+
+  /** The CONTINUOUS deployment shape: the same spine, upserting each
+    * micro-batch INCREMENTALLY into the fingerprint-bucketed store table —
+    * per-trigger cost is O(touched `book_year` partitions + batch), never
+    * O(store), which is what lets the query run unattended against a
+    * 100 TB system-of-record:
+    *
+    *   - the merge reads the store through [[Store.upsertBucketedYears]]:
+    *     partition-pruned to the batch's years (a fingerprint pins its
+    *     book_date, so matches cannot exist elsewhere) and Exchange-free
+    *     on the store side thanks to the fingerprint bucketing;
+    *   - the write-back is [[Store.replaceYearPartitions]] — dynamic
+    *     partition overwrite of exactly the touched `book_year=`
+    *     directories; every other partition's data files stay
+    *     byte-identical across triggers (FinanceStreamSpec asserts
+    *     checksums).
+    *
+    * The first micro-batch bootstraps the table via [[Store.saveBucketed]].
+    * Kept on `Trigger.AvailableNow` so tests and one-shot runs drain and
+    * stop; a deployment drops the trigger and the per-trigger cost model
+    * above is the one that holds.
+    */
+  def runSpineBucketed(spark: SparkSession, dir: String, table: String,
+      checkpoint: String, watermarkDelay: String = "30 days",
+      maxFilesPerTrigger: Option[Int] = None,
+      nBuckets: Int = 16): StreamingQuery = {
+    val deduped = spine(
+      IngCsv.project(ingLines(spark, dir, maxFilesPerTrigger)),
+      watermarkDelay)
+    deduped.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sess = batch.sparkSession
+        val prepared = batch
+          .withColumn("imported_at", current_timestamp())
+          .select(TransactionSchema.storeSchema.fieldNames.toSeq
+            .filterNot(_ == "transaction_id").map(col): _*)
+        if (sess.catalog.tableExists(table))
+          Store.upsertBucketedYears(sess, table, prepared)
+        else {
+          val empty = sess.createDataFrame(
+            sess.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            TransactionSchema.storeSchema)
+          val (merged, release) = Store.upsertReleasable(empty, prepared)
+          try Store.saveBucketed(merged, table, nBuckets)
+          finally release()
+        }
       }
       .start()
   }

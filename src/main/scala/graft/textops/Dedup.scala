@@ -80,7 +80,23 @@ object Dedup {
     * any group was dropped.
     */
   private[textops] def groupPairs(groups: DataFrame, memberCol: String,
-      maxGroup: Int, dropStats: Option[Observation] = None): DataFrame = {
+      maxGroup: Int, dropStats: Option[Observation] = None): DataFrame =
+    cappedGroups(groups, memberCol, maxGroup, dropStats, minSize = 2)
+      .select(explode(col(memberCol)).as("a"), col(memberCol))
+      .select(col("a"), explode(col(memberCol)).as("b"))
+      .filter(col("a") < col("b"))
+
+  /** The observe-then-cap half of [[groupPairs]], reusable by operators
+    * whose candidate fan-out is a group JOIN rather than a within-group
+    * pair explode (e.g. [[Similarity.annLshTopK]]'s query×bucket join —
+    * there a singleton group is still a valid candidate source, hence
+    * `minSize`). Same metrics contract: `dropped_groups` / `max_group` /
+    * `n_groups`, WARN-logged via [[DropWarnings]] when no `dropStats`
+    * observation is supplied.
+    */
+  private[textops] def cappedGroups(groups: DataFrame, memberCol: String,
+      maxGroup: Int, dropStats: Option[Observation], minSize: Int)
+      : DataFrame = {
     val metrics = Seq(
       sum(when(size(col(memberCol)) > maxGroup, 1L).otherwise(0L))
         .as("dropped_groups"),
@@ -92,11 +108,7 @@ object Dedup {
         DropWarnings.install(groups.sparkSession)
         groups.observe(DropWarnings.nextName(), metrics.head, metrics.tail: _*)
     }
-    observed
-      .filter(size(col(memberCol)).between(2, maxGroup))
-      .select(explode(col(memberCol)).as("a"), col(memberCol))
-      .select(col("a"), explode(col(memberCol)).as("b"))
-      .filter(col("a") < col("b"))
+    observed.filter(size(col(memberCol)).between(minSize, maxGroup))
   }
 
   /** All pairs (a<b) whose word-n-gram Jaccard similarity ≥ `threshold`,

@@ -323,10 +323,67 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos_sim", "rank")
   }
 
+  /** Materialize the IVF INDEX in its serving layout: the corpus assigned
+    * to its inverted lists and written `partitionBy("cid")` — one
+    * directory per list. This is what makes probe cost O(probed lists):
+    * a reader that filters on `cid` (statically or via a join against a
+    * broadcast probe side — [[ivfTopKIndexed]]) scans only the probed
+    * `cid=` directories; the other (nCentroids − nProbe)/nCentroids of
+    * the corpus is never opened. The FAISS on-disk analogue, expressed as
+    * a partitioned parquet table.
+    */
+  def saveIvfIndex(corpus: DataFrame, cents: Array[Array[Double]],
+      path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cid", nearestCentroidQ(ivfQuantized(col("cv")), cents))
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+
+  /** Probe a SAVED index ([[saveIvfIndex]]): identical semantics to
+    * [[ivfTopKWith]] (same probe selection, same exact-integer centroid
+    * scores, same raw-vector final scoring), but the corpus side is the
+    * cid-partitioned index scan. The probe side is tiny (queries ×
+    * nProbe) and explicitly `broadcast()`, so Catalyst turns the `cid`
+    * equi-join into DYNAMIC PARTITION PRUNING on the scan — only the
+    * probed inverted-list directories are read (IvfIndexSpec asserts the
+    * pruning on the physical plan). At fleet scale this is the claim the
+    * ivf scaladoc makes, proven: probing 4 of 1024 lists reads ~0.4 % of
+    * a 100 TB corpus, not all of it.
+    */
+  def ivfTopKIndexed(indexPath: String, queries: DataFrame, k: Int,
+      cents: Array[Array[Double]], nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(cents.forall(_.forall(_.isWhole)),
+      "IVF centroids live on the integer quantization grid — train with " +
+        "trainIvfCentroids")
+    val spark = queries.sparkSession
+    val c = spark.read.parquet(indexPath)
+    val probeW = Window.partitionBy("query_id").orderBy(
+      col("centroid_sim").desc, col("cid"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qq", ivfQuantized(col("qv")))
+      .select(col("query_id"), col("qv"),
+        posexplode(array(centroidScores(col("qq"), cents): _*))
+          .as(Seq("cid", "centroid_sim")))
+      .withColumn("probe_rank", row_number().over(probeW))
+      .filter(col("probe_rank") <= nProbe)
+      .select("query_id", "qv", "cid")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    broadcast(q).join(c, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+  }
+
   /** IVF (inverted-file) ANN — the FAISS IVF shape in DataFrames: train a
     * coarse quantizer ([[trainIvfCentroids]]), then probe it
     * ([[ivfTopKWith]]). One-shot convenience; pipelines that probe more
-    * than once should train once and call [[ivfTopKWith]] directly. LSH
+    * than once should train once and call [[ivfTopKWith]] directly —
+    * or materialize the index in its serving layout ([[saveIvfIndex]] /
+    * [[ivfTopKIndexed]]) so probes only READ the probed lists. LSH
     * ([[annLshTopK]]) cuts the same candidate space data-independently;
     * IVF adapts to the actual embedding distribution.
     */
@@ -422,6 +479,25 @@ object Similarity {
     * shuffle is keyed on (band, bucket) — bounded fan-out, no full scan
     * per query, which is the property that survives 100 TB.
     *
+    * Geometry is N-AWARE by default, exactly like
+    * [[cosineNearDupPairsLsh]]: `bitsPerBand = 0` derives r from the
+    * corpus size via [[autoBandBits]], holding expected bucket density at
+    * ~`targetBucketDensity` at ANY corpus size. The pre-round-5 fixed
+    * geometry (16 planes / 4 bands → 2^4 buckets per band FOREVER) put
+    * ~n/16 corpus vectors in every bucket — at n=10⁹ each query fanned
+    * out against ~6×10⁷ candidates per band. Pass `bitsPerBand > 0` to
+    * pin the geometry explicitly (the driver's SQL oracle does). As
+    * auto-r grows with log n, per-band match probability p^r falls —
+    * `bands` is the recall knob to grow alongside it.
+    *
+    * The corpus side of the bucket join is CAPPED: buckets larger than
+    * `maxBucket` are dropped (via [[Dedup.cappedGroups]] — the same
+    * observe-then-cap node as every banded operator here), so a
+    * degenerate bucket (all-zero vectors, an adversarial cluster) bounds
+    * candidate fan-out instead of joining ~n rows against every query
+    * sharing it. Drops are never silent: observable through `dropStats`,
+    * WARN-logged ([[DropWarnings]]) otherwise.
+    *
     * Shuffle plan (mirrors [[Dedup.minhashLshPairs]]): only
     * (id, band, bucket) triples flow through the banding join and the
     * candidate-pair dedup — at fleet scale an embedding is ~KBs/row, and
@@ -431,15 +507,32 @@ object Similarity {
     * recompute — and is broadcast; the corpus side joins on its id.
     */
   def annLshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      planes: Int = 16, bands: Int = 4, dims: Int = 64,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(planes % bands == 0, "bands must divide planes")
-    val r = planes / bands
+      bands: Int = 4, bitsPerBand: Int = 0,
+      corpusCount: Option[Long] = None, targetBucketDensity: Long = 256,
+      dims: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBucket: Int = 1 << 12,
+      dropStats: Option[org.apache.spark.sql.Observation] = None)
+      : DataFrame = {
+    val r =
+      if (bitsPerBand > 0) bitsPerBand
+      else autoBandBits(corpusCount.getOrElse(corpus.count()),
+        targetBucketDensity)
     val c = banded(corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol)), "neighbor_id", bands, r, dims, vecCol)
+    // group the corpus side per (band, bucket) and cap it BEFORE the join:
+    // a singleton bucket is still a valid candidate source (minSize = 1 —
+    // unlike the within-group pair operators, the pairing partner is a
+    // query, not another member)
+    val cCapped = Dedup.cappedGroups(
+        c.groupBy("band", "bucket")
+          .agg(collect_list(col("neighbor_id")).as("members")),
+        "members", maxBucket, dropStats, minSize = 1)
+      .select(col("band"), col("bucket"),
+        explode(col("members")).as("neighbor_id"))
     val q = banded(queries.select(col(idCol).as("query_id"),
       col(vecCol)), "query_id", bands, r, dims, vecCol)
-    val pairs = q.join(c, Seq("band", "bucket"))
+    val pairs = q.join(cCapped, Seq("band", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")

@@ -66,6 +66,21 @@ class CliSpec extends SparkSpec {
       Files.writeString(goldenPath, html)
     val golden = Files.readString(goldenPath)
     assert(html === golden)
+    // Formatters must pin their locale EXPLICITLY — the golden cannot
+    // depend on the JVM default (round-5 VERDICT #8): re-render under two
+    // different default locales (US: 1,234.56; FR: spaces + comma) and
+    // require byte-identity. local[4] shares the JVM, so setDefault
+    // reaches the executor threads too.
+    val dflt = java.util.Locale.getDefault
+    try {
+      for (l <- Seq(java.util.Locale.US, java.util.Locale.FRANCE)) {
+        java.util.Locale.setDefault(l)
+        val again = Report.render(pc, 2024,
+          afaCosts = Seq("Wohnung (AfA)" -> 250000.0), afaYears = 50,
+          officeRatio = 13.0 / 110.0)
+        assert(again === golden, s"report drifted under default locale $l")
+      }
+    } finally java.util.Locale.setDefault(dflt)
   }
 
   test("ing-import: fixtures → categorized fingerprinted parquet store") {

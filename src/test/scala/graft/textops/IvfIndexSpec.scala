@@ -1,0 +1,60 @@
+package graft.textops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The IVF serving-layout claim, proven on the physical plan: a saved
+  * index ([[Similarity.saveIvfIndex]], `partitionBy("cid")`) probed
+  * through [[Similarity.ivfTopKIndexed]] must (a) return exactly what the
+  * in-session probe returns and (b) reach the index scan with a DYNAMIC
+  * PARTITION PRUNING filter on `cid`, so only the probed inverted-list
+  * directories are read — the last piece of the ivf scaladoc that was
+  * asserted nowhere (round-5 VERDICT #7).
+  */
+class IvfIndexSpec extends SparkSpec {
+
+  test("saved IVF index: probe equals in-session probe and prunes via DPP") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val cents = Similarity.trainIvfCentroids(emb, nCentroids = 8, iters = 2)
+    val dir = Files.createTempDirectory("ivf-index").resolve("idx").toString
+    Similarity.saveIvfIndex(emb, cents, dir)
+    val queries = emb.filter(col("vec_id") < 4)
+
+    val expected = Similarity
+      .ivfTopKWith(emb, queries, k = 5, cents, nProbe = 2)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(expected.nonEmpty)
+
+    // AQE folds scans into adaptive subtrees — pin it off for the plan
+    // assert (the StoreSpec bucketed-scan precedent)
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prior = spark.conf.get(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    try {
+      val df = Similarity.ivfTopKIndexed(dir, queries, k = 5, cents,
+        nProbe = 2)
+      val got = df.collect().map(_.toSeq).sortBy(_.toString)
+      assert(got === expected,
+        "indexed probe must equal the in-session probe row-for-row")
+
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      val scans = df.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f
+      }
+      val idxScans = scans.filter(
+        _.relation.location.rootPaths.exists(_.toString.contains("idx")))
+      assert(idxScans.nonEmpty, "expected a scan over the saved index")
+      assert(idxScans.exists(_.partitionFilters.exists(_.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+            .DynamicPruning]))),
+        s"index scan must carry a dynamic partition-pruning filter on cid;" +
+          s" partitionFilters = ${idxScans.map(_.partitionFilters)}")
+    } finally spark.conf.set(aqeKey, prior)
+  }
+}

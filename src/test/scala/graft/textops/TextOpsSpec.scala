@@ -259,7 +259,7 @@ class TextOpsSpec extends SparkSpec {
     assert(exact(0L) === 1L)
     assert(exact(1L) === 0L)
     val approx = Similarity.annLshTopK(vecs, vecs.filter(col("vec_id") < 2),
-        k = 1, planes = 8, bands = 4, dims = 4)
+        k = 1, bands = 4, bitsPerBand = 2, dims = 4)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
     assert(approx(0L) === 1L)
   }
@@ -329,6 +329,64 @@ class TextOpsSpec extends SparkSpec {
     for (a <- dedups; attr <- a.child.output)
       assert(!attr.dataType.isInstanceOf[ArrayType],
         s"dedup input carries array column ${attr.name}")
+  }
+
+  test("ANN LSH auto-r recall ≥ fixed-r recall at two corpus sizes") {
+    // The r4→r5 scale fix, asserted: under a tight bucket cap, fixed r=4
+    // (16 buckets per band forever) overflows the cap as the corpus grows
+    // and its buckets get DROPPED — recall collapses. autoBandBits grows r
+    // with log n, holding bucket density under the cap at any size. Both
+    // variants share bands and the cap; only the per-band bit count moves.
+    def recallAt(corpus: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val queries = corpus.filter(col("vec_id") < 8)
+      def pairs(df: org.apache.spark.sql.DataFrame) = df
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val exact = pairs(Similarity.cosineTopK(corpus, queries, k = 5))
+      def recall(df: org.apache.spark.sql.DataFrame) =
+        (exact intersect pairs(df)).size.toDouble / exact.size
+      // density target 32: auto resolves to the SAME r=4 at n=500 (recall
+      // exactly ties — the hyperplanes are deterministic) and to r=6 at
+      // n=2000, where fixed r=4's ~125-member buckets blow the cap and get
+      // dropped while auto's ~31-member buckets survive it
+      val fixed = recall(Similarity.annLshTopK(corpus, queries, k = 5,
+        bands = 16, bitsPerBand = 4, maxBucket = 48))
+      val auto = recall(Similarity.annLshTopK(corpus, queries, k = 5,
+        bands = 16, targetBucketDensity = 32, maxBucket = 48))
+      (auto, fixed)
+    }
+    def emb(sf: String) = spark.read
+      .parquet(s"/root/testdata/$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val (autoSmall, fixedSmall) = recallAt(emb("sf0.001")) // n = 500
+    val (autoBig, fixedBig) = recallAt(emb("sf0.1"))       // n = 2000
+    assert(autoSmall >= fixedSmall,
+      s"n=500: auto-r recall $autoSmall < fixed-r $fixedSmall")
+    assert(autoBig >= fixedBig,
+      s"n=2000: auto-r recall $autoBig < fixed-r $fixedBig " +
+        s"(small: auto $autoSmall fixed $fixedSmall)")
+    // at the larger corpus the fixed geometry's buckets exceed the cap —
+    // auto-r must not merely tie a degenerate 0-recall baseline
+    assert(autoBig >= 0.25,
+      s"auto-r recall $autoBig below 0.25 at n=2000 (fixed: $fixedBig)")
+  }
+
+  test("ANN LSH drops a degenerate bucket with an observable count") {
+    // 64 identical vectors collide in EVERY band's bucket; the cap must
+    // drop that bucket (bounded fan-out) and say so via the observation.
+    val clones = (0L until 64L).map(i => (i + 100L, Array(1.0, 0.0, 0.0)))
+    val distinct = Seq((0L, Array(0.0, 1.0, 0.0)), (1L, Array(0.0, 0.9, 0.1)))
+    val corpus = (clones ++ distinct).toDF("vec_id", "embedding")
+    val obs = org.apache.spark.sql.Observation("ann_caps")
+    val out = Similarity.annLshTopK(corpus, corpus.filter(col("vec_id") < 2),
+        k = 3, bands = 4, bitsPerBand = 4, dims = 3, maxBucket = 16,
+        dropStats = Some(obs))
+      .collect()
+    val m = obs.get
+    assert(m("dropped_groups").asInstanceOf[Long] >= 1L,
+      s"expected the clone bucket to be dropped, got $m")
+    // results remain valid: the un-dropped buckets still pair the queries
+    assert(out.forall(r => r.getAs[Long]("query_id") < 2))
   }
 
   test("IVF train-once/probe-many: identical probes from a saved quantizer") {
@@ -411,7 +469,8 @@ class TextOpsSpec extends SparkSpec {
       Similarity.cosineNearDupPairsLsh(emb, 0.5, bands = 1, bitsPerBand = 64)
     }
     intercept[IllegalArgumentException] {
-      Similarity.annLshTopK(emb, emb, k = 1, planes = 64, bands = 1, dims = 2)
+      Similarity.annLshTopK(emb, emb, k = 1, bands = 1, bitsPerBand = 64,
+        dims = 2)
     }
   }
 
