@@ -202,6 +202,100 @@ object ArrayExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** |A ∩ B| for two arrays of struct<h: long, s: string> that are SORTED
+    * ascending by (h, s) and element-distinct — the layout
+    * [[graft.textops.Dedup.ngramJaccardPairsPrefix]] already materializes
+    * for its prefix posting lists (`array_sort` over (xxhash64, shingle)
+    * structs). A linear two-pointer merge: longs compare first, the string
+    * tie-break fires only on hash collisions, so the count is EXACT (never
+    * hash-trusting) at ~long-compare cost per element.
+    *
+    * Replaces `size(array_intersect(strings(a), strings(b)))`, which per
+    * PAIR (the O(candidates) verification hot path) materializes two
+    * projected string arrays, builds a hash set of one side and re-hashes
+    * every string of the other — allocation + hashing the sort already
+    * paid for. Codegen'd for the same per-pair reason as [[DotProduct]].
+    *
+    * Null handling: null ELEMENTS are skipped (the upstream pipeline never
+    * produces them; array_sort would have placed them last), null ARRAYS
+    * propagate null via nullSafeEval.
+    */
+  case class SortedIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_sorted_intersect_count"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val nx = x.numElements()
+      val ny = y.numElements()
+      var i = 0
+      var j = 0
+      var c = 0
+      while (i < nx && j < ny) {
+        if (x.isNullAt(i)) i += 1
+        else if (y.isNullAt(j)) j += 1
+        else {
+          val rx = x.getStruct(i, 2)
+          val ry = y.getStruct(j, 2)
+          val hx = rx.getLong(0)
+          val hy = ry.getLong(0)
+          if (hx < hy) i += 1
+          else if (hx > hy) j += 1
+          else {
+            val cmp = rx.getUTF8String(1).compareTo(ry.getUTF8String(1))
+            if (cmp < 0) i += 1
+            else if (cmp > 0) j += 1
+            else { c += 1; i += 1; j += 1 }
+          }
+        }
+      }
+      c
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val nx = ctx.freshName("nx")
+        val ny = ctx.freshName("ny")
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val c = ctx.freshName("c")
+        val rx = ctx.freshName("rx")
+        val ry = ctx.freshName("ry")
+        val hx = ctx.freshName("hx")
+        val hy = ctx.freshName("hy")
+        val cmp = ctx.freshName("cmp")
+        val row = "org.apache.spark.sql.catalyst.InternalRow"
+        s"""
+        final int $nx = $a.numElements();
+        final int $ny = $b.numElements();
+        int $i = 0; int $j = 0; int $c = 0;
+        while ($i < $nx && $j < $ny) {
+          if ($a.isNullAt($i)) { $i++; continue; }
+          if ($b.isNullAt($j)) { $j++; continue; }
+          final $row $rx = $a.getStruct($i, 2);
+          final $row $ry = $b.getStruct($j, 2);
+          final long $hx = $rx.getLong(0);
+          final long $hy = $ry.getLong(0);
+          if ($hx < $hy) { $i++; }
+          else if ($hx > $hy) { $j++; }
+          else {
+            final int $cmp = $rx.getUTF8String(1).compareTo($ry.getUTF8String(1));
+            if ($cmp < 0) { $i++; } else if ($cmp > 0) { $j++; }
+            else { $c++; $i++; $j++; }
+          }
+        }
+        ${ev.value} = $c;"""
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): SortedIntersectCount =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** k-permutation MinHash over an array<long> of element hashes in [0,p):
     * out[j] = min over x of (a(j)·x + b(j)) mod p. One pass over the input
     * updates all k mins — replaces k × `array_min(transform(...))`, which
@@ -394,6 +488,9 @@ object ArrayExprs {
 
   def cosine(a: Column, b: Column): Column =
     exprColumn(CosineSim(columnExpr(a), columnExpr(b)))
+
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    exprColumn(SortedIntersectCount(columnExpr(a), columnExpr(b)))
 
   def minhashSig(hashes: Column, a: IndexedSeq[Long], b: IndexedSeq[Long],
       p: Long): Column =

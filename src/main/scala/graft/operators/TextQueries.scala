@@ -203,6 +203,24 @@ object TextQueries {
       .select(col("doc_id"), col("s.fp").as("fp"), col("s.pos").as("pos"))
       .orderBy("doc_id", "pos")
 
+  /** q49: duplicate-CLUSTER formation — connected components over the
+    * word-3-gram Jaccard near-dup pairs (every doc labeled with the min
+    * doc_id reachable through pairs; singletons label themselves). The
+    * pair set comes through [[graft.textops.Dedup.ngramJaccardPairsPrefix]]
+    * — putting the PPJoin prefix-filtering path under the driver's hard
+    * gate (previously spec-only): the oracle derives the SAME pairs from
+    * the plain posting-list formulation (pair semantics are
+    * implementation-independent), then closes them with a recursive CTE.
+    */
+  def q49DedupGroups(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val pairs = Dedup.ngramJaccardPairsPrefix(docs, n = 3, threshold = 0.5)
+    Dedup.connectedComponents(pairs,
+        nodes = Some(docs.select(col("doc_id"))))
+      .select(col("id").as("doc_id"), col("component"))
+      .orderBy("doc_id")
+  }
+
   /** q37: opaque-binary column plumbing through the gate — documents' text
     * treated as a binary payload (UTF-8 bytes): byte length, base64 prefix
     * of the payload head. Stands in for the multimodal payload path

@@ -88,6 +88,53 @@ class TextOpsSpec extends SparkSpec {
     assert(pairs.contains((1L, 3L)))
   }
 
+  test("sortedIntersectCount: merge count equals array_intersect size") {
+    import graft.functions.ArrayExprs
+    // directed cases over sorted (h, s) struct arrays, including the
+    // hash-collision tie-break (same h, different s) the merge must NOT
+    // count as a match, plus empty/disjoint/identical shapes
+    val cases = spark.sql("""SELECT * FROM VALUES
+      (array(named_struct('h', 1L, 's', 'a'), named_struct('h', 1L, 's', 'b'),
+             named_struct('h', 5L, 's', 'c')),
+       array(named_struct('h', 1L, 's', 'b'), named_struct('h', 2L, 's', 'z'),
+             named_struct('h', 5L, 's', 'c'))),
+      (array(named_struct('h', 1L, 's', 'a')),
+       array(named_struct('h', 1L, 's', 'x'))),
+      (array(named_struct('h', 1L, 's', 'a'), named_struct('h', 2L, 's', 'b')),
+       array(named_struct('h', 1L, 's', 'a'), named_struct('h', 2L, 's', 'b'))),
+      (array(named_struct('h', 1L, 's', 'a')), CAST(array() AS
+       ARRAY<STRUCT<h: BIGINT, s: STRING>>)),
+      (array(named_struct('h', 1L, 's', 'a'), named_struct('h', 3L, 's', 'q')),
+       array(named_struct('h', 2L, 's', 'a'), named_struct('h', 4L, 's', 'q')))
+      AS t(a, b)""")
+    val got = cases.select(
+        ArrayExprs.sortedIntersectCount(col("a"), col("b")).as("merge"),
+        size(array_intersect(col("a"), col("b"))).as("builtin"))
+      .collect()
+    got.foreach(r => assert(r.getInt(0) === r.getInt(1), r.toString))
+    assert(got.map(_.getInt(0)).toSeq === Seq(2, 0, 2, 0, 0))
+
+    // pipeline-derived case: the exact (h, s) layout the prefix verifier
+    // feeds it, compared against the string-projection intersect on the
+    // full docs fixture's cross pairs
+    val sorted = docs.select(col("doc_id"),
+      array_sort(transform(
+        array_distinct(TextStats.shingles(col("text"), 3)),
+        s => struct(xxhash64(s).as("h"), s.as("s")))).as("sh"))
+    val pairs = sorted.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      .crossJoin(sorted.select(col("doc_id").as("id_b"), col("sh").as("sh_b")))
+      .filter(col("id_a") < col("id_b"))
+    val strings = (c: org.apache.spark.sql.Column) =>
+      transform(c, p => p.getField("s"))
+    val both = pairs.select(
+        ArrayExprs.sortedIntersectCount(col("sh_a"), col("sh_b")).as("merge"),
+        size(array_intersect(strings(col("sh_a")), strings(col("sh_b"))))
+          .as("builtin"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getInt(0) === r.getInt(1), r.toString))
+  }
+
   test("prefix-filtered Jaccard pairs equal the posting-list exact pairs") {
     for (t <- Seq(0.5, 0.7, 0.9)) {
       val full = Dedup.ngramJaccardPairs(docs, n = 3, threshold = t)
