@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output goes STRAIGHT to this process's stdout/stderr, not
+// through sbt's logger: the driver parses Bench's one-line JSON from
+// stdout, and sbt's default LoggedOutput wraps every line in an "[info] "
+// prefix that broke that parse (BENCH_r06 `parsed: null`).
+// (`Compile / run` scope also feeds `runMain`'s fork options.)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -119,8 +119,12 @@ object Bench {
         repSecs.map(s => f"$s%.3f").mkString("  (reps: ", " ", ")"))
       (name, sec, repSecs)
     }
+    // Locale-pinned: f"%.3f" follows the default locale; a comma-decimal
+    // locale would emit 0,123 and break the driver's JSON parse.
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results
-      .map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v, _) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     // Per-rep raw times + warm-state markers make a single hot run
     // interpretable: a machine-load artifact shows as uniformly slow reps
@@ -130,7 +134,7 @@ object Bench {
     // are not comparable rep-for-rep.
     val repsJson = results
       .map { case (k, _, rs) =>
-        "\"" + k + "\":" + rs.map(s => f"$s%.3f").mkString("[", ",", "]") }
+        "\"" + k + "\":" + rs.map(num).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val jitMs = java.lang.management.ManagementFactory
       .getCompilationMXBean.getTotalCompilationTime
@@ -143,16 +147,22 @@ object Bench {
     //  - BENCH_FULL.json (env SPARK_GRAFT_BENCH_OUT) gets the full record
     //    including the per-rep arrays, for rep-level analysis.
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""rep_policy":"min","jit_ms_at_timing_end":$jitMs,"sf":"$sfDir"}"""
-    val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""reps":$repsJson,"rep_policy":"min","jit_ms_at_timing_end":$jitMs,""" +
+      s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
+      s""""queries":$qs,"rep_policy":"min","jit_ms_at_timing_end":$jitMs,""" +
       s""""sf":"$sfDir"}"""
+    val full =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
+      s""""queries":$qs,"reps":$repsJson,"rep_policy":"min",""" +
+      s""""jit_ms_at_timing_end":$jitMs,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     Console.err.println(s"[bench] full record written to $outPath")
+    // The compact line goes to stdout UNWRAPPED (build.sbt forks `run`
+    // with OutputStrategy.StdoutOutput, so there is no sbt [info] prefix
+    // to strip) and ALSO to stderr under a stable marker — two independent
+    // channels for the driver's parser.
+    Console.err.println("BENCH_JSON:" + compact)
     println(compact)
     spark.stop()
   }

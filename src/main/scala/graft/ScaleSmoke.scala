@@ -63,7 +63,8 @@ object ScaleSmoke {
       tasks: Option[Int] = None, medianMs: Option[Long] = None,
       maxMs: Option[Long] = None, stragglerRatio: Option[Double] = None,
       audited: Option[Boolean] = None,
-      recallVsExact: Option[Double] = None)
+      recallVsExact: Option[Double] = None,
+      rounds: Option[Int] = None, components: Option[Long] = None)
 
   private val results =
     scala.collection.mutable.LinkedHashMap.empty[String, Entry]
@@ -270,6 +271,29 @@ object ScaleSmoke {
       Dedup.ngramJaccardPairsReleasable(docs, threshold = 0.9,
         maxPostingList = math.max(2, mult / 2), dropStats = Some(cappedObs)))
     printCaps("jaccard_pairs_capped", cappedObs)
+    // connected-components cluster formation over the prefix-path pair set
+    // — the q49 shape at 20×. Pairs are materialized FIRST so the timed
+    // number is cluster formation itself, and the corpus is adversarial
+    // for it: every document sits in a ~mult-member near-dup clique.
+    locally {
+      val (pairsDf, relPairs) =
+        Dedup.ngramJaccardPairsPrefixReleasable(docs, threshold = 0.9)
+      val pinned = pairsDf.persist()
+      pinned.count()
+      relPairs()
+      val t0 = System.nanoTime()
+      val (labels, rounds, relLabels) = Dedup.connectedComponentsStats(
+        pinned, nodes = Some(docs.select(col("doc_id"))))
+      val n = labels.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val nComponents = labels.select("component").distinct().count()
+      println(f"[scale] dedup_groups                $n%10d rows  $sec%8.2f s" +
+        f"  ($nComponents components, $rounds rounds)")
+      record(Entry("dedup_groups", n, sec, rounds = Some(rounds),
+        components = Some(nComponents)))
+      relLabels()
+      pinned.unpersist(blocking = false)
+    }
     // jittered copies are ~identical vectors (cos ≈ 0.9999) → they collide
     // even in wide bands. Geometry is the n-aware DEFAULT (autoBandBits:
     // 100k vectors → 9-bit bands → 512 buckets/band, expected density
@@ -364,22 +388,29 @@ object ScaleSmoke {
     // The 100 TB posture numbers as a driver-inspectable artifact (per-
     // operator rows/wall-clock, cap drop counts, straggler ratios, recall
     // vs exact) — stdout dies with the log, this file is committed.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r6.json")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r7.json")
     def js(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // Locale-pinned numeric formatting: f"%.2f" follows the default locale
+    // and a comma-decimal locale would emit 0,12 — invalid JSON (the same
+    // bug class CliSpec pins for Report's HTML tables).
+    def num(v: Double, prec: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(v))
     val entries = results.values.map { e =>
       val fields = (Seq(
         Some(s""""rows":${e.rows}"""),
-        Some(f""""sec":${e.sec}%.2f"""),
+        Some(s""""sec":${num(e.sec, 2)}"""),
         e.droppedGroups.map(v => s""""dropped_groups":$v"""),
         e.maxGroup.map(v => s""""max_group":$v"""),
         e.nGroups.map(v => s""""n_groups":$v"""),
         e.tasks.map(v => s""""tasks":$v"""),
         e.medianMs.map(v => s""""median_ms":$v"""),
         e.maxMs.map(v => s""""max_ms":$v"""),
-        e.stragglerRatio.map(v => f""""straggler_ratio":$v%.2f"""),
+        e.stragglerRatio.map(v => s""""straggler_ratio":${num(v, 2)}"""),
         e.audited.map(v => s""""audited":$v"""),
-        e.recallVsExact.map(v => f""""recall_vs_exact":$v%.3f"""))
+        e.recallVsExact.map(v => s""""recall_vs_exact":${num(v, 3)}"""),
+        e.rounds.map(v => s""""rounds":$v"""),
+        e.components.map(v => s""""components":$v"""))
       ).flatten.mkString(",")
       js(e.name) + ":{" + fields + "}"
     }.mkString(",")

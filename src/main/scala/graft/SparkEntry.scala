@@ -67,6 +67,8 @@ object SparkEntry {
     "q46_lsh_near_dup"     -> (TextQueries.q46LshNearDup _),
     "q47_winnowing"        -> (TextQueries.q47Winnowing _),
     "q48_winnowing_pos"    -> (TextQueries.q48WinnowingPos _),
+    "q49_dedup_groups"     -> (TextQueries.q49DedupGroups _),
+    "q50_ivf_indexed"      -> (TextQueries.q50IvfIndexed _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -321,6 +323,49 @@ object SparkEntry {
     // constants, banded join, exact-cosine rank — fully SQL-expressible.
     "q32_ann_lsh" -> OracleGen.q32Sql(),
     "q44_ivf_topk" -> OracleGen.q44Sql(),
+    // The serving-path probe is semantically identical to q44 by
+    // construction (same centroids, probe selection, scoring) — the same
+    // oracle hash-verifies the saved index's partitioned write + pruned
+    // read end to end.
+    "q50_ivf_indexed" -> OracleGen.q44Sql(),
+    // Duplicate-cluster formation: the pair set is q28's posting-list
+    // Jaccard formulation at t=0.5 (implementation-independent pair
+    // semantics — the Spark side derives it via the PPJoin prefix path),
+    // closed into components by a recursive CTE: reach(id, r) enumerates
+    // every node r reachable from id over the symmetric edge set (UNION
+    // dedup = fixpoint), and min(r) is the component label. Seeding from
+    // ALL documents makes isolated docs singleton components, matching
+    // the Spark side's `nodes` universe.
+    "q49_dedup_groups" ->
+      """WITH RECURSIVE d AS (SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS w
+           FROM documents),
+         sh AS (SELECT doc_id, list_distinct(
+             CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+             ELSE list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+           FROM d),
+         sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh),
+         post AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             COUNT(*) AS n_common
+           FROM post a JOIN post b
+             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (SELECT id_a, id_b FROM inter
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(n_common AS DOUBLE)
+             / (sa.n_sh + sb.n_sh - n_common) >= 0.5),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(id, r) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT re.id, e.dst FROM reach re
+           JOIN edges e ON e.src = re.r)
+         SELECT id AS doc_id, MIN(r) AS component
+         FROM reach GROUP BY id ORDER BY doc_id""",
     "q33_langid" ->
       """WITH s AS (SELECT lang,
            len(list_filter(string_split_regex(lower(trim(text)), '\s+'),

@@ -1,0 +1,82 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.Collect
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftshim.{columnExpr, exprColumn}
+import org.apache.spark.sql.types.DataType
+
+/** Native aggregate expressions for the banded dedup/similarity operators
+  * (SURVEY.md §4.3 family — see [[ArrayExprs]] for the scalar siblings).
+  */
+object AggExprs {
+
+  /** `collect_list` with a HARD per-group element cap: once a group's
+    * buffer holds `cap` elements, further inputs are discarded during both
+    * update and merge, so aggregation state is O(cap) — never O(group).
+    *
+    * This exists for the capped banded operators
+    * ([[graft.textops.Dedup]] / [[graft.textops.Similarity]]): their
+    * `maxBucket`/`maxPostingList` caps DROP oversize groups, but a plain
+    * `collect_list` would still materialize the full degenerate group
+    * (one boilerplate shingle holding 10 % of a corpus ≈ the corpus in one
+    * aggregation buffer on one executor) before the size filter could
+    * discard it — the cap must bound the buffer, not just the output.
+    * Callers pair it with a `count(*)` in the same aggregation: the count
+    * (O(1) state, partial-aggregating) carries the TRUE group size for the
+    * drop decision and the drop metrics, so the truncated list of a
+    * to-be-dropped group is never observed.
+    *
+    * Collection order is input order per partial buffer, like
+    * `collect_list` — callers must not depend on element order (the pair
+    * exploders sort/dedup downstream). Groups at or under `cap` collect
+    * completely, so for surviving groups the result is exactly
+    * `collect_list`'s up to ordering.
+    */
+  case class CollectCapped(child: Expression, cap: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends Collect[mutable.ArrayBuffer[Any]]
+      with UnaryLike[Expression] {
+    require(cap > 0, s"cap must be positive, got $cap")
+
+    override lazy val bufferElementType: DataType = child.dataType
+    override def convertToBufferElement(value: Any): Any =
+      InternalRow.copyValue(value)
+    override def createAggregationBuffer(): mutable.ArrayBuffer[Any] =
+      mutable.ArrayBuffer.empty
+
+    override def update(buffer: mutable.ArrayBuffer[Any],
+        input: InternalRow): mutable.ArrayBuffer[Any] =
+      if (buffer.length >= cap) buffer else super.update(buffer, input)
+
+    override def merge(buffer: mutable.ArrayBuffer[Any],
+        other: mutable.ArrayBuffer[Any]): mutable.ArrayBuffer[Any] = {
+      val room = cap - buffer.length
+      if (room >= other.length) buffer ++= other
+      else if (room > 0) buffer ++= other.take(room)
+      buffer
+    }
+
+    override def eval(buffer: mutable.ArrayBuffer[Any]): Any =
+      new GenericArrayData(buffer.toArray)
+
+    override def withNewMutableAggBufferOffset(
+        newOffset: Int): CollectCapped =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(
+        newOffset: Int): CollectCapped =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildInternal(
+        newChild: Expression): CollectCapped = copy(child = newChild)
+    override def prettyName: String = "graft_collect_capped"
+  }
+
+  /** Column wrapper for [[CollectCapped]]. */
+  def collectCapped(e: Column, cap: Int): Column =
+    exprColumn(CollectCapped(columnExpr(e), cap).toAggregateExpression())
+}

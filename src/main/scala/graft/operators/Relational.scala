@@ -284,8 +284,10 @@ object Relational {
     val p = new org.apache.hadoop.fs.Path(s"$sfDir/events.parquet")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(p).getLength
-    val maxSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
-      .stripSuffix("b").toLong
+    // byteStringAsBytes handles every form the conf accepts ("134217728b",
+    // "128m", "1g", bare digits) — string-munging broke on unit suffixes
+    val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes"))
     val estSplits = math.max(1L, bytes / math.max(1L, maxSplit))
     val spread =
       if (estSplits < par) pruned.repartition(par)

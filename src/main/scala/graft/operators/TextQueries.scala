@@ -131,6 +131,41 @@ object TextQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Saved IVF index paths keyed by corpus dir — like [[ivfIndex]], the
+    * index is BUILT once per corpus (offline, in serving terms) and only
+    * probed per query/bench-rep.
+    */
+  private val ivfIndexPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** q50: the IVF SERVING path — identical semantics to [[q44IvfTopK]]
+    * (same trained centroids, same probe selection, same raw-vector
+    * scoring; the driver gate runs the SAME DuckDB oracle), but the corpus
+    * side is a SAVED index ([[graft.textops.Similarity.saveIvfIndex]]: the
+    * corpus partitioned by inverted-list id) probed through
+    * [[graft.textops.Similarity.ivfTopKIndexed]], whose broadcast probe
+    * join dynamically prunes the scan to the probed `cid=` directories
+    * (IvfIndexSpec asserts the pruning on the physical plan). This puts
+    * the serving LAYOUT — write, partition scheme, pruned read — under the
+    * hash gate, not just the in-session probe math.
+    */
+  def q50IvfIndexed(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = asDouble(Tables.embeddings(spark, sfDir))
+    val cents = ivfIndex.getOrElseUpdate(sfDir,
+      Similarity.trainIvfCentroids(emb, nCentroids = 16, iters = 2,
+        trainMod = 2))
+    val path = ivfIndexPath.getOrElseUpdate(sfDir, {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ivf-index-").toString
+      Similarity.saveIvfIndex(emb, cents, dir)
+      dir
+    })
+    Similarity.ivfTopKIndexed(path, emb.filter(col("vec_id") < 8), k = 5,
+        cents)
+      .withColumn("cos_sim", round(col("cos_sim"), 4))
+      .orderBy("query_id", "rank")
+  }
+
   /** q33: language-ID distribution: detected vs labeled language counts. */
   def q33LangId(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)

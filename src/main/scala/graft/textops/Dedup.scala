@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.functions.ArrayExprs
+import graft.functions.{AggExprs, ArrayExprs}
 
 /** Deduplication operators for document corpora: exact, n-gram Jaccard,
   * MinHash+LSH, and SimHash — the standard near-dup toolkit of large-scale
@@ -68,7 +68,7 @@ object Dedup {
 
   /** Within-group (a<b) pair explode over a capped posting list. Groups
     * above `maxGroup` are dropped: an oversize group means a key shared by
-    * a large corpus fraction — quadratic pair fan-out and a collect_list
+    * a large corpus fraction — quadratic pair fan-out and a collection
     * buffer that must fit one executor. The cap bounds both.
     *
     * Cap hits are NEVER silent: a CollectMetrics node (Dataset.observe —
@@ -79,36 +79,51 @@ object Dedup {
     * observation that [[DropWarnings]]' session listener WARN-logs when
     * any group was dropped.
     */
-  private[textops] def groupPairs(groups: DataFrame, memberCol: String,
-      maxGroup: Int, dropStats: Option[Observation] = None): DataFrame =
-    cappedGroups(groups, memberCol, maxGroup, dropStats, minSize = 2)
-      .select(explode(col(memberCol)).as("a"), col(memberCol))
-      .select(col("a"), explode(col(memberCol)).as("b"))
+  private[textops] def groupPairs(rows: DataFrame, keyCols: Seq[String],
+      member: Column, maxGroup: Int,
+      dropStats: Option[Observation] = None): DataFrame =
+    cappedGroups(rows, keyCols, member, maxGroup, dropStats, minSize = 2)
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
       .filter(col("a") < col("b"))
 
-  /** The observe-then-cap half of [[groupPairs]], reusable by operators
-    * whose candidate fan-out is a group JOIN rather than a within-group
-    * pair explode (e.g. [[Similarity.annLshTopK]]'s query×bucket join —
-    * there a singleton group is still a valid candidate source, hence
-    * `minSize`). Same metrics contract: `dropped_groups` / `max_group` /
-    * `n_groups`, WARN-logged via [[DropWarnings]] when no `dropStats`
-    * observation is supplied.
+  /** The aggregate-observe-cap half of [[groupPairs]], reusable by
+    * operators whose candidate fan-out is a group JOIN rather than a
+    * within-group pair explode (e.g. [[Similarity.annLshTopK]]'s
+    * query×bucket join — there a singleton group is still a valid
+    * candidate source, hence `minSize`). Groups `rows` by `keyCols` and
+    * returns the keys plus a `members` array of `member` values for every
+    * group whose size is within [minSize, maxGroup].
+    *
+    * The collection buffer itself is CAPPED ([[AggExprs.CollectCapped]]):
+    * a degenerate group — one stop-shingle or LSH bucket holding 10 % of
+    * the corpus — never materializes more than `maxGroup` elements in any
+    * aggregation buffer. The drop decision and the metrics ride on a
+    * `count(*)` in the same aggregation (O(1) state, map-side partial),
+    * which carries the TRUE group size; groups the cap truncated are
+    * exactly the groups the size filter drops, so truncation is never
+    * observable in the output. Metrics contract: `dropped_groups` /
+    * `max_group` / `n_groups`, WARN-logged via [[DropWarnings]] when no
+    * `dropStats` observation is supplied.
     */
-  private[textops] def cappedGroups(groups: DataFrame, memberCol: String,
-      maxGroup: Int, dropStats: Option[Observation], minSize: Int)
-      : DataFrame = {
+  private[textops] def cappedGroups(rows: DataFrame, keyCols: Seq[String],
+      member: Column, maxGroup: Int, dropStats: Option[Observation],
+      minSize: Int): DataFrame = {
+    val grouped = rows.groupBy(keyCols.map(col): _*)
+      .agg(AggExprs.collectCapped(member, maxGroup).as("members"),
+        count(lit(1)).as("_n"))
     val metrics = Seq(
-      sum(when(size(col(memberCol)) > maxGroup, 1L).otherwise(0L))
+      sum(when(col("_n") > maxGroup, 1L).otherwise(0L))
         .as("dropped_groups"),
-      max(size(col(memberCol))).as("max_group"),
+      max(col("_n")).as("max_group"),
       count(lit(1)).as("n_groups"))
     val observed = dropStats match {
-      case Some(o) => groups.observe(o, metrics.head, metrics.tail: _*)
+      case Some(o) => grouped.observe(o, metrics.head, metrics.tail: _*)
       case None =>
-        DropWarnings.install(groups.sparkSession)
-        groups.observe(DropWarnings.nextName(), metrics.head, metrics.tail: _*)
+        DropWarnings.install(rows.sparkSession)
+        grouped.observe(DropWarnings.nextName(), metrics.head, metrics.tail: _*)
     }
-    observed.filter(size(col(memberCol)).between(minSize, maxGroup))
+    observed.filter(col("_n").between(minSize, maxGroup)).drop("_n")
   }
 
   /** All pairs (a<b) whose word-n-gram Jaccard similarity ≥ `threshold`,
@@ -170,9 +185,8 @@ object Dedup {
     // ride along to the pair aggregation — no join back to a sizes table.
     val posting = sh.select(col("id"), col("n_sh"),
       explode(col("sh")).as("shingle"))
-    val groups = posting.groupBy("shingle")
-      .agg(collect_list(struct(col("id"), col("n_sh"))).as("members"))
-    val cands = groupPairs(groups, "members", maxPostingList, dropStats)
+    val cands = groupPairs(posting, Seq("shingle"),
+        struct(col("id"), col("n_sh")), maxPostingList, dropStats)
       .groupBy(col("a.id").as("id_a"), col("a.n_sh").as("n_a"),
         col("b.id").as("id_b"), col("b.n_sh").as("n_b"))
       .agg(count(lit(1)).as("n_counted"))
@@ -239,9 +253,8 @@ object Dedup {
     val posting = sorted
       .select(col("id"), explode(slice(col("sh"), lit(1), prefLen)).as("p"))
       .select(col("id"), col("p.s").as("shingle"))
-    val cands = groupPairs(
-        posting.groupBy("shingle").agg(collect_list(col("id")).as("members")),
-        "members", maxPostingList, dropStats)
+    val cands = groupPairs(posting, Seq("shingle"), col("id"),
+        maxPostingList, dropStats)
       .select(col("a").as("id_a"), col("b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     // Exact verification: intersect the full (distinct) shingle arrays.
@@ -276,21 +289,26 @@ object Dedup {
     * and c's "winner" inconsistently). Keep the rows whose
     * `component == id`, drop the rest.
     *
-    * Algorithm: iterative min-label propagation — each round every node
-    * takes the min of its own label and its neighbors' labels; fixpoint in
-    * O(max component diameter) rounds. Duplicate clusters are dense and
-    * shallow in practice (diameter ≲ a few hops), so the loop is short;
-    * `maxIter` bounds it and convergence failure FAILS LOUDLY (require)
-    * instead of returning silently-partial components. At fleet scale each
-    * round is one keyed join + one partial-aggregating min — no windows,
-    * no driver data beyond the 1-row convergence probe per round (the
-    * GraphX/Kiveris large-star alternative trades more rounds-logic for
-    * skewed-star flattening; min-propagation is the right shape while
-    * components are dup-cluster-sized).
+    * Algorithm: min-label propagation WITH pointer jumping — each round
+    * every node takes the min over (its own label, its neighbors' labels),
+    * then shortcuts through the label table itself (component′ =
+    * label(label(id)), the classic hooking/shortcutting step): the label
+    * distance halves each round, so the fixpoint arrives in O(log max
+    * component diameter) rounds, not O(diameter) — a pathological chain
+    * component (shingled near-identical doc sequences) of diameter 10⁶
+    * converges in ~20 rounds. `maxIter` (default 25 ⇒ diameters beyond
+    * 2^25 hops) bounds the loop and convergence failure FAILS LOUDLY
+    * (require) instead of returning silently-partial components. At fleet
+    * scale each round is two keyed joins + one partial-aggregating min —
+    * no windows, no driver data beyond the 1-row convergence probe per
+    * round.
     *
     * `nodes` (optional) supplies the FULL node universe so isolated nodes
-    * — documents with no near-dup pair — appear as singleton components;
-    * without it only nodes present in `pairs` are labeled.
+    * — documents with no near-dup pair — appear as singleton components.
+    * Pair endpoints are ALWAYS part of the universe (endpoints missing
+    * from `nodes` are unioned in — required for the pointer-jump lookup
+    * and for minimal labels); without `nodes`, only pair endpoints are
+    * labeled.
     *
     * Returns (id, component), one row per node. The per-round label frames
     * are persisted and released internally; only the RETURNED frame's
@@ -311,13 +329,32 @@ object Dedup {
       idA: String = "id_a", idB: String = "id_b",
       nodes: Option[DataFrame] = None, nodeCol: String = "doc_id",
       maxIter: Int = 25): (DataFrame, () => Unit) = {
+    val (df, _, release) =
+      connectedComponentsStats(pairs, idA, idB, nodes, nodeCol, maxIter)
+    (df, release)
+  }
+
+  /** [[connectedComponentsReleasable]] plus the number of propagation
+    * rounds the fixpoint took — the scale-evidence number (ScaleSmoke
+    * records it; with pointer jumping it stays ~log₂ of the worst
+    * component diameter).
+    */
+  def connectedComponentsStats(pairs: DataFrame,
+      idA: String = "id_a", idB: String = "id_b",
+      nodes: Option[DataFrame] = None, nodeCol: String = "doc_id",
+      maxIter: Int = 25): (DataFrame, Int, () => Unit) = {
     val e = pairs.select(col(idA).as("src"), col(idB).as("dst"))
     val sym = e.unionByName(e.select(col("dst").as("src"),
         col("src").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val endpoints = sym.select(col("src").as("id"))
+    // Pair endpoints always join the universe: a supplied `nodes` frame
+    // that misses an endpoint would otherwise leave labels that reference
+    // ids absent from the label table (breaking the pointer-jump lookup)
+    // and possibly non-minimal.
     val seed = nodes match {
-      case Some(n) => n.select(col(nodeCol).as("id"))
-      case None    => sym.select(col("src").as("id"))
+      case Some(n) => n.select(col(nodeCol).as("id")).unionByName(endpoints)
+      case None    => endpoints
     }
     var labels = seed.distinct()
       .select(col("id"), col("id").as("component"))
@@ -331,23 +368,39 @@ object Dedup {
       val next = viaNeighbors.unionByName(labels)
         .groupBy("id").agg(min("component").as("component"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      // pointer jumping: shortcut each label through the label table
+      // (label(x) is itself a node id — guaranteed by the endpoint-union
+      // seed — so the lookup is total). least() is belt-and-braces: the
+      // looked-up label is ≤ by the monotone component(x) ≤ x invariant.
+      // cutLineage: the self-join would otherwise DOUBLE the logical plan
+      // tree every round — O(2^rounds) analysis/explain cost (the data
+      // and RDD DAG stay linear; plan trees duplicate what DAGs share).
+      val jumped = org.apache.spark.sql.graftshim.cutLineage(
+          next.as("x")
+            .join(next.select(col("id").as("component"),
+              col("component").as("c2")), "component")
+            .select(col("id"),
+              least(col("component"), col("c2")).as("component")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       // fixpoint probe: any label strictly decreased? One scalar to the
       // driver; limit(1) lets the job stop at the first improvement.
-      val improved = next.as("n")
+      val improved = jumped.as("n")
         .join(labels.as("o"), "id")
         .filter(col("n.component") < col("o.component"))
         .limit(1).count()
+      next.unpersist(blocking = false)
       labels.unpersist(blocking = false)
-      labels = next
+      labels = jumped
       converged = improved == 0L
       iter += 1
     }
     sym.unpersist(blocking = false)
     val out = labels
+    if (!converged) out.unpersist(blocking = false) // no cache leak on throw
     require(converged,
       s"connectedComponents did not converge within $maxIter iterations — " +
         "a component's diameter exceeds the bound; raise maxIter")
-    (out, () => { out.unpersist(blocking = false); () })
+    (out, iter, () => { out.unpersist(blocking = false); () })
   }
 
   // ---------------------------------------------------------------- MinHash
@@ -446,10 +499,8 @@ object Dedup {
             transform(slice(col("sig"), j * r + 1, r),
               x => x.cast("string")))).as("bucket"))): _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
-    val pairs = groupPairs(
-        banded.groupBy("band", "bucket")
-          .agg(collect_list(col("id")).as("members")),
-        "members", maxBucket, dropStats)
+    val pairs = groupPairs(banded, Seq("band", "bucket"), col("id"),
+        maxBucket, dropStats)
       .select(col("a").as("id_a"), col("b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     val result = pairs
@@ -499,10 +550,8 @@ object Dedup {
       .select(col("id"), col("sh"), col("c.chunk"), col("c.key"))
     // Bucket-grouped pair generation — simhash evaluated once per doc (a
     // chunks-self-join would run the token pipeline twice; see LSH above).
-    groupPairs(
-        chunks.groupBy("chunk", "key")
-          .agg(collect_list(struct(col("id"), col("sh"))).as("members")),
-        "members", maxBucket, dropStats)
+    groupPairs(chunks, Seq("chunk", "key"),
+        struct(col("id"), col("sh")), maxBucket, dropStats)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
       .dropDuplicates("id_a", "id_b")

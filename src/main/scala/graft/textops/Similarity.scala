@@ -456,10 +456,8 @@ object Similarity {
         targetBucketDensity)
     val chunks = banded(corpus.select(col(idCol).as("id"), col(vecCol)),
       "id", bands, r, dims, vecCol)
-    val raw = Dedup.groupPairs(
-        chunks.groupBy("band", "bucket")
-          .agg(collect_list(col("id")).as("members")),
-        "members", maxBucket, dropStats)
+    val raw = Dedup.groupPairs(chunks, Seq("band", "bucket"), col("id"),
+        maxBucket, dropStats)
       .select(col("a").as("id_a"), col("b").as("id_b"))
     val pairs =
       if (dedupCandidates) raw.dropDuplicates("id_a", "id_b") else raw
@@ -523,11 +521,12 @@ object Similarity {
     // group the corpus side per (band, bucket) and cap it BEFORE the join:
     // a singleton bucket is still a valid candidate source (minSize = 1 —
     // unlike the within-group pair operators, the pairing partner is a
-    // query, not another member)
-    val cCapped = Dedup.cappedGroups(
-        c.groupBy("band", "bucket")
-          .agg(collect_list(col("neighbor_id")).as("members")),
-        "members", maxBucket, dropStats, minSize = 1)
+    // query, not another member). The collection buffer itself is capped
+    // (CollectCapped + count-based drop), so a degenerate ~n-member bucket
+    // never materializes an n-element array on one executor before being
+    // dropped — the cap bounds the aggregation state, not just the output.
+    val cCapped = Dedup.cappedGroups(c, Seq("band", "bucket"),
+        col("neighbor_id"), maxBucket, dropStats, minSize = 1)
       .select(col("band"), col("bucket"),
         explode(col("members")).as("neighbor_id"))
     val q = banded(queries.select(col(idCol).as("query_id"),

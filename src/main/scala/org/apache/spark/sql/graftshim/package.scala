@@ -21,4 +21,24 @@ package object graftshim {
   /** Unwrap a Column to its Catalyst expression (classic sessions only). */
   def columnExpr(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Rewrap `df` as a scan over its own compiled RDD, CUTTING the logical
+    * plan lineage — the `Dataset.checkpoint` plan-truncation step without
+    * the data copy (the RDD itself is reused; callers persist it).
+    *
+    * Exists for iterative operators (connected components): a round that
+    * SELF-JOINS its previous result doubles the logical plan tree per
+    * iteration — O(2^rounds) analyzer/explain cost even though the data
+    * and the RDD DAG stay linear (trees duplicate what DAGs share). One
+    * `cutLineage` per round keeps every round's plan constant-size.
+    * Same private-API surface policy as the converters above: this is
+    * exactly what Spark's own checkpoint() builds internally
+    * (LogicalRDD.fromDataset).
+    */
+  def cutLineage(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    classic.Dataset.ofRows(ds.sparkSession,
+      execution.LogicalRDD.fromDataset(ds.queryExecution.toRdd, ds,
+        isStreaming = false))
+  }
 }

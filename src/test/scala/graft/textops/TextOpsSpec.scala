@@ -200,7 +200,8 @@ class TextOpsSpec extends SparkSpec {
     val m = obs.get
     assert(m("dropped_groups").asInstanceOf[Long] >= 1L,
       "cap should have fired on the boilerplate groups")
-    assert(m("max_group").asInstanceOf[Int] === 14)
+    // max_group rides on the count(*) in the capped aggregation (Long)
+    assert(m("max_group").asInstanceOf[Long] === 14L)
   }
 
   test("langId picks the profile with most stopword hits") {
