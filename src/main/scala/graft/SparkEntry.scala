@@ -329,7 +329,7 @@ object SparkEntry {
     // read end to end.
     "q50_ivf_indexed" -> OracleGen.q44Sql(),
     // Duplicate-cluster formation: the pair set is q28's posting-list
-    // Jaccard formulation at t=0.5 (implementation-independent pair
+    // Jaccard formulation at t=0.8 (implementation-independent pair
     // semantics — the Spark side derives it via the PPJoin prefix path),
     // closed into components by a recursive CTE: reach(id, r) enumerates
     // every node r reachable from id over the symmetric edge set (UNION
@@ -356,7 +356,7 @@ object SparkEntry {
            JOIN sizes sa ON sa.doc_id = id_a
            JOIN sizes sb ON sb.doc_id = id_b
            WHERE CAST(n_common AS DOUBLE)
-             / (sa.n_sh + sb.n_sh - n_common) >= 0.5),
+             / (sa.n_sh + sb.n_sh - n_common) >= 0.8),
          edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
            UNION ALL SELECT id_b, id_a FROM pairs),
          reach(id, r) AS (

@@ -274,6 +274,19 @@ object Relational {
     * the repartition is skipped and the plan stays shuffle-free before
     * the aggregation, exactly as the round-5 audit wanted it. Reading
     * `rdd.getNumPartitions` is plan metadata (no job).
+    *
+    * Local floor anatomy (measured round 7, solo min-of-6 at sf0.1,
+    * local[32], each ablation a separate bench run): full query 0.36 s =
+    * scan+agg+launch floor 0.22 s (two stages, no JSON, no repartition)
+    * + repartition exchange ~0.08 s + 32-way-parallel JSON parse ~0.06 s;
+    * the parse costs 0.19 s UNSPREAD (no-repartition variant: 0.41 s
+    * total), so the exchange buys more than it costs even at a 2 MB
+    * input, and repartition width 8/16/32 all land within noise
+    * (0.355-0.414 s). The ~0.6 s this query records inside a 50-query
+    * bench pass is JVM neighborhood (code-cache and GC pressure from
+    * adjacent heavy queries), not plan cost — the 0.22 s two-stage floor
+    * is the irreducible local minimum for this shape, and none of it
+    * shuffles more than (event_type, k) pairs at fleet scale.
     */
   def q19Json(spark: SparkSession, sfDir: String): DataFrame = {
     val pruned = Tables.events(spark, sfDir).select("event_type", "props")

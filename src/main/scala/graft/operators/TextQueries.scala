@@ -239,17 +239,21 @@ object TextQueries {
       .orderBy("doc_id", "pos")
 
   /** q49: duplicate-CLUSTER formation — connected components over the
-    * word-3-gram Jaccard near-dup pairs (every doc labeled with the min
-    * doc_id reachable through pairs; singletons label themselves). The
-    * pair set comes through [[graft.textops.Dedup.ngramJaccardPairsPrefix]]
-    * — putting the PPJoin prefix-filtering path under the driver's hard
-    * gate (previously spec-only): the oracle derives the SAME pairs from
-    * the plain posting-list formulation (pair semantics are
-    * implementation-independent), then closes them with a recursive CTE.
+    * word-3-gram Jaccard near-dup pairs at t=0.8 (the Lee et al. 2021
+    * regime; every doc labeled with the min doc_id reachable through
+    * pairs; singletons label themselves). The pair set comes through
+    * [[graft.textops.Dedup.ngramJaccardPairsPrefix]] — putting the PPJoin
+    * prefix-filtering path under the driver's hard gate in its DESIGN
+    * regime (prefix filtering posts (1−t)·|d|+1 shingles: 20 % at t=0.8;
+    * at t=0.5 it would post half of every document and lose to the plain
+    * posting formulation, per its own scaladoc): the oracle derives the
+    * SAME pairs from the plain posting-list formulation (pair semantics
+    * are implementation-independent), then closes them with a recursive
+    * CTE (min-label reachability fixpoint).
     */
   def q49DedupGroups(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val pairs = Dedup.ngramJaccardPairsPrefix(docs, n = 3, threshold = 0.5)
+    val pairs = Dedup.ngramJaccardPairsPrefix(docs, n = 3, threshold = 0.8)
     Dedup.connectedComponents(pairs,
         nodes = Some(docs.select(col("doc_id"))))
       .select(col("id").as("doc_id"), col("component"))

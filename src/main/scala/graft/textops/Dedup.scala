@@ -222,8 +222,12 @@ object Dedup {
     * more importantly, the per-shingle group fan-out is bounded by how many
     * documents RANK the shingle inside their prefix — corpus-wide
     * stop-shingles land in most documents' suffix and never form giant
-    * groups, making this the 100 TB shape for high thresholds. Two extra
-    * narrow joins (the verification) are the price.
+    * groups, making this the 100 TB shape for high thresholds. Candidates
+    * are further pruned BEFORE the verification joins by the PPJoin
+    * length filter (|B| ≥ t·|A|) and positional filter (per-occurrence
+    * overlap upper bound vs α — see the inline derivation), both
+    * FP-margin-conservative so exact verification remains the decider.
+    * Two extra narrow joins (the verification) are the price.
     */
   def ngramJaccardPairsPrefix(docs: DataFrame, n: Int = 3,
       threshold: Double = 0.8, textCol: String = "text",
@@ -250,13 +254,42 @@ object Dedup {
     // Prefix length for Jaccard t over a set of size m: m − ⌈t·m⌉ + 1.
     val prefLen = (size(col("sh")) -
       ceil(lit(threshold) * size(col("sh"))).cast("int") + 1)
+    // Posting rows carry (set size, 1-based prefix position) so the PPJoin
+    // length and positional filters can prune candidate OCCURRENCES before
+    // anything joins back to the full shingle arrays.
     val posting = sorted
-      .select(col("id"), explode(slice(col("sh"), lit(1), prefLen)).as("p"))
-      .select(col("id"), col("p.s").as("shingle"))
-    val cands = groupPairs(posting, Seq("shingle"), col("id"),
-        maxPostingList, dropStats)
-      .select(col("a").as("id_a"), col("b").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select(col("id"), size(col("sh")).as("n"),
+        posexplode(slice(col("sh"), lit(1), prefLen)).as(Seq("pos0", "p")))
+      .select(col("id"), col("n"), (col("pos0") + lit(1)).as("pos"),
+        col("p.s").as("shingle"))
+    // J(A,B) ≥ t needs overlap O ≥ α = ⌈t/(1+t)·(|A|+|B|)⌉ (since
+    // O ≥ t·|A∪B| and |A∪B| = |A|+|B|−O), hence also |B| ≥ t·|A|:
+    //  - LENGTH filter: least(n) ≥ t·greatest(n), occurrence-independent;
+    //  - POSITIONAL filter: for a common shingle at (sorted) positions
+    //    (pa, pb), common shingles BEFORE it number ≤ min(pa−1, pb−1)
+    //    (equal values sort identically) and AFTER it ≤ min(nA−pa, nB−pb),
+    //    so O ≤ U(pa,pb) = min(pa,pb) + min(nA−pa, nB−pb) — an upper
+    //    bound valid for EVERY occurrence, so O ≤ min U over the pair's
+    //    shared prefix occurrences and `min U < α` prunes soundly.
+    // Both compare in double with a 1e-9 margin so FP rounding can only
+    // KEEP a boundary pair (the exact verification decides it), never
+    // drop one. On the sf0.1 synthetic corpus these two filters cut the
+    // surviving candidate set ~an order of magnitude before verification.
+    val occ = groupPairs(posting, Seq("shingle"),
+        struct(col("id"), col("n"), col("pos")), maxPostingList, dropStats)
+      .filter(least(col("a.n"), col("b.n")).cast("double") >=
+        lit(threshold) * greatest(col("a.n"), col("b.n")) - lit(1e-9))
+    val cands = occ
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (least(col("a.pos"), col("b.pos")) +
+          least(col("a.n") - col("a.pos"),
+            col("b.n") - col("b.pos"))).as("u"),
+        (lit(threshold / (1.0 + threshold)) *
+          (col("a.n") + col("b.n"))).as("alpha"))
+      .groupBy("id_a", "id_b")
+      .agg(min(col("u")).as("min_u"), first(col("alpha")).as("alpha"))
+      .filter(col("min_u").cast("double") >= col("alpha") - lit(1e-9))
+      .select("id_a", "id_b")
     // Exact verification: intersect the full (distinct) shingle arrays.
     // The (h, s) struct arrays are ALREADY sorted by (hash, shingle), so
     // |A∩B| is a linear two-pointer merge over mostly-long comparisons
@@ -343,9 +376,13 @@ object Dedup {
       idA: String = "id_a", idB: String = "id_b",
       nodes: Option[DataFrame] = None, nodeCol: String = "doc_id",
       maxIter: Int = 25): (DataFrame, Int, () => Unit) = {
-    val e = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-    val sym = e.unionByName(e.select(col("dst").as("src"),
-        col("src").as("dst")))
+    // symmetrize with ONE explode, not union(e, swap(e)): the union shape
+    // scans the (possibly expensive — q49 feeds the whole prefix-Jaccard
+    // pipeline in here) pair plan twice on first materialization
+    val sym = pairs.select(explode(array(
+        struct(col(idA).as("src"), col(idB).as("dst")),
+        struct(col(idB).as("src"), col(idA).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val endpoints = sym.select(col("src").as("id"))
     // Pair endpoints always join the universe: a supplied `nodes` frame
@@ -361,6 +398,16 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var iter = 0
     var converged = false
+    // Exact fixpoint probe WITHOUT a join: labels are elementwise monotone
+    // non-increasing over a fixed id set, so Σcomponent (exact DECIMAL(38)
+    // — no FP rounding, no overflow below 2^63 ids) strictly decreases
+    // until the fixpoint; an unchanged sum IS convergence. One scalar
+    // aggregate per round, piggybacked on the job that materializes the
+    // round's labels — no second pass, no probe join.
+    var prevSum: Option[java.math.BigDecimal] = None
+    def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
+      Option(df.agg(sum(col("component").cast("decimal(38,0)")))
+        .head.getDecimal(0))
     while (!converged && iter < maxIter) {
       val viaNeighbors = sym
         .join(labels.select(col("id").as("dst"), col("component")), "dst")
@@ -382,16 +429,14 @@ object Dedup {
             .select(col("id"),
               least(col("component"), col("c2")).as("component")))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // fixpoint probe: any label strictly decreased? One scalar to the
-      // driver; limit(1) lets the job stop at the first improvement.
-      val improved = jumped.as("n")
-        .join(labels.as("o"), "id")
-        .filter(col("n.component") < col("o.component"))
-        .limit(1).count()
+      val s = labelSum(jumped) // materializes jumped's persist
       next.unpersist(blocking = false)
       labels.unpersist(blocking = false)
       labels = jumped
-      converged = improved == 0L
+      // compareTo, not equals (BigDecimal.equals is scale-sensitive);
+      // a null sum means an empty universe — converged by definition
+      converged = s.isEmpty || prevSum.exists(_.compareTo(s.get) == 0)
+      prevSum = s
       iter += 1
     }
     sym.unpersist(blocking = false)
