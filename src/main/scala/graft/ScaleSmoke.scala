@@ -271,29 +271,6 @@ object ScaleSmoke {
       Dedup.ngramJaccardPairsReleasable(docs, threshold = 0.9,
         maxPostingList = math.max(2, mult / 2), dropStats = Some(cappedObs)))
     printCaps("jaccard_pairs_capped", cappedObs)
-    // connected-components cluster formation over the prefix-path pair set
-    // — the q49 shape at 20×. Pairs are materialized FIRST so the timed
-    // number is cluster formation itself, and the corpus is adversarial
-    // for it: every document sits in a ~mult-member near-dup clique.
-    locally {
-      val (pairsDf, relPairs) =
-        Dedup.ngramJaccardPairsPrefixReleasable(docs, threshold = 0.9)
-      val pinned = pairsDf.persist()
-      pinned.count()
-      relPairs()
-      val t0 = System.nanoTime()
-      val (labels, rounds, relLabels) = Dedup.connectedComponentsStats(
-        pinned, nodes = Some(docs.select(col("doc_id"))))
-      val n = labels.count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      val nComponents = labels.select("component").distinct().count()
-      println(f"[scale] dedup_groups                $n%10d rows  $sec%8.2f s" +
-        f"  ($nComponents components, $rounds rounds)")
-      record(Entry("dedup_groups", n, sec, rounds = Some(rounds),
-        components = Some(nComponents)))
-      relLabels()
-      pinned.unpersist(blocking = false)
-    }
     // jittered copies are ~identical vectors (cos ≈ 0.9999) → they collide
     // even in wide bands. Geometry is the n-aware DEFAULT (autoBandBits:
     // 100k vectors → 9-bit bands → 512 buckets/band, expected density
@@ -341,6 +318,35 @@ object ScaleSmoke {
     // scale linearly with the corpus, no caps involved
     time("winnowing_fp")(docs.select(col("doc_id"),
       explode(TextStats.winnowingFingerprint(col("text"))).as("fp")))
+
+    // connected-components cluster formation over the prefix-path pair set
+    // — the q49 shape at 20×. Pairs are materialized FIRST so the timed
+    // number is cluster formation itself, and the corpus is adversarial
+    // for it: every document sits in a ~mult-member near-dup clique.
+    // (Ordered AFTER the similarity entries: an iterative operator's
+    // burst of short jobs + released caches measurably inflates whatever
+    // runs next in the same JVM — entries keep their round-6 neighbors so
+    // artifacts stay comparable round over round.)
+    locally {
+      val (pairsDf, relPairs) =
+        Dedup.ngramJaccardPairsPrefixReleasable(docs, threshold = 0.9)
+      val pinned = pairsDf.persist()
+      pinned.count()
+      relPairs()
+      val t0 = System.nanoTime()
+      val (labels, rounds, relLabels) = Dedup.connectedComponentsStats(
+        pinned, nodes = Some(docs.select(col("doc_id"))))
+      val n = labels.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val nComponents = labels.select("component").distinct().count()
+      println(f"[scale] dedup_groups                $n%10d rows  $sec%8.2f s" +
+        f"  ($nComponents components, $rounds rounds)")
+      record(Entry("dedup_groups", n, sec, rounds = Some(rounds),
+        components = Some(nComponents)))
+      relLabels()
+      pinned.unpersist(blocking = false)
+      System.gc() // drain the iterative burst before the skew audits
+    }
 
     // ---- adversarial skew: ONE hot key at 10 % frequency -----------------
     // Exact dedup: every 10th document is the same boilerplate text → one

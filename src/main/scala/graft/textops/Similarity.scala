@@ -133,7 +133,7 @@ object Similarity {
     * buckets are bit-identical to slicing [[hyperplaneSignature]] (band j =
     * bits [j·r, (j+1)·r)), which is what the driver's SQL oracle restates.
     */
-  private def banded(df: DataFrame, idName: String, bands: Int,
+  private[textops] def banded(df: DataFrame, idName: String, bands: Int,
       bitsPerBand: Int, dims: Int, vecCol: String): DataFrame = {
     require(bands >= 1, "bands must be >= 1")
     require(bitsPerBand >= 1 && bitsPerBand <= 63,

@@ -108,6 +108,40 @@ class TextPropertySpec extends SparkSpec {
     })
   }
 
+  test("prefix path (PPJoin length+positional filters) == brute force " +
+      "across thresholds on varied-length corpora") {
+    def shingleSet(t: String): Set[String] = {
+      val ws = t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      if (ws.length < 3) Set(ws.mkString(" "))
+      else ws.sliding(3).map(_.mkString(" ")).toSet
+    }
+    // varied lengths from a tiny vocabulary: size ratios straddle the
+    // length-filter boundary and shared shingles land at arbitrary sorted
+    // positions, so both PPJoin filters actually fire — the 8-doc fixed
+    // corpus barely engages them
+    val genVaried: Gen[String] = Gen.choose(3, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("the", "quick", "brown", "fox", "data",
+        "spark", "rolls", "fast", "über", "null")).map(_.mkString(" ")))
+    for (t <- Seq(0.5, 0.8)) {
+      check(s"prefix t=$t", Prop.forAll(Gen.listOfN(10, genVaried)) { docs0 =>
+        val docs = docs0.filter(_.trim.nonEmpty).zipWithIndex
+          .map { case (s, i) => (i.toLong, s) }
+        val expected = (for {
+          (ia, a) <- docs; (ib, b) <- docs if ia < ib
+          sa = shingleSet(a); sb = shingleSet(b)
+          u = sa.union(sb).size if u > 0
+          j = sa.intersect(sb).size.toDouble / u if j >= t
+        } yield (ia, ib) -> j).toMap
+        val got = Dedup.ngramJaccardPairsPrefix(docs.toDF("doc_id", "text"),
+            n = 3, threshold = t)
+          .select("id_a", "id_b", "jaccard")
+          .as[(Long, Long, Double)].collect()
+          .map { case (x, y, j) => (x, y) -> j }.toMap
+        got == expected
+      })
+    }
+  }
+
   test("IVF trainer: distributed == naive mirror BIT-exactly (integer grid)") {
     // the q44 oracle's premise, property-tested: because every sum the
     // trainer takes is over exact integers, the distributed groupBy result
