@@ -264,6 +264,25 @@ object OracleGen {
       END)[1])[1])[1])[1])[1])[1])[1])[1])[1])[1] AS BIGINT)"""
   }
 
+  /** q52: deterministic stratified sample — Spark's `xxhash64(doc_id)
+    * mod granularity < rate(lang)·granularity` rule restated with
+    * [[xx64LongSql]], so the oracle reproduces the EXACT kept set (not a
+    * statistical approximation): hash-based sampling is a pure function
+    * of the id and therefore engine-portable. `pmod` semantics (Spark's
+    * pmod is non-negative; SQL `%` follows the dividend sign) are matched
+    * by adding the modulus before the final mod.
+    */
+  def q52Sql(rates: Seq[(String, Long)], defaultThresh: Long,
+      granularity: Int = 10000): String = {
+    val cases = rates.map { case (lang, th) =>
+      s"WHEN '$lang' THEN ${th}" }.mkString(" ")
+    val bucket = s"""((${xx64LongSql("doc_id")}) % $granularity
+       + $granularity) % $granularity"""
+    s"""SELECT doc_id, lang FROM documents
+     WHERE $bucket < (CASE lang $cases ELSE $defaultThresh END)
+     ORDER BY doc_id"""
+  }
+
   /** q44: IVF top-k with the quantizer TRAINED IN SQL — the whole
     * train-then-probe pipeline restated: xxhash64 subsample + init order
     * ([[xx64LongSql]]), `iters` unrolled Lloyd iterations on the

@@ -69,6 +69,8 @@ object SparkEntry {
     "q48_winnowing_pos"    -> (TextQueries.q48WinnowingPos _),
     "q49_dedup_groups"     -> (TextQueries.q49DedupGroups _),
     "q50_ivf_indexed"      -> (TextQueries.q50IvfIndexed _),
+    "q51_contamination"    -> (TextQueries.q51Contamination _),
+    "q52_stratified_sample"-> (TextQueries.q52StratifiedSample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -474,6 +476,44 @@ object SparkEntry {
              c -> (ascii(c) - 128.0) * (ascii(c) - 128.0)))), 4) AS rms
          FROM f, LATERAL (SELECT unnest(range((f.len + 255) // 256)) AS w) i
          ORDER BY media_id, w""",
+    // Deterministic stratified sample: the xxhash64-of-BIGINT rule
+    // restated exactly (OracleGen.xx64LongSql) — the kept SET matches,
+    // not just its statistics.
+    "q52_stratified_sample" -> OracleGen.q52Sql(
+      TextQueries.Q52Rates.map { case (l, r) =>
+        (l, math.round(r * TextQueries.Q52Granularity)) },
+      math.round(TextQueries.Q52Default * TextQueries.Q52Granularity),
+      TextQueries.Q52Granularity),
+    // Cross-corpus contamination: both sides' winnowing fingerprints
+    // recomputed with q47's NON-rolling polynomial formulation, then the
+    // even(train)×odd(eval) fingerprint join + shared-count filter.
+    "q51_contamination" ->
+      """WITH d AS (SELECT doc_id,
+             list_transform(regexp_extract_all(lower(trim(text)), '(?s).'),
+               c -> ascii(c)) AS cs
+           FROM documents),
+         g AS (SELECT doc_id, cs, len(cs) AS n FROM d WHERE len(cs) >= 8),
+         h AS (SELECT doc_id,
+             list_transform(range(1, n - 8 + 2), i ->
+               CAST(list_sum(list_transform(range(0, 8), j ->
+                 (CAST(cs[i + j] AS BIGINT) * ([1, 257, 66049, 16974593,
+                    362470373, 154885210, 805498697, 13163680][8 - j]))
+                 % 1000000007)) % 1000000007 AS BIGINT)) AS hs
+           FROM g),
+         m AS (SELECT doc_id,
+             CASE WHEN len(hs) <= 8 THEN [list_min(hs)]
+                  ELSE list_transform(range(1, len(hs) - 8 + 2),
+                    i -> list_min(hs[i:i+7])) END AS ms
+           FROM h),
+         f AS (SELECT doc_id, unnest(list_distinct(ms)) AS fp FROM m),
+         a AS (SELECT doc_id AS id_a, fp FROM f WHERE doc_id % 2 = 0
+               QUALIFY COUNT(*) OVER (PARTITION BY fp) <= 32),
+         b AS (SELECT doc_id AS id_b, fp FROM f WHERE doc_id % 2 = 1
+               QUALIFY COUNT(*) OVER (PARTITION BY fp) <= 32)
+         SELECT id_a, id_b, COUNT(*) AS n_shared
+         FROM a JOIN b USING (fp)
+         GROUP BY 1, 2 HAVING COUNT(*) >= 4
+         ORDER BY id_a, id_b""",
     // Winnowing (k=8 char grams, w=8 windows, Karp–Rabin base 257 mod
     // 1e9+7): every gram hash recomputed DIRECTLY as Σ code·B^j mod M with
     // the B^j mod M constants inlined (powers of 257 exceed 2^53 at j≥7,

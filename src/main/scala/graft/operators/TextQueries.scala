@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.textops.{Dedup, Similarity, TextStats}
+import graft.textops.{Dedup, Overlap, Sampling, Similarity, TextStats}
 
 /** Driver-gated queries over the `documents`/`embeddings` testdata tables
   * exercising the training-data-pipeline operators (graft.textops).
@@ -351,4 +351,49 @@ object TextQueries {
         round(col("mean_intensity"), 4).as("mean_intensity"))
       .orderBy("media_id")
   }
+
+  /** q51: cross-corpus contamination check
+    * ([[graft.textops.Overlap.fingerprintOverlap]]): even doc_ids stand in
+    * for the training corpus, odd for the eval set; emit (train, eval)
+    * pairs sharing ≥4 winnowing fingerprints with the shared count. The
+    * posting cap is deliberately TIGHT (32): a fingerprint present in >32
+    * documents of one side is shared phrasing, not contamination evidence
+    * — and it is precisely what would drive the join fan-out quadratic.
+    * The DuckDB oracle recomputes both sides' fingerprints with the q47
+    * NON-rolling formulation, MIRRORS the cap (QUALIFY per-side fp count
+    * ≤ 32) and joins them — independently proving the rolling hash, the
+    * window minima, AND the capped posting/count pipeline.
+    */
+  def q51Contamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    Overlap.fingerprintOverlap(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+        minShared = 4, maxPostingList = 32)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Thresholds for q52's strata — integer bucket cutoffs out of
+    * [[Q52Granularity]] (en 50 %, de 25 %, fr 10 %, everything else 5 %),
+    * shared between the Spark side and [[graft.OracleGen.q52Sql]].
+    */
+  private[graft] val Q52Granularity = 10000
+  private[graft] val Q52Rates =
+    Seq("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1)
+  private[graft] val Q52Default = 0.05
+
+  /** q52: deterministic stratified sampling
+    * ([[graft.textops.Sampling.stratifiedSample]]): per-language keep
+    * rates as a pure function of xxhash64(doc_id) — the oracle restates
+    * the hash bit-for-bit (OracleGen.xx64LongSql), so the gate compares
+    * the EXACT kept set, not a statistical property.
+    */
+  def q52StratifiedSample(spark: SparkSession, sfDir: String): DataFrame =
+    Sampling.stratifiedSample(
+        Tables.documents(spark, sfDir).select("doc_id", "lang", "text"),
+        stratumCol = "lang", idCol = "doc_id",
+        rates = Q52Rates.toMap, defaultRate = Q52Default,
+        granularity = Q52Granularity)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
 }

@@ -1,0 +1,110 @@
+package graft.textops
+
+import org.apache.spark.sql.Observation
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Contamination overlap ([[Overlap.fingerprintOverlap]]) and
+  * deterministic sampling ([[Sampling.stratifiedSample]]).
+  */
+class OverlapSamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fingerprintOverlap finds a planted shared passage and nothing " +
+      "between unrelated docs") {
+    val passage = "the experiment protocol requires careful calibration " +
+      "of every sensor before the measurement series begins"
+    val train = Seq(
+      (0L, s"introductory remarks and then $passage with some closing"),
+      (2L, "entirely unrelated training document about cooking pasta " +
+        "with tomatoes and fresh basil leaves in summer"))
+      .toDF("doc_id", "text")
+    val eval_ = Seq(
+      (1L, s"$passage plus an answer key appended here"),
+      (3L, "another clean evaluation item concerning medieval history " +
+        "and the construction of stone bridges across rivers"))
+      .toDF("doc_id", "text")
+    val out = Overlap.fingerprintOverlap(train, eval_, minShared = 2)
+      .select("id_a", "id_b", "n_shared")
+      .as[(Long, Long, Long)].collect()
+    assert(out.map(r => (r._1, r._2)).toSet === Set((0L, 1L)),
+      s"expected exactly the planted pair, got ${out.toSeq}")
+    // a >100-char shared passage selects MANY common fingerprints (one
+    // per ~w characters), not just the minimum the guarantee promises
+    assert(out.head._3 >= 5, s"n_shared=${out.head._3}")
+  }
+
+  test("fingerprintOverlap: shared-run guarantee — any w+k-1 char shared " +
+      "substring yields >=1 common fingerprint") {
+    // k=8, w=8: any shared run of >=15 chars guarantees >=1 shared
+    // fingerprint; use minShared=1 to observe the guarantee itself
+    val shared = "abcdefghijklmno" // exactly 15 chars
+    val a = Seq((0L, s"prefix text $shared")).toDF("doc_id", "text")
+    val b = Seq((1L, s"$shared completely different suffix material"))
+      .toDF("doc_id", "text")
+    val out = Overlap.fingerprintOverlap(a, b, minShared = 1).count()
+    assert(out === 1L)
+  }
+
+  test("fingerprintOverlap caps ubiquitous fingerprints observably while " +
+      "keeping genuine low-frequency overlap") {
+    val boiler = "this standard license boilerplate header appears in " +
+      "every single document of the corpus without variation"
+    val planted = "a genuinely shared research passage that only these " +
+      "two particular documents contain verbatim"
+    def tail(side: String, i: Long) =
+      s"unique $side document payload number $i with enough trailing " +
+        s"characters to select its own fingerprints $i"
+    val train = (0L until 40L by 2).map(i =>
+      (i, s"$boiler ${if (i == 0) planted else ""} ${tail("train", i)}"))
+      .toDF("doc_id", "text")
+    val eval_ = (1L until 40L by 2).map(i =>
+      (i, s"$boiler ${if (i == 1) planted else ""} ${tail("eval", i)}"))
+      .toDF("doc_id", "text")
+    val (obsA, obsB) = (Observation(), Observation())
+    // cap of 8 (< the 20 docs per side sharing every boilerplate
+    // fingerprint): boilerplate evidence is dropped, the planted passage
+    // (posting size 1-2) survives — the cap trades exactly the matches
+    // that carry no contamination signal. Broadcast joins are disabled
+    // for the action: CollectMetrics inside a broadcast subtree never
+    // reaches the Observation listener (the documented caveat — these
+    // tiny test frames would otherwise all broadcast).
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val pairs = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val out = Overlap.fingerprintOverlap(train, eval_, minShared = 1,
+        maxPostingList = 8, dropStatsA = Some(obsA), dropStatsB = Some(obsB))
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      out
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    assert(pairs.contains((0L, 1L)), s"planted pair lost: $pairs")
+    assert(!pairs.contains((2L, 3L)),
+      "boilerplate-only pair should not survive the cap")
+    assert(obsA.get("dropped_groups").asInstanceOf[Long] >= 1L)
+    assert(obsB.get("dropped_groups").asInstanceOf[Long] >= 1L)
+  }
+
+  test("stratifiedSample: rate 1 keeps everything, rate 0 nothing, and " +
+      "the kept set is deterministic and monotone in the rate") {
+    val docs = (0L until 2000L).map(i =>
+      (i, if (i % 2 == 0) "en" else "de")).toDF("doc_id", "lang")
+    assert(Sampling.stratifiedSample(docs, "lang", "doc_id",
+      Map("en" -> 1.0, "de" -> 1.0)).count() === 2000L)
+    assert(Sampling.stratifiedSample(docs, "lang", "doc_id",
+      Map("en" -> 0.0), defaultRate = 0.0).count() === 0L)
+    def keep(rEn: Double): Set[Long] = Sampling.stratifiedSample(
+        docs, "lang", "doc_id", Map("en" -> rEn), defaultRate = 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    val half = keep(0.5)
+    assert(keep(0.5) === half, "same rate => identical set (no RNG)")
+    assert(half.subsetOf(keep(0.7)),
+      "raising a rate must grow the kept set monotonically")
+    // achieved rate is close to nominal (hash uniformity, 1000 en docs)
+    val en = half.count(_ % 2 == 0)
+    assert(en > 400 && en < 600, s"en kept $en of 1000 at rate 0.5")
+    // absent stratum falls back to defaultRate
+    val de = half.count(_ % 2 == 1)
+    assert(de > 220 && de < 380, s"de kept $de of 1000 at default 0.3")
+  }
+}
