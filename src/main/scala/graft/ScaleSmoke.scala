@@ -238,6 +238,11 @@ object ScaleSmoke {
       .appName("graft-scale-smoke")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // the banded-embedding plans (36+ hyperplane dot products inlined
+      // per row) compile large whole-stage-codegen units; the default
+      // 100-entry generated-class cache evicts them mid-smoke and the
+      // recompiles made ann/lsh entry walls swing 3-7x run to run
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
       .getOrCreate()
@@ -347,6 +352,29 @@ object ScaleSmoke {
       pinned.unpersist(blocking = false)
       System.gc() // drain the iterative burst before the skew audits
     }
+
+    // contamination overlap at 20×: every scaled clique spans both
+    // parities, and cross-clique common phrasing drives per-side postings
+    // to ~n/2 — the tight cap (32) must drop those while clique-local
+    // fingerprints (≤ mult/2 per side) keep the genuine overlap
+    val contObsA = Observation("contamination_caps_a")
+    val contObsB = Observation("contamination_caps_b")
+    timeObserved("contamination", contObsA)(
+      graft.textops.Overlap.fingerprintOverlap(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+        minShared = 4, maxPostingList = 32,
+        dropStatsA = Some(contObsA), dropStatsB = Some(contObsB)))
+    printCaps("contamination_b", contObsB)
+
+    // deterministic stratified sample: a pure projection+filter — must be
+    // scan-bound at any scale (stratum derived from the id here; the
+    // testdata lang column doesn't survive the corpus multiplier)
+    time("stratified_sample")(graft.textops.Sampling.stratifiedSample(
+      docs.withColumn("stratum",
+        concat(lit("s"), pmod(col("doc_id"), lit(4)))),
+      stratumCol = "stratum", idCol = "doc_id",
+      rates = Map("s0" -> 0.5, "s1" -> 0.25), defaultRate = 0.05))
 
     // ---- adversarial skew: ONE hot key at 10 % frequency -----------------
     // Exact dedup: every 10th document is the same boilerplate text → one

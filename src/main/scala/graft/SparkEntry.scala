@@ -71,6 +71,7 @@ object SparkEntry {
     "q50_ivf_indexed"      -> (TextQueries.q50IvfIndexed _),
     "q51_contamination"    -> (TextQueries.q51Contamination _),
     "q52_stratified_sample"-> (TextQueries.q52StratifiedSample _),
+    "q53_repetition"       -> (TextQueries.q53Repetition _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -514,6 +515,41 @@ object SparkEntry {
          FROM a JOIN b USING (fp)
          GROUP BY 1, 2 HAVING COUNT(*) >= 4
          ORDER BY id_a, id_b""",
+    // Repetition quality filters: duplicate fractions via list_distinct,
+    // top-2-gram share via an independent unnest + MAX/SUM aggregation.
+    "q53_repetition" ->
+      """WITH d AS (SELECT doc_id,
+             CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE string_split_regex(lower(trim(text)), '\s+') END AS w
+           FROM documents),
+         g AS (SELECT doc_id, w,
+             CASE WHEN len(w) = 0 THEN []::VARCHAR[]
+                  WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                  ELSE list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END AS s3,
+             CASE WHEN len(w) = 0 THEN []::VARCHAR[]
+                  WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+                  ELSE list_transform(range(1, len(w)),
+                    i -> w[i] || ' ' || w[i+1]) END AS s2
+           FROM d),
+         rl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+             CASE WHEN len(w) = 0 THEN 0.0
+                  ELSE ROUND(1.0 - CAST(len(list_distinct(w)) AS DOUBLE)
+                    / len(w), 4) END AS dup_word_frac,
+             CASE WHEN len(s3) = 0 THEN 0.0
+                  ELSE ROUND(1.0 - CAST(len(list_distinct(s3)) AS DOUBLE)
+                    / len(s3), 4) END AS dup_3gram_frac
+           FROM g),
+         c2 AS (SELECT doc_id, g2, COUNT(*) AS cnt
+           FROM (SELECT doc_id, unnest(s2) AS g2 FROM g) GROUP BY 1, 2),
+         m2 AS (SELECT doc_id,
+             ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 4)
+               AS top_2gram_frac
+           FROM c2 GROUP BY 1)
+         SELECT rl.doc_id, n_words, dup_word_frac, dup_3gram_frac,
+           COALESCE(m2.top_2gram_frac, 0.0) AS top_2gram_frac
+         FROM rl LEFT JOIN m2 ON rl.doc_id = m2.doc_id
+         ORDER BY rl.doc_id""",
     // Winnowing (k=8 char grams, w=8 windows, Karp–Rabin base 257 mod
     // 1e9+7): every gram hash recomputed DIRECTLY as Σ code·B^j mod M with
     // the B^j mod M constants inlined (powers of 257 exceed 2^53 at j≥7,

@@ -396,4 +396,14 @@ object TextQueries {
         granularity = Q52Granularity)
       .select("doc_id", "lang")
       .orderBy("doc_id")
+
+  /** q53: repetition quality filters
+    * ([[graft.textops.TextStats.repetitionStats]] — the Gopher repeated-
+    * phrase signals). The oracle recomputes the duplicate fractions with
+    * DuckDB list functions and the top-2-gram share with an independent
+    * unnest + window formulation.
+    */
+  def q53Repetition(spark: SparkSession, sfDir: String): DataFrame =
+    TextStats.repetitionStats(Tables.documents(spark, sfDir))
+      .orderBy("doc_id")
 }

@@ -157,4 +157,52 @@ object TextStats {
     */
   def winnowingFingerprintPos(text: Column, k: Int = 8, w: Int = 8): Column =
     graft.functions.TextExprs.winnowingFpPos(lower(trim(text)), k, w)
+
+  /** Repetition statistics — the Gopher-family quality filters (Rae et al.
+    * 2021 §A.1.1: documents dominated by repeated phrases are low-quality
+    * and removed before training):
+    *
+    *   - `dup_word_frac` / `dup_3gram_frac`: occurrence-weighted fraction
+    *     of duplicated words / word 3-grams, 1 − distinct/total — a
+    *     row-local `array_distinct` projection;
+    *   - `top_2gram_frac`: the most frequent 2-gram's share of all
+    *     2-grams. The per-doc mode is NOT computed with a row-local HOF
+    *     (that is O(len²) per row — a pathological single document could
+    *     stall its task): 2-grams explode into (id, gram) rows, a
+    *     partial-aggregating count per (id, gram), then max/sum per id —
+    *     two skew-safe shuffles carrying ids and grams only, any doc
+    *     length.
+    *
+    * Empty/whitespace-only text yields zeros across the board. Returns
+    * (idCol, n_words, dup_word_frac, dup_3gram_frac, top_2gram_frac),
+    * fractions rounded to 4 dp (the driver-gate convention).
+    */
+  def repetitionStats(df: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val empty = length(trim(col(textCol))) === 0
+    def dupFrac(arr: Column): Column =
+      round(lit(1.0) -
+        size(array_distinct(arr)).cast("double") /
+          greatest(size(arr), lit(1)), 4)
+    val w = words(col(textCol))
+    val rowLocal = df.select(col(idCol),
+      when(empty, 0L).otherwise(size(w)).cast("long").as("n_words"),
+      when(empty, 0.0).otherwise(dupFrac(w)).as("dup_word_frac"),
+      when(empty, 0.0)
+        .otherwise(dupFrac(graft.functions.ArrayExprs.wordShingles(w, 3)))
+        .as("dup_3gram_frac"))
+    val top2 = df.filter(!empty)
+      .select(col(idCol),
+        explode(graft.functions.ArrayExprs.wordShingles(w, 2)).as("g2"))
+      .groupBy(idCol, "g2").agg(count(lit(1)).as("cnt"))
+      .groupBy(idCol).agg(
+        (max(col("cnt")).cast("double") / sum(col("cnt")))
+          .as("top_2gram_frac"))
+    rowLocal.join(top2, Seq(idCol), "left")
+      .select(col(idCol), col("n_words"), col("dup_word_frac"),
+        col("dup_3gram_frac"),
+        round(coalesce(col("top_2gram_frac"), lit(0.0)), 4)
+          .as("top_2gram_frac"))
+  }
 }

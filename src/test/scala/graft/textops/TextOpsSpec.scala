@@ -204,6 +204,28 @@ class TextOpsSpec extends SparkSpec {
     assert(m("max_group").asInstanceOf[Long] === 14L)
   }
 
+  test("repetitionStats: hand-computed duplicate fractions and top-2-gram " +
+      "share, zeros on degenerate text") {
+    val fixture = Seq(
+      // 6 words: "spam and eggs spam and eggs" — words: 3 distinct of 6
+      // → dup_word 0.5; 3-grams (4): "spam and eggs","and eggs spam",
+      // "eggs spam and","spam and eggs" → 1 dup of 4 = 0.25; 2-grams (5):
+      // "spam and"×2,"and eggs"×2,"eggs spam" → top 2/5 = 0.4
+      (1L, "spam and eggs spam and eggs"),
+      (2L, "all tokens here are fully distinct"), // no repetition at all
+      (3L, "   "), // whitespace-only → zeros
+      (4L, "tiny doc")) // 2 words, single 3-gram/2-gram, no dups
+      .toDF("doc_id", "text")
+    val out = TextStats.repetitionStats(fixture)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(out(1L) === ((6L, 0.5, 0.25, 0.4)))
+    assert(out(2L) === ((6L, 0.0, 0.0, 0.2))) // 5 distinct 2-grams: top 1/5
+    assert(out(3L) === ((0L, 0.0, 0.0, 0.0)))
+    assert(out(4L) === ((2L, 0.0, 0.0, 1.0))) // the single 2-gram is 100%
+  }
+
   test("langId picks the profile with most stopword hits") {
     val out = docs.select(col("doc_id"), TextStats.langId(col("text")).as("l"))
       .as[(Long, String)].collect().toMap
