@@ -72,6 +72,10 @@ object SparkEntry {
     "q51_contamination"    -> (TextQueries.q51Contamination _),
     "q52_stratified_sample"-> (TextQueries.q52StratifiedSample _),
     "q53_repetition"       -> (TextQueries.q53Repetition _),
+    "q54_pii_redact"       -> (TextQueries.q54PiiRedact _),
+    "q55_text_fold"        -> (TextQueries.q55TextFold _),
+    "q56_sequence_packing" -> (TextQueries.q56SequencePacking _),
+    "q57_asof_join"        -> (Relational.q57AsofJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -607,5 +611,73 @@ object SparkEntry {
          SELECT DISTINCT doc_id, s.fp AS fp, s.pos AS pos
          FROM (SELECT doc_id, unnest(sel) AS s FROM m)
          ORDER BY doc_id, pos""",
+    // PII redaction: identical RE2-subset pattern strings, applied in the
+    // same email → IP → digit-run order; counts over the pre-redaction
+    // text via regexp_extract_all.
+    "q54_pii_redact" ->
+      """WITH c AS (SELECT c_custkey,
+             c_name || ' <user' || CAST(c_custkey AS VARCHAR)
+               || '@example.com> ip 10.' || CAST(c_nationkey AS VARCHAR)
+               || '.0.' || CAST(c_custkey % 250 AS VARCHAR)
+               || ' tel ' || lpad(CAST(c_custkey AS VARCHAR), 8, '0')
+               || ' ' || c_mktsegment AS contact
+           FROM customer)
+         SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(contact,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\d{7,}', '<NUM>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(contact,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(contact,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+             AS INTEGER) AS n_ips,
+           CAST(len(regexp_extract_all(contact, '\d{7,}'))
+             AS INTEGER) AS n_nums
+         FROM c ORDER BY c_custkey""",
+    // Unicode folding: both sides derive accented text with the same
+    // translate map; DuckDB's independent strip_accents/lower (utf8proc)
+    // + explicit-class whitespace collapse must match FoldText exactly.
+    "q55_text_fold" ->
+      """WITH f AS (SELECT doc_id,
+             trim(regexp_replace(strip_accents(lower(
+               translate(text, 'aeionu', 'áèïöñü'))),
+               '[ \t\n\f\r]+', ' ', 'g'), ' ') AS folded
+           FROM documents)
+         SELECT doc_id, folded,
+           CAST(len(folded) AS INTEGER) AS n_chars_folded
+         FROM f ORDER BY doc_id""",
+    // Sequence packing: q25's whitespace token count, running-sum window
+    // per source in doc_id order, pack = floor(tokens_before / 512).
+    "q56_sequence_packing" ->
+      """WITH d AS (SELECT doc_id, source,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(lower(trim(text)), '\s+'))
+             END AS tok
+           FROM documents),
+         w AS (SELECT doc_id, source, tok,
+             SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) - tok AS cum_before
+           FROM d)
+         SELECT source, CAST(cum_before // 512 AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         FROM w GROUP BY source, pack_id ORDER BY source, pack_id""",
+    // Backward as-of join: DuckDB's NATIVE ASOF LEFT JOIN — an
+    // independent engine implementation of the inclusive backward-match
+    // semantics, not a SQL restatement of the union+window formulation.
+    "q57_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts,
+             ROUND(value, 2) AS purchase_value
+           FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, ts, ROUND(MAX(value), 2) AS view_value
+           FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+         SELECT p.event_id, p.user_id, p.ts, p.purchase_value,
+           v.ts AS ts_matched, v.view_value
+         FROM p ASOF LEFT JOIN v
+           ON p.user_id = v.user_id AND p.ts >= v.ts
+         ORDER BY p.event_id""",
   )
 }

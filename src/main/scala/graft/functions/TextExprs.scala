@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.graftshim.{columnExpr, exprColumn}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native multi-pattern substring matching for the rule cascade
@@ -334,4 +334,70 @@ object TextExprs {
 
   def krHash64(s: Column, base: Long = 257L, mod: Long = 1000000007L): Column =
     exprColumn(KrHash64(columnExpr(s), base, mod))
+
+  /** Unicode text folding for dedup/normalization pipelines: NFD
+    * decomposition, combining-mark (accent) stripping, per-codepoint
+    * lowercasing, and whitespace-run collapse to a single space with
+    * leading/trailing trim — one pass, one output string. The canonical
+    * pre-dedup canonicalization (case/accent/spacing variants of the same
+    * sentence must fingerprint identically).
+    *
+    * Spark has no accent-stripping builtin (`translate` would need the
+    * full Latin diacritic table inlined per call site); a native
+    * expression keeps this a single codegen'd projection. The whitespace
+    * class is the explicit RE2 `\s` set [ \t\n\f\r] — NOT Java's `\s`
+    * (which adds \x0B) — so the DuckDB oracle's
+    * `regexp_replace(..., '[ \t\n\f\r]+', ' ', 'g')` is character-exact.
+    * Lowercasing is per-codepoint `Character.toLowerCase` (Unicode table,
+    * locale-independent — never the default-locale String.toLowerCase,
+    * the Turkish-İ bug class CliSpec pins for Report).
+    *
+    * Codegen: whole-stage-friendly via a static call into [[foldUtf8]]
+    * (same technique as Spark's own StaticInvoke expressions) — the loop
+    * itself would gain nothing from inlining into Janino source.
+    */
+  case class FoldText(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "graft_fold_text"
+
+    override def nullSafeEval(input: Any): Any =
+      TextExprs.foldUtf8(input.asInstanceOf[UTF8String])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.TextExprs$$.MODULE$$.foldUtf8($c)")
+
+    override protected def withNewChildInternal(c: Expression): FoldText =
+      copy(child = c)
+  }
+
+  /** NFD → strip Mn marks → lowercase codepoints → collapse [ \t\n\f\r]
+    * runs to ' ' → trim. Public because generated code calls it.
+    */
+  def foldUtf8(u: UTF8String): UTF8String = {
+    val n = java.text.Normalizer.normalize(u.toString,
+      java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(n.length)
+    var pendingSpace = false
+    var started = false
+    var i = 0
+    while (i < n.length) {
+      val cp = n.codePointAt(i)
+      i += Character.charCount(cp)
+      if (Character.getType(cp) != Character.NON_SPACING_MARK) {
+        if (cp == ' ' || cp == '\t' || cp == '\n' || cp == '\f' ||
+            cp == '\r') {
+          pendingSpace = true
+        } else {
+          if (pendingSpace && started) sb.append(' ')
+          pendingSpace = false
+          started = true
+          sb.appendCodePoint(Character.toLowerCase(cp))
+        }
+      }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  def foldText(text: Column): Column = exprColumn(FoldText(columnExpr(text)))
 }

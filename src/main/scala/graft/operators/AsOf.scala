@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join — for each left row, attach the single right row
+  * with the LARGEST right timestamp ≤ the left timestamp within the same
+  * key (time-series attribution: trade→quote, purchase→last-view). Spark
+  * has no native ASOF JOIN (DuckDB/Pandas do); a naive range join
+  * (`l.key = r.key AND r.ts <= l.ts` + max) explodes to O(|l|·|r|) pairs
+  * per key before aggregating.
+  *
+  * This is the canonical single-shuffle formulation instead: UNION the two
+  * inputs with a side tag, sort each key group once by (ts, side), and
+  * carry the right-side payload forward with `last(..., ignoreNulls)` over
+  * a running window. Cost = one shuffle on the key + one sort — identical
+  * to a regular sort-merge join's shuffle, with NO pair explosion; a hot
+  * key streams through the running window in O(1) state per row. Right
+  * rows sort BEFORE left rows at equal timestamps (side tag 0 < 1), making
+  * the match inclusive (`r.ts <= l.ts`), DuckDB ASOF semantics.
+  *
+  * Contract: `right` must be unique per (key, ts) — pre-aggregate if not —
+  * otherwise "the" as-of row is ill-defined (DuckDB picks arbitrarily; we
+  * refuse to be nondeterministic by contract rather than by luck).
+  *
+  * @param right  (key, ts, payload...) — every non-key, non-ts column is
+  *               carried to the output, null when no right row precedes.
+  */
+object AsOf {
+
+  def joinBackward(left: DataFrame, right: DataFrame,
+      key: String, ts: String): DataFrame = {
+    val payload = right.columns.filter(c => c != key && c != ts).toSeq
+    val leftCols = left.columns.toSeq
+
+    // Common layout: key, ts, side, every left col, every right payload
+    // col (left rows carry null payload; right rows null left cols).
+    val taggedRight = right
+      .select(Seq(col(key), col(ts), lit(0).as("graft_side")) ++
+        leftCols.filter(c => c != key && c != ts)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payload.map(col) : _*)
+    val taggedLeft = left
+      .select(Seq(col(key), col(ts), lit(1).as("graft_side")) ++
+        leftCols.filter(c => c != key && c != ts).map(col) ++
+        payload.map(c =>
+          lit(null).cast(right.schema(c).dataType).as(c)) : _*)
+
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("graft_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    // ALL carried columns in one select → a single Window operator (one
+    // pass per partition), not one Window per payload column.
+    val matchedTs = s"${ts}_matched"
+    def carry(c: String) =
+      last(when(col("graft_side") === 0, col(c)), ignoreNulls = true).over(w)
+    taggedRight.unionByName(taggedLeft)
+      .select(Seq(col("graft_side")) ++ leftCols.map(col) ++
+        (carry(ts).as(matchedTs) +: payload.map(c => carry(c).as(c))) : _*)
+      .where(col("graft_side") === 1)
+      .select((leftCols.map(col) :+ col(matchedTs)) ++
+        payload.map(col) : _*)
+  }
+}

@@ -387,4 +387,26 @@ object Relational {
     custsIn(1994).intersect(custsIn(1995)).except(custsIn(1996))
       .orderBy(col("o_custkey"))
   }
+
+  /** q57: backward as-of join ([[AsOf.joinBackward]]) — each purchase
+    * attributed to the user's most recent view at or before the purchase
+    * timestamp (last-touch attribution), NULL when no view precedes.
+    * Views are pre-aggregated to one row per (user_id, ts) — the
+    * operator's uniqueness contract — with `max(value)`. The oracle is
+    * DuckDB's NATIVE `ASOF LEFT JOIN`, a fully independent implementation
+    * of the same semantics (inclusive backward match), so the union+tag+
+    * running-last formulation is verified against a real as-of engine,
+    * not a restatement of itself.
+    */
+  def q57AsofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        round(col("value"), 2).as("purchase_value"))
+    val views = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(round(max(col("value")), 2).as("view_value"))
+    AsOf.joinBackward(purchases, views, key = "user_id", ts = "ts")
+      .orderBy("event_id")
+  }
 }

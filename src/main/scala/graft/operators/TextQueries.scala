@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.textops.{Dedup, Overlap, Sampling, Similarity, TextStats}
+import graft.textops.{Dedup, Overlap, Packing, Redact, Sampling, Similarity, TextStats}
 
 /** Driver-gated queries over the `documents`/`embeddings` testdata tables
   * exercising the training-data-pipeline operators (graft.textops).
@@ -406,4 +406,58 @@ object TextQueries {
   def q53Repetition(spark: SparkSession, sfDir: String): DataFrame =
     TextStats.repetitionStats(Tables.documents(spark, sfDir))
       .orderBy("doc_id")
+
+  /** q54: PII redaction ([[graft.textops.Redact]]). The synthetic corpus
+    * carries no organic PII, so the gate derives a deterministic contact
+    * string from customer keys on BOTH sides (same `||`-concatenation in
+    * the oracle), guaranteeing every rule fires: an email, a dotted-quad
+    * IP, and two ≥7-digit runs (the zero-padded c_name tail and the
+    * padded "tel"). The oracle then applies the IDENTICAL pattern strings
+    * through DuckDB's RE2 `regexp_replace(..., 'g')` — redaction output
+    * and per-class counts are hash-compared, proving the patterns live in
+    * the dialect-portable subset they claim.
+    */
+  def q54PiiRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    val contact = concat(
+      col("c_name"), lit(" <user"), col("c_custkey").cast("string"),
+      lit("@example.com> ip 10."), col("c_nationkey").cast("string"),
+      lit(".0."), pmod(col("c_custkey"), lit(250)).cast("string"),
+      lit(" tel "), lpad(col("c_custkey").cast("string"), 8, "0"),
+      lit(" "), col("c_mktsegment"))
+    Tables.customer(spark, sfDir)
+      .select(Seq(col("c_custkey"), contact.as("contact")): _*)
+      .select(Seq(col("c_custkey"),
+        Redact.redactPii(col("contact")).as("redacted")) ++
+        Redact.redactionCounts(col("contact")).map { case (n, c) =>
+          c.as(n) } : _*)
+      .orderBy("c_custkey")
+  }
+
+  /** q55: Unicode text folding ([[graft.functions.TextExprs.FoldText]] —
+    * NFD de-accent + lowercase + whitespace collapse in one native
+    * codegen'd pass). The corpus is all-ASCII, so both sides first derive
+    * accented text with the same 6-char `translate` map (á è ï ö ñ ü) —
+    * the fold then has real combining marks to strip, and the oracle's
+    * independent `strip_accents(lower(...))` + RE2 whitespace collapse
+    * must reproduce the expression byte for byte.
+    */
+  def q55TextFold(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.TextExprs.foldText(
+          translate(col("text"), "aeionu", "áèïöñü")).as("folded"))
+      .select(col("doc_id"), col("folded"),
+        length(col("folded")).as("n_chars_folded"))
+      .orderBy("doc_id")
+
+  /** q56: greedy sequence packing ([[graft.textops.Packing]]) — 512-token
+    * packs per source shard, docs laid out in doc_id order. The oracle
+    * restates the running-sum window and the floor-division pack rule
+    * over the q25 whitespace token count.
+    */
+  def q56SequencePacking(spark: SparkSession, sfDir: String): DataFrame =
+    Packing.packStats(Tables.documents(spark, sfDir),
+        textCol = col("text"), partitionCol = col("source"),
+        orderCol = col("doc_id"), capacity = 512L)
+      .orderBy("source", "pack_id")
 }

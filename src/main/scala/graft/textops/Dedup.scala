@@ -407,7 +407,7 @@ object Dedup {
     var prevSum: Option[java.math.BigDecimal] = None
     def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
       Option(df.agg(sum(col("component").cast("decimal(38,0)")))
-        .head.getDecimal(0))
+        .head().getDecimal(0))
     while (!converged && iter < maxIter) {
       val viaNeighbors = sym
         .join(labels.select(col("id").as("dst"), col("component")), "dst")

@@ -1,0 +1,43 @@
+package graft.textops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** PII redaction for training-data pipelines: emails, IPv4 addresses and
+  * long digit runs (phone / account / card numbers) are replaced with
+  * typed placeholder tokens, the standard pre-training scrub (the C4 /
+  * Dolma / RefinedWeb cleaning recipes all carry an equivalent pass).
+  *
+  * Pure `regexp_replace` projections — codegen'd builtins, no UDFs, no
+  * shuffle; scales linearly with input splits at 100 TB. Patterns stay
+  * inside the RE2-compatible subset (no lookaround, no backreferences) so
+  * the DuckDB oracle can run the IDENTICAL pattern strings.
+  *
+  * Order matters and is fixed: emails first (their local parts contain
+  * digit runs), then IPv4 (dotted quads would otherwise be split by the
+  * digit-run rule), then standalone digit runs. Placeholders contain no
+  * digits, so later passes never re-match earlier replacements.
+  */
+object Redact {
+
+  /** (name, pattern, placeholder) — applied in declaration order. */
+  val rules: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("num", "\\d{7,}", "<NUM>"))
+
+  /** Text with all three PII classes replaced by their placeholders. */
+  def redactPii(text: Column): Column =
+    rules.foldLeft(text) { case (c, (_, pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
+  /** Per-class match counts over the ORIGINAL text (audit columns; the
+    * three patterns never overlap on the same span by construction of the
+    * ordering above, so counting pre-redaction is well defined).
+    */
+  def redactionCounts(text: Column): Seq[(String, Column)] =
+    rules.map { case (name, pat, _) =>
+      s"n_${name}s" -> regexp_count(text, lit(pat))
+    }
+}
