@@ -76,6 +76,9 @@ object SparkEntry {
     "q55_text_fold"        -> (TextQueries.q55TextFold _),
     "q56_sequence_packing" -> (TextQueries.q56SequencePacking _),
     "q57_asof_join"        -> (Relational.q57AsofJoin _),
+    "q58_chunking"         -> (TextQueries.q58Chunking _),
+    "q59_vocabulary"       -> (TextQueries.q59Vocabulary _),
+    "q60_quantize"         -> (TextQueries.q60Quantize _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -679,5 +682,47 @@ object SparkEntry {
          FROM p ASOF LEFT JOIN v
            ON p.user_id = v.user_id AND p.ts >= v.ts
          ORDER BY p.event_id""",
+    // Overlapping 200/150 chunking: offsets are stride multiples, so
+    // chunk_idx is recovered by integer division; the slice is restated
+    // as a plain substring.
+    "q58_chunking" ->
+      """SELECT doc_id, CAST(o // 150 AS INTEGER) AS chunk_idx,
+           CAST(o AS INTEGER) AS chunk_off,
+           substring(text, CAST(o + 1 AS INTEGER), 200) AS chunk,
+           CAST(len(substring(text, CAST(o + 1 AS INTEGER), 200))
+             AS INTEGER) AS n_chars
+         FROM (SELECT doc_id, text,
+             unnest(range(0, greatest(len(text), 1), 150)) AS o
+           FROM documents)
+         ORDER BY doc_id, chunk_idx""",
+    // Vocabulary: same whitespace tokenizer as q25, both frequencies in
+    // one grouped pass, deterministic (count desc, term asc) top-500.
+    "q59_vocabulary" ->
+      """WITH t AS (SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+           FROM documents)
+         SELECT term, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs
+         FROM t WHERE term <> ''
+         GROUP BY term ORDER BY n_occ DESC, term LIMIT 500""",
+    // Scalar quantization: the fixed-operation-order formula restated
+    // literally — floor(x+0.5) (identical in both engines, unlike
+    // round's tie rule), same association, same double casts.
+    "q60_quantize" ->
+      """WITH m AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+           FROM embeddings),
+         r AS (SELECT vec_id, d, list_min(d) AS vmin, list_max(d) AS vmax
+           FROM m)
+         SELECT vec_id, ROUND(vmin, 6) AS vmin, ROUND(vmax, 6) AS vmax,
+           CAST(list_sum(list_transform(d, x ->
+             CASE WHEN vmax - vmin = 0 THEN 0
+                  ELSE CAST(floor((x - vmin) / (vmax - vmin) * 255.0 + 0.5)
+                    AS INTEGER) END)) AS BIGINT) AS code_sum,
+           ROUND(list_max(list_transform(d, x ->
+             CASE WHEN vmax - vmin = 0 THEN 0.0
+                  ELSE abs(x - (vmin +
+                    floor((x - vmin) / (vmax - vmin) * 255.0 + 0.5)
+                      * (vmax - vmin) / 255.0)) END)), 6) AS max_abs_err
+         FROM r ORDER BY vec_id""",
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.textops.{Dedup, Overlap, Packing, Redact, Sampling, Similarity, TextStats}
+import graft.textops.{Chunking, Dedup, Overlap, Packing, Quantize, Redact, Sampling, Similarity, TextStats}
 
 /** Driver-gated queries over the `documents`/`embeddings` testdata tables
   * exercising the training-data-pipeline operators (graft.textops).
@@ -460,4 +460,42 @@ object TextQueries {
         textCol = col("text"), partitionCol = col("source"),
         orderCol = col("doc_id"), capacity = 512L)
       .orderBy("source", "pack_id")
+
+  /** q58: overlapping chunking ([[graft.textops.Chunking]]) — 200-char
+    * windows, stride 150. Offsets are stride multiples, so the oracle
+    * recovers chunk_idx as integer division and restates the substring
+    * slice directly.
+    */
+  def q58Chunking(spark: SparkSession, sfDir: String): DataFrame =
+    Chunking.chunkByChars(Tables.documents(spark, sfDir)
+        .select("doc_id", "text"),
+        textCol = col("text"), size = 200, stride = 150)
+      .select(col("doc_id"), col("chunk_idx"),
+        col("offset").as("chunk_off"), col("chunk"), col("n_chars"))
+      .orderBy("doc_id", "chunk_idx")
+
+  /** q59: corpus vocabulary ([[graft.textops.TextStats.vocabulary]]) —
+    * top-500 terms by occurrence count with document frequencies,
+    * deterministic (count desc, term asc) tie-break so the selected SET
+    * itself hash-matches, not just its statistics.
+    */
+  def q59Vocabulary(spark: SparkSession, sfDir: String): DataFrame =
+    TextStats.vocabulary(Tables.documents(spark, sfDir), topK = 500)
+      .orderBy(col("n_occ").desc, col("term").asc)
+
+  /** q60: scalar embedding quantization ([[graft.textops.Quantize]]) —
+    * per-vector int8 codes with code checksum and max reconstruction
+    * error. The oracle restates the fixed-operation-order formula
+    * (floor(x+0.5), never round — the engines' round tie rules differ)
+    * over the same double-cast arrays.
+    */
+  def q60Quantize(spark: SparkSession, sfDir: String): DataFrame =
+    Quantize.scalarQuantize(Tables.embeddings(spark, sfDir),
+        vecCol = col("embedding"))
+      .select(col("vec_id"),
+        round(col("vmin"), 6).as("vmin"),
+        round(col("vmax"), 6).as("vmax"),
+        aggregate(col("codes"), lit(0L), (a, x) => a + x).as("code_sum"),
+        round(col("max_abs_err"), 6).as("max_abs_err"))
+      .orderBy("vec_id")
 }

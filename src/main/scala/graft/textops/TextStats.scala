@@ -205,4 +205,28 @@ object TextStats {
         round(coalesce(col("top_2gram_frac"), lit(0.0)), 4)
           .as("top_2gram_frac"))
   }
+
+  /** Corpus vocabulary extraction — the tokenizer-training prep step
+    * (BPE/unigram trainers start from exactly this table): the `topK`
+    * most frequent whitespace terms with occurrence and document
+    * frequencies, deterministically tie-broken (count desc, term asc) so
+    * the selected SET is reproducible run to run and engine to engine.
+    *
+    * Scale shape: explode → ONE hash aggregation keyed by term computes
+    * both frequencies (`count_distinct` runs as the standard two-phase
+    * expand — partial aggregates absorb hot terms map-side, so "the" at
+    * 100 TB reaches its reducer pre-combined, never as raw rows), then
+    * the top-k is a `TakeOrderedAndProject` — per-partition heaps of k
+    * rows to the driver, NEVER a global sort of the term table.
+    */
+  def vocabulary(df: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      topK: Int = 500): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol), explode(words(col(textCol))).as("term"))
+      .where(col("term") =!= "")
+      .groupBy("term")
+      .agg(count(lit(1)).as("n_occ"),
+        count_distinct(col(idCol)).as("n_docs"))
+      .orderBy(col("n_occ").desc, col("term").asc)
+      .limit(topK)
 }
