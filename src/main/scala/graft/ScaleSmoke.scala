@@ -5,7 +5,8 @@ import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.finance.Store
-import graft.textops.{Dedup, Similarity, TextStats}
+import graft.operators.AsOf
+import graft.textops.{Dedup, Packing, Redact, Similarity, TextStats}
 
 /** Scale-validation harness: multiplies the documents/embeddings corpora
   * Nx with deterministic perturbations and drives the dedup/similarity/
@@ -376,6 +377,43 @@ object ScaleSmoke {
       stratumCol = "stratum", idCol = "doc_id",
       rates = Map("s0" -> 0.5, "s1" -> 0.25), defaultRate = 0.05))
 
+    // redaction + unicode folding are pure projections — scan-bound, wall
+    // must track the corpus multiplier and nothing else
+    time("redact_fold")(docs.select(col("doc_id"),
+      Redact.redactPii(col("text")).as("redacted"),
+      graft.functions.TextExprs.foldText(col("text")).as("folded")))
+
+    // sequence packing at 20×: one shuffle on a BOUNDED shard key (64
+    // shards, the way a fleet pipeline buckets (source, id-range)) + a
+    // streaming running-sum window — never a global sort
+    time("sequence_packing")(Packing.packStats(
+      docs.withColumn("shard", pmod(col("doc_id"), lit(64))),
+      textCol = col("text"), partitionCol = col("shard"),
+      orderCol = col("doc_id"), capacity = 512L))
+
+    // as-of join at 20×: the key SPACE multiplies (more users, same
+    // per-user density — the realistic 100 TB growth axis); one shuffle
+    // on user_id, running-last window, no pair explosion
+    locally {
+      val copies = spark.range(mult.toLong).toDF("copy")
+      val scaledEv = graft.sources.Tables.events(spark, sfDir)
+        .crossJoin(broadcast(copies))
+        .select((col("event_id") * mult + col("copy")).as("event_id"),
+          (col("user_id") * mult + col("copy")).as("user_id"),
+          col("ts"), col("event_type"), col("value"))
+        .repartition(cpus.toInt).persist()
+      scaledEv.count()
+      val purchases = scaledEv.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("value").as("purchase_value"))
+      val views = scaledEv.where(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("view_value"))
+      time("asof_join")(
+        AsOf.joinBackward(purchases, views, key = "user_id", ts = "ts"))
+      scaledEv.unpersist(blocking = false)
+    }
+
     // ---- adversarial skew: ONE hot key at 10 % frequency -----------------
     // Exact dedup: every 10th document is the same boilerplate text → one
     // fingerprint holds 10 % of the corpus. The min_by aggregation must
@@ -416,6 +454,25 @@ object ScaleSmoke {
     timeSkewAudited(spark, "upsert_merge_skew10pct") {
       val (merged, _) = Store.upsertReleasable(store, prepared)
       merged
+    }
+
+    // Salted join under the same 10 % hot key: unsalted, the hot key's
+    // 200k matches land in ONE shuffle partition of the join; the salt
+    // spreads them across 16 buckets and the task audit proves the
+    // straggler is gone (the downstream agg partial-combines map-side,
+    // so re-concentrating on the raw key afterwards stays flat too)
+    locally {
+      val hotLeft = spark.range(nTx).select(
+        when(pmod(col("id"), lit(10)) === 0, 0L).otherwise(col("id"))
+          .as("k"),
+        col("id").as("payload"))
+      val dimRight = spark.range(nTx / 100).select(
+        col("id").as("rk"), (col("id") * 2).as("weight"))
+      timeSkewAudited(spark, "salted_join_skew10pct")(
+        graft.operators.SkewJoin.saltedEquiJoin(hotLeft, dimRight,
+            "k", "rk", buckets = 16)
+          .groupBy("k")
+          .agg(count(lit(1)).as("n"), sum("weight").as("w")))
     }
 
     // ---- persist the evidence ---------------------------------------------

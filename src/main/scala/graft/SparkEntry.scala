@@ -79,6 +79,7 @@ object SparkEntry {
     "q58_chunking"         -> (TextQueries.q58Chunking _),
     "q59_vocabulary"       -> (TextQueries.q59Vocabulary _),
     "q60_quantize"         -> (TextQueries.q60Quantize _),
+    "q61_salted_join"      -> (Relational.q61SaltedJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -724,5 +725,13 @@ object SparkEntry {
                     floor((x - vmin) / (vmax - vmin) * 255.0 + 0.5)
                       * (vmax - vmin) / 255.0)) END)), 6) AS max_abs_err
          FROM r ORDER BY vec_id""",
+    // Salted join: the oracle is the PLAIN join — salting is correct
+    // exactly when it is invisible in the result.
+    "q61_salted_join" ->
+      """SELECT p_brand,
+           ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand ORDER BY p_brand""",
   )
 }

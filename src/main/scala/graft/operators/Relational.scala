@@ -409,4 +409,25 @@ object Relational {
     AsOf.joinBackward(purchases, views, key = "user_id", ts = "ts")
       .orderBy("event_id")
   }
+
+  /** q61: salted equi-join ([[SkewJoin.saltedEquiJoin]]) — lineitem ⋈
+    * part through the skew-resistant formulation, aggregated to per-brand
+    * revenue. The oracle is the PLAIN SQL join: salting must be
+    * result-invariant (that is its whole contract), so the gate proves
+    * the algebra while SkewJoinSpec proves the plan shape and the 20×
+    * smoke proves the straggler ratio under a 10 % hot key.
+    */
+  def q61SaltedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+    val parts = Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_brand"))
+    SkewJoin.saltedEquiJoin(li, parts, "l_partkey", "p_partkey",
+        buckets = 8)
+      .groupBy("p_brand")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+  }
 }
