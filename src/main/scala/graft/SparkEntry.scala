@@ -80,6 +80,7 @@ object SparkEntry {
     "q59_vocabulary"       -> (TextQueries.q59Vocabulary _),
     "q60_quantize"         -> (TextQueries.q60Quantize _),
     "q61_salted_join"      -> (Relational.q61SaltedJoin _),
+    "q62_scd2_join"        -> (Relational.q62Scd2Join _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -733,5 +734,22 @@ object SparkEntry {
            COUNT(*) AS n_items
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand ORDER BY p_brand""",
+    // SCD2 epochs via LEAD/ROW_NUMBER, lookup as a range-predicated
+    // join — inclusive start, exclusive end, open-ended tail.
+    "q62_scd2_join" ->
+      """WITH s AS (SELECT user_id, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts)
+               AS INTEGER) AS epoch_id
+           FROM events WHERE event_type = 'signup'),
+         p AS (SELECT user_id, ts, value
+           FROM events WHERE event_type = 'purchase')
+         SELECT p.user_id, s.epoch_id, s.valid_from,
+           COUNT(*) AS n_purchases, ROUND(SUM(p.value), 2) AS sum_value
+         FROM p JOIN s ON p.user_id = s.user_id
+           AND p.ts >= s.valid_from
+           AND (s.valid_to IS NULL OR p.ts < s.valid_to)
+         GROUP BY p.user_id, s.epoch_id, s.valid_from
+         ORDER BY p.user_id, s.epoch_id""",
   )
 }

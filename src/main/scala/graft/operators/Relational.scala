@@ -430,4 +430,25 @@ object Relational {
         count(lit(1)).as("n_items"))
       .orderBy("p_brand")
   }
+
+  /** q62: SCD2 temporal join ([[Temporal]]) — signup events become
+    * per-user validity epochs; purchases are attributed to the epoch
+    * containing their timestamp (inclusive start, exclusive end, open
+    * tail). The oracle restates epochs with LEAD/ROW_NUMBER and the
+    * lookup as a plain range-predicated join.
+    */
+  def q62Scd2Join(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val dim = Temporal.epochs(
+      ev.where(col("event_type") === "signup")
+        .select(col("user_id"), col("ts")),
+      key = "user_id", ts = "ts").drop("ts")
+    val facts = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    Temporal.joinInEpoch(facts, dim, key = "user_id", factTs = "ts")
+      .groupBy(col("user_id"), col("epoch_id"), col("valid_from"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("user_id", "epoch_id")
+  }
 }
