@@ -81,6 +81,8 @@ object SparkEntry {
     "q60_quantize"         -> (TextQueries.q60Quantize _),
     "q61_salted_join"      -> (Relational.q61SaltedJoin _),
     "q62_scd2_join"        -> (Relational.q62Scd2Join _),
+    "q63_sessionize"       -> (Relational.q63Sessionize _),
+    "q64_percentiles"      -> (Relational.q64Percentiles _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -751,5 +753,40 @@ object SparkEntry {
            AND (s.valid_to IS NULL OR p.ts < s.valid_to)
          GROUP BY p.user_id, s.epoch_id, s.valid_from
          ORDER BY p.user_id, s.epoch_id""",
+    // Gaps-and-islands sessionization: LAG boundary flag, running SUM,
+    // exact-microsecond gap arithmetic (epoch_us ↔ unix_micros).
+    "q63_sessionize" ->
+      """WITH e AS (SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (SELECT user_id, ts, value,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+           FROM e)
+         SELECT user_id, session_seq,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+         FROM s GROUP BY user_id, session_seq
+         ORDER BY user_id, session_seq""",
+    // Type-1 quantiles: the element at 1-based rank ceil(p*n) of the
+    // sorted group — restated with ROW_NUMBER, never quantile_cont.
+    "q64_percentiles" ->
+      """WITH r AS (SELECT o_orderpriority, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+           FROM orders)
+         SELECT o_orderpriority,
+           MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+             THEN o_totalprice END) AS p50,
+           MAX(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT)
+             THEN o_totalprice END) AS p90,
+           MAX(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT)
+             THEN o_totalprice END) AS p99,
+           COUNT(*) AS n_rows
+         FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""",
   )
 }

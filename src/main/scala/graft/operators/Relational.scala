@@ -451,4 +451,30 @@ object Relational {
         round(sum(col("value")), 2).as("sum_value"))
       .orderBy("user_id", "epoch_id")
   }
+
+  /** q63: batch sessionization ([[Sessions]]) — 30-minute-gap sessions
+    * per user over the full event stream, rolled up to session bounds and
+    * value sums. The oracle restates the gaps-and-islands pattern (LAG
+    * boundary flag → running SUM) with exact-microsecond gap arithmetic.
+    */
+  def q63Sessionize(spark: SparkSession, sfDir: String): DataFrame =
+    Sessions.sessionStats(
+        Tables.events(spark, sfDir)
+          .select(col("user_id"), col("ts"), col("value")),
+        key = "user_id", ts = "ts", valueCol = "value",
+        gapMicros = 30L * 60 * 1000000)
+      .orderBy("user_id", "session_seq")
+
+  /** q64: exact discontinuous percentiles ([[Profile.percentilesDisc]])
+    * of order totals per priority class. Type-1 quantiles (the element at
+    * rank ceil(p·n)) — engine-portable by construction; the oracle
+    * restates the rank selection, never an interpolating quantile.
+    */
+  def q64Percentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Profile.percentilesDisc(
+        Tables.orders(spark, sfDir)
+          .select(col("o_orderpriority"), col("o_totalprice")),
+        groupCol = "o_orderpriority", valCol = "o_totalprice",
+        ps = Seq(0.5, 0.9, 0.99))
+      .orderBy("o_orderpriority")
 }

@@ -1,0 +1,76 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Batch sessionization ([[Sessions]]) and exact percentile profiling
+  * ([[Profile]]).
+  */
+class SessionsProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000)
+    t.setNanos(((us % 1000000) * 1000).toInt)
+    t
+  }
+
+  test("assignSessions: gap strictly greater than the threshold opens a " +
+      "session; an exact-gap event stays") {
+    val gap = 1000000L // 1s in micros
+    val events = Seq(
+      (1L, 0L), (1L, 1000000L),  // gap == threshold → same session
+      (1L, 2000001L),            // gap 1000001 > threshold → new session
+      (1L, 2500000L),
+      (2L, 0L))                  // other key starts at 1 independently
+      .map { case (k, us) => (k, ts(us)) }.toDF("k", "at")
+    val got = Sessions.assignSessions(events, "k", "at", gap)
+      .select($"k", $"at", $"session_seq")
+      .as[(Long, Timestamp, Long)].collect()
+      .sortBy(r => (r._1, r._2.getTime))
+      .map(r => (r._1, r._3))
+    assert(got.toSeq === Seq((1L, 1L), (1L, 1L), (1L, 2L), (1L, 2L),
+      (2L, 1L)))
+  }
+
+  test("sessionStats rolls up bounds/counts/sums; one shuffle for " +
+      "windows AND rollup") {
+    val events = Seq(
+      (1L, 0L, 1.0), (1L, 500000L, 2.0), (1L, 10000000L, 4.0))
+      .map { case (k, us, v) => (k, ts(us), v) }.toDF("k", "at", "v")
+    def stats = Sessions.sessionStats(events, "k", "at", "v",
+      gapMicros = 1000000L)
+    val got = stats.orderBy("session_seq")
+      .select($"session_seq", $"n_events", $"sum_value")
+      .as[(Long, Long, Double)].collect()
+    assert(got.toSeq === Seq((1L, 2L, 3.0), (2L, 1L, 4.0)))
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prior = spark.conf.get(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    val plan = try stats.queryExecution.executedPlan
+      finally spark.conf.set(aqeKey, prior)
+    assert(plan.collect { case e: ShuffleExchangeLike => e }.size === 1,
+      plan.toString)
+  }
+
+  test("percentilesDisc: rank-ceil selection, ties, singleton group, " +
+      "p=1 takes the max") {
+    val df = ((1 to 10).map(i => ("a", i.toDouble)) ++
+      Seq(("b", 1.0), ("b", 2.0), ("b", 2.0), ("b", 2.0), ("b", 5.0)) ++
+      Seq(("c", 42.0)))
+      .toDF("g", "x")
+    val got = Profile.percentilesDisc(df, "g", "x",
+        ps = Seq(0.5, 0.9, 1.0))
+      .orderBy("g")
+      .select($"g", $"p50", $"p90", $"p100", $"n_rows")
+      .as[(String, Double, Double, Double, Long)].collect()
+    assert(got.toSeq === Seq(
+      ("a", 5.0, 9.0, 10.0, 10L),   // ranks ceil(5)=5, ceil(9)=9, 10
+      ("b", 2.0, 5.0, 5.0, 5L),     // rank 3 lands inside the tie run
+      ("c", 42.0, 42.0, 42.0, 1L))) // singleton: every quantile = value
+  }
+}
