@@ -83,6 +83,7 @@ object SparkEntry {
     "q62_scd2_join"        -> (Relational.q62Scd2Join _),
     "q63_sessionize"       -> (Relational.q63Sessionize _),
     "q64_percentiles"      -> (Relational.q64Percentiles _),
+    "q65_asof_forward"     -> (Relational.q65AsofForward _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -788,5 +789,18 @@ object SparkEntry {
              THEN o_totalprice END) AS p99,
            COUNT(*) AS n_rows
          FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // Forward as-of: DuckDB's native ASOF with a <= condition — the
+    // smallest right timestamp at or after each left row.
+    "q65_asof_forward" ->
+      """WITH p AS (SELECT event_id, user_id, ts,
+             ROUND(value, 2) AS purchase_value
+           FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, ts, ROUND(MAX(value), 2) AS view_value
+           FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+         SELECT p.event_id, p.user_id, p.ts, p.purchase_value,
+           v.ts AS ts_matched, v.view_value
+         FROM p ASOF LEFT JOIN v
+           ON p.user_id = v.user_id AND p.ts <= v.ts
+         ORDER BY p.event_id""",
   )
 }

@@ -30,36 +30,63 @@ import org.apache.spark.sql.functions._
 object AsOf {
 
   def joinBackward(left: DataFrame, right: DataFrame,
-      key: String, ts: String): DataFrame = {
+      key: String, ts: String): DataFrame =
+    joinDirectional(left, right, key, ts, backward = true)
+
+  /** Forward as-of: the single right row with the SMALLEST right
+    * timestamp ≥ the left timestamp (next-quote / next-event
+    * attribution), inclusive at equal timestamps — DuckDB
+    * `ASOF LEFT JOIN … ON l.ts <= r.ts` semantics. Same single-shuffle
+    * union+tag shape, mirrored: the carry is a `first(…, ignoreNulls)`
+    * over [current, unbounded following], and at equal timestamps LEFT
+    * rows sort before right rows so the window still sees the tie.
+    */
+  def joinForward(left: DataFrame, right: DataFrame,
+      key: String, ts: String): DataFrame =
+    joinDirectional(left, right, key, ts, backward = false)
+
+  private def joinDirectional(left: DataFrame, right: DataFrame,
+      key: String, ts: String, backward: Boolean): DataFrame = {
     val payload = right.columns.filter(c => c != key && c != ts).toSeq
     val leftCols = left.columns.toSeq
 
     // Common layout: key, ts, side, every left col, every right payload
     // col (left rows carry null payload; right rows null left cols).
+    // Side ordering makes equal-timestamp matches INCLUSIVE in either
+    // direction: backward looks over preceding rows, so right sorts
+    // first (0=right); forward looks over following rows, so left sorts
+    // first (0=left).
+    val (rightTag, leftTag) = if (backward) (0, 1) else (1, 0)
     val taggedRight = right
-      .select(Seq(col(key), col(ts), lit(0).as("graft_side")) ++
+      .select(Seq(col(key), col(ts), lit(rightTag).as("graft_side")) ++
         leftCols.filter(c => c != key && c != ts)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         payload.map(col) : _*)
     val taggedLeft = left
-      .select(Seq(col(key), col(ts), lit(1).as("graft_side")) ++
+      .select(Seq(col(key), col(ts), lit(leftTag).as("graft_side")) ++
         leftCols.filter(c => c != key && c != ts).map(col) ++
         payload.map(c =>
           lit(null).cast(right.schema(c).dataType).as(c)) : _*)
 
-    val w = Window.partitionBy(col(key))
+    val ordered = Window.partitionBy(col(key))
       .orderBy(col(ts), col("graft_side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w =
+      if (backward)
+        ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      else ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
     // ALL carried columns in one select → a single Window operator (one
     // pass per partition), not one Window per payload column.
     val matchedTs = s"${ts}_matched"
-    def carry(c: String) =
-      last(when(col("graft_side") === 0, col(c)), ignoreNulls = true).over(w)
+    def carry(c: String) = {
+      val fromRight = when(col("graft_side") === rightTag, col(c))
+      if (backward) last(fromRight, ignoreNulls = true).over(w)
+      else first(fromRight, ignoreNulls = true).over(w)
+    }
     taggedRight.unionByName(taggedLeft)
       .select(Seq(col("graft_side")) ++ leftCols.map(col) ++
         (carry(ts).as(matchedTs) +: payload.map(c => carry(c).as(c))) : _*)
-      .where(col("graft_side") === 1)
+      .where(col("graft_side") === leftTag)
       .select((leftCols.map(col) :+ col(matchedTs)) ++
         payload.map(col) : _*)
   }

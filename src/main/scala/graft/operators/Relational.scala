@@ -477,4 +477,22 @@ object Relational {
         groupCol = "o_orderpriority", valCol = "o_totalprice",
         ps = Seq(0.5, 0.9, 0.99))
       .orderBy("o_orderpriority")
+
+  /** q65: FORWARD as-of join ([[AsOf.joinForward]]) — each purchase
+    * attributed to the user's NEXT view at or after the purchase
+    * (post-purchase engagement). Oracle: DuckDB's native
+    * `ASOF LEFT JOIN … ON p.ts <= v.ts`, the independent-engine check
+    * mirroring q57's backward gate.
+    */
+  def q65AsofForward(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        round(col("value"), 2).as("purchase_value"))
+    val views = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(round(max(col("value")), 2).as("view_value"))
+    AsOf.joinForward(purchases, views, key = "user_id", ts = "ts")
+      .orderBy("event_id")
+  }
 }

@@ -50,6 +50,27 @@ class AsOfSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, ts(100), 4.5, "exact")))
   }
 
+  test("joinForward picks the earliest right row at or after each left " +
+      "timestamp; inclusive ties; null when none follows") {
+    val trades = Seq(
+      (1L, 100L, ts(10)),   // next quote at 12
+      (2L, 100L, ts(20)),   // exact tie at 20
+      (3L, 100L, ts(31)))   // nothing follows → null
+      .toDF("trade_id", "acct", "at")
+    val quotes = Seq(
+      (100L, ts(8), 1.0), (100L, ts(12), 2.0),
+      (100L, ts(20), 3.0), (100L, ts(30), 4.0))
+      .toDF("acct", "at", "px")
+    val got = AsOf.joinForward(trades, quotes, key = "acct", ts = "at")
+      .select($"trade_id", $"at_matched", $"px")
+      .as[(Long, Option[Timestamp], Option[Double])]
+      .collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, Some(ts(12)), Some(2.0)),
+      (2L, Some(ts(20)), Some(3.0)),
+      (3L, None, None)))
+  }
+
   test("joinBackward is one shuffle — no pair explosion, no join node") {
     val left = (1L to 50L).map(i => (i, i % 3, ts(i * 10))).toDF("id", "k", "at")
     val right = (1L to 200L).map(i => (i % 3, ts(i * 3), i * 1.0))

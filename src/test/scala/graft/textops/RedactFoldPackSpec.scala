@@ -57,6 +57,18 @@ class RedactFoldPackSpec extends SparkSpec {
     assert(f("ab") === "ab")
   }
 
+  test("foldUtf8 is idempotent — folding folded text is the identity") {
+    def f(s: String) = TextExprs.foldUtf8(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
+    val rng = new scala.util.Random(42)
+    val alphabet = "aA éÉöÑ \t\n.zZ09"
+    (1 to 200).foreach { _ =>
+      val s = Seq.fill(rng.nextInt(40))(
+        alphabet(rng.nextInt(alphabet.length))).mkString
+      assert(f(f(s)) === f(s), s"not idempotent on ${s.getBytes.toSeq}")
+    }
+  }
+
   test("FoldText through a DataFrame (codegen path) matches direct eval") {
     val rows = Seq("MiXeD   CaSe", "  tabs\tand\nnewlines ", "", "çàüöñ")
     val got = rows.toDF("t")
