@@ -84,6 +84,7 @@ object SparkEntry {
     "q63_sessionize"       -> (Relational.q63Sessionize _),
     "q64_percentiles"      -> (Relational.q64Percentiles _),
     "q65_asof_forward"     -> (Relational.q65AsofForward _),
+    "q66_interval_join"    -> (StreamQueries.q66IntervalJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -802,5 +803,18 @@ object SparkEntry {
          FROM p ASOF LEFT JOIN v
            ON p.user_id = v.user_id AND p.ts <= v.ts
          ORDER BY p.event_id""",
+    // Interval join (batch twin of the watermarked stream-stream join):
+    // plain range join, LEFT to keep zero-view purchases.
+    "q66_interval_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts
+           FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, ts, value
+           FROM events WHERE event_type = 'view')
+         SELECT p.event_id, COUNT(v.ts) AS n_views,
+           ROUND(COALESCE(SUM(v.value), 0), 2) AS sum_view_value
+         FROM p LEFT JOIN v ON p.user_id = v.user_id
+           AND v.ts >= p.ts - INTERVAL 30 MINUTE
+           AND v.ts <= p.ts + INTERVAL 30 MINUTE
+         GROUP BY p.event_id ORDER BY p.event_id""",
   )
 }

@@ -122,6 +122,33 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join: each fact row (e.g. purchase) joined to
+    * the same key's context rows (e.g. views) whose timestamps fall in
+    * `[factTs − before, factTs + after]`. The context side is renamed
+    * with a `ctx_` prefix so both inputs can come from the same source.
+    *
+    * This is THE state-bounding shape for stream-stream joins: the
+    * equality key routes both sides to the same shuffle partition, and
+    * the two-sided time-range condition is what lets Structured Streaming
+    * evict join state (watermark + interval bound per side). A
+    * stream-stream join whose condition has no time bound must hold every
+    * row forever — a leak, not a join, at fleet scale. In batch the same
+    * function compiles to a sort-merge join on the key with the range as
+    * residual (q66 hash-gates those semantics against DuckDB).
+    */
+  def intervalJoin(facts: DataFrame, context: DataFrame, key: String,
+      factTs: String, ctxTs: String, before: String, after: String,
+      joinType: String = "inner"): DataFrame = {
+    val ctx = context.columns.foldLeft(context) { (df, c) =>
+      df.withColumnRenamed(c, s"ctx_$c") }
+    facts.join(ctx,
+      facts(key) === ctx(s"ctx_$key") &&
+        ctx(s"ctx_$ctxTs") >= facts(factTs) - expr(s"INTERVAL $before") &&
+        ctx(s"ctx_$ctxTs") <= facts(factTs) + expr(s"INTERVAL $after"),
+      joinType)
+      .drop(s"ctx_$key")
+  }
+
   /** The finance categorizer under streaming: it is a stateless projection
     * (one flat CaseWhen), so it lifts to readStream unchanged — this just
     * documents/spec-anchors that property.

@@ -120,6 +120,48 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: watermarked both sides, bounded " +
+      "state, streamed result equals the batch range join") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
+    val views = MemoryStream[(Long, Timestamp, Double)]
+    def pDf(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("event_id", "ts", "user_id")
+    def vDf(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("user_id", "ts", "value")
+    val joined = intervalJoin(
+      withEventWatermark(pDf(purchases.toDF()), "1 hour"),
+      withEventWatermark(vDf(views.toDF()), "1 hour"),
+      key = "user_id", factTs = "ts", ctxTs = "ts",
+      before = "30 MINUTES", after = "30 MINUTES")
+    val q = joined.writeStream.format("memory").queryName("ivj_out")
+      .outputMode(OutputMode.Append()).start()
+    val pRows = Seq(
+      (100L, ts("2024-01-01 10:00:00"), 1L),
+      (101L, ts("2024-01-01 12:00:00"), 1L))
+    val vRows = Seq(
+      (1L, ts("2024-01-01 09:45:00"), 1.0),  // within -30m of p100
+      (1L, ts("2024-01-01 10:29:00"), 2.0),  // within +30m of p100
+      (1L, ts("2024-01-01 11:00:00"), 4.0),  // matches neither
+      (1L, ts("2024-01-01 12:30:00"), 8.0))  // within +30m of p101
+    try {
+      purchases.addData(pRows.take(1)); views.addData(vRows.take(2))
+      q.processAllAvailable()
+      purchases.addData(pRows.drop(1)); views.addData(vRows.drop(2))
+      q.processAllAvailable()
+      val streamed = spark.table("ivj_out")
+        .select($"event_id", $"ctx_value").as[(Long, Double)]
+        .collect().sorted.toSeq
+      val batch = intervalJoin(pDf(pRows.toDF()), vDf(vRows.toDF()),
+          key = "user_id", factTs = "ts", ctxTs = "ts",
+          before = "30 MINUTES", after = "30 MINUTES")
+        .select($"event_id", $"ctx_value").as[(Long, Double)]
+        .collect().sorted.toSeq
+      assert(streamed === batch)
+      assert(streamed === Seq((100L, 1.0), (100L, 2.0), (101L, 8.0)))
+    } finally q.stop()
+  }
+
   test("categorizer lifts to streaming unchanged (stateless projection)") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(String, String, Double)]
