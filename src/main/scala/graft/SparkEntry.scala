@@ -85,6 +85,7 @@ object SparkEntry {
     "q64_percentiles"      -> (Relational.q64Percentiles _),
     "q65_asof_forward"     -> (Relational.q65AsofForward _),
     "q66_interval_join"    -> (StreamQueries.q66IntervalJoin _),
+    "q67_tfidf"            -> (TextQueries.q67TfIdf _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -816,5 +817,25 @@ object SparkEntry {
            AND v.ts >= p.ts - INTERVAL 30 MINUTE
            AND v.ts <= p.ts + INTERVAL 30 MINUTE
          GROUP BY p.event_id ORDER BY p.event_id""",
+    // TF-IDF: tf/df recomputed from the q25 tokenizer, score ranked on
+    // the ROUNDED value with term tie-break (libm-proof total order).
+    "q67_tfidf" ->
+      """WITH t AS (SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+           FROM documents),
+         tok AS (SELECT doc_id, term FROM t WHERE term <> ''),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf
+           FROM tok GROUP BY doc_id, term),
+         dfq AS (SELECT term, COUNT(*) AS dfc FROM tf GROUP BY term),
+         nq AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM documents),
+         s AS (SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * ln(CAST(nd AS DOUBLE) / dfc), 4) AS score
+           FROM tf JOIN dfq USING (term) CROSS JOIN nq),
+         r AS (SELECT doc_id, term, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, term) AS INTEGER) AS rank
+           FROM s)
+         SELECT doc_id, rank, term, score FROM r WHERE rank <= 3
+         ORDER BY doc_id, rank""",
   )
 }

@@ -498,4 +498,14 @@ object TextQueries {
         aggregate(col("codes"), lit(0L), (a, x) => a + x).as("code_sum"),
         round(col("max_abs_err"), 6).as("max_abs_err"))
       .orderBy("vec_id")
+
+  /** q67: TF-IDF top-3 terms per document
+    * ([[graft.textops.TextStats.tfidfTopTerms]]). The oracle recomputes
+    * tf, df, and the ln-scored ranking independently; ranking runs on the
+    * ROUNDED score (term tie-break) on both sides — see the operator
+    * scaladoc for why that makes the order libm-proof.
+    */
+  def q67TfIdf(spark: SparkSession, sfDir: String): DataFrame =
+    TextStats.tfidfTopTerms(Tables.documents(spark, sfDir), k = 3)
+      .orderBy("doc_id", "rank")
 }

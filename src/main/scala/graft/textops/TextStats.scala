@@ -229,4 +229,39 @@ object TextStats {
         count_distinct(col(idCol)).as("n_docs"))
       .orderBy(col("n_occ").desc, col("term").asc)
       .limit(topK)
+
+  /** TF-IDF feature extraction: each document's `k` highest-scoring terms
+    * with `score = tf · ln(N / df)` (raw term frequency, plain inverse
+    * document frequency, N = ALL corpus documents including token-less
+    * ones). Ranking runs on the 4-decimal-ROUNDED score with the term as
+    * tie-break — a total order two engines reproduce even when their
+    * `ln` libms differ in the last ulp.
+    *
+    * Shape: explode → (id, term) partial-agg [tf], term-keyed partial-agg
+    * [df], a BROADCAST of the (small) per-term df table back onto tf, the
+    * corpus count as a broadcast scalar (in-plan, never a driver action),
+    * and one window top-k per doc. The only wide exchanges carry (id,
+    * term) pairs — never document text.
+    */
+  def tfidfTopTerms(df: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 3): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol), explode(words(col(textCol))).as("term"))
+      .where(col("term") =!= "")
+    val tf = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.agg(count_distinct(col(idCol)).as("graft_n"))
+    val scored = tf
+      .join(broadcast(dfT), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log(col("graft_n").cast("double") / col("df")), 4))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("score"))
+  }
 }

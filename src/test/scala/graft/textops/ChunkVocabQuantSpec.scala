@@ -63,6 +63,28 @@ class ChunkVocabQuantSpec extends SparkSpec {
       ("apple", 3L, 2L), ("banana", 3L, 3L), ("cherry", 3L, 3L)))
   }
 
+  test("tfidfTopTerms: hand-computed scores, rare terms outrank " +
+      "frequent ones, rank order deterministic") {
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "apple date"))
+      .toDF("doc_id", "text")
+    val got = TextStats.tfidfTopTerms(docs, k = 2)
+      .orderBy("doc_id", "rank")
+      .select("doc_id", "rank", "term", "score")
+      .as[(Long, Int, String, Double)].collect()
+    // df: apple 2, banana 2, cherry 1, date 1; N = 3
+    // ln(3/2) = 0.4055, ln(3) = 1.0986 (4dp)
+    assert(got.toSeq === Seq(
+      (1L, 1, "apple", 0.8109),  // tf 2 · ln(1.5)
+      (1L, 2, "banana", 0.4055),
+      (2L, 1, "cherry", 1.0986), // rare beats shared banana
+      (2L, 2, "banana", 0.4055),
+      (3L, 1, "date", 1.0986),
+      (3L, 2, "apple", 0.4055)))
+  }
+
   test("scalarQuantize: endpoint codes, code range, half-step error " +
       "bound, constant-vector guard") {
     val embs = Seq(
