@@ -86,6 +86,7 @@ object SparkEntry {
     "q65_asof_forward"     -> (Relational.q65AsofForward _),
     "q66_interval_join"    -> (StreamQueries.q66IntervalJoin _),
     "q67_tfidf"            -> (TextQueries.q67TfIdf _),
+    "q68_dedup_survivors"  -> (TextQueries.q68DedupSurvivors _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -837,5 +838,49 @@ object SparkEntry {
            FROM s)
          SELECT doc_id, rank, term, score FROM r WHERE rank <= 3
          ORDER BY doc_id, rank""",
+    // Survivor selection on top of the q49 component closure: longest doc
+    // per cluster wins, ties to the smallest doc_id (independent
+    // ROW_NUMBER formulation of the library's partial-agg max(struct)).
+    "q68_dedup_survivors" ->
+      """WITH RECURSIVE d AS (SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS w
+           FROM documents),
+         sh AS (SELECT doc_id, list_distinct(
+             CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+             ELSE list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+           FROM d),
+         sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh),
+         post AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             COUNT(*) AS n_common
+           FROM post a JOIN post b
+             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (SELECT id_a, id_b FROM inter
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(n_common AS DOUBLE)
+             / (sa.n_sh + sb.n_sh - n_common) >= 0.8),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(id, r) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT re.id, e.dst FROM reach re
+           JOIN edges e ON e.src = re.r),
+         comp AS (SELECT id AS doc_id, MIN(r) AS component
+           FROM reach GROUP BY id),
+         j AS (SELECT c.doc_id, c.component, d2.n_chars
+           FROM comp c JOIN documents d2 USING (doc_id)),
+         s AS (SELECT component, doc_id AS survivor_id, ROW_NUMBER() OVER
+             (PARTITION BY component ORDER BY n_chars DESC, doc_id) AS rn
+           FROM j)
+         SELECT j.doc_id, j.component,
+           CAST(CASE WHEN j.doc_id = s.survivor_id THEN 1 ELSE 0 END
+             AS INTEGER) AS keep
+         FROM j JOIN (SELECT component, survivor_id FROM s WHERE rn = 1) s
+           USING (component)
+         ORDER BY j.doc_id""",
   )
 }

@@ -260,6 +260,24 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** q68: dedup survivor selection — the end-to-end near-dup dedup
+    * pipeline: q49's cluster formation (prefix-Jaccard pairs at t=0.8 →
+    * connected components) followed by
+    * [[graft.textops.Dedup.survivorSelection]]: keep the longest document
+    * per cluster (ties to the smallest doc_id). `keep = 1` rows ARE the
+    * deduplicated corpus. The oracle re-derives the pairs from the plain
+    * posting-list formulation, closes them with the recursive-CTE min-label
+    * fixpoint (the q49 oracle), then picks survivors with an independent
+    * ROW_NUMBER formulation of the same (n_chars DESC, doc_id ASC) order.
+    */
+  def q68DedupSurvivors(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val pairs = Dedup.ngramJaccardPairsPrefix(docs, n = 3, threshold = 0.8)
+    val comp = Dedup.connectedComponents(pairs,
+      nodes = Some(docs.select(col("doc_id"))))
+    Dedup.survivorSelection(comp, docs).orderBy("doc_id")
+  }
+
   /** q37: opaque-binary column plumbing through the gate — documents' text
     * treated as a binary payload (UTF-8 bytes): byte length, base64 prefix
     * of the payload head. Stands in for the multimodal payload path

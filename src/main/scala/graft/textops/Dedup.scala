@@ -448,6 +448,36 @@ object Dedup {
     (out, iter, () => { out.unpersist(blocking = false); () })
   }
 
+  /** Survivor selection — the step a dedup pipeline runs AFTER cluster
+    * formation: within each component keep exactly one document (the
+    * longest by `weightCol`, ties to the SMALLEST id — fully deterministic)
+    * and mark the rest for dropping. Returns one row per node:
+    * (idCol, component, keep ∈ {0,1}); filtering `keep = 1` yields the
+    * deduplicated corpus.
+    *
+    * The per-component winner is a partial-aggregating `max(struct(weight,
+    * inverted id))` — map-side combine absorbs hot components, so a
+    * degenerate near-dup cluster holding 10 % of the corpus costs one
+    * combiner cell, not a window sort over the cluster (same skew posture
+    * as [[exact]]'s min_by). Contract: ids are non-negative (the
+    * inverted-id trick flips min-id into max-order) — holds for every id
+    * column in this library's surface.
+    */
+  def survivorSelection(components: DataFrame, docs: DataFrame,
+      idCol: String = "doc_id", weightCol: String = "n_chars"): DataFrame = {
+    val labeled = components.select(col("id"), col("component"))
+      .join(docs.select(col(idCol).as("id"),
+        col(weightCol).cast("long").as("graft_w")), "id")
+    val winners = labeled.groupBy("component")
+      .agg(max(struct(col("graft_w").as("w"),
+        (lit(Long.MaxValue) - col("id")).as("inv"))).as("s"))
+      .select(col("component"),
+        (lit(Long.MaxValue) - col("s.inv")).as("survivor_id"))
+    labeled.join(winners, "component")
+      .select(col("id").as(idCol), col("component"),
+        (col("id") === col("survivor_id")).cast("int").as("keep"))
+  }
+
   // ---------------------------------------------------------------- MinHash
 
   /** Deterministic universal-hash parameters for the MinHash signature:

@@ -97,4 +97,23 @@ class DedupGroupsSpec extends SparkSpec {
       nodes = Some(docs.select("doc_id"))))
     assert(out === unionFind(1L to 5L, collected))
   }
+
+  test("survivorSelection: longest doc wins per component, length ties " +
+      "break to the smallest id, singletons keep themselves") {
+    val comp = Seq( // {1,2,3} one cluster, {7,8} tied lengths, 9 singleton
+      (1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L), (9L, 9L))
+      .toDF("id", "component")
+    val docs = Seq(
+      (1L, 10L), (2L, 25L), (3L, 25L), (7L, 5L), (8L, 5L), (9L, 3L))
+      .toDF("doc_id", "n_chars")
+    val got = Dedup.survivorSelection(comp, docs)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === Set(
+      (1L, 1L, 0), (2L, 1L, 1), (3L, 1L, 0), // 2 beats 3: tie → min id
+      (7L, 7L, 1), (8L, 7L, 0),
+      (9L, 9L, 1)))
+    // exactly one survivor per component
+    val perComp = got.groupBy(_._2).view.mapValues(_.count(_._3 == 1))
+    assert(perComp.values.forall(_ == 1))
+  }
 }
