@@ -87,6 +87,7 @@ object SparkEntry {
     "q66_interval_join"    -> (StreamQueries.q66IntervalJoin _),
     "q67_tfidf"            -> (TextQueries.q67TfIdf _),
     "q68_dedup_survivors"  -> (TextQueries.q68DedupSurvivors _),
+    "q69_crossdoc_ngrams"  -> (TextQueries.q69CrossDocNgrams _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -882,5 +883,26 @@ object SparkEntry {
          FROM j JOIN (SELECT component, survivor_id FROM s WHERE rn = 1) s
            USING (component)
          ORDER BY j.doc_id""",
+    // Corpus-level boilerplate signal: distinct 3-gram document frequency
+    // >= 5, count + fraction per doc (exact-long ratio, rounded).
+    "q69_crossdoc_ngrams" ->
+      """WITH d AS (SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS w
+           FROM documents),
+         sh AS (SELECT doc_id, list_distinct(
+             CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+             ELSE list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+           FROM d),
+         post AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+         dfq AS (SELECT shingle, COUNT(*) AS dfc FROM post
+           GROUP BY shingle)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN dfc >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_common,
+           ROUND(CAST(SUM(CASE WHEN dfc >= 5 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 4) AS common_frac
+         FROM post JOIN dfq USING (shingle)
+         GROUP BY doc_id ORDER BY doc_id""",
   )
 }

@@ -278,6 +278,16 @@ object TextQueries {
     Dedup.survivorSelection(comp, docs).orderBy("doc_id")
   }
 
+  /** q69: cross-document duplicated n-gram stats
+    * ([[graft.textops.TextStats.crossDocNgramStats]]) — the corpus-level
+    * boilerplate signal: per doc, its distinct 3-grams' corpus document
+    * frequency ≥ 5 count and fraction. The oracle re-derives document
+    * frequency from the same posting formulation the q49/q68 oracles use.
+    */
+  def q69CrossDocNgrams(spark: SparkSession, sfDir: String): DataFrame =
+    TextStats.crossDocNgramStats(Tables.documents(spark, sfDir))
+      .orderBy("doc_id")
+
   /** q37: opaque-binary column plumbing through the gate — documents' text
     * treated as a binary payload (UTF-8 bytes): byte length, base64 prefix
     * of the payload head. Stands in for the multimodal payload path

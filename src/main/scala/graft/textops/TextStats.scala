@@ -230,6 +230,35 @@ object TextStats {
       .orderBy(col("n_occ").desc, col("term").asc)
       .limit(topK)
 
+  /** Cross-document duplicated n-gram stats — the CORPUS-level Gopher
+    * repetition signal (the row-local variants live in
+    * [[repetitionStats]]): for each document, how many of its distinct
+    * word-`n`-grams also appear in ≥ `minDocs` documents corpus-wide, and
+    * the fraction. Pipelines drop documents whose `common_frac` is high —
+    * boilerplate (headers, navigation, license blocks) that row-local
+    * repetition can't see because each copy occurs once per document.
+    *
+    * Shape: distinct-shingle explode → shingle-keyed partial-agg document
+    * frequency → one join BACK on the shingle key (co-partitioned with the
+    * groupBy that produced it — the Exchange is reused, not repeated) →
+    * per-doc partial-agg counts. Shuffles carry (doc_id, shingle) pairs
+    * and (shingle, df) pairs — never document text. The ratio divides two
+    * exact longs, so the rounded value is engine-portable by construction.
+    */
+  def crossDocNgramStats(df: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3, minDocs: Long = 5): org.apache.spark.sql.DataFrame = {
+    val sh = df.select(col(idCol),
+      explode(array_distinct(shingles(col(textCol), n))).as("shingle"))
+    val dfT = sh.groupBy("shingle").agg(count(lit(1)).as("graft_df"))
+    sh.join(dfT, "shingle")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum((col("graft_df") >= minDocs).cast("long")).as("n_common"))
+      .withColumn("common_frac",
+        round(col("n_common").cast("double") / col("n_shingles"), 4))
+  }
+
   /** TF-IDF feature extraction: each document's `k` highest-scoring terms
     * with `score = tf · ln(N / df)` (raw term frequency, plain inverse
     * document frequency, N = ALL corpus documents including token-less

@@ -226,6 +226,23 @@ class TextOpsSpec extends SparkSpec {
     assert(out(4L) === ((2L, 0.0, 0.0, 1.0))) // the single 2-gram is 100%
   }
 
+  test("crossDocNgramStats: corpus-frequent 3-grams counted per doc, " +
+      "within-doc repeats collapse to one distinct shingle") {
+    val fixture = Seq(
+      (1L, "a b c d"),   // shingles: "a b c", "b c d"
+      (2L, "a b c x"),   // shingles: "a b c", "b c x"
+      (3L, "z z z z"))   // "z z z" twice → ONE distinct shingle
+      .toDF("doc_id", "text")
+    val out = TextStats.crossDocNgramStats(fixture, minDocs = 2)
+      .select("doc_id", "n_shingles", "n_common", "common_frac")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // df("a b c") = 2 → common; every other shingle df = 1
+    assert(out(1L) === ((2L, 1L, 0.5)))
+    assert(out(2L) === ((2L, 1L, 0.5)))
+    assert(out(3L) === ((1L, 0L, 0.0)))
+  }
+
   test("langId picks the profile with most stopword hits") {
     val out = docs.select(col("doc_id"), TextStats.langId(col("text")).as("l"))
       .as[(Long, String)].collect().toMap
