@@ -264,6 +264,24 @@ object OracleGen {
       END)[1])[1])[1])[1])[1])[1])[1])[1])[1])[1] AS BIGINT)"""
   }
 
+  /** q70: corpus mixture rebalancing — per-stratum counts and their min
+    * derived in SQL, then the EXACT integer keep rule
+    * `bucket(doc_id)·n_s < min_count·granularity` with the bucket from
+    * [[xx64LongSql]] (the q52 hash restatement), so the kept set matches
+    * Spark's bit-for-bit.
+    */
+  def q70Sql(granularity: Int = 10000): String = {
+    val bucket = s"""((${xx64LongSql("doc_id")}) % $granularity
+       + $granularity) % $granularity"""
+    s"""WITH c AS (SELECT source, COUNT(*) AS n FROM documents
+         GROUP BY source),
+       m AS (SELECT MIN(n) AS mn FROM c)
+       SELECT d.doc_id, d.source
+       FROM documents d JOIN c USING (source) CROSS JOIN m
+       WHERE ($bucket) * c.n < m.mn * $granularity
+       ORDER BY d.doc_id"""
+  }
+
   /** q52: deterministic stratified sample — Spark's `xxhash64(doc_id)
     * mod granularity < rate(lang)·granularity` rule restated with
     * [[xx64LongSql]], so the oracle reproduces the EXACT kept set (not a

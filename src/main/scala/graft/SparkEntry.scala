@@ -88,6 +88,7 @@ object SparkEntry {
     "q67_tfidf"            -> (TextQueries.q67TfIdf _),
     "q68_dedup_survivors"  -> (TextQueries.q68DedupSurvivors _),
     "q69_crossdoc_ngrams"  -> (TextQueries.q69CrossDocNgrams _),
+    "q70_mixture_rebalance"-> (TextQueries.q70MixtureRebalance _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -496,6 +497,9 @@ object SparkEntry {
     // Deterministic stratified sample: the xxhash64-of-BIGINT rule
     // restated exactly (OracleGen.xx64LongSql) — the kept SET matches,
     // not just its statistics.
+    // Mixture rebalance: same hash restatement, counts + min + the exact
+    // integer keep rule all re-derived inside DuckDB.
+    "q70_mixture_rebalance" -> OracleGen.q70Sql(),
     "q52_stratified_sample" -> OracleGen.q52Sql(
       TextQueries.Q52Rates.map { case (l, r) =>
         (l, math.round(r * TextQueries.Q52Granularity)) },

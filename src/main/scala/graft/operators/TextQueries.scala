@@ -288,6 +288,20 @@ object TextQueries {
     TextStats.crossDocNgramStats(Tables.documents(spark, sfDir))
       .orderBy("doc_id")
 
+  /** q70: corpus mixture rebalancing
+    * ([[graft.textops.Sampling.rebalanceToUniform]]) — every `source`
+    * stratum deterministically downsampled to the smallest stratum's
+    * size. The oracle restates the xxhash64 bucket bit-for-bit (the q52
+    * precedent) and the exact integer keep rule, so the kept SET matches
+    * across engines, not just its statistics.
+    */
+  def q70MixtureRebalance(spark: SparkSession, sfDir: String): DataFrame =
+    Sampling.rebalanceToUniform(
+        Tables.documents(spark, sfDir).select("doc_id", "source"),
+        "source", "doc_id")
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+
   /** q37: opaque-binary column plumbing through the gate — documents' text
     * treated as a binary payload (UTF-8 bytes): byte length, base64 prefix
     * of the payload head. Stands in for the multimodal payload path

@@ -39,4 +39,35 @@ object Sampling {
     }
     df.filter(bucketOf(col(idCol), granularity) < thresh)
   }
+
+  /** Corpus mixture rebalancing — the data-mixing step of a training
+    * pipeline: deterministically downsample every stratum (source, lang,
+    * domain …) to the size of the smallest one, yielding an approximately
+    * uniform mixture. The keep rule for a row in stratum s of size n_s is
+    * the exact integer comparison `bucket(id)·n_s < min_count·granularity`
+    * (⇔ bucket < rate·granularity in exact rational arithmetic — no float
+    * threshold, no rounding seam), so the kept SET is reproducible across
+    * runs, cluster sizes and engines, monotone under corpus growth of
+    * OTHER strata only through the rate, and the smallest stratum is kept
+    * in full (rate = 1 ⇒ every bucket passes).
+    *
+    * Scale shape: one partial-agg pass for per-stratum counts (the count
+    * shuffle carries ≤ |strata| rows per map task), counts and their
+    * scalar min broadcast back onto the corpus, and the keep decision is
+    * a pure filter — the big side never shuffles or sorts. Null strata
+    * are dropped (inner-join semantics, matching the oracle's USING
+    * join).
+    */
+  def rebalanceToUniform(df: DataFrame, stratumCol: String, idCol: String,
+      granularity: Int = 10000): DataFrame = {
+    require(granularity >= 1, s"granularity must be >= 1, got $granularity")
+    val counts = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("graft_n"))
+    val minC = counts.agg(min(col("graft_n")).as("graft_min"))
+    df.join(broadcast(counts), stratumCol)
+      .crossJoin(broadcast(minC))
+      .filter(bucketOf(col(idCol), granularity) * col("graft_n") <
+        col("graft_min") * lit(granularity.toLong))
+      .drop("graft_n", "graft_min")
+  }
 }

@@ -107,4 +107,39 @@ class OverlapSamplingSpec extends SparkSpec {
     val de = half.count(_ % 2 == 1)
     assert(de > 220 && de < 380, s"de kept $de of 1000 at default 0.3")
   }
+
+  test("rebalanceToUniform: smallest stratum kept whole, big strata " +
+      "downsampled near its size, set deterministic, big side unshuffled") {
+    // 1500 web / 400 books / 100 wiki — wiki is the floor
+    val docs = (0L until 2000L).map { i =>
+      val s = if (i < 1500) "web" else if (i < 1900) "books" else "wiki"
+      (i, s)
+    }.toDF("doc_id", "source")
+    val kept = Sampling.rebalanceToUniform(docs, "source", "doc_id")
+      .select("doc_id", "source").as[(Long, String)].collect()
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc("wiki") === 100, "the smallest stratum is kept in full")
+    // achieved counts are hash-binomial around 100 (rate min/n_s)
+    assert(bySrc("web") > 60 && bySrc("web") < 140, s"web=${bySrc("web")}")
+    assert(bySrc("books") > 60 && bySrc("books") < 140,
+      s"books=${bySrc("books")}")
+    val again = Sampling.rebalanceToUniform(docs, "source", "doc_id")
+      .select("doc_id", "source").as[(Long, String)].collect()
+    assert(kept.toSet === again.toSet, "no RNG: identical kept set")
+    // keep rule cross-check against an independent per-row formulation
+    val expected = docs
+      .withColumn("b", pmod(xxhash64(col("doc_id")), lit(10000L)))
+      .as[(Long, String, Long)].collect()
+      .filter { case (_, s, b) =>
+        val n = Map("web" -> 1500L, "books" -> 400L, "wiki" -> 100L)(s)
+        b * n < 100L * 10000L
+      }.map(t => (t._1, t._2)).toSet
+    assert(kept.toSet === expected)
+    // scale shape: the corpus side reaches the filter without an Exchange
+    // (both joins broadcast); only the tiny counts agg shuffles
+    val plan = Sampling.rebalanceToUniform(docs, "source", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
