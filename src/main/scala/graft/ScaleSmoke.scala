@@ -414,6 +414,28 @@ object ScaleSmoke {
       scaledEv.unpersist(blocking = false)
     }
 
+    // corpus-level boilerplate stats at 20×: distinct-shingle explode →
+    // shingle-keyed df partial-agg → join back on the same key (Exchange
+    // reuse); shuffles carry (doc_id, shingle) pairs, never text — and on
+    // THIS corpus every shingle is ~mult-hot (near-identical copies), the
+    // worst realistic df skew
+    time("crossdoc_ngrams")(TextStats.crossDocNgramStats(docs))
+
+    // tf-idf top-k terms at 20×: one tokenize pass reused for tf and df,
+    // per-doc window top-k — the term explode is the volume axis
+    time("tfidf_topk")(TextStats.tfidfTopTerms(docs, k = 3))
+
+    // mixture rebalance at 20×: skewed synthetic strata (70/25/5 — the
+    // testdata source column doesn't survive the corpus multiplier);
+    // counts + min broadcast back, the corpus side must stay a pure
+    // scan+filter with no Exchange
+    time("mixture_rebalance")(graft.textops.Sampling.rebalanceToUniform(
+      docs.withColumn("stratum",
+        when(pmod(col("doc_id"), lit(20)) === 0, lit("wiki"))
+          .when(pmod(col("doc_id"), lit(20)) < 6, lit("books"))
+          .otherwise(lit("web"))),
+      stratumCol = "stratum", idCol = "doc_id"))
+
     // ---- adversarial skew: ONE hot key at 10 % frequency -----------------
     // Exact dedup: every 10th document is the same boilerplate text → one
     // fingerprint holds 10 % of the corpus. The min_by aggregation must

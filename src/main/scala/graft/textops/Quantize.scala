@@ -25,23 +25,29 @@ object Quantize {
   /** Adds vmin/vmax, int codes, and max reconstruction error. Constant
     * vectors (vmax = vmin) map to code 0 everywhere with zero error —
     * guarded identically on both engine sides.
+    *
+    * The cast array and its min/max are bound as REAL columns in a chain
+    * of projections before any lambda references them. Inlining
+    * `array_min(d)` straight into the `transform` lambda re-evaluates an
+    * O(d) aggregate per ELEMENT — O(d²) per row — and the first cut of
+    * this function did exactly that: 3.6 s isolated at sf0.1 vs 0.51 s
+    * for this shape (Catalyst's CollapseProject keeps multiply-referenced
+    * aliases as separate projections, so the binding survives
+    * optimization).
     */
   def scalarQuantize(embs: DataFrame, vecCol: Column): DataFrame = {
-    val d = transform(vecCol, x => x.cast("double"))
-    val vmin = array_min(d)
-    val vmax = array_max(d)
-    val span = vmax - vmin
-    val codes = transform(d, x =>
-      when(span === 0.0, 0)
-        .otherwise(floor((x - vmin) / span * 255.0 + 0.5))
-        .cast("int"))
+    val span = col("vmax") - col("vmin")
     embs
-      .withColumn("vmin", vmin)
-      .withColumn("vmax", vmax)
-      .withColumn("codes", codes)
+      .withColumn("graft_d", transform(vecCol, x => x.cast("double")))
+      .withColumn("vmin", array_min(col("graft_d")))
+      .withColumn("vmax", array_max(col("graft_d")))
+      .withColumn("codes", transform(col("graft_d"), x =>
+        when(span === 0.0, 0)
+          .otherwise(floor((x - col("vmin")) / span * 255.0 + 0.5))
+          .cast("int")))
       .withColumn("max_abs_err",
-        array_max(zip_with(d, col("codes"), (x, c) =>
-          abs(x - (col("vmin") +
-            c.cast("double") * (col("vmax") - col("vmin")) / 255.0)))))
+        array_max(zip_with(col("graft_d"), col("codes"), (x, c) =>
+          abs(x - (col("vmin") + c.cast("double") * span / 255.0)))))
+      .drop("graft_d")
   }
 }
