@@ -26,6 +26,22 @@ class PlanAuditSpec extends SparkSpec {
     plan.collect { case f: FileSourceScanExec =>
       f.requiredSchema.fieldNames.toSeq }
 
+  test("q70 rebalance operator: every shuffle sits under a broadcast " +
+      "subtree — the corpus side is scanned and filtered in place") {
+    import org.apache.spark.sql.execution.exchange.{
+      BroadcastExchangeExec, ShuffleExchangeExec}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source")
+    val plan = finalPlan(graft.textops.Sampling.rebalanceToUniform(
+      docs, "source", "doc_id"))
+    def mainPathShuffles(p: SparkPlan): Seq[SparkPlan] = p match {
+      case _: BroadcastExchangeExec => Nil // counts/min live here by design
+      case s: ShuffleExchangeExec => s +: s.children.flatMap(mainPathShuffles)
+      case o => o.children.flatMap(mainPathShuffles)
+    }
+    assert(mainPathShuffles(plan).isEmpty, plan.toString)
+  }
+
   test("q59 vocabulary: top-k compiles to TakeOrderedAndProject — " +
       "per-partition heaps, never a global sort of the term table") {
     val plan = finalPlan(TextQueries.q59Vocabulary(spark, sf))
