@@ -16,9 +16,14 @@ import org.apache.spark.sql.functions._
   * the same (key, ts) ordering (lag → boundary flag, running sum →
   * session index) — Spark plans both in a single Window operator pass, so
   * a hot key streams through in O(1) state per row. Gap arithmetic is in
-  * exact MICROSECONDS (`unix_micros`, DuckDB `epoch_us`) — second-level
-  * truncation would merge sessions whose boundary lands inside the same
-  * second on one engine but not the other.
+  * exact MICROSECONDS (native timestamp subtraction → DayTimeInterval,
+  * compared against a micros-precision interval literal; DuckDB
+  * `epoch_us` differences on the oracle side) — second-level truncation
+  * would merge sessions whose boundary lands inside the same second on
+  * one engine but not the other. Timestamp subtraction, unlike
+  * `unix_micros`, accepts BOTH TimestampType and TimestampNTZType, so the
+  * operator works across the driver testdata generations (nanos → µs
+  * ltz, micros → NTZ) without a cast that would re-interpret wall time.
   */
 object Sessions {
 
@@ -29,8 +34,10 @@ object Sessions {
     val w = Window.partitionBy(col(key)).orderBy(col(ts))
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val prev = lag(col(ts), 1).over(w)
+    val gap = lit(java.time.Duration.ofNanos(
+      Math.multiplyExact(gapMicros, 1000L)))
     val isNew = when(prev.isNull ||
-      unix_micros(col(ts)) - unix_micros(prev) > gapMicros, 1).otherwise(0)
+      (col(ts) - prev) > gap, 1).otherwise(0)
     events
       .withColumn("graft_new_session", isNew)
       .withColumn("session_seq",

@@ -21,12 +21,32 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame      = table(spark, sfDir, "part")
   def orders(spark: SparkSession, sfDir: String): DataFrame    = table(spark, sfDir, "orders")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "lineitem")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read nanos as raw long (legacy conf) and floor-convert
-    * to a micros TimestampType — same truncation DuckDB applies when
-    * materializing TIMESTAMP_NS, so oracle comparisons stay exact.
+  /** events.parquet has shipped `ts` two ways across driver testdata
+    * generations: TIMESTAMP(MICROS) (read directly — any timestamp-typed
+    * `ts` is already the micros semantics every consumer wants) and
+    * TIMESTAMP(NANOS), which Spark's vectorized reader rejects. For the
+    * nanos generation, read nanos as raw long (legacy conf) and
+    * floor-convert to a micros TimestampType — same truncation DuckDB
+    * applies when materializing TIMESTAMP_NS, so oracle comparisons stay
+    * exact. The generation is detected from the resolved schema, not
+    * assumed.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    // Micros generation: resolves cleanly and `ts` is timestamp-typed.
+    // Nanos generation: schema resolution itself throws
+    // (PARQUET_TYPE_ILLEGAL) without the legacy conf — fall through.
+    val direct =
+      try {
+        val df = spark.read.parquet(s"$sfDir/events.parquet")
+        if (df.schema("ts").dataType.typeName.startsWith("timestamp"))
+          Some(df)
+        else None
+      } catch { case _: org.apache.spark.sql.AnalysisException => None }
+    direct.getOrElse(eventsNanosLegacy(spark, sfDir))
+  }
+
+  /** Nanos-generation loader — see [[events]]. */
+  private def eventsNanosLegacy(spark: SparkSession, sfDir: String): DataFrame = {
     // The legacy conf is needed while the parquet footer schema is converted
     // (eager, at read time — the schema converter reads the SESSION conf and
     // ignores reader options for this key; verified on this Spark version:

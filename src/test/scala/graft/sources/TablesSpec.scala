@@ -2,29 +2,41 @@ package graft.sources
 
 import graft.SparkSpec
 
-/** The events loader needs `spark.sql.legacy.parquet.nanosAsLong` (the table
-  * stores TIMESTAMP(NANOS)), but must not leave it set on a shared session —
-  * that would silently change how OTHER nanos parquet reads decode. An
-  * option-only read is NOT possible on this Spark version (schema inference
-  * reads the session conf and throws PARQUET_TYPE_ILLEGAL otherwise —
-  * verified empirically), so the loader scopes the conf around schema
-  * resolution; these specs pin the restore, post-restore execution, and the
-  * exact decoded values.
+/** The events loader handles two driver-testdata generations: TIMESTAMP
+  * (MICROS), which reads directly, and TIMESTAMP(NANOS), which needs
+  * `spark.sql.legacy.parquet.nanosAsLong` scoped around schema resolution
+  * (an option-only read throws PARQUET_TYPE_ILLEGAL on this Spark version —
+  * verified empirically) and must not leave the conf set on a shared
+  * session. The real testdata currently ships micros; the nanos path is
+  * pinned against a committed pyarrow-written fixture
+  * (src/test/resources/events_nanos/events.parquet, timestamp[ns]) so the
+  * legacy branch stays covered whichever generation the driver writes.
   */
 class TablesSpec extends SparkSpec {
 
   private val key = "spark.sql.legacy.parquet.nanosAsLong"
   private val sf = "/root/testdata/sf0.001"
+  private val nanosDir =
+    getClass.getResource("/events_nanos").getPath
 
-  test("events: loads nanos ts as truncated micros TimestampType") {
+  test("events: real testdata loads with a timestamp-typed ts") {
     val df = Tables.events(spark, sf)
-    assert(df.schema("ts").dataType.typeName === "timestamp")
+    // micros generation surfaces as TIMESTAMP_NTZ (pyarrow naive micros);
+    // either timestamp flavor is fine — DuckDB's naive TIMESTAMP matches
+    // NTZ semantics exactly, so the oracle comparison stays value-exact
+    assert(df.schema("ts").dataType.typeName.startsWith("timestamp"))
     assert(df.count() > 0)
+  }
+
+  test("events: loads nanos fixture as truncated micros TimestampType") {
+    val df = Tables.events(spark, nanosDir)
+    assert(df.schema("ts").dataType.typeName === "timestamp")
+    assert(df.count() === 24)
   }
 
   test("events: does not leave the legacy nanos conf set on the session") {
     spark.conf.unset(key)
-    Tables.events(spark, sf)
+    Tables.events(spark, nanosDir)
     // registered SQL confs report their default ("false") when unset
     assert(spark.conf.get(key) === "false")
   }
@@ -32,7 +44,7 @@ class TablesSpec extends SparkSpec {
   test("events: restores a pre-existing conf value instead of clobbering") {
     spark.conf.set(key, "false")
     try {
-      val df = Tables.events(spark, sf)
+      val df = Tables.events(spark, nanosDir)
       assert(spark.conf.get(key) === "false")
       // execution still decodes nanos-as-long AFTER the restore: the
       // per-read option pins the scan's hadoopConf copy
@@ -42,21 +54,22 @@ class TablesSpec extends SparkSpec {
 
   test("events: executes (not just resolves) after the conf restore") {
     spark.conf.unset(key)
-    val df = Tables.events(spark, sf)
+    val df = Tables.events(spark, nanosDir)
     assert(spark.conf.get(key) === "false")
     val n = df.filter("value >= 0 OR value < 0").count()
-    assert(n > 0)
+    assert(n === 24)
   }
 
-  test("events: decoded values equal the exact ns→µs truncation") {
+  test("events: nanos fixture values equal the exact ns→µs truncation") {
     spark.conf.unset(key)
-    val df = Tables.events(spark, sf)
+    val df = Tables.events(spark, nanosDir)
     // raw nanos longs — the reference values the loader's micros must
     // floor-match, row by row (the raw read needs the same scoped conf;
     // resolve the frame fully inside the window)
     spark.conf.set(key, "true")
     val raw = try {
-      val r = spark.read.option(key, "true").parquet(s"$sf/events.parquet")
+      val r = spark.read.option(key, "true")
+        .parquet(s"$nanosDir/events.parquet")
         .selectExpr("event_id", "ts AS raw_ns")
       r.schema
       r
@@ -66,5 +79,11 @@ class TablesSpec extends SparkSpec {
       .join(raw, "event_id")
       .filter("got <> raw_ns div 1000")
     assert(bad.count() === 0)
+  }
+
+  test("events: micros generation does not touch the legacy conf") {
+    spark.conf.unset(key)
+    Tables.events(spark, sf).schema
+    assert(spark.conf.get(key) === "false")
   }
 }
