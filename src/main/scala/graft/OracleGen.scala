@@ -389,4 +389,61 @@ object OracleGen {
      SELECT query_id, neighbor_id, ROUND(cs, 4) AS cos_sim, rank
      FROM rk WHERE rank <= $k ORDER BY query_id, rank"""
   }
+
+  /** q71: HyperLogLog distinct-count — the WHOLE sketch recomputed in
+    * DuckDB: [[xx64LongSql]] hashes, bucket = top p bits (unsigned shift
+    * via the q30 HUGEINT bridge), rank rho = sw+1 − length(bin(v)) (exact
+    * integer/string arithmetic — no float log2), per-bucket MAX register,
+    * then the estimator with the EXACT DECIMAL(38,0) register sum
+    * Σ 2^(sw+1−M) (+ 2^(sw+1) per empty register) so FP summation order
+    * cannot split the engines; the single final division and the
+    * linear-counting ln both collapse into a whole-count ROUND, absorbing
+    * the libm last-ulp seam ([[graft.operators.Sketches.hllDistinct]]'s
+    * determinism contract, restated here).
+    */
+  def q71Sql(p: Int = 10): String = {
+    val m = 1 << p
+    val sw = 64 - p
+    val mask = (1L << sw) - 1
+    val emptyContrib = 1L << (sw + 1)
+    val alphaC = graft.operators.Sketches.alphaM(m) * m * m *
+      math.pow(2.0, sw + 1)
+    val two64 = "18446744073709551616::HUGEINT"
+    def sketch(scopeExpr: String, valueExpr: String): String =
+      s"""SELECT $scopeExpr AS scope, ${xx64LongSql(valueExpr)} AS h
+          FROM events"""
+    s"""WITH a AS (${sketch("event_type", "user_id")}
+          UNION ALL ${sketch("'ALL'", "event_id")}),
+     r AS (SELECT scope,
+             CAST(((CASE WHEN h < 0 THEN CAST(h AS HUGEINT) + $two64
+                    ELSE CAST(h AS HUGEINT) END)::UHUGEINT
+                 >> $sw::UHUGEINT) AS BIGINT) AS b,
+             (h & $mask) AS v
+           FROM a),
+     mx AS (SELECT scope, b,
+              MAX(CASE WHEN v = 0 THEN ${sw + 1}
+                  ELSE ${sw + 1} - length(bin(v)) END) AS mreg
+            FROM r GROUP BY 1, 2),
+     t AS (SELECT scope,
+             SUM(CAST((1::UHUGEINT << CAST(${sw + 1} - mreg AS UHUGEINT))
+               AS DECIMAL(38,0))) AS tp,
+             COUNT(*) AS np
+           FROM mx GROUP BY 1),
+     est AS (SELECT scope, $m - np AS v_empty,
+              $alphaC / CAST(tp + CAST($m - np AS DECIMAL(38,0))
+                * ${emptyContrib}::DECIMAL(38,0) AS DOUBLE) AS raw
+             FROM t),
+     ex AS (SELECT event_type AS scope,
+              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+            FROM events GROUP BY 1
+            UNION ALL
+            SELECT 'ALL', CAST(COUNT(DISTINCT event_id) AS BIGINT)
+            FROM events)
+     SELECT e.scope, ex.n_exact, CAST(e.v_empty AS BIGINT) AS v_empty,
+       CAST(round(CASE WHEN e.raw <= ${2.5 * m} AND e.v_empty > 0
+         THEN ${m.toDouble} * ln(${m.toDouble} / e.v_empty)
+         ELSE e.raw END) AS BIGINT) AS hll_est
+     FROM est e JOIN ex ON ex.scope = e.scope
+     ORDER BY e.scope"""
+  }
 }

@@ -89,6 +89,7 @@ object SparkEntry {
     "q68_dedup_survivors"  -> (TextQueries.q68DedupSurvivors _),
     "q69_crossdoc_ngrams"  -> (TextQueries.q69CrossDocNgrams _),
     "q70_mixture_rebalance"-> (TextQueries.q70MixtureRebalance _),
+    "q71_hll_distinct"     -> (Relational.q71HllDistinct _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -500,6 +501,9 @@ object SparkEntry {
     // Mixture rebalance: same hash restatement, counts + min + the exact
     // integer keep rule all re-derived inside DuckDB.
     "q70_mixture_rebalance" -> OracleGen.q70Sql(),
+    // HyperLogLog: the whole sketch (hash, registers, exact DECIMAL
+    // register sum, both estimator branches) recomputed in DuckDB.
+    "q71_hll_distinct" -> OracleGen.q71Sql(),
     "q52_stratified_sample" -> OracleGen.q52Sql(
       TextQueries.Q52Rates.map { case (l, r) =>
         (l, math.round(r * TextQueries.Q52Granularity)) },

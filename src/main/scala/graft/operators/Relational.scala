@@ -495,4 +495,28 @@ object Relational {
     AsOf.joinForward(purchases, views, key = "user_id", ts = "ts")
       .orderBy("event_id")
   }
+
+  /** q71: HyperLogLog distinct-count profile ([[Sketches.hllDistinct]],
+    * p=10) in BOTH estimator regimes on one board: per-event_type distinct
+    * users (a few hundred → the linear-counting branch) and the global
+    * distinct event_id count (tens of thousands → the raw harmonic
+    * estimator), each alongside the exact distinct count so the estimate's
+    * error is visible in the gated result itself. The DuckDB oracle
+    * recomputes the ENTIRE sketch — xxhash64, register ranks via
+    * `length(bin(v))`, the exact DECIMAL register sum, both estimator
+    * branches — so the hash gate proves the sketch bit-for-bit, not just
+    * "close enough" ([[graft.OracleGen.q71Sql]]).
+    */
+  def q71HllDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val byType = Sketches.hllDistinct(ev, col("event_type"), col("user_id"))
+      .join(ev.groupBy(col("event_type").as("scope"))
+        .agg(count_distinct(col("user_id")).as("n_exact")), "scope")
+    val global = Sketches.hllDistinct(ev, lit("ALL"), col("event_id"))
+      .join(ev.agg(count_distinct(col("event_id")).as("n_exact"))
+        .select(lit("ALL").as("scope"), col("n_exact")), "scope")
+    byType.unionByName(global)
+      .select(col("scope"), col("n_exact"), col("v_empty"), col("hll_est"))
+      .orderBy("scope")
+  }
 }

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** HyperLogLog sketch ([[Sketches.hllDistinct]]): the register/estimator
+  * pipeline is re-implemented HERE in plain Scala over the same xxhash64
+  * values (collected once) — an in-process independent mirror of the
+  * DuckDB oracle's full restatement (q71 gate), pinning each piece:
+  * bucket split, bin-length rank, exact register sum, both estimator
+  * branches, rounding.
+  */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val p = 10
+  private val m = 1 << p
+  private val sw = 64 - p
+
+  /** Reference HLL over raw hash values — independent of the DataFrame
+    * formulation (plain var/loop arithmetic, java.lang.Long bit ops).
+    */
+  private def referenceHll(hashes: Seq[Long]): (Long, Long) = {
+    val regs = new Array[Int](m)
+    hashes.foreach { h =>
+      val b = (h >>> sw).toInt
+      val v = h & ((1L << sw) - 1)
+      val rho = if (v == 0) sw + 1 else java.lang.Long.numberOfLeadingZeros(v) - p + 1
+      if (rho > regs(b)) regs(b) = rho
+    }
+    val vEmpty = regs.count(_ == 0)
+    var t = java.math.BigDecimal.ZERO
+    regs.foreach { r =>
+      t = t.add(new java.math.BigDecimal(
+        java.math.BigInteger.ONE.shiftLeft(sw + 1 - r)))
+    }
+    val alphaC = Sketches.alphaM(m) * m * m * math.pow(2.0, sw + 1)
+    val raw = alphaC / t.doubleValue()
+    val est =
+      if (raw <= 2.5 * m && vEmpty > 0) m * math.log(m.toDouble / vEmpty)
+      else raw
+    // math.round = floor(x+0.5) ≡ HALF_UP for the positive estimates here,
+    // matching Spark's round() and DuckDB's round()
+    (vEmpty.toLong, math.round(est))
+  }
+
+  private def runOp(values: Seq[Long]): (Long, Long) = {
+    val df = values.toDF("v")
+    val row = Sketches.hllDistinct(df, lit("g"), col("v"), p).head()
+    (row.getLong(row.fieldIndex("v_empty")),
+      row.getLong(row.fieldIndex("hll_est")))
+  }
+
+  private def sparkHashes(values: Seq[Long]): Seq[Long] =
+    values.toDF("v").select(xxhash64(col("v"))).as[Long].collect().toSeq
+
+  test("hllDistinct matches the plain-Scala reference register-for-register " +
+      "in both estimator regimes") {
+    for (n <- Seq(37, 500, 20000)) {
+      val values = (1L to n)
+      val expected = referenceHll(sparkHashes(values))
+      assert(runOp(values) === expected, s"n=$n")
+    }
+  }
+
+  test("hllDistinct estimate stays within 5 standard errors of the truth") {
+    val se = 1.04 / math.sqrt(m.toDouble)
+    for (n <- Seq(100, 5000, 50000)) {
+      val (_, est) = runOp(1L to n.toLong)
+      assert(math.abs(est - n).toDouble / n <= 5 * se,
+        s"n=$n est=$est (bound ${5 * se})")
+    }
+  }
+
+  test("hllDistinct is insensitive to duplication — a 90%-hot value " +
+      "changes nothing") {
+    val distinct = 1L to 400L
+    val skewed = distinct ++ Seq.fill(4000)(7L)
+    assert(runOp(distinct) === runOp(skewed))
+  }
+
+  test("hllDistinct groups estimate independently") {
+    val df = (1L to 3000L).map(i => (s"g${i % 3}", i)).toDF("g", "v")
+    val got = Sketches.hllDistinct(df, col("g"), col("v"), p)
+      .orderBy("scope").collect()
+    assert(got.length === 3)
+    got.foreach { r =>
+      val est = r.getLong(r.fieldIndex("hll_est"))
+      assert(math.abs(est - 1000) < 1000 * 5 * 1.04 / math.sqrt(m.toDouble))
+    }
+    // groups sharing values must not bleed registers into each other:
+    // same value set per group → identical estimates
+    val same = (1L to 500L).flatMap(i => Seq(("a", i), ("b", i)))
+      .toDF("g", "v")
+    val ests = Sketches.hllDistinct(same, col("g"), col("v"), p)
+      .select("hll_est").as[Long].collect().toSet
+    assert(ests.size === 1)
+  }
+
+  test("hllDistinct register aggregation partial-aggregates (map-side " +
+      "combine absorbs hot values before the shuffle)") {
+    val df = (1L to 1000L).toDF("v")
+    // AQE wraps the tree in AdaptiveSparkPlanExec, which hides its
+    // children from collect() until execution — plan with AQE off
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prior = spark.conf.get(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    val plan =
+      try Sketches.hllDistinct(df, lit("g"), col("v"), p)
+        .queryExecution.executedPlan
+      finally spark.conf.set(aqeKey, prior)
+    val partials = plan.collect {
+      case h: HashAggregateExec if h.aggregateExpressions.exists(
+        _.mode.toString == "Partial") => h
+      case o: ObjectHashAggregateExec if o.aggregateExpressions.exists(
+        _.mode.toString == "Partial") => o
+    }
+    assert(partials.nonEmpty, "expected a partial (map-side) aggregate:\n" +
+      plan.toString)
+  }
+}
