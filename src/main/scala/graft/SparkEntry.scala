@@ -90,6 +90,7 @@ object SparkEntry {
     "q69_crossdoc_ngrams"  -> (TextQueries.q69CrossDocNgrams _),
     "q70_mixture_rebalance"-> (TextQueries.q70MixtureRebalance _),
     "q71_hll_distinct"     -> (Relational.q71HllDistinct _),
+    "q72_bloom_join"       -> (Relational.q72BloomJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -504,6 +505,15 @@ object SparkEntry {
     // HyperLogLog: the whole sketch (hash, registers, exact DECIMAL
     // register sum, both estimator branches) recomputed in DuckDB.
     "q71_hll_distinct" -> OracleGen.q71Sql(),
+    // Bloom-pruned join: the bloom is semantics-transparent (no false
+    // negatives), so the oracle IS the plain join — equality proves the
+    // pruning dropped only non-matching rows.
+    "q72_bloom_join" ->
+      """SELECT p_brand, COUNT(*) AS n_items,
+         ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_size = 1
+         GROUP BY p_brand ORDER BY p_brand""",
     "q52_stratified_sample" -> OracleGen.q52Sql(
       TextQueries.Q52Rates.map { case (l, r) =>
         (l, math.round(r * TextQueries.Q52Granularity)) },

@@ -519,4 +519,25 @@ object Relational {
       .select(col("scope"), col("n_exact"), col("v_empty"), col("hll_est"))
       .orderBy("scope")
   }
+
+  /** q72: Bloom-pruned fact-to-dim join ([[Sketches.bloomPrunedJoin]]) —
+    * lineitem probed against the selective p_size=1 slice of part (~2 %
+    * of parts): the 8 KiB bitmap prunes ~98 % of lineitem rows before the
+    * join's Exchange. Bloom filters have no false negatives, so the
+    * result equals the PLAIN join — which is exactly what the oracle
+    * runs: the gate proves the pruning is semantics-transparent, and the
+    * plan/FP-rate evidence lives in SketchesSpec.
+    */
+  def q72BloomJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val lineitem = Tables.lineitem(spark, sfDir)
+    val smallParts = Tables.part(spark, sfDir)
+      .filter(col("p_size") === 1)
+      .select(col("p_partkey"), col("p_brand"))
+    Sketches.bloomPrunedJoin(lineitem, smallParts, "l_partkey", "p_partkey")
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("p_brand")
+  }
 }

@@ -97,4 +97,91 @@ object Sketches {
     require(m >= 128, s"alphaM constant table needs m >= 128, got $m")
     0.7213 / (1.0 + 1.079 / m)
   }
+
+  // ------------------------------------------------------------------ bloom
+
+  /** Equi-join with a Bloom-filter pre-filter on the probe side — the
+    * 100 TB join shape when the build side is selective but too large to
+    * broadcast as a hash table: an m-bit bitmap of the build keys (8 KiB
+    * at logBits=16 — constant size regardless of build row count) is
+    * built distributed, broadcast, and applied to the probe rows BEFORE
+    * the join's Exchange, so probe rows that cannot match never shuffle.
+    * Bloom filters have no false negatives, so the result EQUALS the
+    * plain join for every input (the q72 oracle is the plain SQL join);
+    * false positives only cost wasted shuffle rows, bounded by
+    * (1−e^(−kn/m))^k.
+    *
+    * Spark can inject runtime bloom filters itself
+    * (`spark.sql.optimizer.runtime.bloomFilter.enabled`) when a
+    * creation-side filter is selective; this operator is the explicit,
+    * composable form — the pipeline decides where the bloom pays, and the
+    * k probe positions come from ONE xxhash64 evaluation
+    * (Kirsch–Mitzenmacher double hashing: pos_i = h_lo + i·(h_hi|1)
+    * mod m), engine-portable like every hash in this library.
+    *
+    * The bitmap is built as a one-row DataFrame (explode positions →
+    * bit_or per 64-bit word → densify) and attached via
+    * crossJoin(broadcast(...)) — no driver-side collect; the bitmap
+    * travels the same torrent broadcast path as any dimension table.
+    *
+    * `joinType` must be inner or left_semi: an outer join must keep
+    * probe rows the bloom would prune. NULL probe keys hash to NULL,
+    * fail the membership conjunction, and are pruned — exactly the rows
+    * an equi-join drops anyway.
+    *
+    * `passObs` (optional) observes `n_pass_bloom` — the probe rows that
+    * survived pruning — so callers can measure the realized
+    * false-positive rate against the join's output count.
+    */
+  def bloomPrunedJoin(probe: DataFrame, build: DataFrame,
+      probeKey: String, buildKey: String, logBits: Int = 16, k: Int = 5,
+      joinType: String = "inner",
+      passObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    require(joinType == "inner" || joinType == "left_semi",
+      s"bloom pruning preserves only inner/left_semi semantics, got $joinType")
+    require(logBits >= 6 && logBits <= 26, s"logBits out of range: $logBits")
+    require(k >= 1 && k <= 16, s"k out of range: $k")
+    val m = 1L << logBits
+    val nWords = (m / 64).toInt
+
+    // k probe positions from one hash evaluation (double hashing). h_lo /
+    // h_hi are < 2^32, so h_lo + (k−1)·h_hi stays far from long overflow.
+    def positions(key: Column): Seq[Column] = {
+      val h = xxhash64(key)
+      val lo = h.bitwiseAND(lit(0xffffffffL))
+      val hi = shiftrightunsigned(h, 32).bitwiseOR(lit(1L))
+      (0 until k).map(i => pmod(lo + lit(i.toLong) * hi, lit(m)))
+    }
+
+    val bits = build
+      .select(explode(array(positions(col(buildKey)): _*)).as("pos"))
+      .groupBy(expr("pos DIV 64").as("w"))
+      .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"))
+        .as("bits"))
+    val bitmap = bits
+      .agg(map_from_arrays(collect_list("w"), collect_list("bits")).as("wm"))
+      .select(transform(sequence(lit(0L), lit(nWords.toLong - 1)),
+        i => coalesce(element_at(col("wm"), i), lit(0L))).as("graft_bloom"))
+
+    // membership test: every position's bit set. Positions are named
+    // columns so the word/bit indexing can use the SQL builtins whose
+    // Scala wrappers pin shift amounts to Int literals.
+    val posCols = (0 until k).map(i => s"graft_p$i")
+    val withPos = positions(col(probeKey)).zip(posCols)
+      .foldLeft(probe.crossJoin(broadcast(bitmap))) {
+        case (df, (pos, name)) => df.withColumn(name, pos)
+      }
+    val test = posCols.map { p =>
+      expr(s"(element_at(graft_bloom, CAST($p DIV 64 AS INT) + 1) & " +
+        s"shiftleft(CAST(1 AS BIGINT), CAST($p % 64 AS INT))) != 0")
+    }.reduce(_ && _)
+    val pruned0 = withPos.filter(test)
+      .drop("graft_bloom").drop(posCols: _*)
+    val prunedProbe = passObs match {
+      case Some(o) => pruned0.observe(o, count(lit(1)).as("n_pass_bloom"))
+      case None    => pruned0
+    }
+    prunedProbe.join(build, prunedProbe(probeKey) === build(buildKey),
+      joinType)
+  }
 }

@@ -120,4 +120,86 @@ class SketchesSpec extends SparkSpec {
     assert(partials.nonEmpty, "expected a partial (map-side) aggregate:\n" +
       plan.toString)
   }
+
+  // ---------------------------------------------------------------- bloom
+
+  private lazy val bloomProbe = (1L to 5000L).map(i => (i % 500, i))
+    .toDF("k", "payload")
+  private lazy val bloomBuild = (0L to 49L).map(i => (i * 7, s"d$i"))
+    .toDF("bk", "attr")
+
+  test("bloomPrunedJoin equals the plain join (inner and left_semi)") {
+    for (jt <- Seq("inner", "left_semi")) {
+      val got = Sketches.bloomPrunedJoin(bloomProbe, bloomBuild,
+        "k", "bk", joinType = jt)
+      val want = bloomProbe.join(bloomBuild,
+        bloomProbe("k") === bloomBuild("bk"), jt)
+      assert(got.columns.toSeq === want.columns.toSeq, jt)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty, jt)
+    }
+  }
+
+  test("bloomPrunedJoin: null probe keys are pruned, matching join " +
+      "semantics; empty build side prunes everything") {
+    val probeWithNull = bloomProbe.unionByName(
+      Seq((Option.empty[Long], 0L)).toDF("k", "payload"))
+    val got = Sketches.bloomPrunedJoin(probeWithNull, bloomBuild, "k", "bk")
+    val want = probeWithNull.join(bloomBuild,
+      probeWithNull("k") === bloomBuild("bk"), "inner")
+    assert(got.count() === want.count())
+    assert(Sketches.bloomPrunedJoin(bloomProbe, bloomBuild.limit(0),
+      "k", "bk").count() === 0)
+  }
+
+  test("bloomPrunedJoin prunes the probe side: pass-through count is " +
+      "near the true match count (FP rate small), far below the input") {
+    val obs = new org.apache.spark.sql.Observation()
+    val out = Sketches.bloomPrunedJoin(bloomProbe, bloomBuild, "k", "bk",
+      passObs = Some(obs))
+    val matches = out.count()
+    val passed = obs.get("n_pass_bloom").asInstanceOf[Long]
+    val input = bloomProbe.count()
+    // true matches: k in {0,7,...,343} ∩ [0,500) → 50 keys × 10 rows
+    assert(matches === 500L)
+    assert(passed >= matches, "bloom must never drop a true match")
+    assert(passed < input / 2,
+      s"bloom pruned almost nothing: $passed of $input")
+    // 2^16 bits, 50 keys, 5 hashes → FP rate ~(kn/m)^k ≈ 1e-12: the pass
+    // set should be exactly the matches on this corpus
+    assert(passed === matches, s"unexpected false positives: $passed")
+  }
+
+  test("bloomPrunedJoin: the probe filter sits BELOW the join Exchange " +
+      "(pruned rows never shuffle)") {
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val bcKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prior = spark.conf.get(aqeKey)
+    val priorBc = spark.conf.get(bcKey)
+    spark.conf.set(aqeKey, "false")
+    spark.conf.set(bcKey, "-1") // force the shuffle join the operator targets
+    try {
+      val plan = Sketches.bloomPrunedJoin(bloomProbe, bloomBuild, "k", "bk")
+        .queryExecution.executedPlan
+      val shuffles = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }
+      assert(shuffles.nonEmpty, "expected a shuffle join under bc=-1")
+      // every shuffle of probe columns must contain the bloom membership
+      // filter beneath it
+      val probeShuffles = shuffles.filter(
+        _.output.exists(_.name == "payload"))
+      assert(probeShuffles.nonEmpty)
+      probeShuffles.foreach { ex =>
+        // the membership conjunction may survive as a FilterExec or be
+        // folded into the bitmap-attach BroadcastNestedLoopJoin's
+        // condition — either way it must sit BELOW this exchange
+        val below = ex.child.toString
+        assert(below.contains("graft_bloom") && below.contains("shiftleft"),
+          s"probe-side shuffle without bloom membership test below it:\n$ex")
+      }
+    } finally {
+      spark.conf.set(aqeKey, prior)
+      spark.conf.set(bcKey, priorBc)
+    }
+  }
 }
