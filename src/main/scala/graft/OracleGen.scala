@@ -446,4 +446,23 @@ object OracleGen {
      FROM est e JOIN ex ON ex.scope = e.scope
      ORDER BY e.scope"""
   }
+
+  /** q73: deterministic corpus shuffle — shuffle_key = xxhash64(doc_id ⊕
+    * seed) via [[xx64LongSql]], batch = top logBatches bits (unsigned
+    * shift through the q30 HUGEINT bridge). The ORDER BY is the
+    * permutation itself; equality proves it element-for-element.
+    */
+  def q73Sql(seed: Long, logBatches: Int): String = {
+    val shift = 64 - logBatches
+    val two64 = "18446744073709551616::HUGEINT"
+    s"""WITH k AS (SELECT doc_id,
+           ${xx64LongSql(s"xor(doc_id, $seed)")} AS shuffle_key
+         FROM documents)
+     SELECT doc_id, shuffle_key,
+       CAST(((CASE WHEN shuffle_key < 0
+              THEN CAST(shuffle_key AS HUGEINT) + $two64
+              ELSE CAST(shuffle_key AS HUGEINT) END)::UHUGEINT
+           >> $shift::UHUGEINT) AS BIGINT) AS batch
+     FROM k ORDER BY shuffle_key, doc_id"""
+  }
 }

@@ -91,6 +91,7 @@ object SparkEntry {
     "q70_mixture_rebalance"-> (TextQueries.q70MixtureRebalance _),
     "q71_hll_distinct"     -> (Relational.q71HllDistinct _),
     "q72_bloom_join"       -> (Relational.q72BloomJoin _),
+    "q73_shuffle"          -> (TextQueries.q73Shuffle _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -514,6 +515,9 @@ object SparkEntry {
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE p_size = 1
          GROUP BY p_brand ORDER BY p_brand""",
+    // Deterministic shuffle: the exact permutation + batch ids re-derived.
+    "q73_shuffle" -> OracleGen.q73Sql(
+      TextQueries.Q73Seed, TextQueries.Q73LogBatches),
     "q52_stratified_sample" -> OracleGen.q52Sql(
       TextQueries.Q52Rates.map { case (l, r) =>
         (l, math.round(r * TextQueries.Q52Granularity)) },

@@ -302,6 +302,25 @@ object TextQueries {
       .select("doc_id", "source")
       .orderBy("doc_id")
 
+  /** q73 seed/geometry — shared with the oracle restatement
+    * ([[graft.OracleGen.q73Sql]]). */
+  val Q73Seed = 20260813L
+  val Q73LogBatches = 4
+
+  /** q73: deterministic corpus shuffle + batch assignment
+    * ([[Sampling.deterministicShuffle]]) — the epoch-order randomization
+    * of a training pipeline. The oracle re-derives shuffle_key (the q52
+    * xxhash64 restatement over `xor(doc_id, seed)`) and the top-bits
+    * batch id, so the gate proves the exact permutation and batching,
+    * not just batch-size statistics.
+    */
+  def q73Shuffle(spark: SparkSession, sfDir: String): DataFrame =
+    Sampling.deterministicShuffle(
+        Tables.documents(spark, sfDir).select("doc_id"),
+        "doc_id", seed = Q73Seed, logBatches = Q73LogBatches)
+      .select("doc_id", "shuffle_key", "batch")
+      .orderBy("shuffle_key", "doc_id")
+
   /** q37: opaque-binary column plumbing through the gate — documents' text
     * treated as a binary payload (UTF-8 bytes): byte length, base64 prefix
     * of the payload head. Stands in for the multimodal payload path

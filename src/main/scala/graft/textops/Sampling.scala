@@ -70,4 +70,39 @@ object Sampling {
         col("graft_min") * lit(granularity.toLong))
       .drop("graft_n", "graft_min")
   }
+
+  /** Deterministic corpus shuffle + batch assignment — the global order
+    * randomization a training run needs (an epoch must not replay the
+    * corpus in source/crawl order, and re-runs must see the SAME order).
+    * Each row gets `shuffle_key = xxhash64(id XOR seed)` (a new seed is a
+    * new permutation; a pure projection) and `batch = top `logBatches`
+    * bits of the key` — 2^logBatches equal-in-expectation batches WITHOUT
+    * a global rank: computing "row number in shuffled order" would need
+    * either a single-partition window or a two-pass range partitioner,
+    * and every downstream consumer (batch writers, curriculum samplers)
+    * only needs a stable batch id + a within-batch sort key, which the
+    * hash already is.
+    *
+    * Scale shape: zero shuffles to ASSIGN (projection only); producing
+    * physically shuffled output is `ORDER BY (shuffle_key, id)` — Spark's
+    * range-partitioned sort, the TeraSort shape, which is exactly what a
+    * fleet writer does per output partition. Ties between distinct ids
+    * hashing to the same key break deterministically on the id.
+    *
+    * The whole assignment is restated in the DuckDB oracle (the q52
+    * xxhash64 restatement over `xor(id, seed)`), so the gate proves the
+    * permutation bit-for-bit, not statistically.
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: Long = 0L,
+      logBatches: Int = 8): DataFrame = {
+    require(logBatches >= 0 && logBatches <= 30,
+      s"logBatches out of range: $logBatches")
+    val key = xxhash64(col(idCol).bitwiseXOR(lit(seed)))
+    // logBatches=0: a JVM shift of 64 is a no-op (shift amounts wrap mod
+    // 64), so the single-batch case must be literal zero
+    val batch =
+      if (logBatches == 0) lit(0L)
+      else shiftrightunsigned(col("shuffle_key"), 64 - logBatches)
+    df.withColumn("shuffle_key", key).withColumn("batch", batch)
+  }
 }

@@ -142,4 +142,37 @@ class OverlapSamplingSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") ||
       plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("deterministicShuffle: reproducible, seed-sensitive, batches " +
+      "balanced, assignment plan shuffle-free") {
+    val docs = (0L until 4096L).toDF("doc_id")
+    def keys(seed: Long) =
+      Sampling.deterministicShuffle(docs, "doc_id", seed, logBatches = 3)
+        .select("doc_id", "shuffle_key", "batch")
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val a = keys(1L)
+    assert(a.toSeq === keys(1L).toSeq, "same seed → same permutation")
+    val b = keys(2L)
+    assert(a.map(_._2).toSeq !== b.map(_._2).toSeq,
+      "a different seed must be a different permutation")
+    // batch = top 3 bits of the key — consistent within every row
+    a.foreach { case (_, k, bat) => assert(bat === (k >>> 61)) }
+    // 8 batches over 4096 rows: all within 3σ-ish of 512
+    val sizes = a.groupBy(_._3).view.mapValues(_.length)
+    assert(sizes.size === 8)
+    sizes.foreach { case (bat, n) =>
+      assert(n > 512 - 150 && n < 512 + 150, s"batch $bat size $n") }
+    // assignment itself is a pure projection — no Exchange
+    val plan = Sampling.deterministicShuffle(docs, "doc_id", 1L, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("deterministicShuffle: logBatches=0 puts every row in batch 0 " +
+      "(a 64-bit JVM shift would wrap to a no-op)") {
+    val docs = (0L until 64L).toDF("doc_id")
+    val batches = Sampling.deterministicShuffle(docs, "doc_id", 0L, 0)
+      .select("batch").as[Long].collect().toSet
+    assert(batches === Set(0L))
+  }
 }
