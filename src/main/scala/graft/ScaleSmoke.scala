@@ -72,11 +72,53 @@ object ScaleSmoke {
 
   private def record(e: Entry): Unit = results(e.name) = e
 
+  /** Entry filter for iterating on ONE bottleneck without paying the whole
+    * smoke: SPARK_GRAFT_SCALE_ONLY=jaccard_prefix_pairs,simhash_pairs.
+    * Unset → all entries. Filtered runs still write the JSON artifact —
+    * do NOT commit a partial artifact over a full one.
+    */
+  private val onlyEntries: Option[Set[String]] =
+    sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+  private def enabled(name: String): Boolean =
+    onlyEntries.forall(_.contains(name))
+
+  /** SPARK_GRAFT_SCALE_DEBUG=1 prints the heaviest stages (summed task
+    * time) of each timed entry — the "where did the wall go" view the
+    * disabled UI would otherwise give.
+    */
+  private val debugStages = sys.env.get("SPARK_GRAFT_SCALE_DEBUG").contains("1")
+  private var debugListener: Option[StageTaskTimes] = None
+  private def debugStart(spark: SparkSession): Unit = if (debugStages) {
+    val l = new StageTaskTimes
+    spark.sparkContext.addSparkListener(l)
+    debugListener = Some(l)
+  }
+  private def debugDump(spark: SparkSession, name: String): Unit =
+    debugListener.foreach { l =>
+      Thread.sleep(500) // let the async listener bus drain
+      val top = l.snapshot.toSeq
+        .map { case (sid, ts) => (sid, ts.size, ts.sum) }
+        .sortBy(-_._3).take(12)
+      val ioMap = l.ioSnapshot
+      println(s"[scale]   ${name}_stages (top by summed task ms):")
+      top.foreach { case (sid, n, sum) =>
+        val (in, sr, sw) = ioMap.getOrElse(sid, (0L, 0L, 0L))
+        println(f"[scale]     stage $sid%5d  $n%5d tasks  $sum%8d ms  " +
+          f"in=$in%d shufR=$sr%d shufW=$sw%d") }
+      spark.sparkContext.removeSparkListener(l)
+      debugListener = None
+    }
+
   private def time(name: String)(df: => DataFrame): Unit = {
+    if (!enabled(name)) return
+    val spark = SparkSession.active
+    debugStart(spark)
     val t0 = System.nanoTime()
     val n = df.count()
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"[scale] $name%-28s $n%10d rows  $sec%8.2f s")
+    debugDump(spark, name)
     record(Entry(name, n, sec))
   }
 
@@ -88,6 +130,7 @@ object ScaleSmoke {
     */
   private def timeReleasing(name: String)(
       dfr: => (DataFrame, () => Unit)): Unit = {
+    if (!enabled(name)) return
     val (df, release) = dfr
     try time(name)(df) finally release()
   }
@@ -98,6 +141,7 @@ object ScaleSmoke {
     */
   private def timeObserved(name: String, obs: Observation)(
       df: => DataFrame): Unit = {
+    if (!enabled(name)) return
     time(name)(df)
     printCaps(name, obs)
   }
@@ -125,18 +169,31 @@ object ScaleSmoke {
 
   // ------------------------------------------------------------ skew audit
 
-  /** Collects per-stage task durations while registered. */
+  /** Collects per-stage task durations (and, for the debug dump, summed
+    * input/shuffle record counts — the cheapest stage fingerprint when
+    * the UI is off) while registered. */
   private class StageTaskTimes extends SparkListener {
     private val byStage = scala.collection.mutable
       .Map.empty[Int, scala.collection.mutable.ArrayBuffer[Long]]
+    private val io = scala.collection.mutable
+      .Map.empty[Int, Array[Long]] // in, shufRead, shufWrite
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit = synchronized {
-      if (e.taskInfo != null)
+      if (e.taskInfo != null) {
         byStage.getOrElseUpdate(e.stageId,
           scala.collection.mutable.ArrayBuffer.empty) += e.taskInfo.duration
+        if (e.taskMetrics != null) {
+          val a = io.getOrElseUpdate(e.stageId, Array(0L, 0L, 0L))
+          a(0) += e.taskMetrics.inputMetrics.recordsRead
+          a(1) += e.taskMetrics.shuffleReadMetrics.recordsRead
+          a(2) += e.taskMetrics.shuffleWriteMetrics.recordsWritten
+        }
+      }
     }
     def total: Int = synchronized(byStage.valuesIterator.map(_.size).sum)
     def snapshot: Map[Int, Seq[Long]] =
       synchronized(byStage.map { case (k, v) => (k, v.toSeq) }.toMap)
+    def ioSnapshot: Map[Int, (Long, Long, Long)] =
+      synchronized(io.map { case (k, a) => (k, (a(0), a(1), a(2))) }.toMap)
   }
 
   /** [[time]] plus a straggler audit: runs `df` under a task listener and
@@ -156,6 +213,7 @@ object ScaleSmoke {
     */
   private def timeSkewAudited(spark: SparkSession, name: String,
       maxRatio: Double = 5.0)(df: => DataFrame): Unit = {
+    if (!enabled(name)) return
     val listener = new StageTaskTimes
     spark.sparkContext.addSparkListener(listener)
     try {
@@ -268,7 +326,8 @@ object ScaleSmoke {
     timeReleasing("jaccard_prefix_pairs")(
       Dedup.ngramJaccardPairsPrefixReleasable(docs, threshold = 0.9,
         dropStats = Some(prefixObs)))
-    printCaps("jaccard_prefix_pairs", prefixObs)
+    if (enabled("jaccard_prefix_pairs"))
+      printCaps("jaccard_prefix_pairs", prefixObs)
     // posting-list variant with a deliberately tight cap: on this corpus
     // every shingle group holds ~mult near-identical members, so a cap of
     // mult/2 fires on most groups — values must stay exact regardless
@@ -276,7 +335,8 @@ object ScaleSmoke {
     timeReleasing("jaccard_pairs_capped")(
       Dedup.ngramJaccardPairsReleasable(docs, threshold = 0.9,
         maxPostingList = math.max(2, mult / 2), dropStats = Some(cappedObs)))
-    printCaps("jaccard_pairs_capped", cappedObs)
+    if (enabled("jaccard_pairs_capped"))
+      printCaps("jaccard_pairs_capped", cappedObs)
     // jittered copies are ~identical vectors (cos ≈ 0.9999) → they collide
     // even in wide bands. Geometry is the n-aware DEFAULT (autoBandBits:
     // 100k vectors → 9-bit bands → 512 buckets/band, expected density
@@ -297,7 +357,7 @@ object ScaleSmoke {
     // recall vs the exact brute-force baseline for both ANN paths — the
     // artifact's "approximation is bounded, not hoped" line. 64 queries ×
     // k=5 = 320 pairs per side: tiny collects, one corpus-scan each.
-    locally {
+    if (enabled("ann_lsh_topk") && enabled("ivf_topk")) locally {
       val queries = embs.filter(col("vec_id") < 64)
       def pairSet(df: DataFrame): Set[(Long, Long)] = df
         .select(col("query_id"), col("neighbor_id")).collect()
@@ -333,7 +393,7 @@ object ScaleSmoke {
     // burst of short jobs + released caches measurably inflates whatever
     // runs next in the same JVM — entries keep their round-6 neighbors so
     // artifacts stay comparable round over round.)
-    locally {
+    if (enabled("dedup_groups")) locally {
       val (pairsDf, relPairs) =
         Dedup.ngramJaccardPairsPrefixReleasable(docs, threshold = 0.9)
       val pinned = pairsDf.persist()
@@ -366,7 +426,7 @@ object ScaleSmoke {
         docs.filter(pmod(col("doc_id"), lit(2)) === 1),
         minShared = 4, maxPostingList = 32,
         dropStatsA = Some(contObsA), dropStatsB = Some(contObsB)))
-    printCaps("contamination_b", contObsB)
+    if (enabled("contamination")) printCaps("contamination_b", contObsB)
 
     // deterministic stratified sample: a pure projection+filter — must be
     // scan-bound at any scale (stratum derived from the id here; the
@@ -394,7 +454,7 @@ object ScaleSmoke {
     // as-of join at 20×: the key SPACE multiplies (more users, same
     // per-user density — the realistic 100 TB growth axis); one shuffle
     // on user_id, running-last window, no pair explosion
-    locally {
+    if (enabled("asof_join")) locally {
       val copies = spark.range(mult.toLong).toDF("copy")
       val scaledEv = graft.sources.Tables.events(spark, sfDir)
         .crossJoin(broadcast(copies))
@@ -460,6 +520,7 @@ object ScaleSmoke {
     // unique on BOTH sides (importBatch is the upsert's contract), so the
     // full-outer merge join cannot skew by construction — audited here to
     // prove the composition, not just the parts.
+    if (enabled("upsert_merge_skew10pct")) locally {
     val deduped = Store.importBatch(rawTx.limit(0), rawTx)
     val prepared = Store.withStoreColumns(deduped)
       .withColumn("imported_at", to_timestamp(lit("2026-01-01 00:00:00")))
@@ -477,13 +538,14 @@ object ScaleSmoke {
       val (merged, _) = Store.upsertReleasable(store, prepared)
       merged
     }
+    }
 
     // Salted join under the same 10 % hot key: unsalted, the hot key's
     // 200k matches land in ONE shuffle partition of the join; the salt
     // spreads them across 16 buckets and the task audit proves the
     // straggler is gone (the downstream agg partial-combines map-side,
     // so re-concentrating on the raw key afterwards stays flat too)
-    locally {
+    if (enabled("salted_join_skew10pct")) locally {
       val hotLeft = spark.range(nTx).select(
         when(pmod(col("id"), lit(10)) === 0, 0L).otherwise(col("id"))
           .as("k"),

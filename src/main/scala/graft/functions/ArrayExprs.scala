@@ -296,6 +296,80 @@ object ArrayExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Multiset |A ∩ B| for two SORTED-ascending array<long> — the long-only
+    * twin of [[SortedIntersectCount]], used as the cheap pre-verification
+    * SCREEN in [[graft.textops.Dedup.ngramJaccardPairsPrefix]]: hash
+    * arrays are ~5× smaller than the (h, s) struct arrays, so the
+    * screening joins move a fraction of the bytes, and only pairs the
+    * screen keeps ever touch the exact struct verification. The count can
+    * exceed the true distinct-shingle intersection ONLY via a cross-pair
+    * xxhash64 collision, and the screen keeps every pair the true count
+    * would (ĉ ≥ c and j(c) is monotone), so screening is sound — the
+    * exact pass downstream remains the decider; values are never
+    * hash-trusted.
+    *
+    * Null handling mirrors [[SortedIntersectCount]]: null elements
+    * skipped, null arrays propagate null.
+    */
+  case class SortedIntersectCountLong(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_sorted_intersect_count_long"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val nx = x.numElements()
+      val ny = y.numElements()
+      var i = 0
+      var j = 0
+      var c = 0
+      while (i < nx && j < ny) {
+        if (x.isNullAt(i)) i += 1
+        else if (y.isNullAt(j)) j += 1
+        else {
+          val hx = x.getLong(i)
+          val hy = y.getLong(j)
+          if (hx < hy) i += 1
+          else if (hx > hy) j += 1
+          else { c += 1; i += 1; j += 1 }
+        }
+      }
+      c
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val nx = ctx.freshName("nx")
+        val ny = ctx.freshName("ny")
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val c = ctx.freshName("c")
+        val hx = ctx.freshName("hx")
+        val hy = ctx.freshName("hy")
+        s"""
+        final int $nx = $a.numElements();
+        final int $ny = $b.numElements();
+        int $i = 0; int $j = 0; int $c = 0;
+        while ($i < $nx && $j < $ny) {
+          if ($a.isNullAt($i)) { $i++; continue; }
+          if ($b.isNullAt($j)) { $j++; continue; }
+          final long $hx = $a.getLong($i);
+          final long $hy = $b.getLong($j);
+          if ($hx < $hy) { $i++; }
+          else if ($hx > $hy) { $j++; }
+          else { $c++; $i++; $j++; }
+        }
+        ${ev.value} = $c;"""
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): SortedIntersectCountLong =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** k-permutation MinHash over an array<long> of element hashes in [0,p):
     * out[j] = min over x of (a(j)·x + b(j)) mod p. One pass over the input
     * updates all k mins — replaces k × `array_min(transform(...))`, which
@@ -491,6 +565,9 @@ object ArrayExprs {
 
   def sortedIntersectCount(a: Column, b: Column): Column =
     exprColumn(SortedIntersectCount(columnExpr(a), columnExpr(b)))
+
+  def sortedIntersectCountLong(a: Column, b: Column): Column =
+    exprColumn(SortedIntersectCountLong(columnExpr(a), columnExpr(b)))
 
   def minhashSig(hashes: Column, a: IndexedSeq[Long], b: IndexedSeq[Long],
       p: Long): Column =

@@ -82,7 +82,16 @@ object Dedup {
   private[textops] def groupPairs(rows: DataFrame, keyCols: Seq[String],
       member: Column, maxGroup: Int,
       dropStats: Option[Observation] = None): DataFrame =
+    // repartition BEFORE the quadratic explode: the grouped frame is tiny
+    // (one row per group), so AQE coalesces it onto a handful of tasks —
+    // and then each task fans out up to maxGroup² pair rows, serializing
+    // the dominant stage of every banded operator onto ~1/4 of the cores
+    // (measured at the 20× smoke: the SimHash pair explode ran as 7 tasks
+    // of 32 s). Round-robin on the group rows restores full parallelism
+    // for the explode; the extra Exchange moves only the capped group
+    // rows, which the cap bounds to maxGroup members each.
     cappedGroups(rows, keyCols, member, maxGroup, dropStats, minSize = 2)
+      .repartition(rows.sparkSession.sparkContext.defaultParallelism)
       .select(explode(col("members")).as("a"), col("members"))
       .select(col("a"), explode(col("members")).as("b"))
       .filter(col("a") < col("b"))
@@ -290,16 +299,34 @@ object Dedup {
       .agg(min(col("u")).as("min_u"), first(col("alpha")).as("alpha"))
       .filter(col("min_u").cast("double") >= col("alpha") - lit(1e-9))
       .select("id_a", "id_b")
-    // Exact verification: intersect the full (distinct) shingle arrays.
-    // The (h, s) struct arrays are ALREADY sorted by (hash, shingle), so
-    // |A∩B| is a linear two-pointer merge over mostly-long comparisons
-    // ([[ArrayExprs.SortedIntersectCount]] — exact: equal hashes fall back
-    // to the string compare). The earlier formulations both lose: struct
-    // `array_intersect` is interpreted pairwise O(|a|·|b|); intersecting a
-    // string PROJECTION re-materializes two arrays and re-hashes every
-    // shingle per pair — this merge re-uses the sort the prefix posting
-    // already paid for (verification was ~2/3 of the 20× smoke's wall).
-    val result = cands
+    // Verification, two tiers. On a near-dup-clique corpus most candidate
+    // pairs share a prefix shingle by corpus-wide phrasing, not true
+    // similarity — the 20× smoke measured ~8M candidates for ~0.9M true
+    // pairs, and shipping two ~2 KB (h, s) struct arrays to every
+    // candidate made the verification joins a GC-bound 2/3 of the wall.
+    //
+    // Tier 1 — HASH SCREEN: join only the sorted 64-bit hash PROJECTION
+    // (~5× fewer bytes; derived from the persisted frame, so no second
+    // cache) and threshold on the hash-multiset intersection ĉ
+    // ([[ArrayExprs.SortedIntersectCountLong]]). ĉ ≥ c (a cross-pair hash
+    // collision can only inflate) and j(c) is monotone, so rejecting
+    // ĵ < t never rejects a true pair — the screen is sound, not trusted.
+    // Tier 2 — EXACT: only screen survivors (≈ the true pair set) join
+    // the full struct arrays; |A∩B| is the linear two-pointer merge with
+    // string tie-break ([[ArrayExprs.SortedIntersectCount]]), so reported
+    // values remain exact — hash order pays for the merge, strings decide.
+    val hv = sorted.select(col("id"), transform(col("sh"), s => s("h"))
+      .as("hv"))
+    val screened = cands
+      .join(hv.select(col("id").as("id_a"), col("hv").as("hv_a")), "id_a")
+      .join(hv.select(col("id").as("id_b"), col("hv").as("hv_b")), "id_b")
+      .withColumn("c_ub",
+        ArrayExprs.sortedIntersectCountLong(col("hv_a"), col("hv_b")))
+      .filter(col("c_ub").cast("double") /
+        (size(col("hv_a")) + size(col("hv_b")) - col("c_ub")) >=
+        lit(threshold))
+      .select("id_a", "id_b")
+    val result = screened
       .join(sorted.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sorted.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("n_common",
@@ -625,11 +652,18 @@ object Dedup {
       .select(col("id"), col("sh"), col("c.chunk"), col("c.key"))
     // Bucket-grouped pair generation — simhash evaluated once per doc (a
     // chunks-self-join would run the token pipeline twice; see LSH above).
+    // Hamming filter BEFORE the pair dedup: hamming is a pure function of
+    // the pair, so filter∘dedup ≡ dedup∘filter — but a near-cap 16-bit
+    // chunk bucket (a corpus-wide boilerplate chunk) fans out ~maxBucket²/2
+    // candidate pairs of which almost none are within maxDist; filtering
+    // first keeps those candidates out of the dedup Exchange entirely
+    // (measured at the 20× smoke: 73M candidate rows → the true ~1M
+    // before the shuffle instead of after).
     groupPairs(chunks, Seq("chunk", "key"),
         struct(col("id"), col("sh")), maxBucket, dropStats)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxDist)
+      .dropDuplicates("id_a", "id_b")
   }
 }
