@@ -465,4 +465,51 @@ object OracleGen {
            >> $shift::UHUGEINT) AS BIGINT) AS batch
      FROM k ORDER BY shuffle_key, doc_id"""
   }
+
+  /** Splitmix64-finalized Karp–Rabin of a VARCHAR expression as an
+    * UHUGEINT-typed SQL scalar — the q30 per-token hash factored for
+    * reuse (KR Horner over codepoints mod 1e9+7, then the exact mod-2^64
+    * xor-shift-multiply finalizer via the nested let-binding idiom).
+    */
+  private def krSplitmix64Sql(strExpr: String): String = {
+    val two64 = "18446744073709551616::UHUGEINT"
+    val c1 = java.lang.Long.toUnsignedString(0xbf58476d1ce4e5b9L) + "::UHUGEINT"
+    val c2 = java.lang.Long.toUnsignedString(0x94d049bb133111ebL) + "::UHUGEINT"
+    s"""list_transform([CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(regexp_extract_all($strExpr, '(?s).'),
+          c -> CAST(ascii(c) AS BIGINT))),
+        (acc, c) -> (acc * 257 + c) % 1000000007) AS UHUGEINT)], x ->
+      list_transform([xor(x, x >> 30::UHUGEINT)], a ->
+      list_transform([(a * $c1) % $two64], b ->
+      list_transform([xor(b, b >> 27::UHUGEINT)], cc ->
+      list_transform([(cc * $c2) % $two64], m ->
+        xor(m, m >> 31::UHUGEINT))[1])[1])[1])[1])[1]"""
+  }
+
+  /** q74: count-min heavy hitters — the whole sketch in DuckDB: per-token
+    * exact counts, [[krSplitmix64Sql]] hashes, Kirsch–Mitzenmacher cells
+    * (lo + i·(hi|1) mod w over the hash halves), cell sums, min-over-d
+    * estimates for the exact top-k. Integer arithmetic end to end.
+    */
+  def q74Sql(d: Int = 4, logW: Int = 12, topK: Int = 30): String = {
+    val w = 1L << logW
+    s"""WITH tok AS (SELECT unnest(string_split_regex(lower(trim(text)),
+           '\\s+')) AS token FROM documents),
+     tc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok
+            WHERE token <> '' GROUP BY token),
+     kh AS (SELECT token, n, ${krSplitmix64Sql("token")} AS h FROM tc),
+     hp AS (SELECT token, n,
+              CAST(h & 4294967295::UHUGEINT AS BIGINT) AS lo,
+              CAST(h >> 32::UHUGEINT AS BIGINT) | 1 AS hi
+            FROM kh),
+     cells AS (SELECT token, n, i, (lo + i * hi) % $w AS cell
+               FROM hp, (SELECT unnest(range($d)) AS i)),
+     sk AS (SELECT i, cell, SUM(n) AS c FROM cells GROUP BY 1, 2),
+     top AS (SELECT token, n FROM tc ORDER BY n DESC, token LIMIT $topK)
+     SELECT t.token, t.n AS n_exact, CAST(MIN(s.c) AS BIGINT) AS cms_est
+     FROM top t JOIN cells cl USING (token)
+     JOIN sk s ON s.i = cl.i AND s.cell = cl.cell
+     GROUP BY t.token, t.n
+     ORDER BY n_exact DESC, t.token"""
+  }
 }

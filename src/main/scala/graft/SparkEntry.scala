@@ -92,6 +92,7 @@ object SparkEntry {
     "q71_hll_distinct"     -> (Relational.q71HllDistinct _),
     "q72_bloom_join"       -> (Relational.q72BloomJoin _),
     "q73_shuffle"          -> (TextQueries.q73Shuffle _),
+    "q74_cms_heavy_hitters"-> (Relational.q74CmsHeavyHitters _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -518,6 +519,8 @@ object SparkEntry {
     // Deterministic shuffle: the exact permutation + batch ids re-derived.
     "q73_shuffle" -> OracleGen.q73Sql(
       TextQueries.Q73Seed, TextQueries.Q73LogBatches),
+    // Count-min sketch: counts, cells, estimates all re-derived in DuckDB.
+    "q74_cms_heavy_hitters" -> OracleGen.q74Sql(),
     "q52_stratified_sample" -> OracleGen.q52Sql(
       TextQueries.Q52Rates.map { case (l, r) =>
         (l, math.round(r * TextQueries.Q52Granularity)) },

@@ -540,4 +540,13 @@ object Relational {
           .as("revenue"))
       .orderBy("p_brand")
   }
+
+  /** q74: count-min-sketch heavy hitters over the documents corpus
+    * ([[Sketches.cmsHeavyHitters]]) — exact top-30 tokens with both the
+    * exact count and the sketch estimate (the one-sided ≥ error visible
+    * in the gated rows). Oracle recomputes the ENTIRE sketch in DuckDB —
+    * integer arithmetic end to end, no FP seam.
+    */
+  def q74CmsHeavyHitters(spark: SparkSession, sfDir: String): DataFrame =
+    Sketches.cmsHeavyHitters(Tables.documents(spark, sfDir), col("text"))
 }

@@ -98,6 +98,76 @@ object Sketches {
     0.7213 / (1.0 + 1.079 / m)
   }
 
+  // -------------------------------------------------------------- count-min
+
+  /** Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005): token
+    * frequencies estimated from a fixed d×2^logW counter table — the
+    * streaming/profiling answer when per-token exact state (a full
+    * vocabulary aggregation) is too large. Estimates only OVERCOUNT
+    * (cms_est ≥ true count, the sketch's one-sided error), by ≤ εN with
+    * ε = e/w at the usual guarantees.
+    *
+    * Output: the exact top-`topK` tokens (count desc, token asc — fully
+    * deterministic) with BOTH the exact count and the sketch estimate, so
+    * the one-sided error is visible in the gated result. Like
+    * [[hllDistinct]], every step is engine-portable: the token hash is
+    * the splitmix64-finalized Karp–Rabin ([[graft.functions.TextExprs
+    * .KrHash64]] — the q30 SimHash hash), the d cells come from
+    * Kirsch–Mitzenmacher double hashing of its halves, and the whole
+    * sketch + estimator is restated in the DuckDB oracle
+    * ([[graft.OracleGen.q74Sql]]) — integer arithmetic end to end, no FP
+    * seam at all.
+    *
+    * Scale shape: one token-count aggregation (map-side combine absorbs
+    * Zipf head tokens), then the sketch is a second aggregation over the
+    * VOCABULARY (not the token stream — summing per-token counts into
+    * cells yields the identical table to streaming every occurrence, at
+    * vocabulary volume), ≤ d·2^logW cells total; estimate probes join the
+    * top-k tokens against the (broadcast-sized) cell table. The
+    * token-count frame is persisted (two consumers); this plain variant
+    * leaves the entry to die with the session — materializing callers use
+    * [[cmsHeavyHittersReleasable]] (the [[graft.textops.Dedup]] cache
+    * contract).
+    */
+  def cmsHeavyHitters(docs: DataFrame, textCol: Column, d: Int = 4,
+      logW: Int = 12, topK: Int = 30): DataFrame =
+    cmsHeavyHittersReleasable(docs, textCol, d, logW, topK)._1
+
+  /** [[cmsHeavyHitters]] plus the release handle for the persisted
+    * token-count frame. */
+  def cmsHeavyHittersReleasable(docs: DataFrame, textCol: Column,
+      d: Int = 4, logW: Int = 12, topK: Int = 30)
+      : (DataFrame, () => Unit) = {
+    require(d >= 1 && d <= 8, s"d out of range: $d")
+    require(logW >= 4 && logW <= 24, s"logW out of range: $logW")
+    val w = 1L << logW
+    val tokenCounts = docs
+      .select(explode(graft.textops.TextStats.words(textCol)).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kr = graft.functions.TextExprs.krHash64(col("token"))
+    val lo = kr.bitwiseAND(lit(0xffffffffL))
+    val hi = shiftrightunsigned(kr, 32).bitwiseOR(lit(1L))
+    def cellCols = array((0 until d).map(i =>
+      struct(lit(i).as("i"), pmod(lo + lit(i.toLong) * hi, lit(w))
+        .as("cell"))): _*)
+    val sketch = tokenCounts
+      .select(col("n"), explode(cellCols).as("ic"))
+      .groupBy(col("ic.i").as("i"), col("ic.cell").as("cell"))
+      .agg(sum("n").as("c"))
+    val top = tokenCounts.orderBy(col("n").desc, col("token")).limit(topK)
+    val result = top
+      .select(col("token"), col("n"), explode(cellCols).as("ic"))
+      .select(col("token"), col("n"), col("ic.i").as("i"),
+        col("ic.cell").as("cell"))
+      .join(sketch, Seq("i", "cell"))
+      .groupBy("token", "n").agg(min(col("c")).as("cms_est"))
+      .select(col("token"), col("n").as("n_exact"), col("cms_est"))
+      .orderBy(col("n_exact").desc, col("token"))
+    (result, () => { tokenCounts.unpersist(blocking = false); () })
+  }
+
   // ------------------------------------------------------------------ bloom
 
   /** Equi-join with a Bloom-filter pre-filter on the probe side — the

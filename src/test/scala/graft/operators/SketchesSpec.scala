@@ -121,6 +121,64 @@ class SketchesSpec extends SparkSpec {
       plan.toString)
   }
 
+  // ------------------------------------------------------------- count-min
+
+  test("cmsHeavyHitters matches a plain-Scala count-min mirror and always " +
+      "overestimates") {
+    val docs = Seq(
+      "the cat sat on the mat the cat",
+      "a dog and the cat met a dog",
+      "the the the dog cat mat a on").toDF("text")
+    val d = 4
+    val logW = 6 // tiny table → collisions guaranteed → real overcounts
+    val w = 1L << logW
+    val got = Sketches.cmsHeavyHitters(docs, col("text"), d, logW, topK = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+
+    // reference: exact counts in Scala, hashes from the SAME expression
+    val tokens = docs.as[String].collect()
+      .flatMap(_.trim.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+    val exact = tokens.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val hashes = exact.keys.toSeq.toDF("t")
+      .select(col("t"), graft.functions.TextExprs.krHash64(col("t")))
+      .as[(String, Long)].collect().toMap
+    val table = Array.fill(d, w.toInt)(0L)
+    exact.foreach { case (t, n) =>
+      val h = hashes(t)
+      val lo = h & 0xffffffffL
+      val hi = (h >>> 32) | 1L
+      (0 until d).foreach { i =>
+        table(i)(((lo + i * hi) % w).toInt) += n
+      }
+    }
+    def estimate(t: String): Long = {
+      val h = hashes(t)
+      val lo = h & 0xffffffffL
+      val hi = (h >>> 32) | 1L
+      (0 until d).map(i => table(i)(((lo + i * hi) % w).toInt)).min
+    }
+    val expectTop = exact.toSeq.sortBy { case (t, n) => (-n, t) }.take(5)
+    assert(got.map(r => (r._1, r._2)).toSeq === expectTop)
+    got.foreach { case (t, n, e) =>
+      assert(e === estimate(t), s"estimate mismatch for '$t'")
+      assert(e >= n, s"count-min must never undercount ('$t': $e < $n)")
+    }
+  }
+
+  test("cmsHeavyHitters releasable twin frees its cache entry") {
+    val docs = Seq("x y z", "y z z").toDF("text")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val (df, release) = Sketches.cmsHeavyHittersReleasable(docs, col("text"))
+    df.collect()
+    assert(spark.sparkContext.getPersistentRDDs.size > before)
+    release()
+    // unpersist(blocking=false): poll briefly
+    val deadline = System.currentTimeMillis() + 5000
+    while (spark.sparkContext.getPersistentRDDs.size > before &&
+      System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(spark.sparkContext.getPersistentRDDs.size === before)
+  }
+
   // ---------------------------------------------------------------- bloom
 
   private lazy val bloomProbe = (1L to 5000L).map(i => (i % 500, i))
