@@ -321,14 +321,18 @@ object OracleGen {
     * at some other scale factor even though sf0.1/sf0.01 hash-match. The
     * `neighbor_id` tiebreak bounds the damage to genuinely-equal scores.
     */
-  def q44Sql(k: Int = 5, nCentroids: Int = 16, iters: Int = 2,
-      trainMod: Int = 2, nProbe: Int = 4,
-      maxQueryId: Int = 8): String = {
+  /** The IVF/k-means train-and-assign CTE prefix shared by [[q44Sql]]
+    * (top-k probe) and [[q75Sql]] (full-corpus assignment): quantize →
+    * hash subsample → deterministic init → `iters` unrolled Lloyd
+    * iterations on the integer grid → `asg` (every corpus vector argmax-
+    * assigned to its final centroid, first cid wins ties). Exposes CTEs
+    * e, qz, nf (final centroids + norms) and asg.
+    */
+  private def ivfTrainAsgCtes(nCentroids: Int, iters: Int,
+      trainMod: Int): String = {
     require(iters >= 1, "iters must be >= 1 (0 would emit invalid SQL)")
     require(trainMod >= 1, "trainMod must be >= 1 (h % 0 is NULL in SQL)")
     val scale = Similarity.IvfQuantScale
-    // one Lloyd iteration: assign (argmax over current centroids) → per
-    // (cid, pos) mean floored back onto the grid; empty clusters carry over
     def iter(i: Int): String = {
       val (prev, nxt) = (s"c$i", s"c${i + 1}")
       s"""n$i AS (SELECT cid, c, list_dot_product(c, c) AS nrm FROM $prev),
@@ -349,7 +353,7 @@ object OracleGen {
               GROUP BY o.cid)"""
     }
     val cf = s"c$iters"
-    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+    s"""e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
            FROM embeddings),
      qz AS (SELECT id, v, list_transform(v,
               x -> CAST(floor(x * $scale) AS DOUBLE)) AS qv FROM e),
@@ -367,7 +371,13 @@ object OracleGen {
                 (CASE WHEN n.nrm = 0 THEN '-infinity'::DOUBLE
                       ELSE list_dot_product(z.qv, n.c) / sqrt(n.nrm) END)
                 DESC, n.cid) AS rn
-            FROM qz z CROSS JOIN nf n) WHERE rn = 1),
+            FROM qz z CROSS JOIN nf n) WHERE rn = 1)"""
+  }
+
+  def q44Sql(k: Int = 5, nCentroids: Int = 16, iters: Int = 2,
+      trainMod: Int = 2, nProbe: Int = 4,
+      maxQueryId: Int = 8): String = {
+    s"""WITH ${ivfTrainAsgCtes(nCentroids, iters, trainMod)},
      prb AS (SELECT query_id, cid FROM (
             SELECT z.id AS query_id, n.cid,
               ROW_NUMBER() OVER (PARTITION BY z.id ORDER BY
@@ -389,6 +399,21 @@ object OracleGen {
      SELECT query_id, neighbor_id, ROUND(cs, 4) AS cos_sim, rank
      FROM rk WHERE rank <= $k ORDER BY query_id, rank"""
   }
+
+  /** q75: spherical k-means full-corpus cluster assignment — the q44
+    * trainer CTEs ([[ivfTrainAsgCtes]]: integer-grid Lloyd, bit-identical
+    * centroids) with the assignment itself as the gated result: every
+    * vector's cluster id plus per-cluster sizes, proving the
+    * train+assign pipeline end to end without the probe stage.
+    */
+  def q75Sql(nCentroids: Int = 16, iters: Int = 2,
+      trainMod: Int = 2): String =
+    s"""WITH ${ivfTrainAsgCtes(nCentroids, iters, trainMod)},
+     sz AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS cluster_size
+            FROM asg GROUP BY cid)
+     SELECT a.id AS vec_id, CAST(a.cid AS INTEGER) AS cid, s.cluster_size
+     FROM asg a JOIN sz s ON s.cid = a.cid
+     ORDER BY vec_id"""
 
   /** q71: HyperLogLog distinct-count — the WHOLE sketch recomputed in
     * DuckDB: [[xx64LongSql]] hashes, bucket = top p bits (unsigned shift

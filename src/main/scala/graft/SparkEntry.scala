@@ -93,6 +93,7 @@ object SparkEntry {
     "q72_bloom_join"       -> (Relational.q72BloomJoin _),
     "q73_shuffle"          -> (TextQueries.q73Shuffle _),
     "q74_cms_heavy_hitters"-> (Relational.q74CmsHeavyHitters _),
+    "q75_kmeans_assign"    -> (TextQueries.q75KmeansAssign _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -521,6 +522,9 @@ object SparkEntry {
       TextQueries.Q73Seed, TextQueries.Q73LogBatches),
     // Count-min sketch: counts, cells, estimates all re-derived in DuckDB.
     "q74_cms_heavy_hitters" -> OracleGen.q74Sql(),
+    // k-means assignment: the q44 integer-grid trainer rerun in SQL, the
+    // full-corpus argmax assignment as the gated result.
+    "q75_kmeans_assign" -> OracleGen.q75Sql(),
     "q52_stratified_sample" -> OracleGen.q52Sql(
       TextQueries.Q52Rates.map { case (l, r) =>
         (l, math.round(r * TextQueries.Q52Granularity)) },

@@ -121,6 +121,25 @@ object TextQueries {
     * additionally checks recall against q31 and train-once/probe-many
     * determinism.
     */
+  /** q75: spherical k-means cluster assignment ([[Similarity
+    * .kmeansAssign]]) — the q44 trainer (same cached centroids: built
+    * once per corpus, the serving shape) with the full-corpus assignment
+    * as the gated result: (vec_id, cid, cluster_size). The oracle reruns
+    * integer-grid Lloyd in SQL and assigns every vector — bit-identical
+    * centroids, first-cid tie policy.
+    */
+  def q75KmeansAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = asDouble(Tables.embeddings(spark, sfDir))
+    val cents = ivfIndex.getOrElseUpdate(sfDir,
+      Similarity.trainIvfCentroids(emb, nCentroids = 16, iters = 2,
+        trainMod = 2))
+    val asg = Similarity.kmeansAssign(emb, cents)
+    asg.join(broadcast(asg.groupBy("cid")
+        .agg(count(lit(1)).as("cluster_size"))), "cid")
+      .select(col("vec_id"), col("cid"), col("cluster_size"))
+      .orderBy("vec_id")
+  }
+
   def q44IvfTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = asDouble(Tables.embeddings(spark, sfDir))
     val cents = ivfIndex.getOrElseUpdate(sfDir,

@@ -193,6 +193,20 @@ object Similarity {
     (array_position(sims, array_max(sims)) - 1).cast("int")
   }
 
+  /** Full-corpus cluster assignment for trained centroids — spherical
+    * k-means as a first-class operator (semantic grouping / diversity
+    * sampling / the IVF coarse quantizer reused standalone): every vector
+    * argmax-assigned on the [[IvfQuantScale]] integer grid, first cid
+    * winning ties — bit-identical to what training and probing use
+    * ([[nearestCentroidQ]] is the single definition). A pure projection
+    * over k inlined centroid columns: no shuffle, no per-row state —
+    * embarrassingly parallel at any corpus size.
+    */
+  def kmeansAssign(corpus: DataFrame, cents: Array[Array[Double]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol),
+      nearestCentroidQ(ivfQuantized(col(vecCol)), cents).as("cid"))
+
   /** Train an IVF coarse quantizer: spherical k-means over a deterministic
     * hash subsample (standard IVF practice — FAISS trains on a sample),
     * computed on the [[IvfQuantScale]] integer grid. Each Lloyd iteration

