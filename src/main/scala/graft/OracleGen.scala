@@ -415,6 +415,45 @@ object OracleGen {
      FROM asg a JOIN sz s ON s.cid = a.cid
      ORDER BY vec_id"""
 
+  /** q76: histogram approximate percentiles — equi-width binning,
+    * cumulative bin counts, first bin reaching rank ⌈p·n⌉, upper-edge
+    * report ([[graft.operators.Profile.percentilesHistogram]]). Every
+    * float operation is restated in the identical order (width =
+    * (hi−lo)/bins, bin = floor((v−lo)/width), est = lo + width·(bin+1)),
+    * so each correctly-rounded IEEE step produces the same double on both
+    * engines; p literals are forced ::DOUBLE (a bare 0.5 would be DuckDB
+    * DECIMAL and change the rank arithmetic).
+    */
+  def q76Sql(ps: Seq[Double] = Seq(0.5, 0.9, 0.99),
+      bins: Int = 256): String = {
+    val binsD = s"$bins.0"
+    val vals = ps.map(p =>
+      s"('p${math.round(p * 100)}', ${p}::DOUBLE)").mkString(", ")
+    s"""WITH s AS (SELECT o_orderpriority AS g, o_totalprice AS v
+           FROM orders),
+     r AS (SELECT g, MIN(v) AS lo, MAX(v) AS hi,
+             CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY g),
+     b AS (SELECT s.g,
+             CASE WHEN r.hi = r.lo THEN 0
+                  ELSE LEAST($bins - 1, CAST(floor((s.v - r.lo) /
+                    ((r.hi - r.lo) / $binsD)) AS BIGINT)) END AS bin
+           FROM s JOIN r USING (g)),
+     c AS (SELECT g, bin, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+     cm AS (SELECT g, bin,
+              SUM(cnt) OVER (PARTITION BY g ORDER BY bin) AS cum FROM c),
+     pv(p_name, p) AS (VALUES $vals),
+     pick AS (SELECT cm.g, pv.p_name, MIN(cm.bin) AS minbin
+              FROM cm JOIN r USING (g) CROSS JOIN pv
+              WHERE cm.cum >= CAST(ceil(r.n * pv.p) AS BIGINT)
+              GROUP BY 1, 2)
+     SELECT k.g AS o_orderpriority, k.p_name AS p,
+       CASE WHEN r.hi = r.lo THEN r.lo
+            ELSE r.lo + (r.hi - r.lo) / $binsD * (k.minbin + 1) END AS est,
+       r.n AS n_rows
+     FROM pick k JOIN r USING (g)
+     ORDER BY o_orderpriority, p"""
+  }
+
   /** q71: HyperLogLog distinct-count — the WHOLE sketch recomputed in
     * DuckDB: [[xx64LongSql]] hashes, bucket = top p bits (unsigned shift
     * via the q30 HUGEINT bridge), rank rho = sw+1 − length(bin(v)) (exact

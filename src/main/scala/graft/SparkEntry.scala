@@ -94,6 +94,7 @@ object SparkEntry {
     "q73_shuffle"          -> (TextQueries.q73Shuffle _),
     "q74_cms_heavy_hitters"-> (Relational.q74CmsHeavyHitters _),
     "q75_kmeans_assign"    -> (TextQueries.q75KmeansAssign _),
+    "q76_hist_percentiles" -> (Relational.q76HistPercentiles _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -525,6 +526,9 @@ object SparkEntry {
     // k-means assignment: the q44 integer-grid trainer rerun in SQL, the
     // full-corpus argmax assignment as the gated result.
     "q75_kmeans_assign" -> OracleGen.q75Sql(),
+    // Histogram percentiles: binning + rank + edge arithmetic restated
+    // with every float op in identical order.
+    "q76_hist_percentiles" -> OracleGen.q76Sql(),
     "q52_stratified_sample" -> OracleGen.q52Sql(
       TextQueries.Q52Rates.map { case (l, r) =>
         (l, math.round(r * TextQueries.Q52Granularity)) },

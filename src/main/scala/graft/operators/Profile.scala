@@ -43,4 +43,69 @@ object Profile {
     ranked.groupBy(col(groupCol))
       .agg(picks.head, picks.tail :+ count(lit(1)).as("n_rows"): _*)
   }
+
+  /** Approximate percentiles from an equi-width HISTOGRAM — the
+    * fixed-memory, sort-free serving path [[percentilesDisc]]'s scaladoc
+    * promises: per group only (bin → count) state (≤ `bins` cells), built
+    * in one map-side-combining aggregation over the values — no global
+    * sort, no per-row window, mergeable across partitions/batches by
+    * construction. The reported value is the UPPER EDGE of the first bin
+    * whose cumulative count reaches rank ⌈p·n⌉ — a one-sided guarantee
+    * (estimate ≥ the exact type-1 percentile, error ≤ one bin width =
+    * (max−min)/bins), the [[graft.operators.Sketches]] one-sided-error
+    * pattern applied to quantiles.
+    *
+    * Engine-portable determinism: bin indices and the edge value are pure
+    * elementary IEEE arithmetic over identical operands (width =
+    * (hi−lo)/bins, bin = floor((v−lo)/width) clamped, est = lo +
+    * width·(bin+1)) — each op correctly rounded, so both engines produce
+    * the same doubles; ranks are exact integers. A constant group
+    * (hi = lo) reports lo for every p.
+    *
+    * Needs one prior (min, max, count) pass — ranges are broadcast back;
+    * at fleet scale ranges are usually known schema metadata and the
+    * histogram pass is the only scan.
+    */
+  def percentilesHistogram(df: DataFrame, groupCol: String, valCol: String,
+      ps: Seq[Double], bins: Int = 1024): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      s"quantiles must be in (0,1], got $ps")
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val g = col(groupCol)
+    val v = col(valCol)
+    val stats = df.groupBy(g)
+      .agg(min(v).as("graft_lo"), max(v).as("graft_hi"),
+        count(lit(1)).as("graft_n"))
+    val width = (col("graft_hi") - col("graft_lo")) / lit(bins.toDouble)
+    val binned = df.join(broadcast(stats), groupCol)
+      .withColumn("graft_bin",
+        when(col("graft_hi") === col("graft_lo"), lit(0L))
+          .otherwise(least(lit(bins.toLong - 1),
+            floor((v - col("graft_lo")) / width))))
+      .groupBy(g, col("graft_bin"))
+      .agg(count(lit(1)).as("graft_cnt"))
+    val cum = binned.withColumn("graft_cum",
+      sum("graft_cnt").over(Window.partitionBy(g).orderBy("graft_bin")))
+    val psDf = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      ps.map(p => ("p" + math.round(p * 100), p))
+        .toDF("graft_p_name", "graft_p")
+    }
+    cum.join(broadcast(stats.select(g.as("graft_g2"), col("graft_lo"),
+        col("graft_hi"), col("graft_n"))), g === col("graft_g2"))
+      .crossJoin(broadcast(psDf))
+      .filter(col("graft_cum") >=
+        ceil(col("graft_n") * col("graft_p")).cast("long"))
+      .groupBy(g, col("graft_p_name"))
+      .agg(min("graft_bin").as("graft_minbin"),
+        first("graft_lo").as("graft_lo"), first("graft_hi").as("graft_hi"),
+        first("graft_n").as("graft_n"))
+      .select(g, col("graft_p_name").as("p"),
+        when(col("graft_hi") === col("graft_lo"), col("graft_lo"))
+          .otherwise(col("graft_lo") +
+            (col("graft_hi") - col("graft_lo")) / lit(bins.toDouble) *
+              (col("graft_minbin") + lit(1L))).as("est"),
+        col("graft_n").as("n_rows"))
+  }
 }

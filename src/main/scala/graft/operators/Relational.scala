@@ -549,4 +549,19 @@ object Relational {
     */
   def q74CmsHeavyHitters(spark: SparkSession, sfDir: String): DataFrame =
     Sketches.cmsHeavyHitters(Tables.documents(spark, sfDir), col("text"))
+
+  /** q76: histogram approximate percentiles
+    * ([[Profile.percentilesHistogram]], 256 bins) — the fixed-memory,
+    * sort-free quantile path next to q64's exact ranks, same table and
+    * quantiles so the two gates bracket each other. Oracle restates the
+    * binning, cumulative ranks, and upper-edge arithmetic in DuckDB with
+    * every float op in the identical order.
+    */
+  def q76HistPercentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Profile.percentilesHistogram(
+        Tables.orders(spark, sfDir)
+          .select(col("o_orderpriority"), col("o_totalprice")),
+        groupCol = "o_orderpriority", valCol = "o_totalprice",
+        ps = Seq(0.5, 0.9, 0.99), bins = 256)
+      .orderBy("o_orderpriority", "p")
 }

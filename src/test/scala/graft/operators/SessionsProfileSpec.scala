@@ -73,4 +73,43 @@ class SessionsProfileSpec extends SparkSpec {
       ("b", 2.0, 5.0, 5.0, 5L),     // rank 3 lands inside the tie run
       ("c", 42.0, 42.0, 42.0, 1L))) // singleton: every quantile = value
   }
+
+  test("percentilesHistogram: one-sided upper-edge estimate within one " +
+      "bin width of the exact type-1 percentile; constant group exact") {
+    val df = ((1 to 1000).map(i => ("a", i.toDouble)) ++
+      Seq.fill(7)(("k", 3.5))).toDF("g", "x")
+    val bins = 64
+    val got = Profile.percentilesHistogram(df, "g", "x",
+        ps = Seq(0.5, 0.9, 0.99), bins = bins)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getDouble(2), r.getLong(3)))).toMap
+    // exact type-1 references for group a: value at rank ceil(p*1000)
+    val exact = Map("p50" -> 500.0, "p90" -> 900.0, "p99" -> 990.0)
+    val width = (1000.0 - 1.0) / bins
+    exact.foreach { case (pn, ex) =>
+      val (est, n) = got(("a", pn))
+      assert(n === 1000L)
+      assert(est >= ex, s"$pn: upper edge must bound the exact value")
+      assert(est - ex <= width + 1e-9, s"$pn: error beyond one bin width")
+    }
+    // constant group: every percentile IS the constant
+    Seq("p50", "p90", "p99").foreach { pn =>
+      assert(got(("k", pn))._1 === 3.5)
+    }
+  }
+
+  test("percentilesHistogram: histogram state is bin-bounded and the " +
+      "value pass has no sort (no window over raw rows)") {
+    val df = (1 to 5000).map(i => ("g" + (i % 3), i.toDouble)).toDF("g", "x")
+    val plan = Profile.percentilesHistogram(df, "g", "x", Seq(0.5), 32)
+      .queryExecution.executedPlan.toString
+    // the only Window runs over the per-(group, bin) frame — raw values
+    // must reach it pre-aggregated (count per bin), never row-by-row
+    assert(plan.contains("Window"),
+      "expected the cumulative window over bins")
+    val windowSection = plan.substring(plan.indexOf("Window"))
+    assert(windowSection.contains("graft_cnt"),
+      "cumulative window must consume per-bin counts, not raw rows:\n" +
+        plan)
+  }
 }
