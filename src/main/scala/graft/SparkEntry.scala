@@ -95,6 +95,8 @@ object SparkEntry {
     "q74_cms_heavy_hitters"-> (Relational.q74CmsHeavyHitters _),
     "q75_kmeans_assign"    -> (TextQueries.q75KmeansAssign _),
     "q76_hist_percentiles" -> (Relational.q76HistPercentiles _),
+    "q77_cube"             -> (Relational.q77Cube _),
+    "q78_window_suite"     -> (Relational.q78WindowSuite _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -529,6 +531,35 @@ object SparkEntry {
     // Histogram percentiles: binning + rank + edge arithmetic restated
     // with every float op in identical order.
     "q76_hist_percentiles" -> OracleGen.q76Sql(),
+    "q77_cube" ->
+      """SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+         COALESCE(l_linestatus, '(all)') AS linestatus,
+         CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+         CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+         CAST(COUNT(*) AS BIGINT) AS n_items,
+         ROUND(SUM(l_quantity), 2) AS sum_qty
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY returnflag, linestatus""",
+    // The explicit unbounded frame on first/last_value is deliberate:
+    // the SQL default frame ends at CURRENT ROW (last_value would be the
+    // current row's value) — a classic cross-engine seam, pinned equal.
+    "q78_window_suite" ->
+      """WITH p AS (SELECT event_id, user_id, ts,
+           ROUND(value, 2) AS value
+         FROM events WHERE event_type = 'purchase')
+         SELECT event_id, user_id, value,
+           LAG(value, 1) OVER w AS prev_value,
+           LEAD(value, 1) OVER w AS next_value,
+           FIRST_VALUE(value) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+             AND UNBOUNDED FOLLOWING) AS first_value,
+           LAST_VALUE(value) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+             AND UNBOUNDED FOLLOWING) AS last_value,
+           CAST(NTILE(4) OVER w AS INTEGER) AS quartile
+         FROM p
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY user_id, event_id""",
     "q52_stratified_sample" -> OracleGen.q52Sql(
       TextQueries.Q52Rates.map { case (l, r) =>
         (l, math.round(r * TextQueries.Q52Granularity)) },

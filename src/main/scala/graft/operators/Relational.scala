@@ -564,4 +564,51 @@ object Relational {
         groupCol = "o_orderpriority", valCol = "o_totalprice",
         ps = Seq(0.5, 0.9, 0.99), bins = 256)
       .orderBy("o_orderpriority", "p")
+
+  /** q77: CUBE grouping sets — all four (returnflag × linestatus)
+    * aggregation levels in ONE pass (Catalyst's Expand: each input row
+    * fans into the 2^k grouping combinations before the partial agg —
+    * still a single shuffle, the scan is never repeated). The q10 rollup
+    * gate's lattice completed to the full cube, with `grouping()` flags
+    * disambiguating genuine NULL keys from subtotal rows.
+    */
+  def q77Cube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        grouping(col("l_returnflag")).as("g_rf"),
+        grouping(col("l_linestatus")).as("g_ls"))
+      .select(coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+        col("g_rf").cast("int").as("g_rf"),
+        col("g_ls").cast("int").as("g_ls"),
+        col("n_items"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus")
+
+  /** q78: the analytic-window suite beyond the existing cumsum/top-k
+    * gates — lag, lead, first_value, last_value (with the explicit
+    * unbounded frame: the SQL default frame stops at CURRENT ROW, a
+    * classic cross-engine seam pinned here deliberately), and ntile,
+    * all over one (key, ts) ordering so Spark plans a single Window
+    * operator — one shuffle, one sort, five functions.
+    */
+  def q78WindowSuite(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        round(col("value"), 2).as("value"))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("next_value", lead(col("value"), 1).over(w))
+      .withColumn("first_value", first(col("value")).over(wFull))
+      .withColumn("last_value", last(col("value")).over(wFull))
+      .withColumn("quartile", ntile(4).over(w))
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("prev_value"), col("next_value"), col("first_value"),
+        col("last_value"), col("quartile"))
+      .orderBy("user_id", "event_id")
+  }
 }
