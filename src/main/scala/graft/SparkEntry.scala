@@ -97,6 +97,7 @@ object SparkEntry {
     "q76_hist_percentiles" -> (Relational.q76HistPercentiles _),
     "q77_cube"             -> (Relational.q77Cube _),
     "q78_window_suite"     -> (Relational.q78WindowSuite _),
+    "q79_windowed_distinct"-> (Relational.q79WindowedDistinct _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -560,6 +561,10 @@ object SparkEntry {
          FROM p
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
          ORDER BY user_id, event_id""",
+    "q79_windowed_distinct" ->
+      """SELECT date_trunc('hour', ts) AS window_start,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM events GROUP BY 1 ORDER BY window_start""",
     "q52_stratified_sample" -> OracleGen.q52Sql(
       TextQueries.Q52Rates.map { case (l, r) =>
         (l, math.round(r * TextQueries.Q52Granularity)) },

@@ -330,6 +330,18 @@ object Relational {
       .where(col("window_start") < lit("2024-01-03").cast("timestamp"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** q79: tumbling-window exact distinct users
+    * ([[graft.streaming.EventStreams.windowedDistinctUsers]]) — the
+    * chained-stateful dedup→count decomposition that runs identically in
+    * batch (gated here vs DuckDB COUNT(DISTINCT)) and under readStream
+    * (EventStreamsSpec proves streamed-equals-batch with cross-micro-
+    * batch dedup state).
+    */
+  def q79WindowedDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    graft.streaming.EventStreams.windowedDistinctUsers(
+        Tables.events(spark, sfDir), "1 hour")
+      .orderBy("window_start")
+
   /** Date-part functions battery (SURVEY §2.9 F3-F5). */
   def q21DateFunctions(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)

@@ -53,6 +53,28 @@ object EventStreams {
   def withEventWatermark(events: DataFrame, delay: String): DataFrame =
     events.withWatermark("ts", delay)
 
+  /** Tumbling-window EXACT distinct users — the chained-stateful shape
+    * (Spark 3.4+'s multiple-stateful-operator unlock): a (window, user)
+    * dedup feeds a per-window count, BOTH watermark-bounded under
+    * readStream (state = one row per distinct (window, user) inside the
+    * horizon, evicted as the watermark passes the window). `COUNT(
+    * DISTINCT)` itself is not incrementally maintainable, which is why
+    * the decomposition — dedup is, and count-after-dedup is. In batch
+    * the same function collapses to a two-phase distinct aggregate; the
+    * q79 gate hash-checks it against DuckDB's COUNT(DISTINCT), and the
+    * streaming spec proves streamed-equals-batch across micro-batches.
+    * For fleets where even the dedup state is too hot, the approximate
+    * stand-in is [[graft.operators.Sketches.hllDistinct]] per window.
+    */
+  def windowedDistinctUsers(events: DataFrame,
+      windowLen: String): DataFrame =
+    events
+      .select(window(col("ts"), windowLen).as("w"), col("user_id"))
+      .dropDuplicates("w", "user_id")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("w.start").as("window_start"), col("n_users"))
+
   /** Streaming dedup on event_id with bounded state: duplicates arriving
     * within the watermark horizon are dropped; state evicts beyond it.
     * (Batch equivalent: dropDuplicates — exercised by the dedup specs.)

@@ -162,6 +162,46 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed distinct users: chained stateful dedup+agg under " +
+      "append mode; closed windows equal the batch distinct counts; " +
+      "within-window duplicates deduplicate across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = windowedDistinctUsers(
+        withEventWatermark(stream.toDF()
+          .toDF("event_id", "ts", "user_id", "event_type", "value"), "0 seconds"),
+        "1 hour")
+      .writeStream.format("memory").queryName("wdu_out")
+      .outputMode(OutputMode.Append()).start()
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:05:00"), 1L, "click", 1.0),
+      (2L, ts("2024-01-01 10:20:00"), 1L, "click", 1.0), // dup user in-window
+      (3L, ts("2024-01-01 10:30:00"), 2L, "view", 1.0),
+      (4L, ts("2024-01-01 11:10:00"), 1L, "view", 1.0))  // next window
+    try {
+      stream.addData(rows.take(2))
+      q.processAllAvailable()
+      // user 1 again in the SAME window from a LATER micro-batch: the
+      // dedup state, not batch-local distinct, must absorb it
+      stream.addData(rows.drop(2))
+      q.processAllAvailable()
+      // advance the watermark past every window so they all close
+      stream.addData(Seq((99L, ts("2024-01-01 13:00:00"), 9L, "click", 0.0)))
+      q.processAllAvailable()
+      val streamed = spark.table("wdu_out")
+        .filter($"window_start" < ts("2024-01-01 12:00:00"))
+        .select($"window_start", $"n_users").as[(Timestamp, Long)]
+        .collect().sortBy(_._1.getTime).toSeq
+      val batch = windowedDistinctUsers(rows
+          .toDF("event_id", "ts", "user_id", "event_type", "value"), "1 hour")
+        .select($"window_start", $"n_users").as[(Timestamp, Long)]
+        .collect().sortBy(_._1.getTime).toSeq
+      assert(streamed === batch)
+      assert(streamed === Seq(
+        (ts("2024-01-01 10:00:00"), 2L), (ts("2024-01-01 11:00:00"), 1L)))
+    } finally q.stop()
+  }
+
   test("categorizer lifts to streaming unchanged (stateless projection)") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(String, String, Double)]
