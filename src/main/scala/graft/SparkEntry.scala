@@ -98,6 +98,7 @@ object SparkEntry {
     "q77_cube"             -> (Relational.q77Cube _),
     "q78_window_suite"     -> (Relational.q78WindowSuite _),
     "q79_windowed_distinct"-> (Relational.q79WindowedDistinct _),
+    "q80_array_hof"        -> (Relational.q80ArrayHof _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -565,6 +566,26 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start,
          CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
          FROM events GROUP BY 1 ORDER BY window_start""",
+    // Left folds on both engines (aggregate ↔ list_reduce, same element
+    // order) keep the doubles bit-identical before the rounding.
+    "q80_array_hof" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+           FROM embeddings)
+         SELECT vec_id,
+           ROUND(list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(v, x -> x * x)), (acc, x) -> acc + x), 6)
+             AS l2_sq,
+           ROUND(list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(v, x -> abs(x))), (acc, x) -> acc + x), 6)
+             AS l1,
+           CAST(len(list_filter(v, x -> x > 0)) AS INTEGER) AS n_pos,
+           CAST(CASE WHEN len(list_filter(v, x -> abs(x) > 0.2)) > 0
+             THEN 1 ELSE 0 END AS INTEGER) AS has_big,
+           ROUND(list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(range(len(v)),
+               i -> v[i + 1] * v[len(v) - i])), (acc, x) -> acc + x), 6)
+             AS palindrome_dot
+         FROM e ORDER BY vec_id""",
     "q52_stratified_sample" -> OracleGen.q52Sql(
       TextQueries.Q52Rates.map { case (l, r) =>
         (l, math.round(r * TextQueries.Q52Granularity)) },

@@ -330,6 +330,30 @@ object Relational {
       .where(col("window_start") < lit("2024-01-03").cast("timestamp"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** q80: higher-order array-function battery over the embedding vectors
+    * — aggregate (left fold: L2 norm², L1 norm), filter+size (positive
+    * component count), exists (threshold test), zip_with (self-reversed
+    * elementwise product, folded). Everything stays inside whole-stage
+    * codegen (no UDFs); folds are LEFT folds on both engines
+    * (`aggregate` ↔ DuckDB `list_reduce` over the same element order), so
+    * the doubles agree bit-for-bit before the cosmetic rounding.
+    */
+  def q80ArrayHof(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"),
+        round(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x), 6)
+          .as("l2_sq"),
+        round(aggregate(col("v"), lit(0.0), (acc, x) => acc + abs(x)), 6)
+          .as("l1"),
+        size(filter(col("v"), x => x > 0)).as("n_pos"),
+        exists(col("v"), x => abs(x) > lit(0.2)).cast("int").as("has_big"),
+        round(aggregate(zip_with(col("v"), reverse(col("v")),
+          (a, b) => a * b), lit(0.0), (acc, x) => acc + x), 6)
+          .as("palindrome_dot"))
+      .orderBy("vec_id")
+
   /** q79: tumbling-window exact distinct users
     * ([[graft.streaming.EventStreams.windowedDistinctUsers]]) — the
     * chained-stateful dedup→count decomposition that runs identically in

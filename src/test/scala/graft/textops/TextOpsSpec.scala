@@ -135,6 +135,34 @@ class TextOpsSpec extends SparkSpec {
     both.foreach(r => assert(r.getInt(0) === r.getInt(1), r.toString))
   }
 
+  test("sortedIntersectCountLong: multiset merge over sorted longs equals " +
+      "a reference intersection, including duplicates and negatives") {
+    import graft.functions.ArrayExprs
+    val rnd = new scala.util.Random(42)
+    // random sorted multisets (duplicates kept — the hash-collision shape)
+    // spanning negative longs; plus directed empty/disjoint cases
+    val cases: Seq[(Seq[Long], Seq[Long])] =
+      (1 to 60).map { _ =>
+        def mk = Seq.fill(rnd.nextInt(20))(
+          (rnd.nextLong() % 8) * (if (rnd.nextBoolean()) 1 else -1)).sorted
+        (mk, mk)
+      } :+ ((Seq.empty[Long], Seq(1L, 2L))) :+
+        ((Seq(-5L, -1L, 3L), Seq(-4L, 0L, 4L)))
+    def refIntersect(a: Seq[Long], b: Seq[Long]): Int = {
+      val bc = scala.collection.mutable.Map.empty[Long, Int]
+      b.foreach(x => bc(x) = bc.getOrElse(x, 0) + 1)
+      a.foldLeft(0) { (acc, x) =>
+        val c = bc.getOrElse(x, 0)
+        if (c > 0) { bc(x) = c - 1; acc + 1 } else acc
+      }
+    }
+    val df = cases.toDF("a", "b")
+    val got = df.select(
+      ArrayExprs.sortedIntersectCountLong(col("a"), col("b")).as("n"))
+      .as[Int].collect().toSeq
+    assert(got === cases.map { case (a, b) => refIntersect(a, b) })
+  }
+
   test("prefix-filtered Jaccard pairs equal the posting-list exact pairs") {
     for (t <- Seq(0.5, 0.7, 0.9)) {
       val full = Dedup.ngramJaccardPairs(docs, n = 3, threshold = t)
