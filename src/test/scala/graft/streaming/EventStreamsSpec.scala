@@ -202,6 +202,32 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join: a static dimension broadcasts into the " +
+      "stream unchanged — streamed equals batch, no stream-side state") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val joined = stream.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .join(org.apache.spark.sql.functions.broadcast(dim), "user_id")
+      .select($"event_id", $"tier")
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(eventRows.take(3))
+      q.processAllAvailable()
+      stream.addData(eventRows.drop(3))
+      q.processAllAvailable()
+      val streamed = spark.table("ssj_out").as[(Long, String)]
+        .collect().sorted.toSeq
+      val batch = eventsDf(eventRows).join(dim, "user_id")
+        .select($"event_id", $"tier").as[(Long, String)]
+        .collect().sorted.toSeq
+      assert(streamed === batch)
+      assert(streamed.map(_._2).distinct.sorted === Seq("basic", "gold"))
+    } finally q.stop()
+  }
+
   test("categorizer lifts to streaming unchanged (stateless projection)") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(String, String, Double)]
