@@ -400,6 +400,32 @@ object OracleGen {
      FROM rk WHERE rank <= $k ORDER BY query_id, rank"""
   }
 
+  /** q81: exact n-gram decontamination — the q29 shingle CTE idiom over
+    * both parities: distinct word-n-grams per train doc (even doc_id),
+    * the benchmark gram SET (odd doc_id), exhaustive membership join,
+    * per-doc match counts ([[graft.textops.Overlap
+    * .exactNgramContamination]]'s semantics including the shorter-than-n
+    * whole-text gram).
+    */
+  def q81Sql(n: Int = 13): String = {
+    val concat = (0 until n).map(j => s"w[i + $j]").mkString(" || ' ' || ")
+    s"""WITH d AS (SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\\s+') AS w
+         FROM documents),
+     sh AS (SELECT doc_id, list_distinct(
+             CASE WHEN len(w) < $n THEN [array_to_string(w, ' ')]
+             ELSE list_transform(range(1, len(w) - ${n - 2}),
+               i -> $concat) END) AS s
+           FROM d),
+     tg AS (SELECT doc_id, len(s) AS n_grams, unnest(s) AS g FROM sh
+            WHERE doc_id % 2 = 0),
+     eg AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 2 = 1)
+     SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched_grams,
+       CAST(ANY_VALUE(t.n_grams) AS INTEGER) AS n_grams
+     FROM tg t JOIN eg USING (g)
+     GROUP BY t.doc_id ORDER BY t.doc_id"""
+  }
+
   /** q75: spherical k-means full-corpus cluster assignment — the q44
     * trainer CTEs ([[ivfTrainAsgCtes]]: integer-grid Lloyd, bit-identical
     * centroids) with the assignment itself as the gated result: every

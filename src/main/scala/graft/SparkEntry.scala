@@ -99,6 +99,7 @@ object SparkEntry {
     "q78_window_suite"     -> (Relational.q78WindowSuite _),
     "q79_windowed_distinct"-> (Relational.q79WindowedDistinct _),
     "q80_array_hof"        -> (Relational.q80ArrayHof _),
+    "q81_exact_decontam"   -> (TextQueries.q81ExactDecontamination _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -586,6 +587,9 @@ object SparkEntry {
                i -> v[i + 1] * v[len(v) - i])), (acc, x) -> acc + x), 6)
              AS palindrome_dot
          FROM e ORDER BY vec_id""",
+    // Exact 13-gram decontamination: shingles, benchmark gram set, and
+    // the exhaustive membership join all re-derived in DuckDB.
+    "q81_exact_decontam" -> OracleGen.q81Sql(),
     "q52_stratified_sample" -> OracleGen.q52Sql(
       TextQueries.Q52Rates.map { case (l, r) =>
         (l, math.round(r * TextQueries.Q52Granularity)) },

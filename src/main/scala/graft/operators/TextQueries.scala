@@ -321,6 +321,25 @@ object TextQueries {
       .select("doc_id", "source")
       .orderBy("doc_id")
 
+  /** q81: exact n-gram decontamination
+    * ([[graft.textops.Overlap.exactNgramContamination]], canonical n=13)
+    * — even doc_ids as the training corpus, odd as the benchmark (the
+    * q51 split): training docs sharing ≥1 exact 13-gram with any
+    * benchmark doc, with per-doc matched/total gram counts. The
+    * exhaustive complement of q51's sampled winnowing overlap; the
+    * benchmark gram set broadcasts, so the train side never shuffles
+    * (plan-asserted in OverlapSamplingSpec).
+    */
+  def q81ExactDecontamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    graft.textops.Overlap.exactNgramContamination(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), n = 13)
+      .select(col("doc_id"), col("n_matched_grams"),
+        col("n_grams").cast("int").as("n_grams"))
+      .orderBy("doc_id")
+  }
+
   /** q73 seed/geometry — shared with the oracle restatement
     * ([[graft.OracleGen.q73Sql]]). */
   val Q73Seed = 20260813L

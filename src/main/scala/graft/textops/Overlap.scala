@@ -54,4 +54,49 @@ object Overlap {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** EXACT n-gram decontamination — the GPT-3/PaLM family rule as
+    * published: a training document is contaminated iff it shares at
+    * least one EXACT word-n-gram (canonically n=13) with the benchmark
+    * corpus. Complements [[fingerprintOverlap]]: winnowing SAMPLES
+    * fingerprints (guaranteed only for runs ≥ w+k−1 chars, pair-level
+    * evidence), while this is the exhaustive membership test against
+    * every benchmark n-gram — no sampling, no cap, no misses.
+    *
+    * The 100 TB shape is the asymmetry: benchmark suites are tiny
+    * (thousands of documents), so their distinct n-gram set builds in one
+    * small aggregation and BROADCASTS; the training corpus is scanned
+    * once, each doc's distinct n-grams probed against the broadcast hash
+    * relation — the train side never shuffles at all (the per-doc
+    * match count partial-aggregates against the scan, one tiny grouped
+    * exchange of (doc_id, n) rows; the spec pins the broadcast plan). No
+    * posting lists, no hot-key hazard: a boilerplate n-gram costs one
+    * broadcast-set entry, not a posting-list explosion.
+    *
+    * Returns one row per CONTAMINATED training doc: (idCol,
+    * n_matched_grams, n_grams) — n_matched distinct n-grams of the doc
+    * found in the benchmark set, out of its n_grams distinct total.
+    * Shingle semantics are [[TextStats.shingles]]' (a doc shorter than n
+    * words contributes its whole text as one gram), mirrored exactly by
+    * the oracle.
+    */
+  def exactNgramContamination(train: DataFrame, benchmark: DataFrame,
+      n: Int = 13, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val benchGrams = benchmark
+      .select(explode(array_distinct(TextStats.shingles(col(textCol), n)))
+        .as("graft_g"))
+      .distinct()
+    train
+      .select(col(idCol),
+        explode(array_distinct(TextStats.shingles(col(textCol), n)))
+          .as("graft_g"),
+        size(array_distinct(TextStats.shingles(col(textCol), n)))
+          .as("graft_total"))
+      .join(broadcast(benchGrams), "graft_g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matched_grams"),
+        first(col("graft_total")).as("n_grams"))
+  }
 }

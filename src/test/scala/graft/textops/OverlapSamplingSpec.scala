@@ -175,4 +175,37 @@ class OverlapSamplingSpec extends SparkSpec {
       .select("batch").as[Long].collect().toSet
     assert(batches === Set(0L))
   }
+
+  test("exactNgramContamination: planted exact n-gram found with correct " +
+      "counts, clean docs absent, train side joins via broadcast") {
+    val shared = "alpha beta gamma delta epsilon" // 5 words -> one 5-gram
+    val train = Seq(
+      (0L, s"intro words $shared closing words here"),
+      (2L, "completely unrelated content with no overlap at all"),
+      (4L, shared)) // exactly the gram, nothing else
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (1L, s"prefix $shared suffix tokens"),
+      (3L, "other benchmark material")).toDF("doc_id", "text")
+    val got = Overlap.exactNgramContamination(train, bench, n = 5)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // doc 0: 10 words -> 6 distinct 5-grams, exactly 1 matches; doc 4:
+    // its single gram matches; doc 2 clean -> absent
+    assert(got.toSeq === Seq((0L, 1L, 6), (4L, 1L, 1)))
+
+    val plan = Overlap.exactNgramContamination(train, bench, n = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark gram set must broadcast:\n$plan")
+  }
+
+  test("exactNgramContamination: shorter-than-n docs use the whole text " +
+      "as one gram (the shingles contract)") {
+    val train = Seq((0L, "tiny doc")).toDF("doc_id", "text")
+    val bench = Seq((1L, "tiny doc")).toDF("doc_id", "text")
+    val got = Overlap.exactNgramContamination(train, bench, n = 13)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq === Seq((0L, 1L, 1)))
+  }
 }
