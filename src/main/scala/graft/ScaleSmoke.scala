@@ -496,6 +496,24 @@ object ScaleSmoke {
           .otherwise(lit("web"))),
       stratumCol = "stratum", idCol = "doc_id"))
 
+    // sketch family at 20×: HLL distinct texts (one register groupBy —
+    // must stay scan-bound; the ~mult-fold duplication is invisible to a
+    // distinct sketch by construction), CMS heavy hitters (Zipf-skewed
+    // token counts partial-aggregate map-side), and exact 13-gram
+    // decontamination with a realistically SMALL benchmark side (1 % of
+    // the corpus → its gram set broadcasts; the 99 % train side is
+    // scanned once, never shuffled)
+    time("hll_distinct")(graft.operators.Sketches.hllDistinct(
+      docs, lit("all"), col("text")))
+    locally {
+      val (df, release) = graft.operators.Sketches
+        .cmsHeavyHittersReleasable(docs, col("text"))
+      try time("cms_heavy_hitters")(df) finally release()
+    }
+    time("exact_decontam")(graft.textops.Overlap.exactNgramContamination(
+      docs.filter(col("doc_id") >= mult * 50),
+      docs.filter(col("doc_id") < mult * 50), n = 13))
+
     // ---- adversarial skew: ONE hot key at 10 % frequency -----------------
     // Exact dedup: every 10th document is the same boilerplate text → one
     // fingerprint holds 10 % of the corpus. The min_by aggregation must
