@@ -164,6 +164,17 @@ object Bench {
     // channels for the driver's parser.
     Console.err.println("BENCH_JSON:" + compact)
     println(compact)
+    // FINAL stdout line: totals only, ~120 bytes. At 81 queries the
+    // compact line itself (~2.9 KB) outgrew the driver's bounded
+    // stdout-tail capture and was clipped at the HEAD (round-8 VERDICT
+    // #2, `parsed: null`) — a last line this short survives any tail
+    // window no matter how many queries the compact record grows to.
+    // Per-query and per-rep data live in the compact/stderr line and the
+    // committed BENCH_FULL.json respectively.
+    println(
+      s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
+      s""""queries":{"all":${num(total)}},"n_queries":${results.size},""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -74,8 +74,9 @@ object ScaleSmoke {
 
   /** Entry filter for iterating on ONE bottleneck without paying the whole
     * smoke: SPARK_GRAFT_SCALE_ONLY=jaccard_prefix_pairs,simhash_pairs.
-    * Unset → all entries. Filtered runs still write the JSON artifact —
-    * do NOT commit a partial artifact over a full one.
+    * Unset → all entries. Filtered runs write their artifact to a
+    * `.partial.json` sibling path so they can never clobber a committed
+    * full artifact.
     */
   private val onlyEntries: Option[Set[String]] =
     sys.env.get("SPARK_GRAFT_SCALE_ONLY")
@@ -581,7 +582,14 @@ object ScaleSmoke {
     // The 100 TB posture numbers as a driver-inspectable artifact (per-
     // operator rows/wall-clock, cap drop counts, straggler ratios, recall
     // vs exact) — stdout dies with the log, this file is committed.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r7.json")
+    // A SPARK_GRAFT_SCALE_ONLY-filtered run holds only the filtered
+    // entries — writing it to the canonical path would silently clobber a
+    // committed full artifact, so filtered runs divert to a .partial.json
+    // sibling (round-8 ADVICE).
+    val basePath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r7.json")
+    val outPath =
+      if (onlyEntries.isEmpty) basePath
+      else basePath.stripSuffix(".json") + ".partial.json"
     def js(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     // Locale-pinned numeric formatting: f"%.2f" follows the default locale

@@ -92,10 +92,17 @@ object Sketches {
       })
   }
 
-  /** alpha_m bias constant (Flajolet et al. 2007, m ≥ 128). */
-  private[graft] def alphaM(m: Int): Double = {
-    require(m >= 128, s"alphaM constant table needs m >= 128, got $m")
-    0.7213 / (1.0 + 1.079 / m)
+  /** alpha_m bias constant (Flajolet et al. 2007): tabulated for the
+    * small register counts (m = 16/32/64), the asymptotic formula for
+    * m ≥ 128 — covers the full advertised p ∈ [4,16] range.
+    */
+  private[graft] def alphaM(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _ =>
+      require(m >= 128, s"alphaM needs m in {16,32,64} or >= 128, got $m")
+      0.7213 / (1.0 + 1.079 / m)
   }
 
   // -------------------------------------------------------------- count-min
@@ -195,9 +202,11 @@ object Sketches {
     * travels the same torrent broadcast path as any dimension table.
     *
     * `joinType` must be inner or left_semi: an outer join must keep
-    * probe rows the bloom would prune. NULL probe keys hash to NULL,
-    * fail the membership conjunction, and are pruned — exactly the rows
-    * an equi-join drops anyway.
+    * probe rows the bloom would prune. NULL probe keys are NOT pruned
+    * here — Spark's xxhash64 maps NULL to the (non-null) seed hash, so a
+    * null key probes real positions and may pass the membership test;
+    * the equi-join itself then drops it (null never equals), preserving
+    * inner/left_semi semantics either way.
     *
     * `passObs` (optional) observes `n_pass_bloom` — the probe rows that
     * survived pruning — so callers can measure the realized

@@ -88,12 +88,18 @@ object Overlap {
       .select(explode(array_distinct(TextStats.shingles(col(textCol), n)))
         .as("graft_g"))
       .distinct()
+    // Compute the shingle array ONCE per row, below the Generate. Putting
+    // size(array_distinct(shingles(...))) in the same select as the
+    // explode makes Spark re-evaluate the whole words→shingles→distinct
+    // chain for every exploded gram (~n_grams× per doc) — measured 5× on
+    // the full query. The withColumn projection pins the array under the
+    // Generate so both outputs read the materialized value.
     train
+      .withColumn("graft_garr",
+        array_distinct(TextStats.shingles(col(textCol), n)))
       .select(col(idCol),
-        explode(array_distinct(TextStats.shingles(col(textCol), n)))
-          .as("graft_g"),
-        size(array_distinct(TextStats.shingles(col(textCol), n)))
-          .as("graft_total"))
+        explode(col("graft_garr")).as("graft_g"),
+        size(col("graft_garr")).as("graft_total"))
       .join(broadcast(benchGrams), "graft_g")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_matched_grams"),

@@ -74,4 +74,76 @@ class PlanAuditSpec extends SparkSpec {
     assert(cols.nonEmpty && cols.forall(_.toSet ==
       Set("o_orderpriority", "o_totalprice")), cols.toString)
   }
+
+  // ---- generator-recompute audit (round-8 VERDICT #1/#4) ----------------
+  // The hazard: putting an expensive expression (e.g.
+  // size(array_distinct(shingles(text)))) in the SAME select as the
+  // explode of that expression leaves it in the Project ABOVE the
+  // Generate, where it is re-evaluated once per exploded row (~n_grams×
+  // per doc — measured 5× on all of q81). The audit finds any non-trivial
+  // subtree shared between a Generate's generator and a Project/Filter
+  // sitting above it. count()-style actions hide the cost (Catalyst
+  // prunes the column), so only a plan assertion catches regressions.
+
+  private def nonTrivialSubtrees(e: org.apache.spark.sql.catalyst
+      .expressions.Expression): Seq[org.apache.spark.sql.catalyst
+      .expressions.Expression] = {
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, Literal}
+    val self = e match {
+      case _: Attribute | _: Literal => Nil
+      case other => Seq(other)
+    }
+    self ++ e.children.flatMap(nonTrivialSubtrees)
+  }
+
+  /** Non-trivial generator subtrees re-evaluated by a Project/Filter above
+    * their Generate, over the OPTIMIZED logical plan (what actually runs).
+    */
+  private def generatorRecomputeHazards(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Filter, Generate, LogicalPlan, Project}
+    val buf = Seq.newBuilder[String]
+    def walk(p: LogicalPlan, above: Seq[Expression]): Unit = p match {
+      case g: Generate =>
+        val genTrees =
+          nonTrivialSubtrees(g.generator).map(_.canonicalized).toSet
+        above.flatMap(nonTrivialSubtrees)
+          .filter(s => genTrees.contains(s.canonicalized))
+          .foreach(s => buf += s"re-evaluated above Generate: $s")
+        g.children.foreach(walk(_, Nil))
+      case pr: Project =>
+        pr.children.foreach(walk(_, above ++ pr.projectList))
+      case f: Filter =>
+        f.children.foreach(walk(_, above :+ f.condition))
+      case o => o.children.foreach(walk(_, Nil))
+    }
+    walk(df.queryExecution.optimizedPlan, Nil)
+    buf.result()
+  }
+
+  test("q81: shingle pipeline computed ONCE below the Generate — the " +
+      "train-side generator explodes a materialized attribute") {
+    import org.apache.spark.sql.catalyst.expressions.Attribute
+    import org.apache.spark.sql.catalyst.plans.logical.Generate
+    val df = TextQueries.q81ExactDecontamination(spark, sf)
+    assert(generatorRecomputeHazards(df).isEmpty,
+      generatorRecomputeHazards(df).mkString("; "))
+    // the fixed shape: the train side's Generate explodes a bare attribute
+    // (the withColumn-materialized array), not the shingle expression
+    val gens = df.queryExecution.optimizedPlan
+      .collect { case g: Generate => g }
+    assert(gens.exists(_.generator.children.forall(_.isInstanceOf[Attribute])),
+      gens.mkString("\n"))
+  }
+
+  test("no gated query re-evaluates a generator subtree above its " +
+      "Generate (sweep over every SparkEntry entry)") {
+    val bad = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val hs = generatorRecomputeHazards(fn(spark, sf))
+        if (hs.isEmpty) Nil else Seq(s"$name: ${hs.mkString("; ")}")
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
 }
