@@ -426,6 +426,55 @@ object OracleGen {
      GROUP BY t.doc_id ORDER BY t.doc_id"""
   }
 
+  /** q82: exact substring dedup — [[graft.textops.Dedup
+    * .exactSubstringSpans]] restated end to end: per-token double
+    * Karp–Rabin hashes (the q29 Horner idiom, both residue fields),
+    * per-position window hashes as the NON-rolling Horner over token-hash
+    * slices (identical residues to the Spark side's rolling update — same
+    * recurrence, exact int64 mod arithmetic), the injective two-residue
+    * packing, the count ≥ 2 duplicated-window rule, and the
+    * gaps-and-islands merge into maximal covered runs.
+    */
+  def q82Sql(minTokens: Int = 50): String = {
+    val L = minTokens
+    def tokHash(mod: Long): String =
+      s"""list_transform(w, tok -> list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(regexp_extract_all(tok, '(?s).'),
+               c -> CAST(ascii(c) AS BIGINT))),
+           (acc, c) -> (acc * 257 + c) % $mod))"""
+    def winHash(arr: String, mod: Long): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT), $arr[i:i + ${L - 1}]),
+           (acc, t) -> (acc * 257 + t) % $mod)"""
+    s"""WITH d AS (SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\\s+') AS w
+         FROM documents),
+     f AS (SELECT doc_id, w, len(w) AS m FROM d WHERE len(w) >= $L),
+     th AS (SELECT doc_id, m, ${tokHash(1000000007L)} AS t1,
+             ${tokHash(998244353L)} AS t2
+           FROM f),
+     gh AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+             ${winHash("t1", 1000000007L)} * 998244353
+               + ${winHash("t2", 998244353L)} AS h
+           FROM th, LATERAL unnest(range(1, m - ${L - 2})) AS u(i)),
+     dup AS (SELECT h FROM gh GROUP BY h HAVING COUNT(*) >= 2),
+     dp AS (SELECT doc_id, pos FROM gh JOIN dup USING (h)),
+     fl AS (SELECT doc_id, pos, CASE WHEN
+              lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+              OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > $L
+              THEN 1 ELSE 0 END AS nw
+            FROM dp),
+     isl AS (SELECT doc_id, pos,
+              SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+            FROM fl),
+     sp AS (SELECT doc_id, grp, MIN(pos) AS s, MAX(pos) + ${L - 1} AS e
+            FROM isl GROUP BY doc_id, grp)
+     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+       CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens,
+       CAST(MAX(e - s + 1) AS INTEGER) AS max_span_tokens
+     FROM sp GROUP BY doc_id ORDER BY doc_id"""
+  }
+
   /** q75: spherical k-means full-corpus cluster assignment — the q44
     * trainer CTEs ([[ivfTrainAsgCtes]]: integer-grid Lloyd, bit-identical
     * centroids) with the assignment itself as the gated result: every

@@ -515,6 +515,13 @@ object ScaleSmoke {
       docs.filter(col("doc_id") >= mult * 50),
       docs.filter(col("doc_id") < mult * 50), n = 13))
 
+    // Exact substring dedup (q82): the replicated corpus makes EVERY
+    // ≥50-token doc's windows duplicated (mult copies of each), so the
+    // island merge runs at full duplicated-position volume — the
+    // worst-case span workload, plus boilerplate window hashes at mult×
+    // frequency stressing the map-side combine of the dup-hash count.
+    time("exact_substring_spans")(Dedup.exactSubstringSpans(docs))
+
     // ---- adversarial skew: ONE hot key at 10 % frequency -----------------
     // Exact dedup: every 10th document is the same boilerplate text → one
     // fingerprint holds 10 % of the corpus. The min_by aggregation must

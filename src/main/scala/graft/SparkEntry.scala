@@ -100,6 +100,7 @@ object SparkEntry {
     "q79_windowed_distinct"-> (Relational.q79WindowedDistinct _),
     "q80_array_hof"        -> (Relational.q80ArrayHof _),
     "q81_exact_decontam"   -> (TextQueries.q81ExactDecontamination _),
+    "q82_exact_substr"     -> (TextQueries.q82ExactSubstrSpans _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -590,6 +591,9 @@ object SparkEntry {
     // Exact 13-gram decontamination: shingles, benchmark gram set, and
     // the exhaustive membership join all re-derived in DuckDB.
     "q81_exact_decontam" -> OracleGen.q81Sql(),
+    // Exact substring dedup: double-KR window hashes, dup-window rule,
+    // and island merge all re-derived in DuckDB.
+    "q82_exact_substr" -> OracleGen.q82Sql(),
     "q52_stratified_sample" -> OracleGen.q52Sql(
       TextQueries.Q52Rates.map { case (l, r) =>
         (l, math.round(r * TextQueries.Q52Granularity)) },

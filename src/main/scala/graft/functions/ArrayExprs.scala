@@ -495,6 +495,93 @@ object ArrayExprs {
       copy(child = c)
   }
 
+  /** Rolling Karp–Rabin hashes of every word `n`-gram window — the
+    * suffix-array-free engine for exact substring dedup (Lee et al. 2021's
+    * ExactSubstr family): each token's char-level KR hash (the
+    * [[graft.functions.TextExprs.KrHash]] recurrence) is folded into
+    * per-window Horner hashes h_p = fold(th_p..th_{p+n−1}) mod M,
+    * maintained with the O(1) rolling update
+    * h_{p+1} = ((h_p − th_p·Bⁿ⁻¹)·B + th_{p+n}) mod M — ONE O(m) pass per
+    * document, no per-window string materialization (WordShingles + a
+    * per-gram hash would copy n tokens per position: O(m·n) bytes; at
+    * n = 50 that is a 50× allocation blowup a 100 TB scan pays in full).
+    *
+    * TWO independent residues (mod 1000000007 and 998244353) are packed
+    * injectively into one long (h₁·998244353 + h₂ < 2^60): a single
+    * ~30-bit residue would birthday-collide constantly at corpus scale
+    * (10^12 windows), marking unrelated spans as duplicated; the packed
+    * pair gives ~60 bits. Both chains are exact int64 arithmetic
+    * (operands < 2^63), restated non-rolling in DuckDB by Horner over
+    * token-hash slices — identical residues, so the gate proves the whole
+    * pipeline.
+    *
+    * Output: array<long>, one hash per window start (positions
+    * 0..m−n), EMPTY array when the document has fewer than n tokens
+    * (callers filter those out — a short doc has no n-token window).
+    */
+  case class RollingGramKrHashes(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(n >= 1, s"window must be >= 1 token, got $n")
+    private val Base = 257L
+    private val Mod1 = 1000000007L
+    private val Mod2 = 998244353L
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_rolling_gram_kr"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val m = arr.numElements()
+      if (m < n) return new GenericArrayData(Array.empty[Any])
+      // per-token char-level KR hashes in both residue fields
+      val t1 = new Array[Long](m)
+      val t2 = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        var h1 = 0L
+        var h2 = 0L
+        if (!arr.isNullAt(i)) {
+          val cps = arr.getUTF8String(i).toString.codePoints().toArray
+          var j = 0
+          while (j < cps.length) {
+            h1 = (h1 * Base + cps(j)) % Mod1
+            h2 = (h2 * Base + cps(j)) % Mod2
+            j += 1
+          }
+        }
+        t1(i) = h1; t2(i) = h2
+        i += 1
+      }
+      // B^(n-1) mod M for the rolling subtraction
+      var bp1 = 1L
+      var bp2 = 1L
+      i = 1
+      while (i < n) { bp1 = bp1 * Base % Mod1; bp2 = bp2 * Base % Mod2; i += 1 }
+      val out = new Array[Any](m - n + 1)
+      var h1 = 0L
+      var h2 = 0L
+      i = 0
+      while (i < n) {
+        h1 = (h1 * Base + t1(i)) % Mod1
+        h2 = (h2 * Base + t2(i)) % Mod2
+        i += 1
+      }
+      out(0) = h1 * Mod2 + h2
+      var p = 1
+      while (p <= m - n) {
+        h1 = ((h1 - t1(p - 1) * bp1 % Mod1 + Mod1) % Mod1 * Base
+          + t1(p + n - 1)) % Mod1
+        h2 = ((h2 - t2(p - 1) * bp2 % Mod2 + Mod2) % Mod2 * Base
+          + t2(p + n - 1)) % Mod2
+        out(p) = h1 * Mod2 + h2
+        p += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(
+        c: Expression): RollingGramKrHashes = copy(child = c)
+  }
+
   /** Language ID over an array<string> of lowered words: counts stopword
     * hits per language profile in ONE pass (hash-map membership), then
     * argmax with ties resolved by profile order; zero hits → "und".
@@ -578,6 +665,9 @@ object ArrayExprs {
 
   def wordShingles(words: Column, n: Int): Column =
     exprColumn(WordShingles(columnExpr(words), n))
+
+  def rollingGramKrHashes(words: Column, n: Int): Column =
+    exprColumn(RollingGramKrHashes(columnExpr(words), n))
 
   def langId(words: Column, profiles: Seq[(String, Seq[String])]): Column =
     exprColumn(LangIdExpr(columnExpr(words),

@@ -340,6 +340,18 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** q82: exact substring dedup ([[graft.textops.Dedup
+    * .exactSubstringSpans]], canonical minTokens=50) — per-doc maximal
+    * verbatim repeated-span stats under the Lee et al. 2021 ExactSubstr
+    * rule, via one rolling-hash pass per doc (no suffix array, no
+    * per-window strings). The oracle replays BOTH Karp–Rabin residue
+    * chains token-for-token and the same island merge, so the gate proves
+    * the exact span set, not just its statistics.
+    */
+  def q82ExactSubstrSpans(spark: SparkSession, sfDir: String): DataFrame =
+    graft.textops.Dedup.exactSubstringSpans(Tables.documents(spark, sfDir))
+      .orderBy("doc_id")
+
   /** q73 seed/geometry — shared with the oracle restatement
     * ([[graft.OracleGen.q73Sql]]). */
   val Q73Seed = 20260813L

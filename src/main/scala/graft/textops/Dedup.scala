@@ -640,6 +640,76 @@ object Dedup {
     * chunks (e.g. a corpus-wide boilerplate prefix driving one 16-bit chunk
     * to a single value).
     */
+  /** Exact SUBSTRING dedup — the other half of Lee et al. 2021
+    * (ExactSubstr): find verbatim token spans repeated ANYWHERE in the
+    * corpus (across docs or within one), at substring granularity — the
+    * repeated boilerplate/licence/quote mass that document-level dedup
+    * ([[exact]], [[minhashLshPairs]]) cannot see because the containing
+    * documents differ.
+    *
+    * Published rule: a span of ≥ `minTokens` (canonically 50) tokens
+    * occurring at ≥ 2 positions corpus-wide is duplicated. Restated
+    * window-wise (the distributed form): a position's `minTokens`-token
+    * window is duplicated iff its window hash occurs ≥ 2 times; a
+    * repeated span of length s ≥ minTokens makes exactly its
+    * s−minTokens+1 covering windows repeat, so the union of duplicated
+    * windows' token coverage IS the repeated-span mass, and maximal
+    * contiguous covered runs are the maximal repeated spans.
+    *
+    * The suffix array of the monolithic implementation is replaced by
+    * [[ArrayExprs.RollingGramKrHashes]] — one O(m) rolling-hash pass per
+    * doc (no per-window strings), ~60-bit packed double-residue keys (a
+    * hash collision can merge two windows' identities and over-mark a
+    * span; at 2^60 that is negligible and the oracle replays the same
+    * hashes, so the gate is exact).
+    *
+    * Scale shape: the (doc_id, pos, h) window stream shuffles twice —
+    * once as (h, count) partial-aggregate rows (map-side combine absorbs
+    * boilerplate hot keys: each hot window hash reaches its reducer as
+    * ≤ one row per map partition), once joining the stream against the
+    * (much smaller) duplicated-hash set, h-to-h co-partitioned; a hot
+    * stream-side h joins one build row, AQE splits any residual skew. The
+    * island merge then shuffles only the DUPLICATED positions by doc_id;
+    * the per-doc window sort is bounded by document length. Never
+    * all-pairs, no posting lists of positions, no text on any shuffle.
+    *
+    * Returns one row per document owning ≥ 1 duplicated span:
+    * (idCol, n_dup_spans, dup_tokens, max_span_tokens) where spans are
+    * maximal runs of tokens covered by ≥ 1 duplicated window (two windows
+    * merge iff their coverage overlaps or touches: gap ≤ minTokens).
+    */
+  def exactSubstringSpans(docs: DataFrame, minTokens: Int = 50,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minTokens >= 2, s"minTokens must be >= 2, got $minTokens")
+    val L = minTokens
+    val grams = docs
+      .withColumn("graft_w", TextStats.words(col(textCol)))
+      .filter(size(col("graft_w")) >= L)
+      .select(col(idCol),
+        posexplode(ArrayExprs.rollingGramKrHashes(col("graft_w"), L)))
+      .toDF(idCol, "graft_pos", "graft_h")
+    val dupHashes = grams.groupBy("graft_h")
+      .agg(count(lit(1)).as("graft_n"))
+      .filter(col("graft_n") >= 2)
+      .select("graft_h")
+    val dupPos = grams.join(dupHashes, "graft_h")
+      .select(col(idCol), col("graft_pos"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("graft_pos")
+    val prev = lag(col("graft_pos"), 1).over(byDoc)
+    dupPos
+      .withColumn("graft_new",
+        when(prev.isNull || col("graft_pos") - prev > L, 1).otherwise(0))
+      .withColumn("graft_span", sum(col("graft_new")).over(byDoc))
+      .groupBy(col(idCol), col("graft_span"))
+      .agg(min(col("graft_pos")).as("graft_s"),
+        (max(col("graft_pos")) + lit(L - 1)).as("graft_e"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("graft_e") - col("graft_s") + 1).as("dup_tokens"),
+        max(col("graft_e") - col("graft_s") + 1).as("max_span_tokens"))
+  }
+
   def simhashPairs(docs: DataFrame, maxDist: Int = 3,
       textCol: String = "text", idCol: String = "doc_id",
       maxBucket: Int = 1 << 12,
