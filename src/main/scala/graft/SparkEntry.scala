@@ -721,9 +721,11 @@ object SparkEntry {
          SELECT DISTINCT doc_id, s.fp AS fp, s.pos AS pos
          FROM (SELECT doc_id, unnest(sel) AS s FROM m)
          ORDER BY doc_id, pos""",
-    // PII redaction: identical RE2-subset pattern strings, applied in the
-    // same email → IP → digit-run order; counts over the pre-redaction
-    // text via regexp_extract_all.
+    // PII redaction: identical RE2-subset pattern strings. Redacted text
+    // via the SEQUENTIAL replace chain (independent check that Spark's
+    // fused single-pass alternation equals it); counts by classifying the
+    // alternation's matches (priority email > ip > num — a pure digit run
+    // can never full-match email/ip, so classification is exact).
     "q54_pii_redact" ->
       """WITH c AS (SELECT c_custkey,
              c_name || ' <user' || CAST(c_custkey AS VARCHAR)
@@ -731,22 +733,32 @@ object SparkEntry {
                || '.0.' || CAST(c_custkey % 250 AS VARCHAR)
                || ' tel ' || lpad(CAST(c_custkey AS VARCHAR), 8, '0')
                || ' ' || c_mktsegment AS contact
-           FROM customer)
+           FROM customer),
+         m AS (SELECT c_custkey, contact, regexp_extract_all(contact,
+             '([A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,})'
+               || '|(\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b)|(\d{7,})')
+             AS ms
+           FROM c)
          SELECT c_custkey,
            regexp_replace(regexp_replace(regexp_replace(contact,
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
                '<EMAIL>', 'g'),
              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
              '\d{7,}', '<NUM>', 'g') AS redacted,
-           CAST(len(regexp_extract_all(contact,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+           CAST(len(list_filter(ms, x -> regexp_full_match(x,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')))
              AS INTEGER) AS n_emails,
-           CAST(len(regexp_extract_all(contact,
-             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+           CAST(len(list_filter(ms, x -> NOT regexp_full_match(x,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+             AND regexp_full_match(x,
+               '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')))
              AS INTEGER) AS n_ips,
-           CAST(len(regexp_extract_all(contact, '\d{7,}'))
+           CAST(len(list_filter(ms, x -> NOT regexp_full_match(x,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+             AND NOT regexp_full_match(x,
+               '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')))
              AS INTEGER) AS n_nums
-         FROM c ORDER BY c_custkey""",
+         FROM m ORDER BY c_custkey""",
     // Unicode folding: both sides derive accented text with the same
     // translate map; DuckDB's independent strip_accents/lower (utf8proc)
     // + explicit-class whitespace collapse must match FoldText exactly.

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.{columnExpr, exprColumn}
@@ -495,6 +495,107 @@ object ArrayExprs {
       copy(child = c)
   }
 
+  /** All four Gopher repetition signals in ONE O(m) row-local pass over
+    * the token array — struct(n_words, dup_word_frac, dup_3gram_frac,
+    * top_2gram_frac):
+    *
+    *   - tokens are interned to dense ids through an exact-equality hash
+    *     map; its size IS the distinct-word count (dup_word_frac for
+    *     free);
+    *   - 2-gram mode share counts packed (id₁,id₂) longs — pair identity
+    *     equals joined-gram identity because tokens contain no spaces;
+    *   - distinct 3-grams count packed 21-bit id-triples (id-string
+    *     fallback beyond 2^21 distinct tokens/doc), replacing the
+    *     WordShingles(3) string materialization + array_distinct that
+    *     dominated the fused-projection profile.
+    *
+    * No per-gram strings, no explode, no shuffle. The explode → count →
+    * max/sum formulation this replaces moved every (doc, gram) pair
+    * through two Exchanges and joined the result back — 3 shuffles for a
+    * row-local statistic; the row-local HOF alternative it originally
+    * guarded against was O(m²) per row. This is O(m) time and O(distinct
+    * grams) transient memory, the same order as the token array the row
+    * already holds.
+    *
+    * Shorter-than-n edges follow WordShingles: one whole-text gram, so
+    * m ≤ 1 → top_2gram_frac = 1.0, m ≤ 3 → dup_3gram_frac = 0.0, and
+    * dup fracs divide by max(count, 1). Fractions are UNROUNDED — the
+    * caller applies the gate's 4 dp convention.
+    */
+  case class RepetitionSignals(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_words", LongType, nullable = false),
+      StructField("dup_word_frac", DoubleType, nullable = false),
+      StructField("dup_3gram_frac", DoubleType, nullable = false),
+      StructField("top_2gram_frac", DoubleType, nullable = false)))
+    override def prettyName: String = "graft_repetition_signals"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val m = arr.numElements()
+      val ids = new java.util.HashMap[UTF8String, Integer](m * 2)
+      val tok = new Array[Int](m)
+      var next = 0
+      var i = 0
+      while (i < m) {
+        val s = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8
+          else arr.getUTF8String(i)
+        var id = ids.get(s)
+        if (id == null) { id = Integer.valueOf(next); ids.put(s, id); next += 1 }
+        tok(i) = id.intValue()
+        i += 1
+      }
+      val dupWord =
+        1.0 - next.toDouble / math.max(m, 1)
+      // 2-gram mode share over packed pairs
+      val top2 =
+        if (m <= 1) 1.0
+        else {
+          val counts = new java.util.HashMap[java.lang.Long, Integer](m * 2)
+          var maxC = 0
+          i = 0
+          while (i < m - 1) {
+            val key = java.lang.Long.valueOf(
+              (tok(i).toLong << 32) | (tok(i + 1).toLong & 0xffffffffL))
+            val prev = counts.get(key)
+            val c = if (prev == null) 1 else prev.intValue() + 1
+            counts.put(key, Integer.valueOf(c))
+            if (c > maxC) maxC = c
+            i += 1
+          }
+          maxC.toDouble / (m - 1)
+        }
+      // distinct 3-grams over packed 21-bit triples (id-string fallback
+      // for pathological vocabularies)
+      val dup3 =
+        if (m <= 3) 0.0
+        else if (next <= (1 << 21)) {
+          val seen = new java.util.HashSet[java.lang.Long](m * 2)
+          i = 0
+          while (i < m - 2) {
+            seen.add(java.lang.Long.valueOf(
+              (tok(i).toLong << 42) | (tok(i + 1).toLong << 21)
+                | tok(i + 2).toLong))
+            i += 1
+          }
+          1.0 - seen.size.toDouble / (m - 2)
+        } else {
+          val seen = new java.util.HashSet[String](m * 2)
+          i = 0
+          while (i < m - 2) {
+            seen.add(s"${tok(i)} ${tok(i + 1)} ${tok(i + 2)}")
+            i += 1
+          }
+          1.0 - seen.size.toDouble / (m - 2)
+        }
+      new GenericInternalRow(Array[Any](m.toLong, dupWord, dup3, top2))
+    }
+
+    override protected def withNewChildInternal(
+        c: Expression): RepetitionSignals = copy(child = c)
+  }
+
   /** Rolling Karp–Rabin hashes of every word `n`-gram window — the
     * suffix-array-free engine for exact substring dedup (Lee et al. 2021's
     * ExactSubstr family): each token's char-level KR hash (the
@@ -668,6 +769,9 @@ object ArrayExprs {
 
   def rollingGramKrHashes(words: Column, n: Int): Column =
     exprColumn(RollingGramKrHashes(columnExpr(words), n))
+
+  def repetitionSignals(words: Column): Column =
+    exprColumn(RepetitionSignals(columnExpr(words)))
 
   def langId(words: Column, profiles: Seq[(String, Seq[String])]): Column =
     exprColumn(LangIdExpr(columnExpr(words),

@@ -335,6 +335,66 @@ object TextExprs {
   def krHash64(s: Column, base: Long = 257L, mod: Long = 1000000007L): Column =
     exprColumn(KrHash64(columnExpr(s), base, mod))
 
+  /** Single-pass multi-class PII redaction: ONE compiled alternation
+    * (class i = group i+1) walks the text once, emitting the redacted
+    * string AND the per-class redaction counts as a struct — where the
+    * separate `regexp_replace` + `regexp_count` formulation traverses the
+    * text once per pattern per output (2·k passes for k classes; the q54
+    * pipeline paid 6). Counts are REDACTIONS PERFORMED per class under
+    * leftmost-first alternation priority (class order = priority), which
+    * also makes them robust to nested patterns: a digit run inside an
+    * email's local part is part of the email redaction, not a separate
+    * digit-run count.
+    *
+    * Equivalent to the sequential per-class replace chain whenever the
+    * placeholders are inert (match no pattern) and every class's match
+    * start is leftmost among overlapping matches of lower-priority
+    * classes — both hold for the email/IP/digit-run rule set, and the
+    * DuckDB oracle replays the sequential chain against this expression's
+    * output, so the equivalence is gate-checked, not assumed.
+    */
+  case class RedactPiiAll(child: Expression, names: Seq[String],
+      patterns: Seq[String], placeholders: Seq[String])
+      extends UnaryExpression with CodegenFallback {
+    require(patterns.nonEmpty && patterns.length == placeholders.length
+      && patterns.length == names.length, "names/patterns/placeholders")
+    override def dataType: DataType = StructType(
+      StructField("redacted", StringType, nullable = false) +:
+        names.map(n => StructField(n, IntegerType, nullable = false)))
+    override def prettyName: String = "graft_redact_pii"
+
+    @transient private lazy val rx = java.util.regex.Pattern.compile(
+      patterns.map(p => "(" + p + ")").mkString("|"))
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      val m = rx.matcher(s)
+      val counts = new Array[Int](patterns.length)
+      val sb = new java.lang.StringBuilder(s.length)
+      var last = 0
+      while (m.find()) {
+        var cls = 0
+        while (m.group(cls + 1) == null) cls += 1
+        counts(cls) += 1
+        sb.append(s, last, m.start()).append(placeholders(cls))
+        last = m.end()
+      }
+      sb.append(s, last, s.length)
+      val out = new Array[Any](1 + counts.length)
+      out(0) = UTF8String.fromString(sb.toString)
+      var i = 0
+      while (i < counts.length) { out(i + 1) = counts(i); i += 1 }
+      new GenericInternalRow(out)
+    }
+
+    override protected def withNewChildInternal(
+        c: Expression): RedactPiiAll = copy(child = c)
+  }
+
+  def redactPiiAll(text: Column, names: Seq[String], patterns: Seq[String],
+      placeholders: Seq[String]): Column =
+    exprColumn(RedactPiiAll(columnExpr(text), names, patterns, placeholders))
+
   /** Unicode text folding for dedup/normalization pipelines: NFD
     * decomposition, combining-mark (accent) stripping, per-codepoint
     * lowercasing, and whitespace-run collapse to a single space with

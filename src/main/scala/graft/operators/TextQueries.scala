@@ -523,10 +523,12 @@ object TextQueries {
     * string from customer keys on BOTH sides (same `||`-concatenation in
     * the oracle), guaranteeing every rule fires: an email, a dotted-quad
     * IP, and two ≥7-digit runs (the zero-padded c_name tail and the
-    * padded "tel"). The oracle then applies the IDENTICAL pattern strings
-    * through DuckDB's RE2 `regexp_replace(..., 'g')` — redaction output
-    * and per-class counts are hash-compared, proving the patterns live in
-    * the dialect-portable subset they claim.
+    * padded "tel"). The oracle applies the IDENTICAL pattern strings
+    * through DuckDB's RE2: the redacted text via the SEQUENTIAL
+    * `regexp_replace(..., 'g')` chain (independently checking that the
+    * Spark side's fused single-pass alternation equals the sequential
+    * semantics), the counts via alternation-match classification —
+    * both hash-compared.
     */
   def q54PiiRedact(spark: SparkSession, sfDir: String): DataFrame = {
     val contact = concat(
@@ -536,11 +538,10 @@ object TextQueries {
       lit(" tel "), lpad(col("c_custkey").cast("string"), 8, "0"),
       lit(" "), col("c_mktsegment"))
     Tables.customer(spark, sfDir)
-      .select(Seq(col("c_custkey"), contact.as("contact")): _*)
-      .select(Seq(col("c_custkey"),
-        Redact.redactPii(col("contact")).as("redacted")) ++
-        Redact.redactionCounts(col("contact")).map { case (n, c) =>
-          c.as(n) } : _*)
+      .select(col("c_custkey"), contact.as("contact"))
+      .withColumn("graft_r", Redact.redactAll(col("contact")))
+      .select(Seq(col("c_custkey"), col("graft_r.redacted").as("redacted"))
+        ++ Redact.countNames.map(n => col(s"graft_r.$n").as(n)): _*)
       .orderBy("c_custkey")
   }
 

@@ -32,12 +32,33 @@ object Redact {
       regexp_replace(c, pat, repl)
     }
 
-  /** Per-class match counts over the ORIGINAL text (audit columns; the
-    * three patterns never overlap on the same span by construction of the
-    * ordering above, so counting pre-redaction is well defined).
+  /** Per-class match counts over the ORIGINAL text, one `regexp_count`
+    * pass per pattern — independent counts, so a pattern nested inside a
+    * higher-priority match (a ≥7-digit run in an email's local part)
+    * counts for BOTH classes. Prefer [[redactAll]] where the redacted
+    * text is also needed: one traversal instead of 2·k, and its counts
+    * are redactions actually performed.
     */
   def redactionCounts(text: Column): Seq[(String, Column)] =
     rules.map { case (name, pat, _) =>
       s"n_${name}s" -> regexp_count(text, lit(pat))
     }
+
+  /** Count-column names published by [[redactAll]], in rule order. */
+  val countNames: Seq[String] = rules.map { case (n, _, _) => s"n_${n}s" }
+
+  /** Redacted text AND per-class redaction counts in ONE alternation
+    * pass ([[graft.functions.TextExprs.RedactPiiAll]]):
+    * struct(redacted, n_emails, n_ips, n_nums). The redacted string is
+    * identical to [[redactPii]]'s sequential chain (placeholders are
+    * inert and alternation priority = pass order — gate-checked against
+    * the sequential DuckDB restatement); the counts are redactions
+    * performed per class, so nested lower-priority matches are not
+    * double-counted. 6 regex traversals fused into 1 — q54 end-to-end
+    * measured 0.85 → 0.40 s at sf0.1 (the remainder is mostly the
+    * per-query harness floor, not regex time).
+    */
+  def redactAll(text: Column): Column =
+    graft.functions.TextExprs.redactPiiAll(text, countNames,
+      rules.map(_._2), rules.map(_._3))
 }

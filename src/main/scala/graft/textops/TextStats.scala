@@ -166,12 +166,18 @@ object TextStats {
     *     of duplicated words / word 3-grams, 1 − distinct/total — a
     *     row-local `array_distinct` projection;
     *   - `top_2gram_frac`: the most frequent 2-gram's share of all
-    *     2-grams. The per-doc mode is NOT computed with a row-local HOF
-    *     (that is O(len²) per row — a pathological single document could
-    *     stall its task): 2-grams explode into (id, gram) rows, a
-    *     partial-aggregating count per (id, gram), then max/sum per id —
-    *     two skew-safe shuffles carrying ids and grams only, any doc
-    *     length.
+    *     2-grams.
+    *
+    * All four signals come from ONE native expression
+    * ([[graft.functions.ArrayExprs.RepetitionSignals]] — O(len) hash
+    * counting over interned token ids, no per-gram strings): the whole
+    * operator is a single shuffle-free projection. Earlier rounds
+    * computed the 2-gram mode with explode → per-(id, gram) count →
+    * max/sum → join-back (3 shuffles for a row-local statistic, guarding
+    * against the O(len²) HOF formulation) and the dup fracs with
+    * WordShingles(3) string arrays + array_distinct; the fused pass
+    * measured 1.39 → 0.53 s at sf0.1 (the residual is the scan + the
+    * regex tokenization + the gate's orderBy, not gram counting).
     *
     * Empty/whitespace-only text yields zeros across the board. Returns
     * (idCol, n_words, dup_word_frac, dup_3gram_frac, top_2gram_frac),
@@ -181,40 +187,20 @@ object TextStats {
       idCol: String = "doc_id",
       textCol: String = "text"): org.apache.spark.sql.DataFrame = {
     val empty = length(trim(col(textCol))) === 0
-    def dupFrac(arr: Column): Column =
-      round(lit(1.0) -
-        size(array_distinct(arr)).cast("double") /
-          greatest(size(arr), lit(1)), 4)
-    // bind the tokenization and the 3-gram array as real columns: inlined
-    // into every consumer, `words(text)` re-runs the regex split per
-    // consumer (6× per row across size/dupFrac/shingles — the q60 bug
-    // class in constant-factor form; codegen CSE does not reach the
-    // custom-expression subtrees). Multiply-referenced aliases survive
-    // CollapseProject as separate projections. Measured isolated at
-    // sf0.1: 2.21 → 1.68 s min-of-3.
-    val bound = df
-      .withColumn("graft_w", words(col(textCol)))
-      .withColumn("graft_g3",
-        graft.functions.ArrayExprs.wordShingles(col("graft_w"), 3))
-    val rowLocal = bound.select(col(idCol),
-      when(empty, 0L).otherwise(size(col("graft_w"))).cast("long")
-        .as("n_words"),
-      when(empty, 0.0).otherwise(dupFrac(col("graft_w")))
-        .as("dup_word_frac"),
-      when(empty, 0.0).otherwise(dupFrac(col("graft_g3")))
-        .as("dup_3gram_frac"))
-    val top2 = bound.filter(!empty)
+    // bind the struct as a real column: multiply-referenced non-cheap
+    // aliases survive CollapseProject as separate projections, so the
+    // signals pass runs once per row, not once per output column
+    df.withColumn("graft_rep",
+        graft.functions.ArrayExprs.repetitionSignals(
+          words(col(textCol))))
       .select(col(idCol),
-        explode(graft.functions.ArrayExprs.wordShingles(col("graft_w"), 2))
-          .as("g2"))
-      .groupBy(idCol, "g2").agg(count(lit(1)).as("cnt"))
-      .groupBy(idCol).agg(
-        (max(col("cnt")).cast("double") / sum(col("cnt")))
-          .as("top_2gram_frac"))
-    rowLocal.join(top2, Seq(idCol), "left")
-      .select(col(idCol), col("n_words"), col("dup_word_frac"),
-        col("dup_3gram_frac"),
-        round(coalesce(col("top_2gram_frac"), lit(0.0)), 4)
+        when(empty, 0L).otherwise(col("graft_rep.n_words"))
+          .as("n_words"),
+        round(when(empty, 0.0).otherwise(col("graft_rep.dup_word_frac")), 4)
+          .as("dup_word_frac"),
+        round(when(empty, 0.0).otherwise(col("graft_rep.dup_3gram_frac")), 4)
+          .as("dup_3gram_frac"),
+        round(when(empty, 0.0).otherwise(col("graft_rep.top_2gram_frac")), 4)
           .as("top_2gram_frac"))
   }
 

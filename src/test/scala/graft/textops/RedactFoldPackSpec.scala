@@ -19,6 +19,13 @@ class RedactFoldPackSpec extends SparkSpec {
         Redact.redactionCounts(col("t")).map { case (n, c) => c.as(n) }: _*)
       .as[(String, Int, Int, Int)].head()
 
+  private def redactAllOne(s: String): (String, Int, Int, Int) =
+    Seq(Tuple1(s)).toDF("t")
+      .select(Redact.redactAll(col("t")).as("r"))
+      .select(col("r.redacted"), col("r.n_emails"), col("r.n_ips"),
+        col("r.n_nums"))
+      .as[(String, Int, Int, Int)].head()
+
   test("redactPii replaces emails, IPv4s and long digit runs") {
     val (r, ne, ni, nn) = redactOne(
       "mail a.b+c@sub.example.org then 192.168.0.1 and card 4111111111111111")
@@ -38,6 +45,32 @@ class RedactFoldPackSpec extends SparkSpec {
     val (r, ne, ni, nn) = redactOne(s)
     assert(r === s)
     assert((ne, ni, nn) === ((0, 0, 0)))
+  }
+
+  test("redactAll: single alternation pass reproduces the sequential " +
+      "redaction and counts redactions per class") {
+    for (s <- Seq(
+        "mail a.b+c@sub.example.org then 192.168.0.1 and card " +
+          "4111111111111111",
+        "x1234567@a.io 10.20.30.40 0001112223334",
+        "version 1.2 of chapter 12 costs 123456 cents",
+        "1.2.3.4@5.6.7.8 a@b.cd1234567", "")) {
+      val (r, ne, ni, nn) = redactAllOne(s)
+      assert(r === redactOne(s)._1, s"redacted mismatch on '$s'")
+      // counts = placeholders actually present in the output
+      assert(ne === "<EMAIL>".r.findAllIn(r).size, s)
+      assert(ni === "<IP>".r.findAllIn(r).size, s)
+      assert(nn === "<NUM>".r.findAllIn(r).size, s)
+    }
+  }
+
+  test("redactAll counts nested matches ONCE, for the outer class") {
+    // "1234567" sits inside the email's local part: the independent
+    // per-pattern count sees 2 digit runs, the redaction count sees 1
+    val (r, ne, ni, nn) = redactAllOne("x1234567@a.io and 0001112223334")
+    assert(r === "<EMAIL> and <NUM>")
+    assert((ne, ni, nn) === ((1, 0, 1)))
+    assert(redactOne("x1234567@a.io and 0001112223334")._4 === 2)
   }
 
   test("foldUtf8: de-accents, lowercases, collapses whitespace, trims") {
