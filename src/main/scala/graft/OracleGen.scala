@@ -529,6 +529,55 @@ object OracleGen {
      ORDER BY o_orderpriority, p"""
   }
 
+  /** q83: per-hour-window HyperLogLog distinct users — the q71 sketch
+    * restatement ([[q71Sql]]'s exact-integer register sum and estimator,
+    * same scaladoc contract) with the scope generalized to the tumbling
+    * window start (`date_trunc('hour', ts)` — identical to Spark's
+    * epoch-aligned 1-hour window under the pinned UTC session), proving
+    * the streaming operator's per-window registers bit-for-bit in batch.
+    */
+  def q83Sql(p: Int = 10): String = {
+    val m = 1 << p
+    val sw = 64 - p
+    val mask = (1L << sw) - 1
+    val emptyContrib = 1L << (sw + 1)
+    val alphaC = graft.operators.Sketches.alphaM(m) * m * m *
+      math.pow(2.0, sw + 1)
+    val two64 = "18446744073709551616::HUGEINT"
+    s"""WITH a AS (SELECT date_trunc('hour', ts) AS w,
+             ${xx64LongSql("user_id")} AS h
+           FROM events),
+     r AS (SELECT w,
+             CAST(((CASE WHEN h < 0 THEN CAST(h AS HUGEINT) + $two64
+                    ELSE CAST(h AS HUGEINT) END)::UHUGEINT
+                 >> $sw::UHUGEINT) AS BIGINT) AS b,
+             (h & $mask) AS v
+           FROM a),
+     mx AS (SELECT w, b,
+              MAX(CASE WHEN v = 0 THEN ${sw + 1}
+                  ELSE ${sw + 1} - length(bin(v)) END) AS mreg
+            FROM r GROUP BY 1, 2),
+     t AS (SELECT w,
+             SUM(CAST((1::UHUGEINT << CAST(${sw + 1} - mreg AS UHUGEINT))
+               AS DECIMAL(38,0))) AS tp,
+             COUNT(*) AS np
+           FROM mx GROUP BY 1),
+     est AS (SELECT w, $m - np AS v_empty,
+              $alphaC / CAST(tp + CAST($m - np AS DECIMAL(38,0))
+                * ${emptyContrib}::DECIMAL(38,0) AS DOUBLE) AS raw
+             FROM t),
+     ex AS (SELECT date_trunc('hour', ts) AS w,
+              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+            FROM events GROUP BY 1)
+     SELECT e.w AS window_start, ex.n_exact,
+       CAST(e.v_empty AS BIGINT) AS v_empty,
+       CAST(round(CASE WHEN e.raw <= ${2.5 * m} AND e.v_empty > 0
+         THEN ${m.toDouble} * ln(${m.toDouble} / e.v_empty)
+         ELSE e.raw END) AS BIGINT) AS hll_est
+     FROM est e JOIN ex ON ex.w = e.w
+     ORDER BY window_start"""
+  }
+
   /** q71: HyperLogLog distinct-count — the WHOLE sketch recomputed in
     * DuckDB: [[xx64LongSql]] hashes, bucket = top p bits (unsigned shift
     * via the q30 HUGEINT bridge), rank rho = sw+1 − length(bin(v)) (exact

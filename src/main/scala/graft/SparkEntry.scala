@@ -101,6 +101,7 @@ object SparkEntry {
     "q80_array_hof"        -> (Relational.q80ArrayHof _),
     "q81_exact_decontam"   -> (TextQueries.q81ExactDecontamination _),
     "q82_exact_substr"     -> (TextQueries.q82ExactSubstrSpans _),
+    "q83_windowed_hll"     -> (Relational.q83WindowedHll _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -594,6 +595,9 @@ object SparkEntry {
     // Exact substring dedup: double-KR window hashes, dup-window rule,
     // and island merge all re-derived in DuckDB.
     "q82_exact_substr" -> OracleGen.q82Sql(),
+    // Per-window HLL: the q71 sketch restatement generalized to hourly
+    // windows (streamed operator gated through its batch execution).
+    "q83_windowed_hll" -> OracleGen.q83Sql(),
     "q52_stratified_sample" -> OracleGen.q52Sql(
       TextQueries.Q52Rates.map { case (l, r) =>
         (l, math.round(r * TextQueries.Q52Granularity)) },

@@ -366,6 +366,33 @@ object Relational {
         Tables.events(spark, sfDir), "1 hour")
       .orderBy("window_start")
 
+  /** q83: tumbling-window APPROXIMATE distinct users
+    * ([[graft.streaming.EventStreams.windowedHllDistinct]], p=10) — the
+    * sketch counterpart of q79, gated through the SAME
+    * flatMapGroupsWithState function that runs under readStream
+    * (EventStreamsSpec proves streamed == batch == the q71 Column
+    * estimator). Exact per-window distinct counts ride along so the
+    * estimate's error is visible in the gated result (the q71
+    * convention); the oracle replays the whole per-window sketch in
+    * DuckDB. window_start round-trips LTZ→NTZ for the typed boundary —
+    * identity under the pinned UTC session.
+    */
+  def q83WindowedHll(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val est = graft.streaming.EventStreams
+      .windowedHllDistinct(ev, "1 hour").toDF()
+      .select(col("window_start").cast("timestamp_ntz").as("window_start"),
+        col("v_empty"), col("hll_est"))
+    val exact = ev
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count_distinct(col("user_id")).as("n_exact"))
+      .select(col("window.start").as("window_start"), col("n_exact"))
+    est.join(exact, "window_start")
+      .select(col("window_start"), col("n_exact"), col("v_empty"),
+        col("hll_est"))
+      .orderBy("window_start")
+  }
+
   /** Date-part functions battery (SURVEY §2.9 F3-F5). */
   def q21DateFunctions(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)

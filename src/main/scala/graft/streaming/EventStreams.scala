@@ -75,6 +75,124 @@ object EventStreams {
       .agg(count(lit(1)).as("n_users"))
       .select(col("w.start").as("window_start"), col("n_users"))
 
+  /** Per-window HyperLogLog state for [[windowedHllDistinct]]: the 2^p
+    * max-rank registers plus an update counter (the counter disambiguates
+    * "latest emission per window" for update-mode consumers).
+    */
+  case class HllWindowKey(start: java.sql.Timestamp, end: java.sql.Timestamp)
+  case class HllWindowIn(win: HllWindowKey, h: Long,
+      graft_evt: java.sql.Timestamp)
+  case class HllWindowState(regs: Array[Byte], nUpdates: Long)
+  case class HllWindowRow(window_start: java.sql.Timestamp, n_updates: Long,
+      v_empty: Long, hll_est: Long)
+
+  /** Tumbling-window APPROXIMATE distinct values — the sketch stand-in
+    * for [[windowedDistinctUsers]] when even the per-(window, user) dedup
+    * state is too hot: state per window is 2^p bytes of HLL registers,
+    * REGARDLESS of cardinality. Spark restricts chained stateful
+    * aggregations (the dedup→count decomposition is the exact path), so
+    * the sketch variant keeps its registers in
+    * `flatMapGroupsWithState` keyed by the window: each micro-batch
+    * merges its values' ranks into the registers and emits a refined
+    * estimate row (update semantics — `n_updates` marks the latest);
+    * under streaming, event-time timeouts evict a window's registers
+    * `stateTtlMs` past its end. The operator watermarks its OWN
+    * event-time column (`watermarkDelay`) after the window projection:
+    * an upstream watermark does not survive the cast + typed-encoder
+    * boundary (metadata lives on the top-level attribute), and
+    * event-time timeouts require one in the fMGWS child plan.
+    *
+    * The estimator replicates [[graft.operators.Sketches.hllDistinct]]
+    * EXACTLY — same xxhash64 input hash (computed as a Column before the
+    * typed boundary), same exact-integer register sum (BigInt stands in
+    * for DECIMAL(38,0)), same one-shot double division and
+    * linear-counting branch — so batch execution of THIS function, the
+    * Column estimator, and the streamed run all agree to the last bit
+    * (spec-pinned; the q83 gate replays the sketch in DuckDB per window).
+    *
+    * Scale shape: one shuffle keyed by window (the same Exchange the
+    * exact variant pays), state O(windows in the horizon)·2^p bytes,
+    * emissions one row per touched window per micro-batch.
+    */
+  def windowedHllDistinct(events: DataFrame, windowLen: String,
+      valueCol: String = "user_id", p: Int = 10,
+      stateTtlMs: Long = 3600000L,
+      watermarkDelay: String = "10 minutes"): Dataset[HllWindowRow] = {
+    import events.sparkSession.implicits._
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val m = 1 << p
+    val sw = 64 - p
+    val mask = (1L << sw) - 1
+    val alphaC = graft.operators.Sketches.alphaM(m) * m * m *
+      math.pow(2.0, sw + 1)
+    val ttlMs = stateTtlMs
+    val streaming = events.isStreaming
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+
+    def estimate(key: HllWindowKey,
+        st: HllWindowState): HllWindowRow = {
+      var tp = BigInt(0)
+      var nEmpty = 0L
+      var j = 0
+      while (j < m) {
+        val r = st.regs(j)
+        if (r == 0) nEmpty += 1
+        tp += BigInt(1) << (sw + 1 - r)
+        j += 1
+      }
+      val raw = alphaC / BigDecimal(tp).doubleValue
+      val est =
+        if (raw <= 2.5 * m && nEmpty > 0)
+          m.toDouble * math.log(m.toDouble / nEmpty)
+        else raw
+      HllWindowRow(key.start, st.nUpdates, nEmpty, math.round(est))
+    }
+
+    events
+      // normalize the event-time type at the typed boundary: the driver
+      // parquet carries TIMESTAMP_NTZ, streams carry TIMESTAMP — the
+      // java.sql.Timestamp encoder needs the latter. NTZ→LTZ→(caller's
+      // NTZ cast back) is the identity under a UTC session (Verify pins
+      // UTC; DST-gap loss cannot occur).
+      .withColumn("graft_ts", col("ts").cast("timestamp"))
+      .select(window(col("graft_ts"), windowLen).as("win"),
+        xxhash64(col(valueCol)).as("h"),
+        col("graft_ts").as("graft_evt"))
+      .transform(df =>
+        if (streaming) df.withWatermark("graft_evt", watermarkDelay) else df)
+      .as[HllWindowIn]
+      .groupByKey(_.win)
+      .flatMapGroupsWithState[HllWindowState, HllWindowRow](
+        OutputMode.Update(), timeoutConf) {
+        (key: HllWindowKey, batch: Iterator[HllWindowIn],
+            state: GroupState[HllWindowState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption
+              .getOrElse(HllWindowState(new Array[Byte](m), 0L))
+            val regs = prev.regs
+            batch.foreach { row =>
+              val b = (row.h >>> sw).toInt
+              val v = row.h & mask
+              val rho =
+                if (v == 0) (sw + 1).toByte
+                else (sw + 1 - (64 - java.lang.Long
+                  .numberOfLeadingZeros(v))).toByte
+              if (rho > regs(b)) regs(b) = rho
+            }
+            val st = HllWindowState(regs, prev.nUpdates + 1)
+            state.update(st)
+            if (streaming)
+              state.setTimeoutTimestamp(key.end.getTime + ttlMs)
+            Iterator.single(estimate(key, st))
+          }
+      }
+  }
+
   /** Streaming dedup on event_id with bounded state: duplicates arriving
     * within the watermark horizon are dropped; state evicts beyond it.
     * (Batch equivalent: dropDuplicates — exercised by the dedup specs.)

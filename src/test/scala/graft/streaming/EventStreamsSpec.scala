@@ -61,6 +61,98 @@ class EventStreamsSpec extends SparkSpec {
     assert(s0.getAs[Double]("sum_value") === 15.0)
   }
 
+  test("windowed HLL: streamed registers merged across micro-batches " +
+      "equal the batch run AND the q71 Column estimator, bit for bit") {
+    implicit val sqlCtx = spark.sqlContext
+    // 40 users in window A (20 repeated across batches — a naive
+    // per-batch count would double-count them), 25 in window B
+    val winA = (1 to 40).map(u =>
+      (u.toLong, ts("2024-01-01 10:05:00"), u.toLong, "click", 1.0))
+    val winB = (1 to 25).map(u =>
+      (1000L + u, ts("2024-01-01 11:30:00"), 300L + u, "view", 1.0))
+    val all = winA ++ winB
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = windowedHllDistinct(
+        stream.toDF().toDF(
+          "event_id", "ts", "user_id", "event_type", "value"),
+        "1 hour")
+      .writeStream.format("memory").queryName("whll_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      stream.addData(winA.take(25))
+      q.processAllAvailable()
+      stream.addData(winA.drop(5) ++ winB) // users 6..25 replayed
+      q.processAllAvailable()
+      val latest = spark.table("whll_out").collect()
+        .groupBy(_.getAs[Timestamp]("window_start"))
+        .map { case (w, rs) =>
+          val r = rs.maxBy(_.getAs[Long]("n_updates"))
+          w -> (r.getAs[Long]("v_empty"), r.getAs[Long]("hll_est")) }
+      val batch = windowedHllDistinct(eventsDf(all), "1 hour").toDF()
+        .collect()
+        .map(r => r.getAs[Timestamp]("window_start") ->
+          (r.getAs[Long]("v_empty"), r.getAs[Long]("hll_est"))).toMap
+      assert(latest === batch)
+      // and both equal the batch Column estimator (the q71 operator) on
+      // the same grouping — the Scala estimator IS the Column estimator
+      val colEst = graft.operators.Sketches.hllDistinct(
+          eventsDf(all), window(col("ts"), "1 hour")("start"),
+          col("user_id"))
+        .collect()
+        .map(r => r.getAs[Timestamp]("scope") ->
+          (r.getAs[Long]("v_empty"), r.getAs[Long]("hll_est"))).toMap
+      assert(batch === colEst)
+      // sanity: window A really merged registers across batches (40
+      // distinct; p=10 at n=40 sits in the linear-counting regime and is
+      // exact for almost all register layouts — assert close, not a
+      // per-batch sum like 60)
+      val estA = batch(ts("2024-01-01 10:00:00"))._2
+      assert(estA >= 38 && estA <= 42, s"window A estimate $estA")
+    } finally q.stop()
+  }
+
+  test("windowed HLL: event-time timeout evicts a window's registers " +
+      "once the watermark passes end + ttl") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = windowedHllDistinct(
+        stream.toDF().toDF(
+          "event_id", "ts", "user_id", "event_type", "value"),
+        "1 hour", stateTtlMs = 1000L)
+      .writeStream.format("memory").queryName("whll_evict_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def stateRows: Long =
+        q.recentProgress.last.stateOperators(0).numRowsTotal
+      stream.addData((1 to 5).map(u =>
+        (u.toLong, ts("2024-01-01 10:05:00"), u.toLong, "click", 1.0)))
+      q.processAllAvailable()
+      assert(stateRows === 1L) // window A's registers
+      // the 12:30 event advances the watermark to 12:20 AFTER its data
+      // batch; processAllAvailable then runs the follow-up no-data
+      // micro-batch in which the event-time timeout fires (12:20 >
+      // A.end 11:00 + 1 s ttl) and A's registers are removed. The
+      // progress history shows both: A+C coexisting in the data batch,
+      // then C alone after the timeout batch.
+      stream.addData(Seq(
+        (100L, ts("2024-01-01 12:30:00"), 100L, "view", 1.0)))
+      q.processAllAvailable()
+      val totals = q.recentProgress.toSeq
+        .filter(_.stateOperators.nonEmpty)
+        .map(_.stateOperators(0).numRowsTotal)
+      assert(totals.contains(2L), s"A+C never coexisted: $totals")
+      assert(stateRows === 1L,
+        s"window A's registers survived the timeout: $totals")
+      // the evicted window emitted nothing on timeout (update-mode
+      // consumers already hold its last refinement: est = 5 users)
+      val aRows = spark.table("whll_evict_out").collect()
+        .filter(_.getAs[Timestamp]("window_start") ===
+          ts("2024-01-01 10:00:00"))
+      assert(aRows.map(r => (r.getAs[Long]("n_updates"),
+        r.getAs[Long]("hll_est"))).toSeq === Seq((1L, 5L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops replayed event_ids") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
