@@ -529,6 +529,78 @@ object OracleGen {
      ORDER BY o_orderpriority, p"""
   }
 
+  /** q84: product-quantization codes — all `m` per-subspace Euclidean
+    * Lloyd codebooks retrained in DuckDB ([[ivfTrainAsgCtes]]'s pattern
+    * with the L2 ranking 2·⟨v,c⟩ − ‖c‖² — exact integers on the grid, so
+    * DESC/cid ordering is deterministic), then every vector's code tuple
+    * and exact integer reconstruction distortion Σ_s (‖sv‖² − best
+    * score). Same hash sample, same smallest-hash seeds (shared across
+    * subspaces), same floor-mean / empty-cluster-keeps rules as the
+    * Spark trainer.
+    */
+  def q84Sql(m: Int = 4, k: Int = 16, iters: Int = 2,
+      trainMod: Int = 2, dims: Int = 64): String = {
+    require(dims % m == 0)
+    val scale = Similarity.IvfQuantScale
+    val sub = dims / m
+    def chain(s: Int): String = {
+      val lo = s * sub + 1
+      val hi = (s + 1) * sub
+      def iter(i: Int): String = {
+        val (prev, nxt) = (s"c${s}_$i", s"c${s}_${i + 1}")
+        s"""n${s}_$i AS (SELECT cid, c, list_dot_product(c, c) AS nrm
+               FROM $prev),
+     a${s}_$i AS (SELECT id, sv, cid FROM (
+            SELECT t.id, t.sv, n.cid,
+              ROW_NUMBER() OVER (PARTITION BY t.id ORDER BY
+                (2 * list_dot_product(t.sv, n.c) - n.nrm) DESC, n.cid)
+                AS rn
+            FROM tr$s t CROSS JOIN n${s}_$i n) WHERE rn = 1),
+     s${s}_$i AS (SELECT cid, unnest(range(len(sv))) AS pos,
+               unnest(sv) AS val
+             FROM a${s}_$i),
+     g${s}_$i AS (SELECT cid, pos, floor(SUM(val) / COUNT(*)) AS mean
+             FROM s${s}_$i GROUP BY 1, 2),
+     $nxt AS (SELECT o.cid, CASE WHEN COUNT(g.mean) = 0
+                  THEN ANY_VALUE(o.c)
+                  ELSE list(g.mean ORDER BY g.pos) END AS c
+              FROM $prev o LEFT JOIN g${s}_$i g ON g.cid = o.cid
+              GROUP BY o.cid)"""
+      }
+      s"""tr$s AS (SELECT id, h, qv[$lo:$hi] AS sv FROM tr),
+     c${s}_0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, id) - 1
+              AS INTEGER) AS cid, qv[$lo:$hi] AS c
+            FROM tr ORDER BY h, id LIMIT $k),
+     ${(0 until iters).map(iter).mkString(",\n     ")},
+     nf$s AS (SELECT cid, c, list_dot_product(c, c) AS nrm
+            FROM c${s}_$iters),
+     asg$s AS (SELECT id, cid, vv - sc AS rc FROM (
+            SELECT z.id, n.cid,
+              (2 * list_dot_product(z.qv[$lo:$hi], n.c) - n.nrm) AS sc,
+              list_dot_product(z.qv[$lo:$hi], z.qv[$lo:$hi]) AS vv,
+              ROW_NUMBER() OVER (PARTITION BY z.id ORDER BY
+                (2 * list_dot_product(z.qv[$lo:$hi], n.c) - n.nrm) DESC,
+                n.cid) AS rn
+            FROM qz z CROSS JOIN nf$s n) WHERE rn = 1)"""
+    }
+    val codeList = (0 until m).map(s => s"a$s.cid").mkString("[", ", ", "]")
+    val reconSum = (0 until m).map(s => s"a$s.rc").mkString(" + ")
+    val joins = (1 until m)
+      .map(s => s"JOIN asg$s a$s ON a$s.id = a0.id").mkString(" ")
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+           FROM embeddings),
+     qz AS (SELECT id, list_transform(v,
+              x -> CAST(floor(x * $scale) AS DOUBLE)) AS qv FROM e),
+     hh AS (SELECT id, qv, ${xx64LongSql("id")} AS h FROM qz),
+     tr AS (SELECT id, qv, h FROM hh WHERE ((h % $trainMod) + $trainMod)
+              % $trainMod = 0),
+     ${(0 until m).map(chain).mkString(",\n     ")}
+     SELECT a0.id AS vec_id, $codeList AS pq_code,
+       CAST($reconSum AS BIGINT) AS recon_sq
+     FROM asg0 a0 $joins
+     ORDER BY vec_id"""
+  }
+
   /** q83: per-hour-window HyperLogLog distinct users — the q71 sketch
     * restatement ([[q71Sql]]'s exact-integer register sum and estimator,
     * same scaladoc contract) with the scope generalized to the tumbling

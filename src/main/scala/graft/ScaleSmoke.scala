@@ -355,6 +355,13 @@ object ScaleSmoke {
         bands = 4, corpusCount = Some(nEmb), dropStats = Some(lshPairObs)))
     time("ivf_topk")(Similarity.ivfTopK(
       embs, embs.filter(col("vec_id") < 64), k = 5, trainMod = mult))
+    // PQ: codebooks train on the hash sample (offline-shaped), then the
+    // full replicated corpus takes codes + distortion as one projection
+    if (enabled("pq_assign")) locally {
+      val books = Similarity.trainPqCodebooks(embs, m = 4, k = 16,
+        iters = 2, trainMod = mult)
+      time("pq_assign")(Similarity.pqAssign(embs, books))
+    }
     // recall vs the exact brute-force baseline for both ANN paths — the
     // artifact's "approximation is bounded, not hoped" line. 64 queries ×
     // k=5 = 320 pairs per side: tiny collects, one corpus-scan each.

@@ -102,6 +102,7 @@ object SparkEntry {
     "q81_exact_decontam"   -> (TextQueries.q81ExactDecontamination _),
     "q82_exact_substr"     -> (TextQueries.q82ExactSubstrSpans _),
     "q83_windowed_hll"     -> (Relational.q83WindowedHll _),
+    "q84_pq_codes"         -> (TextQueries.q84PqCodes _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -598,6 +599,9 @@ object SparkEntry {
     // Per-window HLL: the q71 sketch restatement generalized to hourly
     // windows (streamed operator gated through its batch execution).
     "q83_windowed_hll" -> OracleGen.q83Sql(),
+    // PQ codes: all four per-subspace Euclidean Lloyd codebooks retrained
+    // in DuckDB; code tuples + exact grid reconstruction distortion.
+    "q84_pq_codes" -> OracleGen.q84Sql(),
     "q52_stratified_sample" -> OracleGen.q52Sql(
       TextQueries.Q52Rates.map { case (l, r) =>
         (l, math.round(r * TextQueries.Q52Granularity)) },

@@ -352,6 +352,23 @@ object TextQueries {
     graft.textops.Dedup.exactSubstringSpans(Tables.documents(spark, sfDir))
       .orderBy("doc_id")
 
+  /** q84: product-quantization codes ([[graft.textops.Similarity
+    * .trainPqCodebooks]] + [[graft.textops.Similarity.pqAssign]], m=4
+    * subspaces × k=16 Euclidean codewords, trainMod=2 hash sample — the
+    * ANN serving-standard compression completing the IVF family). Gated
+    * output is every vector's code tuple AND its exact integer grid
+    * reconstruction distortion, so the oracle (which retrains all four
+    * codebooks in DuckDB, the q44 Lloyd pattern with L2 ranking) pins the
+    * codebook values bit-for-bit, not just the argmin winners.
+    */
+  def q84PqCodes(spark: SparkSession, sfDir: String): DataFrame = {
+    val embs = Tables.embeddings(spark, sfDir)
+    val books = graft.textops.Similarity.trainPqCodebooks(
+      embs, m = 4, k = 16, iters = 2, trainMod = 2)
+    graft.textops.Similarity.pqAssign(embs, books)
+      .orderBy("vec_id")
+  }
+
   /** q73 seed/geometry — shared with the oracle restatement
     * ([[graft.OracleGen.q73Sql]]). */
   val Q73Seed = 20260813L

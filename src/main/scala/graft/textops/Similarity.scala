@@ -207,6 +207,123 @@ object Similarity {
     corpus.select(col(idCol),
       nearestCentroidQ(ivfQuantized(col(vecCol)), cents).as("cid"))
 
+  // ------------------------------------------------------------------- PQ
+
+  /** Per-centroid L2 ranking scores for a quantized SUBvector: argmin
+    * ‖v−c‖² = argmax (2·⟨v,c⟩ − ‖c‖²) (‖v‖² is constant per row) — and
+    * with exact-integer grid inputs both terms are exact in doubles
+    * (|2·dot| ≤ 2^47, ‖c‖² ≤ 2^46 at 16 dims), so the score is an exact
+    * integer and rankings can never flip on accumulation order. The PQ
+    * counterpart of [[centroidScores]]' spherical ranking (PQ codebooks
+    * are Euclidean — Jégou et al. 2011).
+    */
+  private def l2Scores(qvec: Column,
+      cents: Array[Array[Double]]): Seq[Column] =
+    cents.toIndexedSeq.map { c =>
+      val n2 = c.map(x => x * x).sum
+      lit(2.0) * dot(qvec, lit(c)) - lit(n2)
+    }
+
+  /** Product-quantization codebooks (Jégou et al. 2011): the vector space
+    * is split into `m` contiguous subspaces of dims/m components; each
+    * subspace trains its own `k`-centroid EUCLIDEAN Lloyd codebook on the
+    * [[IvfQuantScale]] integer grid, over the same deterministic hash
+    * subsample and smallest-hash init as [[trainIvfCentroids]] (the same
+    * rows seed every subspace). A vector's PQ code is the m-tuple of
+    * nearest codewords — dims floats compressed to m small ints, the
+    * standard ANN serving compression (IVF routes, PQ codes score).
+    *
+    * Determinism contract as the IVF trainer: no RNG, exact-integer
+    * arithmetic end to end (the [[l2Scores]] ranking and floor-mean
+    * updates), every step restated in the q84 DuckDB oracle. Training
+    * cost is m small sampled jobs per iteration (offline, like every
+    * codebook build); assignment is a pure projection.
+    *
+    * Returns m codebooks, each k × (dims/m).
+    */
+  def trainPqCodebooks(corpus: DataFrame, m: Int = 4, k: Int = 16,
+      iters: Int = 2, trainMod: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : Array[Array[Array[Double]]] = {
+    require(m >= 1 && k >= 1 && iters >= 1)
+    val train = (if (trainMod <= 1) corpus
+      else corpus.filter(pmod(xxhash64(col(idCol)), lit(trainMod)) === 0))
+      .select(col(idCol), ivfQuantized(col(vecCol)).as("qv"))
+      .cache()
+    try {
+      import org.apache.spark.sql.Row
+      val Row(maxAbs: Double, dims: Int) = train
+        .agg(max(array_max(transform(col("qv"), x => abs(x)))),
+          max(size(col("qv"))))
+        .head()
+      require(maxAbs <= (1L << 20).toDouble,
+        f"PQ quantized components reach |$maxAbs%.0f| > 2^20 — inputs " +
+          "must be roughly unit-scale (the IVF grid exactness contract)")
+      require(dims % m == 0, s"dims $dims not divisible by m=$m")
+      val sub = dims / m
+      // the k smallest-id-hash sample rows seed every subspace's codebook
+      val seeds = train
+        .orderBy(xxhash64(col(idCol)), col(idCol))
+        .limit(k)
+        .select(col("qv")).collect()
+        .map(_.getSeq[Double](0).toArray)
+      (0 until m).map { s =>
+        val sv = train.select(col(idCol),
+          slice(col("qv"), s * sub + 1, sub).as("sv"))
+        var cents: Array[Array[Double]] =
+          seeds.map(_.slice(s * sub, (s + 1) * sub))
+        for (_ <- 1 to iters) {
+          val sums = sv
+            .select(argmaxIdx(l2Scores(col("sv"), cents)).as("cid"),
+              posexplode(col("sv")).as(Seq("pos", "v")))
+            .groupBy("cid", "pos")
+            .agg(sum("v").as("s"), count(lit(1)).as("n"))
+            .collect()
+          val next = cents.map(_.clone())
+          sums.foreach { r =>
+            next(r.getAs[Int]("cid"))(r.getAs[Int]("pos")) =
+              math.floor(r.getAs[Double]("s") / r.getAs[Long]("n"))
+          }
+          cents = next
+        }
+        cents
+      }.toArray
+    } finally train.unpersist(blocking = false)
+  }
+
+  /** Full-corpus PQ code assignment + reconstruction distortion: per
+    * vector the m-tuple of nearest codewords (`pq_code`) and the exact
+    * integer squared reconstruction error Σ_s ‖sv_s − c_code(s)‖² on the
+    * grid (`recon_sq`) — publishing the distortion makes the gate pin the
+    * codebook VALUES, not only which codeword won. Pure projection over
+    * m·k inlined codeword columns: no shuffle, embarrassingly parallel.
+    */
+  def pqAssign(corpus: DataFrame, books: Array[Array[Array[Double]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = books.length
+    val sub = books(0)(0).length
+    val withQ = corpus.withColumn("graft_qv", ivfQuantized(col(vecCol)))
+    val subCols = (0 until m).map(s =>
+      slice(col("graft_qv"), s * sub + 1, sub))
+    val scoreArrs = (0 until m).map(s =>
+      array(l2Scores(subCols(s), books(s)): _*))
+    val codes = scoreArrs.map(sc =>
+      (array_position(sc, array_max(sc)) - 1).cast("int"))
+    val recon = (0 until m).map(s =>
+      dot(subCols(s), subCols(s)) - array_max(scoreArrs(s)))
+      .reduce(_ + _)
+    withQ.select(col(idCol), array(codes: _*).as("pq_code"),
+      recon.cast("long").as("recon_sq"))
+  }
+
+  /** Argmax over literal score columns; first index wins ties (the
+    * [[nearestCentroidQ]] convention).
+    */
+  private def argmaxIdx(scores: Seq[Column]): Column = {
+    val arr = array(scores: _*)
+    (array_position(arr, array_max(arr)) - 1).cast("int")
+  }
+
   /** Train an IVF coarse quantizer: spherical k-means over a deterministic
     * hash subsample (standard IVF practice — FAISS trains on a sample),
     * computed on the [[IvfQuantScale]] integer grid. Each Lloyd iteration

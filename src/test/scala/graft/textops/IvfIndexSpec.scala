@@ -77,4 +77,38 @@ class IvfIndexSpec extends SparkSpec {
     assert(asg.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq ===
       rows.map(r => (r.getLong(0), r.getInt(1))).toSeq)
   }
+
+  test("PQ codes: every assignment and distortion equals the brute-force " +
+      "nearest codeword on the integer grid") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val m = 4
+    val books = Similarity.trainPqCodebooks(emb, m = m, k = 16, iters = 2,
+      trainMod = 2)
+    assert(books.length === m)
+    val sub = books(0)(0).length
+    val out = Similarity.pqAssign(emb, books)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getSeq[Int](1).toList, r.getAs[Long]("recon_sq"))).toSeq
+    val vecs = emb.collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Double]]("embedding").toArray).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (id, code, recon) =>
+      assert(code.length === m)
+      val qv = vecs(id).map(x => math.floor(x * 4096.0))
+      val perSub = (0 until m).map { s =>
+        val sv = qv.slice(s * sub, (s + 1) * sub)
+        val d2 = books(s).map { c =>
+          sv.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum }
+        val best = d2.min
+        (d2.indexWhere(_ == best), best)
+      }
+      assert(code === perSub.map(_._1).toList, s"vec $id codes")
+      assert(recon === perSub.map(_._2).sum.toLong, s"vec $id distortion")
+    }
+  }
 }
