@@ -538,10 +538,14 @@ object OracleGen {
     * subspaces), same floor-mean / empty-cluster-keeps rules as the
     * Spark trainer.
     */
-  def q84Sql(m: Int = 4, k: Int = 16, iters: Int = 2,
-      trainMod: Int = 2, dims: Int = 64): String = {
+  /** The q84 per-subspace Euclidean Lloyd chains (tr$s/c{s}_i/nf$s/asg$s
+    * CTEs), shared by [[q84Sql]] and [[q85Sql]]. Expects `tr (id, qv, h)`
+    * and `qz (id, qv, …)` CTEs in scope — both [[q84Sql]]'s head and
+    * [[ivfTrainAsgCtes]] provide them with identical semantics (same
+    * grid, same hash sample).
+    */
+  private def pqChainCtes(m: Int, k: Int, iters: Int, dims: Int): String = {
     require(dims % m == 0)
-    val scale = Similarity.IvfQuantScale
     val sub = dims / m
     def chain(s: Int): String = {
       val lo = s * sub + 1
@@ -583,6 +587,12 @@ object OracleGen {
                 n.cid) AS rn
             FROM qz z CROSS JOIN nf$s n) WHERE rn = 1)"""
     }
+    (0 until m).map(chain).mkString(",\n     ")
+  }
+
+  def q84Sql(m: Int = 4, k: Int = 16, iters: Int = 2,
+      trainMod: Int = 2, dims: Int = 64): String = {
+    val scale = Similarity.IvfQuantScale
     val codeList = (0 until m).map(s => s"a$s.cid").mkString("[", ", ", "]")
     val reconSum = (0 until m).map(s => s"a$s.rc").mkString(" + ")
     val joins = (1 until m)
@@ -594,11 +604,57 @@ object OracleGen {
      hh AS (SELECT id, qv, ${xx64LongSql("id")} AS h FROM qz),
      tr AS (SELECT id, qv, h FROM hh WHERE ((h % $trainMod) + $trainMod)
               % $trainMod = 0),
-     ${(0 until m).map(chain).mkString(",\n     ")}
+     ${pqChainCtes(m, k, iters, dims)}
      SELECT a0.id AS vec_id, $codeList AS pq_code,
        CAST($reconSum AS BIGINT) AS recon_sq
      FROM asg0 a0 $joins
      ORDER BY vec_id"""
+  }
+
+  /** q85: IVF+PQ ADC probe — [[ivfTrainAsgCtes]] (coarse quantizer +
+    * corpus list assignment + the q44 probe selection) composed with
+    * [[pqChainCtes]] (per-subspace codebooks + per-vector codes), then
+    * asymmetric distance computed EXACTLY: per candidate,
+    * Σ_s (‖q_s‖² − 2⟨q_s, c_code(s)⟩ + ‖c_code(s)‖²) over the neighbor's
+    * codewords — all exact grid integers, so the ADC ranking (ASC, ties
+    * by neighbor id) is deterministic on both engines.
+    */
+  def q85Sql(k: Int = 5, nCentroids: Int = 16, ivfIters: Int = 2,
+      trainMod: Int = 2, nProbe: Int = 4, maxQueryId: Int = 8,
+      m: Int = 4, kCode: Int = 16, pqIters: Int = 2,
+      dims: Int = 64): String = {
+    val sub = dims / m
+    val adcTerms = (0 until m).map { s =>
+      val lo = s * sub + 1
+      val hi = (s + 1) * sub
+      s"""(list_dot_product(z.qv[$lo:$hi], z.qv[$lo:$hi])
+            - 2 * list_dot_product(z.qv[$lo:$hi], n$s.c) + n$s.nrm)"""
+    }.mkString(" + ")
+    val codeJoins = (0 until m).map(s =>
+      s"""JOIN asg$s x$s ON x$s.id = a.id
+            JOIN nf$s n$s ON n$s.cid = x$s.cid""").mkString("\n            ")
+    s"""WITH ${ivfTrainAsgCtes(nCentroids, ivfIters, trainMod)},
+     ${pqChainCtes(m, kCode, pqIters, dims)},
+     prb AS (SELECT query_id, cid FROM (
+            SELECT z.id AS query_id, n.cid,
+              ROW_NUMBER() OVER (PARTITION BY z.id ORDER BY
+                (CASE WHEN n.nrm = 0 THEN '-infinity'::DOUBLE
+                      ELSE list_dot_product(z.qv, n.c) / sqrt(n.nrm) END)
+                DESC, n.cid) AS pr
+            FROM qz z CROSS JOIN nf n WHERE z.id < $maxQueryId)
+            WHERE pr <= $nProbe),
+     sc AS (SELECT p.query_id, a.id AS neighbor_id,
+              $adcTerms AS adc
+            FROM prb p
+            JOIN asg a ON a.cid = p.cid AND a.id <> p.query_id
+            $codeJoins
+            JOIN qz z ON z.id = p.query_id),
+     rk AS (SELECT query_id, neighbor_id, adc,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY adc ASC, neighbor_id) AS INTEGER) AS rank
+            FROM sc)
+     SELECT query_id, neighbor_id, CAST(adc AS BIGINT) AS adc_sq, rank
+     FROM rk WHERE rank <= $k ORDER BY query_id, rank"""
   }
 
   /** q83: per-hour-window HyperLogLog distinct users — the q71 sketch

@@ -103,6 +103,7 @@ object SparkEntry {
     "q82_exact_substr"     -> (TextQueries.q82ExactSubstrSpans _),
     "q83_windowed_hll"     -> (Relational.q83WindowedHll _),
     "q84_pq_codes"         -> (TextQueries.q84PqCodes _),
+    "q85_ivfpq_topk"       -> (TextQueries.q85IvfPqTopK _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -602,6 +603,9 @@ object SparkEntry {
     // PQ codes: all four per-subspace Euclidean Lloyd codebooks retrained
     // in DuckDB; code tuples + exact grid reconstruction distortion.
     "q84_pq_codes" -> OracleGen.q84Sql(),
+    // IVF+PQ ADC probe: the q44 and q84 oracle chains composed, ADC
+    // ranking replayed in exact grid integers.
+    "q85_ivfpq_topk" -> OracleGen.q85Sql(),
     "q52_stratified_sample" -> OracleGen.q52Sql(
       TextQueries.Q52Rates.map { case (l, r) =>
         (l, math.round(r * TextQueries.Q52Granularity)) },

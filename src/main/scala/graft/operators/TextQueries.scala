@@ -369,6 +369,26 @@ object TextQueries {
       .orderBy("vec_id")
   }
 
+  /** q85: IVF+PQ ADC probe ([[graft.textops.Similarity.ivfPqTopK]] —
+    * the FAISS IVFPQ serving layout: IVF routes to nProbe=4 lists, PQ
+    * codes score by exact-integer asymmetric distance tables; the probe
+    * join's corpus side carries (cid, code) only, never the embedding).
+    * Both trainers share the q44/q84 geometry (16 centroids / 4×16
+    * codewords, trainMod=2), so the oracle composes their proven CTE
+    * chains and replays the ADC ranking bit-for-bit.
+    */
+  def q85IvfPqTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val embs = Tables.embeddings(spark, sfDir)
+    val cents = graft.textops.Similarity.trainIvfCentroids(
+      embs, nCentroids = 16, iters = 2, trainMod = 2)
+    val books = graft.textops.Similarity.trainPqCodebooks(
+      embs, m = 4, k = 16, iters = 2, trainMod = 2)
+    graft.textops.Similarity.ivfPqTopK(
+        embs, embs.filter(col("vec_id") < 8), k = 5, cents, books,
+        nProbe = 4)
+      .orderBy("query_id", "rank")
+  }
+
   /** q73 seed/geometry — shared with the oracle restatement
     * ([[graft.OracleGen.q73Sql]]). */
   val Q73Seed = 20260813L

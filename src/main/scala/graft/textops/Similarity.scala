@@ -324,6 +324,81 @@ object Similarity {
     (array_position(arr, array_max(arr)) - 1).cast("int")
   }
 
+  /** IVF+PQ serving probe — the FAISS IVFPQ layout as Spark operators:
+    * IVF routes each query to its `nProbe` inverted lists (the exact
+    * [[ivfTopKWith]] probe selection); candidates are scored by
+    * ASYMMETRIC DISTANCE COMPUTATION over their PQ codes. Each query
+    * precomputes, per subspace, the exact grid-L2 table to all k
+    * codewords (‖q_s‖² − 2⟨q_s,c_j⟩ + ‖c_j‖², exact integers on the
+    * [[IvfQuantScale]] grid); a candidate's distance is the sum of m
+    * table lookups on its code — the raw vector is never touched.
+    *
+    * THE serving-scale property: the probe join's corpus side carries
+    * (cid, pq_code) — m small ints of payload per vector instead of the
+    * dims-float embedding, so at 100 TB the shuffle/scan moves codes,
+    * never vectors (with [[saveIvfIndex]]-style cid partitioning the
+    * probed lists are the only ones read). ADC ranking is deterministic
+    * (exact integers, ties by neighbor id) and fully restated in the q85
+    * DuckDB oracle. Returns (query_id, neighbor_id, adc_sq, rank ≤ k).
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      cents: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(cents.forall(_.forall(_.isWhole)) &&
+      books.forall(_.forall(_.forall(_.isWhole))),
+      "IVF centroids and PQ codewords live on the integer grid — train " +
+        "with trainIvfCentroids/trainPqCodebooks")
+    val m = books.length
+    val sub = books(0)(0).length
+    // corpus index rows: inverted-list id + PQ code, nothing else
+    val withQ = corpus.withColumn("graft_qv", ivfQuantized(col(vecCol)))
+    val corpusCodes = {
+      val subCols = (0 until m).map(s =>
+        slice(col("graft_qv"), s * sub + 1, sub))
+      val codes = (0 until m).map(s => argmaxIdx(l2Scores(subCols(s), books(s))))
+      withQ.select(col(idCol).as("neighbor_id"),
+        nearestCentroidQ(col("graft_qv"), cents).as("cid"),
+        array(codes: _*).as("pq_code"))
+    }
+    // query rows: probed lists + per-subspace ADC tables
+    val probeW = Window.partitionBy("query_id").orderBy(
+      col("centroid_sim").desc, col("cid"))
+    // ADC tables materialize BELOW the probe explode (withColumn, then
+    // attribute pass-through): in the same projection as the generator
+    // they would re-evaluate once per exploded centroid row — the q81
+    // recompute hazard, nCentroids× per query at serving volume
+    val qBase = (0 until m).foldLeft(
+      queries.withColumn("graft_qv", ivfQuantized(col(vecCol)))) {
+      case (df, s) =>
+        val qs = slice(col("graft_qv"), s * sub + 1, sub)
+        df.withColumn(s"graft_tbl$s", array(books(s).toIndexedSeq.map { c =>
+          val n2 = c.map(x => x * x).sum
+          dot(qs, qs) - lit(2.0) * dot(qs, lit(c)) + lit(n2)
+        }: _*))
+    }
+    val q = qBase
+      .select(Seq(col(idCol).as("query_id"),
+        posexplode(array(centroidScores(col("graft_qv"), cents): _*))
+          .as(Seq("cid", "centroid_sim"))) ++
+        (0 until m).map(s => col(s"graft_tbl$s")): _*)
+      .withColumn("probe_rank", row_number().over(probeW))
+      .filter(col("probe_rank") <= nProbe)
+      .drop("centroid_sim", "probe_rank")
+    val adc = (0 until m).map(s =>
+      element_at(col(s"graft_tbl$s"),
+        element_at(col("pq_code"), s + 1) + 1))
+      .reduce(_ + _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_sq").asc, col("neighbor_id"))
+    broadcast(q).join(corpusCodes, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_sq", adc.cast("long"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "adc_sq", "rank")
+  }
+
   /** Train an IVF coarse quantizer: spherical k-means over a deterministic
     * hash subsample (standard IVF practice — FAISS trains on a sample),
     * computed on the [[IvfQuantScale]] integer grid. Each Lloyd iteration

@@ -111,4 +111,51 @@ class IvfIndexSpec extends SparkSpec {
       assert(recon === perSub.map(_._2).sum.toLong, s"vec $id distortion")
     }
   }
+
+  test("IVF+PQ ADC probe at nProbe=all equals the brute-force ADC " +
+      "ranking over every corpus vector") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val nC = 8
+    val cents = Similarity.trainIvfCentroids(emb, nCentroids = nC,
+      iters = 2, trainMod = 2)
+    val books = Similarity.trainPqCodebooks(emb, m = 4, k = 16, iters = 2,
+      trainMod = 2)
+    val sub = books(0)(0).length
+    val k = 5
+    // nProbe = all lists: IVF routing drops nothing, so the operator's
+    // result must equal brute-force ADC over the whole corpus
+    val got = Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 4),
+        k = k, cents, books, nProbe = nC)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Long]("adc_sq"))).toMap
+    val vecs = emb.collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Double]]("embedding").toArray.map(x =>
+          math.floor(x * 4096.0))).toMap
+    def code(v: Array[Double]): Seq[Int] = (0 until books.length).map { s =>
+      val sv = v.slice(s * sub, (s + 1) * sub)
+      val d2 = books(s).map(c =>
+        sv.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum)
+      d2.indexWhere(_ == d2.min)
+    }
+    for (qid <- 0L until 4L) {
+      val qv = vecs(qid)
+      val ranked = vecs.toSeq.filter(_._1 != qid).map { case (nid, nv) =>
+        val adc = (0 until books.length).map { s =>
+          val qs = qv.slice(s * sub, (s + 1) * sub)
+          val c = books(s)(code(nv)(s))
+          qs.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+        }.sum.toLong
+        (nid, adc)
+      }.sortBy { case (nid, adc) => (adc, nid) }.take(k)
+      ranked.zipWithIndex.foreach { case ((nid, adc), i) =>
+        assert(got((qid, i + 1)) === ((nid, adc)),
+          s"query $qid rank ${i + 1}")
+      }
+    }
+  }
 }
