@@ -104,6 +104,7 @@ object SparkEntry {
     "q83_windowed_hll"     -> (Relational.q83WindowedHll _),
     "q84_pq_codes"         -> (TextQueries.q84PqCodes _),
     "q85_ivfpq_topk"       -> (TextQueries.q85IvfPqTopK _),
+    "q86_streaming_asof"   -> (Relational.q86StreamingAsof _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -606,6 +607,20 @@ object SparkEntry {
     // IVF+PQ ADC probe: the q44 and q84 oracle chains composed, ADC
     // ranking replayed in exact grid integers.
     "q85_ivfpq_topk" -> OracleGen.q85Sql(),
+    // Streaming as-of join, gated through its batch execution: the q57
+    // DuckDB native ASOF oracle verbatim — two independent engine
+    // implementations of the inclusive backward match.
+    "q86_streaming_asof" ->
+      """WITH p AS (SELECT event_id, user_id, ts,
+             ROUND(value, 2) AS purchase_value
+           FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, ts, ROUND(MAX(value), 2) AS view_value
+           FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+         SELECT p.event_id, p.user_id, p.ts, p.purchase_value,
+           v.ts AS ts_matched, v.view_value
+         FROM p ASOF LEFT JOIN v
+           ON p.user_id = v.user_id AND p.ts >= v.ts
+         ORDER BY p.event_id""",
     "q52_stratified_sample" -> OracleGen.q52Sql(
       TextQueries.Q52Rates.map { case (l, r) =>
         (l, math.round(r * TextQueries.Q52Granularity)) },

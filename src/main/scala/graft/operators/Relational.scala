@@ -473,6 +473,36 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** q86: STREAMING backward as-of join gated through its batch
+    * execution ([[graft.streaming.EventStreams.asofBackwardStream]]) —
+    * the q57 purchases→views attribution through the stateful streaming
+    * operator instead of the union+window batch formulation. The oracle
+    * is DuckDB's native ASOF LEFT JOIN (the q57 oracle verbatim): batch
+    * execution of the streaming function must land on identical
+    * semantics, and EventStreamsSpec proves the streamed run equals the
+    * batch operator across micro-batches.
+    */
+  def q86StreamingAsof(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        round(col("value"), 2).as("purchase_value"))
+    val views = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(round(max(col("value")), 2).as("view_value"))
+    graft.streaming.EventStreams.asofBackwardStream(
+        purchases, views, key = "user_id", ts = "ts",
+        factId = "event_id", factVal = "purchase_value",
+        ctxVal = "view_value")
+      .toDF()
+      .select(col("fact_id").as("event_id"), col("key").as("user_id"),
+        col("ts").cast("timestamp_ntz").as("ts"),
+        col("fact_value").as("purchase_value"),
+        col("ts_matched").cast("timestamp_ntz").as("ts_matched"),
+        col("ctx_value").as("view_value"))
+      .orderBy("event_id")
+  }
+
   /** q61: salted equi-join ([[SkewJoin.saltedEquiJoin]]) — lineitem ⋈
     * part through the skew-resistant formulation, aggregated to per-brand
     * revenue. The oracle is the PLAIN SQL join: salting must be

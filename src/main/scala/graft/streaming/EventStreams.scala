@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -190,6 +190,126 @@ object EventStreams {
               state.setTimeoutTimestamp(key.end.getTime + ttlMs)
             Iterator.single(estimate(key, st))
           }
+      }
+  }
+
+  // ------------------------------------------------------- streaming as-of
+
+  case class AsofIn(key: Long, tsUs: Long, side: Int, fact_id: Long,
+      value: Double, graft_evt: java.sql.Timestamp)
+  case class AsofCtx(tsUs: Long, value: Double)
+  case class AsofFactRec(fact_id: Long, tsUs: Long, value: Double)
+
+  /** Epoch micros → Timestamp, preserving the micros (event timestamps
+    * carry sub-millisecond precision; a millis round-trip would corrupt
+    * both the output and micro-granular as-of ordering).
+    */
+  private def tsFromMicros(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+  case class AsofState(ctx: Seq[AsofCtx], pending: Seq[AsofFactRec])
+  case class AsofRow(fact_id: Long, key: Long, ts: java.sql.Timestamp,
+      fact_value: Double, ts_matched: Option[java.sql.Timestamp],
+      ctx_value: Option[Double])
+
+  /** STREAMING backward as-of join — the temporal-join operator Spark's
+    * streaming engine lacks natively (Flink calls it a temporal join;
+    * batch-side it is [[graft.operators.AsOf.joinBackward]], q57): each
+    * fact row attaches the same key's context row with the largest
+    * context ts ≤ fact ts (inclusive).
+    *
+    * Shape: both inputs UNION into one side-tagged stream (the batch
+    * operator's trick, reused so ONE watermark column governs both
+    * sides), keyed state per join key holds (a) the context buffer and
+    * (b) facts whose result is not yet final. A fact can only emit once
+    * the watermark passes its timestamp — earlier-context arrivals are
+    * then impossible (the engine drops pre-watermark rows), so the match
+    * is FINAL and append-mode-correct. Pending facts flush via
+    * event-time timeouts (set to the earliest pending fact ts, re-armed
+    * while any remain); the context buffer evicts everything older than
+    * the newest context at-or-below the watermark — exactly the row a
+    * future (necessarily post-watermark) fact could still match.
+    *
+    * State per key = surviving context rows + in-horizon facts, both
+    * watermark-bounded. Late context (beyond the horizon) is dropped by
+    * the engine — facts then match the best context that DID arrive:
+    * as-of correctness within the watermark horizon, the standard
+    * streaming contract. In batch (`events.isStreaming == false`) the
+    * same function sees everything at once (watermark = +∞), emits every
+    * fact immediately, and keeps no state — batch execution IS
+    * [[graft.operators.AsOf.joinBackward]] semantics, which the q86 gate
+    * checks against DuckDB's native ASOF JOIN and the spec checks
+    * against the batch operator.
+    *
+    * Contract (as the batch operator): context unique per (key, ts).
+    * Output: (fact_id, key, ts, fact_value, ts_matched, ctx_value) with
+    * null match columns when no context precedes.
+    */
+  def asofBackwardStream(facts: DataFrame, context: DataFrame,
+      key: String, ts: String, factId: String, factVal: String,
+      ctxVal: String,
+      watermarkDelay: String = "10 minutes"): Dataset[AsofRow] = {
+    import facts.sparkSession.implicits._
+    val streaming = facts.isStreaming || context.isStreaming
+    def norm(df: DataFrame, side: Int, id: Column, v: Column): DataFrame =
+      df.withColumn("graft_ts", col(ts).cast("timestamp"))
+        .select(col(key).cast("long").as("key"),
+          unix_micros(col("graft_ts")).as("tsUs"),
+          lit(side).as("side"), id.cast("long").as("fact_id"),
+          v.cast("double").as("value"),
+          col("graft_ts").as("graft_evt"))
+    val unioned = norm(context, 0, lit(-1L), col(ctxVal))
+      .unionByName(norm(facts, 1, col(factId), col(factVal)))
+      .transform(df =>
+        if (streaming) df.withWatermark("graft_evt", watermarkDelay) else df)
+    unioned.as[AsofIn]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[AsofState, AsofRow](
+        OutputMode.Append(),
+        if (streaming) GroupStateTimeout.EventTimeTimeout()
+        else GroupStateTimeout.NoTimeout()) {
+        (k: Long, it: Iterator[AsofIn], state: GroupState[AsofState]) =>
+          val prev = state.getOption.getOrElse(AsofState(Nil, Nil))
+          var ctx = prev.ctx
+          var pending = prev.pending
+          it.foreach { r =>
+            if (r.side == 0) ctx = ctx :+ AsofCtx(r.tsUs, r.value)
+            else pending = pending :+ AsofFactRec(r.fact_id, r.tsUs, r.value)
+          }
+          val sortedCtx = ctx.sortBy(_.tsUs)
+          // watermark is millis; state timestamps are micros
+          val wmUs =
+            if (streaming) {
+              val w = state.getCurrentWatermarkMs()
+              if (w >= Long.MaxValue / 1000) Long.MaxValue else w * 1000L
+            } else Long.MaxValue
+          val (emit, keep) = pending.partition(_.tsUs <= wmUs)
+          val out = emit.sortBy(f => (f.tsUs, f.fact_id)).map { f =>
+            val m = sortedCtx.takeWhile(_.tsUs <= f.tsUs).lastOption
+            AsofRow(f.fact_id, k, tsFromMicros(f.tsUs), f.value,
+              m.map(c => tsFromMicros(c.tsUs)), m.map(_.value))
+          }
+          if (streaming) {
+            // keep the newest context ≤ wm (a future fact's only possible
+            // backward match among the old rows) plus everything newer
+            val atOrBelow = sortedCtx.filter(_.tsUs <= wmUs)
+            val kept =
+              if (atOrBelow.isEmpty) sortedCtx
+              else sortedCtx.dropWhile(_.tsUs < atOrBelow.last.tsUs)
+            if (kept.isEmpty && keep.isEmpty) state.remove()
+            else {
+              state.update(AsofState(kept, keep))
+              // flush pending facts once the watermark passes them: the
+              // millis ceiling keeps the required timeout > watermark
+              // invariant (min(keep) > wmUs by construction)
+              if (keep.nonEmpty)
+                state.setTimeoutTimestamp(
+                  Math.floorDiv(keep.map(_.tsUs).min, 1000L) + 1L)
+            }
+          }
+          out.iterator
       }
   }
 

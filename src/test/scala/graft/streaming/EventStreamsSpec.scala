@@ -153,6 +153,66 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of join: watermark-gated emission lets out-of-order " +
+      "context win; streamed equals the batch operator; null when no " +
+      "context precedes") {
+    implicit val sqlCtx = spark.sqlContext
+    val facts = MemoryStream[(Long, Timestamp, Long, Double)]
+    val ctxs = MemoryStream[(Long, Timestamp, Double)]
+    val factsDf = facts.toDF()
+      .toDF("event_id", "ts", "user_id", "purchase_value")
+    val ctxDf = ctxs.toDF().toDF("user_id", "ts", "view_value")
+    val q = asofBackwardStream(factsDf, ctxDf, key = "user_id", ts = "ts",
+        factId = "event_id", factVal = "purchase_value",
+        ctxVal = "view_value")
+      .writeStream.format("memory").queryName("asof_out")
+      .outputMode(OutputMode.Append()).start()
+    val allFacts = Seq(
+      (100L, ts("2024-01-01 09:00:00"), 1L, 5.0), // no context precedes
+      (101L, ts("2024-01-01 10:30:00"), 1L, 10.0),
+      (102L, ts("2024-01-01 11:00:00"), 1L, 20.0))
+    val allCtx = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 10:25:00"), 2.0),  // arrives AFTER fact 101
+      (1L, ts("2024-01-01 10:58:00"), 3.0),
+      (1L, ts("2024-01-01 12:00:00"), 9.0))
+    try {
+      ctxs.addData(allCtx.take(1)); facts.addData(allFacts.take(2))
+      q.processAllAvailable()
+      // fact 101 (10:30) is beyond the watermark (10:20) → pending. The
+      // 10:25 context arrives only NOW — premature emission would have
+      // wrongly matched 101 to 10:00
+      ctxs.addData(allCtx.slice(1, 2)); facts.addData(allFacts.drop(2))
+      q.processAllAvailable() // wm → 10:50 ≥ 10:30: fact 101 emits
+      ctxs.addData(allCtx.drop(2))
+      q.processAllAvailable() // wm → 11:50 ≥ 11:00: fact 102 emits
+      val streamed = spark.table("asof_out")
+        .select("fact_id", "ts_matched", "ctx_value")
+        .as[(Long, Option[Timestamp], Option[Double])]
+        .collect().toSeq.sortBy(_._1)
+      assert(streamed === Seq(
+        (100L, None, None),
+        (101L, Some(ts("2024-01-01 10:25:00")), Some(2.0)),
+        (102L, Some(ts("2024-01-01 10:58:00")), Some(3.0))))
+      // batch execution of the SAME function == the batch operator
+      val fBatch = allFacts
+        .toDF("event_id", "ts", "user_id", "purchase_value")
+      val cBatch = allCtx.toDF("user_id", "ts", "view_value")
+      val viaStream = asofBackwardStream(fBatch, cBatch,
+          key = "user_id", ts = "ts", factId = "event_id",
+          factVal = "purchase_value", ctxVal = "view_value")
+        .toDF()
+        .select(col("fact_id").as("event_id"), col("ts_matched"),
+          col("ctx_value").as("view_value"))
+        .orderBy("event_id").collect().toSeq
+      val viaBatchOp = graft.operators.AsOf.joinBackward(
+          fBatch, cBatch, key = "user_id", ts = "ts")
+        .select(col("event_id"), col("ts_matched"), col("view_value"))
+        .orderBy("event_id").collect().toSeq
+      assert(viaStream === viaBatchOp)
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops replayed event_ids") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
