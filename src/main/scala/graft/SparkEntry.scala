@@ -105,6 +105,7 @@ object SparkEntry {
     "q84_pq_codes"         -> (TextQueries.q84PqCodes _),
     "q85_ivfpq_topk"       -> (TextQueries.q85IvfPqTopK _),
     "q86_streaming_asof"   -> (Relational.q86StreamingAsof _),
+    "q87_resample_ffill"   -> (Relational.q87ResampleFfill _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -607,6 +608,22 @@ object SparkEntry {
     // IVF+PQ ADC probe: the q44 and q84 oracle chains composed, ADC
     // ranking replayed in exact grid integers.
     "q85_ivfpq_topk" -> OracleGen.q85Sql(),
+    // Resample + forward fill: DuckDB generate_series grid + native ASOF
+    // — both halves independently implemented.
+    "q87_resample_ffill" ->
+      """WITH o AS (SELECT user_id, ts, ROUND(MAX(value), 2) AS value
+           FROM events GROUP BY 1, 2),
+         b AS (SELECT user_id, date_trunc('hour', MIN(ts)) AS lo,
+             date_trunc('hour', MAX(ts)) AS hi
+           FROM o GROUP BY 1),
+         g AS (SELECT user_id,
+             unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ts
+           FROM b)
+         SELECT g.user_id AS user_id, g.ts AS ts, o.ts AS ts_matched,
+           o.value AS value
+         FROM g ASOF LEFT JOIN o
+           ON g.user_id = o.user_id AND g.ts >= o.ts
+         ORDER BY 1, 2""",
     // Streaming as-of join, gated through its batch execution: the q57
     // DuckDB native ASOF oracle verbatim — two independent engine
     // implementations of the inclusive backward match.

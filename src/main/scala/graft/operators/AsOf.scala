@@ -90,4 +90,34 @@ object AsOf {
       .select((leftCols.map(col) :+ col(matchedTs)) ++
         payload.map(col) : _*)
   }
+
+  /** Time-series resample + forward fill — the pandas
+    * `resample(freq).ffill()` shape as a relational composition: per
+    * key, an aligned timestamp grid from `date_trunc(unit, min ts)` to
+    * `date_trunc(unit, max ts)` in `step` increments, each grid point
+    * carrying the latest observation at-or-before it (so a key's value
+    * holds between observations; grid points before the first
+    * observation report null — the ffill contract).
+    *
+    * Shape: one grouped min/max aggregation (map-side combining) + a
+    * per-key `sequence` explode generates the grid WITHOUT a cross join
+    * against any calendar table; the fill itself is [[joinBackward]]'s
+    * single-shuffle union+window formulation. Grid width is bounded per
+    * key by its own observed span — a key active for a day costs 24
+    * hourly rows regardless of corpus size.
+    *
+    * Contract: `obs` unique per (key, ts) — pre-aggregate if not (the
+    * [[joinBackward]] contract, inherited).
+    */
+  def resampleFfill(obs: DataFrame, key: String, ts: String,
+      unit: String = "hour",
+      step: String = "INTERVAL 1 HOUR"): DataFrame = {
+    val grid = obs.groupBy(col(key))
+      .agg(date_trunc(unit, min(col(ts))).as("graft_lo"),
+        date_trunc(unit, max(col(ts))).as("graft_hi"))
+      .select(col(key),
+        explode(sequence(col("graft_lo"), col("graft_hi"), expr(step)))
+          .as(ts))
+    joinBackward(grid, obs, key, ts)
+  }
 }

@@ -589,6 +589,21 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** q87: hourly resample + forward fill ([[AsOf.resampleFfill]]) —
+    * every user's observed value carried across an aligned hourly grid
+    * spanning their activity (the pandas `resample('1h').ffill()`
+    * workhorse). Oracle: DuckDB `generate_series` grid + native ASOF
+    * LEFT JOIN — grid generation AND fill both independently
+    * implemented.
+    */
+  def q87ResampleFfill(spark: SparkSession, sfDir: String): DataFrame = {
+    val obs = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), col("ts"))
+      .agg(round(max(col("value")), 2).as("value"))
+    AsOf.resampleFfill(obs, key = "user_id", ts = "ts")
+      .orderBy("user_id", "ts")
+  }
+
   /** q71: HyperLogLog distinct-count profile ([[Sketches.hllDistinct]],
     * p=10) in BOTH estimator regimes on one board: per-event_type distinct
     * users (a few hundred → the linear-counting branch) and the global

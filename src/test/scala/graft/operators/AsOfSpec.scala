@@ -95,4 +95,28 @@ class AsOfSpec extends SparkSpec {
     // key 0, left ts 480 → right rows at ts ≡ 0 (mod 9) ≤ 480 → i=159
     assert(row === 159.0)
   }
+
+  test("resampleFfill: aligned hourly grid per key, value carried " +
+      "forward between observations, null before the first") {
+    import java.sql.Timestamp
+    def ts(x: String) = Timestamp.valueOf(x)
+    val obs = Seq(
+      (1L, ts("2024-01-01 10:30:00"), 5.0),
+      (1L, ts("2024-01-01 13:10:00"), 7.0),
+      (2L, ts("2024-01-01 11:00:00"), 9.0))
+      .toDF("k", "at", "v")
+    val got = AsOf.resampleFfill(obs, key = "k", ts = "at")
+      .select(col("k"), col("at"), col("v"))
+      .as[(Long, Timestamp, Option[Double])]
+      .collect().toSeq.sortBy(r => (r._1, r._2.getTime))
+    assert(got === Seq(
+      // key 1: grid 10:00..13:00; 10:00 precedes the first obs -> null;
+      // 11:00/12:00/13:00 carry 5.0 (13:10 is after the 13:00 point)
+      (1L, ts("2024-01-01 10:00:00"), None),
+      (1L, ts("2024-01-01 11:00:00"), Some(5.0)),
+      (1L, ts("2024-01-01 12:00:00"), Some(5.0)),
+      (1L, ts("2024-01-01 13:00:00"), Some(5.0)),
+      // key 2: single on-grid obs -> one grid point, matched inclusively
+      (2L, ts("2024-01-01 11:00:00"), Some(9.0))))
+  }
 }
