@@ -106,6 +106,7 @@ object SparkEntry {
     "q85_ivfpq_topk"       -> (TextQueries.q85IvfPqTopK _),
     "q86_streaming_asof"   -> (Relational.q86StreamingAsof _),
     "q87_resample_ffill"   -> (Relational.q87ResampleFfill _),
+    "q88_quality_audit"    -> (Relational.q88QualityAudit _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -608,6 +609,52 @@ object SparkEntry {
     // IVF+PQ ADC probe: the q44 and q84 oracle chains composed, ADC
     // ranking replayed in exact grid integers.
     "q85_ivfpq_topk" -> OracleGen.q85Sql(),
+    // Data-quality audit: every check restated as plain SQL counting —
+    // null-in counts as a violation for range/accepted (matching the
+    // operator's coalesce-to-false rule).
+    "q88_quality_audit" ->
+      """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows
+           FROM lineitem)
+         SELECT r."check", r.n_violations, n.n_rows,
+           r.n_violations = 0 AS pass
+         FROM (
+           SELECT 'not_null_l_shipdate' AS "check",
+             CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_violations FROM lineitem
+           UNION ALL
+           SELECT 'range_l_quantity',
+             CAST(SUM(CASE WHEN l_quantity IS NULL
+               OR NOT (l_quantity >= 1 AND l_quantity <= 25)
+               THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+           UNION ALL
+           SELECT 'accepted_l_returnflag',
+             CAST(SUM(CASE WHEN l_returnflag IS NULL
+               OR l_returnflag NOT IN ('A', 'R')
+               THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+           UNION ALL
+           SELECT 'satisfies_disc_price',
+             CAST(SUM(CASE WHEN NOT coalesce(
+               l_extendedprice * (1 - l_discount) >= 0, false)
+               THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+           UNION ALL
+           SELECT 'unique_l_orderkey_l_linenumber',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem)
+               - (SELECT CAST(COUNT(DISTINCT (l_orderkey, l_linenumber))
+                   AS BIGINT) FROM lineitem)
+           UNION ALL
+           SELECT 'ref_l_orderkey',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+              WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS
+                (SELECT 1 FROM orders o
+                 WHERE o.o_orderkey = l.l_orderkey))
+           UNION ALL
+           SELECT 'ref_l_partkey',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+              WHERE l.l_partkey IS NOT NULL AND NOT EXISTS
+                (SELECT 1 FROM part p
+                 WHERE p.p_partkey = l.l_partkey))
+         ) r CROSS JOIN n
+         ORDER BY r."check"""",
     // Resample + forward fill: DuckDB generate_series grid + native ASOF
     // — both halves independently implemented.
     "q87_resample_ffill" ->

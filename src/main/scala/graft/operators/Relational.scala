@@ -604,6 +604,29 @@ object Relational {
       .orderBy("user_id", "ts")
   }
 
+  /** q88: data-quality audit ([[Quality.audit]] — the dbt-test/Deequ
+    * constraint-suite pattern): lineitem checked for null-ness, value
+    * ranges, accepted values, a custom predicate, key uniqueness and two
+    * foreign-key integrities, reported as one row per check. The range
+    * and accepted-values checks are deliberately violated by the data
+    * (quantities run 1..50, returnflag includes 'N') so the gate proves
+    * real violation COUNTS, not just all-zeros.
+    */
+  def q88QualityAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    Quality.audit(li, Seq(
+      Quality.NotNull("l_shipdate"),
+      Quality.InRange("l_quantity", 1, 25),
+      Quality.AcceptedValues("l_returnflag", Seq("A", "R")),
+      Quality.Satisfies("disc_price",
+        col("l_extendedprice") * (lit(1) - col("l_discount")) >= 0),
+      Quality.Unique(Seq("l_orderkey", "l_linenumber")),
+      Quality.RefIntegrity("l_orderkey",
+        Tables.orders(spark, sfDir), "o_orderkey"),
+      Quality.RefIntegrity("l_partkey",
+        Tables.part(spark, sfDir), "p_partkey")))
+  }
+
   /** q71: HyperLogLog distinct-count profile ([[Sketches.hllDistinct]],
     * p=10) in BOTH estimator regimes on one board: per-event_type distinct
     * users (a few hundred → the linear-counting branch) and the global

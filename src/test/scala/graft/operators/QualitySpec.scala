@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Data-quality audit ([[Quality.audit]]): every check class against a
+  * frame with planted violations — null, out-of-range (both ends),
+  * unaccepted value, duplicate key, orphan foreign key — plus the
+  * all-pass case and the null-counts-as-violation rule.
+  */
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("audit counts planted violations per check class") {
+    val df = Seq(
+      (1L, Option("a"), Option(5.0), "X"),
+      (2L, None, Option(-1.0), "Y"), // null name; below range
+      (2L, Option("c"), Option(200.0), "X"), // duplicate key; above range
+      (4L, Option("d"), None, "Z")) // orphan ref; null v; unaccepted cat
+      .toDF("id", "name", "v", "cat")
+    val ref = Seq(1L, 2L).toDF("rid")
+    val out = Quality.audit(df, Seq(
+        Quality.NotNull("name"),
+        Quality.InRange("v", 0, 100),
+        Quality.AcceptedValues("cat", Seq("X", "Y")),
+        Quality.Unique(Seq("id")),
+        Quality.RefIntegrity("id", ref, "rid"),
+        Quality.Satisfies("pos_id", col("id") > 0)))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out("not_null_name") === ((1L, 4L, false)))
+    // -1 below, 200 above, null v counts as a violation too
+    assert(out("range_v") === ((3L, 4L, false)))
+    assert(out("accepted_cat") === ((1L, 4L, false)))
+    assert(out("unique_id") === ((1L, 4L, false))) // 4 rows, 3 distinct
+    assert(out("ref_id") === ((1L, 4L, false))) // id 4 has no ref row
+    assert(out("satisfies_pos_id") === ((0L, 4L, true)))
+    assert(out.size === 6)
+  }
+
+  test("audit passes a clean frame and orders the report by check name") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    val rows = Quality.audit(df, Seq(
+        Quality.Unique(Seq("id")), Quality.NotNull("name")))
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("not_null_name", "unique_id"))
+    assert(rows.forall(_.getBoolean(3)))
+  }
+}
