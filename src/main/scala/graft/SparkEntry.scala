@@ -107,6 +107,7 @@ object SparkEntry {
     "q86_streaming_asof"   -> (Relational.q86StreamingAsof _),
     "q87_resample_ffill"   -> (Relational.q87ResampleFfill _),
     "q88_quality_audit"    -> (Relational.q88QualityAudit _),
+    "q89_funnel"           -> (Relational.q89Funnel _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -609,6 +610,25 @@ object SparkEntry {
     // IVF+PQ ADC probe: the q44 and q84 oracle chains composed, ADC
     // ranking replayed in exact grid integers.
     "q85_ivfpq_topk" -> OracleGen.q85Sql(),
+    // Ordered funnel: greedy earliest matching == the chained-minimum
+    // definition, restated as one CTE per step.
+    "q89_funnel" ->
+      """WITH s0 AS (SELECT user_id, MIN(ts) AS t0 FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+         s1 AS (SELECT e.user_id, MIN(e.ts) AS t1 FROM events e
+           JOIN s0 USING (user_id)
+           WHERE e.event_type = 'view' AND e.ts > s0.t0 GROUP BY 1),
+         s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+           JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+         s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+           JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+         SELECT s0.user_id, s0.t0 AS t_signup, s1.t1 AS t_view,
+           s2.t2 AS t_click, s3.t3 AS t_purchase
+         FROM s0 LEFT JOIN s1 USING (user_id)
+           LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+         ORDER BY s0.user_id""",
     // Data-quality audit: every check restated as plain SQL counting —
     // null-in counts as a violation for range/accepted (matching the
     // operator's coalesce-to-false rule).

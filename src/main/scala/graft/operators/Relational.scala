@@ -627,6 +627,19 @@ object Relational {
         Tables.part(spark, sfDir), "p_partkey")))
   }
 
+  /** q89: ordered-funnel analysis ([[Sessions.funnelTimes]]) — each
+    * user's earliest signup → view → click → purchase completion times,
+    * strictly-increasing step matching, null from the first unreached
+    * step (drop-off reads off the null pattern). One shuffle + one fold;
+    * the oracle restates the equivalent chained-minimum definition
+    * (t_i = min step-i ts > t_{i−1}) as plain SQL.
+    */
+  def q89Funnel(spark: SparkSession, sfDir: String): DataFrame =
+    Sessions.funnelTimes(Tables.events(spark, sfDir),
+        steps = Seq("signup", "view", "click", "purchase"),
+        key = "user_id", ts = "ts", typeCol = "event_type")
+      .orderBy("user_id")
+
   /** q71: HyperLogLog distinct-count profile ([[Sketches.hllDistinct]],
     * p=10) in BOTH estimator regimes on one board: per-event_type distinct
     * users (a few hundred → the linear-counting branch) and the global

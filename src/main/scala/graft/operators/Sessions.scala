@@ -54,4 +54,62 @@ object Sessions {
         max(col(ts)).as("session_end"),
         count(lit(1)).as("n_events"),
         round(sum(col(valueCol)), 2).as("sum_value"))
+
+  /** Ordered-funnel analysis — the product-analytics sequence matcher
+    * Spark has no MATCH_RECOGNIZE for: per key, the EARLIEST completion
+    * time of each funnel step, where step i must occur STRICTLY after
+    * the matched step i−1 (greedy earliest-first matching over the
+    * time-sorted event list ≡ the chained-minimum definition
+    * t_i = min{ts of step-i events with ts > t_{i−1}}, which is what
+    * the oracle restates). A key with no step-0 event yields no row;
+    * later unreached steps report null — conversion/drop-off analysis
+    * reads straight off the null pattern.
+    *
+    * Shape: filter to funnel event types (scan-pruned), ONE shuffle
+    * grouping each key's step events into a sorted array, then a single
+    * codegen'd `aggregate` fold computes all step times in one pass —
+    * no per-step join chain (m−1 extra shuffles), no window re-sort.
+    * Per-key state is the m-slot accumulator; the collected array is
+    * bounded by the key's own funnel-event count (the sessionization
+    * family's per-key-bounded contract).
+    *
+    * Output: (key, t_<step0>, t_<step1>, …), timestamps in the input's
+    * own type (NTZ or LTZ — no cast seam).
+    */
+  def funnelTimes(events: DataFrame, steps: Seq[String], key: String,
+      ts: String, typeCol: String): DataFrame = {
+    require(steps.nonEmpty && steps.distinct == steps,
+      s"steps must be non-empty and distinct, got $steps")
+    val m = steps.length
+    val tsType = events.schema(ts).dataType
+    val stepIdx = steps.zipWithIndex
+      .foldLeft(lit(null).cast("int")) { case (acc, (s, i)) =>
+        when(col(typeCol) === s, lit(i)).otherwise(acc) }
+    val init = array(steps.map(_ => lit(null).cast(tsType)): _*)
+    val folded = aggregate(
+      sort_array(collect_list(struct(col(ts).as("t"),
+        col("graft_step").as("s")))),
+      init,
+      (acc, x) => {
+        // first unfilled slot; fill it iff this event is that step and
+        // strictly after the previous step's matched time. The i = 0
+        // branch guards via when(), not `||`: SQL OR is not
+        // short-circuit and element_at(acc, 0) throws under ANSI.
+        val filled = size(filter(acc, a => a.isNotNull))
+        transform(sequence(lit(0), lit(m - 1)), i => {
+          val afterPrev = when(i === 0, lit(true))
+            .otherwise(x("t") > element_at(acc, greatest(i, lit(1))))
+          when(i === filled && x("s") === i && afterPrev, x("t"))
+            .otherwise(element_at(acc, i + 1))
+        })
+      })
+    events
+      .withColumn("graft_step", stepIdx)
+      .filter(col("graft_step").isNotNull)
+      .groupBy(col(key))
+      .agg(folded.as("graft_f"))
+      .select(col(key) +: steps.zipWithIndex.map { case (s, i) =>
+        element_at(col("graft_f"), i + 1).as(s"t_$s") }: _*)
+      .filter(col(s"t_${steps.head}").isNotNull)
+  }
 }

@@ -112,4 +112,32 @@ class SessionsProfileSpec extends SparkSpec {
       "cumulative window must consume per-bin counts, not raw rows:\n" +
         plan)
   }
+
+  test("funnelTimes: greedy earliest strictly-increasing matching, " +
+      "drop-off nulls, no row without step 0") {
+    import java.sql.Timestamp
+    def ts(x: String) = Timestamp.valueOf(x)
+    val ev = Seq(
+      // user 1: click BEFORE any view must not fill the click slot;
+      // the view at the same instant as signup must not match (strict >)
+      (1L, ts("2024-01-01 10:00:00"), "signup"),
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 09:59:00"), "click"),
+      (1L, ts("2024-01-01 10:05:00"), "view"),
+      (1L, ts("2024-01-01 10:06:00"), "click"),
+      // user 2: completes nothing past signup
+      (2L, ts("2024-01-01 11:00:00"), "signup"),
+      // user 3: no signup at all -> no row
+      (3L, ts("2024-01-01 12:00:00"), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val out = Sessions.funnelTimes(ev,
+        steps = Seq("signup", "view", "click"),
+        key = "user_id", ts = "ts", typeCol = "event_type")
+      .as[(Long, Option[Timestamp], Option[Timestamp], Option[Timestamp])]
+      .collect().toSeq.sortBy(_._1)
+    assert(out === Seq(
+      (1L, Some(ts("2024-01-01 10:00:00")),
+        Some(ts("2024-01-01 10:05:00")), Some(ts("2024-01-01 10:06:00"))),
+      (2L, Some(ts("2024-01-01 11:00:00")), None, None)))
+  }
 }
