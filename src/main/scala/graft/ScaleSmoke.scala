@@ -357,10 +357,20 @@ object ScaleSmoke {
       embs, embs.filter(col("vec_id") < 64), k = 5, trainMod = mult))
     // PQ: codebooks train on the hash sample (offline-shaped), then the
     // full replicated corpus takes codes + distortion as one projection
-    if (enabled("pq_assign")) locally {
+    if (enabled("pq_assign") || enabled("ivfpq_topk")) locally {
       val books = Similarity.trainPqCodebooks(embs, m = 4, k = 16,
         iters = 2, trainMod = mult)
-      time("pq_assign")(Similarity.pqAssign(embs, books))
+      if (enabled("pq_assign"))
+        time("pq_assign")(Similarity.pqAssign(embs, books))
+      // IVF+PQ ADC probe at 20×: the probe join's corpus side is
+      // (cid, 4-int code) rows — codes move, the 64-dim vectors never do
+      if (enabled("ivfpq_topk")) locally {
+        val cents = Similarity.trainIvfCentroids(embs, nCentroids = 16,
+          iters = 2, trainMod = mult)
+        time("ivfpq_topk")(Similarity.ivfPqTopK(
+          embs, embs.filter(col("vec_id") < 64), k = 5, cents, books,
+          nProbe = 4))
+      }
     }
     // recall vs the exact brute-force baseline for both ANN paths — the
     // artifact's "approximation is bounded, not hoped" line. 64 queries ×
@@ -462,7 +472,8 @@ object ScaleSmoke {
     // as-of join at 20×: the key SPACE multiplies (more users, same
     // per-user density — the realistic 100 TB growth axis); one shuffle
     // on user_id, running-last window, no pair explosion
-    if (enabled("asof_join")) locally {
+    if (enabled("asof_join") || enabled("resample_ffill") ||
+        enabled("funnel")) locally {
       val copies = spark.range(mult.toLong).toDF("copy")
       val scaledEv = graft.sources.Tables.events(spark, sfDir)
         .crossJoin(broadcast(copies))
@@ -477,9 +488,42 @@ object ScaleSmoke {
       val views = scaledEv.where(col("event_type") === "view")
         .groupBy(col("user_id"), col("ts"))
         .agg(max(col("value")).as("view_value"))
-      time("asof_join")(
-        AsOf.joinBackward(purchases, views, key = "user_id", ts = "ts"))
+      if (enabled("asof_join"))
+        time("asof_join")(
+          AsOf.joinBackward(purchases, views, key = "user_id", ts = "ts"))
+      // resample+ffill on the same multiplied key space: grid width per
+      // key stays the key's own span, so rows scale with keys, not keys²
+      time("resample_ffill")(AsOf.resampleFfill(
+        views, key = "user_id", ts = "ts"))
+      // funnel at 20×: one shuffle of the scan-pruned funnel events,
+      // per-key fold over each user's own (unchanged-density) history
+      time("funnel")(graft.operators.Sessions.funnelTimes(scaledEv,
+        steps = Seq("signup", "view", "click", "purchase"),
+        key = "user_id", ts = "ts", typeCol = "event_type"))
       scaledEv.unpersist(blocking = false)
+    }
+
+    // data-quality audit at 20×: all row-local checks in ONE pass over
+    // the multiplied corpus + uniqueness distinct-count + FK anti-join
+    if (enabled("quality_audit")) locally {
+      val copies = spark.range(mult.toLong).toDF("copy")
+      val li = graft.sources.Tables.lineitem(spark, sfDir)
+        .crossJoin(broadcast(copies))
+        .select((col("l_orderkey") * mult + col("copy")).as("l_orderkey"),
+          col("l_linenumber"), col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_returnflag"),
+          col("l_shipdate"))
+      val orders = graft.sources.Tables.orders(spark, sfDir)
+        .crossJoin(broadcast(copies))
+        .select((col("o_orderkey") * mult + col("copy")).as("o_orderkey"))
+      time("quality_audit")(graft.operators.Quality.audit(li, Seq(
+        graft.operators.Quality.NotNull("l_shipdate"),
+        graft.operators.Quality.InRange("l_quantity", 1, 25),
+        graft.operators.Quality.AcceptedValues("l_returnflag",
+          Seq("A", "R")),
+        graft.operators.Quality.Unique(Seq("l_orderkey", "l_linenumber")),
+        graft.operators.Quality.RefIntegrity("l_orderkey", orders,
+          "o_orderkey"))))
     }
 
     // corpus-level boilerplate stats at 20×: distinct-shingle explode →
