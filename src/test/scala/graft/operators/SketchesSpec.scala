@@ -65,6 +65,22 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("hllDistinct constructs and estimates sanely across the full " +
+      "advertised p range, including the small-m alpha constants") {
+    // p in 4..6 needs the tabulated alpha_16/32/64 (the asymptotic
+    // formula starts at m = 128) — round-8 ADVICE: these used to throw
+    for (pp <- Seq(4, 5, 6, 7, 16)) {
+      val mm = 1 << pp
+      val n = 500
+      val row = Sketches.hllDistinct((1L to n).toDF("v"),
+        lit("g"), col("v"), pp).head()
+      val est = row.getLong(row.fieldIndex("hll_est"))
+      val se = 1.04 / math.sqrt(mm.toDouble)
+      assert(math.abs(est - n).toDouble / n <= 6 * se,
+        s"p=$pp est=$est")
+    }
+  }
+
   test("hllDistinct estimate stays within 5 standard errors of the truth") {
     val se = 1.04 / math.sqrt(m.toDouble)
     for (n <- Seq(100, 5000, 50000)) {
