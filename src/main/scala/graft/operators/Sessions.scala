@@ -104,8 +104,13 @@ object Sessions {
         })
       })
     events
+      // filter on the RAW type column, not isNotNull over the CASE
+      // mapping: the literal isin pushes into the parquet scan
+      // (PushedFilters: In(event_type, …)), the derived-column null test
+      // would not — at fleet scale the funnel types are a fraction of
+      // the event stream and the difference is the whole scan
+      .filter(col(typeCol).isin(steps: _*))
       .withColumn("graft_step", stepIdx)
-      .filter(col("graft_step").isNotNull)
       .groupBy(col(key))
       .agg(folded.as("graft_f"))
       .select(col(key) +: steps.zipWithIndex.map { case (s, i) =>

@@ -75,6 +75,35 @@ class PlanAuditSpec extends SparkSpec {
       Set("o_orderpriority", "o_totalprice")), cols.toString)
   }
 
+  test("q82 substring-dedup scans prune documents to at most " +
+      "(doc_id, text) — the dup-count side drops doc_id entirely") {
+    val cols = scanColumns(finalPlan(
+      TextQueries.q82ExactSubstrSpans(spark, sf)))
+    assert(cols.nonEmpty &&
+      cols.forall(_.toSet.subsetOf(Set("doc_id", "text"))), cols.toString)
+    assert(cols.exists(_.toSet == Set("text")), cols.toString)
+  }
+
+  test("q89 funnel scan prunes events to (user_id, ts, event_type) with " +
+      "the step filter pushed to the scan") {
+    val plan = finalPlan(Relational.q89Funnel(spark, sf))
+    val cols = scanColumns(plan)
+    assert(cols.nonEmpty &&
+      cols.forall(_.toSet == Set("user_id", "ts", "event_type")),
+      cols.toString)
+    val pushed = plan.collect { case f: FileSourceScanExec =>
+      f.metadata.getOrElse("PushedFilters", "") }
+    assert(pushed.exists(_.contains("In(event_type")), pushed.toString)
+  }
+
+  test("q88 audit's row-local pass prunes lineitem to the checked " +
+      "columns only") {
+    val cols = scanColumns(finalPlan(Relational.q88QualityAudit(spark, sf)))
+    // several scans (audit + unique + two refs); the widest must still
+    // carry only checked columns, never the full table
+    assert(cols.nonEmpty && cols.forall(_.size <= 6), cols.toString)
+  }
+
   // ---- generator-recompute audit (round-8 VERDICT #1/#4) ----------------
   // The hazard: putting an expensive expression (e.g.
   // size(array_distinct(shingles(text)))) in the SAME select as the
