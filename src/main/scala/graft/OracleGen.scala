@@ -282,6 +282,24 @@ object OracleGen {
        ORDER BY d.doc_id"""
   }
 
+  /** q91: weighted PPS sample — [[q70Sql]]'s exact-integer threshold
+    * construction with per-row rates: keep iff
+    * bucket(doc_id)·1000·Σw < w·targetPerMille·N·granularity, all in
+    * HUGEINT (Spark runs the same comparison in DECIMAL(38,0)) —
+    * multiplication only, so the kept set is engine-exact.
+    */
+  def q91Sql(targetPerMille: Int = 300, granularity: Int = 10000): String = {
+    val bucket = s"""((${xx64LongSql("doc_id")}) % $granularity
+       + $granularity) % $granularity"""
+    s"""WITH s AS (SELECT CAST(SUM(n_chars) AS HUGEINT) AS sw,
+           CAST(COUNT(*) AS HUGEINT) AS n FROM documents)
+     SELECT d.doc_id, d.n_chars
+     FROM documents d CROSS JOIN s
+     WHERE CAST(($bucket) AS HUGEINT) * 1000 * s.sw
+         < CAST(d.n_chars AS HUGEINT) * $targetPerMille * s.n * $granularity
+     ORDER BY d.doc_id"""
+  }
+
   /** q52: deterministic stratified sample — Spark's `xxhash64(doc_id)
     * mod granularity < rate(lang)·granularity` rule restated with
     * [[xx64LongSql]], so the oracle reproduces the EXACT kept set (not a
@@ -593,7 +611,8 @@ object OracleGen {
   def q84Sql(m: Int = 4, k: Int = 16, iters: Int = 2,
       trainMod: Int = 2, dims: Int = 64): String = {
     val scale = Similarity.IvfQuantScale
-    val codeList = (0 until m).map(s => s"a$s.cid").mkString("[", ", ", "]")
+    val codeCols = (0 until m)
+      .map(s => s"CAST(a$s.cid AS INTEGER) AS code_$s").mkString(", ")
     val reconSum = (0 until m).map(s => s"a$s.rc").mkString(" + ")
     val joins = (1 until m)
       .map(s => s"JOIN asg$s a$s ON a$s.id = a0.id").mkString(" ")
@@ -605,7 +624,7 @@ object OracleGen {
      tr AS (SELECT id, qv, h FROM hh WHERE ((h % $trainMod) + $trainMod)
               % $trainMod = 0),
      ${pqChainCtes(m, k, iters, dims)}
-     SELECT a0.id AS vec_id, $codeList AS pq_code,
+     SELECT a0.id AS vec_id, $codeCols,
        CAST($reconSum AS BIGINT) AS recon_sq
      FROM asg0 a0 $joins
      ORDER BY vec_id"""
@@ -827,5 +846,48 @@ object OracleGen {
      JOIN sk s ON s.i = cl.i AND s.cell = cl.cell
      GROUP BY t.token, t.n
      ORDER BY n_exact DESC, t.token"""
+  }
+
+  /** q90: per-hour-window count-min frequencies — the q74 sketch
+    * restatement ([[krSplitmix64Sql]] hash, Kirsch–Mitzenmacher cells,
+    * cell sums, min-over-d estimates) with the scope generalized to the
+    * tumbling window start (the q83 convention: `date_trunc('hour', ts)`
+    * ≡ Spark's epoch-aligned 1-hour window under the pinned UTC session)
+    * and the estimate probed for a FIXED value list — empty cells count
+    * 0, so a probe absent from a window still gets its (collision-only)
+    * estimate, exactly like the operator's untouched counters.
+    */
+  def q90Sql(probes: Seq[String], d: Int = 4, logW: Int = 10): String = {
+    val w = 1L << logW
+    val probeList = probes.map(p => s"'$p'").mkString(", ")
+    s"""WITH e AS (SELECT date_trunc('hour', ts) AS w, event_type AS v
+           FROM events),
+     vc AS (SELECT w, v, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+     kh AS (SELECT w, v, n, ${krSplitmix64Sql("v")} AS h FROM vc),
+     hp AS (SELECT w, v, n,
+              CAST(h & 4294967295::UHUGEINT AS BIGINT) AS lo,
+              CAST(h >> 32::UHUGEINT AS BIGINT) | 1 AS hi
+            FROM kh),
+     cells AS (SELECT w, v, n, i, (lo + i * hi) % $w AS cell
+               FROM hp, (SELECT unnest(range($d)) AS i)),
+     sk AS (SELECT w, i, cell, SUM(n) AS c FROM cells GROUP BY 1, 2, 3),
+     pr AS (SELECT unnest([$probeList]) AS v),
+     ph AS (SELECT v, ${krSplitmix64Sql("v")} AS h FROM pr),
+     pp AS (SELECT v,
+              CAST(h & 4294967295::UHUGEINT AS BIGINT) AS lo,
+              CAST(h >> 32::UHUGEINT AS BIGINT) | 1 AS hi
+            FROM ph),
+     pc AS (SELECT v, i, (lo + i * hi) % $w AS cell
+            FROM pp, (SELECT unnest(range($d)) AS i)),
+     wins AS (SELECT DISTINCT w FROM e),
+     est AS (SELECT n.w, p.v,
+               CAST(MIN(COALESCE(s.c, 0)) AS BIGINT) AS cms_est
+             FROM wins n CROSS JOIN pc p
+             LEFT JOIN sk s ON s.w = n.w AND s.i = p.i AND s.cell = p.cell
+             GROUP BY 1, 2)
+     SELECT e2.w AS window_start, e2.v AS probe,
+       CAST(COALESCE(x.n, 0) AS BIGINT) AS n_exact, e2.cms_est
+     FROM est e2 LEFT JOIN vc x ON x.w = e2.w AND x.v = e2.v
+     ORDER BY 1, 2"""
   }
 }

@@ -473,7 +473,7 @@ object ScaleSmoke {
     // per-user density — the realistic 100 TB growth axis); one shuffle
     // on user_id, running-last window, no pair explosion
     if (enabled("asof_join") || enabled("resample_ffill") ||
-        enabled("funnel")) locally {
+        enabled("funnel") || enabled("funnel_skew10pct")) locally {
       val copies = spark.range(mult.toLong).toDF("copy")
       val scaledEv = graft.sources.Tables.events(spark, sfDir)
         .crossJoin(broadcast(copies))
@@ -495,11 +495,26 @@ object ScaleSmoke {
       // key stays the key's own span, so rows scale with keys, not keys²
       time("resample_ffill")(AsOf.resampleFfill(
         views, key = "user_id", ts = "ts"))
-      // funnel at 20×: one shuffle of the scan-pruned funnel events,
-      // per-key fold over each user's own (unchanged-density) history
+      // funnel at 20×: per-step scan-pruned exchanges, chained-min
+      // left joins, O(1) per-key aggregation state
       time("funnel")(graft.operators.Sessions.funnelTimes(scaledEv,
         steps = Seq("signup", "view", "click", "purchase"),
         key = "user_id", ts = "ts", typeCol = "event_type"))
+      // hot-key variant: ~10% of all events collapse onto ONE user (the
+      // bot/service-account shape). The salted chained-min spreads that
+      // key's step events across salt buckets and pre-reduces each
+      // bucket map-side, so the dominant stage's straggler ratio stays
+      // scheduler-jitter-sized — the audit FAILS the smoke above 1.5
+      if (enabled("funnel_skew10pct")) {
+        val hotEv = scaledEv.select(
+          when(pmod(col("event_id"), lit(10)) === 0, lit(0L))
+            .otherwise(col("user_id")).as("user_id"),
+          col("ts"), col("event_type"))
+        timeSkewAudited(spark, "funnel_skew10pct", maxRatio = 1.5)(
+          graft.operators.Sessions.funnelTimes(hotEv,
+            steps = Seq("signup", "view", "click", "purchase"),
+            key = "user_id", ts = "ts", typeCol = "event_type"))
+      }
       scaledEv.unpersist(blocking = false)
     }
 

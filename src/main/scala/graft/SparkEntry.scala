@@ -108,6 +108,8 @@ object SparkEntry {
     "q87_resample_ffill"   -> (Relational.q87ResampleFfill _),
     "q88_quality_audit"    -> (Relational.q88QualityAudit _),
     "q89_funnel"           -> (Relational.q89Funnel _),
+    "q90_windowed_cms"     -> (Relational.q90WindowedCms _),
+    "q91_weighted_sample"  -> (TextQueries.q91WeightedSample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -607,6 +609,14 @@ object SparkEntry {
     // PQ codes: all four per-subspace Euclidean Lloyd codebooks retrained
     // in DuckDB; code tuples + exact grid reconstruction distortion.
     "q84_pq_codes" -> OracleGen.q84Sql(),
+    // Per-window CMS: the q74 sketch restatement generalized to hourly
+    // windows, probed for the fixed event taxonomy (streamed operator
+    // gated through its batch execution).
+    "q90_windowed_cms" ->
+      OracleGen.q90Sql(graft.operators.Relational.FunnelEventTypes),
+    // Weighted PPS sample: the exact-integer per-row threshold replayed
+    // in HUGEINT over the q52 hash restatement — kept set, not size.
+    "q91_weighted_sample" -> OracleGen.q91Sql(),
     // IVF+PQ ADC probe: the q44 and q84 oracle chains composed, ADC
     // ranking replayed in exact grid integers.
     "q85_ivfpq_topk" -> OracleGen.q85Sql(),

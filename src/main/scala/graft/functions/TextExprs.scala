@@ -316,20 +316,29 @@ object TextExprs {
     override def dataType: DataType = org.apache.spark.sql.types.LongType
     override def prettyName: String = "graft_kr_hash64"
 
-    override def nullSafeEval(input: Any): Any = {
-      val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
-      var h = 0L
-      var i = 0
-      while (i < cps.length) { h = (h * base + cps(i)) % mod; i += 1 }
-      // splitmix64 finalizer — Java Long semantics (wrap on overflow)
-      var z = h
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
+    override def nullSafeEval(input: Any): Any =
+      krHash64Value(input.asInstanceOf[UTF8String].toString, base, mod)
 
     override protected def withNewChildInternal(c: Expression): KrHash64 =
       copy(child = c)
+  }
+
+  /** Scala-side twin of [[KrHash64]] for driver/state code that needs the
+    * SAME hash outside a Column context (e.g. pre-hashing a fixed probe
+    * list for the streaming CMS) — one implementation, shared with the
+    * expression's eval, so the two can never drift.
+    */
+  def krHash64Value(s: String, base: Long = 257L,
+      mod: Long = 1000000007L): Long = {
+    val cps = s.codePoints().toArray
+    var h = 0L
+    var i = 0
+    while (i < cps.length) { h = (h * base + cps(i)) % mod; i += 1 }
+    // splitmix64 finalizer — Java Long semantics (wrap on overflow)
+    var z = h
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
   }
 
   def krHash64(s: Column, base: Long = 257L, mod: Long = 1000000007L): Column =

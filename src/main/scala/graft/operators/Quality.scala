@@ -88,14 +88,31 @@ object Quality {
 
   /** Run `checks` against `df`: one report row per check, ordered by
     * check name — (check, n_violations, n_rows, pass).
+    *
+    * The table row count is computed by ONE shared subtree
+    * (`df.agg(count)`), cross-joined as a broadcast scalar into every
+    * report branch that needs it. All branches broadcast the SAME
+    * canonical plan, so Spark's exchange-reuse rule
+    * (ReuseExchangeAndSubquery) evaluates the count once per audit —
+    * a suite with u uniques and r RI checks costs one fused row-local
+    * scan + one key-pruned distinct per unique + one anti join per RI,
+    * never an extra full-table scan just to restate n_rows.
     */
   def audit(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "audit needs at least one check")
+    require(checks.map(_.name).distinct.size == checks.size,
+      "duplicate check names — two checks of one class on the same " +
+        "column collide in the fused aggregate: " +
+        checks.groupBy(_.name).filter(_._2.size > 1).keys.mkString(", "))
     val rowLocal = checks.filter {
       case _: Unique | _: RefIntegrity => false
       case _ => true
     }
-    // all row-local counters + the row count in ONE aggregation pass
+    // the one canonical row-count subtree every branch broadcasts
+    val nRowsDf = df.agg(count(lit(1)).as("graft_total"))
+    // all row-local counters + the row count in ONE aggregation pass;
+    // over an empty table the sums come back null — coalesce to 0 so
+    // the report still reads "0 violations over 0 rows, pass"
     val rowLocalReport = if (rowLocal.isEmpty) Nil else {
       val aggCols = rowLocal.map(c =>
         sum(when(violation(c), 1L).otherwise(0L)).as(c.name)) :+
@@ -104,26 +121,30 @@ object Quality {
         .select(
           explode(array(rowLocal.map(c =>
             struct(lit(c.name).as("check"),
-              col(c.name).cast("long").as("n_violations"))): _*)).as("r"),
+              coalesce(col(c.name).cast("long"), lit(0L))
+                .as("n_violations"))): _*)).as("r"),
           col("graft_n"))
         .select(col("r.check"), col("r.n_violations"),
           col("graft_n").as("n_rows")))
     }
     val setReports = checks.collect {
       case c @ Unique(cols1) =>
-        df.agg(count(lit(1)).as("n_rows"),
-            count_distinct(struct(cols1.map(col): _*)).as("graft_d"))
+        // distinct over the key columns only — the scan prunes to the
+        // key, and n_rows rides in on the shared broadcast scalar
+        df.select(cols1.map(col): _*).distinct()
+          .agg(count(lit(1)).as("graft_d"))
+          .crossJoin(broadcast(nRowsDf))
           .select(lit(c.name).as("check"),
-            (col("n_rows") - col("graft_d")).as("n_violations"),
-            col("n_rows"))
+            (col("graft_total") - col("graft_d")).as("n_violations"),
+            col("graft_total").as("n_rows"))
       case c @ RefIntegrity(col1, ref, refCol) =>
         val orphans = df.select(col(col1)).filter(col(col1).isNotNull)
           .join(ref.select(col(refCol).as(col1)).distinct(),
             Seq(col1), "left_anti")
           .agg(count(lit(1)).as("n_violations"))
-        orphans.crossJoin(broadcast(df.agg(count(lit(1)).as("n_rows"))))
+        orphans.crossJoin(broadcast(nRowsDf))
           .select(lit(c.name).as("check"), col("n_violations"),
-            col("n_rows"))
+            col("graft_total").as("n_rows"))
     }
     (rowLocalReport ++ setReports).reduce(_ unionByName _)
       .withColumn("pass", col("n_violations") === 0L)

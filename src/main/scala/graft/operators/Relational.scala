@@ -393,6 +393,39 @@ object Relational {
       .orderBy("window_start")
   }
 
+  /** The q90 probe taxonomy — the events table's full event-type set,
+    * fixed up front (the telemetry shape the streaming CMS is for). */
+  val FunnelEventTypes: Seq[String] =
+    Seq("click", "error", "purchase", "signup", "view")
+
+  /** q90: tumbling-window count-min frequency estimates
+    * ([[graft.streaming.EventStreams.windowedCmsFrequencies]], d=4,
+    * logW=10) — the streaming-CMS cell of the sketch matrix (q74 batch
+    * CMS, q83 streaming HLL), gated through the SAME
+    * flatMapGroupsWithState function that runs under readStream
+    * (EventStreamsSpec proves streamed == batch with cross-micro-batch
+    * cell merges + eviction). Exact per-(window, type) counts ride along
+    * (0 where the type never fired) so the sketch's one-sided error is
+    * visible in the gated result; the oracle replays hash, cells and
+    * estimates per window in DuckDB.
+    */
+  def q90WindowedCms(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val est = graft.streaming.EventStreams
+      .windowedCmsFrequencies(ev, "1 hour", FunnelEventTypes).toDF()
+      .select(col("window_start").cast("timestamp_ntz").as("window_start"),
+        col("probe"), col("cms_est"))
+    val exact = ev
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_exact"))
+      .select(col("window.start").as("window_start"),
+        col("event_type").as("probe"), col("n_exact"))
+    est.join(exact, Seq("window_start", "probe"), "left")
+      .select(col("window_start"), col("probe"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"), col("cms_est"))
+      .orderBy("window_start", "probe")
+  }
+
   /** Date-part functions battery (SURVEY §2.9 F3-F5). */
   def q21DateFunctions(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)

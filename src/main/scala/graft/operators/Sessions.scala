@@ -58,63 +58,71 @@ object Sessions {
   /** Ordered-funnel analysis — the product-analytics sequence matcher
     * Spark has no MATCH_RECOGNIZE for: per key, the EARLIEST completion
     * time of each funnel step, where step i must occur STRICTLY after
-    * the matched step i−1 (greedy earliest-first matching over the
-    * time-sorted event list ≡ the chained-minimum definition
-    * t_i = min{ts of step-i events with ts > t_{i−1}}, which is what
-    * the oracle restates). A key with no step-0 event yields no row;
-    * later unreached steps report null — conversion/drop-off analysis
-    * reads straight off the null pattern.
+    * the matched step i−1 (greedy earliest-first matching ≡ the
+    * chained-minimum definition t_i = min{ts of step-i events with
+    * ts > t_{i−1}}, computed literally). A key with no step-0 event
+    * yields no row; later unreached steps report null — conversion/
+    * drop-off analysis reads straight off the null pattern.
     *
-    * Shape: filter to funnel event types (scan-pruned), ONE shuffle
-    * grouping each key's step events into a sorted array, then a single
-    * codegen'd `aggregate` fold computes all step times in one pass —
-    * no per-step join chain (m−1 extra shuffles), no window re-sort.
-    * Per-key state is the m-slot accumulator; the collected array is
-    * bounded by the key's own funnel-event count (the sessionization
-    * family's per-key-bounded contract).
+    * Shape: the chained-min as m min-aggregations stitched by left
+    * joins — t_0 = per-key min over step-0 events; each later step
+    * joins its own events onto the survivor row and takes
+    * min(ts WHERE ts > t_{i−1}). Each step branch scans the source with
+    * its own pushed EqualTo(type, step) filter — per-step parquet
+    * dictionary/row-group skipping, the tightest prune available — and
+    * its exchange carries only that step's (key, ts) pairs, so the m
+    * branches together shuffle the same volume one combined funnel
+    * shuffle would. The survivor side (one row per key) is replicated
+    * ×`saltBuckets` and hash-joined build-side, so the big event side
+    * streams through each join without sorting.
+    *
+    * Hot-key posture: per-key state is O(1) everywhere (running
+    * minimum), NEVER a collected array — a collect_list fold would
+    * materialize a bot key's 10⁷ events in one aggregation buffer, the
+    * single-row-OOM hazard this formulation exists to avoid. The
+    * WALL-CLOCK half of the hazard (all of a hot key's events grinding
+    * through one partition) is killed by the salt: a retry-stable
+    * ts-hash ([[SkewJoin]]'s determinism contract) spreads the key over
+    * `saltBuckets` partitions, and every aggregation's partial pass
+    * pre-reduces each (key, salt) slice to one row before the final
+    * per-key min. Exact same result, straggler ratio collapses to
+    * scheduler jitter.
     *
     * Output: (key, t_<step0>, t_<step1>, …), timestamps in the input's
     * own type (NTZ or LTZ — no cast seam).
     */
   def funnelTimes(events: DataFrame, steps: Seq[String], key: String,
-      ts: String, typeCol: String): DataFrame = {
+      ts: String, typeCol: String, saltBuckets: Int = 8): DataFrame = {
     require(steps.nonEmpty && steps.distinct == steps,
       s"steps must be non-empty and distinct, got $steps")
-    val m = steps.length
-    val tsType = events.schema(ts).dataType
-    val stepIdx = steps.zipWithIndex
-      .foldLeft(lit(null).cast("int")) { case (acc, (s, i)) =>
-        when(col(typeCol) === s, lit(i)).otherwise(acc) }
-    val init = array(steps.map(_ => lit(null).cast(tsType)): _*)
-    val folded = aggregate(
-      sort_array(collect_list(struct(col(ts).as("t"),
-        col("graft_step").as("s")))),
-      init,
-      (acc, x) => {
-        // first unfilled slot; fill it iff this event is that step and
-        // strictly after the previous step's matched time. The i = 0
-        // branch guards via when(), not `||`: SQL OR is not
-        // short-circuit and element_at(acc, 0) throws under ANSI.
-        val filled = size(filter(acc, a => a.isNotNull))
-        transform(sequence(lit(0), lit(m - 1)), i => {
-          val afterPrev = when(i === 0, lit(true))
-            .otherwise(x("t") > element_at(acc, greatest(i, lit(1))))
-          when(i === filled && x("s") === i && afterPrev, x("t"))
-            .otherwise(element_at(acc, i + 1))
-        })
-      })
-    events
-      // filter on the RAW type column, not isNotNull over the CASE
-      // mapping: the literal isin pushes into the parquet scan
-      // (PushedFilters: In(event_type, …)), the derived-column null test
-      // would not — at fleet scale the funnel types are a fraction of
-      // the event stream and the difference is the whole scan
-      .filter(col(typeCol).isin(steps: _*))
-      .withColumn("graft_step", stepIdx)
+    require(saltBuckets > 0, s"saltBuckets must be positive, got $saltBuckets")
+    // literal equality per step: pushes into the parquet scan
+    // (PushedFilters: EqualTo(event_type, …)) — at fleet scale the
+    // funnel types are a fraction of the event stream and the
+    // difference is the whole scan
+    def stepEvents(s: String): DataFrame = events
+      .filter(col(typeCol) === s)
+      .select(col(key), col(ts).as("graft_ts"),
+        pmod(xxhash64(col(key), col(ts)), lit(saltBuckets))
+          .cast("int").as("graft_salt"))
+    val head = stepEvents(steps.head)
       .groupBy(col(key))
-      .agg(folded.as("graft_f"))
-      .select(col(key) +: steps.zipWithIndex.map { case (s, i) =>
-        element_at(col("graft_f"), i + 1).as(s"t_$s") }: _*)
-      .filter(col(s"t_${steps.head}").isNotNull)
+      .agg(min(col("graft_ts")).as(s"t_${steps.head}"))
+    steps.zip(steps.tail).foldLeft(head) { case (acc, (prev, s)) =>
+      val prevT = s"t_$prev"
+      val accCols = acc.columns.map(col).toSeq
+      val accS = acc.withColumn("graft_salt",
+        explode(sequence(lit(0), lit(saltBuckets - 1))))
+      // no join-strategy hint: AQE broadcasts a small step slice (one
+      // funnel step is often rare — signup ≪ view) and falls back to a
+      // salted shuffle join when it isn't; both sides' key carries the
+      // salt, so even the sort-merge path has no hot partition
+      accS.join(stepEvents(s), Seq(key, "graft_salt"), "left")
+        .groupBy(accCols: _*)
+        // ts > null is null → when() never fires → min over nothing is
+        // null: an unreached step i−1 propagates null to every later step
+        .agg(min(when(col("graft_ts") > col(prevT), col("graft_ts")))
+          .as(s"t_$s"))
+    }
   }
 }

@@ -321,6 +321,21 @@ object TextQueries {
       .select("doc_id", "source")
       .orderBy("doc_id")
 
+  /** q91: weighted (probability-proportional-to-size) deterministic
+    * sample ([[graft.textops.Sampling.weightedSample]]) — importance
+    * downsampling by document length (`n_chars` as the weight, the
+    * quality-score stand-in), targeting 30% of the corpus. The oracle
+    * restates the exact-integer keep rule (HUGEINT multiplications over
+    * the q52 xxhash64 bucket), so the gate pins the kept SET bit for
+    * bit, not a sample-size statistic.
+    */
+  def q91WeightedSample(spark: SparkSession, sfDir: String): DataFrame =
+    Sampling.weightedSample(
+        Tables.documents(spark, sfDir).select("doc_id", "n_chars"),
+        col("n_chars"), "doc_id", targetPerMille = 300)
+      .select("doc_id", "n_chars")
+      .orderBy("doc_id")
+
   /** q81: exact n-gram decontamination
     * ([[graft.textops.Overlap.exactNgramContamination]], canonical n=13)
     * — even doc_ids as the training corpus, odd as the benchmark (the

@@ -193,6 +193,119 @@ object EventStreams {
       }
   }
 
+  // ----------------------------------------------------- streaming CMS
+
+  case class CmsWindowIn(win: HllWindowKey, h: Long,
+      graft_evt: java.sql.Timestamp)
+  case class CmsWindowState(cells: Array[Long], nUpdates: Long)
+  case class CmsWindowRow(window_start: java.sql.Timestamp, n_updates: Long,
+      probe: String, cms_est: Long)
+
+  /** Tumbling-window count-min frequencies — the streaming twin of the
+    * batch CMS ([[graft.operators.Sketches.cmsHeavyHitters]], q74), and
+    * the HLL/CMS matrix's missing cell: per window the d×2^logW counter
+    * table lives in `flatMapGroupsWithState` state (d·2^logW longs,
+    * REGARDLESS of stream cardinality), each micro-batch adds its
+    * occurrences into the cells, and every update emits the refreshed
+    * frequency estimate for each of the caller's `probes`.
+    *
+    * The probe list is FIXED up front (the fleet-telemetry shape: the
+    * known metric names / event taxonomy), which is what keeps the
+    * operator batch-reproducible: cell sums are order-insensitive
+    * commutative merges, so streamed registers equal the batch run bit
+    * for bit — whereas the classic CMS+heap "discover the heavy hitters
+    * while streaming" variant admits arrival-order-dependent heap
+    * contents, which no batch oracle could pin. Estimates carry the CMS
+    * one-sided guarantee: cms_est ≥ true count, over by ≤ εN at ε=e/w.
+    *
+    * Hash contract: the SAME splitmix64-finalized Karp–Rabin token hash
+    * as the batch sketch ([[graft.functions.TextExprs.KrHash64]],
+    * computed as a Column before the typed boundary; probes pre-hashed
+    * driver-side via the shared [[graft.functions.TextExprs
+    * .krHash64Value]]) and the same Kirsch–Mitzenmacher cells
+    * (lo + i·(hi|1) mod w — non-negative 36-bit arithmetic, so JVM `%`
+    * equals Spark's pmod equals the DuckDB oracle). Everything the q90
+    * gate replays per window in DuckDB.
+    *
+    * State/eviction contract as [[windowedHllDistinct]]: the operator
+    * watermarks its own event-time projection, event-time timeouts evict
+    * a window's cells `stateTtlMs` past its end, and in batch the same
+    * function sees everything at once (one emission per window).
+    */
+  def windowedCmsFrequencies(events: DataFrame, windowLen: String,
+      probes: Seq[String], valueCol: String = "event_type",
+      d: Int = 4, logW: Int = 10, stateTtlMs: Long = 3600000L,
+      watermarkDelay: String = "10 minutes"): Dataset[CmsWindowRow] = {
+    import events.sparkSession.implicits._
+    require(d >= 1 && d <= 8, s"d out of range: $d")
+    require(logW >= 4 && logW <= 24, s"logW out of range: $logW")
+    require(probes.nonEmpty && probes.distinct == probes,
+      s"probes must be non-empty and distinct, got $probes")
+    val w = 1L << logW
+    val wi = w.toInt
+    val ttlMs = stateTtlMs
+    val streaming = events.isStreaming
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+
+    def cellOf(h: Long, i: Int): Int = {
+      val lo = h & 0xffffffffL
+      val hi = (h >>> 32) | 1L
+      ((lo + i.toLong * hi) % w).toInt
+    }
+    // probe cells precomputed once on the driver — closed over by the
+    // state function, serialized with the task
+    val probeCells: Array[(String, Array[Int])] = probes.toArray.map { p =>
+      val h = graft.functions.TextExprs.krHash64Value(p)
+      p -> Array.tabulate(d)(i => cellOf(h, i))
+    }
+
+    events
+      .withColumn("graft_ts", col("ts").cast("timestamp"))
+      .select(window(col("graft_ts"), windowLen).as("win"),
+        graft.functions.TextExprs.krHash64(col(valueCol)).as("h"),
+        col("graft_ts").as("graft_evt"))
+      .transform(df =>
+        if (streaming) df.withWatermark("graft_evt", watermarkDelay) else df)
+      .as[CmsWindowIn]
+      .groupByKey(_.win)
+      .flatMapGroupsWithState[CmsWindowState, CmsWindowRow](
+        OutputMode.Update(), timeoutConf) {
+        (key: HllWindowKey, batch: Iterator[CmsWindowIn],
+            state: GroupState[CmsWindowState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption
+              .getOrElse(CmsWindowState(new Array[Long](d * wi), 0L))
+            val cells = prev.cells
+            batch.foreach { row =>
+              var i = 0
+              while (i < d) {
+                cells(i * wi + cellOf(row.h, i)) += 1L
+                i += 1
+              }
+            }
+            val st = CmsWindowState(cells, prev.nUpdates + 1)
+            state.update(st)
+            if (streaming)
+              state.setTimeoutTimestamp(key.end.getTime + ttlMs)
+            probeCells.iterator.map { case (p, pc) =>
+              var est = Long.MaxValue
+              var i = 0
+              while (i < d) {
+                val c = cells(i * wi + pc(i))
+                if (c < est) est = c
+                i += 1
+              }
+              CmsWindowRow(key.start, st.nUpdates, p, est)
+            }
+          }
+      }
+  }
+
   // ------------------------------------------------------- streaming as-of
 
   case class AsofIn(key: Long, tsUs: Long, side: Int, fact_id: Long,

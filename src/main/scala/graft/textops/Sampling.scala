@@ -71,6 +71,54 @@ object Sampling {
       .drop("graft_n", "graft_min")
   }
 
+  /** Weighted (probability-proportional-to-size) deterministic sample —
+    * the importance-downsampling step of LLM data curation: keep each row
+    * with probability proportional to its weight (quality score, token
+    * count …), targeting `targetPerMille`/1000 of the corpus overall.
+    * Row i with integer weight w_i keeps iff
+    *
+    *   bucket(id) · 1000 · Σw  <  w_i · targetPerMille · N · granularity
+    *
+    * ⇔ bucket/granularity < (targetPerMille/1000) · w_i/w̄ in exact
+    * rational arithmetic — the [[rebalanceToUniform]] integer-threshold
+    * construction with per-ROW rates. Rows whose scaled weight clips the
+    * probability at 1 are kept in full (the expected sample then lands
+    * slightly under the target — the standard PPS clipping behavior).
+    *
+    * Exactness contract: the comparison runs in DECIMAL(38,0) (Spark) /
+    * HUGEINT (the oracle) — MULTIPLICATION only, no division, no pow —
+    * so the kept SET is bit-reproducible across runs, cluster sizes and
+    * engines. This is why the operator is Poisson/Bernoulli PPS rather
+    * than the exact-k Efraimidis–Spirakis scheme (key u^{1/w}): the ES
+    * key needs pow/ln, whose last-ulp behavior differs across libms — no
+    * hash gate could pin it. Weight preference, determinism and
+    * monotonicity (raising `targetPerMille` yields a SUPERSET; raising
+    * only your own weight never drops you) all survive the restatement.
+    *
+    * Scale shape: one partial-agg pass for (Σw, N) broadcast back as a
+    * one-row scalar, then a pure filter — the corpus never shuffles.
+    * Weights must be non-negative integers (w = 0 ⇒ never kept); rates
+    * are exact multiples of 1/granularity per unit weight.
+    */
+  def weightedSample(df: DataFrame, weightCol: Column, idCol: String,
+      targetPerMille: Int, granularity: Int = 10000): DataFrame = {
+    require(targetPerMille >= 0 && targetPerMille <= 1000,
+      s"targetPerMille out of [0,1000]: $targetPerMille")
+    require(granularity >= 1, s"granularity must be >= 1, got $granularity")
+    val dec = "decimal(38,0)"
+    val stats = df.agg(
+      sum(weightCol.cast("long")).as("graft_sw"),
+      count(lit(1)).as("graft_n"))
+    df.crossJoin(broadcast(stats))
+      .filter(
+        bucketOf(col(idCol), granularity).cast(dec) * lit(1000L).cast(dec) *
+          col("graft_sw").cast(dec) <
+        weightCol.cast("long").cast(dec) *
+          lit(targetPerMille.toLong).cast(dec) *
+          col("graft_n").cast(dec) * lit(granularity.toLong).cast(dec))
+      .drop("graft_sw", "graft_n")
+  }
+
   /** Deterministic corpus shuffle + batch assignment — the global order
     * randomization a training run needs (an epoch must not replay the
     * corpus in source/crawl order, and re-runs must see the SAME order).

@@ -251,11 +251,14 @@ object Similarity {
       .select(col(idCol), ivfQuantized(col(vecCol)).as("qv"))
       .cache()
     try {
-      import org.apache.spark.sql.Row
-      val Row(maxAbs: Double, dims: Int) = train
+      val statsRow = train
         .agg(max(array_max(transform(col("qv"), x => abs(x)))),
           max(size(col("qv"))))
         .head()
+      require(!statsRow.isNullAt(0) && !statsRow.isNullAt(1),
+        s"empty PQ training sample: no rows survive trainMod=$trainMod " +
+          "(empty corpus or over-aggressive subsampling)")
+      val (maxAbs, dims) = (statsRow.getDouble(0), statsRow.getInt(1))
       require(maxAbs <= (1L << 20).toDouble,
         f"PQ quantized components reach |$maxAbs%.0f| > 2^20 — inputs " +
           "must be roughly unit-scale (the IVF grid exactness contract)")
@@ -292,10 +295,13 @@ object Similarity {
   }
 
   /** Full-corpus PQ code assignment + reconstruction distortion: per
-    * vector the m-tuple of nearest codewords (`pq_code`) and the exact
-    * integer squared reconstruction error Σ_s ‖sv_s − c_code(s)‖² on the
-    * grid (`recon_sq`) — publishing the distortion makes the gate pin the
-    * codebook VALUES, not only which codeword won. Pure projection over
+    * vector the m nearest-codeword indices as SCALAR columns
+    * `code_0..code_{m-1}` and the exact integer squared reconstruction
+    * error Σ_s ‖sv_s − c_code(s)‖² on the grid (`recon_sq`) — publishing
+    * the distortion makes the gate pin the codebook VALUES, not only
+    * which codeword won. Scalar columns (not one array) keep the result
+    * sortable/hashable by any downstream tooling — an array-typed gate
+    * column defeats generic result canonicalizers. Pure projection over
     * m·k inlined codeword columns: no shuffle, embarrassingly parallel.
     */
   def pqAssign(corpus: DataFrame, books: Array[Array[Array[Double]]],
@@ -307,13 +313,14 @@ object Similarity {
       slice(col("graft_qv"), s * sub + 1, sub))
     val scoreArrs = (0 until m).map(s =>
       array(l2Scores(subCols(s), books(s)): _*))
-    val codes = scoreArrs.map(sc =>
-      (array_position(sc, array_max(sc)) - 1).cast("int"))
+    val codes = scoreArrs.zipWithIndex.map { case (sc, s) =>
+      (array_position(sc, array_max(sc)) - 1).cast("int").as(s"code_$s")
+    }
     val recon = (0 until m).map(s =>
       dot(subCols(s), subCols(s)) - array_max(scoreArrs(s)))
       .reduce(_ + _)
-    withQ.select(col(idCol), array(codes: _*).as("pq_code"),
-      recon.cast("long").as("recon_sq"))
+    withQ.select(col(idCol) +: codes :+
+      recon.cast("long").as("recon_sq"): _*)
   }
 
   /** Argmax over literal score columns; first index wins ties (the

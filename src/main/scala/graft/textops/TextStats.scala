@@ -265,10 +265,16 @@ object TextStats {
     * `ln` libms differ in the last ulp.
     *
     * Shape: explode → (id, term) partial-agg [tf], term-keyed partial-agg
-    * [df], a BROADCAST of the (small) per-term df table back onto tf, the
-    * corpus count as a broadcast scalar (in-plan, never a driver action),
-    * and one window top-k per doc. The only wide exchanges carry (id,
-    * term) pairs — never document text.
+    * [df], a join of the per-term df table back onto tf, the corpus count
+    * as a broadcast scalar (in-plan, never a driver action), and one
+    * window top-k per doc. The df join carries NO broadcast hint: the df
+    * table is O(vocabulary), which at web-corpus scale is 10⁸–10⁹ terms —
+    * a forced broadcast is a guaranteed executor OOM there. Catalyst
+    * broadcasts it when it measures small (AQE, test scale) and falls
+    * back to a shuffle join on `term` otherwise — tf is already keyed by
+    * (id, term), so the term-keyed exchange is the natural co-location.
+    * The only wide exchanges carry (id, term) pairs — never document
+    * text.
     */
   def tfidfTopTerms(df: org.apache.spark.sql.DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
@@ -281,7 +287,7 @@ object TextStats {
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = df.agg(count_distinct(col(idCol)).as("graft_n"))
     val scored = tf
-      .join(broadcast(dfT), "term")
+      .join(dfT, "term")
       .crossJoin(broadcast(n))
       .withColumn("score",
         round(col("tf") * log(col("graft_n").cast("double") / col("df")), 4))

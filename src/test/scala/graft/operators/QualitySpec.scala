@@ -49,4 +49,33 @@ class QualitySpec extends SparkSpec {
       Seq("not_null_name", "unique_id"))
     assert(rows.forall(_.getBoolean(3)))
   }
+
+  test("audit over an EMPTY table reports 0 violations / 0 rows / pass " +
+      "for every check class — never null counters") {
+    val df = Seq((1L, Option("a"), "X")).toDF("id", "name", "cat")
+      .filter(lit(false))
+    val ref = Seq(1L).toDF("rid")
+    val rows = Quality.audit(df, Seq(
+        Quality.NotNull("name"),
+        Quality.AcceptedValues("cat", Seq("X")),
+        Quality.Unique(Seq("id")),
+        Quality.RefIntegrity("id", ref, "rid")))
+      .collect()
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      assert(!r.isNullAt(1) && r.getLong(1) === 0L, r.toString)
+      assert(r.getLong(2) === 0L, r.toString)
+      assert(r.getBoolean(3), r.toString)
+    }
+  }
+
+  test("audit rejects duplicate check names up front — two InRange on " +
+      "one column would collide in the fused aggregate") {
+    val df = Seq((1L, 5.0)).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Quality.audit(df, Seq(
+        Quality.InRange("v", 0, 10), Quality.InRange("v", 5, 20)))
+    }
+    assert(e.getMessage.contains("range_v"))
+  }
 }

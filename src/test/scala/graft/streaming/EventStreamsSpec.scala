@@ -153,6 +153,93 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed CMS: streamed cells merged across micro-batches equal " +
+      "the batch run, estimates dominate exact counts, and a probe " +
+      "absent from a window reads its (collision-only) cells") {
+    implicit val sqlCtx = spark.sqlContext
+    val probes = Seq("click", "view", "purchase")
+    // window A: 7 clicks + 3 views split across two batches (2 clicks
+    // replayed as genuine repeat OCCURRENCES — CMS counts occurrences,
+    // so the streamed cells must sum to 7+3, not dedup); window B: views
+    // only, so the 'click'/'purchase' probes exercise the empty-cell path
+    val winA = (1 to 7).map(i =>
+      (i.toLong, ts("2024-01-01 10:05:00"), i.toLong, "click", 1.0)) ++
+      (1 to 3).map(i =>
+        (100L + i, ts("2024-01-01 10:40:00"), i.toLong, "view", 1.0))
+    val winB = (1 to 4).map(i =>
+      (200L + i, ts("2024-01-01 11:30:00"), i.toLong, "view", 1.0))
+    val all = winA ++ winB
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = windowedCmsFrequencies(
+        stream.toDF().toDF(
+          "event_id", "ts", "user_id", "event_type", "value"),
+        "1 hour", probes)
+      .writeStream.format("memory").queryName("wcms_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      stream.addData(winA.take(5))
+      q.processAllAvailable()
+      stream.addData(winA.drop(5) ++ winB)
+      q.processAllAvailable()
+      val latest = spark.table("wcms_out").collect()
+        .groupBy(r => (r.getAs[Timestamp]("window_start"),
+          r.getAs[String]("probe")))
+        .map { case (k, rs) =>
+          k -> rs.maxBy(_.getAs[Long]("n_updates")).getAs[Long]("cms_est") }
+      val batch = windowedCmsFrequencies(eventsDf(all), "1 hour", probes)
+        .toDF().collect()
+        .map(r => (r.getAs[Timestamp]("window_start"),
+          r.getAs[String]("probe")) -> r.getAs[Long]("cms_est")).toMap
+      assert(latest === batch)
+      // one-sided error: estimate ≥ exact occurrence count, and with 2
+      // values in 4×1024 cells the toy corpus collides nowhere
+      assert(batch((ts("2024-01-01 10:00:00"), "click")) === 7L)
+      assert(batch((ts("2024-01-01 10:00:00"), "view")) === 3L)
+      assert(batch((ts("2024-01-01 10:00:00"), "purchase")) === 0L)
+      assert(batch((ts("2024-01-01 11:00:00"), "view")) === 4L)
+      assert(batch((ts("2024-01-01 11:00:00"), "click")) === 0L)
+    } finally q.stop()
+  }
+
+  test("windowed CMS: event-time timeout evicts a window's cells once " +
+      "the watermark passes end + ttl") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = windowedCmsFrequencies(
+        stream.toDF().toDF(
+          "event_id", "ts", "user_id", "event_type", "value"),
+        "1 hour", Seq("click"), stateTtlMs = 1000L)
+      .writeStream.format("memory").queryName("wcms_evict_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def stateRows: Long =
+        q.recentProgress.last.stateOperators(0).numRowsTotal
+      stream.addData((1 to 5).map(u =>
+        (u.toLong, ts("2024-01-01 10:05:00"), u.toLong, "click", 1.0)))
+      q.processAllAvailable()
+      assert(stateRows === 1L) // window A's cells
+      // 12:30 advances the watermark past A.end + ttl in the follow-up
+      // no-data micro-batch → A's cells evict, C's remain
+      stream.addData(Seq(
+        (100L, ts("2024-01-01 12:30:00"), 100L, "view", 1.0)))
+      q.processAllAvailable()
+      val totals = q.recentProgress.toSeq
+        .filter(_.stateOperators.nonEmpty)
+        .map(_.stateOperators(0).numRowsTotal)
+      assert(totals.contains(2L), s"A+C never coexisted: $totals")
+      assert(stateRows === 1L,
+        s"window A's cells survived the timeout: $totals")
+      // the evicted window emitted nothing on timeout; its last
+      // refinement stands (5 clicks)
+      val aRows = spark.table("wcms_evict_out").collect()
+        .filter(_.getAs[Timestamp]("window_start") ===
+          ts("2024-01-01 10:00:00"))
+      assert(aRows.map(r => (r.getAs[Long]("n_updates"),
+        r.getAs[String]("probe"), r.getAs[Long]("cms_est"))).toSeq ===
+        Seq((1L, "click", 5L)))
+    } finally q.stop()
+  }
+
   test("streaming as-of join: watermark-gated emission lets out-of-order " +
       "context win; streamed equals the batch operator; null when no " +
       "context precedes") {

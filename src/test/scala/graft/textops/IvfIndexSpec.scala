@@ -92,7 +92,8 @@ class IvfIndexSpec extends SparkSpec {
     val out = Similarity.pqAssign(emb, books)
       .collect()
       .map(r => (r.getAs[Long]("vec_id"),
-        r.getSeq[Int](1).toList, r.getAs[Long]("recon_sq"))).toSeq
+        (0 until m).map(s => r.getAs[Int](s"code_$s")).toList,
+        r.getAs[Long]("recon_sq"))).toSeq
     val vecs = emb.collect()
       .map(r => r.getAs[Long]("vec_id") ->
         r.getAs[Seq[Double]]("embedding").toArray).toMap

@@ -143,6 +143,55 @@ class OverlapSamplingSpec extends SparkSpec {
       plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("weightedSample: kept set deterministic, monotone in the target " +
+      "AND in the row's own weight, proportional to weight, zero-weight " +
+      "rows never kept, corpus side unshuffled") {
+    // weights 1 vs 9, 1000 rows each → p(heavy) = 9·p(light)
+    val docs = (0L until 2000L).map(i =>
+      (i, if (i % 2 == 0) 1L else 9L)).toDF("doc_id", "w")
+    def keep(tPM: Int): Set[Long] = Sampling.weightedSample(
+        docs, col("w"), "doc_id", tPM)
+      .select("doc_id").as[Long].collect().toSet
+    val k300 = keep(300)
+    assert(keep(300) === k300, "same target => identical set (no RNG)")
+    assert(k300.subsetOf(keep(500)),
+      "raising the target must grow the kept set monotonically")
+    // w̄=5: p(light)=0.3/5=0.06, p(heavy)=0.3·9/5=0.54 over 1000 each
+    val light = k300.count(_ % 2 == 0)
+    val heavy = k300.count(_ % 2 == 1)
+    assert(light > 30 && light < 95, s"light kept $light of 1000")
+    assert(heavy > 470 && heavy < 610, s"heavy kept $heavy of 1000")
+    // raising your own weight never drops you: light rows go w=1→3
+    // (Σw grows 10000→12000, but each light row's threshold still
+    // rises 600→1500 buckets), so every light keep must survive
+    val docs3 = (0L until 2000L).map(i =>
+      (i, if (i % 2 == 0) 3L else 9L)).toDF("doc_id", "w")
+    val k3 = Sampling.weightedSample(docs3, col("w"), "doc_id", 300)
+      .select("doc_id").as[Long].collect().toSet
+    assert(k300.filter(_ % 2 == 0).subsetOf(k3),
+      "a light row kept at w=1 was dropped after its weight rose to 3")
+    // exact kept-set cross-check against the independent per-row rule
+    val expected = docs
+      .withColumn("b", pmod(xxhash64(col("doc_id")), lit(10000L)))
+      .as[(Long, Long, Long)].collect()
+      .filter { case (_, w, b) =>
+        BigInt(b) * 1000 * 10000 < BigInt(w) * 300 * 2000 * 10000
+      }.map(_._1).toSet
+    assert(k300 === expected)
+    // zero weight => never kept, even at target 1000
+    val withZero = (0L until 100L).map(i =>
+      (i, if (i < 50) 0L else 7L)).toDF("doc_id", "w")
+    val keptZ = Sampling.weightedSample(withZero, col("w"), "doc_id", 1000)
+      .select("doc_id").as[Long].collect()
+    assert(keptZ.forall(_ >= 50L))
+    // scale shape: corpus reaches the filter without an Exchange — only
+    // the one-row stats agg shuffles, then broadcasts back
+    val plan = Sampling.weightedSample(docs, col("w"), "doc_id", 300)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("deterministicShuffle: reproducible, seed-sensitive, batches " +
       "balanced, assignment plan shuffle-free") {
     val docs = (0L until 4096L).toDF("doc_id")
