@@ -110,6 +110,7 @@ object SparkEntry {
     "q89_funnel"           -> (Relational.q89Funnel _),
     "q90_windowed_cms"     -> (Relational.q90WindowedCms _),
     "q91_weighted_sample"  -> (TextQueries.q91WeightedSample _),
+    "q92_pattern_match"    -> (Relational.q92PatternMatch _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -639,6 +640,51 @@ object SparkEntry {
          FROM s0 LEFT JOIN s1 USING (user_id)
            LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
          ORDER BY s0.user_id""",
+    // Generalized pattern match: chained-minimum per pattern with
+    // look-through COALESCE anchors over optional steps; pattern A has an
+    // optional middle step, pattern B an optional head step (entry at the
+    // first REQUIRED step, head may be null)
+    "q92_pattern_match" ->
+      """WITH ua AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type = 'signup'
+              OR (event_type = 'view' AND value > 100)
+              OR (event_type = 'purchase' AND value > 50)),
+         a0 AS (SELECT user_id, MIN(ts) AS t0 FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+         b0 AS (SELECT ua.user_id, a0.t0 FROM ua LEFT JOIN a0 USING (user_id)),
+         a1 AS (SELECT b0.user_id, MIN(e.ts) AS t1 FROM b0
+           JOIN events e USING (user_id)
+           WHERE e.event_type = 'view' AND e.value > 100 AND e.ts > b0.t0
+           GROUP BY 1),
+         b1 AS (SELECT b0.user_id, b0.t0, a1.t1
+           FROM b0 LEFT JOIN a1 USING (user_id)),
+         a2 AS (SELECT b1.user_id, MIN(e.ts) AS t2 FROM b1
+           JOIN events e USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.value > 50
+             AND e.ts > COALESCE(b1.t1, b1.t0) GROUP BY 1),
+         ra AS (SELECT 'A' AS pattern, b1.user_id,
+             b1.t0 AS t_s0, b1.t1 AS t_s1, a2.t2 AS t_s2
+           FROM b1 LEFT JOIN a2 USING (user_id) WHERE b1.t0 IS NOT NULL),
+         ub AS (SELECT DISTINCT user_id FROM events
+           WHERE (event_type = 'click' AND value > 200)
+              OR event_type = 'error' OR event_type = 'purchase'),
+         c0 AS (SELECT user_id, MIN(ts) AS t0 FROM events
+           WHERE event_type = 'click' AND value > 200 GROUP BY 1),
+         d0 AS (SELECT ub.user_id, c0.t0 FROM ub LEFT JOIN c0 USING (user_id)),
+         c1 AS (SELECT d0.user_id, MIN(e.ts) AS t1 FROM d0
+           JOIN events e USING (user_id)
+           WHERE e.event_type = 'error'
+             AND (d0.t0 IS NULL OR e.ts > d0.t0) GROUP BY 1),
+         d1 AS (SELECT d0.user_id, d0.t0, c1.t1
+           FROM d0 LEFT JOIN c1 USING (user_id)),
+         c2 AS (SELECT d1.user_id, MIN(e.ts) AS t2 FROM d1
+           JOIN events e USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > d1.t1 GROUP BY 1),
+         rb AS (SELECT 'B' AS pattern, d1.user_id,
+             d1.t0 AS t_s0, d1.t1 AS t_s1, c2.t2 AS t_s2
+           FROM d1 LEFT JOIN c2 USING (user_id) WHERE d1.t1 IS NOT NULL)
+         SELECT * FROM ra UNION ALL SELECT * FROM rb
+         ORDER BY pattern, user_id""",
     // Data-quality audit: every check restated as plain SQL counting —
     // null-in counts as a violation for range/accepted (matching the
     // operator's coalesce-to-false rule).

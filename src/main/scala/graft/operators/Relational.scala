@@ -673,6 +673,44 @@ object Relational {
         key = "user_id", ts = "ts", typeCol = "event_type")
       .orderBy("user_id")
 
+  /** q92: generalized pattern matching ([[Sessions.matchPattern]]) —
+    * two three-step patterns over the event stream, exercising exactly
+    * what [[Sessions.funnelTimes]] cannot express: arbitrary per-step
+    * predicates (value thresholds, not just type equality) and OPTIONAL
+    * steps, in both positions that matter — an optional middle step
+    * (pattern A: signup → [view > 100]? → purchase > 50, the suffix
+    * anchors through the skip) and an optional HEAD step (pattern B:
+    * [click > 200]? → error → purchase, pattern entry at the first
+    * required step). Both patterns' step times union under generic
+    * column names; the oracle restates the chained-minimum with
+    * look-through-coalesce anchors per pattern as plain SQL.
+    */
+  def q92PatternMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    import Sessions.PatternStep
+    val ev = Tables.events(spark, sfDir)
+    def shaped(tag: String, names: Seq[String])(df: DataFrame): DataFrame =
+      df.select(lit(tag).as("pattern") +: col("user_id") +:
+        names.zipWithIndex.map { case (n, i) => col(s"t_$n").as(s"t_s$i") }: _*)
+    val a = shaped("A", Seq("signup", "bigview", "bigbuy"))(
+      Sessions.matchPattern(ev, Seq(
+          PatternStep("signup", col("event_type") === "signup"),
+          PatternStep("bigview",
+            col("event_type") === "view" && col("value") > 100,
+            optional = true),
+          PatternStep("bigbuy",
+            col("event_type") === "purchase" && col("value") > 50)),
+        key = "user_id", ts = "ts"))
+    val b = shaped("B", Seq("bigclick", "error", "buy"))(
+      Sessions.matchPattern(ev, Seq(
+          PatternStep("bigclick",
+            col("event_type") === "click" && col("value") > 200,
+            optional = true),
+          PatternStep("error", col("event_type") === "error"),
+          PatternStep("buy", col("event_type") === "purchase")),
+        key = "user_id", ts = "ts"))
+    a.unionAll(b).orderBy("pattern", "user_id")
+  }
+
   /** q71: HyperLogLog distinct-count profile ([[Sketches.hllDistinct]],
     * p=10) in BOTH estimator regimes on one board: per-event_type distinct
     * users (a few hundred → the linear-counting branch) and the global

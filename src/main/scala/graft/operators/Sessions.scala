@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -123,6 +123,89 @@ object Sessions {
         // null: an unreached step i−1 propagates null to every later step
         .agg(min(when(col("graft_ts") > col(prevT), col("graft_ts")))
           .as(s"t_$s"))
+    }
+  }
+
+  /** One step of a generalized event pattern: an arbitrary row predicate
+    * (any Boolean [[Column]] over the event's columns — not just
+    * type-equality) plus an `optional` flag. `name` labels the output
+    * column `t_<name>`.
+    */
+  final case class PatternStep(name: String, pred: Column,
+      optional: Boolean = false)
+
+  /** Generalized ordered-pattern matching — [[funnelTimes]] lifted from
+    * "a list of event-type literals" to arbitrary per-step predicates
+    * with optional steps (the useful core of SQL MATCH_RECOGNIZE's
+    * `A B? C` shapes, minus contiguity, which event funnels never want).
+    * Per key, the EARLIEST completion time of each step under greedy
+    * chained-minimum semantics:
+    *
+    *   t_i = min{ ts of events satisfying pred_i with ts > anchor_i }
+    *
+    * where anchor_i is the match time of the nearest preceding step that
+    * actually matched, looking back through optional steps to the nearest
+    * REQUIRED predecessor: `coalesce(t_{i−1}, …, t_req)`. A failed
+    * required step nulls its anchor and the null propagates to every
+    * later step (exactly [[funnelTimes]]'s drop-off contract); a skipped
+    * OPTIONAL step is transparent — the suffix anchors on whatever
+    * matched below it, and if nothing did (optional steps at the head of
+    * the pattern), the step matches unconditionally. Greedy means an
+    * optional step that CAN match does, and the suffix must follow it —
+    * the deterministic single-pass semantics; no backtracking to a later
+    * pattern row for an earlier suffix.
+    *
+    * A row is emitted per key whose FIRST REQUIRED step matched (pattern
+    * entry); optional steps before it may be null. With every step
+    * required this is exactly [[funnelTimes]] (spec-pinned). If ALL steps
+    * are optional, keys with at least one matched step are kept.
+    *
+    * Scale shape is [[funnelTimes]]'s: each step branch scans the source
+    * with its own pushed predicate filter, shuffles only (key, ts) pairs,
+    * and folds through salted left joins + per-key min aggregations —
+    * O(1) state per key everywhere, no collected arrays, hot keys spread
+    * over `saltBuckets` partitions. The only addition is the key-universe
+    * scan (disjunction of all step predicates, still pushed): with
+    * optional head steps a key can enter the pattern at a later step, so
+    * the spine can't start from step 0's keys alone.
+    */
+  def matchPattern(events: DataFrame, steps: Seq[PatternStep], key: String,
+      ts: String, saltBuckets: Int = 8): DataFrame = {
+    require(steps.nonEmpty && steps.map(_.name).distinct.size == steps.size,
+      s"steps must be non-empty with distinct names, got ${steps.map(_.name)}")
+    require(saltBuckets > 0, s"saltBuckets must be positive, got $saltBuckets")
+    def stepEvents(p: PatternStep): DataFrame = events
+      .filter(p.pred)
+      .select(col(key), col(ts).as("graft_ts"),
+        pmod(xxhash64(col(key), col(ts)), lit(saltBuckets))
+          .cast("int").as("graft_salt"))
+    val universe = events
+      .filter(steps.map(_.pred).reduce(_ || _))
+      .select(col(key)).distinct()
+    val folded = steps.zipWithIndex.foldLeft(universe) { case (acc, (s, i)) =>
+      val accCols = acc.columns.map(col).toSeq
+      // newest-first predecessors, cut after the nearest required one:
+      // optionals above it are look-through, anything below it is
+      // unreachable (its failure already nulls the required step)
+      val (opts, rest) = steps.take(i).reverse.span(_.optional)
+      val chain = opts ++ rest.headOption
+      val cond: Column =
+        if (chain.isEmpty) lit(true)
+        else {
+          val anchor = coalesce(chain.map(p => col(s"t_${p.name}")): _*)
+          if (rest.nonEmpty) col("graft_ts") > anchor
+          else anchor.isNull || col("graft_ts") > anchor
+        }
+      val accS = acc.withColumn("graft_salt",
+        explode(sequence(lit(0), lit(saltBuckets - 1))))
+      accS.join(stepEvents(s), Seq(key, "graft_salt"), "left")
+        .groupBy(accCols: _*)
+        .agg(min(when(cond, col("graft_ts"))).as(s"t_${s.name}"))
+    }
+    steps.find(!_.optional) match {
+      case Some(p) => folded.filter(col(s"t_${p.name}").isNotNull)
+      case None => folded.filter(
+        steps.map(p => col(s"t_${p.name}").isNotNull).reduce(_ || _))
     }
   }
 }

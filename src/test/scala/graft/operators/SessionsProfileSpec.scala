@@ -140,4 +140,98 @@ class SessionsProfileSpec extends SparkSpec {
         Some(ts("2024-01-01 10:05:00")), Some(ts("2024-01-01 10:06:00"))),
       (2L, Some(ts("2024-01-01 11:00:00")), None, None)))
   }
+
+  test("matchPattern with every step required reproduces funnelTimes " +
+      "exactly (the special case)") {
+    import java.sql.Timestamp
+    import Sessions.PatternStep
+    def ts(x: String) = Timestamp.valueOf(x)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "signup"),
+      (1L, ts("2024-01-01 09:59:00"), "click"),
+      (1L, ts("2024-01-01 10:05:00"), "view"),
+      (1L, ts("2024-01-01 10:06:00"), "click"),
+      (2L, ts("2024-01-01 11:00:00"), "signup"),
+      (3L, ts("2024-01-01 12:00:00"), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val steps = Seq("signup", "view", "click")
+    val viaFunnel = Sessions.funnelTimes(ev, steps,
+      key = "user_id", ts = "ts", typeCol = "event_type")
+    val viaPattern = Sessions.matchPattern(ev,
+      steps.map(s => PatternStep(s, col("event_type") === s)),
+      key = "user_id", ts = "ts")
+    assert(viaPattern.columns.toSeq === viaFunnel.columns.toSeq)
+    assert(viaPattern.exceptAll(viaFunnel).isEmpty &&
+      viaFunnel.exceptAll(viaPattern).isEmpty)
+  }
+
+  test("matchPattern: optional middle step — suffix anchors through the " +
+      "skip; a matched optional step anchors the suffix (greedy)") {
+    import java.sql.Timestamp
+    import Sessions.PatternStep
+    def ts(x: String) = Timestamp.valueOf(x)
+    val ev = Seq(
+      // user 1: no qualifying view (value too small) → bigview null,
+      // purchase anchors on signup
+      (1L, ts("2024-01-01 10:00:00"), "signup", 1.0),
+      (1L, ts("2024-01-01 10:01:00"), "view", 5.0),
+      (1L, ts("2024-01-01 10:02:00"), "purchase", 9.0),
+      // user 2: qualifying view AFTER the purchase — greedy matches the
+      // view, and no purchase follows it → purchase slot null
+      (2L, ts("2024-01-01 11:00:00"), "signup", 1.0),
+      (2L, ts("2024-01-01 11:02:00"), "purchase", 9.0),
+      (2L, ts("2024-01-01 11:03:00"), "view", 50.0),
+      // user 3: full chain in order
+      (3L, ts("2024-01-01 12:00:00"), "signup", 1.0),
+      (3L, ts("2024-01-01 12:01:00"), "view", 50.0),
+      (3L, ts("2024-01-01 12:02:00"), "purchase", 9.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val out = Sessions.matchPattern(ev, Seq(
+        PatternStep("signup", col("event_type") === "signup"),
+        PatternStep("bigview",
+          col("event_type") === "view" && col("value") > 10,
+          optional = true),
+        PatternStep("purchase", col("event_type") === "purchase")),
+      key = "user_id", ts = "ts")
+      .as[(Long, Option[Timestamp], Option[Timestamp], Option[Timestamp])]
+      .collect().toSeq.sortBy(_._1)
+    assert(out === Seq(
+      (1L, Some(ts("2024-01-01 10:00:00")), None,
+        Some(ts("2024-01-01 10:02:00"))),
+      (2L, Some(ts("2024-01-01 11:00:00")),
+        Some(ts("2024-01-01 11:03:00")), None),
+      (3L, Some(ts("2024-01-01 12:00:00")),
+        Some(ts("2024-01-01 12:01:00")),
+        Some(ts("2024-01-01 12:02:00")))))
+  }
+
+  test("matchPattern: optional head step — pattern entry at the first " +
+      "required step; a failed required step nulls everything above it") {
+    import java.sql.Timestamp
+    import Sessions.PatternStep
+    def ts(x: String) = Timestamp.valueOf(x)
+    val ev = Seq(
+      // user 1: no click at all — enters at the error step
+      (1L, ts("2024-01-01 10:00:00"), "error"),
+      (1L, ts("2024-01-01 10:01:00"), "purchase"),
+      // user 2: greedy — the click IS matched even though every error
+      // precedes it, so the required error step fails and the user gets
+      // NO row (no backtracking to the skip that would have matched)
+      (2L, ts("2024-01-01 11:00:00"), "error"),
+      (2L, ts("2024-01-01 11:01:00"), "click"),
+      (2L, ts("2024-01-01 11:02:00"), "purchase"),
+      // user 3: purchase only, no error → no row (first required missed)
+      (3L, ts("2024-01-01 12:00:00"), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val out = Sessions.matchPattern(ev, Seq(
+        PatternStep("click", col("event_type") === "click", optional = true),
+        PatternStep("error", col("event_type") === "error"),
+        PatternStep("purchase", col("event_type") === "purchase")),
+      key = "user_id", ts = "ts")
+      .as[(Long, Option[Timestamp], Option[Timestamp], Option[Timestamp])]
+      .collect().toSeq.sortBy(_._1)
+    assert(out === Seq(
+      (1L, None, Some(ts("2024-01-01 10:00:00")),
+        Some(ts("2024-01-01 10:01:00")))))
+  }
 }
