@@ -375,6 +375,26 @@ object TextExprs {
     @transient private lazy val rx = java.util.regex.Pattern.compile(
       patterns.map(p => "(" + p + ")").mkString("|"))
 
+    /** Group index of each class's wrapping group in the combined
+      * alternation: a pattern may contain its OWN capturing groups, which
+      * shift every later class's numbering — walking `cls + 1` directly
+      * would then mis-classify (or walk past the last group and throw).
+      * Offsets are computed from each pattern's compiled groupCount, so
+      * arbitrary patterns are safe, not just group-free ones.
+      */
+    @transient private lazy val classGroup: Array[Int] = {
+      val idx = new Array[Int](patterns.length)
+      var g = 1
+      var i = 0
+      while (i < patterns.length) {
+        idx(i) = g
+        g += 1 + java.util.regex.Pattern.compile(patterns(i))
+          .matcher("").groupCount()
+        i += 1
+      }
+      idx
+    }
+
     override def nullSafeEval(input: Any): Any = {
       val s = input.asInstanceOf[UTF8String].toString
       val m = rx.matcher(s)
@@ -383,7 +403,7 @@ object TextExprs {
       var last = 0
       while (m.find()) {
         var cls = 0
-        while (m.group(cls + 1) == null) cls += 1
+        while (m.group(classGroup(cls)) == null) cls += 1
         counts(cls) += 1
         sb.append(s, last, m.start()).append(placeholders(cls))
         last = m.end()

@@ -220,13 +220,16 @@ object TextQueries {
     * callers ([[Similarity.autoBandBits]], exercised by ScaleSmoke).
     */
   def q46LshNearDup(spark: SparkSession, sfDir: String): DataFrame =
-    // default (pre-verify) dedup placement — the fleet posture for real
-    // near-dup corpora; on this synthetic low-collision corpus the two
-    // placements measure within noise of each other (the cost is the
-    // candidate volume itself, which only r-vs-log(n) tuning changes)
+    // inline-verify shape (dedupCandidates = false): this synthetic
+    // corpus is the LOW-collision regime — near-threshold pairs collide
+    // in ~1 band, so pre-verify dedup buys almost nothing while its
+    // full-candidate-volume shuffle dominates the query (the bucket
+    // density here, ~125 ≈ 2·dims, is right at the shape's break-even
+    // byte math; measured 2.2 s → 1.8 s). Clustered fleet corpora keep
+    // the default id-only dedup-first posture.
     Similarity.cosineNearDupPairsLsh(
         asDouble(Tables.embeddings(spark, sfDir)), threshold = 0.38,
-        bitsPerBand = 4)
+        bitsPerBand = 4, dedupCandidates = false)
       .withColumn("cos_sim", round(col("cos_sim"), 4))
       .orderBy("id_a", "id_b")
 

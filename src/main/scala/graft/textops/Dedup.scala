@@ -135,6 +135,34 @@ object Dedup {
     observed.filter(col("_n").between(minSize, maxGroup)).drop("_n")
   }
 
+  /** The size-gate half of [[cappedGroups]] WITHOUT the member
+    * collection: (keyCols) rows for every group whose size is within
+    * [minSize, maxGroup], metrics-observed exactly like [[cappedGroups]]
+    * (`dropped_groups`/`max_group`/`n_groups`, WARN-logged when no
+    * `dropStats` is supplied). For operators that enforce the cap by
+    * semi-joining group keys instead of exploding a collected array —
+    * no aggregation buffer holds members at all, so the per-group state
+    * is one counter regardless of group size.
+    */
+  private[textops] def sizeGatedKeys(rows: DataFrame, keyCols: Seq[String],
+      maxGroup: Int, dropStats: Option[Observation],
+      minSize: Int): DataFrame = {
+    val grouped = rows.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+    val metrics = Seq(
+      sum(when(col("_n") > maxGroup, 1L).otherwise(0L))
+        .as("dropped_groups"),
+      max(col("_n")).as("max_group"),
+      count(lit(1)).as("n_groups"))
+    val observed = dropStats match {
+      case Some(o) => grouped.observe(o, metrics.head, metrics.tail: _*)
+      case None =>
+        DropWarnings.install(rows.sparkSession)
+        grouped.observe(DropWarnings.nextName(), metrics.head, metrics.tail: _*)
+    }
+    observed.filter(col("_n").between(minSize, maxGroup)).drop("_n")
+  }
+
   /** All pairs (a<b) whose word-n-gram Jaccard similarity ≥ `threshold`,
     * found via inverted posting lists and verified EXACTLY: group docs by
     * shared distinct shingle, emit within-group pairs, count shared

@@ -99,11 +99,18 @@ object Similarity {
   def hyperplaneSignature(vec: Column, planes: Int, dims: Int): Column = {
     require(planes >= 1 && planes <= 64,
       s"planes must be in [1,64] to pack into a long, got $planes")
-    (0 until planes).map { p =>
-      val h = lit(hyperplane(p, dims).toArray)
-      when(dot(vec, h) > 0, shiftleft(lit(1L), p)).otherwise(0L)
-    }.reduce(_ bitwiseOR _)
+    // one band of `planes` bits — the same single-pass native expression
+    // as [[banded]] ([[ArrayExprs.BandBuckets]]), bit-identical to the
+    // when(dot > 0) composition it replaces
+    element_at(ArrayExprs.bandBuckets(vec, 1, planes, dims,
+      planeMatrix(planes, dims)), 1)
   }
+
+  /** Flattened row-major [nPlanes × dims] hyperplane matrix for
+    * [[ArrayExprs.BandBuckets]].
+    */
+  private def planeMatrix(nPlanes: Int, dims: Int): IndexedSeq[Double] =
+    (0 until nPlanes).flatMap(p => hyperplane(p, dims))
 
   /** Bits-per-band for a corpus of `corpusCount` vectors: expected bucket
     * density is n/2^r, so r = ⌈log₂(n / targetBucketDensity)⌉ holds the
@@ -134,20 +141,21 @@ object Similarity {
     * bits [j·r, (j+1)·r)), which is what the driver's SQL oracle restates.
     */
   private[textops] def banded(df: DataFrame, idName: String, bands: Int,
-      bitsPerBand: Int, dims: Int, vecCol: String): DataFrame = {
+      bitsPerBand: Int, dims: Int, vecCol: String,
+      payload: Seq[String] = Nil): DataFrame = {
     require(bands >= 1, "bands must be >= 1")
     require(bitsPerBand >= 1 && bitsPerBand <= 63,
       s"bits per band must be in [1,63], got $bitsPerBand")
-    df.select(col(idName),
-        explode(array((0 until bands).map { j =>
-          val bucket = (0 until bitsPerBand).map { i =>
-            when(dot(col(vecCol),
-              lit(hyperplane(j * bitsPerBand + i, dims).toArray)) > 0,
-              lit(1L << i)).otherwise(0L)
-          }.reduce(_ bitwiseOR _)
-          struct(lit(j).as("band"), bucket.as("bucket"))
-        }: _*)).as("bb"))
-      .select(col(idName), col("bb.band"), col("bb.bucket"))
+    // `payload` columns ride along under each exploded band row — the
+    // inline-verify shape keeps the vector itself here, saving the id
+    // re-join the id-only shape pays at verification time. All buckets
+    // come from ONE [[ArrayExprs.BandBuckets]] pass (bit-identical to
+    // the 64-separate-dot composition; see its scaladoc), posexploded
+    // so the array index IS the band id.
+    df.select(col(idName) +: payload.map(col) :+
+        posexplode(ArrayExprs.bandBuckets(col(vecCol), bands, bitsPerBand,
+          dims, planeMatrix(bands * bitsPerBand, dims)))
+          .as(Seq("band", "bucket")): _*)
   }
 
   /** Integer quantization grid for the IVF coarse quantizer: component
@@ -643,17 +651,31 @@ object Similarity {
     * cap hits are never silent: callers that don't pass `dropStats` get a
     * WARN-logged [[DropWarnings]] observation instead.
     *
-    * `dedupCandidates` places the duplicate-elimination shuffle:
+    * `dedupCandidates` places the duplicate-elimination shuffle, and with
+    * it the whole physical shape:
     *   - `true` (default, the fleet posture for CLUSTERED corpora):
-    *     dedup the id-pair set BEFORE verification — near-identical
-    *     vectors collide in many/all bands, so dedup saves up to `bands`×
-    *     the verification dot products;
-    *   - `false` (low-collision regimes, e.g. near-threshold corpora where
-    *     pairs collide in ~1 band): verify every banded candidate and
-    *     dedup only the (tiny) surviving rows — skips the full-volume
-    *     id-pair shuffle for ~(dup-factor −1) extra dots. Identical
-    *     output either way (cos_sim is a deterministic function of the
-    *     pair, so duplicate rows are exact duplicates).
+    *     id-only banding, collect-capped buckets, dedup the id-pair set
+    *     BEFORE verification — near-identical vectors collide in many/all
+    *     bands, so dedup saves up to `bands`× the verification dot
+    *     products, and nothing wider than (id, band, bucket) ever
+    *     shuffles;
+    *   - `false` (low-collision regimes, e.g. near-threshold corpora
+    *     where pairs collide in ~1 band): INLINE-VERIFY self-join — the
+    *     vectors ride the (band, bucket) exchange, each bucket's pairs
+    *     are generated by a size-gated self-join, and the exact cosine +
+    *     threshold filter run in the SAME stage, so only surviving rows
+    *     (plus their ≤`bands`−1 duplicates) are ever materialized or
+    *     shuffled again. No candidate-pair shuffle, no vector re-join,
+    *     no collection buffers (the cap is enforced by semi-joining
+    *     size-gated keys, [[Dedup.sizeGatedKeys]] — per-group state is
+    *     one counter). Byte math per band per vector: this shape moves
+    *     dims·8+16 bytes where the `true` shape's candidate shuffle
+    *     moves ~density·8 — cheaper whenever bucket density ≳ 2·dims,
+    *     i.e. exactly the dense-bucket regimes where candidate volume
+    *     hurts (measured 2.2 s → 1.8 s on the q46 gate).
+    * Identical output either way (cos_sim is a deterministic function of
+    * the pair, so duplicate rows are exact duplicates; the size gate
+    * drops the same over-cap buckets the collect path drops).
     */
   def cosineNearDupPairsLsh(corpus: DataFrame, threshold: Double,
       bands: Int = 16, bitsPerBand: Int = 0,
@@ -667,21 +689,48 @@ object Similarity {
       if (bitsPerBand > 0) bitsPerBand
       else autoBandBits(corpusCount.getOrElse(corpus.count()),
         targetBucketDensity)
-    val chunks = banded(corpus.select(col(idCol).as("id"), col(vecCol)),
-      "id", bands, r, dims, vecCol)
-    val raw = Dedup.groupPairs(chunks, Seq("band", "bucket"), col("id"),
-        maxBucket, dropStats)
-      .select(col("a").as("id_a"), col("b").as("id_b"))
-    val pairs =
-      if (dedupCandidates) raw.dropDuplicates("id_a", "id_b") else raw
-    val verified = pairs
-      .join(corpus.select(col(idCol).as("id_a"), col(vecCol).as("va")), "id_a")
-      .join(corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb")), "id_b")
-      .withColumn("cos_sim", cosine(col("va"), col("vb")))
-      .filter(col("cos_sim") >= threshold)
-      .select("id_a", "id_b", "cos_sim")
-    if (dedupCandidates) verified
-    else verified.dropDuplicates("id_a", "id_b", "cos_sim")
+    if (dedupCandidates) {
+      val chunks = banded(corpus.select(col(idCol).as("id"), col(vecCol)),
+        "id", bands, r, dims, vecCol)
+      Dedup.groupPairs(chunks, Seq("band", "bucket"), col("id"),
+          maxBucket, dropStats)
+        .select(col("a").as("id_a"), col("b").as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+        .join(corpus.select(col(idCol).as("id_a"), col(vecCol).as("va")),
+          "id_a")
+        .join(corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb")),
+          "id_b")
+        .withColumn("cos_sim", cosine(col("va"), col("vb")))
+        .filter(col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    } else {
+      // inline-verify self-join (see the scaladoc's shape discussion):
+      // vectors ride the banding exchange once per band; pairs are born,
+      // cosine-verified and threshold-filtered inside one stage
+      val chunks = banded(
+        corpus.select(col(idCol).as("id"), col(vecCol).as("graft_v")),
+        "id", bands, r, dims, "graft_v", payload = Seq("graft_v"))
+      // size gate over the same banded frame (column pruning strips the
+      // vector payload before the count aggregate), no broadcast hint:
+      // its row count is O(bands · n / density) — tiny here,
+      // vocabulary-sized at fleet scale, and the join key (band, bucket)
+      // is the self-join's own key, so the shuffle-join fallback rides
+      // the existing exchange
+      val okKeys = Dedup.sizeGatedKeys(
+        chunks.select("id", "band", "bucket"),
+        Seq("band", "bucket"), maxBucket, dropStats, minSize = 2)
+      val gated = chunks.join(okKeys, Seq("band", "bucket"))
+      val a = gated.select(col("band"), col("bucket"),
+        col("id").as("id_a"), col("graft_v").as("va"))
+      val b = gated.select(col("band"), col("bucket"),
+        col("id").as("id_b"), col("graft_v").as("vb"))
+      a.join(b, Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cos_sim", cosine(col("va"), col("vb")))
+        .filter(col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+        .dropDuplicates("id_a", "id_b", "cos_sim")
+    }
   }
 
   /** Approximate top-k: corpus and queries bucketed by hyperplane

@@ -87,4 +87,47 @@ class ArrayExprsSpec extends SparkSpec {
     val rows = df.select(ArrayExprs.simhash64($"hs"), hof).collect()
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
+
+  test("bandBuckets equals the when(dot > 0) composition bit-for-bit, " +
+      "including the null-element / wrong-length all-zero cases") {
+    val bands = 4
+    val bits = 3
+    val dims = 5
+    val planes = (0 until bands * bits).flatMap { p =>
+      (0 until dims).map(d => ((p * 31 + d * 7) % 11 - 5).toDouble / 3.0)
+    }
+    val df = Seq(
+      Seq[java.lang.Double](1.0, -2.0, 0.5, 3.0, -0.25),
+      Seq[java.lang.Double](-1.0, -1.0, -1.0, -1.0, -1.0),
+      Seq[java.lang.Double](1.0, null, 1.0, 1.0, 1.0), // null elem → zeros
+      Seq[java.lang.Double](1.0, 2.0),                 // wrong len → zeros
+      null                                             // null input → null
+    ).toDF("v")
+    val composed = (0 until bands).map { j =>
+      (0 until bits).map { i =>
+        val h = lit(planes.slice((j * bits + i) * dims,
+          (j * bits + i + 1) * dims).toArray)
+        when(ArrayExprs.dot($"v", h) > 0, lit(1L << i)).otherwise(0L)
+      }.reduce(_ bitwiseOR _)
+    }
+    val rows = df.select(
+      ArrayExprs.bandBuckets($"v", bands, bits, dims, planes).as("native"),
+      array(composed: _*).as("composed"), $"v".isNull.as("vnull")).collect()
+    rows.foreach { r =>
+      if (r.getBoolean(2)) assert(r.isNullAt(0))
+      else assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString)
+    }
+    // float input widens per element exactly like DotProduct
+    val fdf = Seq(Seq(1.1f, -2.2f, 0.3f, 4.4f, -5.5f)).toDF("v")
+    val fRows = fdf.select(
+      ArrayExprs.bandBuckets($"v", bands, bits, dims, planes),
+      array((0 until bands).map { j =>
+        (0 until bits).map { i =>
+          val h = lit(planes.slice((j * bits + i) * dims,
+            (j * bits + i + 1) * dims).toArray)
+          when(ArrayExprs.dot($"v", h) > 0, lit(1L << i)).otherwise(0L)
+        }.reduce(_ bitwiseOR _)
+      }: _*)).collect()
+    fRows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
 }

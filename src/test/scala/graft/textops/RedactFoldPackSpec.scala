@@ -73,6 +73,22 @@ class RedactFoldPackSpec extends SparkSpec {
     assert(redactOne("x1234567@a.io and 0001112223334")._4 === 2)
   }
 
+  test("redactAll classifies correctly when a pattern carries its OWN " +
+      "capturing groups (alternation numbering shifts)") {
+    import graft.functions.TextExprs
+    import org.apache.spark.sql.graftshim.{columnExpr, exprColumn}
+    // class 0 has 2 inner groups: naive `cls+1` walking would misattribute
+    // class-1/2 matches (or walk off the end); offsets must absorb them
+    val e = exprColumn(TextExprs.RedactPiiAll(columnExpr(col("t")),
+      names = Seq("n_ab", "n_ip", "n_num"),
+      patterns = Seq("(a+)(b+)", "\\d+\\.\\d+\\.\\d+\\.\\d+", "\\d{7,}"),
+      placeholders = Seq("<AB>", "<IP>", "<NUM>")))
+    val r = Seq("xaabb 1.2.3.4 12345678 ab").toDF("t")
+      .select(e.as("r")).select("r.*").collect().head
+    assert(r.getString(0) === "x<AB> <IP> <NUM> <AB>")
+    assert((r.getInt(1), r.getInt(2), r.getInt(3)) === ((2, 1, 1)))
+  }
+
   test("foldUtf8: de-accents, lowercases, collapses whitespace, trims") {
     assert(TextExprs.foldUtf8(
       org.apache.spark.unsafe.types.UTF8String.fromString(
