@@ -288,6 +288,35 @@ object OracleGen {
     * HUGEINT (Spark runs the same comparison in DECIMAL(38,0)) —
     * multiplication only, so the kept set is engine-exact.
     */
+  /** q94: Z-order layout key ([[graft.operators.Layout.zOrderKey]]) —
+    * min-max normalization (exact integer `//`) and the Morton bit
+    * interleave restated term by term: output bit (i·c + j) = bit i of
+    * scaled column j. All arithmetic is integer-exact, so the oracle
+    * reproduces the key bit-for-bit.
+    */
+  def q94Sql(cols: Seq[String] = Seq("l_partkey", "l_suppkey"),
+      bits: Int = 8): String = {
+    val span = (1L << bits) - 1
+    val mmSelect = cols.zipWithIndex.map { case (c, j) =>
+      s"CAST(MIN($c) AS BIGINT) AS lo$j, CAST(MAX($c) AS BIGINT) AS hi$j"
+    }.mkString(", ")
+    val scaledSelect = cols.zipWithIndex.map { case (c, j) =>
+      s"""((CAST(l.$c AS BIGINT) - mm.lo$j) * $span)
+         // GREATEST(1, mm.hi$j - mm.lo$j) AS s$j"""
+    }.mkString(", ")
+    val interleave = cols.indices.flatMap { j =>
+      (0 until bits).map(i =>
+        s"(((s$j >> $i) & 1) << ${i * cols.size + j})")
+    }.mkString(" | ")
+    s"""WITH mm AS (SELECT $mmSelect FROM lineitem),
+     s AS (SELECT l.l_orderkey, l.l_linenumber,
+         ${cols.map(c => s"l.$c").mkString(", ")}, $scaledSelect
+       FROM lineitem l CROSS JOIN mm)
+     SELECT l_orderkey, l_linenumber, ${cols.mkString(", ")},
+       CAST($interleave AS BIGINT) AS zkey
+     FROM s ORDER BY l_orderkey, l_linenumber"""
+  }
+
   def q91Sql(targetPerMille: Int = 300, granularity: Int = 10000): String = {
     val bucket = s"""((${xx64LongSql("doc_id")}) % $granularity
        + $granularity) % $granularity"""

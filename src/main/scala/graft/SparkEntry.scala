@@ -111,6 +111,9 @@ object SparkEntry {
     "q90_windowed_cms"     -> (Relational.q90WindowedCms _),
     "q91_weighted_sample"  -> (TextQueries.q91WeightedSample _),
     "q92_pattern_match"    -> (Relational.q92PatternMatch _),
+    "q93_retention"        -> (Relational.q93Retention _),
+    "q94_zorder_key"       -> (Relational.q94ZOrderKey _),
+    "q95_streaming_funnel" -> (Relational.q95StreamingFunnel _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -685,6 +688,47 @@ object SparkEntry {
            FROM d1 LEFT JOIN c2 USING (user_id) WHERE d1.t1 IS NOT NULL)
          SELECT * FROM ra UNION ALL SELECT * FROM rb
          ORDER BY pattern, user_id""",
+    // Cohort retention: first-event-day cohorts, distinct active days,
+    // per-(cohort, offset) counts + rate — the operator's exact shape
+    "q93_retention" ->
+      """WITH firsts AS (SELECT user_id,
+             MIN(CAST(date_trunc('day', ts) AS DATE)) AS cohort
+           FROM events GROUP BY 1),
+         active AS (SELECT DISTINCT user_id,
+             CAST(date_trunc('day', ts) AS DATE) AS p
+           FROM events),
+         cells AS (SELECT f.cohort,
+             date_diff('day', f.cohort, a.p) AS "offset",
+             CAST(COUNT(*) AS BIGINT) AS n_active
+           FROM firsts f JOIN active a USING (user_id)
+           GROUP BY 1, 2),
+         sizes AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_cohort
+           FROM firsts GROUP BY 1)
+         SELECT c.cohort, c."offset", c.n_active, s.n_cohort,
+           ROUND(CAST(c.n_active AS DOUBLE) / s.n_cohort, 4) AS ret_rate
+         FROM cells c JOIN sizes s USING (cohort)
+         ORDER BY c.cohort, c."offset"""",
+    "q94_zorder_key" -> OracleGen.q94Sql(),
+    // Streaming funnel: q89's chained-min CTEs, one UNION ALL branch per
+    // completed step (a completion row exists iff the step time is
+    // non-null, which the s1..s3 join chain already encodes)
+    "q95_streaming_funnel" ->
+      """WITH s0 AS (SELECT user_id, MIN(ts) AS t FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+         s1 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+           JOIN s0 USING (user_id)
+           WHERE e.event_type = 'view' AND e.ts > s0.t GROUP BY 1),
+         s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+           JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+         s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+           JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
+         SELECT user_id, 'signup' AS step, t AS ts FROM s0
+         UNION ALL SELECT user_id, 'view', t FROM s1
+         UNION ALL SELECT user_id, 'click', t FROM s2
+         UNION ALL SELECT user_id, 'purchase', t FROM s3
+         ORDER BY user_id, ts, step""",
     // Data-quality audit: every check restated as plain SQL counting —
     // null-in counts as a violation for range/accepted (matching the
     // operator's coalesce-to-false rule).

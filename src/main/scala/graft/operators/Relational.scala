@@ -711,6 +711,53 @@ object Relational {
     a.unionAll(b).orderBy("pattern", "user_id")
   }
 
+  /** q93: cohort retention matrix ([[Sessions.retentionMatrix]], day
+    * grain) — users cohorted by first-event day; per (cohort, offset) the
+    * active-member count, cohort size and retention rate. Two
+    * (key, period)-sized shuffles and a cells×sizes join; the oracle
+    * restates cohort assignment, activity dedup and the rate as plain
+    * SQL.
+    */
+  def q93Retention(spark: SparkSession, sfDir: String): DataFrame =
+    Sessions.retentionMatrix(Tables.events(spark, sfDir),
+        key = "user_id", ts = "ts", period = "day")
+      .orderBy("cohort", "offset")
+
+  /** q95: STREAMING ordered funnel
+    * ([[graft.streaming.EventStreams.funnelStream]]) — step-completion
+    * rows from the same flatMapGroupsWithState function that runs under
+    * readStream (EventStreamsSpec proves streamed == batch across
+    * out-of-order micro-batches). A key's completion rows are exactly
+    * its [[Sessions.funnelTimes]] row unpivoted with nulls dropped, so
+    * the oracle is q89's chained-minimum CTEs union-all'd per step.
+    */
+  def q95StreamingFunnel(spark: SparkSession, sfDir: String): DataFrame =
+    graft.streaming.EventStreams.funnelStream(
+        Tables.events(spark, sfDir), FunnelSteps,
+        key = "user_id", ts = "ts", typeCol = "event_type")
+      .toDF()
+      .select(col("key").as("user_id"), col("step"),
+        col("ts").cast("timestamp_ntz").as("ts"))
+      .orderBy("user_id", "ts", "step")
+
+  /** The q89/q95 funnel step sequence. */
+  val FunnelSteps: Seq[String] = Seq("signup", "view", "click", "purchase")
+
+  /** q94: Z-order layout key ([[Layout.zOrderKey]]) over lineitem's
+    * (l_partkey, l_suppkey) — min-max-normalized 8-bit Morton interleave,
+    * the multi-dimensional clustering key a lakehouse OPTIMIZE-ZORDER
+    * rewrite sorts by. Exact integer arithmetic end to end; the oracle
+    * recomputes normalization and interleave bit-for-bit
+    * ([[graft.OracleGen.q94Sql]]). The write-side layout operator
+    * ([[Layout.zOrder]]) is plan- and locality-spec'd (range partition +
+    * local sort, per-partition key spans shrink vs natural order).
+    */
+  def q94ZOrderKey(spark: SparkSession, sfDir: String): DataFrame =
+    Layout.zOrderKey(Tables.lineitem(spark, sfDir)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+        Seq("l_partkey", "l_suppkey"), bits = 8)
+      .orderBy("l_orderkey", "l_linenumber")
+
   /** q71: HyperLogLog distinct-count profile ([[Sketches.hllDistinct]],
     * p=10) in BOTH estimator regimes on one board: per-event_type distinct
     * users (a few hundred → the linear-counting branch) and the global

@@ -126,6 +126,54 @@ object Sessions {
     }
   }
 
+  /** Cohort retention matrix — the product-analytics complement of the
+    * funnel: users cohorted by the period of their FIRST event, and for
+    * each (cohort, period offset) the count of cohort members active in
+    * that period, the cohort size, and the retention rate. Null pattern
+    * in funnels reads drop-off; here the decaying `n_active` column reads
+    * it over calendar time.
+    *
+    * Shape (all per-key state O(1), no windows over raw events):
+    *   1. one groupBy(key) → min period  (cohort assignment)
+    *   2. one distinct (key, period)     (activity de-dup — the only
+    *      other shuffle, same key hash as 1 so co-partitioned for 3)
+    *   3. broadcast-friendly join of 1⟕2 on key, then a tiny
+    *      (cohort, offset) count — output is |periods|² rows max.
+    * At 100 TB both shuffles carry (key, period) pairs only; the final
+    * aggregate input is one row per (user, active-period) — already
+    * bounded by the activity dedup, never the raw event count.
+    *
+    * `period` ∈ day | week | month (Spark `date_trunc` units, restated
+    * with DuckDB `date_trunc` + `date_diff` in the oracle). Offsets are
+    * calendar-period differences (day: datediff; week: datediff/7 exact
+    * because both ends are week-truncated; month: month arithmetic).
+    */
+  def retentionMatrix(events: DataFrame, key: String, ts: String,
+      period: String = "day"): DataFrame = {
+    require(Set("day", "week", "month")(period),
+      s"period must be day|week|month, got $period")
+    val p = to_date(date_trunc(period, col(ts)))
+    val firsts = events.groupBy(col(key))
+      .agg(min(p).as("cohort"))
+    val active = events.select(col(key), p.as("graft_p")).distinct()
+    val offset: Column = period match {
+      case "day"   => datediff(col("graft_p"), col("cohort"))
+      case "week"  => (datediff(col("graft_p"), col("cohort")) / 7)
+        .cast("int")
+      case "month" => (months_between(col("graft_p"), col("cohort")))
+        .cast("int")
+    }
+    val cells = firsts.join(active, key)
+      .select(col("cohort"), offset.as("offset"), col(key))
+      .groupBy("cohort", "offset")
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = firsts.groupBy("cohort").agg(count(lit(1)).as("n_cohort"))
+    cells.join(sizes, "cohort")
+      .withColumn("ret_rate",
+        round(col("n_active").cast("double") / col("n_cohort"), 4))
+      .select("cohort", "offset", "n_active", "n_cohort", "ret_rate")
+  }
+
   /** One step of a generalized event pattern: an arbitrary row predicate
     * (any Boolean [[Column]] over the event's columns — not just
     * type-equality) plus an `optional` flag. `name` labels the output

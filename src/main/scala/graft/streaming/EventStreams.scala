@@ -426,6 +426,110 @@ object EventStreams {
       }
   }
 
+  // ------------------------------------------------------ streaming funnel
+
+  case class FunnelIn(key: Long, tsUs: Long, step: Int,
+      graft_evt: java.sql.Timestamp)
+  /** `times(i)` = matched micros of step i, [[FunnelUnset]] if unmatched;
+    * `pending` = in-horizon events not yet watermark-final.
+    */
+  case class FunnelState(times: Seq[Long], pending: Seq[(Long, Int)])
+  case class FunnelStepRow(key: Long, step: String, ts: java.sql.Timestamp)
+  private val FunnelUnset = Long.MinValue
+
+  /** STREAMING ordered funnel — [[graft.operators.Sessions.funnelTimes]]
+    * as an incremental operator: per key, emit a row the moment a funnel
+    * step COMPLETES (greedy chained-minimum semantics: step i matches the
+    * first step-i event strictly after step i−1's match). Step
+    * completions are immutable facts under the greedy semantics, so the
+    * output is append-mode-correct — the batch funnel row for a key is
+    * just its completion rows pivoted, which is how the q95 gate checks
+    * this function against the same chained-min SQL oracle as q89.
+    *
+    * Ordering discipline (the part watermarks exist for): greedy matching
+    * must see a key's events in event-time order, but micro-batches
+    * deliver arrival order. Events therefore buffer in state until the
+    * watermark passes them — then no earlier event can still arrive
+    * (pre-watermark rows are dropped by the engine), and applying the
+    * buffered prefix in (ts, step) order is FINAL. Pending events flush
+    * via event-time timeouts re-armed at the earliest buffered ts
+    * (exactly [[asofBackwardStream]]'s discipline).
+    *
+    * State per key: `steps.length` longs + the in-horizon buffer — O(1)
+    * in the event count, watermark-bounded in time; the collect_list
+    * hot-key hazard the batch operator's salted formulation avoids never
+    * appears. Matched-step state persists for the key's lifetime (a
+    * completed step must not re-fire if the key goes quiet and returns);
+    * at fleet scale that is O(distinct keys) rows in the state store —
+    * RocksDB territory, same contract as any keyed-state operator.
+    *
+    * In batch (`events.isStreaming == false`) the watermark is +∞: every
+    * event applies immediately in one sorted pass per key and no state
+    * survives. Scan-side: the step filter is an `isin` pushed to parquet,
+    * and only (key, ts, step) triples shuffle.
+    */
+  def funnelStream(events: DataFrame, steps: Seq[String], key: String,
+      ts: String, typeCol: String,
+      watermarkDelay: String = "10 minutes"): Dataset[FunnelStepRow] = {
+    require(steps.nonEmpty && steps.distinct == steps,
+      s"steps must be non-empty and distinct, got $steps")
+    import events.sparkSession.implicits._
+    val streaming = events.isStreaming
+    val nSteps = steps.length
+    val stepIdx = steps.zipWithIndex
+      .map { case (s, i) => (s, lit(i)) }
+      .foldLeft(lit(-1)) { case (acc, (s, ix)) =>
+        when(col(typeCol) === s, ix).otherwise(acc) }
+    val normed = events
+      .filter(col(typeCol).isin(steps: _*))
+      .withColumn("graft_evt", col(ts).cast("timestamp"))
+      .select(col(key).cast("long").as("key"),
+        unix_micros(col("graft_evt")).as("tsUs"),
+        stepIdx.cast("int").as("step"),
+        col("graft_evt"))
+      .transform(df =>
+        if (streaming) df.withWatermark("graft_evt", watermarkDelay) else df)
+    normed.as[FunnelIn]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[FunnelState, FunnelStepRow](
+        OutputMode.Append(),
+        if (streaming) GroupStateTimeout.EventTimeTimeout()
+        else GroupStateTimeout.NoTimeout()) {
+        (k: Long, it: Iterator[FunnelIn], state: GroupState[FunnelState]) =>
+          val prev = state.getOption.getOrElse(
+            FunnelState(Seq.fill(nSteps)(FunnelUnset), Nil))
+          val times = prev.times.toArray
+          var pending = prev.pending
+          it.foreach(r => pending = pending :+ (r.tsUs, r.step))
+          val wmUs =
+            if (streaming) {
+              val w = state.getCurrentWatermarkMs()
+              if (w >= Long.MaxValue / 1000) Long.MaxValue else w * 1000L
+            } else Long.MaxValue
+          val (apply, keep) = pending.partition(_._1 <= wmUs)
+          val out = Seq.newBuilder[FunnelStepRow]
+          apply.sortBy(identity).foreach { case (t, s) =>
+            if (times(s) == FunnelUnset &&
+                (s == 0 ||
+                  (times(s - 1) != FunnelUnset && t > times(s - 1)))) {
+              times(s) = t
+              out += FunnelStepRow(k, steps(s), tsFromMicros(t))
+            }
+          }
+          if (streaming) {
+            val anyMatched = times.exists(_ != FunnelUnset)
+            if (!anyMatched && keep.isEmpty) state.remove()
+            else {
+              state.update(FunnelState(times.toSeq, keep))
+              if (keep.nonEmpty)
+                state.setTimeoutTimestamp(
+                  Math.floorDiv(keep.map(_._1).min, 1000L) + 1L)
+            }
+          }
+          out.result().iterator
+      }
+  }
+
   /** Streaming dedup on event_id with bounded state: duplicates arriving
     * within the watermark horizon are dropped; state evicts beyond it.
     * (Batch equivalent: dropDuplicates — exercised by the dedup specs.)

@@ -234,4 +234,28 @@ class SessionsProfileSpec extends SparkSpec {
       (1L, None, Some(ts("2024-01-01 10:00:00")),
         Some(ts("2024-01-01 10:01:00")))))
   }
+
+  test("retentionMatrix: day cohorts, multi-event days count once, " +
+      "offset-0 row equals the cohort size") {
+    import java.sql.Timestamp
+    def ts(x: String) = Timestamp.valueOf(x)
+    val ev = Seq(
+      // cohort 01-01: users 1,2. User 1 active d0,d1 (twice on d1);
+      // user 2 active d0 and d2
+      (1L, ts("2024-01-01 08:00:00")), (1L, ts("2024-01-02 09:00:00")),
+      (1L, ts("2024-01-02 10:00:00")),
+      (2L, ts("2024-01-01 23:59:59")), (2L, ts("2024-01-03 00:00:01")),
+      // cohort 01-02: user 3, only its first day
+      (3L, ts("2024-01-02 12:00:00")))
+      .toDF("user_id", "ts")
+    val got = Sessions.retentionMatrix(ev, "user_id", "ts", "day")
+      .orderBy("cohort", "offset")
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(got === Seq(
+      ("2024-01-01", 0, 2L, 2L, 1.0),
+      ("2024-01-01", 1, 1L, 2L, 0.5),
+      ("2024-01-01", 2, 1L, 2L, 0.5),
+      ("2024-01-02", 0, 1L, 1L, 1.0)))
+  }
 }

@@ -300,6 +300,63 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel: a late-but-in-horizon middle step applies in " +
+      "event-time order — premature matching would lose the click; " +
+      "streamed equals batch funnelTimes unpivoted") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val steps = Seq("signup", "view", "click")
+    val q = funnelStream(
+        stream.toDF().toDF("event_id", "ts", "user_id", "event_type",
+          "value"),
+        steps, "user_id", "ts", "event_type")
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode(OutputMode.Append()).start()
+    val all = Seq(
+      // user 1: click ARRIVES before the view it must follow — only the
+      // watermark buffer lets the view slot in underneath it
+      (1L, ts("2024-01-01 10:00:00"), 1L, "signup", 0.0),
+      (2L, ts("2024-01-01 10:20:00"), 1L, "click", 0.0),
+      (3L, ts("2024-01-01 10:12:00"), 1L, "view", 0.0),
+      // user 2: watermark driver; second signup must not re-fire step 0
+      (4L, ts("2024-01-01 10:40:00"), 2L, "signup", 0.0),
+      (5L, ts("2024-01-01 11:00:00"), 2L, "signup", 0.0))
+    try {
+      stream.addData(all.take(1)); q.processAllAvailable() // wm 09:50
+      stream.addData(all.slice(1, 2)); q.processAllAvailable()
+      // wm → 10:10: signup applies+emits; click (10:20) still pending —
+      // and its view hasn't even arrived yet
+      stream.addData(all.slice(2, 3)); q.processAllAvailable()
+      stream.addData(all.slice(3, 4)); q.processAllAvailable()
+      // wm → 10:30 ≥ view(10:12), click(10:20): both apply in ts order
+      stream.addData(all.drop(4)); q.processAllAvailable()
+      // wm → 10:50 ≥ user-2 signup(10:40)
+      val streamed = spark.table("funnel_out")
+        .as[(Long, String, Timestamp)]
+        .collect().toSeq.sortBy(r => (r._1, r._3.getTime))
+      assert(streamed === Seq(
+        (1L, "signup", ts("2024-01-01 10:00:00")),
+        (1L, "view", ts("2024-01-01 10:12:00")),
+        (1L, "click", ts("2024-01-01 10:20:00")),
+        (2L, "signup", ts("2024-01-01 10:40:00"))))
+
+      // batch execution of the SAME function == funnelTimes unpivoted
+      val batchDf = eventsDf(all)
+      val viaStream = funnelStream(batchDf, steps,
+          "user_id", "ts", "event_type")
+        .toDF().as[(Long, String, Timestamp)]
+        .collect().toSeq.sortBy(r => (r._1, r._3.getTime))
+      val viaBatchOp = graft.operators.Sessions.funnelTimes(
+          batchDf, steps, "user_id", "ts", "event_type")
+        .collect().flatMap { r =>
+          steps.zipWithIndex.flatMap { case (s, i) =>
+            Option(r.getTimestamp(i + 1)).map(t => (r.getLong(0), s, t)) }
+        }.toSeq.sortBy(r => (r._1, r._3.getTime))
+      assert(viaStream === viaBatchOp)
+      assert(streamed === viaStream)
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops replayed event_ids") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
