@@ -473,7 +473,9 @@ object ScaleSmoke {
     // per-user density — the realistic 100 TB growth axis); one shuffle
     // on user_id, running-last window, no pair explosion
     if (enabled("asof_join") || enabled("resample_ffill") ||
-        enabled("funnel") || enabled("funnel_skew10pct")) locally {
+        enabled("funnel") || enabled("funnel_skew10pct") ||
+        enabled("pattern_match") || enabled("retention") ||
+        enabled("streaming_funnel_batch")) locally {
       val copies = spark.range(mult.toLong).toDF("copy")
       val scaledEv = graft.sources.Tables.events(spark, sfDir)
         .crossJoin(broadcast(copies))
@@ -515,12 +517,39 @@ object ScaleSmoke {
             steps = Seq("signup", "view", "click", "purchase"),
             key = "user_id", ts = "ts", typeCol = "event_type"))
       }
+      // generalized pattern match at 20×: the q92 shape (optional middle
+      // step, value predicates) — same chained-min joins plus the
+      // key-universe scan optional heads require
+      if (enabled("pattern_match")) locally {
+        import graft.operators.Sessions.PatternStep
+        time("pattern_match")(graft.operators.Sessions.matchPattern(
+          scaledEv, Seq(
+            PatternStep("signup", col("event_type") === "signup"),
+            PatternStep("bigview",
+              col("event_type") === "view" && col("value") > 100,
+              optional = true),
+            PatternStep("bigbuy",
+              col("event_type") === "purchase" && col("value") > 50)),
+          key = "user_id", ts = "ts"))
+      }
+      // retention at 20×: both shuffles carry (key, day) pairs — rows
+      // scale with active (user, day) cells, never raw events
+      time("retention")(graft.operators.Sessions.retentionMatrix(
+        scaledEv, key = "user_id", ts = "ts", period = "day"))
+      // streaming-funnel function driven in batch mode: the per-key
+      // sorted-apply path (groupByKey + fMGWS) at 20× key space — the
+      // state-shape cost a real stream pays per micro-batch
+      time("streaming_funnel_batch")(graft.streaming.EventStreams
+        .funnelStream(scaledEv,
+          steps = Seq("signup", "view", "click", "purchase"),
+          key = "user_id", ts = "ts", typeCol = "event_type").toDF())
       scaledEv.unpersist(blocking = false)
     }
 
     // data-quality audit at 20×: all row-local checks in ONE pass over
     // the multiplied corpus + uniqueness distinct-count + FK anti-join
-    if (enabled("quality_audit")) locally {
+    if (enabled("quality_audit") || enabled("zorder") ||
+        enabled("grouped_topk_hot") || enabled("cdc_apply")) locally {
       val copies = spark.range(mult.toLong).toDF("copy")
       val li = graft.sources.Tables.lineitem(spark, sfDir)
         .crossJoin(broadcast(copies))
@@ -530,7 +559,8 @@ object ScaleSmoke {
           col("l_shipdate"))
       val orders = graft.sources.Tables.orders(spark, sfDir)
         .crossJoin(broadcast(copies))
-        .select((col("o_orderkey") * mult + col("copy")).as("o_orderkey"))
+        .select((col("o_orderkey") * mult + col("copy")).as("o_orderkey"),
+          col("o_totalprice"))
       time("quality_audit")(graft.operators.Quality.audit(li, Seq(
         graft.operators.Quality.NotNull("l_shipdate"),
         graft.operators.Quality.InRange("l_quantity", 1, 25),
@@ -539,6 +569,30 @@ object ScaleSmoke {
         graft.operators.Quality.Unique(Seq("l_orderkey", "l_linenumber")),
         graft.operators.Quality.RefIntegrity("l_orderkey", orders,
           "o_orderkey"))))
+      // Z-order rewrite at 20×: the stats pass + keyed interleave +
+      // range-repartition/local-sort — the full pre-write clustered
+      // shape over the multiplied fact table
+      time("zorder")(graft.operators.Layout.zOrder(li,
+        Seq("l_partkey", "l_orderkey"), bits = 12,
+        tiebreakers = Seq("l_orderkey", "l_linenumber")))
+      // grouped top-k on deliberately HOT groups (3 return-flag classes
+      // share the whole multiplied table): the window formulation sorts
+      // each multi-million-row group to keep 5 rows; the bounded
+      // aggregate's state is 5 rows per group, map-side combined
+      time("grouped_topk_hot")(li.groupBy(col("l_returnflag"))
+        .agg(graft.functions.AggExprs.collectTopK(
+          struct(col("l_extendedprice"), col("l_orderkey"),
+            col("l_linenumber")), 5).as("top")))
+      // CDC apply at 20×: the multiplied changelog (one change per
+      // lineitem) folds into the orders snapshot — winner selection is
+      // a map-side max_by partial agg, the fold one full-outer join
+      time("cdc_apply")(graft.operators.Temporal.applyChangelog(
+        orders,
+        li.select(col("l_orderkey").as("o_orderkey"),
+          col("l_linenumber").as("v"),
+          (col("l_quantity") < 2).as("del"),
+          col("l_extendedprice").as("o_totalprice")),
+        key = "o_orderkey", versionCol = "v", deleteCol = "del"))
     }
 
     // corpus-level boilerplate stats at 20×: distinct-shingle explode →
@@ -659,7 +713,7 @@ object ScaleSmoke {
     // entries — writing it to the canonical path would silently clobber a
     // committed full artifact, so filtered runs divert to a .partial.json
     // sibling (round-8 ADVICE).
-    val basePath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r7.json")
+    val basePath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r10.json")
     val outPath =
       if (onlyEntries.isEmpty) basePath
       else basePath.stripSuffix(".json") + ".partial.json"

@@ -114,6 +114,8 @@ object SparkEntry {
     "q93_retention"        -> (Relational.q93Retention _),
     "q94_zorder_key"       -> (Relational.q94ZOrderKey _),
     "q95_streaming_funnel" -> (Relational.q95StreamingFunnel _),
+    "q96_grouped_topk"     -> (Relational.q96GroupedTopK _),
+    "q97_cdc_apply"        -> (Relational.q97CdcApply _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -709,6 +711,45 @@ object SparkEntry {
          FROM cells c JOIN sizes s USING (cohort)
          ORDER BY c.cohort, c."offset"""",
     "q94_zorder_key" -> OracleGen.q94Sql(),
+    // Grouped top-k: the oracle is the WINDOW formulation the bounded
+    // aggregate replaces — equality proves aggregate ≡ sort-based top-k
+    "q96_grouped_topk" ->
+      """SELECT o_orderpriority, CAST(rk AS INT) AS rnk, price, o_orderkey
+         FROM (SELECT o_orderpriority,
+             ROUND(o_totalprice, 2) AS price, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+               ORDER BY ROUND(o_totalprice, 2) DESC, o_orderkey DESC) AS rk
+           FROM orders) t
+         WHERE rk <= 3 ORDER BY o_orderpriority, rnk""",
+    // CDC apply: winner per key via window (the sort-based definition of
+    // the operator's max_by), fold via FULL OUTER JOIN, tombstones drop
+    "q97_cdc_apply" ->
+      """WITH ch AS (SELECT
+           CASE WHEN l_linenumber = 7 THEN -l_orderkey
+                ELSE l_orderkey END AS o_orderkey,
+           l_linenumber AS v, l_quantity < 2 AS del,
+           CAST(l_partkey AS BIGINT) AS o_custkey,
+           ROUND(l_extendedprice, 2) AS o_totalprice,
+           'U-' || l_returnflag AS o_orderpriority
+           FROM lineitem),
+         win AS (SELECT * FROM (SELECT ch.*, ROW_NUMBER() OVER (
+             PARTITION BY o_orderkey
+             ORDER BY v DESC, o_custkey DESC, o_totalprice DESC,
+               o_orderpriority DESC, del DESC) AS rn FROM ch)
+           WHERE rn = 1),
+         b AS (SELECT o_orderkey, o_custkey,
+             ROUND(o_totalprice, 2) AS o_totalprice, o_orderpriority
+           FROM orders)
+         SELECT o_orderkey,
+           CASE WHEN win.v IS NOT NULL THEN win.o_custkey
+                ELSE b.o_custkey END AS o_custkey,
+           CASE WHEN win.v IS NOT NULL THEN win.o_totalprice
+                ELSE b.o_totalprice END AS o_totalprice,
+           CASE WHEN win.v IS NOT NULL THEN win.o_orderpriority
+                ELSE b.o_orderpriority END AS o_orderpriority
+         FROM b FULL OUTER JOIN win USING (o_orderkey)
+         WHERE win.v IS NULL OR NOT win.del
+         ORDER BY o_orderkey""",
     // Streaming funnel: q89's chained-min CTEs, one UNION ALL branch per
     // completed step (a completion row exists iff the step time is
     // non-null, which the s1..s3 join chain already encodes)

@@ -79,4 +79,79 @@ object AggExprs {
   /** Column wrapper for [[CollectCapped]]. */
   def collectCapped(e: Column, cap: Int): Column =
     exprColumn(CollectCapped(columnExpr(e), cap).toAggregateExpression())
+
+  /** The LARGEST `k` values of `child` per group under the type's natural
+    * ordering (struct = lexicographic by field — pack
+    * `struct(ord, tiebreak, payload…)` and ties are total), returned
+    * sorted DESCENDING. Aggregation state is a bounded sorted buffer:
+    * O(k) per group through update AND merge, partial-aggregating
+    * map-side — so "top-k per group" costs one hash aggregate instead of
+    * the window formulation's full shuffle + per-group SORT of every row
+    * (the `row_number() <= k` plan sorts a hot group's entire 10⁷-row
+    * history to keep 10 of them; this keeps 10 of them, period). The
+    * [[graft.operators.Relational]] grouped-top-k query (q96) gates it
+    * against exactly that window SQL.
+    */
+  case class CollectTopK(child: Expression, k: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends Collect[mutable.ArrayBuffer[Any]]
+      with UnaryLike[Expression] {
+    require(k > 0, s"k must be positive, got $k")
+
+    override lazy val bufferElementType: DataType = child.dataType
+    override def convertToBufferElement(value: Any): Any =
+      InternalRow.copyValue(value)
+    override def createAggregationBuffer(): mutable.ArrayBuffer[Any] =
+      mutable.ArrayBuffer.empty
+
+    @transient private lazy val ord =
+      org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(child.dataType)
+
+    // buffer invariant: sorted ASCENDING, length <= k; the head is the
+    // current cutoff (smallest kept value)
+    private def insert(buffer: mutable.ArrayBuffer[Any],
+        v: Any): mutable.ArrayBuffer[Any] = {
+      if (buffer.length < k || ord.compare(v, buffer.head) > 0) {
+        var lo = 0
+        var hi = buffer.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (ord.compare(buffer(mid), v) < 0) lo = mid + 1 else hi = mid
+        }
+        buffer.insert(lo, v)
+        if (buffer.length > k) buffer.remove(0)
+      }
+      buffer
+    }
+
+    override def update(buffer: mutable.ArrayBuffer[Any],
+        input: InternalRow): mutable.ArrayBuffer[Any] = {
+      val v = child.eval(input)
+      if (v == null) buffer else insert(buffer, convertToBufferElement(v))
+    }
+
+    override def merge(buffer: mutable.ArrayBuffer[Any],
+        other: mutable.ArrayBuffer[Any]): mutable.ArrayBuffer[Any] = {
+      other.foreach(v => insert(buffer, v))
+      buffer
+    }
+
+    override def eval(buffer: mutable.ArrayBuffer[Any]): Any =
+      new GenericArrayData(buffer.reverse.toArray)
+
+    override def withNewMutableAggBufferOffset(
+        newOffset: Int): CollectTopK =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(
+        newOffset: Int): CollectTopK =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildInternal(
+        newChild: Expression): CollectTopK = copy(child = newChild)
+    override def prettyName: String = "graft_collect_topk"
+  }
+
+  /** Column wrapper for [[CollectTopK]]. */
+  def collectTopK(e: Column, k: Int): Column =
+    exprColumn(CollectTopK(columnExpr(e), k).toAggregateExpression())
 }

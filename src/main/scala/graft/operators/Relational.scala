@@ -723,6 +723,60 @@ object Relational {
         key = "user_id", ts = "ts", period = "day")
       .orderBy("cohort", "offset")
 
+  /** q97: CDC changelog apply ([[Temporal.applyChangelog]]) — a
+    * versioned upsert/tombstone changelog (synthesized deterministically
+    * from lineitem: version = linenumber, tombstone = quantity < 2,
+    * linenumber-7 rows re-keyed negative to exercise pure inserts)
+    * folded into the orders snapshot: latest-wins via one map-side
+    * max_by aggregate + one full-outer merge join. The oracle restates
+    * winner selection as a window and the fold as a FULL OUTER JOIN.
+    */
+  def q97CdcApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.orders(spark, sfDir).select(col("o_orderkey"),
+      col("o_custkey"), round(col("o_totalprice"), 2).as("o_totalprice"),
+      col("o_orderpriority"))
+    // the testdata generator emits duplicate (orderkey, linenumber)
+    // pairs, so the version is a COMPOSITE struct (linenumber, then the
+    // payload fields) — a total order up to fully-identical rows, which
+    // is exactly the operator's determinism contract
+    val changes = Tables.lineitem(spark, sfDir).select(
+      when(col("l_linenumber") === 7, -col("l_orderkey"))
+        .otherwise(col("l_orderkey")).as("o_orderkey"),
+      struct(col("l_linenumber"), col("l_partkey"),
+        round(col("l_extendedprice"), 2), col("l_returnflag"),
+        (col("l_quantity") < 2)).as("vord"),
+      (col("l_quantity") < 2).as("del"),
+      col("l_partkey").as("o_custkey"),
+      round(col("l_extendedprice"), 2).as("o_totalprice"),
+      concat(lit("U-"), col("l_returnflag")).as("o_orderpriority"))
+    Temporal.applyChangelog(base, changes,
+        key = "o_orderkey", versionCol = "vord", deleteCol = "del")
+      .orderBy("o_orderkey")
+  }
+
+  /** q96: grouped top-k WITHOUT a window sort
+    * ([[graft.functions.AggExprs.CollectTopK]]) — the 3 most expensive
+    * orders per priority class through one hash aggregate with O(k)
+    * per-group state and map-side combine. The window formulation
+    * (`row_number() <= k`) shuffles every row and SORTS each group's
+    * full history to keep k rows — on a hot group at 100 TB that sort is
+    * the job; this keeps k rows, period. Ties are total (the ordering
+    * struct carries the key), and the oracle IS the window SQL, so the
+    * gate proves the bounded aggregate ≡ the sort-based definition.
+    */
+  def q96GroupedTopK(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"))
+      .agg(graft.functions.AggExprs.collectTopK(
+        struct(round(col("o_totalprice"), 2).as("price"),
+          col("o_orderkey")), 3).as("top"))
+      .select(col("o_orderpriority"),
+        posexplode(col("top")).as(Seq("rk", "t")))
+      .select(col("o_orderpriority"),
+        (col("rk") + 1).cast("int").as("rnk"),
+        col("t.price").as("price"), col("t.o_orderkey").as("o_orderkey"))
+      .orderBy("o_orderpriority", "rnk")
+
   /** q95: STREAMING ordered funnel
     * ([[graft.streaming.EventStreams.funnelStream]]) — step-completion
     * rows from the same flatMapGroupsWithState function that runs under

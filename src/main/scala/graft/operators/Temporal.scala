@@ -45,4 +45,47 @@ object Temporal {
       facts(key) === dim(key) && inRange, "inner")
       .drop(dim(key))
   }
+
+  /** CDC changelog apply — the lakehouse MERGE/CDF primitive: fold a
+    * change stream (upserts + delete tombstones, each versioned) into a
+    * base snapshot, producing the next snapshot. Per key, the HIGHEST
+    * version change wins outright: an upsert replaces the base row (or
+    * inserts one), a delete tombstone removes it; base rows with no
+    * change pass through untouched. Exactly Delta/Iceberg MERGE
+    * semantics for a latest-wins changelog (Debezium/CDF compaction).
+    *
+    * Shape: winner selection is ONE hash aggregate — `max_by(payload,
+    * version)` partial-aggregates map-side, so a hot key's 10⁷ queued
+    * changes reduce to one row per map partition before the shuffle
+    * (never a per-key sort, never a window over the raw changelog). The
+    * fold is then a single full-outer join on the key: changed keys take
+    * the winner's payload, unchanged keys keep the base row, tombstoned
+    * keys drop. Both sides shuffle once on the key — at 100 TB the
+    * changelog side is typically ≪ base, and AQE broadcasts it.
+    *
+    * Determinism contract: `(key, version)` unique in `changes`
+    * (standard CDC — version is an offset/LSN). Violations surface
+    * loudly via max_by's ties being broken arbitrarily ONLY if the
+    * caller supplied duplicate versions; pass a composite version
+    * (struct) to break ties totally when the source can't guarantee it.
+    */
+  def applyChangelog(base: DataFrame, changes: DataFrame, key: String,
+      versionCol: String, deleteCol: String): DataFrame = {
+    val payloadCols = base.columns.toSeq
+    require(payloadCols.contains(key), s"base must carry $key")
+    val winner = changes
+      .groupBy(col(key))
+      .agg(max_by(
+        struct(col(deleteCol).as("graft_del") +:
+          payloadCols.filter(_ != key).map(col): _*),
+        col(versionCol)).as("graft_w"))
+    base.join(winner, Seq(key), "full_outer")
+      // null tombstone flag = not a delete (a silent drop would be the
+      // worst possible failure mode for a merge)
+      .filter(col("graft_w").isNull ||
+        !coalesce(col("graft_w.graft_del"), lit(false)))
+      .select(col(key) +: payloadCols.filter(_ != key).map(c =>
+        when(col("graft_w").isNotNull, col(s"graft_w.$c"))
+          .otherwise(col(c)).as(c)): _*)
+  }
 }

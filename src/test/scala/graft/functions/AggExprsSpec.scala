@@ -8,6 +8,42 @@ import graft.SparkSpec
   * buffer truncation above it, null skipping, and non-primitive elements.
   */
 class AggExprsSpec extends SparkSpec {
+
+  test("collectTopK equals the sort-based top-k across shuffled " +
+      "partitions (merge path), descending with total tie order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    // many groups, deliberate value ties (v % 17) so the tiebreaker works
+    val rows = (1 to 5000).map(i =>
+      ("g" + rnd.nextInt(23), (rnd.nextInt(1000) % 17).toDouble, i.toLong))
+    val df = rows.toDF("g", "v", "id").repartition(16)
+    val k = 4
+    val got = df.groupBy($"g")
+      .agg(AggExprs.collectTopK(struct($"v", $"id"), k).as("top"))
+      .select($"g", posexplode($"top").as(Seq("rk", "t")))
+      .select($"g", $"rk", $"t.v", $"t.id")
+      .as[(String, Int, Double, Long)].collect().toSet
+    val expect = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      rs.map(r => (r._2, r._3)).sorted(Ordering[(Double, Long)].reverse)
+        .take(k).zipWithIndex
+        .map { case ((v, id), i) => (g, i, v, id) }
+    }.toSet
+    assert(got === expect)
+  }
+
+  test("collectTopK state is bounded: the grouped-top-k plan has no Sort " +
+      "below the aggregate and no Window anywhere") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (1 to 1000).map(i => (i % 5, i.toLong)).toDF("g", "v")
+    val plan = df.groupBy($"g")
+      .agg(AggExprs.collectTopK($"v", 3).as("top"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Sort "), plan)
+  }
   import spark.implicits._
 
   test("groups at or under the cap collect exactly like collect_list") {

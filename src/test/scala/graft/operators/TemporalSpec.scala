@@ -65,4 +65,48 @@ class TemporalSpec extends SparkSpec {
     assert(bhj.head.condition.isDefined,
       "range bounds must ride as the residual condition")
   }
+
+  test("applyChangelog: highest version wins, tombstone deletes, " +
+      "unmatched base passes through, new key inserts, null tombstone " +
+      "flag is NOT a delete") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = Seq(
+      (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("k", "name", "amt")
+    val changes = Seq(
+      // key 1: v2 upsert beats v1 delete (latest wins outright)
+      (1L, 1, Some(true), "x", 0.0),
+      (1L, 2, Some(false), "a2", 11.0),
+      // key 2: v3 delete beats v1/v2 upserts
+      (2L, 1, Some(false), "b2", 21.0),
+      (2L, 3, Some(true), "gone", 0.0),
+      (2L, 2, Some(false), "b3", 22.0),
+      // key 5: pure insert (not in base)
+      (5L, 1, Some(false), "e", 50.0),
+      // key 4: null tombstone flag -> treated as upsert, not delete
+      (4L, 1, None, "d2", 41.0))
+      .toDF("k", "v", "del", "name", "amt")
+    val got = Temporal.applyChangelog(base, changes,
+        key = "k", versionCol = "v", deleteCol = "del")
+      .as[(Long, String, Double)].collect().toSeq.sortBy(_._1)
+    assert(got === Seq(
+      (1L, "a2", 11.0),  // upsert replaced base
+      (3L, "c", 30.0),   // untouched pass-through
+      (4L, "d2", 41.0),  // null flag upsert
+      (5L, "e", 50.0)))  // insert; key 2 deleted
+  }
+
+  test("applyChangelog winner selection is a partial aggregate, not a " +
+      "window sort over the changelog") {
+    import spark.implicits._
+    val base = Seq((1L, "a")).toDF("k", "name")
+    val changes = Seq((1L, 1, false, "b")).toDF("k", "v", "del", "name")
+    val plan = Temporal.applyChangelog(base, changes, "k", "v", "del")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("max_by") || plan.contains("MaxBy") ||
+      plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      plan)
+  }
 }
