@@ -303,6 +303,14 @@ object ScaleSmoke {
       // 100-entry generated-class cache evicts them mid-smoke and the
       // recompiles made ann/lsh entry walls swing 3-7x run to run
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // same session geometry as Bench: a 48 GiB single-JVM "executor"
+      // broadcasts a 20 MB dimension without blinking, but the stock
+      // 10 MB threshold forces the ANN verify joins (40k × 520 B
+      // embedding builds) into sort-merge plans whose per-stage sorts
+      // dominated the lsh_near_dup entry 8× (measured 63 s vs 8 s
+      // isolated) — the smoke should measure the operators, not an
+      // unrealistically conservative join threshold
+      .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
       .getOrCreate()
@@ -551,16 +559,28 @@ object ScaleSmoke {
     if (enabled("quality_audit") || enabled("zorder") ||
         enabled("grouped_topk_hot") || enabled("cdc_apply")) locally {
       val copies = spark.range(mult.toLong).toDF("copy")
+      // persisted: four entries share it, and zorder alone reads it three
+      // times (stats pass, range-boundary sampling, the sort itself).
+      // repartition BEFORE the multiplying crossJoin: the testdata is one
+      // parquet split, and expanding 20× on that single task would
+      // serialize the corpus build onto one core
       val li = graft.sources.Tables.lineitem(spark, sfDir)
+        .repartition(cpus.toInt)
         .crossJoin(broadcast(copies))
         .select((col("l_orderkey") * mult + col("copy")).as("l_orderkey"),
           col("l_linenumber"), col("l_partkey"), col("l_quantity"),
           col("l_extendedprice"), col("l_discount"), col("l_returnflag"),
           col("l_shipdate"))
+        .persist()
+      li.count()
+      // same discipline: spread the single split, THEN multiply
       val orders = graft.sources.Tables.orders(spark, sfDir)
+        .repartition(cpus.toInt)
         .crossJoin(broadcast(copies))
         .select((col("o_orderkey") * mult + col("copy")).as("o_orderkey"),
           col("o_totalprice"))
+        .persist()
+      orders.count()
       time("quality_audit")(graft.operators.Quality.audit(li, Seq(
         graft.operators.Quality.NotNull("l_shipdate"),
         graft.operators.Quality.InRange("l_quantity", 1, 25),
@@ -593,6 +613,8 @@ object ScaleSmoke {
           (col("l_quantity") < 2).as("del"),
           col("l_extendedprice").as("o_totalprice")),
         key = "o_orderkey", versionCol = "v", deleteCol = "del"))
+      li.unpersist(blocking = false)
+      orders.unpersist(blocking = false)
     }
 
     // corpus-level boilerplate stats at 20×: distinct-shingle explode →
