@@ -317,6 +317,33 @@ object OracleGen {
      FROM s ORDER BY l_orderkey, l_linenumber"""
   }
 
+  /** q98: integer-grid PageRank ([[graft.operators.Graph.pageRank]]) —
+    * the damped iterations unrolled as one CTE pair per round, every
+    * step in exact integer arithmetic (`//` = Spark's DIV on positives),
+    * so the final ranks hash-match bit-for-bit.
+    */
+  def q98Sql(iters: Int = 3, scale: Long = 1000000L): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst AS node, SUM(p.pr // d.deg) AS cin
+         FROM e JOIN pr${i - 1} p ON e.src = p.node
+         JOIN deg d ON e.src = d.node GROUP BY 1),
+       pr$i AS (SELECT n.node,
+           (${15 * scale} + 85 * COALESCE(c$i.cin, 0)) // 100 AS pr
+         FROM nodes n LEFT JOIN c$i USING (node))"""
+    }.mkString(",\n       ")
+    s"""WITH base AS (SELECT DISTINCT l_partkey * 2 AS p,
+           l_suppkey * 2 + 1 AS s FROM lineitem),
+       e AS (SELECT p AS src, s AS dst FROM base
+         UNION ALL SELECT s, p FROM base),
+       nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+         FROM e GROUP BY 1),
+       pr0 AS (SELECT node, CAST($scale AS BIGINT) AS pr FROM nodes),
+       $rounds
+       SELECT node, CAST(pr AS BIGINT) AS pr FROM pr$iters
+       ORDER BY node"""
+  }
+
   def q91Sql(targetPerMille: Int = 300, granularity: Int = 10000): String = {
     val bucket = s"""((${xx64LongSql("doc_id")}) % $granularity
        + $granularity) % $granularity"""

@@ -116,6 +116,7 @@ object SparkEntry {
     "q95_streaming_funnel" -> (Relational.q95StreamingFunnel _),
     "q96_grouped_topk"     -> (Relational.q96GroupedTopK _),
     "q97_cdc_apply"        -> (Relational.q97CdcApply _),
+    "q98_pagerank"         -> (Relational.q98PageRank _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -711,6 +712,7 @@ object SparkEntry {
          FROM cells c JOIN sizes s USING (cohort)
          ORDER BY c.cohort, c."offset"""",
     "q94_zorder_key" -> OracleGen.q94Sql(),
+    "q98_pagerank" -> OracleGen.q98Sql(),
     // Grouped top-k: the oracle is the WINDOW formulation the bounded
     // aggregate replaces — equality proves aggregate ≡ sort-based top-k
     "q96_grouped_topk" ->

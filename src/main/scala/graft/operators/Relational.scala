@@ -723,6 +723,23 @@ object Relational {
         key = "user_id", ts = "ts", period = "day")
       .orderBy("cohort", "offset")
 
+  /** q98: integer-grid PageRank ([[Graph.pageRank]], 3 iterations) over
+    * the symmetrized part↔supplier co-occurrence graph from lineitem
+    * (node ids namespaced even/odd; symmetrization kills dangling
+    * nodes). Exact integer arithmetic end to end — the oracle unrolls
+    * the same iterations in SQL and the hash gate proves the ranks
+    * bit-for-bit ([[graft.OracleGen.q98Sql]]).
+    */
+  def q98PageRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.lineitem(spark, sfDir)
+      .select((col("l_partkey") * 2).as("p"),
+        (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val edges = base.select(col("p").as("src"), col("s").as("dst"))
+      .unionAll(base.select(col("s").as("src"), col("p").as("dst")))
+    Graph.pageRank(edges, iters = 3).orderBy("node")
+  }
+
   /** q97: CDC changelog apply ([[Temporal.applyChangelog]]) — a
     * versioned upsert/tombstone changelog (synthesized deterministically
     * from lineitem: version = linenumber, tombstone = quantity < 2,
