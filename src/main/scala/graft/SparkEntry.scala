@@ -117,6 +117,7 @@ object SparkEntry {
     "q96_grouped_topk"     -> (Relational.q96GroupedTopK _),
     "q97_cdc_apply"        -> (Relational.q97CdcApply _),
     "q98_pagerank"         -> (Relational.q98PageRank _),
+    "q99_profile"          -> (Relational.q99Profile _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -713,6 +714,21 @@ object SparkEntry {
          ORDER BY c.cohort, c."offset"""",
     "q94_zorder_key" -> OracleGen.q94Sql(),
     "q98_pagerank" -> OracleGen.q98Sql(),
+    // Table profile: per-column counters restated and unioned; values
+    // cast to VARCHAR first so min/max are lexicographic on both engines
+    "q99_profile" ->
+      """WITH u AS (
+           SELECT 'o_orderkey' AS "column",
+             CAST(o_orderkey AS VARCHAR) AS v FROM orders
+           UNION ALL SELECT 'o_custkey',
+             CAST(o_custkey AS VARCHAR) FROM orders
+           UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+           UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders)
+         SELECT "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(v) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+           MIN(v) AS min_str, MAX(v) AS max_str
+         FROM u GROUP BY 1 ORDER BY 1""",
     // Grouped top-k: the oracle is the WINDOW formulation the bounded
     // aggregate replaces — equality proves aggregate ≡ sort-based top-k
     "q96_grouped_topk" ->

@@ -108,4 +108,37 @@ object Profile {
               (col("graft_minbin") + lit(1L))).as("est"),
         col("graft_n").as("n_rows"))
   }
+
+  /** One-pass table profile — the dbt-docs/`describe` summary every
+    * dataset publication step wants: per column, row count, null count,
+    * EXACT distinct count, lexicographic min/max (values cast to string
+    * first, so one report schema covers every column type; callers
+    * needing typed extrema have plain min/max). For approximate
+    * distincts at fleet scale swap in [[Sketches.hllDistinct]] per
+    * column — this operator is the exact variant.
+    *
+    * Shape: the columns UNPIVOT under a column-name tag (one scan,
+    * explode ×|cols| — each output row carries one string, never the
+    * whole input row), then ONE aggregation per tag computes all
+    * counters; the exact distinct is the only expensive piece and it
+    * partial-aggregates per (column, value) like any distinct-count
+    * decomposition. Adding a column to the profile adds explode rows,
+    * not jobs or scans. Binary/float formatting is ENGINE-SPECIFIC
+    * (Spark renders 1.0, DuckDB 1.0 vs 1 — the usual cast seam), so the
+    * gate profiles the cast-stable types; the operator itself takes any
+    * column.
+    */
+  def describe(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty && cols.distinct == cols, s"bad cols: $cols")
+    df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("column"), col(c).cast("string").as("v"))): _*))
+        .as("graft_e"))
+      .select(col("graft_e.column").as("column"), col("graft_e.v").as("v"))
+      .groupBy("column")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col("v")).as("n_distinct"),
+        min(col("v")).as("min_str"),
+        max(col("v")).as("max_str"))
+  }
 }

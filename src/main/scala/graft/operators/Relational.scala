@@ -723,6 +723,17 @@ object Relational {
         key = "user_id", ts = "ts", period = "day")
       .orderBy("cohort", "offset")
 
+  /** q99: one-pass table profile ([[Profile.describe]]) over orders'
+    * cast-stable columns (ints, strings, timestamps — doubles render
+    * differently across engines, the documented cast seam). Exact
+    * per-column null/distinct/min/max counters from one unpivot scan;
+    * the oracle restates each column's counters and unions them.
+    */
+  def q99Profile(spark: SparkSession, sfDir: String): DataFrame =
+    Profile.describe(Tables.orders(spark, sfDir),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+      .orderBy("column")
+
   /** q98: integer-grid PageRank ([[Graph.pageRank]], 3 iterations) over
     * the symmetrized part↔supplier co-occurrence graph from lineitem
     * (node ids namespaced even/odd; symmetrization kills dangling

@@ -113,6 +113,21 @@ class SessionsProfileSpec extends SparkSpec {
         plan)
   }
 
+  test("describe: per-column null/distinct counters, lexicographic " +
+      "min/max over stringified values, nulls excluded from extrema") {
+    val df = Seq[(java.lang.Long, String)](
+      (10L, "b"), (2L, null), (10L, "a"), (null, "a"))
+      .toDF("num", "s")
+    val got = Profile.describe(df, Seq("num", "s"))
+      .orderBy("column")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getString(5))).toSeq
+    assert(got === Seq(
+      // "10" < "2" lexicographically — the documented stringified order
+      ("num", 4L, 1L, 2L, "10", "2"),
+      ("s", 4L, 1L, 2L, "a", "b")))
+  }
+
   test("funnelTimes: greedy earliest strictly-increasing matching, " +
       "drop-off nulls, no row without step 0") {
     import java.sql.Timestamp
