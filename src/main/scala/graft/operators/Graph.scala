@@ -59,20 +59,24 @@ object Graph {
       .distinct()
     val outdeg = e.groupBy(col("graft_src").as("node"))
       .agg(count(lit(1)).as("graft_deg"))
-    var pr = nodes.withColumn("pr", lit(Scale))
+    // the out-degree rides IN the rank frame (null for pure sinks), so
+    // each iteration is exactly two joins + one aggregate — re-joining
+    // the static degree table every round would add a third
+    val withDeg = nodes.join(outdeg, Seq("node"), "left")
+    var pr = withDeg.withColumn("pr", lit(Scale))
     for (_ <- 1 to iters) {
       val contribs = e
-        .join(pr.join(outdeg, "node")
+        .join(pr.filter(col("graft_deg").isNotNull)
             .select(col("node").as("graft_src"),
               expr("pr DIV graft_deg").as("graft_c")),
           "graft_src")
         .groupBy(col("graft_dst").as("node"))
         .agg(sum(col("graft_c")).as("graft_in"))
-      pr = nodes.join(contribs, Seq("node"), "left")
-        .select(col("node"),
+      pr = withDeg.join(contribs, Seq("node"), "left")
+        .select(col("node"), col("graft_deg"),
           expr(s"(${15 * Scale} + 85 * coalesce(graft_in, " +
             "CAST(0 AS BIGINT))) DIV 100").as("pr"))
     }
-    pr
+    pr.select("node", "pr")
   }
 }

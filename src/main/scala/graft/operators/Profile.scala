@@ -130,15 +130,21 @@ object Profile {
     */
   def describe(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty && cols.distinct == cols, s"bad cols: $cols")
-    df.select(explode(array(cols.map(c =>
-        struct(lit(c).as("column"), col(c).cast("string").as("v"))): _*))
-        .as("graft_e"))
-      .select(col("graft_e.column").as("column"), col("graft_e.v").as("v"))
-      .groupBy("column")
+    // the unpivot tag is the POSITION, not the column-name string — the
+    // tag rides every row through the distinct-count shuffles, and a
+    // constant per-row string is dead shuffle weight at any scale; the
+    // name rejoins from an array literal on the final (|cols|-row) frame
+    df.select(posexplode(array(cols.map(c => col(c).cast("string")): _*))
+        .as(Seq("graft_i", "v")))
+      .groupBy("graft_i")
       .agg(count(lit(1)).as("n_rows"),
         sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
         countDistinct(col("v")).as("n_distinct"),
         min(col("v")).as("min_str"),
         max(col("v")).as("max_str"))
+      .select(element_at(lit(cols.toArray), col("graft_i") + 1)
+          .as("column"),
+        col("n_rows"), col("n_nulls"), col("n_distinct"),
+        col("min_str"), col("max_str"))
   }
 }
