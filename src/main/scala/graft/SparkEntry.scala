@@ -118,6 +118,7 @@ object SparkEntry {
     "q97_cdc_apply"        -> (Relational.q97CdcApply _),
     "q98_pagerank"         -> (Relational.q98PageRank _),
     "q99_profile"          -> (Relational.q99Profile _),
+    "q100_outliers"        -> (Relational.q100Outliers _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -714,6 +715,36 @@ object SparkEntry {
          ORDER BY c.cohort, c."offset"""",
     "q94_zorder_key" -> OracleGen.q94Sql(),
     "q98_pagerank" -> OracleGen.q98Sql(),
+    // Robust outliers: both medians as rank-ceil picks (the q64 type-1
+    // formulation), deviations and the 3*MAD comparison replayed exactly
+    "q100_outliers" ->
+      """WITH r AS (SELECT l_returnflag, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+           FROM lineitem),
+         med AS (SELECT l_returnflag,
+             MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+               THEN l_extendedprice END) AS med
+           FROM r GROUP BY 1),
+         d AS (SELECT l.l_returnflag, m.med,
+             ABS(l.l_extendedprice - m.med) AS dev
+           FROM lineitem l JOIN med m USING (l_returnflag)),
+         r2 AS (SELECT l_returnflag, med, dev,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+               ORDER BY dev) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+           FROM d),
+         mad AS (SELECT l_returnflag,
+             MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+               THEN dev END) AS mad
+           FROM r2 GROUP BY 1)
+         SELECT d.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MAX(d.med) AS med, MAX(ma.mad) AS mad,
+           CAST(SUM(CASE WHEN d.dev > 3.0 * ma.mad THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_outliers
+         FROM d JOIN mad ma USING (l_returnflag)
+         GROUP BY 1 ORDER BY 1""",
     // Table profile: per-column counters restated and unioned; values
     // cast to VARCHAR first so min/max are lexicographic on both engines
     "q99_profile" ->

@@ -128,6 +128,41 @@ object Profile {
     * gate profiles the cast-stable types; the operator itself takes any
     * column.
     */
+  /** Robust per-group outlier screen — the median/MAD rule data-curation
+    * pipelines prefer over mean/σ (a contaminated tail corrupts the mean
+    * and σ it is judged against; the median and the median absolute
+    * deviation stay put up to 50 % contamination). Per group: n, the
+    * type-1 median, MAD = type-1 median of |x − med|, and the count of
+    * rows with |x − med| > k·MAD.
+    *
+    * Exact (both medians are [[percentilesDisc]] rank-ceil selections of
+    * ACTUAL data values, deviations are single correctly-rounded IEEE
+    * subtractions) and therefore engine-portable — the q100 oracle
+    * replays the whole chain in SQL and hash-matches. Cost is the
+    * honest price of exact MAD: two windowed median passes + one
+    * counting pass (each one shuffle on the group key). For a
+    * fixed-memory approximate screen compose [[percentilesHistogram]]
+    * instead. Contract: `valCol` non-null (as [[percentilesDisc]] —
+    * engines disagree on null sort order).
+    */
+  def robustOutliers(df: DataFrame, groupCol: String, valCol: String,
+      k: Double = 3.0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val med = percentilesDisc(df, groupCol, valCol, Seq(0.5))
+      .select(col(groupCol), col("p50").as("graft_med"))
+    val dev = df.join(med, groupCol)
+      .withColumn("graft_dev", abs(col(valCol) - col("graft_med")))
+    val mad = percentilesDisc(dev, groupCol, "graft_dev", Seq(0.5))
+      .select(col(groupCol), col("p50").as("graft_mad"))
+    dev.join(mad, groupCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        max(col("graft_med")).as("med"),
+        max(col("graft_mad")).as("mad"),
+        sum(when(col("graft_dev") > lit(k) * col("graft_mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
   def describe(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty && cols.distinct == cols, s"bad cols: $cols")
     // the unpivot tag is the POSITION, not the column-name string — the

