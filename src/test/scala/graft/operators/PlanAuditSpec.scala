@@ -206,6 +206,45 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set(thresholdKey, prior)
   }
 
+  test("q93 retention scans prune events to (user_id, ts) on every branch") {
+    val cols = scanColumns(finalPlan(Relational.q93Retention(spark, sf)))
+    assert(cols.nonEmpty &&
+      cols.forall(_.toSet == Set("user_id", "ts")), cols.toString)
+  }
+
+  test("q94 z-order key scan prunes lineitem to the four projected " +
+      "columns (the eager min/max stats pass runs its own pruned plan " +
+      "at construction time and never appears here)") {
+    val cols = scanColumns(finalPlan(Relational.q94ZOrderKey(spark, sf)))
+    assert(cols.nonEmpty && cols.forall(_.toSet ==
+      Set("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")),
+      cols.toString)
+  }
+
+  test("q97 CDC apply: no Window over the changelog — winner selection " +
+      "stays an aggregate; scans prune to the consumed columns") {
+    val plan = finalPlan(Relational.q97CdcApply(spark, sf))
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "changelog winner must not be a window sort:\n" + plan)
+    val cols = scanColumns(plan)
+    assert(cols.forall(c => c.toSet.subsetOf(Set("l_orderkey",
+      "l_linenumber", "l_quantity", "l_partkey", "l_extendedprice",
+      "l_returnflag")) || c.toSet.subsetOf(Set("o_orderkey", "o_custkey",
+      "o_totalprice", "o_orderpriority"))), cols.toString)
+  }
+
+  test("q96 grouped top-k: ObjectHashAggregate with no Window and no " +
+      "Sort below the aggregate; orders scan prunes to the two columns") {
+    val plan = finalPlan(Relational.q96GroupedTopK(spark, sf))
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, plan.toString)
+    val cols = scanColumns(plan)
+    assert(cols.nonEmpty && cols.forall(_.toSet ==
+      Set("o_orderpriority", "o_totalprice", "o_orderkey")), cols.toString)
+  }
+
   test("no gated query re-evaluates a generator subtree above its " +
       "Generate (sweep over every SparkEntry entry)") {
     val bad = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
