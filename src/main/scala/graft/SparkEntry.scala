@@ -119,6 +119,7 @@ object SparkEntry {
     "q98_pagerank"         -> (Relational.q98PageRank _),
     "q99_profile"          -> (Relational.q99Profile _),
     "q100_outliers"        -> (Relational.q100Outliers _),
+    "q101_incremental_agg" -> (Relational.q101IncrementalAgg _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -715,6 +716,31 @@ object SparkEntry {
          ORDER BY c.cohort, c."offset"""",
     "q94_zorder_key" -> OracleGen.q94Sql(),
     "q98_pagerank" -> OracleGen.q98Sql(),
+    // Incremental aggregate maintenance: base + signed deltas, zero-count
+    // groups drop, insert-born groups appear — all integer cents
+    "q101_incremental_agg" ->
+      """WITH cents AS (SELECT l_returnflag, l_linenumber,
+             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS v
+           FROM lineitem),
+         base AS (SELECT l_returnflag,
+             CAST(SUM(v) AS BIGINT) AS sum_v,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM cents GROUP BY 1),
+         ch AS (SELECT CASE WHEN l_linenumber = 2
+               THEN 'N-' || l_returnflag ELSE l_returnflag END
+               AS l_returnflag,
+             v, l_linenumber = 1 AS del
+           FROM cents WHERE l_linenumber IN (1, 2)),
+         d AS (SELECT l_returnflag,
+             CAST(SUM(CASE WHEN del THEN -v ELSE v END) AS BIGINT) AS dv,
+             CAST(SUM(CASE WHEN del THEN -1 ELSE 1 END) AS BIGINT) AS dn
+           FROM ch GROUP BY 1)
+         SELECT l_returnflag,
+           COALESCE(base.sum_v, 0) + COALESCE(d.dv, 0) AS sum_v,
+           COALESCE(base.n, 0) + COALESCE(d.dn, 0) AS n
+         FROM base FULL OUTER JOIN d USING (l_returnflag)
+         WHERE COALESCE(base.n, 0) + COALESCE(d.dn, 0) > 0
+         ORDER BY l_returnflag""",
     // Robust outliers: both medians as rank-ceil picks (the q64 type-1
     // formulation), deviations and the 3*MAD comparison replayed exactly
     "q100_outliers" ->

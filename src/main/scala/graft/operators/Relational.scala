@@ -723,6 +723,34 @@ object Relational {
         key = "user_id", ts = "ts", period = "day")
       .orderBy("cohort", "offset")
 
+  /** q101: incremental aggregate maintenance
+    * ([[Temporal.maintainSumCount]]) — a cents-exact (returnflag,
+    * sum, count) materialized view maintained by a changelog synthesized
+    * from lineitem (linenumber-1 rows delete, linenumber-2 rows insert
+    * into a shifted flag, so deltas touch existing, shrinking AND new
+    * groups). The oracle recomputes base + deltas directly; the spec
+    * pins the IVM property (maintained ≡ recomputed from the edited
+    * row set).
+    */
+  def q101IncrementalAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    // the q23 cents discipline: bround AFTER the *100 shift — the only
+    // formulation that lands on the same integer in both engines
+    val cents = bround(col("l_extendedprice") * 100, 0).cast("long")
+    val base = li.groupBy(col("l_returnflag"))
+      .agg(sum(cents).as("sum_v"), count(lit(1)).as("n"))
+    val changes = li.filter(col("l_linenumber").isin(1, 2))
+      .select(
+        when(col("l_linenumber") === 2,
+          concat(lit("N-"), col("l_returnflag")))
+          .otherwise(col("l_returnflag")).as("l_returnflag"),
+        cents.as("v_cents"),
+        (col("l_linenumber") === 1).as("del"))
+    Temporal.maintainSumCount(base, changes,
+        key = "l_returnflag", valueCol = "v_cents", deleteCol = "del")
+      .orderBy("l_returnflag")
+  }
+
   /** q100: robust median/MAD outlier screen ([[Profile.robustOutliers]],
     * k = 3) over lineitem prices per return flag — per group the exact
     * type-1 median, MAD, and |x − med| > 3·MAD count, every step an

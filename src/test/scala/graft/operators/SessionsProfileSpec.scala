@@ -268,6 +268,71 @@ class SessionsProfileSpec extends SparkSpec {
         Some(ts("2024-01-01 10:01:00")))))
   }
 
+  test("matchPattern property: random corpora and random optional " +
+      "patterns match a brute-force chained-minimum reference") {
+    import java.sql.Timestamp
+    import Sessions.PatternStep
+    val rnd = new scala.util.Random(42)
+    val types = Vector("a", "b", "c", "d")
+    for (trial <- 1 to 4) {
+      val events = (1 to 400).map { _ =>
+        (rnd.nextInt(40).toLong,
+          new Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L),
+          types(rnd.nextInt(types.size)), rnd.nextInt(100).toDouble)
+      }.distinct // (key, ts) duplicates would make min-ties ambiguous? no
+        // — chained-min is over values; duplicates are fine. distinct
+        // only to keep the frame tidy.
+      val steps = (0 until 3).map { i =>
+        val t = types(rnd.nextInt(types.size))
+        val thresh = rnd.nextInt(80)
+        (s"s$i", t, thresh, if (i == 0) rnd.nextBoolean()
+          else rnd.nextBoolean())
+      }
+      // brute-force reference: literal chained-min over FINAL values
+      def refFor(evs: Seq[(Long, Timestamp, String, Double)])
+          : Seq[(Long, Seq[Option[Timestamp]])] = {
+        val byKey = evs.groupBy(_._1)
+        val universe = byKey.filter { case (_, es) =>
+          es.exists(e => steps.exists(s => e._3 == s._2 && e._4 > s._3))
+        }.keys.toSeq
+        universe.flatMap { k =>
+          val es = byKey(k)
+          val t = Array.fill[Option[Timestamp]](3)(None)
+          for (i <- 0 until 3) {
+            val (_, st, sv, _) = steps(i)
+            val prior = (0 until i).reverse
+            val (opts, rest) = prior.span(j => steps(j)._4)
+            val chain = opts ++ rest.headOption
+            val anchor = chain.flatMap(j => t(j)).headOption
+            val cond: Timestamp => Boolean =
+              if (chain.isEmpty) _ => true
+              else if (rest.nonEmpty)
+                ts => anchor.exists(a => ts.after(a))
+              else ts => anchor.forall(a => ts.after(a))
+            val cands = es.filter(e => e._3 == st && e._4 > sv)
+              .map(_._2).filter(cond)
+            if (cands.nonEmpty) t(i) = Some(cands.minBy(_.getTime))
+          }
+          val firstReq = steps.indexWhere(!_._4)
+          val keep = if (firstReq >= 0) t(firstReq).isDefined
+            else t.exists(_.isDefined)
+          if (keep) Some((k, t.toSeq)) else None
+        }
+      }
+      val df = events.toDF("user_id", "ts", "event_type", "value")
+      val got = Sessions.matchPattern(df,
+          steps.map { case (n, t, v, opt) =>
+            PatternStep(n, col("event_type") === t && col("value") > v,
+              optional = opt) },
+          key = "user_id", ts = "ts")
+        .collect().map(r => (r.getLong(0),
+          (1 to 3).map(i => Option(r.getTimestamp(i))).toSeq))
+        .sortBy(_._1).toSeq
+      assert(got === refFor(events).sortBy(_._1),
+        s"trial $trial steps=$steps")
+    }
+  }
+
   test("retentionMatrix: day cohorts, multi-event days count once, " +
       "offset-0 row equals the cohort size") {
     import java.sql.Timestamp

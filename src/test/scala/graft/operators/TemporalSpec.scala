@@ -97,6 +97,30 @@ class TemporalSpec extends SparkSpec {
       (5L, "e", 50.0)))  // insert; key 2 deleted
   }
 
+  test("maintainSumCount: the IVM property — maintained equals " +
+      "recomputed over the edited row set; zero-count groups drop, " +
+      "insert-born groups appear, null flag inserts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows0 = Seq(("a", 10L), ("a", 20L), ("b", 5L), ("c", 7L))
+    val base = rows0.toDF("g", "v").groupBy("g")
+      .agg(sum("v").as("sum_v"), count(lit(1)).as("n"))
+    val changes = Seq(
+      ("a", 20L, Option(true)),   // delete one a-row
+      ("b", 5L, Option(true)),    // delete b entirely -> group drops
+      ("d", 9L, Option(false)),   // insert-born group
+      ("c", 3L, Option.empty[Boolean])) // null flag = insert
+      .toDF("g", "v", "del")
+    val got = Temporal.maintainSumCount(base, changes, "g", "v", "del")
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
+    // recompute from the edited row set
+    val edited = rows0.diff(Seq(("a", 20L), ("b", 5L))) ++
+      Seq(("d", 9L), ("c", 3L))
+    val expect = edited.groupBy(_._1).map { case (g, rs) =>
+      (g, rs.map(_._2).sum, rs.size.toLong) }.toSeq.sortBy(_._1)
+    assert(got === expect)
+  }
+
   test("applyChangelog winner selection is a partial aggregate, not a " +
       "window sort over the changelog") {
     import spark.implicits._
