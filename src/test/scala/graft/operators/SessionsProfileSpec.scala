@@ -333,6 +333,35 @@ class SessionsProfileSpec extends SparkSpec {
     }
   }
 
+  test("retentionMatrix property: random corpora match a brute-force " +
+      "cohort/offset reference") {
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(7)
+    val events = (1 to 500).map { _ =>
+      (rnd.nextInt(30).toLong,
+        Timestamp.valueOf(f"2024-01-${1 + rnd.nextInt(20)}%02d " +
+          f"${rnd.nextInt(24)}%02d:00:00"))
+    }
+    val byKey = events.groupBy(_._1)
+    val cohort = byKey.view.mapValues(
+      _.map(_._2.toLocalDateTime.toLocalDate).min).toMap
+    val cells = events.map { case (k, t) =>
+      (cohort(k), java.time.temporal.ChronoUnit.DAYS.between(
+        cohort(k), t.toLocalDateTime.toLocalDate).toInt, k)
+    }.distinct.groupBy(c => (c._1, c._2)).view.mapValues(_.size.toLong)
+    val sizes = cohort.values.groupBy(identity).view.mapValues(_.size.toLong)
+    val expect = cells.map { case ((c, off), n) =>
+      (c.toString, off, n, sizes(c),
+        math.round(n.toDouble / sizes(c) * 10000) / 10000.0)
+    }.toSeq.sortBy(r => (r._1, r._2))
+    val got = Sessions.retentionMatrix(events.toDF("user_id", "ts"),
+        "user_id", "ts", "day")
+      .orderBy("cohort", "offset")
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(got === expect)
+  }
+
   test("retentionMatrix: day cohorts, multi-event days count once, " +
       "offset-0 row equals the cohort size") {
     import java.sql.Timestamp

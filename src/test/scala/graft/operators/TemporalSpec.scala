@@ -97,6 +97,35 @@ class TemporalSpec extends SparkSpec {
       (5L, "e", 50.0)))  // insert; key 2 deleted
   }
 
+  test("applyChangelog property: random changelogs with unique versions " +
+      "match a brute-force latest-wins reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val base = (0 until 30).filter(_ => rnd.nextBoolean())
+        .map(k => (k.toLong, s"base$k", rnd.nextInt(100).toDouble))
+      val changes = (0 until 40).flatMap { k =>
+        (1 to rnd.nextInt(4)).map(v =>
+          (k.toLong, v, rnd.nextBoolean(), s"c$k-$v",
+            rnd.nextInt(100).toDouble))
+      }
+      val ref = {
+        val winners = changes.groupBy(_._1).view.mapValues(_.maxBy(_._2))
+        val touched = winners.collect {
+          case (k, (_, _, del, nm, amt)) if !del => (k, nm, amt)
+        }.toSeq
+        val untouched = base.filterNot(b => winners.contains(b._1))
+        (touched ++ untouched).sortBy(_._1)
+      }
+      val got = Temporal.applyChangelog(
+          base.toDF("k", "name", "amt"),
+          changes.toDF("k", "v", "del", "name", "amt"),
+          key = "k", versionCol = "v", deleteCol = "del")
+        .as[(Long, String, Double)].collect().toSeq.sortBy(_._1)
+      assert(got === ref, s"trial $trial")
+    }
+  }
+
   test("maintainSumCount: the IVM property — maintained equals " +
       "recomputed over the edited row set; zero-count groups drop, " +
       "insert-born groups appear, null flag inserts") {

@@ -357,6 +357,30 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelStream in batch equals funnelTimes unpivoted on random " +
+      "corpora (property)") {
+    val rnd = new scala.util.Random(23)
+    val steps = Seq("signup", "view", "click")
+    for (trial <- 1 to 3) {
+      val types = Vector("signup", "view", "click", "purchase")
+      val rows = (1 to 300).map { i =>
+        (i.toLong, new Timestamp(1700000000000L + rnd.nextInt(90000) * 1000L),
+          rnd.nextInt(25).toLong, types(rnd.nextInt(types.size)), 0.0)
+      }
+      val df = eventsDf(rows)
+      val viaStream = funnelStream(df, steps, "user_id", "ts", "event_type")
+        .toDF().as[(Long, String, Timestamp)]
+        .collect().toSeq.sortBy(r => (r._1, r._3.getTime, r._2))
+      val viaBatch = graft.operators.Sessions.funnelTimes(
+          df, steps, "user_id", "ts", "event_type")
+        .collect().flatMap { r =>
+          steps.zipWithIndex.flatMap { case (s, i) =>
+            Option(r.getTimestamp(i + 1)).map(t => (r.getLong(0), s, t)) }
+        }.toSeq.sortBy(r => (r._1, r._3.getTime, r._2))
+      assert(viaStream === viaBatch, s"trial $trial")
+    }
+  }
+
   test("streaming dedup within watermark drops replayed event_ids") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
