@@ -120,6 +120,7 @@ object SparkEntry {
     "q99_profile"          -> (Relational.q99Profile _),
     "q100_outliers"        -> (Relational.q100Outliers _),
     "q101_incremental_agg" -> (Relational.q101IncrementalAgg _),
+    "q102_windowed_topk"   -> (Relational.q102WindowedTopk _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -716,6 +717,18 @@ object SparkEntry {
          ORDER BY c.cohort, c."offset"""",
     "q94_zorder_key" -> OracleGen.q94Sql(),
     "q98_pagerank" -> OracleGen.q98Sql(),
+    // Exact windowed top-k: per-hour type counts, ROW_NUMBER ordered by
+    // (n DESC, type DESC) — the CollectTopK struct order restated
+    "q102_windowed_topk" ->
+      """WITH c AS (SELECT date_trunc('hour', ts) AS window_start,
+             event_type, CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         r AS (SELECT window_start, event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY window_start
+               ORDER BY n DESC, event_type DESC) AS rk
+           FROM c)
+         SELECT window_start, CAST(rk AS INT) AS rnk, event_type, n
+         FROM r WHERE rk <= 3 ORDER BY window_start, rnk""",
     // Incremental aggregate maintenance: base + signed deltas, zero-count
     // groups drop, insert-born groups appear — all integer cents
     "q101_incremental_agg" ->

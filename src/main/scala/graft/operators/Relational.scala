@@ -723,6 +723,30 @@ object Relational {
         key = "user_id", ts = "ts", period = "day")
       .orderBy("cohort", "offset")
 
+  /** q102: EXACT windowed top-k heavy hitters — the exact complement of
+    * the q90 streaming CMS estimates: per tumbling hour the 3 most
+    * frequent event types with counts, via [[graft.functions.AggExprs
+    * .CollectTopK]] over the per-(window, type) counts. Both
+    * aggregations map-side combine and the top-k state is O(k) per
+    * window — the windowed-top-k cell of the sketch/exact matrix
+    * (exact windowed distinct has q79, estimated frequency q90, exact
+    * top-k frequency this). Ties total via (n, event_type) struct
+    * order; the oracle is the per-window ROW_NUMBER restatement.
+    */
+  def q102WindowedTopk(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("window.start").as("window_start"))
+      .agg(graft.functions.AggExprs.collectTopK(
+        struct(col("n"), col("event_type")), 3).as("top"))
+      .select(col("window_start"),
+        posexplode(col("top")).as(Seq("rk", "t")))
+      .select(col("window_start"),
+        (col("rk") + 1).cast("int").as("rnk"),
+        col("t.event_type").as("event_type"), col("t.n").as("n"))
+      .orderBy("window_start", "rnk")
+
   /** q101: incremental aggregate maintenance
     * ([[Temporal.maintainSumCount]]) — a cents-exact (returnflag,
     * sum, count) materialized view maintained by a changelog synthesized
