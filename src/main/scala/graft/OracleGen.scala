@@ -500,6 +500,64 @@ object OracleGen {
      GROUP BY t.doc_id ORDER BY t.doc_id"""
   }
 
+  /** q103: the composite curation pipeline — the q55 (fold), q27
+    * (fingerprint dedup), q81 (13-gram decontamination), q70 (mixture
+    * rebalance) and q56 (sequence packing) oracle chains composed as one
+    * CTE pipeline, each stage reading the previous stage's SET. Any
+    * intermediate divergence (a wrong survivor, a missed contaminated
+    * doc, one extra sampled row) shifts pack boundaries and fails the
+    * final hash, so this is an end-to-end pin of the whole chain.
+    */
+  def q103Sql(granularity: Int = 10000, n: Int = 13,
+      capacity: Int = 512): String = {
+    val concat = (0 until n).map(j => s"w[i + $j]").mkString(" || ' ' || ")
+    val bucket = s"""((${xx64LongSql("doc_id")}) % $granularity
+       + $granularity) % $granularity"""
+    s"""WITH f AS (SELECT doc_id, source,
+           trim(regexp_replace(strip_accents(lower(text)),
+             '[ \\t\\n\\f\\r]+', ' ', 'g'), ' ') AS folded
+         FROM documents),
+     fp AS (SELECT doc_id, source, folded,
+         sha256(array_to_string(
+           string_split_regex(lower(trim(folded)), '\\s+'), ' '))
+           AS fingerprint
+         FROM f),
+     keep AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY fingerprint),
+     ded AS (SELECT fp.* FROM fp JOIN keep USING (doc_id)),
+     w13 AS (SELECT doc_id, source, folded,
+         string_split_regex(lower(trim(folded)), '\\s+') AS w FROM ded),
+     sh AS (SELECT doc_id, source, folded, list_distinct(
+         CASE WHEN len(w) < $n THEN [array_to_string(w, ' ')]
+         ELSE list_transform(range(1, len(w) - ${n - 2}), i -> $concat)
+         END) AS s
+       FROM w13),
+     eg AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 2 = 1),
+     contam AS (SELECT DISTINCT t.doc_id
+       FROM (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 2 = 0) t
+       JOIN eg USING (g)),
+     clean AS (SELECT doc_id, source, folded FROM sh
+       WHERE doc_id % 2 = 0
+         AND doc_id NOT IN (SELECT doc_id FROM contam)),
+     c AS (SELECT source, COUNT(*) AS cnt FROM clean GROUP BY source),
+     m AS (SELECT MIN(cnt) AS mn FROM c),
+     bal AS (SELECT d.doc_id, d.source, d.folded
+       FROM clean d JOIN c USING (source) CROSS JOIN m
+       WHERE ($bucket) * c.cnt < m.mn * $granularity),
+     tok AS (SELECT doc_id, source,
+         CASE WHEN len(trim(folded)) = 0 THEN 0
+              ELSE len(string_split_regex(lower(trim(folded)), '\\s+'))
+         END AS tok
+       FROM bal),
+     wn AS (SELECT doc_id, source, tok,
+         SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+           ROWS UNBOUNDED PRECEDING) - tok AS cum_before
+       FROM tok)
+     SELECT source, CAST(cum_before // $capacity AS BIGINT) AS pack_id,
+       COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+     FROM wn GROUP BY source, pack_id ORDER BY source, pack_id"""
+  }
+
   /** q82: exact substring dedup — [[graft.textops.Dedup
     * .exactSubstringSpans]] restated end to end: per-token double
     * Karp–Rabin hashes (the q29 Horner idiom, both residue fields),

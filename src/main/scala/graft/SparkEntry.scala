@@ -121,7 +121,33 @@ object SparkEntry {
     "q100_outliers"        -> (Relational.q100Outliers _),
     "q101_incremental_agg" -> (Relational.q101IncrementalAgg _),
     "q102_windowed_topk"   -> (Relational.q102WindowedTopk _),
+    "q103_curation_pipeline" -> (TextQueries.q103CurationPipeline _),
+    "q104_streaming_retention" -> (Relational.q104StreamingRetention _),
   )
+
+  /** The cohort-retention-matrix oracle, shared by q93 (the batch
+    * operator) and q104 (the streaming activation feed aggregated back
+    * to the same matrix): first-event-day cohorts, distinct active days,
+    * per-(cohort, offset) counts + rate.
+    */
+  private val RetentionMatrixSql: String =
+    """WITH firsts AS (SELECT user_id,
+             MIN(CAST(date_trunc('day', ts) AS DATE)) AS cohort
+           FROM events GROUP BY 1),
+         active AS (SELECT DISTINCT user_id,
+             CAST(date_trunc('day', ts) AS DATE) AS p
+           FROM events),
+         cells AS (SELECT f.cohort,
+             date_diff('day', f.cohort, a.p) AS "offset",
+             CAST(COUNT(*) AS BIGINT) AS n_active
+           FROM firsts f JOIN active a USING (user_id)
+           GROUP BY 1, 2),
+         sizes AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_cohort
+           FROM firsts GROUP BY 1)
+         SELECT c.cohort, c."offset", c.n_active, s.n_cohort,
+           ROUND(CAST(c.n_active AS DOUBLE) / s.n_cohort, 4) AS ret_rate
+         FROM cells c JOIN sizes s USING (cohort)
+         ORDER BY c.cohort, c."offset""""
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -697,24 +723,15 @@ object SparkEntry {
          ORDER BY pattern, user_id""",
     // Cohort retention: first-event-day cohorts, distinct active days,
     // per-(cohort, offset) counts + rate — the operator's exact shape
-    "q93_retention" ->
-      """WITH firsts AS (SELECT user_id,
-             MIN(CAST(date_trunc('day', ts) AS DATE)) AS cohort
-           FROM events GROUP BY 1),
-         active AS (SELECT DISTINCT user_id,
-             CAST(date_trunc('day', ts) AS DATE) AS p
-           FROM events),
-         cells AS (SELECT f.cohort,
-             date_diff('day', f.cohort, a.p) AS "offset",
-             CAST(COUNT(*) AS BIGINT) AS n_active
-           FROM firsts f JOIN active a USING (user_id)
-           GROUP BY 1, 2),
-         sizes AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_cohort
-           FROM firsts GROUP BY 1)
-         SELECT c.cohort, c."offset", c.n_active, s.n_cohort,
-           ROUND(CAST(c.n_active AS DOUBLE) / s.n_cohort, 4) AS ret_rate
-         FROM cells c JOIN sizes s USING (cohort)
-         ORDER BY c.cohort, c."offset"""",
+    "q93_retention" -> RetentionMatrixSql,
+    // Streaming retention (q104): the SAME oracle as q93 — the gate
+    // aggregates the incremental activation feed back to the batch
+    // matrix, so matching q93's SQL proves the streaming formulation
+    // computes exactly the batch result
+    "q104_streaming_retention" -> RetentionMatrixSql,
+    // Composite curation pipeline: the five proven stage oracles (fold,
+    // dedup, decontaminate, rebalance, pack) composed as one CTE chain
+    "q103_curation_pipeline" -> OracleGen.q103Sql(),
     "q94_zorder_key" -> OracleGen.q94Sql(),
     "q98_pagerank" -> OracleGen.q98Sql(),
     // Exact windowed top-k: per-hour type counts, ROW_NUMBER ordered by

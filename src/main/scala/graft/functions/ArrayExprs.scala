@@ -755,10 +755,18 @@ object ArrayExprs {
     * primitive buffer once and runs the whole plane matrix over it —
     * measured ~4× on the q46 banding stage.
     *
-    * Null semantics of the composed form, preserved exactly: null input
-    * → null; a null ELEMENT or a length ≠ `dims` poisons every dot to
-    * null, and `when(null > 0, …).otherwise(0L)` lands every bucket at
-    * 0L — so those rows yield all-zero buckets, not null.
+    * Null semantics — ONE deliberate difference from the composed form
+    * (round-10 ADVICE): a whole-NULL input array returns null here
+    * (nullSafeEval), so banding's posexplode DROPS null vectors, where
+    * `when(dot(null,…) > 0, …).otherwise(0L)` used to land them all in
+    * bucket 0 of every band — colliding every null vector with every
+    * other and with genuine bucket-0 vectors. Excluding them is the
+    * defensible behavior (a null vector has no similarity to anything);
+    * callers needing the legacy collision can `coalesce` the input to a
+    * zero vector. A null ELEMENT or a length ≠ `dims` matches the
+    * composed form exactly: every dot poisons to null and
+    * `when(null > 0, …).otherwise(0L)` lands every bucket at 0L — those
+    * rows yield all-zero buckets, not null.
     *
     * `planes` is the flattened [bands·bitsPerBand × dims] row-major
     * matrix, passed in by the caller (keeps this expression free of the

@@ -59,8 +59,13 @@ object Layout {
     val span = (1L << bits) - 1
     val scaled = cols.zipWithIndex.map { case (c, j) =>
       val (lo, hi) = (mm.getLong(2 * j), mm.getLong(2 * j + 1))
-      require(hi - lo <= (1L << 45),
-        s"$c range ${hi - lo} too wide for exact scaling at bits=$bits")
+      // bits-dependent overflow guard: the scaling product is
+      // (x - lo) * span with span = 2^bits - 1, so the range must leave
+      // `bits` bits of headroom below Long.MaxValue — a constant cap
+      // would silently overflow for large bits (round-10 ADVICE)
+      require(hi - lo <= Long.MaxValue / span,
+        s"$c range ${hi - lo} too wide for exact scaling at bits=$bits " +
+          s"(max ${Long.MaxValue / span})")
       val range = math.max(1L, hi - lo)
       // expr: Spark's Scala Column API has no integer DIV; the SQL
       // operator keeps the quotient exact where floor(a/b-as-double)

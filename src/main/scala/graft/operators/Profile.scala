@@ -109,6 +109,153 @@ object Profile {
         col("graft_n").as("n_rows"))
   }
 
+  /** EXACT type-1 per-group quantile WITHOUT a per-row sort — histogram
+    * bucket localization. The value at 1-based rank ⌈p·n⌉ is found by
+    * (1) a (min, max, n) stats pass, (2) a 1024-bin histogram pass whose
+    * per-group counts collect into ONE bounded array (≤ `bins` cells) and
+    * a higher-order-function walk locates the bucket containing the rank
+    * plus the residual rank inside it, (3) one NARROW pass over just that
+    * bucket's rows, collapsed to per-distinct-value counts, walked the
+    * same way to the exact value. No `row_number` Window, no global or
+    * per-group sort of data rows — the only sorts are `array_sort` over
+    * the bounded per-group arrays (≤ bins cells; in-bucket distinct
+    * values, expected n/bins). Bit-identical to [[percentilesDisc]]: the
+    * selected value is an ACTUAL element at an exact integer rank, and
+    * the bin index is the same IEEE expression at locate and filter time,
+    * so localization cannot disagree with itself. Degenerate hi = lo
+    * groups fall out naturally (every row bins to 0, the walk returns the
+    * single value). Contract: `valCol` non-null, numeric.
+    *
+    * 100 TB posture: three scan-bound passes, all aggregations map-side
+    * combining; per-group driver-free state is the bounded histogram
+    * array. The in-bucket collect is bounded by DISTINCT values within
+    * one bucket (expected n/bins after duplicate collapse) — a
+    * distribution adversarially concentrating its mass inside 1/bins of
+    * its own min–max range degrades that bound; for strictly fixed
+    * memory use [[percentilesHistogram]] / [[robustOutliersApprox]].
+    */
+  def quantileDiscNoSort(df: DataFrame, groupCol: String, valCol: String,
+      p: Double, bins: Int = 1024): DataFrame = {
+    require(p > 0 && p <= 1, s"quantile must be in (0,1], got $p")
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val g = col(groupCol)
+    val v = col(valCol).cast("double")
+    val stats = df.groupBy(g)
+      .agg(min(v).as("graft_lo"), max(v).as("graft_hi"),
+        count(lit(1)).as("graft_n"))
+      .withColumn("graft_rank",
+        ceil(col("graft_n") * lit(p)).cast("long"))
+    // the bin expression — used identically in the locate pass and the
+    // bucket-filter pass, so the same row maps to the same bin both times
+    def binOf: Column =
+      when(col("graft_hi") === col("graft_lo"), lit(0L))
+        .otherwise(least(lit(bins.toLong - 1),
+          floor((v - col("graft_lo")) /
+            ((col("graft_hi") - col("graft_lo")) / lit(bins.toDouble)))))
+    // walk a (key ASC)-sorted array of (key, cnt) cells: first cell where
+    // the running count reaches `rank`, plus the count BEFORE that cell
+    def walk(cells: Column, rank: Column): Column =
+      aggregate(cells,
+        struct(lit(0L).as("cum"), lit(false).as("found"),
+          lit(0.0).as("key"), lit(0L).as("before")),
+        (acc, x) => when(acc("found"), acc).otherwise(
+          when(acc("cum") + x("cnt") >= rank,
+            struct((acc("cum") + x("cnt")).as("cum"), lit(true).as("found"),
+              x("key").as("key"), acc("cum").as("before")))
+            .otherwise(struct((acc("cum") + x("cnt")).as("cum"),
+              lit(false).as("found"), lit(0.0).as("key"),
+              lit(0L).as("before")))))
+    val located = df.join(broadcast(stats), groupCol)
+      .groupBy(g, binOf.as("graft_bin"))
+      .agg(count(lit(1)).as("graft_cnt"),
+        first("graft_rank").as("graft_rank"))
+      .groupBy(g)
+      .agg(sort_array(collect_list(struct(
+          col("graft_bin").cast("double").as("key"),
+          col("graft_cnt").as("cnt")))).as("graft_hist"),
+        first("graft_rank").as("graft_rank"))
+      .select(g,
+        walk(col("graft_hist"), col("graft_rank")).getField("key")
+          .cast("long").as("graft_tbin"),
+        (col("graft_rank") -
+          walk(col("graft_hist"), col("graft_rank")).getField("before"))
+          .as("graft_kin"))
+    df.join(broadcast(stats.select(g, col("graft_lo"), col("graft_hi"))
+        .join(located, groupCol)), groupCol)
+      .filter(binOf === col("graft_tbin"))
+      .groupBy(g, v.as("graft_v"))
+      .agg(count(lit(1)).as("graft_cnt"), first("graft_kin").as("graft_kin"))
+      .groupBy(g)
+      .agg(sort_array(collect_list(struct(col("graft_v").as("key"),
+          col("graft_cnt").as("cnt")))).as("graft_cells"),
+        first("graft_kin").as("graft_kin"))
+      .select(g, walk(col("graft_cells"), col("graft_kin"))
+        .getField("key").as("q"))
+  }
+
+  /** Robust per-group outlier screen — the median/MAD rule data-curation
+    * pipelines prefer over mean/σ (a contaminated tail corrupts the mean
+    * and σ it is judged against; the median and the median absolute
+    * deviation stay put up to 50 % contamination). Per group: n, the
+    * type-1 median, MAD = type-1 median of |x − med|, and the count of
+    * rows with |x − med| > k·MAD.
+    *
+    * Exact and engine-portable (both medians are rank-ceil selections of
+    * ACTUAL data values via [[quantileDiscNoSort]], deviations are single
+    * correctly-rounded IEEE subtractions) — the q100 oracle replays the
+    * chain as windowed SQL and hash-matches, while the Spark plan runs
+    * NO Window at all: each median is histogram-localized (three
+    * scan-bound passes, bounded per-group state), so the per-group
+    * row_number sorts the naive formulation pays twice never happen.
+    * For a strictly fixed-memory approximate screen use
+    * [[robustOutliersApprox]]. Contract: `valCol` non-null (engines
+    * disagree on null sort order).
+    */
+  def robustOutliers(df: DataFrame, groupCol: String, valCol: String,
+      k: Double = 3.0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val med = quantileDiscNoSort(df, groupCol, valCol, 0.5)
+      .select(col(groupCol), col("q").as("graft_med"))
+    val dev = df.join(broadcast(med), groupCol)
+      .withColumn("graft_dev", abs(col(valCol) - col("graft_med")))
+    val mad = quantileDiscNoSort(dev, groupCol, "graft_dev", 0.5)
+      .select(col(groupCol), col("q").as("graft_mad"))
+    dev.join(broadcast(mad), groupCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        max(col("graft_med")).as("med"),
+        max(col("graft_mad")).as("mad"),
+        sum(when(col("graft_dev") > lit(k) * col("graft_mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
+  /** Fixed-memory APPROXIMATE twin of [[robustOutliers]] — both medians
+    * come from [[percentilesHistogram]] (upper-bin-edge estimates, error
+    * ≤ one bin width of the respective value range), so per-group state
+    * is strictly ≤ `bins` cells end to end regardless of the data
+    * distribution — the serving-path variant the exact screen's scaladoc
+    * promises. One-sided per-median error (estimate ≥ exact type-1
+    * median); the outlier count is exact COUNTING against the
+    * approximate thresholds. Same output schema as the exact screen.
+    */
+  def robustOutliersApprox(df: DataFrame, groupCol: String, valCol: String,
+      k: Double = 3.0, bins: Int = 1024): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val med = percentilesHistogram(df, groupCol, valCol, Seq(0.5), bins)
+      .select(col(groupCol), col("est").as("graft_med"))
+    val dev = df.join(broadcast(med), groupCol)
+      .withColumn("graft_dev", abs(col(valCol) - col("graft_med")))
+    val mad = percentilesHistogram(dev, groupCol, "graft_dev", Seq(0.5), bins)
+      .select(col(groupCol), col("est").as("graft_mad"))
+    dev.join(broadcast(mad), groupCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        max(col("graft_med")).as("med"),
+        max(col("graft_mad")).as("mad"),
+        sum(when(col("graft_dev") > lit(k) * col("graft_mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
   /** One-pass table profile — the dbt-docs/`describe` summary every
     * dataset publication step wants: per column, row count, null count,
     * EXACT distinct count, lexicographic min/max (values cast to string
@@ -128,41 +275,6 @@ object Profile {
     * gate profiles the cast-stable types; the operator itself takes any
     * column.
     */
-  /** Robust per-group outlier screen — the median/MAD rule data-curation
-    * pipelines prefer over mean/σ (a contaminated tail corrupts the mean
-    * and σ it is judged against; the median and the median absolute
-    * deviation stay put up to 50 % contamination). Per group: n, the
-    * type-1 median, MAD = type-1 median of |x − med|, and the count of
-    * rows with |x − med| > k·MAD.
-    *
-    * Exact (both medians are [[percentilesDisc]] rank-ceil selections of
-    * ACTUAL data values, deviations are single correctly-rounded IEEE
-    * subtractions) and therefore engine-portable — the q100 oracle
-    * replays the whole chain in SQL and hash-matches. Cost is the
-    * honest price of exact MAD: two windowed median passes + one
-    * counting pass (each one shuffle on the group key). For a
-    * fixed-memory approximate screen compose [[percentilesHistogram]]
-    * instead. Contract: `valCol` non-null (as [[percentilesDisc]] —
-    * engines disagree on null sort order).
-    */
-  def robustOutliers(df: DataFrame, groupCol: String, valCol: String,
-      k: Double = 3.0): DataFrame = {
-    require(k > 0, s"k must be positive, got $k")
-    val med = percentilesDisc(df, groupCol, valCol, Seq(0.5))
-      .select(col(groupCol), col("p50").as("graft_med"))
-    val dev = df.join(med, groupCol)
-      .withColumn("graft_dev", abs(col(valCol) - col("graft_med")))
-    val mad = percentilesDisc(dev, groupCol, "graft_dev", Seq(0.5))
-      .select(col(groupCol), col("p50").as("graft_mad"))
-    dev.join(mad, groupCol)
-      .groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n_rows"),
-        max(col("graft_med")).as("med"),
-        max(col("graft_mad")).as("mad"),
-        sum(when(col("graft_dev") > lit(k) * col("graft_mad"), 1L)
-          .otherwise(0L)).as("n_outliers"))
-  }
-
   def describe(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty && cols.distinct == cols, s"bad cols: $cols")
     // the unpivot tag is the POSITION, not the column-name string — the

@@ -888,6 +888,35 @@ object Relational {
   /** The q89/q95 funnel step sequence. */
   val FunnelSteps: Seq[String] = Seq("signup", "view", "click", "purchase")
 
+  /** q104: STREAMING cohort retention ([[graft.streaming.EventStreams
+    * .retentionActivationsStream]]) — the incremental activation feed
+    * aggregated back to the q93 retention matrix: n_active = activations
+    * per (cohort, offset), n_cohort = the offset-0 count (every key
+    * emits offset 0 from its first applied event). Runs the SAME
+    * flatMapGroupsWithState function the stream runs (EventStreamsSpec
+    * proves streamed == batch across out-of-order micro-batches); the
+    * oracle is q93's verbatim — matching it proves the incremental
+    * formulation computes exactly the batch matrix.
+    */
+  def q104StreamingRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val acts = graft.streaming.EventStreams.retentionActivationsStream(
+        Tables.events(spark, sfDir), key = "user_id", ts = "ts",
+        period = "day")
+      .toDF()
+      .select(date_add(to_date(lit("1970-01-01")), col("cohort_days"))
+          .as("cohort"),
+        col("offset"), col("key"))
+    val cells = acts.groupBy("cohort", "offset")
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = acts.filter(col("offset") === 0)
+      .groupBy("cohort").agg(count(lit(1)).as("n_cohort"))
+    cells.join(sizes, "cohort")
+      .withColumn("ret_rate",
+        round(col("n_active").cast("double") / col("n_cohort"), 4))
+      .select("cohort", "offset", "n_active", "n_cohort", "ret_rate")
+      .orderBy("cohort", "offset")
+  }
+
   /** q94: Z-order layout key ([[Layout.zOrderKey]]) over lineitem's
     * (l_partkey, l_suppkey) — min-max-normalized 8-bit Morton interleave,
     * the multi-dimensional clustering key a lakehouse OPTIMIZE-ZORDER

@@ -46,34 +46,6 @@ object Temporal {
       .drop(dim(key))
   }
 
-  /** CDC changelog apply — the lakehouse MERGE/CDF primitive: fold a
-    * change stream (upserts + delete tombstones, each versioned) into a
-    * base snapshot, producing the next snapshot. Per key, the HIGHEST
-    * version change wins outright: an upsert replaces the base row (or
-    * inserts one), a delete tombstone removes it; base rows with no
-    * change pass through untouched. Exactly Delta/Iceberg MERGE
-    * semantics for a latest-wins changelog (Debezium/CDF compaction).
-    *
-    * Shape: winner selection is ONE aggregate — `max_by(payload,
-    * version)` partial-aggregates map-side, so a hot key's 10⁷ queued
-    * changes reduce to one row per map partition before the shuffle
-    * (never a per-key state buildup, never a window over the raw
-    * changelog). Physically Spark plans a struct-buffered max_by as
-    * SortAggregate (the buffer isn't mutable fixed-width) — the partials
-    * still combine map-side and spill safely, they just pay a per-task
-    * sort; measured ≈ the max+semi-join-back alternative at the 20×
-    * smoke, so the one-pass form wins on simplicity. The
-    * fold is then a single full-outer join on the key: changed keys take
-    * the winner's payload, unchanged keys keep the base row, tombstoned
-    * keys drop. Both sides shuffle once on the key — at 100 TB the
-    * changelog side is typically ≪ base, and AQE broadcasts it.
-    *
-    * Determinism contract: `(key, version)` unique in `changes`
-    * (standard CDC — version is an offset/LSN). Violations surface
-    * loudly via max_by's ties being broken arbitrarily ONLY if the
-    * caller supplied duplicate versions; pass a composite version
-    * (struct) to break ties totally when the source can't guarantee it.
-    */
   /** Incremental view maintenance for the additive aggregates — keep a
     * materialized (key, sum, count) table current from a changelog of
     * inserts and delete tombstones WITHOUT rescanning the base: deltas
@@ -110,6 +82,34 @@ object Temporal {
       .filter(col(countCol) > 0)
   }
 
+  /** CDC changelog apply — the lakehouse MERGE/CDF primitive: fold a
+    * change stream (upserts + delete tombstones, each versioned) into a
+    * base snapshot, producing the next snapshot. Per key, the HIGHEST
+    * version change wins outright: an upsert replaces the base row (or
+    * inserts one), a delete tombstone removes it; base rows with no
+    * change pass through untouched. Exactly Delta/Iceberg MERGE
+    * semantics for a latest-wins changelog (Debezium/CDF compaction).
+    *
+    * Shape: winner selection is ONE aggregate — `max_by(payload,
+    * version)` partial-aggregates map-side, so a hot key's 10⁷ queued
+    * changes reduce to one row per map partition before the shuffle
+    * (never a per-key state buildup, never a window over the raw
+    * changelog). Physically Spark plans a struct-buffered max_by as
+    * SortAggregate (the buffer isn't mutable fixed-width) — the partials
+    * still combine map-side and spill safely, they just pay a per-task
+    * sort; measured ≈ the max+semi-join-back alternative at the 20×
+    * smoke, so the one-pass form wins on simplicity. The
+    * fold is then a single full-outer join on the key: changed keys take
+    * the winner's payload, unchanged keys keep the base row, tombstoned
+    * keys drop. Both sides shuffle once on the key — at 100 TB the
+    * changelog side is typically ≪ base, and AQE broadcasts it.
+    *
+    * Determinism contract: `(key, version)` unique in `changes`
+    * (standard CDC — version is an offset/LSN). Violations surface
+    * loudly via max_by's ties being broken arbitrarily ONLY if the
+    * caller supplied duplicate versions; pass a composite version
+    * (struct) to break ties totally when the source can't guarantee it.
+    */
   def applyChangelog(base: DataFrame, changes: DataFrame, key: String,
       versionCol: String, deleteCol: String): DataFrame = {
     val payloadCols = base.columns.toSeq

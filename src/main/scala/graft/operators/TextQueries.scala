@@ -628,6 +628,45 @@ object TextQueries {
         orderCol = col("doc_id"), capacity = 512L)
       .orderBy("source", "pack_id")
 
+  /** q103: the COMPOSITE curation pipeline — the five individually-gated
+    * stages CHAINED as one query, the shape a real training-data run
+    * takes: Unicode fold → exact dedup (min-id survivor per folded
+    * fingerprint) → exact 13-gram decontamination (odd doc_ids as the
+    * benchmark, q81's split rule on the deduped corpus) → mixture
+    * rebalance to the smallest source stratum → 512-token sequence
+    * packing of what survives. 102 isolated gates never exercise
+    * operator HAND-OFF (one Catalyst plan across five operators,
+    * exchange reuse between the dedup aggregate's two consumers, no
+    * stage recomputation); this one does, and its oracle is the five
+    * proven CTE chains composed ([[graft.OracleGen.q103Sql]]) — the
+    * final pack stats hash-match only if every intermediate SET matched
+    * exactly.
+    *
+    * Scale shape inherits the parts: fold is a projection, dedup one
+    * map-side-combining shuffle, decontamination a broadcast-set probe
+    * (benchmark side tiny by construction), rebalance a
+    * stats-broadcast + pure filter, packing one per-shard window —
+    * nothing quadratic, no collects beyond the broadcast scalars.
+    */
+  def q103CurationPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val folded = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextExprs.foldText(col("text")).as("folded"))
+    val ded = Dedup.exact(folded, textCol = "folded", idCol = "doc_id")
+      .select("doc_id", "source", "folded")
+    val train = ded.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val bench = ded.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val contaminated = graft.textops.Overlap.exactNgramContamination(
+        train, bench, n = 13, textCol = "folded")
+      .select("doc_id")
+    val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
+    val balanced = Sampling.rebalanceToUniform(clean, "source", "doc_id")
+    Packing.packStats(balanced, textCol = col("folded"),
+        partitionCol = col("source"), orderCol = col("doc_id"),
+        capacity = 512L)
+      .orderBy("source", "pack_id")
+  }
+
   /** q58: overlapping chunking ([[graft.textops.Chunking]]) — 200-char
     * windows, stride 150. Offsets are stride multiples, so the oracle
     * recovers chunk_idx as integer division and restates the substring

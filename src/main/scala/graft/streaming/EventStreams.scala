@@ -530,6 +530,120 @@ object EventStreams {
       }
   }
 
+  // ---------------------------------------------- streaming retention
+
+  case class RetentionIn(key: Long, tsUs: Long, pd: Int, pm: Int,
+      graft_evt: java.sql.Timestamp)
+  case class RetentionState(cohortPd: Int, cohortPm: Int,
+      emitted: Seq[Int], pending: Seq[(Long, Int, Int)])
+  case class RetentionActivation(key: Long, cohort_days: Int, offset: Int)
+
+  /** STREAMING cohort retention — the activation feed behind
+    * [[graft.operators.Sessions.retentionMatrix]] as an incremental
+    * operator: one append row per (key, NEW active period), carrying the
+    * key's cohort period and the period offset. The batch retention
+    * matrix is exactly this feed aggregated (n_active = count per
+    * (cohort, offset); n_cohort = the offset-0 count), which is how the
+    * q104 gate checks it against the q93 oracle.
+    *
+    * Why retention streams and pattern matching doesn't: a key's cohort
+    * is its FIRST event's period, and under a watermark "first" is
+    * monotone-final — once the watermark passes an event's timestamp, no
+    * earlier event can still arrive, so a cohort assigned from the
+    * earliest watermark-released event never changes, and each (cohort,
+    * offset) activation is an immutable append-mode fact. (Optional-step
+    * greedy pattern binding depends on unboundedly-future events — the
+    * documented impossibility — but cohorts only ever look backward.)
+    *
+    * Ordering discipline is [[funnelStream]]'s: events buffer in state
+    * until the watermark passes them, then apply in event-time order —
+    * premature cohort assignment from an out-of-order first batch would
+    * pin the wrong cohort forever. Timeouts re-arm at the earliest
+    * buffered timestamp, so pending events flush even if the key goes
+    * quiet.
+    *
+    * State per key: two ints (cohort), the emitted-offset set (grows
+    * with the key's DISTINCT active periods — the same cardinality the
+    * batch operator shuffles per key, and bounded by lifetime/period),
+    * and the watermark-horizon event buffer. Cohort state persists for
+    * the key's lifetime (a returning key must keep its cohort and must
+    * not re-emit an old offset) — O(distinct keys) state-store rows,
+    * the standard keyed-state contract ([[funnelStream]]).
+    *
+    * Periods ride as INTEGERS (days-since-epoch of the period start,
+    * months-since-year-0), computed in-plan by `date_trunc`, so the
+    * state function does exact integer arithmetic only — no timezone or
+    * calendar logic crosses the encoder boundary, and the emitted
+    * `cohort_days` converts back via `date_add` (TZ-free both ways).
+    * In batch (`events.isStreaming == false`) the watermark is +∞: one
+    * sorted pass per key, no state survives.
+    */
+  def retentionActivationsStream(events: DataFrame, key: String,
+      ts: String, period: String = "day",
+      watermarkDelay: String = "10 minutes"): Dataset[RetentionActivation] = {
+    require(Set("day", "week", "month")(period),
+      s"period must be day|week|month, got $period")
+    import events.sparkSession.implicits._
+    val streaming = events.isStreaming
+    val noCohort = Int.MinValue
+    val p = to_date(date_trunc(period, col(ts).cast("timestamp")))
+    val normed = events
+      .withColumn("graft_evt", col(ts).cast("timestamp"))
+      .select(col(key).cast("long").as("key"),
+        unix_micros(col("graft_evt")).as("tsUs"),
+        datediff(p, to_date(lit("1970-01-01"))).cast("int").as("pd"),
+        (year(p) * 12 + month(p)).cast("int").as("pm"),
+        col("graft_evt"))
+      .transform(df =>
+        if (streaming) df.withWatermark("graft_evt", watermarkDelay) else df)
+    normed.as[RetentionIn]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[RetentionState, RetentionActivation](
+        OutputMode.Append(),
+        if (streaming) GroupStateTimeout.EventTimeTimeout()
+        else GroupStateTimeout.NoTimeout()) {
+        (k: Long, it: Iterator[RetentionIn],
+            state: GroupState[RetentionState]) =>
+          val prev = state.getOption.getOrElse(
+            RetentionState(noCohort, 0, Nil, Nil))
+          var cohortPd = prev.cohortPd
+          var cohortPm = prev.cohortPm
+          var emitted = prev.emitted.toSet
+          var pending = prev.pending
+          it.foreach(r => pending = pending :+ ((r.tsUs, r.pd, r.pm)))
+          val wmUs =
+            if (streaming) {
+              val w = state.getCurrentWatermarkMs()
+              if (w >= Long.MaxValue / 1000) Long.MaxValue else w * 1000L
+            } else Long.MaxValue
+          val (apply, keep) = pending.partition(_._1 <= wmUs)
+          val out = Seq.newBuilder[RetentionActivation]
+          apply.sortBy(identity).foreach { case (_, pd, pm) =>
+            if (cohortPd == noCohort) { cohortPd = pd; cohortPm = pm }
+            val off = period match {
+              case "day"   => pd - cohortPd
+              case "week"  => (pd - cohortPd) / 7
+              case "month" => pm - cohortPm
+            }
+            if (!emitted(off)) {
+              emitted += off
+              out += RetentionActivation(k, cohortPd, off)
+            }
+          }
+          if (streaming) {
+            if (emitted.isEmpty && keep.isEmpty) state.remove()
+            else {
+              state.update(RetentionState(cohortPd, cohortPm,
+                emitted.toSeq.sorted, keep))
+              if (keep.nonEmpty)
+                state.setTimeoutTimestamp(
+                  Math.floorDiv(keep.map(_._1).min, 1000L) + 1L)
+            }
+          }
+          out.result().iterator
+      }
+  }
+
   /** Streaming dedup on event_id with bounded state: duplicates arriving
     * within the watermark horizon are dropped; state evicts beyond it.
     * (Batch equivalent: dropDuplicates — exercised by the dedup specs.)

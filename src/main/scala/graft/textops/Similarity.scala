@@ -100,8 +100,10 @@ object Similarity {
     require(planes >= 1 && planes <= 64,
       s"planes must be in [1,64] to pack into a long, got $planes")
     // one band of `planes` bits — the same single-pass native expression
-    // as [[banded]] ([[ArrayExprs.BandBuckets]]), bit-identical to the
-    // when(dot > 0) composition it replaces
+    // as [[banded]] ([[ArrayExprs.BandBuckets]]); bit-identical to the
+    // when(dot > 0) composition it replaces for non-null vectors (a
+    // whole-null vector now yields a null signature instead of the
+    // legacy all-zero 0L — see the BandBuckets null-semantics scaladoc)
     element_at(ArrayExprs.bandBuckets(vec, 1, planes, dims,
       planeMatrix(planes, dims)), 1)
   }

@@ -245,6 +245,28 @@ class PlanAuditSpec extends SparkSpec {
       Set("o_orderpriority", "o_totalprice", "o_orderkey")), cols.toString)
   }
 
+  test("q100 robust outliers: NO WindowExec anywhere — both medians are " +
+      "histogram-localized (round-10 verdict item 2), never a per-group " +
+      "row_number sort; scans prune lineitem to the two consumed columns") {
+    val plan = finalPlan(Relational.q100Outliers(spark, sf))
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "exact medians must not plan a Window sort:\n" + plan)
+    val cols = scanColumns(plan)
+    assert(cols.nonEmpty && cols.forall(_.toSet ==
+      Set("l_returnflag", "l_extendedprice")), cols.toString)
+  }
+
+  test("q103 curation pipeline: every documents scan prunes to " +
+      "(doc_id, source, text) — five chained operators add no column " +
+      "width") {
+    val cols = scanColumns(finalPlan(
+      TextQueries.q103CurationPipeline(spark, sf)))
+    assert(cols.nonEmpty &&
+      cols.forall(_.toSet == Set("doc_id", "source", "text")),
+      cols.toString)
+  }
+
   test("no gated query re-evaluates a generator subtree above its " +
       "Generate (sweep over every SparkEntry entry)") {
     val bad = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

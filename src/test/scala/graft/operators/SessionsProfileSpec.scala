@@ -146,6 +146,60 @@ class SessionsProfileSpec extends SparkSpec {
     assert(got(1) === (("b", 4L, 1.0, 0.0, 1L)))
   }
 
+  test("quantileDiscNoSort equals percentilesDisc on random corpora " +
+      "with ties, constant groups and adversarial in-bucket " +
+      "concentration (property)") {
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 3) {
+      val rows = (1 to 2000).map { _ =>
+        val g = "g" + rnd.nextInt(4)
+        // heavy ties + a mass concentrated near 0 with a stretched tail:
+        // most values land in the histogram's first buckets
+        val x = rnd.nextInt(4) match {
+          case 0 => rnd.nextInt(5).toDouble
+          case 1 => rnd.nextDouble() * 0.01
+          case 2 => 7.0
+          case _ => rnd.nextDouble() * 10000.0
+        }
+        (g, x)
+      } ++ Seq(("const", 3.25), ("const", 3.25), ("const", 3.25))
+      val df = rows.toDF("g", "x")
+      for (p <- Seq(0.5, 0.9)) {
+        val exact = Profile.percentilesDisc(df, "g", "x", Seq(p))
+          .select($"g", col("p" + math.round(p * 100)))
+          .as[(String, Double)].collect().toMap
+        val noSort = Profile.quantileDiscNoSort(df, "g", "x", p)
+          .as[(String, Double)].collect().toMap
+        assert(noSort === exact, s"trial $trial p=$p")
+      }
+    }
+  }
+
+  test("robustOutliersApprox: same schema, exact n_rows, med/mad " +
+      "within one bin width above the exact screen; constant group " +
+      "exact") {
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 3000).map(i => ("a", rnd.nextDouble() * 100.0)) ++
+      Seq.fill(5)(("k", 9.75))
+    val df = rows.toDF("g", "x")
+    val bins = 256
+    val exact = Profile.robustOutliers(df, "g", "x", k = 3.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approx = Profile.robustOutliersApprox(df, "g", "x", k = 3.0,
+        bins = bins)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val (nE, medE, madE) = exact("a")
+    val (nA, medA, madA) = approx("a")
+    assert(nA === nE)
+    // one-sided: estimate >= exact, error <= one bin width of the range
+    assert(medA >= medE && medA - medE <= 100.0 / bins + 1e-9)
+    // the dev range is bounded by the value range; allow its bin width
+    assert(madA >= 0 && math.abs(madA - madE) <= 2 * 100.0 / bins + 1e-9)
+    assert(approx("k") === exact("k")) // constant group: both exact
+  }
+
   test("funnelTimes: greedy earliest strictly-increasing matching, " +
       "drop-off nulls, no row without step 0") {
     import java.sql.Timestamp

@@ -381,6 +381,80 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("streaming retention: an out-of-order first batch must not pin " +
+      "the wrong cohort — events apply in event-time order once the " +
+      "watermark releases them; pending activations flush via timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = retentionActivationsStream(
+        stream.toDF().toDF("event_id", "ts", "user_id", "event_type",
+          "value"),
+        key = "user_id", ts = "ts", period = "day")
+      .writeStream.format("memory").queryName("ret_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // b1: user 2 seeds the watermark
+      stream.addData(Seq((1L, ts("2024-01-01 10:00:00"), 2L, "e", 0.0)))
+      q.processAllAvailable() // wm -> 09:50
+      // b2: user 1's DAY-2 event arrives BEFORE its day-1 event; both
+      // beyond the watermark, so both buffer — premature application
+      // would pin cohort = Jan 2 and emit offset 0 for the wrong day
+      stream.addData(Seq(
+        (2L, ts("2024-01-02 11:00:00"), 1L, "e", 0.0),
+        (3L, ts("2024-01-01 11:00:00"), 1L, "e", 0.0)))
+      q.processAllAvailable() // wm -> Jan 2 10:50
+      // b3: timeouts fire — u1 applies ONLY its Jan 1 event (Jan 2 still
+      // ahead of the watermark): cohort Jan 1, offset 0; u2 offset 0
+      stream.addData(Seq((4L, ts("2024-01-02 12:00:00"), 3L, "e", 0.0)))
+      q.processAllAvailable() // wm -> Jan 2 11:50
+      // b4: u1's Jan-2 activation (offset 1) and u3's offset 0 release
+      stream.addData(Seq((5L, ts("2024-01-02 13:00:00"), 4L, "e", 0.0)))
+      q.processAllAvailable() // wm -> Jan 2 12:50
+      val streamed = spark.table("ret_out")
+        .as[(Long, Int, Int)].collect().toSeq.sorted
+      val day0 = java.time.LocalDate.of(1970, 1, 1)
+      def d(s: String): Int =
+        java.time.temporal.ChronoUnit.DAYS
+          .between(day0, java.time.LocalDate.parse(s)).toInt
+      assert(streamed === Seq(
+        (1L, d("2024-01-01"), 0), (1L, d("2024-01-01"), 1),
+        (2L, d("2024-01-01"), 0), (3L, d("2024-01-02"), 0)))
+    } finally q.stop()
+  }
+
+  test("streaming retention in batch aggregates to exactly " +
+      "retentionMatrix on random corpora, for day, week and month " +
+      "periods (property)") {
+    val rnd = new scala.util.Random(29)
+    for (period <- Seq("day", "week", "month"); trial <- 1 to 2) {
+      val rows = (1 to 400).map { i =>
+        (i.toLong,
+          new Timestamp(1700000000000L +
+            rnd.nextInt(90 * 24 * 3600).toLong * 1000L),
+          rnd.nextInt(30).toLong, "e", 0.0)
+      }
+      val df = eventsDf(rows)
+      val acts = retentionActivationsStream(df, "user_id", "ts", period)
+        .toDF()
+        .select(date_add(to_date(lit("1970-01-01")), col("cohort_days"))
+            .as("cohort"),
+          col("offset"), col("key"))
+      val cells = acts.groupBy("cohort", "offset")
+        .agg(count(lit(1)).as("n_active"))
+      val sizes = acts.filter(col("offset") === 0)
+        .groupBy("cohort").agg(count(lit(1)).as("n_cohort"))
+      val viaStream = cells.join(sizes, "cohort")
+        .withColumn("ret_rate",
+          round(col("n_active").cast("double") / col("n_cohort"), 4))
+        .select("cohort", "offset", "n_active", "n_cohort", "ret_rate")
+        .orderBy("cohort", "offset").collect().toSeq
+      val viaBatch = graft.operators.Sessions.retentionMatrix(
+          df, "user_id", "ts", period)
+        .orderBy("cohort", "offset").collect().toSeq
+      assert(viaStream === viaBatch, s"period=$period trial=$trial")
+    }
+  }
+
   test("streaming dedup within watermark drops replayed event_ids") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
