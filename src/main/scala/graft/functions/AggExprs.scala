@@ -154,4 +154,81 @@ object AggExprs {
   /** Column wrapper for [[CollectTopK]]. */
   def collectTopK(e: Column, k: Int): Column =
     exprColumn(CollectTopK(columnExpr(e), k).toAggregateExpression())
+
+  /** Fixed-width histogram aggregate: counts of an integer bin column
+    * (values MUST lie in [0, bins) — out-of-range fails loudly, never
+    * silently misbins) into one `long[bins]` buffer per group. State is
+    * FIXED-SIZE and mergeable (element-wise sum), partial-aggregating
+    * map-side — the [[graft.operators.Sketches]] register pattern applied
+    * to histograms, so a per-group histogram costs ONE hash aggregate
+    * whose exchange carries G arrays, not a (group, bin) pre-aggregation
+    * plus a second collect shuffle. Null bins are skipped (the histogram
+    * of the non-null values). Serves [[graft.operators.Profile]]'s
+    * sort-free exact quantiles; the output array is positional (index =
+    * bin), ready for an in-row cumulative walk.
+    */
+  case class BinCounts(child: Expression, bins: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends org.apache.spark.sql.catalyst.expressions.aggregate
+        .TypedImperativeAggregate[Array[Long]]
+      with UnaryLike[Expression] {
+    require(bins >= 2 && bins <= (1 << 20),
+      s"bins must be in [2, 2^20], got $bins")
+
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def prettyName: String = "graft_bin_counts"
+
+    override def createAggregationBuffer(): Array[Long] =
+      new Array[Long](bins)
+
+    override def update(buffer: Array[Long],
+        input: InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val i = v.asInstanceOf[Long]
+        require(i >= 0 && i < bins,
+          s"bin $i out of [0, $bins) — caller's bin expression is broken")
+        buffer(i.toInt) += 1L
+      }
+      buffer
+    }
+
+    override def merge(buffer: Array[Long],
+        other: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < bins) { buffer(i) += other(i); i += 1 }
+      buffer
+    }
+
+    override def eval(buffer: Array[Long]): Any =
+      new GenericArrayData(buffer)
+
+    override def serialize(buffer: Array[Long]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(bins * 8)
+      bb.asLongBuffer().put(buffer)
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): Array[Long] = {
+      val out = new Array[Long](bins)
+      java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+      out
+    }
+
+    override def withNewMutableAggBufferOffset(
+        newOffset: Int): BinCounts =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(
+        newOffset: Int): BinCounts =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildInternal(
+        newChild: Expression): BinCounts = copy(child = newChild)
+  }
+
+  /** Column wrapper for [[BinCounts]]. */
+  def binCounts(bin: Column, bins: Int): Column =
+    exprColumn(BinCounts(columnExpr(bin), bins).toAggregateExpression())
 }

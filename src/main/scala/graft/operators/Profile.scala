@@ -135,16 +135,35 @@ object Profile {
     * memory use [[percentilesHistogram]] / [[robustOutliersApprox]].
     */
   def quantileDiscNoSort(df: DataFrame, groupCol: String, valCol: String,
-      p: Double, bins: Int = 1024): DataFrame = {
+      p: Double, bins: Int = 1024): DataFrame =
+    quantileWithStats(df, groupCol, valCol, p, bins,
+      rangeStats(df, groupCol, valCol))
+
+  /** Per-group (graft_lo, graft_hi, graft_n) over `valCol` as doubles —
+    * the range-statistics frame [[quantileWithStats]] consumes.
+    */
+  private[operators] def rangeStats(df: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    df.groupBy(col(groupCol))
+      .agg(min(v).as("graft_lo"), max(v).as("graft_hi"),
+        count(lit(1)).as("graft_n"))
+  }
+
+  /** [[quantileDiscNoSort]] with the range stats supplied by the caller —
+    * `graft_lo`/`graft_hi` need only BOUND the values (lo ≤ every v ≤
+    * hi), not equal the true min/max: bins partition [lo, hi] either
+    * way, and the rank walk is exact under any consistent binning. This
+    * is what lets [[robustOutliers]] skip the deviation-stats scan: dev
+    * bounds derive algebraically from the value stats and the median
+    * (lo = 0, hi = max(hi − med, med − lo)).
+    */
+  private[operators] def quantileWithStats(df: DataFrame, groupCol: String,
+      valCol: String, p: Double, bins: Int, stats: DataFrame): DataFrame = {
     require(p > 0 && p <= 1, s"quantile must be in (0,1], got $p")
     require(bins >= 2, s"bins must be >= 2, got $bins")
     val g = col(groupCol)
     val v = col(valCol).cast("double")
-    val stats = df.groupBy(g)
-      .agg(min(v).as("graft_lo"), max(v).as("graft_hi"),
-        count(lit(1)).as("graft_n"))
-      .withColumn("graft_rank",
-        ceil(col("graft_n") * lit(p)).cast("long"))
     // the bin expression — used identically in the locate pass and the
     // bucket-filter pass, so the same row maps to the same bin both times
     def binOf: Column =
@@ -152,8 +171,8 @@ object Profile {
         .otherwise(least(lit(bins.toLong - 1),
           floor((v - col("graft_lo")) /
             ((col("graft_hi") - col("graft_lo")) / lit(bins.toDouble)))))
-    // walk a (key ASC)-sorted array of (key, cnt) cells: first cell where
-    // the running count reaches `rank`, plus the count BEFORE that cell
+    // walk a (key ASC)-ordered array of (key, cnt) cells: first cell
+    // where the running count reaches `rank`, plus the count BEFORE it
     def walk(cells: Column, rank: Column): Column =
       aggregate(cells,
         struct(lit(0L).as("cum"), lit(false).as("found"),
@@ -165,23 +184,24 @@ object Profile {
             .otherwise(struct((acc("cum") + x("cnt")).as("cum"),
               lit(false).as("found"), lit(0.0).as("key"),
               lit(0L).as("before")))))
+    val rank = ceil(col("graft_n") * lit(p)).cast("long")
+    // locate: ONE fixed-state aggregate ([[graft.functions.AggExprs
+    // .BinCounts]] — long[bins] per group, map-side combining) builds the
+    // whole histogram; the positional array walks in-row, no sort at all
     val located = df.join(broadcast(stats), groupCol)
-      .groupBy(g, binOf.as("graft_bin"))
-      .agg(count(lit(1)).as("graft_cnt"),
-        first("graft_rank").as("graft_rank"))
       .groupBy(g)
-      .agg(sort_array(collect_list(struct(
-          col("graft_bin").cast("double").as("key"),
-          col("graft_cnt").as("cnt")))).as("graft_hist"),
-        first("graft_rank").as("graft_rank"))
+      .agg(graft.functions.AggExprs.binCounts(binOf, bins)
+          .as("graft_hist"),
+        first(rank).as("graft_rank"))
+      .select(g, col("graft_rank"),
+        walk(transform(col("graft_hist"),
+            (c, i) => struct(i.cast("double").as("key"), c.as("cnt"))),
+          col("graft_rank")).as("graft_w"))
       .select(g,
-        walk(col("graft_hist"), col("graft_rank")).getField("key")
-          .cast("long").as("graft_tbin"),
-        (col("graft_rank") -
-          walk(col("graft_hist"), col("graft_rank")).getField("before"))
+        col("graft_w").getField("key").cast("long").as("graft_tbin"),
+        (col("graft_rank") - col("graft_w").getField("before"))
           .as("graft_kin"))
-    df.join(broadcast(stats.select(g, col("graft_lo"), col("graft_hi"))
-        .join(located, groupCol)), groupCol)
+    df.join(broadcast(stats.join(located, groupCol)), groupCol)
       .filter(binOf === col("graft_tbin"))
       .groupBy(g, v.as("graft_v"))
       .agg(count(lit(1)).as("graft_cnt"), first("graft_kin").as("graft_kin"))
@@ -201,32 +221,194 @@ object Profile {
     * rows with |x − med| > k·MAD.
     *
     * Exact and engine-portable (both medians are rank-ceil selections of
-    * ACTUAL data values via [[quantileDiscNoSort]], deviations are single
-    * correctly-rounded IEEE subtractions) — the q100 oracle replays the
-    * chain as windowed SQL and hash-matches, while the Spark plan runs
-    * NO Window at all: each median is histogram-localized (three
-    * scan-bound passes, bounded per-group state), so the per-group
-    * row_number sorts the naive formulation pays twice never happen.
-    * For a strictly fixed-memory approximate screen use
-    * [[robustOutliersApprox]]. Contract: `valCol` non-null (engines
-    * disagree on null sort order).
+    * ACTUAL data values, deviations are single correctly-rounded IEEE
+    * subtractions) — the q100 oracle replays the chain as windowed SQL
+    * and hash-matches, while the Spark side runs NO Window at all. The
+    * implementation is an EAGER five-job pipeline (the [[Layout
+    * .zOrderKey]] statistics discipline — driver traffic is per-group
+    * scalars, proportional to the operator's own G-row output): (1)
+    * range stats, (2) median histogram ([[graft.functions.AggExprs
+    * .BinCounts]] — fixed long[bins]/group, map-side combining), (3) the
+    * median bucket's exact values, (4) deviation histogram — its bounds
+    * DERIVE from (1)+median, no extra scan — and (5) the MAD bucket plus
+    * every bin the k·MAD threshold could land in (≤ ⌈k⌉+2 bins), from
+    * which the outlier count resolves exactly on the driver (full bins
+    * below the threshold bin from the histogram, the threshold bin by
+    * value) — no sixth scan, no Window, no per-group sort anywhere; the
+    * result returns as a local relation. Driver and executors evaluate
+    * the SAME IEEE bin expression, so localization cannot disagree with
+    * itself. Per-median exactness logic is [[quantileDiscNoSort]]'s
+    * (lazy, spec-pinned against [[percentilesDisc]]); for a strictly
+    * fixed-memory approximate screen use [[robustOutliersApprox]].
+    * Contract: `valCol` non-null (engines disagree on null sort order);
+    * null GROUP keys drop (join semantics, as before).
     */
   def robustOutliers(df: DataFrame, groupCol: String, valCol: String,
-      k: Double = 3.0): DataFrame = {
+      k: Double = 3.0, bins: Int = 1024): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val med = quantileDiscNoSort(df, groupCol, valCol, 0.5)
-      .select(col(groupCol), col("q").as("graft_med"))
-    val dev = df.join(broadcast(med), groupCol)
-      .withColumn("graft_dev", abs(col(valCol) - col("graft_med")))
-    val mad = quantileDiscNoSort(dev, groupCol, "graft_dev", 0.5)
-      .select(col(groupCol), col("q").as("graft_mad"))
-    dev.join(broadcast(mad), groupCol)
-      .groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n_rows"),
-        max(col("graft_med")).as("med"),
-        max(col("graft_mad")).as("mad"),
-        sum(when(col("graft_dev") > lit(k) * col("graft_mad"), 1L)
-          .otherwise(0L)).as("n_outliers"))
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val spark = df.sparkSession
+    val g = col(groupCol)
+    val v = col(valCol).cast("double")
+    val gField = df.schema(groupCol)
+
+    // Driver-side twin of the executor bin expression — IDENTICAL IEEE
+    // operand order ((x−lo) / ((hi−lo)/bins)), so a driver-computed bin
+    // index can never disagree with the executors' binning of the same
+    // value. Doubles round-trip the driver exactly (typed rows, no
+    // string formatting).
+    def binOfD(x: Double, lo: Double, hi: Double): Long =
+      if (hi == lo) 0L
+      else math.min(bins - 1L,
+        math.floor((x - lo) / ((hi - lo) / bins.toDouble)).toLong)
+    def binExpr(vc: Column): Column =
+      when(col("graft_hi") === col("graft_lo"), lit(0L))
+        .otherwise(least(lit(bins.toLong - 1),
+          floor((vc - col("graft_lo")) /
+            ((col("graft_hi") - col("graft_lo")) / lit(bins.toDouble)))))
+    def localDf(rows: Seq[org.apache.spark.sql.Row],
+        fields: org.apache.spark.sql.types.StructField*): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*),
+        org.apache.spark.sql.types.StructType(gField +: fields))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField}
+    val loF = StructField("graft_lo", DoubleType)
+    val hiF = StructField("graft_hi", DoubleType)
+
+    // job 1 — per-group range stats. G×3 scalars come back to the driver
+    // and re-enter each later pass as a LOCAL relation (the zOrderKey
+    // discipline: driver traffic is the statistics themselves, and G is
+    // the operator's own output cardinality). All later joins broadcast
+    // local frames — no recomputed aggregate subtrees, no repeated scans.
+    // null group keys drop (equi-join semantics, as the previous
+    // join-based formulation and the oracle's JOIN ... USING)
+    val statsRows = df.groupBy(g)
+      .agg(min(v).as("lo"), max(v).as("hi"), count(lit(1)).as("n"))
+      .collect()
+      .filter(_.get(0) != null)
+    val stats = statsRows.map(r =>
+      r.get(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+
+    // One histogram job: BinCounts (fixed long[bins]/group, map-side
+    // combining) over `vc` against the supplied bounds; returns the full
+    // per-group histogram to the driver (G × bins longs).
+    def histJob(src: DataFrame, vc: Column,
+        bounds: Map[Any, (Double, Double)]): Map[Any, Array[Long]] = {
+      val bDf = localDf(bounds.toSeq.map { case (gv, (lo, hi)) =>
+        Row(gv, lo, hi) }, loF, hiF)
+      src.join(broadcast(bDf), groupCol)
+        .groupBy(g)
+        .agg(graft.functions.AggExprs.binCounts(binExpr(vc), bins)
+          .as("h"))
+        .collect()
+        .map(r => r.get(0) -> r.getSeq[Long](1).toArray).toMap
+    }
+
+    // One bucket job: per-(group, bin, value) counts for each group's
+    // CANDIDATE bin set (|set| ≤ k+2 — never the whole histogram).
+    def bucketJob(src: DataFrame, vc: Column,
+        bounds: Map[Any, (Double, Double)],
+        cand: Map[Any, Seq[Long]]): Map[Any, Map[Long, Seq[(Double, Long)]]] = {
+      val bDf = localDf(bounds.toSeq.map { case (gv, (lo, hi)) =>
+        Row(gv, lo, hi, cand(gv)) }, loF, hiF,
+        StructField("graft_cand",
+          org.apache.spark.sql.types.ArrayType(LongType, false)))
+      src.join(broadcast(bDf), groupCol)
+        .filter(array_contains(col("graft_cand"), binExpr(vc)))
+        .groupBy(g, binExpr(vc).as("b"), vc.as("vv"))
+        .agg(count(lit(1)).as("c"))
+        .collect()
+        .groupBy(_.get(0))
+        .map { case (gv, rows) =>
+          gv -> rows.groupBy(_.getLong(1)).map { case (b, rs) =>
+            b -> rs.map(r => (r.getDouble(2), r.getLong(3)))
+              .sortBy(_._1).toSeq
+          }
+        }
+    }
+
+    // Walk a histogram to the bucket holding 1-based rank `rank`,
+    // returning (bucket, residual rank inside it).
+    def locate(h: Array[Long], rank: Long): (Long, Long) = {
+      var cum = 0L; var b = 0
+      while (cum + h(b) < rank) { cum += h(b); b += 1 }
+      (b.toLong, rank - cum)
+    }
+    // The exact value at residual rank `kin` among sorted (value, cnt).
+    def pick(cells: Seq[(Double, Long)], kin: Long): Double = {
+      var cum = 0L
+      cells.find { case (_, c) => cum += c; cum >= kin }.get._1
+    }
+
+    // jobs 2+3 — exact median per group
+    val medHist = histJob(df, v, stats.map { case (gv, (lo, hi, _)) =>
+      gv -> ((lo, hi)) })
+    val medLoc = stats.map { case (gv, (_, _, n)) =>
+      gv -> locate(medHist(gv), math.ceil(n * 0.5).toLong) }
+    val medCells = bucketJob(df, v,
+      stats.map { case (gv, (lo, hi, _)) => gv -> ((lo, hi)) },
+      medLoc.map { case (gv, (tb, _)) => gv -> Seq(tb) })
+    val med = medLoc.map { case (gv, (tb, kin)) =>
+      gv -> pick(medCells(gv)(tb), kin) }
+
+    // jobs 4+5 — exact MAD. Deviation bounds need NO extra scan
+    // (0 ≤ |x−med| ≤ max(hi−med, med−lo)); the dev frame joins the
+    // local medians in. The bucket job also collects every bin the
+    // outlier threshold k·mad could land in (mad is inside its bucket,
+    // so k·mad ∈ [k·b·w, k·(b+1)·w] — ≤ ⌈k⌉+2 candidate bins), which
+    // makes the final counting scan unnecessary: outliers = n − (full
+    // histogram bins below the threshold bin) − (exact count inside it).
+    val medDf = localDf(med.toSeq.map { case (gv, m) => Row(gv, m) },
+      StructField("graft_med", DoubleType))
+    val devBounds = stats.map { case (gv, (lo, hi, _)) =>
+      gv -> ((0.0, math.max(hi - med(gv), med(gv) - lo))) }
+    val devSrc = df.join(broadcast(medDf), groupCol)
+    val devCol = abs(v - col("graft_med"))
+    val devHist = histJob(devSrc, devCol, devBounds)
+    val devLoc = stats.map { case (gv, (_, _, n)) =>
+      gv -> locate(devHist(gv), math.ceil(n * 0.5).toLong) }
+    val devCand = devLoc.map { case (gv, (tb, _)) =>
+      val (_, hi) = devBounds(gv)
+      val w = (hi - 0.0) / bins.toDouble
+      val extra =
+        if (w == 0.0) Seq.empty[Long]
+        else {
+          // k·mad ∈ [k·tb·w, k·(tb+1)·w] ⇒ the threshold bin lies in
+          // [⌊k·tb⌋, ⌈k·(tb+1)⌉], CLAMPED into [0, bins) on BOTH ends —
+          // a threshold beyond the histogram's top edge still resolves
+          // to bin bins−1, which must therefore always be collectable
+          val loC = math.max(0L, math.min(bins - 1L,
+            math.floor(k * tb).toLong))
+          val hiC = math.min(bins - 1L, math.ceil(k * (tb + 1)).toLong)
+          loC to hiC
+        }
+      gv -> (Seq(tb) ++ extra).distinct
+    }
+    val devCells = bucketJob(devSrc, devCol, devBounds, devCand)
+    val mad = devLoc.map { case (gv, (tb, kin)) =>
+      gv -> pick(devCells(gv)(tb), kin) }
+
+    // driver — exact outlier counts from the dev histogram + the
+    // threshold bin's exact values (same IEEE binning both sides)
+    val out = stats.toSeq.map { case (gv, (_, hiB, n)) =>
+      val m = mad(gv)
+      val t = k * m
+      val (_, devHiB) = devBounds(gv)
+      val nOut =
+        if (devHiB == 0.0) 0L // every deviation is exactly 0 ≤ t
+        else {
+          val bStar = binOfD(t, 0.0, devHiB)
+          val below = devHist(gv).view.slice(0, bStar.toInt).sum
+          val inStar = devCells(gv).getOrElse(bStar, Seq.empty)
+          val leThr = inStar.collect { case (dv, c) if dv <= t => c }.sum
+          n - below - leThr
+        }
+      Row(gv, n, med(gv), m, nOut)
+    }
+    localDf(out, StructField("n_rows", LongType),
+      StructField("med", DoubleType), StructField("mad", DoubleType),
+      StructField("n_outliers", LongType))
   }
 
   /** Fixed-memory APPROXIMATE twin of [[robustOutliers]] — both medians

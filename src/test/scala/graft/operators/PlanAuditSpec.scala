@@ -245,14 +245,27 @@ class PlanAuditSpec extends SparkSpec {
       Set("o_orderpriority", "o_totalprice", "o_orderkey")), cols.toString)
   }
 
-  test("q100 robust outliers: NO WindowExec anywhere — both medians are " +
-      "histogram-localized (round-10 verdict item 2), never a per-group " +
-      "row_number sort; scans prune lineitem to the two consumed columns") {
-    val plan = finalPlan(Relational.q100Outliers(spark, sf))
-    assert(plan.collect {
+  test("q100 robust outliers: fully driver-resolved result (the eager " +
+      "five-job pipeline returns a local relation — round-10 verdict " +
+      "item 2: no WindowExec, no per-group row_number sort) and the " +
+      "lazy no-sort quantile plans no Window with pruned scans") {
+    // the gate itself: its five construction-time jobs are histogram/
+    // bucket aggregations (spec'd via quantileDiscNoSort below); what it
+    // RETURNS must be a local relation — nothing left to execute
+    val gatePlan = finalPlan(Relational.q100Outliers(spark, sf))
+    assert(gatePlan.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
-    }.isEmpty, "exact medians must not plan a Window sort:\n" + plan)
-    val cols = scanColumns(plan)
+    }.isEmpty, gatePlan.toString)
+    assert(scanColumns(gatePlan).isEmpty,
+      "q100 must resolve on the driver, not defer scans:\n" + gatePlan)
+    // the lazy quantile operator carries the same no-sort plan shape
+    val qPlan = finalPlan(Profile.quantileDiscNoSort(
+      graft.sources.Tables.lineitem(spark, sf), "l_returnflag",
+      "l_extendedprice", 0.5))
+    assert(qPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "exact median must not plan a Window sort:\n" + qPlan)
+    val cols = scanColumns(qPlan)
     assert(cols.nonEmpty && cols.forall(_.toSet ==
       Set("l_returnflag", "l_extendedprice")), cols.toString)
   }
