@@ -692,6 +692,33 @@ object ScaleSmoke {
     // per-doc window top-k — the term explode is the volume axis
     time("tfidf_topk")(TextStats.tfidfTopTerms(docs, k = 3))
 
+    // composite curation pipeline at 20× — the q103 chain (fold → exact
+    // dedup → 13-gram decontam → rebalance → pack) as ONE plan over the
+    // replicated corpus: the operator HAND-OFF cost (plan size, exchange
+    // reuse across stages, no recompute) that per-operator entries never
+    // exercise. On this corpus dedup collapses the 20 near-identical
+    // copies, so downstream stages see ~1/mult of the input — the
+    // realistic curation funnel shape.
+    if (enabled("curation_pipeline")) locally {
+      val folded = docs.select(col("doc_id"),
+        concat(lit("s"), pmod(col("doc_id"), lit(7))).as("source"),
+        graft.functions.TextExprs.foldText(col("text")).as("folded"))
+      val ded = Dedup.exact(folded, textCol = "folded", idCol = "doc_id")
+        .select("doc_id", "source", "folded")
+      val train = ded.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val bench = ded.filter(pmod(col("doc_id"), lit(2)) === 1)
+      val clean = train.join(
+        graft.textops.Overlap.exactNgramContamination(
+            train, bench, n = 13, textCol = "folded")
+          .select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      val balanced = graft.textops.Sampling.rebalanceToUniform(
+        clean, "source", "doc_id")
+      time("curation_pipeline")(graft.textops.Packing.packStats(balanced,
+        textCol = col("folded"), partitionCol = col("source"),
+        orderCol = col("doc_id"), capacity = 512L))
+    }
+
     // mixture rebalance at 20×: skewed synthetic strata (70/25/5 — the
     // testdata source column doesn't survive the corpus multiplier);
     // counts + min broadcast back, the corpus side must stay a pure

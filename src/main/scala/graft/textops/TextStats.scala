@@ -249,7 +249,18 @@ object TextStats {
     val sh = df.select(col(idCol),
       explode(array_distinct(shingles(col(textCol), n))).as("shingle"))
     val dfT = sh.groupBy("shingle").agg(count(lit(1)).as("graft_df"))
-    sh.join(dfT, "shingle")
+    // shuffle_hash, NOT broadcast: this is a self-join whose whole point
+    // is that both consumers of `sh` share ONE shingle-keyed Exchange
+    // (the explode — the expensive stage — runs once). A broadcast of
+    // dfT severs that reuse: the probe side re-derives scan→shingle→
+    // explode from scratch and every task probes a corpus-vocabulary
+    // hash relation (measured at the 20× smoke when AQE's 64 MB
+    // threshold started broadcasting the ~10⁶-row df table: 2.6 s →
+    // 6-10 s). Co-partitioned hash join keeps the reuse and, unlike
+    // sort-merge, pays no per-side sort; per-partition build is
+    // |vocabulary|/partitions — scale-safe where a broadcast build of
+    // the whole vocabulary is not.
+    sh.join(dfT.hint("shuffle_hash"), "shingle")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shingles"),
         sum((col("graft_df") >= minDocs).cast("long")).as("n_common"))
