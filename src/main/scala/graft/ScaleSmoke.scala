@@ -155,16 +155,23 @@ object ScaleSmoke {
       debugListener = None
     }
 
-  private def time(name: String)(df: => DataFrame): Unit = {
+  private def time(name: String, reEval: Boolean = false)
+      (df: => DataFrame): Unit = {
     if (!enabled(name)) return
     val spark = SparkSession.active
     debugStart(spark)
+    var frame: DataFrame = null
     var n = 0L
     val sec = (1 to reps).map { _ =>
       val t0 = System.nanoTime()
-      // by-name re-evaluation per rep: EAGER operators (robustOutliers'
-      // driver pipeline) must do their work inside the timed region
-      n = df.count()
+      // rep 1 builds the frame INSIDE the timed region (analysis included,
+      // as the single-shot harness always measured); later reps re-count
+      // the same Dataset — a lazy plan fully re-executes, and attached
+      // Observations tolerate only one Dataset. EAGER operators
+      // (robustOutliers' driver pipeline) do their work at build time, so
+      // they pass reEval = true and rebuild every rep.
+      if (frame == null || reEval) frame = df
+      n = frame.count()
       (System.nanoTime() - t0) / 1e9
     }.min
     println(f"[scale] $name%-28s $n%10d rows  $sec%8.2f s" +
@@ -674,9 +681,10 @@ object ScaleSmoke {
       // (measured 17.1 s here) and the histogram-localized eager
       // pipeline stays scan-bound (measured 6.8 s): the q100 de-sort's
       // scale evidence
-      time("robust_outliers")(graft.operators.Profile.robustOutliers(
-        li, groupCol = "l_returnflag", valCol = "l_extendedprice",
-        k = 3.0))
+      time("robust_outliers", reEval = true)(
+        graft.operators.Profile.robustOutliers(
+          li, groupCol = "l_returnflag", valCol = "l_extendedprice",
+          k = 3.0))
       li.unpersist(blocking = false)
       orders.unpersist(blocking = false)
     }
