@@ -1,0 +1,160 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftshim.{columnExprEager => columnExpr, exprColumn, registerSqlFunction}
+
+import graft.textops.TextStats
+
+/** SQL surface for the graft native expressions and text composites —
+  * the missing half of the custom-expression story: the Column API
+  * reaches them from Scala, these registrations reach them from
+  * `spark.sql(...)` / JDBC / notebooks. Two deployment paths, same
+  * builder table:
+  *
+  *  - `spark.sql.extensions=graft.functions.GraftSparkExtensions`
+  *    (cluster config — functions exist in every session at
+  *    construction, the Delta/Iceberg pattern), or
+  *  - `GraftFunctions.register(spark)` on a live session (notebooks,
+  *    tests).
+  *
+  * Builders convert through the same Column wrappers the Scala API
+  * uses, so SQL and Column calls produce IDENTICAL expression trees —
+  * one implementation, two front doors (the spec asserts tree-level
+  * parity). Config parameters (shingle width, caps, KR base/modulus)
+  * must be integer LITERALS in SQL — they parameterize codegen, they
+  * are not data; a non-literal fails loudly at analysis.
+  */
+object GraftFunctions {
+
+  private def litLong(e: Expression, fn: String, what: String): Long = {
+    require(e.foldable, s"$fn: $what must be a literal")
+    e.eval() match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case s: Short => s.toLong
+      case b: Byte => b.toLong
+      case other => throw new IllegalArgumentException(
+        s"$fn: $what must be an integer literal, got $other")
+    }
+  }
+  private def litInt(e: Expression, fn: String, what: String): Int =
+    litLong(e, fn, what).toInt
+
+  private def arity(fn: String, args: Seq[Expression], ns: Int*): Unit =
+    require(ns.contains(args.length),
+      s"$fn takes ${ns.mkString(" or ")} arguments, got ${args.length}")
+
+  private def c(e: Expression): Column = exprColumn(e)
+
+  /** name → (doc, builder). One row per SQL function. */
+  val registrations: Seq[(String, String, Seq[Expression] => Expression)] =
+    Seq(
+      ("graft_fold_text", "Unicode-fold text: strip accents, lower, " +
+        "collapse whitespace (TextExprs.FoldText)",
+        { args => arity("graft_fold_text", args, 1)
+          columnExpr(TextExprs.foldText(c(args(0)))) }),
+      ("graft_words", "whitespace tokens of lower(trim(text))",
+        { args => arity("graft_words", args, 1)
+          columnExpr(TextStats.words(c(args(0)))) }),
+      ("graft_token_count", "whitespace token count (0 for blank text)",
+        { args => arity("graft_token_count", args, 1)
+          columnExpr(TextStats.tokenCount(c(args(0)))) }),
+      ("graft_quality_score", "heuristic document quality in [0,1] " +
+        "(length/punctuation/stopword signals)",
+        { args => arity("graft_quality_score", args, 1)
+          columnExpr(TextStats.qualityScore(c(args(0)))) }),
+      ("graft_lang_id", "n-gram-profile language id ('und' when unsure)",
+        { args => arity("graft_lang_id", args, 1)
+          columnExpr(TextStats.langId(c(args(0)))) }),
+      ("graft_content_fingerprint", "sha-256 of whitespace-normalized " +
+        "lowercased text — the exact-dedup key",
+        { args => arity("graft_content_fingerprint", args, 1)
+          columnExpr(TextStats.contentFingerprint(c(args(0)))) }),
+      ("graft_winnowing_fp", "winnowing fingerprint set of text " +
+        "(optional literal k, w — default 8, 8)",
+        { args => arity("graft_winnowing_fp", args, 1, 3)
+          if (args.length == 1)
+            columnExpr(TextStats.winnowingFingerprint(c(args(0))))
+          else columnExpr(TextStats.winnowingFingerprint(c(args(0)),
+            litInt(args(1), "graft_winnowing_fp", "k"),
+            litInt(args(2), "graft_winnowing_fp", "w"))) }),
+      ("graft_word_shingles", "word n-gram shingles of a token array " +
+        "(literal n)",
+        { args => arity("graft_word_shingles", args, 2)
+          columnExpr(ArrayExprs.wordShingles(c(args(0)),
+            litInt(args(1), "graft_word_shingles", "n"))) }),
+      ("graft_simhash64", "64-bit SimHash of an array<long> of token " +
+        "hashes",
+        { args => arity("graft_simhash64", args, 1)
+          ArrayExprs.SimHash64(args(0)) }),
+      ("graft_kr_hash", "Karp-Rabin polynomial hash of a string " +
+        "(optional literal base, mod — default 257, 1e9+7)",
+        { args => arity("graft_kr_hash", args, 1, 3)
+          if (args.length == 1) columnExpr(TextExprs.krHash(c(args(0))))
+          else columnExpr(TextExprs.krHash(c(args(0)),
+            litLong(args(1), "graft_kr_hash", "base"),
+            litLong(args(2), "graft_kr_hash", "mod"))) }),
+      ("graft_dot", "dot product of two numeric arrays (null on length " +
+        "mismatch)",
+        { args => arity("graft_dot", args, 2)
+          ArrayExprs.DotProduct(args(0), args(1)) }),
+      ("graft_cosine_sim", "cosine similarity of two numeric arrays",
+        { args => arity("graft_cosine_sim", args, 2)
+          ArrayExprs.CosineSim(args(0), args(1)) }),
+      ("graft_sorted_intersect", "distinct-intersection size of two " +
+        "SORTED (hash, string) struct arrays",
+        { args => arity("graft_sorted_intersect", args, 2)
+          ArrayExprs.SortedIntersectCount(args(0), args(1)) }),
+      ("graft_sorted_intersect_long", "distinct-intersection size of " +
+        "two SORTED long arrays",
+        { args => arity("graft_sorted_intersect_long", args, 2)
+          ArrayExprs.SortedIntersectCountLong(args(0), args(1)) }),
+      ("graft_repetition_signals", "repetition statistics struct over a " +
+        "token array (dup line/paragraph and top-gram ratios)",
+        { args => arity("graft_repetition_signals", args, 1)
+          columnExpr(ArrayExprs.repetitionSignals(c(args(0)))) }),
+      ("graft_collect_capped", "collect_list with a HARD per-group cap " +
+        "(literal cap) — O(cap) aggregation state",
+        { args => arity("graft_collect_capped", args, 2)
+          AggExprs.CollectCapped(args(0),
+            litInt(args(1), "graft_collect_capped", "cap")) }),
+      ("graft_collect_topk", "largest k values per group under natural " +
+        "ordering, descending (literal k) — O(k) aggregation state",
+        { args => arity("graft_collect_topk", args, 2)
+          AggExprs.CollectTopK(args(0),
+            litInt(args(1), "graft_collect_topk", "k")) }),
+      ("graft_bin_counts", "fixed-width histogram of an integer bin " +
+        "column in [0, bins) (literal bins) — long[bins] state",
+        { args => arity("graft_bin_counts", args, 2)
+          AggExprs.BinCounts(args(0),
+            litInt(args(1), "graft_bin_counts", "bins")) })
+    )
+
+  private def info(name: String, doc: String): ExpressionInfo =
+    new ExpressionInfo(GraftFunctions.getClass.getCanonicalName, null,
+      name, doc, "")
+
+  /** Register every graft SQL function on a live session. Idempotent
+    * (re-registration replaces the identical builder).
+    */
+  def register(spark: SparkSession): Unit =
+    registrations.foreach { case (name, doc, builder) =>
+      registerSqlFunction(spark, name, info(name, doc), builder)
+    }
+}
+
+/** `spark.sql.extensions` entry point — construction-time injection of
+  * the [[GraftFunctions]] table into every session of the context
+  * (cluster-wide config, the Delta/Iceberg extension pattern).
+  */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.registrations.foreach { case (name, doc, builder) =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftSparkExtensions].getCanonicalName,
+          null, name, doc, ""),
+        builder))
+    }
+}

@@ -41,4 +41,28 @@ package object graftshim {
       execution.LogicalRDD.fromDataset(ds.queryExecution.toRdd, ds,
         isStreaming = false))
   }
+
+  /** EAGER Column → Expression conversion. [[columnExpr]] defers: it
+    * wraps the column's node in a lazily-converted placeholder that only
+    * resolves when the Column crosses a Dataset boundary — fine for the
+    * Column API, but an expression returned from a SQL FunctionBuilder
+    * never crosses one, and the placeholder survives to execution as
+    * Unevaluable. This walks the ColumnNode tree to a real Expression
+    * immediately (unresolved functions inside it resolve in the
+    * analyzer's fixed point like any SQL).
+    */
+  def columnExprEager(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Register a SQL function on a LIVE session's function registry — the
+    * runtime twin of `SparkSessionExtensions.injectFunction` (which only
+    * applies at session construction via `spark.sql.extensions`). Same
+    * builder triple, same registry, same `private[sql]` surface policy
+    * as the converters above.
+    */
+  def registerSqlFunction(spark: SparkSession, name: String,
+      info: catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .registerFunction(catalyst.FunctionIdentifier(name), info, builder)
 }
