@@ -644,6 +644,79 @@ object EventStreams {
       }
   }
 
+  // ---------------------------------------------- streaming CDC apply
+
+  case class CdcIn(key: Long, version: Long, deleted: Boolean,
+      value: Double)
+  case class CdcState(version: Long, deleted: Boolean, value: Double)
+  case class CdcCurrent(key: Long, version: Long, deleted: Boolean,
+      value: Double)
+
+  /** STREAMING CDC apply — [[graft.operators.Temporal.applyChangelog]]'s
+    * latest-wins fold as a continuously-materialized snapshot: per key,
+    * state holds the highest-version change seen so far; each
+    * micro-batch emits one refinement row per key whose winner CHANGED
+    * (the key's current materialized row, tombstones flagged `deleted`
+    * so a sink can drop the key). Downstream, "latest emission per key"
+    * IS the snapshot — the streaming MERGE/CDF materializer.
+    *
+    * Why no watermark: latest-wins is COMMUTATIVE — max-by-version is
+    * order-insensitive, so any arrival order converges to the same
+    * state and a late change either wins (higher version → emit) or is
+    * ignored (stale → silence). Nothing buffers, nothing waits;
+    * contrast [[funnelStream]]/[[retentionActivationsStream]], whose
+    * greedy/first-event semantics are order-SENSITIVE and must buffer
+    * to the watermark. The intermediate refinement SEQUENCE does depend
+    * on batch boundaries (each batch emits at most one row per key);
+    * the final row per key does not — that is the spec'd contract.
+    *
+    * State per key: one (version, deleted, value) triple for the key's
+    * lifetime — the snapshot IS the state, O(live keys) rows in the
+    * state store (RocksDB territory at fleet scale, the standard keyed
+    * contract). Tombstoned keys retain their version so a replayed or
+    * late lower-version upsert cannot resurrect them (standard CDC
+    * compaction; dropping the entry would lose exactly that guard).
+    *
+    * In batch (`changes.isStreaming == false`) one pass selects each
+    * key's winner and emits only live rows — bit-equal to
+    * `applyChangelog(empty base, changes)` (spec-pinned). Determinism
+    * contract as the batch operator: (key, version) unique.
+    */
+  def cdcApplyStream(changes: DataFrame, key: String, versionCol: String,
+      deleteCol: String, valueCol: String): Dataset[CdcCurrent] = {
+    import changes.sparkSession.implicits._
+    val streaming = changes.isStreaming
+    changes.select(col(key).cast("long").as("key"),
+        col(versionCol).cast("long").as("version"),
+        coalesce(col(deleteCol), lit(false)).as("deleted"),
+        col(valueCol).cast("double").as("value"))
+      .as[CdcIn]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[CdcState, CdcCurrent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (k: Long, it: Iterator[CdcIn], state: GroupState[CdcState]) =>
+          var cur = state.getOption
+          var changed = false
+          it.foreach { r =>
+            if (cur.forall(_.version < r.version)) {
+              cur = Some(CdcState(r.version, r.deleted, r.value))
+              changed = true
+            }
+          }
+          if (streaming) {
+            if (changed) {
+              state.update(cur.get)
+              val c = cur.get
+              Iterator(CdcCurrent(k, c.version, c.deleted, c.value))
+            } else Iterator.empty
+          } else {
+            cur.filter(!_.deleted)
+              .map(c => CdcCurrent(k, c.version, c.deleted, c.value))
+              .iterator
+          }
+      }
+  }
+
   /** Streaming dedup on event_id with bounded state: duplicates arriving
     * within the watermark horizon are dropped; state evicts beyond it.
     * (Batch equivalent: dropDuplicates — exercised by the dedup specs.)

@@ -280,6 +280,15 @@ class PlanAuditSpec extends SparkSpec {
       cols.toString)
   }
 
+  test("q104 streaming retention (batch mode): events scans prune to " +
+      "(user_id, ts) — period integers derive in-plan, nothing else " +
+      "ships into the state function") {
+    val cols = scanColumns(finalPlan(
+      Relational.q104StreamingRetention(spark, sf)))
+    assert(cols.nonEmpty &&
+      cols.forall(_.toSet == Set("user_id", "ts")), cols.toString)
+  }
+
   test("no gated query re-evaluates a generator subtree above its " +
       "Generate (sweep over every SparkEntry entry)") {
     val bad = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

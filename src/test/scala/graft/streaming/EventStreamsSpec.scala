@@ -455,6 +455,60 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("streaming CDC apply: latest-wins refinement stream — stale " +
+      "late arrivals emit NOTHING, tombstones flag deletion, last " +
+      "emission per key is the materialized snapshot") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Long, Boolean, Double)]
+    val q = cdcApplyStream(
+        stream.toDF().toDF("k", "v", "del", "amount"),
+        key = "k", versionCol = "v", deleteCol = "del",
+        valueCol = "amount")
+      .writeStream.format("memory").queryName("cdc_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(Seq((1L, 3L, false, 30.0), (2L, 1L, false, 10.0)))
+      q.processAllAvailable()
+      // key 1: version 2 arrives AFTER version 3 — stale, no emission
+      stream.addData(Seq((1L, 2L, false, 20.0)))
+      q.processAllAvailable()
+      // key 2 upgrades; key 3 born; key 1 tombstoned at version 5
+      stream.addData(Seq((2L, 4L, false, 40.0), (3L, 1L, false, 7.0),
+        (1L, 5L, true, 0.0)))
+      q.processAllAvailable()
+      val rows = spark.table("cdc_out")
+        .as[(Long, Long, Boolean, Double)].collect().toSeq
+      // the stale batch emitted nothing: 2 + 0 + 3 emissions
+      assert(rows.length === 5)
+      val snapshot = rows.groupBy(_._1).view
+        .mapValues(_.maxBy(_._2)).values.toSet
+      assert(snapshot === Set(
+        (1L, 5L, true, 0.0),   // tombstoned — sink drops the key
+        (2L, 4L, false, 40.0),
+        (3L, 1L, false, 7.0)))
+    } finally q.stop()
+  }
+
+  test("streaming CDC apply in batch equals applyChangelog on an empty " +
+      "base over random changelogs (property)") {
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 3) {
+      val rows = rnd.shuffle((1 to 200).map { v =>
+        (rnd.nextInt(40).toLong, v.toLong, rnd.nextInt(10) == 0,
+          rnd.nextInt(1000) / 10.0)
+      })
+      val changes = rows.toDF("k", "v", "del", "amount")
+      val viaStream = cdcApplyStream(changes, "k", "v", "del", "amount")
+        .toDF().select(col("key").as("k"), col("value").as("amount"))
+        .as[(Long, Double)].collect().toSet
+      val empty = changes.select(col("k"), col("amount")).limit(0)
+      val viaBatch = graft.operators.Temporal.applyChangelog(
+          empty, changes, key = "k", versionCol = "v", deleteCol = "del")
+        .as[(Long, Double)].collect().toSet
+      assert(viaStream === viaBatch, s"trial $trial")
+    }
+  }
+
   test("streaming dedup within watermark drops replayed event_ids") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
