@@ -290,19 +290,71 @@ object Profile {
     val stats = statsRows.map(r =>
       r.get(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
 
-    // One histogram job: BinCounts (fixed long[bins]/group, map-side
-    // combining) over `vc` against the supplied bounds; returns the full
-    // per-group histogram to the driver (G × bins longs).
-    def histJob(src: DataFrame, vc: Column,
-        bounds: Map[Any, (Double, Double)]): Map[Any, Array[Long]] = {
+    // One LOCATE job: BinCounts histogram (fixed long[bins]/group,
+    // map-side combining) + the rank walk evaluated IN-PLAN, so the
+    // driver receives (bucket, residual rank, candidate-bin cumulative
+    // counts) — G × O(1) scalars, NEVER the G × bins histogram (at 10⁵
+    // profiling groups that collect would ship ~1 GB of data the
+    // executors can reduce themselves). With `thresholdK` set, each row
+    // also carries cum-below counts for every bin the k·median outlier
+    // threshold could land in (median ∈ bucket tb ⇒ k·median ∈
+    // [k·tb·w, k·(tb+1)·w] ⇒ bin ∈ [⌊k·tb⌋, ⌈k·(tb+1)⌉], clamped into
+    // [0, bins) on BOTH ends — a threshold beyond the top edge still
+    // resolves to bin bins−1, which must stay coverable).
+    def locateJob(src: DataFrame, vc: Column,
+        bounds: Map[Any, (Double, Double)], thresholdK: Option[Double])
+        : Map[Any, (Long, Long, Map[Long, Long])] = {
       val bDf = localDf(bounds.toSeq.map { case (gv, (lo, hi)) =>
-        Row(gv, lo, hi) }, loF, hiF)
-      src.join(broadcast(bDf), groupCol)
+        Row(gv, lo, hi, stats(gv)._3) }, loF, hiF,
+        StructField("graft_n", LongType))
+      val histed = src.join(broadcast(bDf), groupCol)
         .groupBy(g)
         .agg(graft.functions.AggExprs.binCounts(binExpr(vc), bins)
-          .as("h"))
-        .collect()
-        .map(r => r.get(0) -> r.getSeq[Long](1).toArray).toMap
+            .as("h"),
+          first(col("graft_n")).as("n"))
+      val rank = ceil(col("n") * lit(0.5)).cast("long")
+      val cells = transform(col("h"),
+        (c, i) => struct(i.cast("long").as("b"), c.as("cnt")))
+      val w = aggregate(cells,
+        struct(lit(0L).as("cum"), lit(false).as("found"),
+          lit(0L).as("b"), lit(0L).as("before")),
+        (acc, x) => when(acc("found"), acc).otherwise(
+          when(acc("cum") + x("cnt") >= rank,
+            struct((acc("cum") + x("cnt")).as("cum"),
+              lit(true).as("found"), x("b").as("b"),
+              acc("cum").as("before")))
+            .otherwise(struct((acc("cum") + x("cnt")).as("cum"),
+              lit(false).as("found"), lit(0L).as("b"),
+              lit(0L).as("before")))))
+      val withLoc = histed
+        .withColumn("graft_w", w)
+        .withColumn("graft_tbin", col("graft_w").getField("b"))
+        .withColumn("graft_kin",
+          rank - col("graft_w").getField("before"))
+      val projected = thresholdK match {
+        case None =>
+          withLoc.select(g, col("graft_tbin"), col("graft_kin"),
+            array().cast("array<struct<b:bigint,below:bigint>>")
+              .as("graft_cands"))
+        case Some(kk) =>
+          // padded ±1 bin: the range bound is real-arithmetic exact, but
+          // the driver's floor((k·median)/width) evaluates a different
+          // FP expression order — at an exact bin boundary its rounding
+          // could land one bin outside the unpadded range
+          val loC = greatest(lit(0L), least(lit(bins - 1L),
+            floor(lit(kk) * col("graft_tbin")).cast("long") - 1L))
+          val hiC = least(lit(bins - 1L),
+            ceil(lit(kk) * (col("graft_tbin") + 1)).cast("long") + 1L)
+          withLoc.select(g, col("graft_tbin"), col("graft_kin"),
+            transform(sequence(loC, hiC), b => struct(b.as("b"),
+              aggregate(slice(col("h"), lit(1), b.cast("int")), lit(0L),
+                (acc, x) => acc + x).as("below"))).as("graft_cands"))
+      }
+      projected.collect().map { r =>
+        val cands = r.getSeq[org.apache.spark.sql.Row](3)
+          .map(c => c.getLong(0) -> c.getLong(1)).toMap
+        r.get(0) -> ((r.getLong(1), r.getLong(2), cands))
+      }.toMap
     }
 
     // One bucket job: per-(group, bin, value) counts for each group's
@@ -328,13 +380,6 @@ object Profile {
         }
     }
 
-    // Walk a histogram to the bucket holding 1-based rank `rank`,
-    // returning (bucket, residual rank inside it).
-    def locate(h: Array[Long], rank: Long): (Long, Long) = {
-      var cum = 0L; var b = 0
-      while (cum + h(b) < rank) { cum += h(b); b += 1 }
-      (b.toLong, rank - cum)
-    }
     // The exact value at residual rank `kin` among sorted (value, cnt).
     def pick(cells: Seq[(Double, Long)], kin: Long): Double = {
       var cum = 0L
@@ -342,55 +387,36 @@ object Profile {
     }
 
     // jobs 2+3 — exact median per group
-    val medHist = histJob(df, v, stats.map { case (gv, (lo, hi, _)) =>
-      gv -> ((lo, hi)) })
-    val medLoc = stats.map { case (gv, (_, _, n)) =>
-      gv -> locate(medHist(gv), math.ceil(n * 0.5).toLong) }
-    val medCells = bucketJob(df, v,
-      stats.map { case (gv, (lo, hi, _)) => gv -> ((lo, hi)) },
-      medLoc.map { case (gv, (tb, _)) => gv -> Seq(tb) })
-    val med = medLoc.map { case (gv, (tb, kin)) =>
+    val medBounds = stats.map { case (gv, (lo, hi, _)) => gv -> ((lo, hi)) }
+    val medLoc = locateJob(df, v, medBounds, thresholdK = None)
+    val medCells = bucketJob(df, v, medBounds,
+      medLoc.map { case (gv, (tb, _, _)) => gv -> Seq(tb) })
+    val med = medLoc.map { case (gv, (tb, kin, _)) =>
       gv -> pick(medCells(gv)(tb), kin) }
 
     // jobs 4+5 — exact MAD. Deviation bounds need NO extra scan
     // (0 ≤ |x−med| ≤ max(hi−med, med−lo)); the dev frame joins the
-    // local medians in. The bucket job also collects every bin the
-    // outlier threshold k·mad could land in (mad is inside its bucket,
-    // so k·mad ∈ [k·b·w, k·(b+1)·w] — ≤ ⌈k⌉+2 candidate bins), which
-    // makes the final counting scan unnecessary: outliers = n − (full
-    // histogram bins below the threshold bin) − (exact count inside it).
+    // local medians in. The locate job also returns cum-below counts
+    // for every bin the k·mad outlier threshold could land in, and the
+    // bucket job collects those bins' exact values — which makes the
+    // final counting scan unnecessary: outliers = n − (cum below the
+    // threshold bin) − (exact count inside it).
     val medDf = localDf(med.toSeq.map { case (gv, m) => Row(gv, m) },
       StructField("graft_med", DoubleType))
     val devBounds = stats.map { case (gv, (lo, hi, _)) =>
       gv -> ((0.0, math.max(hi - med(gv), med(gv) - lo))) }
     val devSrc = df.join(broadcast(medDf), groupCol)
     val devCol = abs(v - col("graft_med"))
-    val devHist = histJob(devSrc, devCol, devBounds)
-    val devLoc = stats.map { case (gv, (_, _, n)) =>
-      gv -> locate(devHist(gv), math.ceil(n * 0.5).toLong) }
-    val devCand = devLoc.map { case (gv, (tb, _)) =>
-      val (_, hi) = devBounds(gv)
-      val w = (hi - 0.0) / bins.toDouble
-      val extra =
-        if (w == 0.0) Seq.empty[Long]
-        else {
-          // k·mad ∈ [k·tb·w, k·(tb+1)·w] ⇒ the threshold bin lies in
-          // [⌊k·tb⌋, ⌈k·(tb+1)⌉], CLAMPED into [0, bins) on BOTH ends —
-          // a threshold beyond the histogram's top edge still resolves
-          // to bin bins−1, which must therefore always be collectable
-          val loC = math.max(0L, math.min(bins - 1L,
-            math.floor(k * tb).toLong))
-          val hiC = math.min(bins - 1L, math.ceil(k * (tb + 1)).toLong)
-          loC to hiC
-        }
-      gv -> (Seq(tb) ++ extra).distinct
+    val devLoc = locateJob(devSrc, devCol, devBounds, thresholdK = Some(k))
+    val devCand = devLoc.map { case (gv, (tb, _, cands)) =>
+      gv -> (Seq(tb) ++ cands.keys).distinct
     }
     val devCells = bucketJob(devSrc, devCol, devBounds, devCand)
-    val mad = devLoc.map { case (gv, (tb, kin)) =>
+    val mad = devLoc.map { case (gv, (tb, kin, _)) =>
       gv -> pick(devCells(gv)(tb), kin) }
 
-    // driver — exact outlier counts from the dev histogram + the
-    // threshold bin's exact values (same IEEE binning both sides)
+    // driver — exact outlier counts from the candidate-bin cumulatives
+    // + the threshold bin's exact values (same IEEE binning both sides)
     val out = stats.toSeq.map { case (gv, (_, hiB, n)) =>
       val m = mad(gv)
       val t = k * m
@@ -399,7 +425,7 @@ object Profile {
         if (devHiB == 0.0) 0L // every deviation is exactly 0 ≤ t
         else {
           val bStar = binOfD(t, 0.0, devHiB)
-          val below = devHist(gv).view.slice(0, bStar.toInt).sum
+          val below = devLoc(gv)._3(bStar) // clamped range covers bStar
           val inStar = devCells(gv).getOrElse(bStar, Seq.empty)
           val leThr = inStar.collect { case (dv, c) if dv <= t => c }.sum
           n - below - leThr

@@ -200,6 +200,29 @@ class SessionsProfileSpec extends SparkSpec {
     assert(approx("k") === exact("k")) // constant group: both exact
   }
 
+  test("robustOutliers at high group cardinality equals a brute-force " +
+      "median/MAD reference (the in-plan locate path, G x O(1) driver " +
+      "traffic)") {
+    val rnd = new scala.util.Random(43)
+    val rows = (1 to 8000).map { _ =>
+      ("g" + rnd.nextInt(200), (rnd.nextGaussian() * 50).floor / 4.0)
+    }
+    val got = Profile.robustOutliers(rows.toDF("g", "x"), "g", "x",
+        k = 3.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))))
+      .toMap
+    val ref = rows.groupBy(_._1).map { case (gv, rs) =>
+      val xs = rs.map(_._2).sorted
+      def med(s: Seq[Double]): Double = s(math.ceil(s.size * 0.5).toInt - 1)
+      val m = med(xs)
+      val devs = xs.map(x => math.abs(x - m)).sorted
+      val ma = med(devs)
+      gv -> ((xs.size.toLong, m, ma, devs.count(_ > 3.0 * ma).toLong))
+    }
+    assert(got === ref)
+  }
+
   test("funnelTimes: greedy earliest strictly-increasing matching, " +
       "drop-off nulls, no row without step 0") {
     import java.sql.Timestamp
