@@ -117,9 +117,10 @@ object Profile {
     * plus the residual rank inside it, (3) one NARROW pass over just that
     * bucket's rows, collapsed to per-distinct-value counts, walked the
     * same way to the exact value. No `row_number` Window, no global or
-    * per-group sort of data rows — the only sorts are `array_sort` over
-    * the bounded per-group arrays (≤ bins cells; in-bucket distinct
-    * values, expected n/bins). Bit-identical to [[percentilesDisc]]: the
+    * per-group sort of data rows — the histogram array is positional
+    * (index = bin, no sort at all) and the only `array_sort` runs over
+    * the bounded in-bucket distinct values (expected n/bins).
+    * Bit-identical to [[percentilesDisc]]: the
     * selected value is an ACTUAL element at an exact integer rank, and
     * the bin index is the same IEEE expression at locate and filter time,
     * so localization cannot disagree with itself. Degenerate hi = lo
@@ -483,6 +484,31 @@ object Profile {
     * gate profiles the cast-stable types; the operator itself takes any
     * column.
     */
+  /** Fleet-scale twin of [[describe]]: identical one-unpivot-scan shape
+    * and counters, but the distinct count is `approx_count_distinct`
+    * (HyperLogLog++, `rsd` relative standard deviation) — fixed
+    * per-column sketch state instead of the exact variant's
+    * per-(column, value) partial aggregation, which at 100 TB is the
+    * profiler's only super-constant term. Column named
+    * `n_distinct_approx` so readers can't mistake it for exact.
+    */
+  def describeApprox(df: DataFrame, cols: Seq[String],
+      rsd: Double = 0.05): DataFrame = {
+    require(cols.nonEmpty && cols.distinct == cols, s"bad cols: $cols")
+    df.select(posexplode(array(cols.map(c => col(c).cast("string")): _*))
+        .as(Seq("graft_i", "v")))
+      .groupBy("graft_i")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+        approx_count_distinct(col("v"), rsd).as("n_distinct_approx"),
+        min(col("v")).as("min_str"),
+        max(col("v")).as("max_str"))
+      .select(element_at(lit(cols.toArray), col("graft_i") + 1)
+          .as("column"),
+        col("n_rows"), col("n_nulls"), col("n_distinct_approx"),
+        col("min_str"), col("max_str"))
+  }
+
   def describe(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty && cols.distinct == cols, s"bad cols: $cols")
     // the unpivot tag is the POSITION, not the column-name string — the

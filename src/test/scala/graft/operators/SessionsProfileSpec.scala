@@ -200,6 +200,26 @@ class SessionsProfileSpec extends SparkSpec {
     assert(approx("k") === exact("k")) // constant group: both exact
   }
 
+  test("describeApprox: same schema/counters as describe with the " +
+      "distinct estimate inside HLL++ error") {
+    val df = spark.range(20000)
+      .select((col("id") % 3000).cast("string").as("s"),
+        (col("id") % 7).as("m"))
+    val exact = Profile.describe(df, Seq("s", "m"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val approx = Profile.describeApprox(df, Seq("s", "m"), rsd = 0.02)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    Seq("s", "m").foreach { c =>
+      val (nE, nullE, dE) = exact(c)
+      val (nA, nullA, dA) = approx(c)
+      assert((nA, nullA) === ((nE, nullE))) // rows/nulls stay exact
+      assert(math.abs(dA - dE) <= math.max(1L, (dE * 0.1).toLong),
+        s"$c: approx $dA vs exact $dE")
+    }
+  }
+
   test("robustOutliers at high group cardinality equals a brute-force " +
       "median/MAD reference (the in-plan locate path, G x O(1) driver " +
       "traffic)") {
