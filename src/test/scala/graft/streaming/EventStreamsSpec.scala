@@ -676,6 +676,40 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curation projections lift to streaming unchanged: fold + " +
+      "deterministic stratified sample on a stream equal the batch run " +
+      "row for row (pure hash-of-id filters — no state, no shuffle)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, String)]
+    val streamed = graft.textops.Sampling.stratifiedSample(
+        stream.toDF().toDF("doc_id", "source", "text")
+          .withColumn("folded",
+            graft.functions.TextExprs.foldText(col("text"))),
+        stratumCol = "source", idCol = "doc_id",
+        rates = Map("wiki" -> 1.0, "web" -> 0.5))
+    val q = streamed.writeStream.format("memory")
+      .queryName("curation_stream_out")
+      .outputMode(OutputMode.Append()).start()
+    val rows = (1L to 300L).map(i =>
+      (i, if (i % 3 == 0) "wiki" else "web", s"Döc  number $i"))
+    try {
+      stream.addData(rows.take(150)); q.processAllAvailable()
+      stream.addData(rows.drop(150)); q.processAllAvailable()
+      val viaStream = spark.table("curation_stream_out")
+        .select("doc_id", "folded").as[(Long, String)]
+        .collect().toSeq.sorted
+      val viaBatch = graft.textops.Sampling.stratifiedSample(
+          rows.toDF("doc_id", "source", "text")
+            .withColumn("folded",
+              graft.functions.TextExprs.foldText(col("text"))),
+          "source", "doc_id", Map("wiki" -> 1.0, "web" -> 0.5))
+        .select("doc_id", "folded").as[(Long, String)]
+        .collect().toSeq.sorted
+      assert(viaStream === viaBatch)
+      assert(viaStream.nonEmpty && viaStream.size < 300)
+    } finally q.stop()
+  }
+
   test("categorizer lifts to streaming unchanged (stateless projection)") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(String, String, Double)]
