@@ -275,10 +275,22 @@ object ScaleSmoke {
     val listener = new StageTaskTimes
     spark.sparkContext.addSparkListener(listener)
     try {
-      val t0 = System.nanoTime()
-      val n = df.count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[scale] $name%-28s $n%10d rows  $sec%8.2f s")
+      // min-of-reps like [[time]] (frame built once inside rep 1; the
+      // audited entries were the last single-shot rows in the artifact
+      // and showed the same 2× cold-JIT swings). The listener sees every
+      // rep — more task samples for the SAME stages; the straggler ratio
+      // still compares within the dominant stage, so re-execution only
+      // tightens the audit.
+      var frame: DataFrame = null
+      var n = 0L
+      val sec = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        if (frame == null) frame = df
+        n = frame.count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"[scale] $name%-28s $n%10d rows  $sec%8.2f s" +
+        (if (reps > 1) s"  (min of $reps)" else ""))
       // The listener bus is async and its waitUntilEmpty is private[spark]
       // (test-only API) — drain by requiring TWO consecutive quiet 250 ms
       // windows under a hard deadline instead of one (a single window can
