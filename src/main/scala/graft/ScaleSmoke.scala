@@ -104,6 +104,14 @@ object ScaleSmoke {
     * entry that doubled while calib doubled is a slower HOST, not a
     * slower operator.
     */
+  /** Sink for burn() results — @volatile so the JIT cannot prove the
+    * multiply loops dead and eliminate them (which would record a
+    * near-zero calibration and silently invalidate cross-round host
+    * comparisons). The value itself is meaningless; it is also folded
+    * into the artifact's calib line as a checksum nobody reads.
+    */
+  @volatile private var calibSink: Long = 0L
+
   private def calibrate(threads: Int): (Long, Long) = {
     val work = 400000000L // 4e8 multiply-adds
     def burn(n: Long, seed: Long): Long = {
@@ -111,15 +119,15 @@ object ScaleSmoke {
       while (i < n) { s = s * 6364136223846793005L + 1442695040888963407L; i += 1 }
       s
     }
-    burn(work / 4, 1L) // JIT warm-up
+    calibSink ^= burn(work / 4, 1L) // JIT warm-up
     def st(): Long = {
-      val t0 = System.nanoTime(); burn(work, 2L)
+      val t0 = System.nanoTime(); calibSink ^= burn(work, 2L)
       (System.nanoTime() - t0) / 1000000L
     }
     def mt(): Long = {
       val t0 = System.nanoTime()
       val ts = (0 until threads).map { t =>
-        val th = new Thread(() => { burn(work / threads, t.toLong) })
+        val th = new Thread(() => { calibSink ^= burn(work / threads, t.toLong) })
         th.start(); th
       }
       ts.foreach(_.join())

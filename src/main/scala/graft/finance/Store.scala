@@ -97,28 +97,44 @@ object Store {
       existing.agg(coalesce(max("transaction_id"), lit(0L))).as[Long].head())
 
     // Candidate ids enumerate the WHOLE batch in canonical order; ids of
-    // conflicting rows are burned (panda.py:691). Range-repartition + local
-    // sort gives a total order ACROSS partitions, then zipWithIndex adds
-    // per-partition offsets — MAX(id)+position semantics with no
-    // single-partition exchange (a bare `Window.orderBy` funnels every row
-    // through one task; at 100 TB that is the whole job's bottleneck).
+    // conflicting rows are burned (panda.py:691). Range-repartition gives
+    // a total order ACROSS partitions (partition i's ranges precede
+    // partition i+1's), so id = maxId + (rows in earlier partitions) +
+    // (rank within my partition) — MAX(id)+position semantics with no
+    // single-partition exchange (a bare `Window.orderBy` funnels every
+    // row through one task; at 100 TB that is the whole job's
+    // bottleneck). Both pieces stay inside ONE Catalyst plan (no RDD
+    // serde seam): the within-partition rank is a `row_number` window
+    // PARTITIONED BY `spark_partition_id()` (parallel across partitions;
+    // ties in canonicalOrder get arbitrary-but-unique ranks, exactly as
+    // positional enumeration did), and the earlier-partition row counts
+    // are a ≤(#partitions)-row aggregate cumulated by a tiny window and
+    // broadcast back.
     //
-    // NOTE: zipWithIndex computes partition sizes EAGERLY (a job runs when
-    // this method is called, not at the downstream action) — upsert is an
-    // import-time command, not a lazy query. The sorted batch is persisted
-    // so that count job materializes the lineage once instead of running
-    // the whole ingest pipeline twice; the cache entry lives until the
-    // import session ends (or `spark.catalog.clearCache()`).
+    // NOTE: the batch is persisted because its lineage feeds two
+    // consumers (the offsets aggregate and the main join) and because
+    // `spark_partition_id()` must observe the SAME partition layout in
+    // both — the cache pins the range partitioning computed once; the
+    // cache entry lives until the import session ends (or
+    // `spark.catalog.clearCache()`).
     val sorted = batch.drop("transaction_id")
       .repartitionByRange(canonicalOrder: _*)
       .sortWithinPartitions(canonicalOrder: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candidate = spark.createDataFrame(
-      sorted.rdd.zipWithIndex().map { case (row, idx) =>
-        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (maxId + idx + 1L))
-      },
-      sorted.schema.add("transaction_id",
-        org.apache.spark.sql.types.LongType, nullable = false))
+    val byPid = sorted.withColumn("graft_pid", spark_partition_id())
+    val pidW = org.apache.spark.sql.expressions.Window.orderBy("graft_pid")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = byPid.groupBy("graft_pid")
+      .agg(count(lit(1)).as("graft_cnt"))
+      .select(col("graft_pid"),
+        coalesce(sum("graft_cnt").over(pidW), lit(0L)).as("graft_off"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy("graft_pid").orderBy(canonicalOrder: _*)
+    val candidate = byPid.join(broadcast(offsets), Seq("graft_pid"))
+      .withColumn("transaction_id",
+        lit(maxId) + col("graft_off") + row_number().over(rankW).cast("long"))
+      .drop("graft_pid", "graft_off")
+      .select((sorted.columns :+ "transaction_id").map(col).toSeq: _*)
 
     val updateCols = Seq("transfer_category", "category", "category_manual",
       "balance_cents")

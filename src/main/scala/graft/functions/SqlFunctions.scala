@@ -39,7 +39,11 @@ object GraftFunctions {
     }
   }
   private def litInt(e: Expression, fn: String, what: String): Int =
-    litLong(e, fn, what).toInt
+    try Math.toIntExact(litLong(e, fn, what))
+    catch {
+      case _: ArithmeticException => throw new IllegalArgumentException(
+        s"$fn: $what must fit in a 32-bit int, got ${litLong(e, fn, what)}")
+    }
 
   private def arity(fn: String, args: Seq[Expression], ns: Int*): Unit =
     require(ns.contains(args.length),

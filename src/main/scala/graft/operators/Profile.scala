@@ -120,10 +120,15 @@ object Profile {
     * per-group sort of data rows — the histogram array is positional
     * (index = bin, no sort at all) and the only `array_sort` runs over
     * the bounded in-bucket distinct values (expected n/bins).
-    * Bit-identical to [[percentilesDisc]]: the
-    * selected value is an ACTUAL element at an exact integer rank, and
-    * the bin index is the same IEEE expression at locate and filter time,
-    * so localization cannot disagree with itself. Degenerate hi = lo
+    * Bit-identical to [[percentilesDisc]] IN THE SELECTED VALUE for
+    * non-null group keys: the selected value is an ACTUAL element at an
+    * exact integer rank, and the bin index is the same IEEE expression
+    * at locate and filter time, so localization cannot disagree with
+    * itself. Two deliberate contract differences from
+    * [[percentilesDisc]]: (1) NULL group keys DROP — the stats
+    * equi-join eliminates them, where the window/groupBy path retains
+    * them as their own group; (2) the output schema is (group, q) only,
+    * without percentilesDisc's `n_rows` column. Degenerate hi = lo
     * groups fall out naturally (every row bins to 0, the walk returns the
     * single value). Contract: `valCol` non-null, numeric.
     *
@@ -161,6 +166,13 @@ object Profile {
     */
   private[operators] def quantileWithStats(df: DataFrame, groupCol: String,
       valCol: String, p: Double, bins: Int, stats: DataFrame): DataFrame = {
+    // NOTE: `stats` appears twice in the returned plan (the locate join
+    // and the final stats.join(located) broadcast). The documented
+    // "three scan-bound passes" cost relies on Spark's ReusedExchange /
+    // subquery reuse deduplicating the stats scan+aggregate; absent that
+    // reuse (e.g. a planner that re-optimizes the subtrees apart) the
+    // worst case is four passes. Callers needing a GUARANTEED pass count
+    // should materialize stats first, as robustOutliers' eager path does.
     require(p > 0 && p <= 1, s"quantile must be in (0,1], got $p")
     require(bins >= 2, s"bins must be >= 2, got $bins")
     val g = col(groupCol)
@@ -241,6 +253,13 @@ object Profile {
     * itself. Per-median exactness logic is [[quantileDiscNoSort]]'s
     * (lazy, spec-pinned against [[percentilesDisc]]); for a strictly
     * fixed-memory approximate screen use [[robustOutliersApprox]].
+    * Driver-memory caveat (same bound as [[quantileDiscNoSort]]'s
+    * in-bucket collect): the bucket jobs ship per-(group, candidate-bin,
+    * distinct-value) counts to the driver — expected n/bins distinct
+    * values per group, but a distribution adversarially concentrating a
+    * group's mass inside 1/bins of its own min–max range degrades that
+    * to O(distinct values in the group); size driver memory accordingly
+    * or fall back to [[robustOutliersApprox]].
     * Contract: `valCol` non-null (engines disagree on null sort order);
     * null GROUP keys drop (join semantics, as before).
     */

@@ -57,8 +57,10 @@ class StoreSpec extends SparkSpec {
     val first = Store.withStoreColumns(rawDf(Seq(
       rawRow("giro", "2024-01-01", "2024-01-01", "a", null, "p1", -1.0, 0.0),
       rawRow("giro", "2024-01-02", "2024-01-02", "b", null, "p2", -2.0, 0.0))))
+    // LocalRelation empty (not emptyRDD) so the no-RDD-seam plan assertion
+    // below sees only relational leaves.
     val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
       TransactionSchema.storeSchema)
     val store1 = Store.upsert(empty, first
       .withColumn("imported_at", current_timestamp()))
@@ -76,6 +78,15 @@ class StoreSpec extends SparkSpec {
     val ids = store2.orderBy("book_date")
       .select("party", "transaction_id").as[(String, Long)].collect()
     assert(ids === Array(("a", 1L), ("b", 2L), ("c", 4L)))
+
+    // The id-assignment path stays inside ONE Catalyst plan: no RDD seam
+    // (Scan ExistingRDD / SerializeFromObject show up when a DataFrame is
+    // rebuilt from an RDD, as the old zipWithIndex path did). The only
+    // non-relational leaf allowed is the in-memory cache of the sorted
+    // batch and the empty-store LocalRelation.
+    val plan = store2.queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD"), plan.take(2000))
+    assert(!plan.contains("SerializeFromObject"), plan.take(2000))
   }
 
   test("upsert updates ONLY the 4-column policy, preserving identity columns") {
