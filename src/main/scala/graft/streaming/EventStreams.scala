@@ -535,7 +535,7 @@ object EventStreams {
   case class RetentionIn(key: Long, tsUs: Long, pd: Int, pm: Int,
       graft_evt: java.sql.Timestamp)
   case class RetentionState(cohortPd: Int, cohortPm: Int,
-      emitted: Seq[Int], pending: Seq[(Long, Int, Int)])
+      maxOff: Int, pending: Seq[(Long, Int, Int)])
   case class RetentionActivation(key: Long, cohort_days: Int, offset: Int)
 
   /** STREAMING cohort retention — the activation feed behind
@@ -562,13 +562,22 @@ object EventStreams {
     * buffered timestamp, so pending events flush even if the key goes
     * quiet.
     *
-    * State per key: two ints (cohort), the emitted-offset set (grows
-    * with the key's DISTINCT active periods — the same cardinality the
-    * batch operator shuffles per key, and bounded by lifetime/period),
-    * and the watermark-horizon event buffer. Cohort state persists for
-    * the key's lifetime (a returning key must keep its cohort and must
-    * not re-emit an old offset) — O(distinct keys) state-store rows,
-    * the standard keyed-state contract ([[funnelStream]]).
+    * State per key: three ints (cohort pd/pm + the MAX emitted offset)
+    * and the watermark-horizon event buffer — O(1) + O(events inside
+    * the watermark horizon), NOT O(distinct active periods). A single
+    * int suffices for emitted-offset dedup because application is
+    * watermark-ordered and offsets are monotone in event time: events
+    * apply sorted by ts and only once ts ≤ watermark, the watermark is
+    * monotone across invocations, and period truncation is monotone —
+    * so every future application carries offset ≥ the max applied so
+    * far, and every applied offset was emitted on first application.
+    * Hence `off ≤ maxOff ⟺ off already emitted`; a full emitted SET
+    * would grow with the key's lifetime/period (~10³ ints/key at
+    * period=day over years) for zero extra information. Cohort state
+    * persists for the key's lifetime (a returning key must keep its
+    * cohort and must not re-emit an old offset) — O(distinct keys)
+    * state-store rows, the standard keyed-state contract
+    * ([[funnelStream]]).
     *
     * Periods ride as INTEGERS (days-since-epoch of the period start,
     * months-since-year-0), computed in-plan by `date_trunc`, so the
@@ -605,10 +614,10 @@ object EventStreams {
         (k: Long, it: Iterator[RetentionIn],
             state: GroupState[RetentionState]) =>
           val prev = state.getOption.getOrElse(
-            RetentionState(noCohort, 0, Nil, Nil))
+            RetentionState(noCohort, 0, Int.MinValue, Nil))
           var cohortPd = prev.cohortPd
           var cohortPm = prev.cohortPm
-          var emitted = prev.emitted.toSet
+          var maxOff = prev.maxOff
           var pending = prev.pending
           it.foreach(r => pending = pending :+ ((r.tsUs, r.pd, r.pm)))
           val wmUs =
@@ -625,16 +634,17 @@ object EventStreams {
               case "week"  => (pd - cohortPd) / 7
               case "month" => pm - cohortPm
             }
-            if (!emitted(off)) {
-              emitted += off
+            // monotone application ⟹ off ≤ maxOff iff already emitted
+            if (off > maxOff) {
+              maxOff = off
               out += RetentionActivation(k, cohortPd, off)
             }
           }
           if (streaming) {
-            if (emitted.isEmpty && keep.isEmpty) state.remove()
+            if (maxOff == Int.MinValue && keep.isEmpty) state.remove()
             else {
               state.update(RetentionState(cohortPd, cohortPm,
-                emitted.toSeq.sorted, keep))
+                maxOff, keep))
               if (keep.nonEmpty)
                 state.setTimeoutTimestamp(
                   Math.floorDiv(keep.map(_._1).min, 1000L) + 1L)

@@ -422,6 +422,57 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming retention state is bounded: after hundreds of distinct " +
+      "active periods, per-key state is three ints plus the (drained) " +
+      "watermark-horizon buffer — no per-period collection survives") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("ret_state_").toString
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = retentionActivationsStream(
+        stream.toDF().toDF("event_id", "ts", "user_id", "event_type",
+          "value"),
+        key = "user_id", ts = "ts", period = "day")
+      .writeStream.format("memory").queryName("ret_state_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // 200 distinct active days for ONE key, ascending micro-batches;
+      // two sentinel batches on another key then advance the watermark
+      // far past everything and fire the timeout flush of the buffer
+      val base = ts("2024-01-01 00:00:00").getTime
+      (0 until 200).grouped(50).foreach { chunk =>
+        stream.addData(chunk.map(d => (d.toLong,
+          new Timestamp(base + d.toLong * 86400000L), 7L, "e", 0.0)))
+        q.processAllAvailable()
+      }
+      stream.addData(Seq((999L,
+        new Timestamp(base + 400L * 86400000L), 8L, "e", 0.0)))
+      q.processAllAvailable()
+      stream.addData(Seq((1000L,
+        new Timestamp(base + 401L * 86400000L), 8L, "e", 0.0)))
+      q.processAllAvailable()
+      assert(spark.table("ret_state_out").where($"key" === 7L).count()
+        === 200)
+      // Read the state store back: the per-key state value must be the
+      // RetentionState scalars plus an EMPTY pending buffer — were the
+      // old emitted-Set state still in place, key 7 would carry a
+      // 200-element collection here.
+      val st = spark.read.format("statestore").load(ckpt)
+      val stateType = st.schema("value").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]("groupState")
+        .dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      assert(stateType.fieldNames.toSeq
+        === Seq("cohortPd", "cohortPm", "maxOff", "pending"))
+      val k7 = st
+        .where(col("key.value") === 7L) // groupByKey(Long) key field: value
+        .select("value.groupState.maxOff", "value.groupState.pending")
+        .collect()
+      assert(k7.length === 1)
+      assert(k7.head.getInt(0) === 199)
+      assert(k7.head.getSeq[Any](1).isEmpty)
+    } finally q.stop()
+  }
+
   test("streaming retention in batch aggregates to exactly " +
       "retentionMatrix on random corpora, for day, week and month " +
       "periods (property)") {
