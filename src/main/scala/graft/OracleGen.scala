@@ -920,6 +920,70 @@ object OracleGen {
     * reuse (KR Horner over codepoints mod 1e9+7, then the exact mod-2^64
     * xor-shift-multiply finalizer via the nested let-binding idiom).
     */
+  /** q105: approximate table profile — [[graft.operators.Profile
+    * .describeApprox]]'s whole per-column HLL sketch replayed in DuckDB:
+    * the q99 unpivot, the [[krSplitmix64Sql]] string hash (already
+    * UHUGEINT/unsigned), q71's register arithmetic (exact-integer
+    * harmonic sum, linear-counting branch, round-to-whole-count
+    * absorbing the ln seam), plus the exact row/null/min/max counters
+    * riding the same per-(column, register) grouping.
+    */
+  def q105Sql(p: Int = 10): String = {
+    val m = 1 << p
+    val sw = 64 - p
+    val mask = (1L << sw) - 1
+    val emptyContrib = 1L << (sw + 1)
+    val alphaC = graft.operators.Sketches.alphaM(m) * m * m *
+      math.pow(2.0, sw + 1)
+    s"""WITH u AS (
+           SELECT 'o_orderkey' AS "column",
+             CAST(o_orderkey AS VARCHAR) AS v FROM orders
+           UNION ALL SELECT 'o_custkey',
+             CAST(o_custkey AS VARCHAR) FROM orders
+           UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+           UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders),
+     hx AS (SELECT "column", v,
+              CASE WHEN v IS NULL THEN NULL
+                   ELSE ${krSplitmix64Sql("v")} END AS hu
+            FROM u),
+     r AS (SELECT "column", v,
+             CASE WHEN v IS NULL THEN -1
+                  ELSE CAST((hu >> $sw::UHUGEINT) AS BIGINT) END AS b,
+             CASE WHEN v IS NULL THEN 0
+                  ELSE CAST((hu & $mask::UHUGEINT) AS BIGINT) END AS hv
+           FROM hx),
+     regs AS (SELECT "column", b,
+              MAX(CASE WHEN b = -1 THEN 0
+                  WHEN hv = 0 THEN ${sw + 1}
+                  ELSE ${sw + 1} - length(bin(hv)) END) AS mreg,
+              CAST(COUNT(*) AS BIGINT) AS c,
+              MIN(v) AS mn, MAX(v) AS mx
+            FROM r GROUP BY 1, 2),
+     fin AS (SELECT "column",
+              CAST(SUM(c) AS BIGINT) AS n_rows,
+              CAST(SUM(CASE WHEN b = -1 THEN c ELSE 0 END) AS BIGINT)
+                AS n_nulls,
+              MIN(mn) AS min_str, MAX(mx) AS max_str,
+              SUM(CASE WHEN b >= 0 THEN
+                CAST((1::UHUGEINT << CAST(${sw + 1} - mreg AS UHUGEINT))
+                  AS DECIMAL(38,0)) ELSE NULL END) AS tp,
+              CAST(SUM(CASE WHEN b >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS np
+            FROM regs GROUP BY 1)
+     SELECT "column", n_rows, n_nulls,
+       CAST(round(CASE WHEN ($alphaC / CAST(COALESCE(tp, 0)
+             + CAST($m - np AS DECIMAL(38,0))
+             * ${emptyContrib}::DECIMAL(38,0) AS DOUBLE)) <= ${2.5 * m}
+           AND $m - np > 0
+         THEN ${m.toDouble} * ln(${m.toDouble} / ($m - np))
+         ELSE ($alphaC / CAST(COALESCE(tp, 0)
+             + CAST($m - np AS DECIMAL(38,0))
+             * ${emptyContrib}::DECIMAL(38,0) AS DOUBLE)) END) AS BIGINT)
+         AS n_distinct_approx,
+       min_str, max_str
+     FROM fin ORDER BY "column""""
+  }
+
   private def krSplitmix64Sql(strExpr: String): String = {
     val two64 = "18446744073709551616::UHUGEINT"
     val c1 = java.lang.Long.toUnsignedString(0xbf58476d1ce4e5b9L) + "::UHUGEINT"

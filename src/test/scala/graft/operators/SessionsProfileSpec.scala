@@ -208,7 +208,7 @@ class SessionsProfileSpec extends SparkSpec {
     val exact = Profile.describe(df, Seq("s", "m"))
       .collect().map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
-    val approx = Profile.describeApprox(df, Seq("s", "m"), rsd = 0.02)
+    val approx = Profile.describeApprox(df, Seq("s", "m"), p = 12)
       .collect().map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     Seq("s", "m").foreach { c =>
