@@ -502,19 +502,29 @@ object SparkEntry {
            FROM events)
          SELECT ws AS window_start, event_type, COUNT(*) AS n
          FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    // REAL WAV container metadata: the canonical header is 44 bytes and
+    // PCM is uncompressed, so every parsed fact restates from the text
     "q37_binary_payload" ->
-      """SELECT doc_id,
-         CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-         base64(encode(text)) AS payload_b64
-         FROM documents ORDER BY doc_id""",
+      """SELECT doc_id AS media_id,
+         CAST(44 + octet_length(encode(text)) AS INTEGER) AS n_bytes,
+         1 AS n_channels, 16000 AS sample_rate, 8 AS bits_per_sample,
+         CAST(octet_length(encode(text)) AS INTEGER) AS n_samples
+         FROM documents ORDER BY media_id""",
     "q38_ing_pipeline" -> FinanceQueries.q38Oracle,
     "q39_upsert_merge" -> FinanceQueries.q39Oracle,
+    // Real-PNG decode ground truth: the 32x32 tiling of the text's
+    // ascii codes (PNG is lossless, so the decoder must recover it)
     "q40_multimodal_decode" ->
-      """SELECT doc_id AS media_id,
-         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-         COALESCE(ROUND(list_avg(list_transform(regexp_extract_all(
-           text, '(?s).'), c -> ascii(c))), 4), 0.0) AS mean_intensity
-         FROM documents ORDER BY media_id""",
+      """WITH c AS (SELECT doc_id,
+             regexp_extract_all(text, '(?s).') AS chars,
+             octet_length(encode(text)) AS len
+           FROM documents)
+         SELECT doc_id AS media_id, 32 AS width, 32 AS height,
+           CASE WHEN len = 0 THEN 0.0
+                ELSE ROUND(list_avg(list_transform(range(1024),
+                  j -> ascii(chars[(j % len) + 1]))), 4)
+           END AS mean_intensity
+         FROM c ORDER BY media_id""",
     "q41_rule_cascade_full" -> FinanceQueries.q41Oracle,
     // Hyperplane-LSH near-dup pairs incl. the bucket-cap semantics.
     "q46_lsh_near_dup" -> OracleGen.q46Sql(),
@@ -525,22 +535,22 @@ object SparkEntry {
          EXCEPT
          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
          ORDER BY o_custkey""",
+    // Real frame-container + per-frame PNG decode ground truth: frame i
+    // is the 16x16 tiling with phase 31*i over the text's ascii codes
     "q43_frame_sample" ->
-      """WITH f AS (
-           SELECT doc_id, text, octet_length(encode(text)) AS len,
-                  greatest(1, octet_length(encode(text)) // 16) AS flen
+      """WITH c AS (SELECT doc_id,
+             regexp_extract_all(text, '(?s).') AS chars,
+             octet_length(encode(text)) AS len
            FROM documents),
          i AS (SELECT unnest([0, 4, 8, 12]) AS frame_idx)
-         SELECT f.doc_id AS media_id, i.frame_idx,
-           CAST(CASE WHEN i.frame_idx * f.flen >= f.len THEN 0
-                ELSE least(f.flen, f.len - i.frame_idx * f.flen) END
-             AS BIGINT) AS n_bytes,
-           CASE WHEN i.frame_idx * f.flen >= f.len THEN 0.0
-                ELSE ROUND(list_avg(list_transform(regexp_extract_all(
-                  substring(f.text, i.frame_idx * f.flen + 1,
-                    least(f.flen, f.len - i.frame_idx * f.flen)), '(?s).'),
-                  c -> ascii(c))), 4) END AS mean_intensity
-         FROM f CROSS JOIN i
+         SELECT c.doc_id AS media_id, i.frame_idx,
+           16 AS width, 16 AS height,
+           CASE WHEN c.len = 0 THEN 0.0
+                ELSE ROUND(list_avg(list_transform(range(256),
+                  j -> ascii(c.chars[((j + i.frame_idx * 31) % c.len) + 1]))),
+                  4)
+           END AS mean_intensity
+         FROM c CROSS JOIN i
          ORDER BY media_id, frame_idx""",
     "q45_audio_windows" ->
       """WITH f AS (

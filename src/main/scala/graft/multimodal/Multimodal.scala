@@ -9,11 +9,15 @@ import org.apache.spark.sql.functions._
   * batches out), which is the shape that scales: per-batch amortized
   * decoder setup, bounded memory, no row-at-a-time overhead.
   *
-  * The DECODERS are deliberately stubbed with deterministic fakes (this
-  * container has no image/audio codecs); everything Spark-side — schemas,
-  * typed Datasets, batch iteration, partitioning, frame explosion — is real
-  * and spec-tested. Swapping `StubCodecs` for a JNI/ffmpeg decoder changes
-  * no plumbing.
+  * Codecs come in two flavors. [[RealCodecs]] decode REAL formats with
+  * pure-JVM parsers — PNG/JPEG via javax.imageio, WAV PCM via a RIFF
+  * chunk walk, and a length-indexed frame container for the video path —
+  * and are the default on every decode operator; the q37/q40/q43/q45
+  * gates drive them end to end against real-format payloads (lossless
+  * formats, so the DuckDB oracle restates the pre-encode ground truth
+  * and the hash gate proves the decoder recovers it exactly).
+  * [[StubCodecs]] keep the original deterministic byte-math fakes for
+  * adversarial specs (undecodable garbage, codec-swap plumbing tests).
   *
   * Scale posture: payloads repartition by media_id before decode so one
   * skewed file can't serialize a partition; decode emits features, never
@@ -66,26 +70,235 @@ object Multimodal {
     }
   }
 
+  /** REAL pure-JVM codecs — the default on every decode operator.
+    *
+    * Image: javax.imageio (PNG, JPEG, BMP, GIF — whatever readers the
+    * JVM registers). Grayscale PNG is the gate format because it is
+    * LOSSLESS: encode∘decode is the identity on pixels, so an oracle
+    * that knows the pre-encode pixel function can check the decoder
+    * bit-for-bit. Audio: WAV PCM via an explicit little-endian RIFF
+    * chunk walk (fmt + data, any chunk order, 8/16-bit mono) — a real
+    * container parser, not a fixed-offset slice. Video: a
+    * length-indexed frame container ([[encodeFrameContainer]]) whose
+    * sampling reads the offset table and slices ONLY the requested
+    * frames' bytes — the seek-table discipline real containers
+    * (MP4 stbl, MKV cues) exist for.
+    */
+  object RealCodecs {
+
+    /** Encode w×h 8-bit grayscale pixels as PNG (lossless, row-major). */
+    def encodePngGray(pixels: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      require(pixels.length == w * h, s"${pixels.length} != $w*$h")
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.setDataElements(0, 0, w, h, pixels)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ok = javax.imageio.ImageIO.write(img, "png", bos)
+      require(ok, "no PNG writer registered")
+      bos.toByteArray
+    }
+
+    /** Decode any ImageIO-readable payload: REAL dimensions from the
+      * decoder (metadata is not trusted), mean intensity and a 16-bin
+      * normalized histogram over the luminance raster (band 0 for gray;
+      * integer (r+g+b)/3 for color). Fails loudly on undecodable bytes —
+      * silently skipping corrupt media is how curation pipelines ship
+      * garbage.
+      */
+    def decodeImage(r: MediaRow): ImageFeatures = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      require(img != null, s"undecodable image payload: media ${r.media_id}")
+      val w = img.getWidth
+      val h = img.getHeight
+      val raster = img.getRaster
+      val color = raster.getNumBands >= 3
+      val hist = new Array[Long](16)
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v =
+            if (color) (raster.getSample(x, y, 0) + raster.getSample(x, y, 1) +
+              raster.getSample(x, y, 2)) / 3
+            else raster.getSample(x, y, 0)
+          sum += v
+          hist(v >> 4) += 1L
+          x += 1
+        }
+        y += 1
+      }
+      val n = math.max(1, w * h)
+      ImageFeatures(r.media_id, w, h, r.payload.length.toLong,
+        sum.toDouble / n, hist.map(_.toFloat / n))
+    }
+
+    /** Minimal canonical WAV writer: 44-byte RIFF/fmt/data header + raw
+      * PCM (mono; 8-bit unsigned samples as given).
+      */
+    def encodeWavPcm8(samples: Array[Byte], sampleRate: Int): Array[Byte] = {
+      val n = samples.length
+      val bb = java.nio.ByteBuffer.allocate(44 + n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1.toShort)            // PCM
+        .putShort(1.toShort)            // mono
+        .putInt(sampleRate)
+        .putInt(sampleRate)             // byte rate (8-bit mono)
+        .putShort(1.toShort)            // block align
+        .putShort(8.toShort)            // bits per sample
+      bb.put("data".getBytes("US-ASCII")).putInt(n).put(samples)
+      bb.array()
+    }
+
+    /** Parsed WAV facts: container metadata + the PCM data slice. */
+    case class Wav(nChannels: Int, sampleRate: Int, bitsPerSample: Int,
+        dataOffset: Int, dataLength: Int)
+
+    /** RIFF chunk walk: validates RIFF/WAVE magic, then walks chunks in
+      * ANY order (word-aligned, as the spec requires) until fmt and data
+      * are found. PCM only (audioFormat 1).
+      */
+    def parseWav(payload: Array[Byte]): Wav = {
+      val bb = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(off: Int): String =
+        new String(payload, off, 4, "US-ASCII")
+      require(payload.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
+        "not a RIFF/WAVE payload")
+      var pos = 12
+      var fmt: Option[(Int, Int, Int, Int)] = None // format, ch, rate, bits
+      var data: Option[(Int, Int)] = None
+      while (pos + 8 <= payload.length && (fmt.isEmpty || data.isEmpty)) {
+        val id = tag(pos)
+        val len = bb.getInt(pos + 4)
+        require(len >= 0 && pos + 8 + len <= payload.length,
+          s"truncated $id chunk")
+        id match {
+          case "fmt " =>
+            fmt = Some((bb.getShort(pos + 8).toInt,
+              bb.getShort(pos + 10).toInt, bb.getInt(pos + 12),
+              bb.getShort(pos + 22).toInt))
+          case "data" => data = Some((pos + 8, len))
+          case _ => () // skip LIST/INFO/fact/...
+        }
+        pos += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      val (format, ch, rate, bits) =
+        fmt.getOrElse(sys.error("missing fmt chunk"))
+      require(format == 1, s"not PCM: audioFormat=$format")
+      require(bits == 8 || bits == 16, s"unsupported bits=$bits")
+      val (off, len) = data.getOrElse(sys.error("missing data chunk"))
+      Wav(ch, rate, bits, off, len)
+    }
+
+    /** REAL audio decode: parse the WAV container, then window the PCM
+      * samples (8-bit unsigned centered at 128; 16-bit signed scaled to
+      * the same 8-bit-centered range) to RMS energies — the stub's
+      * window math applied to properly-parsed samples, so existing
+      * oracles restate it over the pre-encode sample stream.
+      */
+    def decodeAudio(r: MediaRow, windowSize: Int): AudioFeatures = {
+      val wav = parseWav(r.payload)
+      val bytesPerSample = wav.bitsPerSample / 8
+      val nSamples = wav.dataLength / bytesPerSample / wav.nChannels
+      def sample(i: Int): Double = {
+        val off = wav.dataOffset + i * bytesPerSample * wav.nChannels
+        if (wav.bitsPerSample == 8) (r.payload(off) & 0xff) - 128.0
+        else {
+          val lo = r.payload(off) & 0xff
+          val hi = r.payload(off + 1)
+          ((hi << 8) | lo) / 256.0
+        }
+      }
+      val ws = (0 until nSamples).grouped(windowSize).map { w =>
+        math.sqrt(w.map { i => val v = sample(i); v * v }.sum /
+          math.max(1, w.length))
+      }.toArray
+      AudioFeatures(r.media_id, wav.sampleRate, ws.length, ws)
+    }
+
+    /** Length-indexed frame container: magic "GFV1", frame count, an
+      * (n+1)-entry offset table, then the concatenated frame payloads
+      * (each typically a PNG). The offset table is what makes
+      * [[sampleFramesIndexed]] slice ONLY the sampled frames.
+      */
+    def encodeFrameContainer(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val header = 4 + 4 + 4 * (frames.length + 1)
+      val total = header + frames.map(_.length).sum
+      val bb = java.nio.ByteBuffer.allocate(total)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("GFV1".getBytes("US-ASCII")).putInt(frames.length)
+      var off = header
+      frames.foreach { f => bb.putInt(off); off += f.length }
+      bb.putInt(off)
+      frames.foreach(bb.put)
+      bb.array()
+    }
+
+    /** Offset table of a [[encodeFrameContainer]] payload: n+1 byte
+      * offsets (frame i = payload[table(i), table(i+1))).
+      */
+    def frameOffsets(payload: Array[Byte]): Array[Int] = {
+      val bb = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      require(payload.length >= 8 &&
+        new String(payload, 0, 4, "US-ASCII") == "GFV1",
+        "not a GFV1 frame container")
+      val n = bb.getInt(4)
+      require(n >= 0 && 8 + 4 * (n + 1) <= payload.length,
+        s"truncated offset table: n=$n")
+      Array.tabulate(n + 1)(i => bb.getInt(8 + 4 * i))
+    }
+  }
+
   /** Batched image decode — the mapInPandas shape: group the partition
     * iterator into batches of `batchSize`, decode each batch as a unit
-    * (amortizing per-batch decoder setup), emit features.
+    * (amortizing per-batch decoder setup), emit features. `codec`
+    * defaults to the REAL ImageIO decoder; pass
+    * [[StubCodecs.decodeImage]] to exercise the plumbing against
+    * non-image bytes.
     */
-  def decodeImages(media: Dataset[MediaRow],
-      batchSize: Int = 64): Dataset[ImageFeatures] = {
+  def decodeImages(media: Dataset[MediaRow], batchSize: Int = 64,
+      codec: MediaRow => ImageFeatures = RealCodecs.decodeImage)
+      : Dataset[ImageFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
-        // real codecs initialize once per batch here
-        batch.iterator.map(StubCodecs.decodeImage)
+        // per-batch decoder setup amortizes here
+        batch.iterator.map(codec)
       }
     }
   }
 
   def decodeAudioBatched(media: Dataset[MediaRow], windowSize: Int = 256,
-      batchSize: Int = 64): Dataset[AudioFeatures] = {
+      batchSize: Int = 64,
+      codec: (MediaRow, Int) => AudioFeatures = RealCodecs.decodeAudio)
+      : Dataset[AudioFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.grouped(batchSize).flatMap(
-      _.iterator.map(StubCodecs.decodeAudio(_, windowSize))))
+      _.iterator.map(codec(_, windowSize))))
+  }
+
+  /** Frame sampling over the REAL container format: parse the GFV1
+    * offset table, slice every `stride`-th frame's OWN bytes, emit —
+    * the [[sampleFrames]] slice-before-explode discipline, but the
+    * slice boundaries come from the container's index instead of an
+    * assumed uniform frame size.
+    */
+  def sampleFramesIndexed(media: Dataset[MediaRow],
+      stride: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val offs = RealCodecs.frameOffsets(r.payload)
+      (0 until (offs.length - 1) by stride).iterator.map { i =>
+        Frame(r.media_id, i,
+          java.util.Arrays.copyOfRange(r.payload, offs(i), offs(i + 1)))
+      }
+    }
   }
 
   /** Sample every `stride`-th frame of a "video" payload: slice the
@@ -146,7 +359,8 @@ object Multimodal {
     * (vec_id, embedding) layout graft.textops.Similarity consumes — ANN
     * over media features reuses the text-side operators unchanged.
     */
-  def imageEmbeddings(media: Dataset[MediaRow]): DataFrame =
-    decodeImages(media).toDF()
+  def imageEmbeddings(media: Dataset[MediaRow],
+      codec: MediaRow => ImageFeatures = RealCodecs.decodeImage): DataFrame =
+    decodeImages(media, codec = codec).toDF()
       .select(col("media_id").as("vec_id"), col("embedding"))
 }

@@ -426,67 +426,99 @@ object TextQueries {
       .select("doc_id", "shuffle_key", "batch")
       .orderBy("shuffle_key", "doc_id")
 
-  /** q37: opaque-binary column plumbing through the gate — documents' text
-    * treated as a binary payload (UTF-8 bytes): byte length, base64 prefix
-    * of the payload head. Stands in for the multimodal payload path
-    * (graft.multimodal), whose decode stages are spec-tested.
+  /** Deterministic document→pixel tiling shared by the q40/q43 image
+    * gates: pixel j of a w·h gray frame is text byte (j + phase) mod len
+    * (0 for empty text). The corpus is pure ASCII, so the DuckDB oracle
+    * restates the same tiling over `ascii()` codes — and because PNG is
+    * LOSSLESS, the real decoder must recover exactly these values.
     */
-  def q37BinaryPayload(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        col("text").cast("binary").as("payload"))
-      .select(col("doc_id"),
-        length(col("payload")).as("n_bytes"),
-        // Spark's base64 inserts MIME \r\n line breaks every 76 chars;
-        // strip for the canonical (RFC 4648, unchunked) form DuckDB emits.
-        regexp_replace(base64(col("payload")), "[\\r\\n]", "")
-          .as("payload_b64"))
-      .orderBy("doc_id")
+  private def tiledPixels(bytes: Array[Byte], n: Int, phase: Int)
+      : Array[Byte] =
+    if (bytes.isEmpty) new Array[Byte](n)
+    else Array.tabulate(n)(j => bytes((j + phase) % bytes.length))
 
-  /** q43: the VIDEO path — frame sampling (slice-before-explode, so
-    * shuffles move frames not videos) + per-frame decode, driver-gated.
-    * Documents stand in as 16-frame videos; every 4th frame is sampled and
-    * "decoded" (byte-mean intensity). The DuckDB oracle restates the exact
-    * slice arithmetic: frameLen = max(1, len div 16), frame i = bytes
-    * [i*frameLen, min(len, (i+1)*frameLen)), empty when the start passes
-    * end-of-payload.
+  /** q37: REAL-container metadata extraction — documents' bytes packed
+    * into canonical PCM WAV payloads in-plan, then the RIFF chunk walk
+    * ([[graft.multimodal.Multimodal.RealCodecs.parseWav]]) recovers
+    * channel count, sample rate, bit depth and sample count from the
+    * container itself. WAV is uncompressed, so every output — including
+    * the encoded byte length (44-byte canonical header + data) — is
+    * restatable by the oracle from the source text alone.
+    */
+  def q37BinaryPayload(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.Multimodal.RealCodecs
+    Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val payload = RealCodecs.encodeWavPcm8(
+          text.getBytes(java.nio.charset.StandardCharsets.UTF_8), 16000)
+        val wav = RealCodecs.parseWav(payload)
+        (id, payload.length, wav.nChannels, wav.sampleRate,
+          wav.bitsPerSample, wav.dataLength)
+      }
+      .toDF("media_id", "n_bytes", "n_channels", "sample_rate",
+        "bits_per_sample", "n_samples")
+      .orderBy("media_id")
+  }
+
+  /** q43: the VIDEO path over the REAL frame container — 16 PNG frames
+    * per document (16×16 gray, [[tiledPixels]] with per-frame phase
+    * 31·i) packed into a GFV1 length-indexed container in-plan; sampling
+    * reads the offset table and slices ONLY every 4th frame's bytes
+    * (slice-before-explode: shuffles move single frames, never videos),
+    * then each sampled frame decodes through the real ImageIO path. The
+    * oracle restates the per-frame pixel ground truth; dimensions come
+    * from the DECODER, not metadata.
     */
   def q43FrameSample(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import graft.multimodal.Multimodal
+    import Multimodal.RealCodecs
     val media = Tables.documents(spark, sfDir).select(
-      col("doc_id").as("media_id"), lit("video").as("kind"),
-      col("text").cast("binary").as("payload"),
-      lit(64).as("width"), lit(64).as("height"),
-      lit(16000).as("sample_rate"), lit(16).as("n_frames"),
-      lit("fake").as("format"))
-      .as[Multimodal.MediaRow]
-    Multimodal.sampleFrames(media, stride = 4)
-      .map { f =>
-        val feat = Multimodal.StubCodecs.decodeImage(Multimodal.MediaRow(
-          f.media_id, "image", f.frame_bytes, 0, 0, 0, 0, "fake"))
-        (f.media_id, f.frame_idx, feat.n_bytes, feat.mean_intensity)
+        col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val frames = (0 until 16).map(i =>
+          RealCodecs.encodePngGray(tiledPixels(bytes, 16 * 16, 31 * i),
+            16, 16))
+        Multimodal.MediaRow(id, "video",
+          RealCodecs.encodeFrameContainer(frames),
+          16, 16, 0, 16, "gfv1")
       }
-      .toDF("media_id", "frame_idx", "n_bytes", "mean_intensity")
+    Multimodal.sampleFramesIndexed(media, stride = 4)
+      .map { f =>
+        val feat = RealCodecs.decodeImage(Multimodal.MediaRow(
+          f.media_id, "image", f.frame_bytes, 0, 0, 0, 0, "png"))
+        (f.media_id, f.frame_idx, feat.width, feat.height,
+          feat.mean_intensity)
+      }
+      .toDF("media_id", "frame_idx", "width", "height", "mean_intensity")
       .withColumn("mean_intensity", round(col("mean_intensity"), 4))
       .orderBy("media_id", "frame_idx")
   }
 
-  /** q45: the AUDIO path — batched decode to per-window RMS energy,
-    * driver-gated. Documents' bytes stand in as PCM samples; the DuckDB
-    * oracle restates the stub codec's window math (256-byte windows,
-    * RMS of signed-centered byte values, partial last window).
+  /** q45: the AUDIO path over REAL WAV — documents' bytes as 8-bit PCM
+    * samples in canonical WAV containers, decoded by the RIFF chunk walk
+    * + windowed RMS ([[graft.multimodal.Multimodal.RealCodecs
+    * .decodeAudio]]). The oracle restates the window math (256-sample
+    * windows, RMS of 128-centered values, partial last window) over the
+    * pre-encode sample stream — the container round-trip must be exact.
     */
   def q45AudioWindows(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import graft.multimodal.Multimodal
+    import Multimodal.RealCodecs
     val media = Tables.documents(spark, sfDir).select(
-      col("doc_id").as("media_id"), lit("audio").as("kind"),
-      col("text").cast("binary").as("payload"),
-      lit(0).as("width"), lit(0).as("height"),
-      lit(16000).as("sample_rate"), lit(0).as("n_frames"),
-      lit("pcm8").as("format"))
-      .as[Multimodal.MediaRow]
+        col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        Multimodal.MediaRow(id, "audio",
+          RealCodecs.encodeWavPcm8(
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8), 16000),
+          0, 0, 16000, 0, "wav")
+      }
     Multimodal.decodeAudioBatched(media, windowSize = 256).toDF()
       .select(col("media_id"),
         posexplode(col("rms_energy")).as(Seq("w", "rms")))
@@ -497,23 +529,29 @@ object TextQueries {
 
   /** q40: the multimodal DECODE stage (graft.multimodal.Multimodal
     * .decodeImages — batched mapPartitions over typed MediaRows, the
-    * mapInPandas shape) driver-gated end to end: documents' UTF-8 bytes
-    * stand in for image payloads (the corpus is pure ASCII, so the DuckDB
-    * oracle can re-state the stub decoder's byte math: mean intensity =
-    * mean character code). The decode plumbing — binary column, Dataset
-    * encoder, batch iteration — is exactly what a real codec would ride.
+    * mapInPandas shape) driver-gated end to end over REAL PNGs:
+    * documents' bytes tile a 32×32 grayscale image, PNG-encoded in-plan
+    * and decoded by the real ImageIO codec. Dimensions come from the
+    * DECODER; the oracle restates the pre-encode pixel ground truth
+    * (mean of the tiled ascii codes over all 1024 pixels — exact
+    * arithmetic, the divisor is a power of two), so the hash gate
+    * proves encode∘decode is the identity on pixels.
     */
   def q40MultimodalDecode(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    import graft.multimodal.Multimodal
+    import Multimodal.RealCodecs
     val media = Tables.documents(spark, sfDir).select(
-      col("doc_id").as("media_id"), lit("image").as("kind"),
-      col("text").cast("binary").as("payload"),
-      lit(64).as("width"), lit(64).as("height"),
-      lit(16000).as("sample_rate"), lit(0).as("n_frames"),
-      lit("fake").as("format"))
-      .as[graft.multimodal.Multimodal.MediaRow]
-    graft.multimodal.Multimodal.decodeImages(media).toDF()
-      .select(col("media_id"), col("n_bytes"),
+        col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        Multimodal.MediaRow(id, "image",
+          RealCodecs.encodePngGray(tiledPixels(bytes, 32 * 32, 0), 32, 32),
+          32, 32, 0, 0, "png")
+      }
+    Multimodal.decodeImages(media).toDF()
+      .select(col("media_id"), col("width"), col("height"),
         round(col("mean_intensity"), 4).as("mean_intensity"))
       .orderBy("media_id")
   }
