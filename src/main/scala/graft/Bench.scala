@@ -150,9 +150,17 @@ object Bench {
       s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
       s""""queries":$qs,"rep_policy":"min","jit_ms_at_timing_end":$jitMs,""" +
       s""""sf":"$sfDir"}"""
+    // provenance: label WHICH harness invocation produced the record
+    // (round-11 VERDICT: driver BENCH_r{N} and builder BENCH_FULL_r{N}
+    // are different runs; per-query analysis must not mix them) —
+    // drivers/builders set SPARK_GRAFT_PROVENANCE when recording a
+    // committed artifact
+    val provenance =
+      sys.env.getOrElse("SPARK_GRAFT_PROVENANCE", "unlabeled-run")
     val full =
       s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
       s""""queries":$qs,"reps":$repsJson,"rep_policy":"min",""" +
+      s""""provenance":"$provenance",""" +
       s""""jit_ms_at_timing_end":$jitMs,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
