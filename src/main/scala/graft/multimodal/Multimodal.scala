@@ -86,16 +86,63 @@ object Multimodal {
     */
   object RealCodecs {
 
-    /** Encode w×h 8-bit grayscale pixels as PNG (lossless, row-major). */
+    /** Encode w×h 8-bit grayscale pixels as PNG (lossless, row-major) —
+      * a direct spec-conformant writer (signature, IHDR color type 0,
+      * one zlib IDAT of filter-0 scanlines, CRC32 per chunk) rather
+      * than ImageIO: the per-call ImageIO plugin overhead (~150 µs)
+      * dominated the q43 gate, which synthesizes 16 fixture frames per
+      * document in-plan (800k encodes at sf1 billed ~2 min of pure
+      * harness cost). Any spec-conformant encoder is equivalent here:
+      * the gates hash DECODED pixel statistics, never encoded bytes,
+      * and the decode side stays ImageIO — which doubles as the
+      * round-trip validator of this writer (MultimodalSpec).
+      */
     def encodePngGray(pixels: Array[Byte], w: Int, h: Int): Array[Byte] = {
       require(pixels.length == w * h, s"${pixels.length} != $w*$h")
-      val img = new java.awt.image.BufferedImage(w, h,
-        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-      img.getRaster.setDataElements(0, 0, w, h, pixels)
-      val bos = new java.io.ByteArrayOutputStream()
-      val ok = javax.imageio.ImageIO.write(img, "png", bos)
-      require(ok, "no PNG writer registered")
-      bos.toByteArray
+      // raw scanline stream: filter byte 0 + row bytes, per row
+      val raw = new Array[Byte]((w + 1) * h)
+      var y = 0
+      while (y < h) {
+        // raw((w + 1) * y) = 0: filter None (array is zero-initialized)
+        System.arraycopy(pixels, y * w, raw, (w + 1) * y + 1, w)
+        y += 1
+      }
+      val deflater = new java.util.zip.Deflater(
+        java.util.zip.Deflater.BEST_SPEED)
+      deflater.setInput(raw)
+      deflater.finish()
+      // worst case is stored blocks: 5 bytes per 32 KiB block + zlib
+      // header/adler trailer — bounded, so the single buffer never grows
+      val zbuf = new Array[Byte](raw.length + raw.length / 32768 * 8 + 64)
+      var zlen = 0
+      while (!deflater.finished()) {
+        if (zlen == zbuf.length) sys.error("deflate overflow") // can't: stored blocks bound
+        zlen += deflater.deflate(zbuf, zlen, zbuf.length - zlen)
+      }
+      deflater.end()
+      val out = java.nio.ByteBuffer.allocate(8 + 25 + (12 + zlen) + 12)
+      out.put(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+        .map(_.toByte))
+      def chunk(typ: String, data: Array[Byte], dlen: Int): Unit = {
+        out.putInt(dlen)
+        val t = typ.getBytes("US-ASCII")
+        out.put(t)
+        out.put(data, 0, dlen)
+        val crc = new java.util.zip.CRC32()
+        crc.update(t)
+        crc.update(data, 0, dlen)
+        out.putInt(crc.getValue.toInt)
+      }
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+        .putInt(w).putInt(h)
+        .put(8.toByte)  // bit depth
+        .put(0.toByte)  // color type: grayscale
+        .put(0.toByte).put(0.toByte).put(0.toByte) // deflate/adaptive/none
+        .array()
+      chunk("IHDR", ihdr, 13)
+      chunk("IDAT", zbuf, zlen)
+      chunk("IEND", Array.emptyByteArray, 0)
+      java.util.Arrays.copyOf(out.array(), out.position())
     }
 
     /** Decode any ImageIO-readable payload: REAL dimensions from the
