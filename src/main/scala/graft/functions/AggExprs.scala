@@ -231,4 +231,110 @@ object AggExprs {
   /** Column wrapper for [[BinCounts]]. */
   def binCounts(bin: Column, bins: Int): Column =
     exprColumn(BinCounts(columnExpr(bin), bins).toAggregateExpression())
+
+  /** One-pass HyperLogLog register summary over a 64-bit HASH column —
+    * [[graft.operators.Sketches.hllDistinct]]'s register geometry
+    * (top p bits pick one of 2^p registers, register keeps max
+    * rank = 64−p+1 − bitlength of the suffix) held as a FIXED int
+    * array per group, map-side combining by per-register max. `eval`
+    * finishes the register walk inside the aggregate: it emits
+    * (v_empty, tp) where tp = Σ_j 2^(64−p+1 − M_j) is the EXACT
+    * integer harmonic sum (empty registers contribute 2^(64−p+1)),
+    * computed in BigInteger and returned as DECIMAL(38,0) — the same
+    * FP-determinism contract as hllDistinct: the only floating-point
+    * op left to the caller is the final one-shot division (and the
+    * linear-counting ln, absorbed by rounding to a whole count).
+    *
+    * This is the single-aggregation form of the two-level
+    * groupBy(scope, register) SQL composition: per-group state is 2^p
+    * ints regardless of value cardinality, so a profile over any
+    * number of rows shuffles ONE buffer per (group × map partition).
+    * Null hashes are skipped (callers route null VALUES around the
+    * sketch and count them separately).
+    */
+  case class HllSummary(child: Expression, p: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends org.apache.spark.sql.catalyst.expressions.aggregate
+        .TypedImperativeAggregate[Array[Int]]
+      with UnaryLike[Expression] {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    private val m = 1 << p
+    private val sw = 64 - p
+    private val mask = (1L << sw) - 1
+
+    override def dataType: DataType = org.apache.spark.sql.types.StructType(
+      Seq(
+        org.apache.spark.sql.types.StructField("v_empty",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("tp",
+          org.apache.spark.sql.types.DecimalType(38, 0), nullable = false)))
+    override def nullable: Boolean = false
+    override def prettyName: String = "graft_hll_summary"
+
+    override def createAggregationBuffer(): Array[Int] = new Array[Int](m)
+
+    override def update(buffer: Array[Int],
+        input: InternalRow): Array[Int] = {
+      val h = child.eval(input)
+      if (h != null) {
+        val hash = h.asInstanceOf[Long]
+        val bucket = (hash >>> sw).toInt
+        val v = hash & mask
+        val rho =
+          if (v == 0L) sw + 1
+          else sw + 1 - (64 - java.lang.Long.numberOfLeadingZeros(v))
+        if (rho > buffer(bucket)) buffer(bucket) = rho
+      }
+      buffer
+    }
+
+    override def merge(buffer: Array[Int],
+        other: Array[Int]): Array[Int] = {
+      var i = 0
+      while (i < m) {
+        if (other(i) > buffer(i)) buffer(i) = other(i)
+        i += 1
+      }
+      buffer
+    }
+
+    override def eval(buffer: Array[Int]): Any = {
+      var empty = 0L
+      var tp = java.math.BigInteger.ZERO
+      var i = 0
+      while (i < m) {
+        val r = buffer(i)
+        if (r == 0) empty += 1L
+        tp = tp.add(java.math.BigInteger.ONE.shiftLeft(sw + 1 - r))
+        i += 1
+      }
+      InternalRow(empty,
+        org.apache.spark.sql.types.Decimal(BigDecimal(tp), 38, 0))
+    }
+
+    override def serialize(buffer: Array[Int]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(m * 4)
+      bb.asIntBuffer().put(buffer)
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): Array[Int] = {
+      val out = new Array[Int](m)
+      java.nio.ByteBuffer.wrap(bytes).asIntBuffer().get(out)
+      out
+    }
+
+    override def withNewMutableAggBufferOffset(
+        newOffset: Int): HllSummary =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(
+        newOffset: Int): HllSummary =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildInternal(
+        newChild: Expression): HllSummary = copy(child = newChild)
+  }
+
+  /** Column wrapper for [[HllSummary]]. */
+  def hllSummary(hash: Column, p: Int): Column =
+    exprColumn(HllSummary(columnExpr(hash), p).toAggregateExpression())
 }
