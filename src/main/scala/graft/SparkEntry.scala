@@ -1213,10 +1213,15 @@ object SparkEntry {
                       * (vmax - vmin) / 255.0)) END)), 6) AS max_abs_err
          FROM r ORDER BY vec_id""",
     // Salted join: the oracle is the PLAIN join — salting is correct
-    // exactly when it is invisible in the result.
+    // exactly when it is invisible in the result. Revenue accumulates in
+    // exact integer 1e-4 units (cents × percent) so the total is
+    // order-independent (a double SUM diverges by a cent between engines
+    // at sf1, and per-row ROUND(double,2) differs on boundary rows).
     "q61_salted_join" ->
       """SELECT p_brand,
-           ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+             / 10000.0 AS revenue,
            COUNT(*) AS n_items
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand ORDER BY p_brand""",

@@ -542,6 +542,14 @@ object Relational {
     * result-invariant (that is its whole contract), so the gate proves
     * the algebra while SkewJoinSpec proves the plan shape and the 20×
     * smoke proves the straggler ratio under a 10 % hot key.
+    *
+    * Revenue is accumulated in exact integer units of 1e-4 (price cents ×
+    * discount percent): a double SUM is order-dependent — at sf1 the
+    * Spark/DuckDB accumulation orders diverge by a cent in an 11-digit
+    * total — and even per-row ROUND(double, 2) disagrees between engines
+    * on ~1e-16 boundary rows. Rounding each factor to its generating
+    * integer grid (cents, percent) is robust (≥1e-10 from any boundary),
+    * and the integer product/sum is associative, i.e. scale-invariant.
     */
   def q61SaltedJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
@@ -551,8 +559,9 @@ object Relational {
     SkewJoin.saltedEquiJoin(li, parts, "l_partkey", "p_partkey",
         buckets = 8)
       .groupBy("p_brand")
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-          .as("revenue"),
+      .agg((sum(round(col("l_extendedprice") * lit(100)).cast("long")
+              * (lit(100L) - round(col("l_discount") * lit(100)).cast("long")))
+            / lit(10000.0)).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("p_brand")
   }
