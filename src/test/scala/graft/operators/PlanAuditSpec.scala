@@ -107,9 +107,12 @@ class PlanAuditSpec extends SparkSpec {
   test("q88 audit's row-local pass prunes lineitem to the checked " +
       "columns only") {
     val cols = scanColumns(finalPlan(Relational.q88QualityAudit(spark, sf)))
-    // several scans (audit + unique + two refs); the widest must still
-    // carry only checked columns, never the full table
-    assert(cols.nonEmpty && cols.forall(_.size <= 6), cols.toString)
+    // several scans (fused audit + two RI refs); since the r12 fusion the
+    // widest scan feeds ONE aggregation pass carrying the union of the
+    // row-local checked columns AND the unique-key columns (7 of
+    // lineitem's 16) — still pruned to checked columns, never the full
+    // table
+    assert(cols.nonEmpty && cols.forall(_.size <= 7), cols.toString)
   }
 
   test("q88 audit scans lineitem once per branch plus ONE shared row " +
