@@ -155,8 +155,14 @@ object Bench {
     // are different runs; per-query analysis must not mix them) —
     // drivers/builders set SPARK_GRAFT_PROVENANCE when recording a
     // committed artifact
-    val provenance =
-      sys.env.getOrElse("SPARK_GRAFT_PROVENANCE", "unlabeled-run")
+    val provenance = {
+      val p = sys.env.getOrElse("SPARK_GRAFT_PROVENANCE", "unlabeled-run")
+      // interpolated into JSON below: restrict to characters that can't
+      // break the string literal rather than implementing JSON escaping
+      require(p.matches("[A-Za-z0-9_.-]+"),
+        s"SPARK_GRAFT_PROVENANCE must match [A-Za-z0-9_.-]+, got: $p")
+      p
+    }
     val full =
       s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
       s""""queries":$qs,"reps":$repsJson,"rep_policy":"min",""" +

@@ -26,6 +26,11 @@ import org.apache.spark.sql.functions._
   *   - `embeddings.embedding` rotates its components by the copy index
   *     (norm- and within-copy-geometry-preserving, cross-copy distinct).
   *
+  * Disjointness bound: both transforms are cyclic (Caesar mod 26,
+  * rotation mod dim), so `factor` is capped at min(26, embedding dim) —
+  * beyond that, copies would repeat byte-identically and manufacture
+  * the cross-copy near-duplicate cliques this design exists to avoid.
+  *
   * Output is ONE parquet file per table named `<table>.parquet` — the
   * exact layout the driver testdata uses, so `graft.Bench`,
   * `graft.Verify` and the DuckDB oracle tooling all point at the new
@@ -52,7 +57,13 @@ object GenScaled {
     val src = args(0)
     val dst = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
-    require(factor >= 1 && factor <= 1000, s"factor out of range: $factor")
+    // 26 is a hard cross-copy-disjointness bound, not a convenience cap:
+    // the text transform is a Caesar shift (mod 26) and the embedding
+    // transform a component rotation (mod dim), so copy k and copy k+26
+    // (or k+dim) would be byte-identical — re-introducing exactly the
+    // cross-copy near-duplicate cliques the scaladoc promises to avoid.
+    require(factor >= 1 && factor <= 26, s"factor out of range: $factor" +
+      " (max 26 — Caesar shift cycles at 26, see scaladoc)")
     new java.io.File(dst).mkdirs()
 
     val spark = SparkSession.builder()
@@ -113,6 +124,13 @@ object GenScaled {
     write("documents", copies(t("documents")) { (d, k) =>
       d.withColumn("doc_id", col("doc_id") + lit(k * KD))
         .withColumn("text", caesar(col("text"), k)) })
+    // rotation cycles at the vector length — the disjointness bound for
+    // embeddings is min(26, dim), so verify dim covers the factor
+    val embDim = t("embeddings").select(size(col("embedding")))
+      .head().getInt(0)
+    require(factor <= embDim,
+      s"factor $factor exceeds embedding dim $embDim: component rotation" +
+      " would cycle and copies would collide")
     write("embeddings", copies(t("embeddings")) { (d, k) =>
       val rot = k.toInt
       d.withColumn("vec_id", col("vec_id") + lit(k * KD))

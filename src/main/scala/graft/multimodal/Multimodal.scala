@@ -97,6 +97,15 @@ object Multimodal {
       * and the decode side stays ImageIO — which doubles as the
       * round-trip validator of this writer (MultimodalSpec).
       */
+    // Reused per executor thread (reset() between payloads): Deflater
+    // construction allocates native zlib state — at 16 fixture frames per
+    // document that allocation dominated the q43 encode side the same way
+    // Inflater construction dominated its decode side.
+    private val deflaterTl = new ThreadLocal[java.util.zip.Deflater] {
+      override def initialValue() =
+        new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+    }
+
     def encodePngGray(pixels: Array[Byte], w: Int, h: Int): Array[Byte] = {
       require(pixels.length == w * h, s"${pixels.length} != $w*$h")
       // raw scanline stream: filter byte 0 + row bytes, per row
@@ -107,8 +116,8 @@ object Multimodal {
         System.arraycopy(pixels, y * w, raw, (w + 1) * y + 1, w)
         y += 1
       }
-      val deflater = new java.util.zip.Deflater(
-        java.util.zip.Deflater.BEST_SPEED)
+      val deflater = deflaterTl.get()
+      deflater.reset()
       deflater.setInput(raw)
       deflater.finish()
       // worst case is stored blocks: 5 bytes per 32 KiB block + zlib
@@ -119,7 +128,7 @@ object Multimodal {
         if (zlen == zbuf.length) sys.error("deflate overflow") // can't: stored blocks bound
         zlen += deflater.deflate(zbuf, zlen, zbuf.length - zlen)
       }
-      deflater.end()
+      // no end(): the Deflater is thread-cached; reset() happens on reuse
       val out = java.nio.ByteBuffer.allocate(8 + 25 + (12 + zlen) + 12)
       out.put(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
         .map(_.toByte))
@@ -145,13 +154,173 @@ object Multimodal {
       java.util.Arrays.copyOf(out.array(), out.position())
     }
 
+    /** Decoded 8-bit grayscale PNG: dimensions from the stream, pixels
+      * row-major — the direct-reader twin of [[encodePngGray]]'s output.
+      */
+    case class PngGray(width: Int, height: Int, pixels: Array[Byte])
+
+    // Reused per executor thread: Inflater construction allocates native
+    // zlib state; at 10^5 tiny frames per partition that allocation (and
+    // its finalization) is real cost. reset() between payloads is cheap.
+    private val inflaterTl = new ThreadLocal[java.util.zip.Inflater] {
+      override def initialValue() = new java.util.zip.Inflater()
+    }
+
+    private def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b)
+      val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+
+    /** Direct spec-conformant PNG reader for the 8-bit grayscale
+      * non-interlaced subset (ISO/IEC 15948: signature, IHDR, IDAT
+      * inflate, per-row unfilter over all five filter types, CRC-32
+      * verified per chunk). Mirrors the direct writer above for the same
+      * reason: ImageIO's per-call machinery (stream wrapper, metadata
+      * parse, ColorModel construction) dominated q43's 200k-tiny-frame
+      * decode wall at sf1 (~47 s, of which pixel work is a fraction).
+      * ImageIO remains the fallback for every other image flavor and the
+      * adversarial cross-check in MultimodalSpec (this reader must agree
+      * with ImageIO on arbitrary valid gray8 PNGs, including
+      * adaptive-filtered ones produced by ImageIO's own writer).
+      *
+      * @return the decoded frame, or null when the payload is a valid
+      *         PNG outside this subset (color, 16-bit, interlaced) —
+      *         caller falls back to ImageIO. Throws
+      *         IllegalArgumentException on structural corruption
+      *         (truncated stream, CRC mismatch, bad filter tag): corrupt
+      *         media must fail loudly, not silently skip.
+      */
+    def decodePngGray8(payload: Array[Byte]): PngGray = {
+      if (!isPng(payload)) return null
+      require(payload.length >= 8 + 25, "truncated PNG: no IHDR")
+      val bb = java.nio.ByteBuffer.wrap(payload) // PNG ints are big-endian
+      def chunkType(off: Int): String = new String(payload, off, 4, "US-ASCII")
+      require(bb.getInt(8) == 13 && chunkType(12) == "IHDR",
+        "PNG stream does not start with IHDR")
+      val w = bb.getInt(16)
+      val h = bb.getInt(20)
+      val bitDepth = payload(24) & 0xff
+      val colorType = payload(25) & 0xff
+      val interlace = payload(28) & 0xff
+      if (bitDepth != 8 || colorType != 0 || interlace != 0) return null
+      require(w > 0 && h > 0 && w.toLong * (h + 1L) < Int.MaxValue,
+        s"bad PNG dimensions ${w}x$h")
+      // walk chunks: CRC-verify each, concatenate IDAT payloads (usually
+      // exactly one — encodePngGray emits one — so the common case is a
+      // zero-copy slice reference, no concat buffer)
+      var pos = 8
+      var idat: Array[Byte] = null     // single-IDAT fast path
+      var idatOff = 0; var idatLen = 0
+      var multi: java.io.ByteArrayOutputStream = null
+      var sawEnd = false
+      val crc = new java.util.zip.CRC32()
+      while (!sawEnd) {
+        require(pos + 8 <= payload.length, "truncated PNG chunk header")
+        val len = bb.getInt(pos)
+        require(len >= 0 && pos + 12L + len <= payload.length,
+          s"truncated ${chunkType(pos + 4)} chunk")
+        crc.reset()
+        crc.update(payload, pos + 4, 4 + len)
+        require(crc.getValue.toInt == bb.getInt(pos + 8 + len),
+          s"CRC mismatch in ${chunkType(pos + 4)} chunk")
+        chunkType(pos + 4) match {
+          case "IDAT" =>
+            if (idat == null && multi == null) {
+              idat = payload; idatOff = pos + 8; idatLen = len
+            } else {
+              if (multi == null) {
+                multi = new java.io.ByteArrayOutputStream(idatLen + len)
+                multi.write(idat, idatOff, idatLen)
+                idat = null
+              }
+              multi.write(payload, pos + 8, len)
+            }
+          case "IEND" => sawEnd = true
+          case _ => () // ancillary chunks (tEXt, pHYs, ...) are skippable
+        }
+        pos += 12 + len
+      }
+      if (multi != null) {
+        val all = multi.toByteArray; idat = all; idatOff = 0
+        idatLen = all.length
+      }
+      require(idat != null, "PNG has no IDAT chunk")
+      // inflate the filtered scanline stream: h rows of (filter byte + w)
+      val raw = new Array[Byte]((w + 1) * h)
+      val inf = inflaterTl.get()
+      inf.reset()
+      inf.setInput(idat, idatOff, idatLen)
+      var got = 0
+      try {
+        while (got < raw.length && !inf.finished()) {
+          val n = inf.inflate(raw, got, raw.length - got)
+          require(n > 0 || !inf.needsInput(), "truncated PNG pixel stream")
+          got += n
+        }
+      } catch {
+        case e: java.util.zip.DataFormatException =>
+          throw new IllegalArgumentException("corrupt PNG deflate stream", e)
+      }
+      require(got == raw.length, "truncated PNG pixel stream")
+      // unfilter (bpp = 1 for gray8): recon rows land in the output array
+      val px = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        val in = y * (w + 1) + 1
+        val out = y * w
+        val prior = out - w // row y-1 in px, valid when y > 0
+        (raw(in - 1) & 0xff) match {
+          case 0 => System.arraycopy(raw, in, px, out, w)
+          case 1 => // Sub: recon(x) = raw(x) + recon(x-1)
+            px(out) = raw(in)
+            var x = 1
+            while (x < w) {
+              px(out + x) = (raw(in + x) + px(out + x - 1)).toByte; x += 1
+            }
+          case 2 => // Up: recon(x) = raw(x) + recon_prior(x)
+            if (y == 0) System.arraycopy(raw, in, px, out, w)
+            else {
+              var x = 0
+              while (x < w) {
+                px(out + x) = (raw(in + x) + px(prior + x)).toByte; x += 1
+              }
+            }
+          case 3 => // Average: + floor((left + up) / 2)
+            var x = 0
+            while (x < w) {
+              val left = if (x > 0) px(out + x - 1) & 0xff else 0
+              val up = if (y > 0) px(prior + x) & 0xff else 0
+              px(out + x) = (raw(in + x) + ((left + up) >> 1)).toByte
+              x += 1
+            }
+          case 4 => // Paeth predictor over (left, up, upper-left)
+            var x = 0
+            while (x < w) {
+              val left = if (x > 0) px(out + x - 1) & 0xff else 0
+              val up = if (y > 0) px(prior + x) & 0xff else 0
+              val ul = if (x > 0 && y > 0) px(prior + x - 1) & 0xff else 0
+              px(out + x) = (raw(in + x) + paeth(left, up, ul)).toByte
+              x += 1
+            }
+          case ft =>
+            throw new IllegalArgumentException(s"bad PNG filter type $ft")
+        }
+        y += 1
+      }
+      PngGray(w, h, px)
+    }
+
     /** Per-thread cached PNG reader: `ImageIO.read` performs a service
       * lookup + reader instantiation per call (~half the decode wall on
       * thumbnail-sized frames); PNG payloads (by magic sniff) reuse one
       * reader per executor thread instead — the amortize-the-decoder
       * discipline the batched operators exist for, applied inside the
       * codec so every caller gets it. Non-PNG formats fall back to the
-      * generic path.
+      * generic path. (Since the direct gray8 reader above landed, this
+      * path only serves PNGs OUTSIDE that subset — color, 16-bit,
+      * interlaced — and the MultimodalSpec cross-checks.)
       */
     private val pngReader =
       new ThreadLocal[javax.imageio.ImageReader] {
@@ -187,60 +356,93 @@ object Multimodal {
     /** Decode any ImageIO-readable payload: REAL dimensions from the
       * decoder (metadata is not trusted), mean intensity and a 16-bin
       * normalized histogram over the luminance raster (band 0 for gray;
-      * integer (r+g+b)/3 for color). Fails loudly on undecodable bytes —
-      * silently skipping corrupt media is how curation pipelines ship
-      * garbage.
+      * integer (r+g+b)/3 for color; samples wider than 8 bits are
+      * right-shifted to 8-bit range so a 16-bit PNG lands in the same
+      * histogram, not out of bounds). Gray8 PNGs — the dominant media
+      * flavor — take the direct [[decodePngGray8]] path and never touch
+      * ImageIO. Fails loudly on undecodable bytes — silently skipping
+      * corrupt media is how curation pipelines ship garbage.
       */
     def decodeImage(r: MediaRow): ImageFeatures = {
-      val img =
-        try readImage(r.payload)
-        catch {
-          case e: javax.imageio.IIOException => throw
-            new IllegalArgumentException(
-              s"undecodable image payload: media ${r.media_id}", e)
-        }
-      require(img != null, s"undecodable image payload: media ${r.media_id}")
-      val w = img.getWidth
-      val h = img.getHeight
-      val raster = img.getRaster
-      val color = raster.getNumBands >= 3
-      val hist = new Array[Long](16)
-      var sum = 0L
-      // gray fast path: walk the raster's byte buffer directly (the
-      // getSample loop pays SampleModel indirection per pixel — real
-      // cost at 10⁵ frames/partition); guarded by an exact-size check
-      // so padded scanline strides fall back to the general walk
-      val grayData: Array[Byte] =
-        if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-          raster.getDataBuffer match {
-            case db: java.awt.image.DataBufferByte
-                if db.getData.length == w * h && db.getOffset == 0 =>
-              db.getData
-            case _ => null
+      val direct =
+        if (isPng(r.payload))
+          try decodePngGray8(r.payload)
+          catch {
+            case e: IllegalArgumentException => throw
+              new IllegalArgumentException(
+                s"undecodable image payload: media ${r.media_id}", e)
           }
         else null
-      if (grayData != null) {
+      val hist = new Array[Long](16)
+      var sum = 0L
+      var w = 0; var h = 0
+      if (direct != null) {
+        w = direct.width; h = direct.height
+        val px = direct.pixels
         var i = 0
-        while (i < grayData.length) {
-          val v = grayData(i) & 0xff
+        while (i < px.length) {
+          val v = px(i) & 0xff
           sum += v
           hist(v >> 4) += 1L
           i += 1
         }
       } else {
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val v =
-              if (color) (raster.getSample(x, y, 0) +
-                raster.getSample(x, y, 1) + raster.getSample(x, y, 2)) / 3
-              else raster.getSample(x, y, 0)
+        val img =
+          try readImage(r.payload)
+          catch {
+            case e: javax.imageio.IIOException => throw
+              new IllegalArgumentException(
+                s"undecodable image payload: media ${r.media_id}", e)
+          }
+        require(img != null,
+          s"undecodable image payload: media ${r.media_id}")
+        w = img.getWidth
+        h = img.getHeight
+        val raster = img.getRaster
+        val color = raster.getNumBands >= 3
+        // samples wider than 8 bits (TYPE_USHORT_GRAY etc.) normalize by
+        // right shift so hist(v >> 4) stays in [0, 16)
+        val sm = raster.getSampleModel
+        val sh0 = math.max(0, sm.getSampleSize(0) - 8)
+        val sh1 = if (color) math.max(0, sm.getSampleSize(1) - 8) else 0
+        val sh2 = if (color) math.max(0, sm.getSampleSize(2) - 8) else 0
+        // gray fast path: walk the raster's byte buffer directly (the
+        // getSample loop pays SampleModel indirection per pixel — real
+        // cost at 10⁵ frames/partition); guarded by an exact-size check
+        // so padded scanline strides fall back to the general walk
+        val grayData: Array[Byte] =
+          if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            raster.getDataBuffer match {
+              case db: java.awt.image.DataBufferByte
+                  if db.getData.length == w * h && db.getOffset == 0 =>
+                db.getData
+              case _ => null
+            }
+          else null
+        if (grayData != null) {
+          var i = 0
+          while (i < grayData.length) {
+            val v = grayData(i) & 0xff
             sum += v
             hist(v >> 4) += 1L
-            x += 1
+            i += 1
           }
-          y += 1
+        } else {
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v =
+                if (color) ((raster.getSample(x, y, 0) >> sh0) +
+                  (raster.getSample(x, y, 1) >> sh1) +
+                  (raster.getSample(x, y, 2) >> sh2)) / 3
+                else raster.getSample(x, y, 0) >> sh0
+              sum += v
+              hist(v >> 4) += 1L
+              x += 1
+            }
+            y += 1
+          }
         }
       }
       val n = math.max(1, w * h)
@@ -289,7 +491,9 @@ object Multimodal {
       while (pos + 8 <= payload.length && (fmt.isEmpty || data.isEmpty)) {
         val id = tag(pos)
         val len = bb.getInt(pos + 4)
-        require(len >= 0 && pos + 8 + len <= payload.length,
+        // bound check in Long: a crafted len near 2^31 would wrap the Int
+        // sum negative and sneak past the guard
+        require(len >= 0 && pos + 8 + len.toLong <= payload.length,
           s"truncated $id chunk")
         id match {
           case "fmt " =>

@@ -487,6 +487,10 @@ object TextQueries {
           RealCodecs.encodeFrameContainer(frames),
           16, 16, 0, 16, "gfv1")
       }
+    // Persist the (small) decoded-feature frame before the global sort:
+    // orderBy's range-partitioner SAMPLING job otherwise recomputes the
+    // entire encode→container→slice→decode chain a second time — the
+    // features are ~40 bytes/row, the chain is the query's whole cost.
     Multimodal.sampleFramesIndexed(media, stride = 4)
       .map { f =>
         val feat = RealCodecs.decodeImage(Multimodal.MediaRow(
@@ -496,6 +500,7 @@ object TextQueries {
       }
       .toDF("media_id", "frame_idx", "width", "height", "mean_intensity")
       .withColumn("mean_intensity", round(col("mean_intensity"), 4))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .orderBy("media_id", "frame_idx")
   }
 
@@ -550,9 +555,12 @@ object TextQueries {
           RealCodecs.encodePngGray(tiledPixels(bytes, 32 * 32, 0), 32, 32),
           32, 32, 0, 0, "png")
       }
+    // persist-before-sort, same reason as q43: the sort's sampling job
+    // must not re-run the PNG encode∘decode chain
     Multimodal.decodeImages(media).toDF()
       .select(col("media_id"), col("width"), col("height"),
         round(col("mean_intensity"), 4).as("mean_intensity"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .orderBy("media_id")
   }
 

@@ -231,11 +231,13 @@ object Dedup {
       .filter(col("n_counted").cast("double") /
         (col("n_a") + col("n_b") - col("n_counted")) >= threshold)
       .select("id_a", "id_b")
+    // shuffle_hash pin, same reason as the prefix variant: per-document
+    // shingle arrays must never ride a (misestimated) broadcast
     val result = cands
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a"),
-        col("n_sh").as("n_a")), "id_a")
+        col("n_sh").as("n_a")).hint("shuffle_hash"), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b"),
-        col("n_sh").as("n_b")), "id_b")
+        col("n_sh").as("n_b")).hint("shuffle_hash"), "id_b")
       .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", col("n_common").cast("double") /
         (col("n_a") + col("n_b") - col("n_common")))
@@ -345,9 +347,19 @@ object Dedup {
     // values remain exact — hash order pays for the merge, strings decide.
     val hv = sorted.select(col("id"), transform(col("sh"), s => s("h"))
       .as("hv"))
+    // Both verification tiers pin SHUFFLE_HASH on the array side: the
+    // doc→hashes/shingles frames are hundreds of bytes per ROW, so their
+    // true size is 10-100× what the planner estimates through the
+    // transform() projections — at 100× smoke scale AQE "upgraded" these
+    // to broadcast joins and the ~1.2 GB driver-side broadcast collect
+    // aborted on spark.driver.maxResultSize. An id-keyed shuffle-hash
+    // join is the shape that survives any corpus size; never broadcast
+    // a per-document array frame.
     val screened = cands
-      .join(hv.select(col("id").as("id_a"), col("hv").as("hv_a")), "id_a")
-      .join(hv.select(col("id").as("id_b"), col("hv").as("hv_b")), "id_b")
+      .join(hv.select(col("id").as("id_a"), col("hv").as("hv_a"))
+        .hint("shuffle_hash"), "id_a")
+      .join(hv.select(col("id").as("id_b"), col("hv").as("hv_b"))
+        .hint("shuffle_hash"), "id_b")
       .withColumn("c_ub",
         ArrayExprs.sortedIntersectCountLong(col("hv_a"), col("hv_b")))
       .filter(col("c_ub").cast("double") /
@@ -355,8 +367,10 @@ object Dedup {
         lit(threshold))
       .select("id_a", "id_b")
     val result = screened
-      .join(sorted.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sorted.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(sorted.select(col("id").as("id_a"), col("sh").as("sh_a"))
+        .hint("shuffle_hash"), "id_a")
+      .join(sorted.select(col("id").as("id_b"), col("sh").as("sh_b"))
+        .hint("shuffle_hash"), "id_b")
       .withColumn("n_common",
         ArrayExprs.sortedIntersectCount(col("sh_a"), col("sh_b")))
       .withColumn("jaccard", col("n_common").cast("double") /

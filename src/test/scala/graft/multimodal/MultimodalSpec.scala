@@ -68,6 +68,66 @@ class MultimodalSpec extends SparkSpec {
     assert(feat.embedding.toSeq === expHist.toSeq)
   }
 
+  test("direct gray8 PNG reader agrees with ImageIO on adversarial " +
+      "PNGs — ImageIO's own writer picks adaptive per-row filters, so " +
+      "this drives all five unfilter paths") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 24) {
+      val w = 1 + rnd.nextInt(40); val h = 1 + rnd.nextInt(40)
+      val px = new Array[Byte](w * h)
+      trial % 4 match {
+        case 0 => rnd.nextBytes(px) // noise → None/Sub typical
+        case 1 => // horizontal ramp → Sub-friendly
+          for (i <- px.indices)
+            px(i) = ((i % w) * 255 / math.max(1, w - 1)).toByte
+        case 2 => // vertical ramp → Up-friendly
+          for (i <- px.indices)
+            px(i) = ((i / w) * 255 / math.max(1, h - 1)).toByte
+        case _ => // diagonal ramp → Average/Paeth-friendly
+          for (i <- px.indices)
+            px(i) = (((i % w) + (i / w)) * 7).toByte
+      }
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.setDataElements(0, 0, w, h, px)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      val direct = RealCodecs.decodePngGray8(bos.toByteArray)
+      assert(direct != null, s"direct reader rejected ImageIO PNG ($trial)")
+      assert(direct.width === w && direct.height === h)
+      assert(direct.pixels.toSeq === px.toSeq, s"pixel mismatch trial $trial")
+    }
+  }
+
+  test("direct gray8 PNG reader fails loudly on a corrupted stream " +
+      "(CRC catches a single flipped IDAT byte)") {
+    val px = Array.tabulate(64)(i => (i * 5).toByte)
+    val png = RealCodecs.encodePngGray(px, 8, 8)
+    // IHDR occupies bytes 8..32; 45 lands inside the IDAT chunk's data
+    png(45) = (png(45) ^ 0x55).toByte
+    intercept[IllegalArgumentException] {
+      RealCodecs.decodeImage(MediaRow(3L, "image", png, 0, 0, 0, 0, "png"))
+    }
+  }
+
+  test("16-bit grayscale PNG (outside the direct subset) falls back to " +
+      "ImageIO and normalizes samples into the 8-bit histogram range") {
+    val w = 9; val h = 4
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, x * 65535 / (w - 1))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val feat = RealCodecs.decodeImage(
+      MediaRow(4L, "image", bos.toByteArray, 0, 0, 0, 0, "png"))
+    assert(feat.width === w && feat.height === h)
+    assert(feat.mean_intensity >= 0 && feat.mean_intensity <= 255)
+    assert(math.abs(feat.embedding.sum - 1.0f) < 1e-3)
+    // the full-bright column must land in the TOP bin, not out of bounds
+    assert(feat.embedding(15) > 0f)
+  }
+
   test("real image decode fails loudly on undecodable bytes") {
     val junk = Array.tabulate(64)(i => (i * 13).toByte)
     intercept[IllegalArgumentException] {
