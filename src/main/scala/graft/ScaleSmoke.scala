@@ -388,6 +388,24 @@ object ScaleSmoke {
       // isolated) — the smoke should measure the operators, not an
       // unrealistically conservative join threshold
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      // SPARK_GRAFT_SCALE_CODEC=zstd swaps the shuffle/spill codec: the
+      // 100x lane's heaviest text shuffles outgrow this VM's ~90 GB
+      // effective disk under lz4 (jaccard_prefix_pairs died ENOSPC);
+      // zstd's 2-3x better text ratio is the documented trade (CPU for
+      // disk) a real cluster would configure at this shuffle volume.
+      // Artifacts record the codec via the entry log; default stays lz4
+      // so 20x numbers remain comparable round-over-round.
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_CODEC", "lz4"))
+      // SPARK_GRAFT_SCALE_GC tightens the ContextCleaner's periodic-GC
+      // interval (Spark default 30min): shuffle files are only reclaimed
+      // when a GC collects their dependency objects, and with a 40 GiB
+      // heap full GCs are rare — at 100x the heavy entries' dead shuffle
+      // files outlived the run's disk (jaccard's blockmgr peaked 40 GB,
+      // then dropped to 11 GB the moment one GC ran). A 45s interval
+      // bounds the dead-file backlog; harmless at 20x.
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_GC", "30min"))
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
       .getOrCreate()
@@ -883,8 +901,10 @@ object ScaleSmoke {
       ).flatten.mkString(",")
       js(e.name) + ":{" + fields + "}"
     }.mkString(",")
+    val codec = sys.env.getOrElse("SPARK_GRAFT_SCALE_CODEC", "lz4")
     val json = s"""{"mult":$mult,"sf_dir":${js(sfDir)},"cpus":$cpus,""" +
       s""""reps":$reps,"calib_st_ms":$calibSt,"calib_mt_ms":$calibMt,""" +
+      s""""codec":${js(codec)},""" +
       s""""docs":$nDocs,"embeddings":$nEmb,"entries":{$entries}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))

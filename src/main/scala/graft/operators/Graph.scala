@@ -67,8 +67,19 @@ object Graph {
       src: String = "src", dst: String = "dst",
       checkpointEvery: Int = 0): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters out of [1,20]: $iters")
+    // The edge frame is consumed by EVERY iteration's src-keyed join (and
+    // twice by the degree base). Materialize it ONCE, already hash-
+    // partitioned on the join key: the cached plan advertises its
+    // HashPartitioning, so each iteration's shuffle-hash join takes the
+    // edge side exchange-free — one edge scan + one edge shuffle total,
+    // regardless of iteration count. (Plan-level ReusedExchange gives the
+    // same when it fires, but AQE re-optimization can sever it between
+    // rounds — the persist makes the reuse structural, not optimizer
+    // luck.)
     val e = edges.select(col(src).cast("long").as("graft_src"),
       col(dst).cast("long").as("graft_dst"))
+      .repartition(col("graft_src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // node set and out-degrees in ONE union-aggregate (src rows count 1,
     // dst rows count 0): replaces the distinct + degree-groupBy + left
     // join formulation — same result (deg 0 ⇒ null marks a pure sink),

@@ -420,9 +420,14 @@ object Relational {
       .agg(count(lit(1)).as("n_exact"))
       .select(col("window.start").as("window_start"),
         col("event_type").as("probe"), col("n_exact"))
+    // persist-before-sort: both join legs aggregate the full event
+    // stream (the CMS state replay + the exact groupBy); the joined
+    // summary is |windows|·|probes| rows, and the sort's range-sampling
+    // job must not re-run the two aggregation legs to sample it
     est.join(exact, Seq("window_start", "probe"), "left")
       .select(col("window_start"), col("probe"),
         coalesce(col("n_exact"), lit(0L)).as("n_exact"), col("cms_est"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .orderBy("window_start", "probe")
   }
 
@@ -928,14 +933,11 @@ object Relational {
       .select(date_add(to_date(lit("1970-01-01")), col("cohort_days"))
           .as("cohort"),
         col("offset"), col("key"))
+    // cells → matrix via the shared finalizer (window over the tiny
+    // cells frame — no sizes aggregate, no join)
     val cells = acts.groupBy("cohort", "offset")
       .agg(count(lit(1)).as("n_active"))
-    val sizes = acts.filter(col("offset") === 0)
-      .groupBy("cohort").agg(count(lit(1)).as("n_cohort"))
-    cells.join(sizes, "cohort")
-      .withColumn("ret_rate",
-        round(col("n_active").cast("double") / col("n_cohort"), 4))
-      .select("cohort", "offset", "n_active", "n_cohort", "ret_rate")
+    Sessions.finalizeRetentionCells(cells)
       .orderBy("cohort", "offset")
   }
 

@@ -133,15 +133,22 @@ object Sessions {
     * in funnels reads drop-off; here the decaying `n_active` column reads
     * it over calendar time.
     *
-    * Shape (all per-key state O(1), no windows over raw events):
-    *   1. one groupBy(key) → min period  (cohort assignment)
-    *   2. one distinct (key, period)     (activity de-dup — the only
-    *      other shuffle, same key hash as 1 so co-partitioned for 3)
-    *   3. broadcast-friendly join of 1⟕2 on key, then a tiny
-    *      (cohort, offset) count — output is |periods|² rows max.
-    * At 100 TB both shuffles carry (key, period) pairs only; the final
-    * aggregate input is one row per (user, active-period) — already
-    * bounded by the activity dedup, never the raw event count.
+    * Shape — TWO data shuffles, zero joins (the r12 five-stage chain —
+    * firsts agg, activity distinct, user join, cell agg, sizes join —
+    * paid a per-call stage tax this operator never needed):
+    *   1. one groupBy(key) → collect_set(period): cohort AND activity
+    *      set in a single map-side-combining pass (the set is bounded by
+    *      CALENDAR PERIODS a key can span — ~10³ for years of daily
+    *      activity — never by event count);
+    *   2. explode the per-key set → one row per (key, active period),
+    *      aggregate (cohort, offset) counts — the only other shuffle.
+    * The cohort size needs no sizes join: cohort = min(period), so EVERY
+    * member is active at offset 0 and `n_cohort` is the offset-0 cell's
+    * own count — read per cohort with a window over the tiny cells frame
+    * (|cohorts|·|offsets| rows, not data).
+    *
+    * Null-timestamp events carry no period and are ignored (collect_set
+    * skips nulls) — a key whose every event is null-ts never appears.
     *
     * `period` ∈ day | week | month (Spark `date_trunc` units, restated
     * with DuckDB `date_trunc` + `date_diff` in the oracle). Offsets are
@@ -153,9 +160,10 @@ object Sessions {
     require(Set("day", "week", "month")(period),
       s"period must be day|week|month, got $period")
     val p = to_date(date_trunc(period, col(ts)))
-    val firsts = events.groupBy(col(key))
-      .agg(min(p).as("cohort"))
-    val active = events.select(col(key), p.as("graft_p")).distinct()
+    val acts = events.groupBy(col(key))
+      .agg(collect_set(p).as("graft_ps"))
+      .select(array_min(col("graft_ps")).as("cohort"),
+        explode(col("graft_ps")).as("graft_p"))
     val offset: Column = period match {
       case "day"   => datediff(col("graft_p"), col("cohort"))
       case "week"  => (datediff(col("graft_p"), col("cohort")) / 7)
@@ -163,16 +171,27 @@ object Sessions {
       case "month" => (months_between(col("graft_p"), col("cohort")))
         .cast("int")
     }
-    val cells = firsts.join(active, key)
-      .select(col("cohort"), offset.as("offset"), col(key))
-      .groupBy("cohort", "offset")
+    val cells = acts
+      .groupBy(col("cohort"), offset.as("offset"))
       .agg(count(lit(1)).as("n_active"))
-    val sizes = firsts.groupBy("cohort").agg(count(lit(1)).as("n_cohort"))
-    cells.join(sizes, "cohort")
+    finalizeRetentionCells(cells)
+  }
+
+  /** (cohort, offset, n_active) cells → the full matrix: n_cohort is the
+    * offset-0 cell's count (cohort = min period ⇒ every member is active
+    * at offset 0), read with a window over the cells frame — which holds
+    * |cohorts|·|offsets| rows, so the window moves summary rows, never
+    * data. Shared by the batch operator above and the streaming
+    * activation feed's batch-side aggregation (q104).
+    */
+  private[graft] def finalizeRetentionCells(cells: DataFrame): DataFrame =
+    cells
+      .withColumn("n_cohort",
+        max(when(col("offset") === 0, col("n_active")))
+          .over(Window.partitionBy("cohort")))
       .withColumn("ret_rate",
         round(col("n_active").cast("double") / col("n_cohort"), 4))
       .select("cohort", "offset", "n_active", "n_cohort", "ret_rate")
-  }
 
   /** One step of a generalized event pattern: an arbitrary row predicate
     * (any Boolean [[Column]] over the event's columns — not just

@@ -749,6 +749,10 @@ object TextQueries {
         round(col("vmax"), 6).as("vmax"),
         aggregate(col("codes"), lit(0L), (a, x) => a + x).as("code_sum"),
         round(col("max_abs_err"), 6).as("max_abs_err"))
+      // persist-before-sort: the sort's range-sampling job would rerun
+      // the whole O(d)/row quantization chain a second time; the summary
+      // frame is 5 scalars/vector
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .orderBy("vec_id")
 
   /** q67: TF-IDF top-3 terms per document

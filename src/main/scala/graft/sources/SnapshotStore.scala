@@ -1,0 +1,332 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Minimal ACID table layer over immutable parquet data files — the
+  * manifest/snapshot commit protocol (Iceberg/Delta-class semantics,
+  * reduced to the core) that the plain two-phase-swap store
+  * ([[graft.finance.Store.save]]/[[graft.finance.Store.saveBucketed]])
+  * lacks: concurrent writers serialize through an atomic version
+  * publish, and a reader pinned to a snapshot can never observe a torn
+  * or half-replaced table, even while writers commit and old versions
+  * are vacuumed around it.
+  *
+  * Layout under a table root:
+  * {{{
+  *   <root>/data/<uuid>/part-*.parquet    immutable once referenced
+  *   <root>/_manifests/v<N>.json          snapshot N's complete file list
+  * }}}
+  *
+  * The INVARIANTS that make it ACID on a filesystem with atomic
+  * hard-link creation (any POSIX local/NFS mount; object stores want a
+  * conditional-PUT equivalent):
+  *
+  *   - Data files are IMMUTABLE and WRITE-ONCE: a commit writes its data
+  *     under a fresh `data/<uuid>/` directory, never touching files any
+  *     earlier manifest references. Overwrites REFERENCE new files; they
+  *     do not delete old ones (only [[vacuum]] deletes, and only files
+  *     unreachable from every retained manifest).
+  *   - A snapshot is ONE manifest file naming its complete file list
+  *     (plus the schema as DDL, so an empty table round-trips). Readers
+  *     resolve `max N` once, then read exactly those files — a reader
+  *     holding snapshot N is immune to every later commit by
+  *     construction (isolation), and since the manifest is published
+  *     after its data files are fully written, the files it names are
+  *     always complete (no torn reads — durability is the data files'
+  *     fsync plus the link).
+  *   - The publish is `Files.createLink(v<N>.json, tmp)` — hard-link
+  *     creation is ATOMIC and FAILS if the target exists, which is the
+  *     whole concurrency-control protocol: two writers racing to commit
+  *     version N produce one winner and one loser; the loser re-reads
+  *     the new current snapshot, REBASES (append re-lists the base
+  *     files; overwrite just bumps the version) and retries at N+1.
+  *     Optimistic concurrency, serializable for append/overwrite
+  *     because both commute only through the version chain.
+  *
+  * What is deliberately NOT here (and where the full systems earn their
+  * complexity): row-level deletes/merges (represent as overwrite of the
+  * merged result — [[graft.finance.Store.upsert]] composes on top),
+  * manifest compaction (list of lists) for 10⁶-file tables, column
+  * stats for file skipping, and multi-table transactions.
+  */
+object SnapshotStore {
+
+  /** One snapshot's facts: version, the files it references (relative to
+    * the table root), the schema DDL, and the parent version (-1 for the
+    * first). */
+  final case class Manifest(version: Int, base: Int, schemaDdl: String,
+      files: Seq[String])
+
+  private def manifestDir(root: String): Path =
+    Paths.get(root, "_manifests")
+
+  private def manifestPath(root: String, v: Int): Path =
+    manifestDir(root).resolve(s"v$v.json")
+
+  // ---------------------------------------------------------- JSON codec
+  // Hand-rolled on purpose: the manifest schema is four fields, the repo
+  // takes no JSON dependency, and escaping covers the two values that can
+  // hold arbitrary characters (schema DDL, file paths).
+
+  private def esc(s: String): String = {
+    val b = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"'  => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c    => b.append(c)
+    }
+    b.toString
+  }
+
+  private def unesc(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"'  => b.append('"');  i += 2
+          case '\\' => b.append('\\'); i += 2
+          case 'n'  => b.append('\n'); i += 2
+          case 'r'  => b.append('\r'); i += 2
+          case 't'  => b.append('\t'); i += 2
+          case 'u'  =>
+            b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case o    => b.append(o); i += 2
+        }
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
+  private def render(m: Manifest): String = {
+    val fs = m.files.map(f => "\"" + esc(f) + "\"").mkString(",")
+    s"""{"version":${m.version},"base":${m.base},""" +
+      s""""schema":"${esc(m.schemaDdl)}","files":[$fs]}"""
+  }
+
+  /** Parse [[render]]'s output. Strict by design: a manifest that does
+    * not parse is a corrupted COMMITTED snapshot (tmp files never carry
+    * the v<N>.json name) and must fail loudly, not read as empty. */
+  private def parse(s: String): Manifest = {
+    def intField(name: String): Int = {
+      val m = s""""$name":(-?\\d+)""".r.findFirstMatchIn(s)
+        .getOrElse(sys.error(s"manifest missing $name: $s"))
+      m.group(1).toInt
+    }
+    // a JSON string literal: quote, (escape-pair | non-quote)*, quote
+    val strLit = """"((?:\\.|[^"\\])*)""""
+    val schema = (s""""schema":$strLit""").r.findFirstMatchIn(s)
+      .getOrElse(sys.error(s"manifest missing schema: $s")).group(1)
+    val filesBlob = s""""files":\\[(.*)\\]""".r.findFirstMatchIn(s)
+      .getOrElse(sys.error(s"manifest missing files: $s")).group(1)
+    val files = strLit.r.findAllMatchIn(filesBlob).map(m =>
+      unesc(m.group(1))).toSeq
+    Manifest(intField("version"), intField("base"), unesc(schema), files)
+  }
+
+  // ------------------------------------------------------------- resolve
+
+  private val ManifestName = """v(\d+)\.json""".r
+
+  /** Committed versions present under `root`, ascending; empty for a
+    * table that has never committed. */
+  def versions(root: String): Seq[Int] = {
+    val dir = manifestDir(root)
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val it = Files.list(dir)
+      try it.iterator().asInstanceOf[java.util.Iterator[Path]]
+        .let { i =>
+          val b = Seq.newBuilder[Int]
+          while (i.hasNext) i.next().getFileName.toString match {
+            case ManifestName(v) => b += v.toInt
+            case _ => () // .tmp- writer scratch: not a committed snapshot
+          }
+          b.result().sorted
+        }
+      finally it.close()
+    }
+  }
+
+  // tiny `let` so the stream closes in one expression
+  private implicit class Lets[A](private val a: A) extends AnyVal {
+    def let[B](f: A => B): B = f(a)
+  }
+
+  /** The manifest of `version` (or the CURRENT = max committed version).
+    * None for a table with no commits. */
+  def snapshot(root: String, version: Option[Int] = None): Option[Manifest] =
+    (version match {
+      case Some(v) => Some(v)
+      case None    => versions(root).lastOption
+    }).map { v =>
+      val p = manifestPath(root, v)
+      require(Files.exists(p), s"no committed snapshot v$v under $root")
+      parse(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+    }
+
+  /** Snapshot-pinned read: resolve the (given or current) version ONCE,
+    * then read exactly that manifest's files. The returned frame stays
+    * correct across any number of concurrent commits; it survives
+    * [[vacuum]] for as long as its version is retained. A table with no
+    * commits has no schema — that is a caller error, not an empty frame.
+    */
+  def read(spark: SparkSession, root: String,
+      version: Option[Int] = None): DataFrame = {
+    val m = snapshot(root, version).getOrElse(
+      sys.error(s"no committed snapshot under $root"))
+    val schema = StructType.fromDDL(m.schemaDdl)
+    if (m.files.isEmpty)
+      spark.createDataFrame(spark.sparkContext
+        .emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.schema(schema)
+        .parquet(m.files.map(f => Paths.get(root, f).toString): _*)
+  }
+
+  // -------------------------------------------------------------- commit
+
+  /** Write `df` as a fresh immutable data directory; return the file
+    * names relative to root. An empty frame writes no files (commit of
+    * an empty manifest is legal — truncation). */
+  private def writeData(df: DataFrame, root: String): Seq[String] = {
+    val dirName = "data/" + java.util.UUID.randomUUID().toString
+    val dir = Paths.get(root, dirName)
+    df.write.parquet(dir.toString)
+    val it = Files.list(dir)
+    try it.iterator().asInstanceOf[java.util.Iterator[Path]].let { i =>
+      val b = Seq.newBuilder[String]
+      while (i.hasNext) {
+        val n = i.next().getFileName.toString
+        if (n.endsWith(".parquet")) b += s"$dirName/$n"
+      }
+      b.result().sorted
+    } finally it.close()
+  }
+
+  /** Atomically publish `m` as version `m.version`. True if this writer
+    * won the version; false if another commit got there first. */
+  private def publish(root: String, m: Manifest): Boolean = {
+    val dir = manifestDir(root)
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, render(m).getBytes(StandardCharsets.UTF_8))
+    try {
+      // hard-link creation is atomic and fails iff the target exists —
+      // exactly the one-winner-per-version primitive the protocol needs
+      Files.createLink(manifestPath(root, m.version), tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  private val MaxRetries = 64
+
+  /** OVERWRITE commit: the new snapshot references only `df`'s files.
+    * Returns the committed version. Retries past concurrent winners —
+    * an overwrite rebases trivially (its content does not depend on the
+    * base), so it always eventually lands. */
+  def commitOverwrite(df: DataFrame, root: String): Int = {
+    val files = writeData(df, root)
+    val ddl = df.schema.toDDL
+    var attempt = 0
+    while (attempt < MaxRetries) {
+      val base = versions(root).lastOption.getOrElse(-1)
+      val v = base + 1
+      if (publish(root, Manifest(v, base, ddl, files))) return v
+      attempt += 1
+    }
+    sys.error(s"commitOverwrite lost $MaxRetries version races under $root")
+  }
+
+  /** APPEND commit: the new snapshot references the CURRENT snapshot's
+    * files plus `df`'s. On losing a version race the append REBASES —
+    * re-reads the new current file list and retries — so concurrent
+    * appends all land, each including every earlier winner's files
+    * (serializable: appends commute through the rebase). The appended
+    * schema must match the table's. */
+  def commitAppend(df: DataFrame, root: String): Int = {
+    val files = writeData(df, root)
+    val ddl = df.schema.toDDL
+    var attempt = 0
+    while (attempt < MaxRetries) {
+      val cur = snapshot(root)
+      cur.foreach(m => require(m.schemaDdl == ddl,
+        s"append schema mismatch: table has [${m.schemaDdl}], " +
+          s"append has [$ddl]"))
+      val base = cur.map(_.version).getOrElse(-1)
+      val baseFiles = cur.map(_.files).getOrElse(Seq.empty)
+      if (publish(root, Manifest(base + 1, base, ddl, baseFiles ++ files)))
+        return base + 1
+      attempt += 1
+    }
+    sys.error(s"commitAppend lost $MaxRetries version races under $root")
+  }
+
+  // -------------------------------------------------------------- vacuum
+
+  /** Delete data files unreachable from the newest `keepVersions`
+    * manifests, then the superseded manifests themselves. Readers pinned
+    * to a RETAINED version are untouched; pinning older than the
+    * retention horizon is the documented reader contract (same contract
+    * every snapshot store ships). Returns the deleted file count. */
+  def vacuum(root: String, keepVersions: Int = 2): Int = {
+    require(keepVersions >= 1, "must retain at least the current version")
+    val vs = versions(root)
+    val keep = vs.takeRight(keepVersions).toSet
+    val live: Set[String] = vs.filter(keep)
+      .flatMap(v => snapshot(root, Some(v)).get.files).toSet
+    var deleted = 0
+    val dataDir = Paths.get(root, "data")
+    if (Files.isDirectory(dataDir)) {
+      val dirs = Files.list(dataDir)
+      try {
+        val i = dirs.iterator().asInstanceOf[java.util.Iterator[Path]]
+        while (i.hasNext) {
+          val d = i.next()
+          val inner = Files.list(d)
+          try {
+            val j = inner.iterator().asInstanceOf[java.util.Iterator[Path]]
+            while (j.hasNext) {
+              val f = j.next()
+              val rel = s"data/${d.getFileName}/${f.getFileName}"
+              if (f.getFileName.toString.endsWith(".parquet") &&
+                  !live.contains(rel)) {
+                Files.delete(f); deleted += 1
+              }
+            }
+          } finally inner.close()
+          // empty data dirs (all files vacuumed) fold away; non-parquet
+          // Spark side files (_SUCCESS, .crc) go with them
+          val rest = Files.list(d)
+          try {
+            val j = rest.iterator().asInstanceOf[java.util.Iterator[Path]]
+            val leftovers = {
+              val b = Seq.newBuilder[Path]
+              while (j.hasNext) b += j.next()
+              b.result()
+            }
+            if (!leftovers.exists(_.getFileName.toString.endsWith(".parquet"))) {
+              leftovers.foreach(Files.delete)
+              Files.delete(d)
+            }
+          } finally rest.close()
+        }
+      } finally dirs.close()
+    }
+    vs.filterNot(keep).foreach(v => Files.deleteIfExists(
+      manifestPath(root, v)))
+    deleted
+  }
+}

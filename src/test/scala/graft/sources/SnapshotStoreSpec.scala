@@ -1,0 +1,127 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SnapshotStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String = {
+    val p = Files.createTempDirectory("snapstore")
+    p.toString
+  }
+
+  test("overwrite commits round-trip and version monotonically") {
+    val root = freshRoot()
+    val v1 = SnapshotStore.commitOverwrite(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root)
+    assert(v1 === 0)
+    val v2 = SnapshotStore.commitOverwrite(
+      Seq((3L, "c")).toDF("id", "s"), root)
+    assert(v2 === 1)
+    // current read sees only v2's content
+    assert(SnapshotStore.read(spark, root).as[(Long, String)]
+      .collect().toSet === Set((3L, "c")))
+    // time travel: v1 still reads in full — overwrite never deleted it
+    assert(SnapshotStore.read(spark, root, Some(0)).as[(Long, String)]
+      .collect().toSet === Set((1L, "a"), (2L, "b")))
+  }
+
+  test("append accumulates; schema mismatch fails loudly") {
+    val root = freshRoot()
+    SnapshotStore.commitAppend(Seq((1L, "a")).toDF("id", "s"), root)
+    SnapshotStore.commitAppend(Seq((2L, "b")).toDF("id", "s"), root)
+    assert(SnapshotStore.read(spark, root).as[(Long, String)]
+      .collect().toSet === Set((1L, "a"), (2L, "b")))
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.commitAppend(Seq((3, 4)).toDF("x", "y"), root)
+    }
+    assert(e.getMessage.contains("schema mismatch"))
+  }
+
+  test("pinned reader is isolated from concurrent commits AND from " +
+      "vacuum of other versions — no torn reads") {
+    val root = freshRoot()
+    SnapshotStore.commitOverwrite(
+      spark.range(100).select(col("id"), lit("v0").as("tag")), root)
+    // reader pins snapshot 0 (resolves the manifest + file list NOW)
+    val pinned = SnapshotStore.read(spark, root, Some(0))
+    // writer replaces the table twice while the reader holds its frame
+    SnapshotStore.commitOverwrite(
+      spark.range(5).select(col("id"), lit("v1").as("tag")), root)
+    SnapshotStore.commitOverwrite(
+      spark.range(7).select(col("id"), lit("v2").as("tag")), root)
+    // vacuum retains the last 3 versions → v0 survives; the pinned frame
+    // must still read complete, original content
+    val deleted = SnapshotStore.vacuum(root, keepVersions = 3)
+    assert(deleted === 0)
+    assert(pinned.count() === 100)
+    assert(pinned.select("tag").distinct().as[String].collect()
+      .toSeq === Seq("v0"))
+    // current reader sees v2
+    assert(SnapshotStore.read(spark, root).count() === 7)
+  }
+
+  test("vacuum deletes only unreachable files; retained + current " +
+      "versions stay readable") {
+    val root = freshRoot()
+    SnapshotStore.commitOverwrite(spark.range(10).toDF("id"), root)   // v0
+    SnapshotStore.commitAppend(spark.range(10, 20).toDF("id"), root)  // v1
+    SnapshotStore.commitOverwrite(spark.range(3).toDF("id"), root)    // v2
+    val deleted = SnapshotStore.vacuum(root, keepVersions = 1)
+    // v0/v1's two data dirs are unreachable from v2 → both deleted
+    assert(deleted > 0)
+    assert(SnapshotStore.versions(root) === Seq(2))
+    assert(SnapshotStore.read(spark, root).count() === 3)
+    // the vacuumed versions are gone as versions, not readable as torn data
+    intercept[Exception] { SnapshotStore.read(spark, root, Some(0)) }
+  }
+
+  test("version race: a writer losing the hard-link publish rebases and " +
+      "lands on the next version (appends keep every winner's rows)") {
+    val root = freshRoot()
+    SnapshotStore.commitAppend(Seq((1L, "w0")).toDF("id", "w"), root)
+    // simulate two concurrent appenders by racing real threads; the
+    // hard-link publish admits exactly one winner per version, the loser
+    // rebases onto the winner's manifest
+    val t1 = new Thread(() => {
+      SnapshotStore.commitAppend(Seq((2L, "w1")).toDF("id", "w"), root); ()
+    })
+    val t2 = new Thread(() => {
+      SnapshotStore.commitAppend(Seq((3L, "w2")).toDF("id", "w"), root); ()
+    })
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert(SnapshotStore.versions(root) === Seq(0, 1, 2))
+    assert(SnapshotStore.read(spark, root).as[(Long, String)]
+      .collect().toSet === Set((1L, "w0"), (2L, "w1"), (3L, "w2")))
+  }
+
+  test("writer scratch (.tmp-) files are never read as snapshots; a " +
+      "corrupted COMMITTED manifest fails loudly instead of reading empty") {
+    val root = freshRoot()
+    SnapshotStore.commitOverwrite(Seq((1L, "a")).toDF("id", "s"), root)
+    // a crashed writer's leftover scratch must be invisible
+    Files.write(Paths.get(root, "_manifests", ".tmp-crashed"),
+      "{garbage".getBytes)
+    assert(SnapshotStore.versions(root) === Seq(0))
+    assert(SnapshotStore.read(spark, root).count() === 1)
+    // corruption of a committed manifest is loud
+    Files.write(Paths.get(root, "_manifests", "v0.json"),
+      "{not a manifest".getBytes)
+    intercept[Exception] { SnapshotStore.snapshot(root) }
+  }
+
+  test("empty-table commit (truncation) round-trips through the schema " +
+      "carried in the manifest") {
+    val root = freshRoot()
+    SnapshotStore.commitOverwrite(Seq((1L, "a")).toDF("id", "s"), root)
+    SnapshotStore.commitOverwrite(
+      Seq.empty[(Long, String)].toDF("id", "s"), root)
+    val cur = SnapshotStore.read(spark, root)
+    assert(cur.count() === 0)
+    assert(cur.schema.fieldNames.toSeq === Seq("id", "s"))
+  }
+}

@@ -25,6 +25,10 @@ def main():
             e = dict(e)
             e["calib_st_ms"] = d["calib_st_ms"]
             e["calib_mt_ms"] = d["calib_mt_ms"]
+            # shuffle codec is a per-JVM knob (zstd for entries whose lz4
+            # shuffle outgrows this VM's disk) — keep it with the entry
+            if "codec" in d:
+                e["codec"] = d["codec"]
             merged["entries"][name] = e
     json.dump(merged, open(out, "w"), indent=2)
     print(f"wrote {out} with {len(merged['entries'])} entries")
