@@ -65,7 +65,7 @@ object Graph {
     */
   def pageRank(edges: DataFrame, iters: Int = 3,
       src: String = "src", dst: String = "dst",
-      checkpointEvery: Int = 0): DataFrame = {
+      checkpointEvery: Int = 0, dedupEdges: Boolean = false): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters out of [1,20]: $iters")
     // The edge frame is consumed by EVERY iteration's src-keyed join (and
     // twice by the degree base). Materialize it ONCE, already hash-
@@ -76,9 +76,17 @@ object Graph {
     // same when it fires, but AQE re-optimization can sever it between
     // rounds — the persist makes the reuse structural, not optimizer
     // luck.)
-    val e = edges.select(col(src).cast("long").as("graft_src"),
+    //
+    // `dedupEdges = true` folds parallel-edge removal INTO this one
+    // shuffle: HashPartitioning(src) satisfies the (src, dst) clustered
+    // distribution, so the distinct() plans a single post-shuffle
+    // aggregate — no second exchange, and no caller-side distinct()
+    // whose partial aggregate builds full-size hash maps to dedup ~2%
+    // (the q88 repartition-then-distinct lesson, applied to graphs).
+    val e0 = edges.select(col(src).cast("long").as("graft_src"),
       col(dst).cast("long").as("graft_dst"))
       .repartition(col("graft_src"))
+    val e = (if (dedupEdges) e0.distinct() else e0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // node set and out-degrees in ONE union-aggregate (src rows count 1,
     // dst rows count 0): replaces the distinct + degree-groupBy + left

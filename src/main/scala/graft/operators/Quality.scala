@@ -107,26 +107,39 @@ object Quality {
     * never an extra full-table data pass to restate n_rows or count a
     * key's distincts.
     *
-    * Uniqueness counts `countDistinct(xxhash64(struct(key...)))` — the
-    * struct is never null, so part-null key tuples count as distinct
-    * values, exactly as a `select(keys).distinct().count()` pass would
-    * (the [[Unique]] contract still says pair it with [[NotNull]]).
-    * Hashing BEFORE the distinct means the Expand projection and the
-    * distinct shuffle carry 8 bytes per row instead of the full key
-    * tuple (at sf1 the tuple-carrying Expand was the audit's dominant
-    * cost). The count is exact up to 64-bit hash collisions: for n
-    * distinct keys the probability ANY collision exists is ≤ n²/2⁶⁵
+    * Uniqueness runs in its OWN branch, not fused: each unique check
+    * counts `select(xxhash64(struct(key...))).repartition(hash)
+    * .distinct()`. Three measured-at-sf1 reasons (each variant
+    * min-of-reps, isolated JVM):
+    *   - fusing `countDistinct` with the row-local sums plans an Expand
+    *     (2× the row stream) feeding one aggregate — 5.0 s;
+    *   - a lone `countDistinct`/`distinct()` still plans a PARTIAL
+    *     aggregate whose per-task hash maps dedup nothing when the key
+    *     is ~unique (6M entries built, 6M emitted) — 4.2 s;
+    *   - `repartition(hash)` first makes the exchange a plain 8-byte
+    *     shuffle write (no map build) and the post-shuffle distinct the
+    *     ONLY hash table — 1.9 s, and the hash keeps the shuffle at
+    *     8 B/row for any key width.
+    * The struct is never null, so part-null key tuples count as
+    * distinct values, exactly as a `select(keys).distinct().count()`
+    * pass would (the [[Unique]] contract still says pair it with
+    * [[NotNull]]). The count is exact up to 64-bit hash collisions: for
+    * n distinct keys the probability ANY collision exists is ≤ n²/2⁶⁵
     * (~10⁻⁶ at n = 10⁷, ~10⁻² at n = 10⁹); a collision UNDERCOUNTS
     * distincts by its multiplicity, i.e. overstates violations by the
     * same — acceptable for a data-quality screen, and the bound is the
     * documented contract.
     *
-    * Referential-integrity joins run DISTINCT-FIRST: the probe side
-    * pre-aggregates to (key, occurrence count) — map-side combining, so
-    * the anti-join shuffle moves distinct keys, not rows (4× fewer for
-    * a lineitem→orders FK, 30× for lineitem→part) — then orphan keys'
-    * counts sum. A bloom pre-filter was considered and rejected: a
-    * bloom prunes only DEFINITE-ABSENT keys, which for an
+    * Referential-integrity: a plain left-anti join of the probe keys
+    * against the ref keys — the ref side deliberately NOT deduplicated
+    * (anti-join semantics are existence checks; a `.distinct()` on the
+    * build side planned its own useless partial aggregate, +0.9 s at
+    * sf1) and the probe side deliberately NOT pre-aggregated (measured:
+    * the (key, count) pre-agg wins only when the FK duplication factor
+    * is large; at lineitem→orders' 4:1 it LOST 1.5 s to its own hash
+    * maps — the anti join shuffles 8-byte keys either way, and violation
+    * rows count directly). A bloom pre-filter was considered and
+    * rejected: a bloom prunes only DEFINITE-ABSENT keys, which for an
     * FK-mostly-holds table are precisely the rare violations — it would
     * pass ~every probe row and pay its own broadcast for nothing.
     */
@@ -141,32 +154,26 @@ object Quality {
       case _ => true
     }
     val uniques = checks.collect { case u: Unique => u }
-    // ONE aggregation pass: row-local counters + per-unique distinct
-    // counts + the row count; over an empty table the sums come back
-    // null — coalesce to 0 so the report still reads "0 violations
-    // over 0 rows, pass"
+    // ONE aggregation pass for every row-local counter + the row count;
+    // over an empty table the sums come back null — coalesce to 0 so the
+    // report still reads "0 violations over 0 rows, pass"
     val fusedAggs =
       rowLocal.map(c => sum(when(violation(c), 1L).otherwise(0L))
-        .as(c.name)) ++
-      uniques.map(u => countDistinct(xxhash64(struct(u.cols.map(col): _*)))
-        .as(s"graft_d_${u.name}")) :+
+        .as(c.name)) :+
       count(lit(1)).as("graft_n")
     val fused = df.agg(fusedAggs.head, fusedAggs.tail: _*)
-    // n_rows for the RI branches: its own count-only aggregate, NOT a
-    // projection of `fused` — column pruning would specialize a pruned
-    // copy of the fused subtree per consumer (breaking exchange reuse
-    // and re-scanning the table), whereas a bare count over a parquet
-    // scan reads row-group metadata only
+    // n_rows for the unique/RI branches: its own count-only aggregate,
+    // NOT a projection of `fused` — column pruning would specialize a
+    // pruned copy of the fused subtree per consumer (breaking exchange
+    // reuse and re-scanning the table), whereas a bare count over a
+    // parquet scan reads row-group metadata only
     val nRowsDf = df.agg(count(lit(1)).as("graft_total"))
-    // ONE report branch for every fused counter (row-local AND unique):
-    // all rows explode out of the same one-row aggregate, so the fused
-    // subtree has exactly one consumer and cannot be pruned apart
+    // ONE report branch for every fused counter: all rows explode out of
+    // the same one-row aggregate, so the fused subtree has exactly one
+    // consumer and cannot be pruned apart
     val fusedEntries =
       rowLocal.map(c => struct(lit(c.name).as("check"),
         coalesce(col(c.name).cast("long"), lit(0L))
-          .as("n_violations"))) ++
-      uniques.map(u => struct(lit(u.name).as("check"),
-        (col("graft_n") - coalesce(col(s"graft_d_${u.name}"), lit(0L)))
           .as("n_violations")))
     val fusedReport = if (fusedEntries.isEmpty) Nil else {
       Seq(fused
@@ -174,21 +181,31 @@ object Quality {
         .select(col("r.check"), col("r.n_violations"),
           col("graft_n").as("n_rows")))
     }
+    // per-unique dedicated branch (see scaladoc: repartition-then-
+    // distinct beats both the Expand fusion and a lone countDistinct's
+    // useless partial aggregate on ~unique keys)
+    val uniqueReports = uniques.map { u =>
+      val d = df
+        .select(xxhash64(struct(u.cols.map(col): _*)).as("graft_h"))
+        .repartition(col("graft_h"))
+        .distinct()
+        .agg(count(lit(1)).as("graft_d"))
+      d.crossJoin(broadcast(nRowsDf))
+        .select(lit(u.name).as("check"),
+          (col("graft_total") - col("graft_d")).as("n_violations"),
+          col("graft_total").as("n_rows"))
+    }
     val riReports = checks.collect {
       case c @ RefIntegrity(col1, ref, refCol) =>
-        // distinct-first (see scaladoc): shuffle distinct keys + counts,
-        // not raw rows; orphan keys' occurrence counts sum back to the
-        // row-level violation count
+        // plain anti join, no ref dedup, no probe pre-agg (see scaladoc)
         val orphans = df.select(col(col1)).filter(col(col1).isNotNull)
-          .groupBy(col(col1)).agg(count(lit(1)).as("graft_occ"))
-          .join(ref.select(col(refCol).as(col1)).distinct(),
-            Seq(col1), "left_anti")
-          .agg(coalesce(sum(col("graft_occ")), lit(0L)).as("n_violations"))
+          .join(ref.select(col(refCol).as(col1)), Seq(col1), "left_anti")
+          .agg(count(lit(1)).as("n_violations"))
         orphans.crossJoin(broadcast(nRowsDf))
           .select(lit(c.name).as("check"), col("n_violations"),
             col("graft_total").as("n_rows"))
     }
-    (fusedReport ++ riReports).reduce(_ unionByName _)
+    (fusedReport ++ uniqueReports ++ riReports).reduce(_ unionByName _)
       .withColumn("pass", col("n_violations") === 0L)
       .orderBy("check")
   }

@@ -733,8 +733,11 @@ object Relational {
     * SQL.
     */
   def q93Retention(spark: SparkSession, sfDir: String): DataFrame =
+    // persist-before-sort: the matrix is |cohorts|·|offsets| rows; the
+    // sort's sampling job must not re-run the event aggregation
     Sessions.retentionMatrix(Tables.events(spark, sfDir),
         key = "user_id", ts = "ts", period = "day")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .orderBy("cohort", "offset")
 
   /** q102: EXACT windowed top-k heavy hitters — the exact complement of
@@ -832,13 +835,16 @@ object Relational {
     * bit-for-bit ([[graft.OracleGen.q98Sql]]).
     */
   def q98PageRank(spark: SparkSession, sfDir: String): DataFrame = {
+    // dedup rides pageRank's own src-keyed shuffle (dedupEdges) instead
+    // of a caller-side distinct(): mirroring deduped pairs ≡ deduping
+    // mirrored pairs, and this saves a full extra exchange of the edge
+    // set (the caller's distinct() phase alone measured 4.2 s at sf1)
     val base = Tables.lineitem(spark, sfDir)
       .select((col("l_partkey") * 2).as("p"),
         (col("l_suppkey") * 2 + 1).as("s"))
-      .distinct()
     val edges = base.select(col("p").as("src"), col("s").as("dst"))
       .unionAll(base.select(col("s").as("src"), col("p").as("dst")))
-    Graph.pageRank(edges, iters = 3).orderBy("node")
+    Graph.pageRank(edges, iters = 3, dedupEdges = true).orderBy("node")
   }
 
   /** q97: CDC changelog apply ([[Temporal.applyChangelog]]) — a
@@ -938,6 +944,7 @@ object Relational {
     val cells = acts.groupBy("cohort", "offset")
       .agg(count(lit(1)).as("n_active"))
     Sessions.finalizeRetentionCells(cells)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .orderBy("cohort", "offset")
   }
 

@@ -23,8 +23,18 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   private def scanColumns(plan: SparkPlan): Seq[Seq[String]] =
-    plan.collect { case f: FileSourceScanExec =>
-      f.requiredSchema.fieldNames.toSeq }
+    plan.collect {
+      case f: FileSourceScanExec => Seq(f.requiredSchema.fieldNames.toSeq)
+      // see through persist() boundaries (q60/q90-style persist-before-
+      // sort): the parquet scan whose pruning we audit lives inside the
+      // InMemoryRelation's cached plan — which is itself an
+      // AdaptiveSparkPlanExec when the frame was persisted under AQE,
+      // hiding its subtree from collect()
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        scanColumns(m.relation.cachedPlan)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scanColumns(a.executedPlan)
+    }.flatten
 
   test("q70 rebalance operator: every shuffle sits under a broadcast " +
       "subtree — the corpus side is scanned and filtered in place") {
