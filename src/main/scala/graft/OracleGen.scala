@@ -1068,4 +1068,103 @@ object OracleGen {
      FROM est e2 LEFT JOIN vc x ON x.w = e2.w AND x.v = e2.v
      ORDER BY 1, 2"""
   }
+
+  /** q106: graph-ANN top-k — the WHOLE navigable-small-world pipeline
+    * restated: band width from the integer-exact COUNT(*) rule
+    * ([[graft.textops.Similarity.exactBandBits]] — `(1<<r) > (n−1)//d`
+    * is pure integer logic, no libm log), per-plane sign bits against
+    * the inlined `bands`·`hi` hyperplane matrix, variable-width bucket
+    * packing, the 2..maxBucket (graph) and 1..maxBucket (entry) caps,
+    * within-bucket top-`m` links per band, `hops` unrolled
+    * expand-rescore-trim beam rounds, and the final raw-cosine top-k.
+    *
+    * Exactness boundary (the q44 statement, verbatim logic): every
+    * SELECTION — link ranking, beam ranking — runs on the
+    * [[Similarity.IvfQuantScale]] integer grid, where dots are exact
+    * integers and `dot/(√n·√n)` is a fixed tree of correctly-rounded
+    * IEEE ops, bit-identical across engines. Only the final `ORDER BY
+    * cs DESC` ranks on raw-double cosine (DuckDB
+    * `list_cosine_similarity` vs Spark's one-pass CosineSim) — the one
+    * cross-engine FP link, damage bounded by the `neighbor_id` tiebreak.
+    */
+  def q106Sql(k: Int = 5, m: Int = 6, bands: Int = 2, density: Int = 64,
+      lo: Int = 4, hi: Int = 16, beam: Int = 24, hops: Int = 2,
+      maxBucket: Int = 1 << 12, maxQueryId: Int = 8,
+      dims: Int = 64): String = {
+    val scale = Similarity.IvfQuantScale
+    // rescore-and-trim round: candidates `src` → beam CTE `out`
+    def trim(out: String, src: String, width: Int): String =
+      s"""$out AS (SELECT query_id, cand FROM (
+          SELECT t.query_id, t.cand,
+            ROW_NUMBER() OVER (PARTITION BY t.query_id ORDER BY
+              (list_dot_product(q.qv, c.qv) / (q.nq * c.nq)) DESC,
+              t.cand) AS rn
+          FROM $src t JOIN nz q ON q.id = t.query_id
+            JOIN nz c ON c.id = t.cand)
+        WHERE rn <= $width)"""
+    def hop(i: Int): String = {
+      val prev = if (i == 1) "b0" else s"b${i - 1}"
+      s"""x$i AS (SELECT query_id, cand FROM $prev
+          UNION
+          SELECT p.query_id, g.dst AS cand FROM $prev p
+            JOIN ed g ON g.src = p.cand WHERE g.dst <> p.query_id),
+     ${trim(s"b$i", s"x$i", beam)}"""
+    }
+    val last = s"b$hops"
+    s"""WITH consts AS (SELECT ${planesSql(bands * hi, dims)}::DOUBLE[][]
+         AS pl),
+     rr AS (SELECT COALESCE((SELECT MIN(r)
+              FROM (SELECT unnest(range($lo, ${hi + 1})) AS r)
+              WHERE (1::BIGINT << r) >
+                ((SELECT COUNT(*) FROM embeddings) - 1) // $density),
+            $hi) AS r),
+     e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+     qz AS (SELECT id, v, list_transform(v,
+              x -> floor(x * $scale)) AS qv FROM e),
+     nz AS (SELECT id, v, qv, sqrt(list_dot_product(qv, qv)) AS nq
+            FROM qz WHERE list_dot_product(qv, qv) > 0),
+     bt AS (SELECT id, list_transform(range($bands * rr.r), p ->
+              CASE WHEN list_dot_product(v, pl[p + 1]) > 0
+                   THEN 1 ELSE 0 END) AS b
+            FROM nz, consts, rr),
+     bb AS (SELECT id, bd AS band,
+              CAST(list_sum(list_transform(range(rr.r), i ->
+                CASE WHEN b[bd * rr.r + i + 1] = 1
+                     THEN (1::BIGINT << i) ELSE 0::BIGINT END))
+                AS BIGINT) AS bucket
+            FROM bt, rr, (SELECT unnest(range($bands)) AS bd)),
+     okg AS (SELECT band, bucket FROM bb GROUP BY 1, 2
+             HAVING COUNT(*) BETWEEN 2 AND $maxBucket),
+     oke AS (SELECT band, bucket FROM bb GROUP BY 1, 2
+             HAVING COUNT(*) BETWEEN 1 AND $maxBucket),
+     pg AS (SELECT s.id AS src, s.band, d.id AS dst
+            FROM bb s JOIN bb d ON s.band = d.band
+              AND s.bucket = d.bucket AND s.id <> d.id
+            JOIN okg o ON o.band = s.band AND o.bucket = s.bucket),
+     ps AS (SELECT src, band, dst,
+              list_dot_product(a.qv, b.qv) / (a.nq * b.nq) AS qsim
+            FROM pg JOIN nz a ON a.id = pg.src
+              JOIN nz b ON b.id = pg.dst),
+     ed AS (SELECT DISTINCT src, dst FROM (
+              SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src, band
+                ORDER BY qsim DESC, dst) AS rn FROM ps)
+            WHERE rn <= $m),
+     ent AS (SELECT DISTINCT q.id AS query_id, c.id AS cand
+             FROM bb q JOIN bb c ON q.band = c.band
+               AND q.bucket = c.bucket AND q.id <> c.id
+             JOIN oke o ON o.band = c.band AND o.bucket = c.bucket
+             WHERE q.id < $maxQueryId),
+     ${trim("b0", "ent", beam)},
+     ${(1 to hops).map(hop).mkString(",\n     ")},
+     fin AS (SELECT t.query_id, t.cand AS neighbor_id,
+               list_cosine_similarity(q.v, c.v) AS cs
+             FROM $last t JOIN nz q ON q.id = t.query_id
+               JOIN nz c ON c.id = t.cand),
+     rk AS (SELECT query_id, neighbor_id, cs,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cs DESC, neighbor_id) AS INTEGER) AS rank
+            FROM fin)
+     SELECT query_id, neighbor_id, ROUND(cs, 4) AS cos_sim, rank
+     FROM rk WHERE rank <= $k ORDER BY query_id, rank"""
+  }
 }

@@ -124,6 +124,7 @@ object SparkEntry {
     "q103_curation_pipeline" -> (TextQueries.q103CurationPipeline _),
     "q104_streaming_retention" -> (Relational.q104StreamingRetention _),
     "q105_describe_approx" -> (Relational.q105DescribeApprox _),
+    "q106_graph_ann"       -> (TextQueries.q106GraphAnn _),
   )
 
   /** The cohort-retention-matrix oracle, shared by q93 (the batch
@@ -573,6 +574,10 @@ object SparkEntry {
     // register sum, both estimator branches) recomputed in DuckDB.
     "q71_hll_distinct" -> OracleGen.q71Sql(),
     "q105_describe_approx" -> OracleGen.q105Sql(),
+    // Graph ANN: band-width rule, proximity-graph build, beam hops and
+    // final ranking all re-derived inside DuckDB (selection on the
+    // integer grid; final rank on raw cosine — the q44 FP boundary).
+    "q106_graph_ann" -> OracleGen.q106Sql(),
     // Bloom-pruned join: the bloom is semantics-transparent (no false
     // negatives), so the oracle IS the plain join — equality proves the
     // pruning dropped only non-matching rows.

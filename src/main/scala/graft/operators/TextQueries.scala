@@ -764,4 +764,47 @@ object TextQueries {
   def q67TfIdf(spark: SparkSession, sfDir: String): DataFrame =
     TextStats.tfidfTopTerms(Tables.documents(spark, sfDir), k = 3)
       .orderBy("doc_id", "rank")
+
+  /** q106: graph-ANN top-k — HNSW-class navigable-small-world serving:
+    * a density-bounded LSH-seeded proximity graph
+    * ([[graft.textops.Similarity.nswGraph]]) searched by fixed-hop beam
+    * expansion ([[Similarity.nswTopK]]). What the hops buy over q32's
+    * pure LSH probe: the beam escapes the entry buckets through
+    * neighbor-of-neighbor links, recovering true neighbors that hash to
+    * buckets the query never opened. DuckDB-oracled END TO END
+    * ([[graft.OracleGen.q106Sql]]): band width from the integer-exact
+    * COUNT(*) rule, graph construction, both hops and the final ranking
+    * are all restated in SQL — beam/link selection ranks on the integer
+    * quantization grid (bit-identical across engines), only the final
+    * top-k ranks on raw cosine (the q31/q32/q44 FP boundary).
+    *
+    * Serving pattern mirrors q50: the graph is BUILT ONCE per corpus and
+    * parqueted (HNSW builds its index offline too — [[nswIndex]] memo),
+    * so bench reps and repeat callers measure what a pipeline pays per
+    * query batch: entry probe + hops + final ranking over the saved
+    * edge table. Determinism makes the split safe: the in-query build
+    * and the saved build are bit-identical.
+    */
+  def q106GraphAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = asDouble(Tables.embeddings(spark, sfDir))
+    val (r, path) = nswIndex.getOrElseUpdate(sfDir, {
+      val rr = Similarity.exactBandBits(emb.count())
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-nsw-graph-").toString
+      Similarity.nswGraph(emb, bitsPerBand = rr)
+        .write.mode("overwrite").parquet(dir)
+      (rr, dir)
+    })
+    Similarity.nswTopK(emb, emb.filter(col("vec_id") < 8), k = 5,
+        bitsPerBand = r, edges = Some(spark.read.parquet(path)))
+      .withColumn("cos_sim", round(col("cos_sim"), 4))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Saved NSW proximity graphs keyed by corpus dir — (band bits, edge
+    * parquet path); built once per corpus like [[ivfIndex]]/
+    * [[ivfIndexPath]], the offline-index serving shape.
+    */
+  private val nswIndex =
+    scala.collection.concurrent.TrieMap.empty[String, (Int, String)]
 }

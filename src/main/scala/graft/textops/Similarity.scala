@@ -811,4 +811,205 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos_sim", "rank")
   }
+
+  /** Smallest `r` in [lo, hi] with density·2^r ≥ n — [[autoBandBits]]
+    * restated in EXACT integer arithmetic so the driver's SQL oracle can
+    * re-derive the same band width from `COUNT(*)` at any scale factor
+    * (the float `ceil(log2(ratio))` form risks a 1-ULP `ceil` flip
+    * between libm implementations when the ratio sits on a power of
+    * two). The upper clamp `hi` is the INLINED-PLANE-MATRIX bound of the
+    * static oracle SQL (bands·hi hyperplanes are baked into the query
+    * text), not an engine limit — grow `hi` together with the matrix the
+    * oracle inlines. At hi=16 and density 64 the rule is exact up to
+    * n = 64·2¹⁶ ≈ 4.2M vectors per corpus; beyond that buckets grow
+    * linearly and the `maxBucket` cap starts dropping the densest.
+    */
+  def exactBandBits(corpusCount: Long, targetBucketDensity: Long = 64,
+      lo: Int = 4, hi: Int = 16): Int = {
+    require(lo >= 1 && lo <= hi && hi <= 62,
+      s"band bits range must satisfy 1 <= lo <= hi <= 62, got [$lo, $hi]")
+    require(targetBucketDensity >= 1, "targetBucketDensity must be >= 1")
+    var r = lo
+    // 2^r < ceil(n/d)  ⟺  2^r ≤ (n−1)/d — overflow-free in Long
+    while (r < hi &&
+        (1L << r) <= (corpusCount - 1) / targetBucketDensity) r += 1
+    r
+  }
+
+  /** Navigable-small-world proximity graph over the corpus — the
+    * construction half of the graph-ANN serving stack ([[nswTopK]]), the
+    * HNSW-class answer to "the true neighbor lives outside every probed
+    * bucket". Each vector links to its `m` nearest peers WITHIN each of
+    * its `bands` LSH buckets (so `bands` independent partitionings of
+    * the corpus each contribute up to `m` out-edges per node); because
+    * the bands are independent hyperplane draws, the union is a
+    * connected-ish small-world graph whose neighbors-of-neighbors reach
+    * buckets the entry probe never opened.
+    *
+    * Construction is DENSITY-BOUNDED, never all-pairs: candidates for a
+    * node's links are only its same-bucket peers (expected
+    * `targetBucketDensity` of them — [[exactBandBits]] holds that flat
+    * at any corpus size), so total link-scoring work is
+    * Θ(n · density · bands). Degenerate buckets beyond `maxBucket` are
+    * dropped loudly ([[Dedup.sizeGatedKeys]] — observable via
+    * `dropStats`, WARN-logged otherwise); their members simply
+    * contribute no links from that band.
+    *
+    * Shuffle plan: both sides of the within-bucket self-join carry the
+    * quantized vector as bucket-join payload, so pair GENERATION, link
+    * scoring and the vector drop all pipeline inside the one
+    * (band, bucket)-keyed exchange — the pair stream with vectors
+    * attached is never itself shuffled (only the slim
+    * (src, band, dst, qsim) rows reach the per-source rank exchange).
+    * The join is PINNED shuffle-hash: a per-vector array frame must
+    * never ride an AQE broadcast (the r13 100×-lane failure).
+    *
+    * Determinism contract (what lets the driver oracle restate the whole
+    * build in SQL, [[graft.OracleGen.q106Sql]]): link RANKING uses the
+    * [[IvfQuantScale]] integer grid — dots of quantized vectors are
+    * exact integers, and `dot/(√n₁·√n₂)` is a fixed tree of correctly-
+    * rounded IEEE ops, hence bit-identical across engines (the q44
+    * trainer's argument). Vectors whose QUANTIZED norm is zero
+    * (identically ~0 embeddings) are excluded from the graph up front —
+    * their similarity to anything is 0/0.
+    *
+    * Returns distinct directed (src, dst) link rows.
+    */
+  def nswGraph(corpus: DataFrame, m: Int = 6, bands: Int = 2,
+      bitsPerBand: Int = 0, targetBucketDensity: Long = 64,
+      dims: Int = 64, maxBucket: Int = 1 << 12,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dropStats: Option[org.apache.spark.sql.Observation] = None)
+      : DataFrame = {
+    require(m >= 1, "m must be >= 1")
+    val r = if (bitsPerBand > 0) bitsPerBand
+      else exactBandBits(corpus.count(), targetBucketDensity)
+    val qz = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+        ivfQuantized(col(vecCol)).as("qv"))
+      .withColumn("nq", sqrt(dot(col("qv"), col("qv"))))
+      .filter(col("nq") > 0)
+    val bRows = banded(qz, "id", bands, r, dims, "v",
+      payload = Seq("qv", "nq"))
+    val gate = Dedup.sizeGatedKeys(bRows, Seq("band", "bucket"),
+      maxBucket, dropStats, minSize = 2)
+    // bucket-key gate is ≤ bands·2^r rows — broadcast, never a shuffle
+    val ok = bRows.join(broadcast(gate), Seq("band", "bucket"))
+    val src = ok.select(col("band"), col("bucket"), col("id").as("src"),
+      col("qv").as("sqv"), col("nq").as("snq"))
+    val dst = ok.select(col("band"), col("bucket"), col("id").as("dst"),
+      col("qv").as("dqv"), col("nq").as("dnq"))
+    val w = Window.partitionBy("src", "band")
+      .orderBy(col("qsim").desc, col("dst"))
+    src.join(dst.hint("shuffle_hash"), Seq("band", "bucket"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("band"), col("dst"),
+        (dot(col("sqv"), col("dqv")) / (col("snq") * col("dnq")))
+          .as("qsim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= m)
+      .select("src", "dst").distinct()
+  }
+
+  /** Graph-ANN top-k: fixed-hop beam search over an [[nswGraph]]
+    * proximity graph — entry candidates from the query's own LSH
+    * buckets, then `hops` rounds of "expand the beam by its graph
+    * neighbors, re-rank, keep the best `beam`". The hops are what LSH
+    * probing alone cannot do: escape the entry buckets through
+    * neighbor-of-neighbor links, at a bounded cost of
+    * beam·m·bands candidate additions per hop per query.
+    *
+    * Scale shape: the per-hop state is queries·beam id rows —
+    * BROADCAST into keyed joins against the (persisted) edge frame and
+    * the corpus projection, so the corpus is never shuffled by the
+    * search; each hop streams the two big frames once. Fixed `hops`
+    * (not convergence-driven) keeps the plan static and the SQL oracle
+    * expressible as unrolled CTEs.
+    *
+    * Determinism mirrors [[nswGraph]]: beam SELECTION ranks on the
+    * integer-grid similarity (bit-identical across engines,
+    * ties → smaller id); only the FINAL top-k ranks on raw-double
+    * cosine — the same single cross-engine FP link every ANN gate here
+    * accepts (q31/q32/q44 precedent: a raw-cosine near-tie could flip a
+    * rank at some untested scale; the id tiebreak bounds the damage).
+    *
+    * Output: (query_id, neighbor_id, cos_sim, rank), rank 1..k per
+    * query by raw cosine.
+    */
+  def nswTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 6, bands: Int = 2, bitsPerBand: Int = 0,
+      targetBucketDensity: Long = 64, beam: Int = 24, hops: Int = 2,
+      dims: Int = 64, maxBucket: Int = 1 << 12,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      edges: Option[DataFrame] = None,
+      dropStats: Option[org.apache.spark.sql.Observation] = None)
+      : DataFrame = {
+    require(k >= 1 && beam >= k, s"need beam >= k >= 1, got k=$k beam=$beam")
+    require(hops >= 0, "hops must be >= 0")
+    val r = if (bitsPerBand > 0) bitsPerBand
+      else exactBandBits(corpus.count(), targetBucketDensity)
+    val graph = edges.getOrElse(
+        nswGraph(corpus, m, bands, r, targetBucketDensity, dims,
+          maxBucket, idCol, vecCol, dropStats))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // corpus projection for rescoring: quantized (beam ranks) + raw
+    // (final ranks); the zero-quantized-norm exclusion matches the graph
+    val cz = corpus.select(col(idCol).as("cand"), col(vecCol).as("cv"),
+        ivfQuantized(col(vecCol)).as("cqv"))
+      .withColumn("cnq", sqrt(dot(col("cqv"), col("cqv"))))
+      .filter(col("cnq") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qProj = queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("qv"), ivfQuantized(col(vecCol)).as("qqv"))
+      .withColumn("qnq", sqrt(dot(col("qqv"), col("qqv"))))
+      .filter(col("qnq") > 0)
+    // entry: the query's own buckets, corpus side gated 1..maxBucket
+    // (singleton corpus buckets still seed the beam — the q32 rule)
+    val cb = banded(cz.select(col("cand").as("id"), col("cv")),
+      "id", bands, r, dims, "cv")
+    // a Spark Observation attaches to ONE dataset — `dropStats` rides the
+    // graph build above; this second gate falls back to the WARN logger
+    val cGate = Dedup.sizeGatedKeys(cb, Seq("band", "bucket"),
+      maxBucket, None, minSize = 1)
+    val cOk = cb.join(broadcast(cGate), Seq("band", "bucket"))
+      .select(col("band"), col("bucket"), col("id").as("cand"))
+    val qb = banded(qProj.select(col("query_id").as("id"), col("qv")),
+      "id", bands, r, dims, "qv")
+      .select(col("band"), col("bucket"), col("id").as("query_id"))
+    def trim(cand: DataFrame, width: Int): DataFrame =
+      cz.select("cand", "cqv", "cnq")
+        .join(broadcast(cand.select("query_id", "cand").distinct()),
+          Seq("cand"))
+        .join(broadcast(qProj.select("query_id", "qqv", "qnq")),
+          Seq("query_id"))
+        .select(col("query_id"), col("cand"),
+          (dot(col("qqv"), col("cqv")) / (col("qnq") * col("cnq")))
+            .as("qsim"))
+        .withColumn("rn", row_number().over(Window
+          .partitionBy("query_id").orderBy(col("qsim").desc, col("cand"))))
+        .filter(col("rn") <= width)
+        .select("query_id", "cand")
+    var beamDf = trim(
+      qb.join(cOk.hint("shuffle_hash"), Seq("band", "bucket"))
+        .filter(col("query_id") =!= col("cand"))
+        .select("query_id", "cand"),
+      beam)
+    for (_ <- 1 to hops) {
+      val expand = graph
+        .join(broadcast(beamDf), graph("src") === beamDf("cand"))
+        .filter(col("dst") =!= col("query_id"))
+        .select(col("query_id"), col("dst").as("cand"))
+      beamDf = trim(beamDf.unionByName(expand), beam)
+    }
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    cz.select(col("cand"), col("cv"))
+      .join(broadcast(beamDf), Seq("cand"))
+      .join(broadcast(qProj.select(col("query_id"), col("qv"))),
+        Seq("query_id"))
+      .withColumn("cos_sim", cosine(col("qv"), col("cv")))
+      .select(col("query_id"), col("cand").as("neighbor_id"),
+        col("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

@@ -486,6 +486,79 @@ class TextOpsSpec extends SparkSpec {
       s"auto-r recall $autoBig below 0.25 at n=2000 (fixed: $fixedBig)")
   }
 
+  test("exactBandBits matches its spec on boundaries and clamps") {
+    // smallest r in [lo, hi] with density·2^r ≥ n — exact at the powers
+    // of two where the float ceil(log2) form risks a libm ULP flip
+    assert(Similarity.exactBandBits(0) === 4)
+    assert(Similarity.exactBandBits(1) === 4)
+    assert(Similarity.exactBandBits(64L << 4) === 4)       // 64·2⁴ exactly
+    assert(Similarity.exactBandBits((64L << 4) + 1) === 5) // one past it
+    assert(Similarity.exactBandBits(64L << 9) === 9)
+    assert(Similarity.exactBandBits((64L << 9) + 1) === 10)
+    assert(Similarity.exactBandBits(Long.MaxValue) === 16) // hi clamp
+    assert(Similarity.exactBandBits(500) === 4)            // the sf0.01 r
+    assert(Similarity.exactBandBits(2000) === 5)           // the sf0.1 r
+  }
+
+  test("graph ANN: hops recover neighbors the entry probe misses") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val queries = emb.filter(col("vec_id") < 8)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = df
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.cosineTopK(emb, queries, k = 5))
+    def recall(df: org.apache.spark.sql.DataFrame) =
+      (exact intersect pairs(df)).size.toDouble / exact.size
+    val entryOnly = recall(Similarity.nswTopK(emb, queries, k = 5,
+      hops = 0))
+    val hopped = recall(Similarity.nswTopK(emb, queries, k = 5, hops = 2))
+    // hops only ADD candidates (the beam re-ranks a superset) — recall
+    // is monotone in hops; and the hopped search must clear a real floor
+    assert(hopped >= entryOnly,
+      s"hops reduced recall: $hopped < entry-only $entryOnly")
+    assert(hopped >= 0.5, s"graph-ANN recall $hopped below 0.5 " +
+      s"(entry-only: $entryOnly)")
+  }
+
+  test("graph ANN is deterministic across runs and respects the degree cap") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val queries = emb.filter(col("vec_id") < 8)
+    def run() = Similarity.nswTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3))
+    val a = run()
+    assert(a.length === 40) // 8 queries × k — every query seeds a beam
+    assert(run() === a) // deterministic planes + grid ranking, no RNG
+    // out-degree ≤ m per band per source, distinct-unioned across bands
+    val deg = Similarity.nswGraph(emb, m = 6, bands = 2)
+      .groupBy("src").count().agg(max("count")).as[Long].head()
+    assert(deg <= 12, s"out-degree $deg exceeds m×bands = 12")
+  }
+
+  test("graph ANN excludes zero-quantized-norm vectors instead of NaN-ranking them") {
+    // a ~zero embedding quantizes to the zero vector; its similarity to
+    // anything is 0/0 — the contract excludes it from graph, candidacy
+    // AND querying rather than letting NaN float to rank 1
+    val dims = 4
+    val base = (0L until 40L).map { i =>
+      (i, Array.tabulate(dims)(d => math.sin(i * 13.7 + d) / 2 + 0.6))
+    }
+    val withZero = (base :+ ((40L, Array.fill(dims)(1e-9)))).toDF(
+      "vec_id", "embedding")
+    val out = Similarity.nswTopK(withZero,
+        withZero.filter(col("vec_id") < 2 || col("vec_id") === 40L),
+        k = 3, dims = dims)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(out.nonEmpty)
+    assert(!out.exists(_._2 == 40L), "zero-norm vector served as neighbor")
+    assert(!out.exists(_._1 == 40L), "zero-norm vector ran as query")
+  }
+
   test("ANN LSH drops a degenerate bucket with an observable count") {
     // 64 identical vectors collide in EVERY band's bucket; the cap must
     // drop that bucket (bounded fan-out) and say so via the observation.
