@@ -1167,4 +1167,31 @@ object OracleGen {
      SELECT query_id, neighbor_id, ROUND(cs, 4) AS cos_sim, rank
      FROM rk WHERE rank <= $k ORDER BY query_id, rank"""
   }
+
+  /** q107: SemDeDup — centroids retrained from scratch
+    * ([[ivfTrainAsgCtes]]: integer-grid Lloyd, bit-identical to Spark's
+    * trainer, q75-proven), every vector reassigned, then the duplicate
+    * set re-derived independently: within each ≤`maxCluster` cluster,
+    * a vector is a duplicate iff a smaller-id member has raw cosine ≥
+    * `threshold` (`list_cosine_similarity` vs Spark's one-pass CosineSim
+    * — the q46 FP boundary; pairs away from the threshold on this
+    * corpus). Oversize clusters contribute no pairs — the cap semantics
+    * are part of the contract and mirrored exactly.
+    */
+  def q107Sql(threshold: Double = 0.38, nCentroids: Int = 16,
+      iters: Int = 2, trainMod: Int = 2,
+      maxCluster: Int = 1 << 20): String =
+    s"""WITH ${ivfTrainAsgCtes(nCentroids, iters, trainMod)},
+     ok AS (SELECT cid FROM asg GROUP BY cid
+            HAVING COUNT(*) <= $maxCluster),
+     dup AS (SELECT DISTINCT b.id
+             FROM asg a JOIN ok USING (cid)
+             JOIN asg b ON b.cid = a.cid AND a.id < b.id
+             JOIN e va ON va.id = a.id
+             JOIN e vb ON vb.id = b.id
+             WHERE list_cosine_similarity(va.v, vb.v) >= $threshold)
+     SELECT a.id AS vec_id, CAST(a.cid AS INTEGER) AS cid,
+       CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS kept
+     FROM asg a LEFT JOIN dup d ON d.id = a.id
+     ORDER BY vec_id"""
 }

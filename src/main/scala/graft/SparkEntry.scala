@@ -125,6 +125,7 @@ object SparkEntry {
     "q104_streaming_retention" -> (Relational.q104StreamingRetention _),
     "q105_describe_approx" -> (Relational.q105DescribeApprox _),
     "q106_graph_ann"       -> (TextQueries.q106GraphAnn _),
+    "q107_semdedup"        -> (TextQueries.q107SemDedup _),
   )
 
   /** The cohort-retention-matrix oracle, shared by q93 (the batch
@@ -578,6 +579,9 @@ object SparkEntry {
     // final ranking all re-derived inside DuckDB (selection on the
     // integer grid; final rank on raw cosine — the q44 FP boundary).
     "q106_graph_ann" -> OracleGen.q106Sql(),
+    // SemDeDup: centroids retrained in SQL (integer-grid Lloyd), the
+    // duplicate set re-derived from scratch with raw-cosine verify.
+    "q107_semdedup" -> OracleGen.q107Sql(),
     // Bloom-pruned join: the bloom is semantics-transparent (no false
     // negatives), so the oracle IS the plain join — equality proves the
     // pruning dropped only non-matching rows.

@@ -807,4 +807,24 @@ object TextQueries {
     */
   private val nswIndex =
     scala.collection.concurrent.TrieMap.empty[String, (Int, String)]
+
+  /** q107: SemDeDup — semantic dedup by cluster-then-prune
+    * ([[graft.textops.Similarity.semDedup]]): the q44/q75 trained
+    * centroids (same cached index — built once per corpus), every vector
+    * assigned, then within-cluster cosine pruning at the q34/q46
+    * threshold with the keep-smallest-id survivor policy. DuckDB-oracled
+    * END TO END ([[graft.OracleGen.q107Sql]]): the oracle retrains the
+    * centroids from scratch (integer-grid Lloyd), reassigns, and
+    * re-derives the duplicate set with `list_cosine_similarity` — the
+    * same single cross-engine FP boundary as q46 (a pair exactly AT the
+    * threshold could flip; the synthetic corpus sits away from it).
+    */
+  def q107SemDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = asDouble(Tables.embeddings(spark, sfDir))
+    val cents = ivfIndex.getOrElseUpdate(sfDir,
+      Similarity.trainIvfCentroids(emb, nCentroids = 16, iters = 2,
+        trainMod = 2))
+    Similarity.semDedup(emb, cents, threshold = 0.38)
+      .orderBy("vec_id")
+  }
 }

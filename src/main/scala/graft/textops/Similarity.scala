@@ -217,6 +217,60 @@ object Similarity {
     corpus.select(col(idCol),
       nearestCentroidQ(ivfQuantized(col(vecCol)), cents).as("cid"))
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by cluster-then-prune — assign every vector to its
+    * nearest trained centroid ([[kmeansAssign]] semantics, bit-identical
+    * grid assignment), then mark as duplicate every vector that has a
+    * SMALLER-id neighbor in the SAME cluster with cosine ≥ `threshold`.
+    * Survivors are the id-minimal elements of each ε-neighborhood — the
+    * same deterministic keep-smallest policy as the q68 dedup survivors.
+    *
+    * Scale shape — the whole point of the method: candidate pairs are
+    * confined to clusters, so pair volume is Σ|cluster|² instead of n².
+    * At fleet scale k grows ∝ n to hold E[cluster] bounded (the paper
+    * runs k = 50k on LAION); `maxCluster` is the safety valve — a
+    * cluster larger than the cap contributes NO pairs (its members are
+    * all kept, recall forfeited loudly rather than the job dying on a
+    * quadratic straggler), same posture as the LSH bucket caps. The
+    * within-cluster self-join is pinned `shuffle_hash`: a per-vector
+    * array frame must never ride a broadcast at any scale (the 100×
+    * smoke lane's AQE-misestimate lesson), and sort-merge would sort
+    * both sides on cid for nothing.
+    *
+    * Returns (id, cid, kept 0/1) for EVERY corpus vector, `idCol`-named
+    * id column preserved.
+    */
+  def semDedup(corpus: DataFrame, cents: Array[Array[Double]],
+      threshold: Double, maxCluster: Int = 1 << 20,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val asg = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      nearestCentroidQ(ivfQuantized(col(vecCol)), cents).as("cid"))
+    // k is driver-small by construction (it's an Array in memory), so the
+    // size gate is a broadcast of at most k rows; clusters over the cap
+    // are excluded from pair generation entirely.
+    val okClusters = broadcast(asg.groupBy("cid")
+      .agg(count(lit(1)).as("csz"))
+      .filter(col("csz") <= maxCluster)
+      .select("cid"))
+    val a = asg.join(okClusters, "cid").select(col("cid"),
+      col("id").as("id_a"), col("v").as("va"), l2Norm(col("v")).as("na"))
+    val b = asg.join(okClusters, "cid").select(col("cid"),
+      col("id").as("id_b"), col("v").as("vb"), l2Norm(col("v")).as("nb"))
+    // threshold inside the join condition: only surviving pairs
+    // materialize rows (the q34 lesson — the copy, not the arithmetic,
+    // is the cost of a join-then-filter formulation)
+    val sim = dot(col("va"), col("vb")) / (col("na") * col("nb"))
+    val dups = a.hint("shuffle_hash")
+      .join(b.hint("shuffle_hash"),
+        a("cid") === b("cid") && col("id_a") < col("id_b")
+          && sim >= threshold)
+      .select(col("id_b").as("id")).distinct()
+    asg.select("id", "cid")
+      .join(dups.withColumn("dup", lit(1)), Seq("id"), "left")
+      .select(col("id").as(idCol), col("cid"),
+        when(col("dup").isNull, 1).otherwise(0).as("kept"))
+  }
+
   // ------------------------------------------------------------------- PQ
 
   /** Per-centroid L2 ranking scores for a quantized SUBvector: argmin

@@ -159,4 +159,58 @@ class IvfIndexSpec extends SparkSpec {
       }
     }
   }
+
+  test("semDedup: duplicates are exactly the non-id-minimal members of " +
+      "within-cluster cosine neighborhoods; caps and thresholds degrade " +
+      "to keep-all; the pair join never broadcasts the vector frame") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val cents = Similarity.trainIvfCentroids(emb, nCentroids = 8, iters = 2)
+    val tau = 0.3
+    val out = Similarity.semDedup(emb, cents, threshold = tau)
+    val got = out.collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Int]("cid"), r.getAs[Int]("kept"))).toMap
+
+    // brute-force reference: assignment via kmeansAssign (oracle-proven),
+    // duplicate iff a smaller-id same-cluster member has cosine >= tau
+    val asg = Similarity.kmeansAssign(emb, cents).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cid")).toMap
+    val vecs = emb.collect().map(r => r.getAs[Long]("vec_id") ->
+      r.getAs[Seq[Double]]("embedding").toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var sab = 0.0; var saa = 0.0; var sbb = 0.0; var i = 0
+      while (i < a.length) {
+        sab += a(i) * b(i); saa += a(i) * a(i); sbb += b(i) * b(i); i += 1
+      }
+      sab / (math.sqrt(saa) * math.sqrt(sbb))
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val wantDup = ids.filter(b => ids.exists(a => a < b &&
+      asg(a) == asg(b) && cos(vecs(a), vecs(b)) >= tau)).toSet
+    assert(got.keySet === ids.toSet, "every corpus vector must be output")
+    ids.foreach { id =>
+      assert(got(id)._1 === asg(id), s"vec $id cluster")
+      assert(got(id)._2 === (if (wantDup(id)) 0 else 1), s"vec $id kept")
+    }
+    assert(wantDup.nonEmpty, "degenerate fixture: no duplicates at tau")
+    assert(wantDup.size < ids.size, "degenerate fixture: all duplicates")
+
+    // threshold above max pairwise cosine -> keep everything
+    val all = Similarity.semDedup(emb, cents, threshold = 1.01).collect()
+    assert(all.forall(_.getAs[Int]("kept") == 1))
+    // every cluster over the cap -> no pairs generated -> keep everything
+    val capped = Similarity.semDedup(emb, cents, threshold = tau,
+      maxCluster = 1).collect()
+    assert(capped.forall(_.getAs[Int]("kept") == 1))
+
+    // the within-cluster self-join must be a shuffled hash join: a
+    // per-vector array frame must never ride a broadcast (the 100x
+    // smoke lane's AQE-misestimate failure)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"expected the pinned shuffle_hash pair join in:\n$plan")
+  }
 }
