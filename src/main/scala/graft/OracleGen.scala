@@ -1194,4 +1194,74 @@ object OracleGen {
        CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS kept
      FROM asg a LEFT JOIN dup d ON d.id = a.id
      ORDER BY vec_id"""
+
+  /** q108: BM25 top-k — tokenizer (the q67-proven whitespace split),
+    * document lengths (the q25 CASE), corpus stats, Lucene idf, the k1/b
+    * saturation term and the rounded-rank total order all restated. The
+    * float literals are interpolated from the SAME Scala doubles the
+    * Spark expression tree uses (round-trip decimal repr), so every
+    * per-term IEEE step is bit-identical; ln's last ulp and the sum order
+    * over a query's ≤|terms| contributions are the only cross-engine
+    * links, both absorbed by ROUND(…, 4) before ranking.
+    */
+  def q108Sql(k: Int = 5, k1: Double = 1.2, b: Double = 0.75): String = {
+    val vals = graft.operators.TextQueries.Bm25QueryBatch
+      .flatMap { case (qid, ts) => ts.distinct.map(t => s"($qid, '$t')") }
+      .mkString(", ")
+    s"""WITH q(query_id, term) AS (VALUES $vals),
+     tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)),
+               '\\s+')) AS term FROM documents),
+     dl AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END
+              AS dl FROM documents),
+     st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+              CAST(SUM(dl) AS DOUBLE) AS tt FROM dl),
+     tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+            WHERE term <> '' AND term IN (SELECT term FROM q)
+            GROUP BY 1, 2),
+     dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dfc
+             FROM tf GROUP BY 1),
+     sc AS (SELECT q.query_id, tf.doc_id,
+              ROUND(SUM(ln(1.0 + (st.nd - d.dfc + 0.5) / (d.dfc + 0.5)) *
+                (tf.tf * ${k1 + 1.0}) /
+                (tf.tf + $k1 * (${1.0 - b} + $b * dl.dl /
+                  (st.tt / st.nd)))), 4) AS score
+            FROM tf JOIN dfq d USING (term) JOIN q USING (term)
+            JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+            GROUP BY 1, 2),
+     r AS (SELECT query_id, doc_id, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id) AS INTEGER) AS rank FROM sc)
+     SELECT query_id, rank, doc_id, score FROM r WHERE rank <= $k
+     ORDER BY query_id, rank"""
+  }
+
+  /** q109: token-budget mixture — the SEMANTIC restatement of
+    * [[graft.textops.Sampling.tokenBudgetMixture]]'s two-level prefix:
+    * one running-sum window per language over UNSIGNED xxhash64 order
+    * (`hu` reconstructs the unsigned domain from the signed
+    * [[xx64LongSql]] value), keep while the running token total stays ≤
+    * the configured budget. All-integer arithmetic — no cross-engine FP
+    * link anywhere. Equality proves bucket-decomposed ≡ global prefix.
+    */
+  def q109Sql(): String = {
+    val cases = graft.operators.TextQueries.MixtureBudgets.toSeq.sorted
+      .map { case (l, b) => s"WHEN '$l' THEN $b" }.mkString(" ")
+    s"""WITH t AS (SELECT doc_id, lang,
+           CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+             ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END
+             AS BIGINT) AS n_tokens,
+           ${xx64LongSql("doc_id")} AS h
+         FROM documents),
+     u AS (SELECT doc_id, lang, n_tokens,
+             CASE WHEN h < 0
+                  THEN CAST(h AS HUGEINT) + 18446744073709551616::HUGEINT
+                  ELSE CAST(h AS HUGEINT) END AS hu FROM t),
+     c AS (SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY hu, doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum FROM u)
+     SELECT doc_id, lang, n_tokens FROM c
+     WHERE cum <= (CASE lang $cases ELSE 0 END)
+     ORDER BY doc_id"""
+  }
 }

@@ -126,6 +126,8 @@ object SparkEntry {
     "q105_describe_approx" -> (Relational.q105DescribeApprox _),
     "q106_graph_ann"       -> (TextQueries.q106GraphAnn _),
     "q107_semdedup"        -> (TextQueries.q107SemDedup _),
+    "q108_bm25"            -> (TextQueries.q108Bm25 _),
+    "q109_token_mixture"   -> (TextQueries.q109TokenMixture _),
   )
 
   /** The cohort-retention-matrix oracle, shared by q93 (the batch
@@ -582,6 +584,13 @@ object SparkEntry {
     // SemDeDup: centroids retrained in SQL (integer-grid Lloyd), the
     // duplicate set re-derived from scratch with raw-cosine verify.
     "q107_semdedup" -> OracleGen.q107Sql(),
+    // BM25: tokenizer, idf, saturation and the rounded-rank order all
+    // restated in SQL with the same Scala-interpolated float literals.
+    "q108_bm25" -> OracleGen.q108Sql(),
+    // Token-budget mixture: the oracle is the naive global-prefix window
+    // over unsigned xxhash64 order — proves the skew-proof two-level
+    // decomposition computes the same kept set. Pure integer arithmetic.
+    "q109_token_mixture" -> OracleGen.q109Sql(),
     // Bloom-pruned join: the bloom is semantics-transparent (no false
     // negatives), so the oracle IS the plain join — equality proves the
     // pruning dropped only non-matching rows.

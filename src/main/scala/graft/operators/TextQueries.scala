@@ -827,4 +827,54 @@ object TextQueries {
     Similarity.semDedup(emb, cents, threshold = 0.38)
       .orderBy("vec_id")
   }
+
+  /** The q108 literal query batch — corpus-vocabulary terms (TESTDATA.md
+    * documents are drawn from a fixed word list), one definition shared
+    * with [[graft.OracleGen.q108Sql]] so Spark and the oracle can never
+    * disagree on the workload.
+    */
+  val Bm25QueryBatch: Seq[(Int, Seq[String])] = Seq(
+    0 -> Seq("hash", "join"),
+    1 -> Seq("customer", "order", "table"),
+    2 -> Seq("vector", "scan"),
+    3 -> Seq("stream", "window", "state"))
+
+  /** q108: BM25 top-k retrieval ([[graft.textops.TextStats.bm25TopK]]) —
+    * keyword search over the corpus, the retrieval counterpart of q67's
+    * tf-idf term profile. DuckDB-oracled END TO END: tokenizer, corpus
+    * stats, idf, the per-term saturation formula and the rounded-rank
+    * policy are all restated in SQL with the identical Scala-interpolated
+    * float literals; only ln's last ulp and the ≤|terms|-addend sum order
+    * cross engines, both absorbed by the 4-decimal round.
+    */
+  def q108Bm25(spark: SparkSession, sfDir: String): DataFrame =
+    TextStats.bm25TopK(Tables.documents(spark, sfDir), Bm25QueryBatch,
+        k = 5)
+      .orderBy("query_id", "rank")
+
+  /** The q109 mixture config — per-language token budgets, one definition
+    * shared with [[graft.OracleGen.q109Sql]]. Fixed literals by design:
+    * mixture weights are a CONFIG in real pipelines, so at a larger SF
+    * the same budgets simply select a smaller fraction (the budget rule,
+    * not the data, defines the semantics).
+    */
+  val MixtureBudgets: Map[String, Long] = Map(
+    "en" -> 6000L, "de" -> 2000L, "es" -> 2000L, "fr" -> 1500L,
+    "zh" -> 1000L)
+
+  /** q109: token-budget mixture ([[graft.textops.Sampling
+    * .tokenBudgetMixture]]) — per-language maximal unsigned-hash-order
+    * prefix under the configured token budget, via the skew-proof
+    * two-level prefix (bucket totals + within-bucket running sums).
+    * DuckDB-oracled END TO END: the oracle restates the SEMANTICS as the
+    * naive one-window-per-language running sum over the unsigned
+    * [[graft.OracleGen]] xxhash64 order — so the gate proves the
+    * two-level decomposition ≡ the global prefix rule, on integer token
+    * arithmetic (no FP boundary at all).
+    */
+  def q109TokenMixture(spark: SparkSession, sfDir: String): DataFrame =
+    graft.textops.Sampling.tokenBudgetMixture(
+        Tables.documents(spark, sfDir), stratumCol = "lang",
+        budgets = MixtureBudgets)
+      .orderBy("doc_id")
 }

@@ -141,6 +141,73 @@ object Sampling {
     * xxhash64 restatement over `xor(id, seed)`), so the gate proves the
     * permutation bit-for-bit, not statistically.
     */
+  /** Token-budget mixture: per stratum (language, source, …), keep the
+    * maximal prefix of documents — in deterministic UNSIGNED
+    * `xxhash64(id)` order, `id` tiebreak — whose running token total
+    * stays ≤ the stratum's budget. This is how mixture configs are
+    * actually applied in pre-training pipelines: weights arrive as
+    * per-source token counts, and the selection must be reproducible
+    * run-over-run and monotone in the budget (a raised budget keeps a
+    * SUPERSET — the kept set is a prefix of a fixed global order).
+    * Strata absent from `budgets` are dropped (budget 0).
+    *
+    * Scale shape — the naive formulation (one running-sum window
+    * partitioned by stratum) funnels each stratum's ENTIRE corpus
+    * through one task; with a handful of languages at fleet scale that
+    * is the canonical skew death. This runs the two-level prefix
+    * instead: docs land in 2^`logBuckets` hash buckets per stratum
+    * (bucket = top hash bits, so bucket order ≡ unsigned hash order);
+    * one map-side-combined aggregate produces per-bucket token totals,
+    * the strata×buckets frame (driver-small by construction) gets
+    * per-stratum EXCLUSIVE running totals via a window over aggregated
+    * rows only, broadcast back, and the doc-level running sum runs
+    * inside each (stratum, bucket) — partitions bounded at n/2^logBuckets
+    * regardless of stratum skew. A doc is kept iff
+    * `cum_before(bucket) + cum_within ≤ budget` — exactly the global
+    * prefix rule, proven against the one-window oracle restatement.
+    *
+    * Returns (idCol, stratumCol, n_tokens) for every kept document.
+    */
+  def tokenBudgetMixture(df: DataFrame, stratumCol: String,
+      budgets: Map[String, Long], idCol: String = "doc_id",
+      textCol: String = "text", logBuckets: Int = 12): DataFrame = {
+    require(logBuckets >= 1 && logBuckets <= 30,
+      s"logBuckets out of range: $logBuckets")
+    require(budgets.values.forall(_ >= 0), "budgets must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    // budget-0 strata are dropped HERE, not at the end: the filter pushes
+    // to the scan, and it bounds the broadcast frame below at
+    // |budgets| × 2^logBuckets — config-sized by construction (budgets is
+    // already a driver-side Map), independent of the data's stratum
+    // cardinality
+    val base = df.select(col(idCol), col(stratumCol),
+        TextStats.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .filter(col(stratumCol).isin(
+        budgets.filter(_._2 > 0).keys.toSeq: _*))
+      .withColumn("h", xxhash64(col(idCol)))
+      .withColumn("bkt", shiftrightunsigned(col("h"), 64 - logBuckets))
+    // within a bucket all rows share the hash's top logBuckets bits —
+    // including the sign bit — so SIGNED h order within the bucket equals
+    // unsigned order, and (bkt, h, id) is the global unsigned-hash order
+    val perBucket = base.groupBy(col(stratumCol), col("bkt"))
+      .agg(sum("n_tokens").as("bucket_tokens"))
+    val wB = Window.partitionBy(col(stratumCol)).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumB = perBucket
+      .withColumn("cum_before",
+        sum("bucket_tokens").over(wB) - col("bucket_tokens"))
+      .select(col(stratumCol), col("bkt"), col("cum_before"))
+    val wD = Window.partitionBy(col(stratumCol), col("bkt"))
+      .orderBy(col("h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val budgetCol = budgets.foldLeft(lit(0L)) { case (acc, (s, bud)) =>
+      when(col(stratumCol) === s, lit(bud)).otherwise(acc) }
+    base.join(broadcast(cumB), Seq(stratumCol, "bkt"))
+      .withColumn("cum", col("cum_before") + sum("n_tokens").over(wD))
+      .filter(col("cum") <= budgetCol)
+      .select(col(idCol), col(stratumCol), col("n_tokens"))
+  }
+
   def deterministicShuffle(df: DataFrame, idCol: String, seed: Long = 0L,
       logBatches: Int = 8): DataFrame = {
     require(logBatches >= 0 && logBatches <= 30,

@@ -308,4 +308,78 @@ object TextStats {
       .where(col("rank") <= k)
       .select(col(idCol), col("rank"), col("term"), col("score"))
   }
+
+  /** BM25 top-k retrieval (Robertson & Zaragoza 2009, the Lucene
+    * `ln(1 + (N − df + 0.5)/(df + 0.5))` idf variant — always positive):
+    * score every document against a small literal query batch and return
+    * the k best per query, ranked on the ROUNDED score with a `doc_id`
+    * tiebreak (the q67 libm-proof total order: `ln` may differ by an ulp
+    * across engines, so ranking runs on the 4-decimal value both engines
+    * agree on).
+    *
+    * Shape at scale: the corpus is scanned twice — once for the global
+    * (N, Σdl) scalar pair (one agg, broadcast in-plan), once for
+    * tokenization — and the query-term `isin` filter runs INSIDE the
+    * explode stage, so only (doc, query-term) hits survive to the tf
+    * shuffle; document text never rides an exchange. df and the query
+    * table are O(|query terms|) — genuinely tiny, broadcast by
+    * construction (unlike tfidf's full-vocabulary df, which must not
+    * be). Per-query top-k is [[graft.functions.AggExprs.CollectTopK]]:
+    * O(k) state per query with map-side combine — a window
+    * `row_number()` would funnel every candidate row of a query to one
+    * partition and sort it, the classic few-hot-groups skew.
+    */
+  def bm25TopK(docs: org.apache.spark.sql.DataFrame,
+      queries: Seq[(Int, Seq[String])], k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text")
+      : org.apache.spark.sql.DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "queries must be a non-empty batch of non-empty term lists")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qTerms = queries.flatMap(_._2).distinct
+    val q = broadcast(queries
+      .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
+      .toDF("query_id", "term"))
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("graft_n"),
+      sum(tokenCount(col(textCol))).cast("double").as("graft_toks"))
+    // the token array is materialized ONCE and the Generate explodes the
+    // bare attribute (the q81 shape — the plan audit rejects a tokenizer
+    // re-evaluated above its own Generate); dl = non-empty token count
+    // over the same array ≡ tokenCount(text) (a trimmed split emits ""
+    // only for whitespace-only text, which tokenCount defines as 0)
+    val tf = docs
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
+      .select(col("doc_id"),
+        size(filter(col("ws"), w => w =!= "")).as("dl"),
+        explode(col("ws")).as("term"))
+      .where(col("term").isin(qTerms: _*))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // every float literal below is the SAME Scala-computed double the
+    // oracle interpolates (shortest round-trip repr), so both engines
+    // evaluate an identical IEEE expression tree term-by-term; only the
+    // cross-term SUM order and ln's last ulp differ — absorbed by the
+    // 4-decimal round
+    val avgdl = col("graft_toks") / col("graft_n")
+    val idf = log(lit(1.0) +
+      (col("graft_n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val contrib = idf * (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
+    val perDoc = tf.join(broadcast(dfT), "term")
+      .join(q, "term")
+      .crossJoin(broadcast(stats))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(contrib), 4).as("score"))
+    perDoc.groupBy("query_id")
+      .agg(graft.functions.AggExprs.collectTopK(
+        struct(col("score"), (-col("doc_id")).as("nd"), col("doc_id")),
+        k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("rk", "t")))
+      .select(col("query_id"), (col("rk") + 1).cast("int").as("rank"),
+        col("t.doc_id").as("doc_id"), col("t.score").as("score"))
+  }
 }

@@ -257,4 +257,60 @@ class OverlapSamplingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(got.toSeq === Seq((0L, 1L, 1)))
   }
+
+  test("tokenBudgetMixture: two-level prefix equals the naive global " +
+      "rule, is monotone in the budget, and never windows a whole " +
+      "stratum") {
+    val docs = (0L until 200L).map { id =>
+      val lang = if (id % 3 == 0) "en" else if (id % 3 == 1) "de" else "xx"
+      (id, lang, Seq.fill(1 + (id % 7).toInt)("w").mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val budgets = Map("en" -> 90L, "de" -> 40L) // xx absent -> dropped
+    // small logBuckets so buckets genuinely hold multiple docs (the
+    // boundary-bucket doc-level path is exercised, not just full buckets)
+    val out = Sampling.tokenBudgetMixture(docs, "lang", budgets,
+      logBuckets = 3)
+    val got = out.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("n_tokens"))).toSet
+
+    // naive reference: per stratum, unsigned-xxhash64 order, running sum
+    val hashed = docs.select(col("doc_id"), col("lang"),
+        TextStats.tokenCount(col("text")).cast("long").as("n"),
+        xxhash64(col("doc_id")).as("h")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val want = hashed.groupBy(_._2).toSeq.flatMap { case (lang, rows) =>
+      val budget = budgets.getOrElse(lang, 0L)
+      var cum = 0L
+      rows.sortBy { case (id, _, _, h) => (h ^ Long.MinValue, id) }
+        .flatMap { case (id, l, n, _) =>
+          cum += n
+          if (cum <= budget) Some((id, l, n)) else None
+        }
+    }.toSet
+    assert(got === want)
+    assert(want.nonEmpty && want.size < 200, s"degenerate fixture: $want")
+    assert(!got.exists(_._2 == "xx"), "unbudgeted stratum must be dropped")
+
+    // monotone: a raised budget keeps a superset
+    val more = Sampling.tokenBudgetMixture(docs, "lang",
+        budgets.map { case (k, v) => k -> (v + 25L) }, logBuckets = 3)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("n_tokens"))).toSet
+    assert(got.subsetOf(more), "raised budget must keep a superset")
+
+    // skew posture: the DOC-level window (the one ordered by the hash)
+    // must partition by (stratum, bucket) — a stratum-only window there
+    // would funnel a whole language through one task. The stratum-only
+    // window over the AGGREGATED per-bucket frame is fine (config-sized).
+    // Plan-string match: AQE wraps stages in leaf QueryStageExec nodes,
+    // so TreeNode.collect can't reach the WindowExec — toString can.
+    val winLines = out.queryExecution.executedPlan.toString
+      .split("\n").filter(_.contains("windowspecdefinition"))
+    val docWins = winLines.filter(_.matches(""".*h#\d+L ASC.*"""))
+    assert(docWins.nonEmpty,
+      s"expected the hash-ordered doc window in:\n${winLines.mkString("\n")}")
+    docWins.foreach(l => assert(l.contains("bkt#"),
+      s"doc-level window must include the hash bucket, got: $l"))
+  }
 }

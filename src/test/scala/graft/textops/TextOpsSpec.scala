@@ -755,4 +755,52 @@ class TextOpsSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs === Set((0L, 1L)))
   }
+
+  test("bm25TopK matches a hand-rolled BM25 and ranks without a window") {
+    val corpus = Seq(
+      (1L, "quick fox and quick dog"),
+      (2L, "fox"),
+      (3L, "the dog sleeps all day long here"),
+      (4L, "nothing relevant whatsoever in this one"),
+      (5L, "quick quick quick fox fox dog"))
+      .toDF("doc_id", "text")
+    val queries = Seq(0 -> Seq("quick", "fox"), 1 -> Seq("dog"),
+      2 -> Seq("absent"))
+    val k1 = 1.2; val b = 0.75
+    val out = TextStats.bm25TopK(corpus, queries, k = 3, k1 = k1, b = b)
+    // reference: plain-scala BM25 over the same corpus
+    val toks = Map(1L -> Seq("quick", "fox", "and", "quick", "dog"),
+      2L -> Seq("fox"), 3L -> Seq("the", "dog", "sleeps", "all", "day",
+        "long", "here"),
+      4L -> Seq("nothing", "relevant", "whatsoever", "in", "this", "one"),
+      5L -> Seq("quick", "quick", "quick", "fox", "fox", "dog"))
+    val n = toks.size.toDouble
+    val avgdl = toks.values.map(_.size).sum.toDouble / n
+    def df(t: String) = toks.values.count(_.contains(t)).toDouble
+    def score(id: Long, ts: Seq[String]): Double = {
+      val raw = ts.filter(t => toks(id).contains(t)).map { t =>
+        val tf = toks(id).count(_ == t).toDouble
+        val idf = math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5))
+        idf * (tf * (k1 + 1.0)) /
+          (tf + k1 * ((1.0 - b) + b * toks(id).size / avgdl))
+      }.sum
+      math.rint(raw * 10000.0) / 10000.0  // spark round() HALF_UP ~ rint
+    }
+    val want = queries.flatMap { case (qid, ts) =>
+      toks.keys.toSeq.map(id => (qid, id, score(id, ts)))
+        .filter(_._3 > 0.0)
+        .sortBy { case (_, id, s) => (-s, id) }.take(3).zipWithIndex
+        .map { case ((q, id, s), i) => (q, i + 1, id, s) }
+    }.toSet
+    val got = out.collect().map(r => (r.getAs[Int]("query_id"),
+      r.getAs[Int]("rank"), r.getAs[Long]("doc_id"),
+      r.getAs[Double]("score"))).toSet
+    assert(got === want)
+    // the 'absent' query term reaches no document
+    assert(!got.exists(_._1 == 2))
+    // rank path is the bounded top-k aggregate, not a window sort
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_collect_topk"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
 }
