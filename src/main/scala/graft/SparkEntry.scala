@@ -128,6 +128,7 @@ object SparkEntry {
     "q107_semdedup"        -> (TextQueries.q107SemDedup _),
     "q108_bm25"            -> (TextQueries.q108Bm25 _),
     "q109_token_mixture"   -> (TextQueries.q109TokenMixture _),
+    "q110_snapshot_travel" -> (Relational.q110SnapshotTimeTravel _),
   )
 
   /** The cohort-retention-matrix oracle, shared by q93 (the batch
@@ -591,6 +592,17 @@ object SparkEntry {
     // over unsigned xxhash64 order — proves the skew-proof two-level
     // decomposition computes the same kept set. Pure integer arithmetic.
     "q109_token_mixture" -> OracleGen.q109Sql(),
+    // Snapshot time travel: the store commits thirds 0/1/2 of orders as
+    // v0(overwrite)/v1(append)/v2(overwrite) then vacuums to 2 versions;
+    // the gate reads PINNED version 1, so its content must equal thirds
+    // 0+1 recomputed straight from the table — overwrite/append
+    // composition, reader pinning and vacuum safety all under the hash.
+    "q110_snapshot_travel" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+         FROM orders WHERE o_orderkey % 3 IN (0, 1)
+         GROUP BY 1 ORDER BY 1""",
     // Bloom-pruned join: the bloom is semantics-transparent (no false
     // negatives), so the oracle IS the plain join — equality proves the
     // pruning dropped only non-matching rows.

@@ -1078,4 +1078,51 @@ object Relational {
         col("last_value"), col("quartile"))
       .orderBy("user_id", "event_id")
   }
+
+  /** Snapshot-store table roots keyed by corpus dir — the table is BUILT
+    * once per corpus (three commits + a vacuum, the offline write side)
+    * and every call reads it, so bench reps measure what a consumer
+    * pays: manifest resolution + the pinned-version scan.
+    */
+  private val snapshotRoot =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** q110: ACID snapshot TIME TRAVEL under the hash gate
+    * ([[graft.sources.SnapshotStore]]) — the commit protocol's reader
+    * contract proven end to end on data, not just in specs: version 0
+    * overwrites in one third of `orders`, version 1 APPENDS the second
+    * third, version 2 overwrites with the last third (so the CURRENT
+    * table would give a different hash), then [[SnapshotStore.vacuum]]
+    * retains the newest two versions. The gated read pins version 1 —
+    * after the vacuum — and aggregates it in integer cents; the oracle
+    * recomputes what snapshot 1 must contain (thirds 0 and 1) straight
+    * from `orders`. Equality proves: append composed on overwrite,
+    * manifest-pinned reads immune to the later commit, and vacuum
+    * deleting nothing a retained manifest references.
+    */
+  def q110SnapshotTimeTravel(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = snapshotRoot.getOrElseUpdate(sfDir, {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-snapstore-").toString
+      val o = Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"))
+      SnapshotStore.commitOverwrite(
+        o.filter(col("o_orderkey") % 3 === 0), dir) // v0
+      SnapshotStore.commitAppend(
+        o.filter(col("o_orderkey") % 3 === 1), dir) // v1 = v0 + third 1
+      SnapshotStore.commitOverwrite(
+        o.filter(col("o_orderkey") % 3 === 2), dir) // v2 (current)
+      SnapshotStore.vacuum(dir, keepVersions = 2)   // retains v1, v2
+      dir
+    })
+    SnapshotStore.read(spark, root, version = Some(1))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * lit(100)).cast("long"))
+          .as("cents"))
+      .orderBy("o_orderpriority")
+  }
 }
