@@ -1236,6 +1236,64 @@ object OracleGen {
      ORDER BY query_id, rank"""
   }
 
+  /** q111: incremental near-dup admission — the q29 MinHash pipeline
+    * re-derived from scratch (shingles, KR hashes, k permutation mins,
+    * band split) over BOTH populations, with the pair space restricted to
+    * new×existing and the bucket cap applied to the EXISTING side only
+    * (the build-time rule: capped buckets never enter the index; a
+    * singleton index bucket IS probe-able, so no lower bound — unlike
+    * q29's within-set BETWEEN 2). Band keys compare as value lists where
+    * Spark buckets by xxhash64 of the list — identical grouping unless
+    * xxhash64 collides (the q29 contract).
+    */
+  def q111Sql(n: Int = 3, k: Int = 64, bands: Int = 16,
+      estThreshold: Double = 0.5, maxBucket: Int = 1 << 12,
+      newMod: Int = 5): String = {
+    val r = k / bands
+    val params = Dedup.hashParams(k)
+    val pa = params.map(_._1).mkString("[", ", ", "]")
+    val pb = params.map(_._2).mkString("[", ", ", "]")
+    s"""WITH consts AS (SELECT $pa AS pa, $pb AS pb),
+     d AS (SELECT doc_id AS id,
+             string_split_regex(lower(trim(text)), '\\s+') AS w
+           FROM documents),
+     sh AS (SELECT id, list_distinct(
+             CASE WHEN len(w) < $n THEN [array_to_string(w, ' ')]
+             ELSE list_transform(range(1, len(w) - ${n - 2}),
+               i -> ${(0 until n).map(j => s"w[i + $j]")
+                 .mkString(" || ' ' || ")}) END) AS s
+           FROM d),
+     hx AS (SELECT id, list_transform(s, g -> list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(regexp_extract_all(g, '(?s).'),
+                 c -> CAST(ascii(c) AS BIGINT))),
+             (acc, c) -> (acc * 257 + c) % 1000000007)) AS xs
+           FROM sh),
+     sg AS (SELECT id, list_transform(range($k), j ->
+             list_min(list_transform(xs,
+               x -> (x * pa[j + 1] + pb[j + 1]) % ${Dedup.P}))) AS sig
+           FROM hx, consts),
+     bbx AS (SELECT id, b AS band, sig[b * $r + 1 : b * $r + $r] AS key
+             FROM sg, (SELECT unnest(range($bands)) AS b)
+             WHERE id % $newMod <> 0),
+     okx AS (SELECT band, key FROM bbx GROUP BY 1, 2
+             HAVING COUNT(*) <= $maxBucket),
+     bbn AS (SELECT id, b AS band, sig[b * $r + 1 : b * $r + $r] AS key
+             FROM sg, (SELECT unnest(range($bands)) AS b)
+             WHERE id % $newMod = 0),
+     pr AS (SELECT DISTINCT nb.id AS new_id, xb.id AS old_id
+            FROM bbn nb JOIN bbx xb
+              ON nb.band = xb.band AND nb.key = xb.key
+            JOIN okx o ON o.band = xb.band AND o.key = xb.key),
+     est AS (SELECT new_id, old_id,
+              CAST(len(list_filter(range($k),
+                j -> sa.sig[j + 1] = sb.sig[j + 1])) AS DOUBLE) / $k AS ej
+             FROM pr JOIN sg sa ON sa.id = new_id
+             JOIN sg sb ON sb.id = old_id)
+     SELECT new_id, old_id, ROUND(ej, 4) AS est_jaccard
+     FROM est WHERE ej >= $estThreshold ORDER BY new_id, old_id"""
+  }
+
   /** q109: token-budget mixture — the SEMANTIC restatement of
     * [[graft.textops.Sampling.tokenBudgetMixture]]'s two-level prefix:
     * one running-sum window per language over UNSIGNED xxhash64 order

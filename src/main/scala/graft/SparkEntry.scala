@@ -129,6 +129,7 @@ object SparkEntry {
     "q108_bm25"            -> (TextQueries.q108Bm25 _),
     "q109_token_mixture"   -> (TextQueries.q109TokenMixture _),
     "q110_snapshot_travel" -> (Relational.q110SnapshotTimeTravel _),
+    "q111_incremental_dedup" -> (TextQueries.q111IncrementalDedup _),
   )
 
   /** The cohort-retention-matrix oracle, shared by q93 (the batch
@@ -603,6 +604,10 @@ object SparkEntry {
              AS cents
          FROM orders WHERE o_orderkey % 3 IN (0, 1)
          GROUP BY 1 ORDER BY 1""",
+    // Incremental admission: the q29 MinHash pipeline re-derived over
+    // both populations, pair space restricted to new x existing, index
+    // bucket cap applied at build (existing side only, no lower bound).
+    "q111_incremental_dedup" -> OracleGen.q111Sql(),
     // Bloom-pruned join: the bloom is semantics-transparent (no false
     // negatives), so the oracle IS the plain join — equality proves the
     // pruning dropped only non-matching rows.

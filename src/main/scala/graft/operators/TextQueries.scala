@@ -877,4 +877,33 @@ object TextQueries {
         Tables.documents(spark, sfDir), stratumCol = "lang",
         budgets = MixtureBudgets)
       .orderBy("doc_id")
+
+  /** Saved MinHash-LSH indexes keyed by corpus dir — built once per
+    * corpus over the "existing" 80 % ([[graft.textops.Dedup
+    * .saveMinhashIndex]]), the offline side of incremental ingestion.
+    */
+  private val minhashIndexPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** q111: INCREMENTAL near-dup admission ([[graft.textops.Dedup
+    * .minhashLshAdmit]]) — the new 20 % batch (doc_id % 5 = 0) probed
+    * against the saved index of the existing 80 %, never rescanning the
+    * corpus: the daily-crawl ingestion shape. DuckDB-oracled END TO END
+    * ([[graft.OracleGen.q111Sql]]): shingles, KR hashes, all k
+    * permutations, the band split, the build-time bucket cap and the
+    * agreement scoring are re-derived from scratch on both populations —
+    * the q29 restatement with the pair space restricted to new×existing.
+    */
+  def q111IncrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val path = minhashIndexPath.getOrElseUpdate(sfDir, {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-minhash-index-").toString
+      Dedup.saveMinhashIndex(docs.filter(col("doc_id") % 5 =!= 0), dir)
+      dir
+    })
+    Dedup.minhashLshAdmit(docs.filter(col("doc_id") % 5 === 0), path)
+      .withColumn("est_jaccard", round(col("est_jaccard"), 4))
+      .orderBy("new_id", "old_id")
+  }
 }

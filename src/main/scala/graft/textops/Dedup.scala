@@ -636,13 +636,7 @@ object Dedup {
     val sigs = docs.select(col(idCol).as("id"),
       minhashSignature(col(textCol), n, k).as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val banded = sigs.select(col("id"),
-      explode(array((0 until bands).map(j =>
-        struct(lit(j).as("band"),
-          xxhash64(concat_ws(",",
-            transform(slice(col("sig"), j * r + 1, r),
-              x => x.cast("string")))).as("bucket"))): _*)).as("bb"))
-      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    val banded = minhashBanded(sigs, bands, r)
     val pairs = groupPairs(banded, Seq("band", "bucket"), col("id"),
         maxBucket, dropStats)
       .select(col("a").as("id_a"), col("b").as("id_b"))
@@ -656,6 +650,110 @@ object Dedup {
       .filter(col("est_jaccard") >= estThreshold)
       .select("id_a", "id_b", "est_jaccard")
     (result, () => { sigs.unpersist(blocking = false); () })
+  }
+
+  /** (id, band, bucket) triples for a signature frame — the banding shape
+    * shared by [[minhashLshPairsReleasable]] and the incremental index.
+    */
+  private def minhashBanded(sigs: DataFrame, bands: Int,
+      r: Int): DataFrame =
+    sigs.select(col("id"),
+      explode(array((0 until bands).map(j =>
+        struct(lit(j).as("band"),
+          xxhash64(concat_ws(",",
+            transform(slice(col("sig"), j * r + 1, r),
+              x => x.cast("string")))).as("bucket"))): _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+
+  /** Build a PERSISTENT MinHash-LSH index for incremental ingestion:
+    * the corpus's band table (`<path>/bands`: id, band, bucket) and
+    * signature table (`<path>/sigs`: id, sig) as parquet — built once,
+    * offline, then probed by every [[minhashLshAdmit]] batch without
+    * ever rescanning the corpus (the daily-crawl admission shape: corpus
+    * work is O(corpus) ONCE, per-batch work is O(batch + matches)).
+    *
+    * Buckets larger than `maxBucket` are excluded AT BUILD TIME, loudly
+    * (the standard cap posture: a stop-shingle bucket holding half the
+    * corpus would turn every future admission probe into a quadratic
+    * join; recall loss is logged with the dropped-bucket count). The
+    * build is an eager action (it writes files), so the drop count is an
+    * exact, already-paid aggregate — no Observation plumbing needed.
+    */
+  def saveMinhashIndex(docs: DataFrame, path: String, n: Int = 3,
+      k: Int = 64, bands: Int = 16, textCol: String = "text",
+      idCol: String = "doc_id", maxBucket: Int = 1 << 12): Unit = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val sigs = docs.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), n, k).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      sigs.write.mode("overwrite").parquet(s"$path/sigs")
+      val banded = minhashBanded(sigs, bands, r)
+      val counts = banded.groupBy("band", "bucket")
+        .agg(count(lit(1)).as("graft_csz"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val dropped = counts.filter(col("graft_csz") > maxBucket).count()
+        if (dropped > 0)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"graft minhash index $path: $dropped buckets over the " +
+              s"$maxBucket cap were excluded at build time; admission " +
+              "recall against their members is reduced")
+        banded.join(counts.filter(col("graft_csz") <= maxBucket),
+            Seq("band", "bucket"))
+          .select("id", "band", "bucket")
+          .write.mode("overwrite").parquet(s"$path/bands")
+      } finally { counts.unpersist(blocking = false); () }
+    } finally { sigs.unpersist(blocking = false); () }
+  }
+
+  /** Incremental near-dup ADMISSION: check a new document batch against a
+    * saved corpus index ([[saveMinhashIndex]]) — the shape real ingestion
+    * runs daily: the corpus never rescans, only the batch's shingling and
+    * the (band, bucket) probe join pay per call. Returns every
+    * (new_id, old_id, est_jaccard) with signature agreement ≥
+    * `estThreshold`; an absent new_id is admissible (no near-dup in the
+    * corpus). Batch-internal duplicates are deliberately out of scope —
+    * run the batch through [[minhashLshPairs]] and compose.
+    *
+    * Plan: batch bands join the index band table on (band, bucket) —
+    * id-only triples on the exchange, never signatures; candidate pairs
+    * dedupe, then BOTH signature joins are pinned `shuffle_hash` (a
+    * per-document array frame must never ride a broadcast — the 100×
+    * smoke lane's AQE-misestimate lesson). Index buckets were size-capped
+    * at build, so probe fan-out per batch band row is bounded.
+    */
+  def minhashLshAdmit(newDocs: DataFrame, indexPath: String, n: Int = 3,
+      k: Int = 64, bands: Int = 16, estThreshold: Double = 0.5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val spark = newDocs.sparkSession
+    val newSigs = newDocs.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), n, k).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = minhashBanded(newSigs, bands, r)
+      .withColumnRenamed("id", "new_id")
+      .join(spark.read.parquet(s"$indexPath/bands")
+        .withColumnRenamed("id", "old_id"), Seq("band", "bucket"))
+      .select("new_id", "old_id")
+      .dropDuplicates("new_id", "old_id")
+    val result = cand
+      .join(newSigs.select(col("id").as("new_id"), col("sig").as("sig_a"))
+        .hint("shuffle_hash"), "new_id")
+      .join(spark.read.parquet(s"$indexPath/sigs")
+        .select(col("id").as("old_id"), col("sig").as("sig_b"))
+        .hint("shuffle_hash"), "old_id")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => x === y), b => b)).cast("double") / k)
+      .filter(col("est_jaccard") >= estThreshold)
+      .select("new_id", "old_id", "est_jaccard")
+    // newSigs stays persisted until the caller's action completes (the
+    // minhashLshPairs lifecycle contract); batch frames are small by the
+    // operator's own premise
+    result
   }
 
   // ---------------------------------------------------------------- SimHash

@@ -756,6 +756,55 @@ class TextOpsSpec extends SparkSpec {
     assert(pairs === Set((0L, 1L)))
   }
 
+  test("minhashLshAdmit: probing a saved index equals the batch LSH " +
+      "restricted to new-by-existing pairs; build-time cap drops " +
+      "buckets; signature joins never broadcast") {
+    val existing = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bend"),
+      (4L, "der schnelle braune fuchs springt und ist nicht mit dem hund"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (11L, "completely unrelated material about catalyst optimizer rules"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("minhash-idx").toString
+    Dedup.saveMinhashIndex(existing, dir)
+    val admit = Dedup.minhashLshAdmit(batch, dir, estThreshold = 0.5)
+    val got = admit.collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("old_id"),
+        r.getAs[Double]("est_jaccard"))).toSet
+
+    // reference: the batch operator over the union, pairs restricted to
+    // (new, existing) — same signatures, same banding, same scoring
+    val newIds = Set(10L, 11L)
+    val want = Dedup.minhashLshPairs(existing.unionAll(batch),
+        estThreshold = 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("est_jaccard")))
+      .collect {
+        case (a, b, j) if newIds(b) && !newIds(a) => (b, a, j)
+        case (a, b, j) if newIds(a) && !newIds(b) => (a, b, j)
+      }.toSet
+    assert(got === want)
+    assert(got.exists { case (n, o, _) => n == 10L && (o == 1L || o == 2L) },
+      s"planted near-dup must match: $got")
+    assert(!got.exists(_._1 == 11L), "unique doc must be admissible")
+
+    // build-time cap: maxBucket=0 empties the index -> everything admits
+    val dir0 = java.nio.file.Files
+      .createTempDirectory("minhash-idx0").toString
+    Dedup.saveMinhashIndex(existing, dir0, maxBucket = 0)
+    assert(Dedup.minhashLshAdmit(batch, dir0).isEmpty)
+
+    // the signature joins are pinned shuffle_hash (arrays never
+    // broadcast); only the id-triple probe join may broadcast
+    val plan = admit.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), plan)
+  }
+
   test("bm25TopK matches a hand-rolled BM25 and ranks without a window") {
     val corpus = Seq(
       (1L, "quick fox and quick dog"),
