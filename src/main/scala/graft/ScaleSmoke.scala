@@ -445,6 +445,30 @@ object ScaleSmoke {
         maxPostingList = math.max(2, mult / 2), dropStats = Some(cappedObs)))
     if (enabled("jaccard_pairs_capped"))
       printCaps("jaccard_pairs_capped", cappedObs)
+    // Incremental admission at 20×: the standing index holds the mult-1
+    // perturbed copies, the batch is the originals — every batch doc has
+    // mult-1 near-dups in the index, the adversarial probe fan-out. The
+    // build is timed separately (it is the OFFLINE side; admission's
+    // per-batch cost is the claim under test).
+    if (enabled("minhash_index_build") || enabled("incremental_admit"))
+      locally {
+        val dir = java.nio.file.Files
+          .createTempDirectory("scale-minhash-idx").toString
+        val existing = docs.filter(pmod(col("doc_id"), lit(mult)) =!= 0)
+        val batch = docs.filter(pmod(col("doc_id"), lit(mult)) === 0)
+        val nExisting = existing.count()
+        val buildSec = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          Dedup.saveMinhashIndex(existing, dir)
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        println(f"[scale] minhash_index_build         $nExisting%10d rows" +
+          f"  $buildSec%8.2f s" + (if (reps > 1) s"  (min of $reps)" else ""))
+        if (enabled("minhash_index_build"))
+          record(Entry("minhash_index_build", nExisting, buildSec))
+        time("incremental_admit")(
+          Dedup.minhashLshAdmit(batch, dir, estThreshold = 0.8))
+      }
     // jittered copies are ~identical vectors (cos ≈ 0.9999) → they collide
     // even in wide bands. Geometry is the n-aware DEFAULT (autoBandBits:
     // 100k vectors → 9-bit bands → 512 buckets/band, expected density
@@ -478,6 +502,22 @@ object ScaleSmoke {
           embs, embs.filter(col("vec_id") < 64), k = 5, cents, books,
           nProbe = 4))
       }
+    }
+    // SemDeDup at 20×: k grows with n (the semDedup scaladoc's k ∝ n rule
+    // as code — a fixed k would let E[cluster] grow with the multiplier
+    // and pair volume go quadratic); the jittered copies are genuine
+    // semantic dups (cos ≈ 0.9999), so pruning must collapse each
+    // mult-clique toward its id-minimal survivor
+    if (enabled("semdedup")) locally {
+      val kC = math.max(16, (nEmb / 1500L).toInt)
+      val cents = Similarity.trainIvfCentroids(embs, nCentroids = kC,
+        iters = 2, trainMod = mult)
+      time("semdedup")(
+        Similarity.semDedup(embs, cents, threshold = 0.98))
+      val kept = Similarity.semDedup(embs, cents, threshold = 0.98)
+        .filter(col("kept") === 1).count()
+      println(s"[scale]   semdedup: k=$kC kept=$kept of $nEmb " +
+        s"(cliques of $mult collapse unless split across clusters)")
     }
     // recall vs the exact brute-force baseline for both ANN paths — the
     // artifact's "approximation is bounded, not hoped" line. 64 queries ×
