@@ -130,6 +130,7 @@ object SparkEntry {
     "q109_token_mixture"   -> (TextQueries.q109TokenMixture _),
     "q110_snapshot_travel" -> (Relational.q110SnapshotTimeTravel _),
     "q111_incremental_dedup" -> (TextQueries.q111IncrementalDedup _),
+    "q112_image_resize"    -> (TextQueries.q112ImageResize _),
   )
 
   /** The cohort-retention-matrix oracle, shared by q93 (the batch
@@ -608,6 +609,27 @@ object SparkEntry {
     // both populations, pair space restricted to new x existing, index
     // bucket cap applied at build (existing side only, no lower bound).
     "q111_incremental_dedup" -> OracleGen.q111Sql(),
+    // Real resize ground truth: output pixel (o) = floor(mean of its 4x4
+    // block) over the q40 tiling; all-integer until the final /64.0.
+    "q112_image_resize" ->
+      """WITH c AS (SELECT doc_id,
+             regexp_extract_all(text, '(?s).') AS chars,
+             octet_length(encode(text)) AS len
+           FROM documents),
+         px AS (SELECT doc_id,
+             CASE WHEN len = 0
+                  THEN list_transform(range(1024), j -> 0)
+                  ELSE list_transform(range(1024),
+                    j -> ascii(chars[(j % len) + 1])) END AS tp
+           FROM c),
+         rs AS (SELECT doc_id, list_transform(range(64), o ->
+             list_sum(list_transform(range(16), b ->
+               tp[((o // 8) * 4 + (b // 4)) * 32
+                  + (o % 8) * 4 + (b % 4) + 1])) // 16) AS op
+           FROM px)
+         SELECT doc_id AS media_id, 8 AS width, 8 AS height,
+           ROUND(list_sum(op) / 64.0, 4) AS mean_intensity
+         FROM rs ORDER BY media_id""",
     // Bloom-pruned join: the bloom is semantics-transparent (no false
     // negatives), so the oracle IS the plain join — equality proves the
     // pruning dropped only non-matching rows.

@@ -640,6 +640,63 @@ object Multimodal {
     }
   }
 
+  /** REAL image resize: box-filter downscale of an 8-bit gray raster —
+    * each output pixel is the floor of its `factor`×`factor` block mean.
+    * All-integer arithmetic (sum of ≤ factor²·255 in an Int, one
+    * truncating division), so the kernel is bit-deterministic and
+    * restatable in the DuckDB oracle — the q40/q43 exactness discipline
+    * applied to a resampler. Dimensions must divide evenly: a real
+    * pipeline pads or crops FIRST, explicitly; silent edge handling is
+    * how resizers disagree.
+    */
+  def boxDownscaleGray(px: Array[Byte], w: Int, h: Int,
+      factor: Int): Array[Byte] = {
+    require(factor >= 1 && w % factor == 0 && h % factor == 0,
+      s"dimensions ${w}x$h not divisible by factor $factor")
+    val ow = w / factor
+    val oh = h / factor
+    val area = factor * factor
+    val out = new Array[Byte](ow * oh)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        var s = 0
+        var dy = 0
+        while (dy < factor) {
+          val base = (y * factor + dy) * w + x * factor
+          var dx = 0
+          while (dx < factor) { s += px(base + dx) & 0xff; dx += 1 }
+          dy += 1
+        }
+        out(y * ow + x) = (s / area).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Dataset-level REAL resize: decode each gray8 PNG payload through the
+    * direct reader, [[boxDownscaleGray]] it, re-encode, scale the typed
+    * metadata — binary in, smaller binary out, batched mapPartitions (the
+    * mapInPandas shape). Non-PNG or non-gray8 payloads fail loudly.
+    */
+  def resizeImagesReal(media: Dataset[MediaRow],
+      factor: Int, batchSize: Int = 64): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(batchSize).flatMap(_.iterator.map { r =>
+      val g = RealCodecs.decodePngGray8(r.payload)
+      require(g != null,
+        s"resizeImagesReal: media ${r.media_id} is not a gray8 PNG")
+      val small = boxDownscaleGray(g.pixels, g.width, g.height, factor)
+      r.copy(
+        payload = RealCodecs.encodePngGray(small, g.width / factor,
+          g.height / factor),
+        width = g.width / factor, height = g.height / factor)
+    }))
+  }
+
   /** "Resize": deterministic byte-decimation thumbnail (every k-th byte),
     * metadata scaled to match — the plumbing (binary in, smaller binary +
     * consistent meta out) is what a real resampler needs.

@@ -532,6 +532,39 @@ object TextQueries {
       .orderBy("media_id", "w")
   }
 
+  /** q112: REAL image RESIZE under the hash gate — the 32×32 tiled gray
+    * PNGs of the q40 fixture, box-downscaled 4× by
+    * [[graft.multimodal.Multimodal.resizeImagesReal]] (decode through
+    * the direct gray8 reader → integer box filter → re-encode), then
+    * decoded AGAIN by the real codec for the gated features. Dimensions
+    * come from the SECOND decode, so the gate proves
+    * resize∘encode∘decode end to end; the oracle restates the box
+    * kernel — floor of each 4×4 block mean over the tiled ascii codes —
+    * in pure integer SQL (every step exact, the q40/q43 discipline).
+    */
+  def q112ImageResize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    import Multimodal.RealCodecs
+    val media = Tables.documents(spark, sfDir).select(
+        col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        Multimodal.MediaRow(id, "image",
+          RealCodecs.encodePngGray(tiledPixels(bytes, 32 * 32, 0), 32, 32),
+          32, 32, 0, 0, "png")
+      }
+    // persist-before-sort, same reason as q40/q43: the sort's sampling
+    // job must not re-run the encode→resize→encode→decode chain
+    Multimodal.decodeImages(Multimodal.resizeImagesReal(media, factor = 4))
+      .toDF()
+      .select(col("media_id"), col("width"), col("height"),
+        round(col("mean_intensity"), 4).as("mean_intensity"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .orderBy("media_id")
+  }
+
   /** q40: the multimodal DECODE stage (graft.multimodal.Multimodal
     * .decodeImages — batched mapPartitions over typed MediaRows, the
     * mapInPandas shape) driver-gated end to end over REAL PNGs:

@@ -225,6 +225,44 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("boxDownscaleGray: exact block-mean floor, loud on non-divisible " +
+      "dims; resizeImagesReal round-trips through real PNGs") {
+    // deterministic 12x8 raster, values spanning the byte range incl.
+    // the signed-byte wrap region
+    val w = 12; val h = 8
+    val px = Array.tabulate(w * h)(i => ((i * 37 + 11) % 256).toByte)
+    val out = boxDownscaleGray(px, w, h, factor = 4)
+    assert(out.length === (w / 4) * (h / 4))
+    for (yy <- 0 until h / 4; xx <- 0 until w / 4) {
+      val block = for (dy <- 0 until 4; dx <- 0 until 4)
+        yield px((yy * 4 + dy) * w + xx * 4 + dx) & 0xff
+      assert((out(yy * (w / 4) + xx) & 0xff) === block.sum / 16,
+        s"block ($yy,$xx)")
+    }
+    // factor 1 is the identity
+    assert(boxDownscaleGray(px, w, h, 1).toSeq === px.toSeq)
+    intercept[IllegalArgumentException] {
+      boxDownscaleGray(px, w, h, factor = 5)
+    }
+
+    // Dataset op: encode -> resize -> the RESIZED payload decodes (direct
+    // reader) to exactly the kernel's pixels, metadata scaled
+    val rows = Seq(
+      MediaRow(1L, "image", RealCodecs.encodePngGray(px, w, h),
+        w, h, 0, 0, "png"),
+      MediaRow(2L, "image",
+        RealCodecs.encodePngGray(Array.fill(w * h)(200.toByte), w, h),
+        w, h, 0, 0, "png")).toDS()
+    val small = resizeImagesReal(rows, factor = 4).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(small(1L).width === 3 && small(1L).height === 2)
+    val dec = RealCodecs.decodePngGray8(small(1L).payload)
+    assert(dec.width === 3 && dec.height === 2)
+    assert(dec.pixels.toSeq === out.toSeq)
+    assert(RealCodecs.decodePngGray8(small(2L).payload)
+      .pixels.forall(p => (p & 0xff) === 200))
+  }
+
   test("decoded embeddings flow into the similarity operators unchanged") {
     val emb = imageEmbeddings(media.filter(col("kind") === "image"),
         codec = StubCodecs.decodeImage)
