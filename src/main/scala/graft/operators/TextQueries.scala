@@ -857,7 +857,10 @@ object TextQueries {
     val cents = ivfIndex.getOrElseUpdate(sfDir,
       Similarity.trainIvfCentroids(emb, nCentroids = 16, iters = 2,
         trainMod = 2))
+    // persist-before-sort: the range-sampling pass must not re-run the
+    // assignment + pair join (the q43 lesson; output is 3 ints/row)
     Similarity.semDedup(emb, cents, threshold = 0.38)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .orderBy("vec_id")
   }
 
@@ -881,8 +884,11 @@ object TextQueries {
     * cross engines, both absorbed by the 4-decimal round.
     */
   def q108Bm25(spark: SparkSession, sfDir: String): DataFrame =
+    // persist-before-sort: k·|queries| rows, but the sampler would rerun
+    // both corpus scans and the tf shuffle
     TextStats.bm25TopK(Tables.documents(spark, sfDir), Bm25QueryBatch,
         k = 5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .orderBy("query_id", "rank")
 
   /** The q109 mixture config — per-language token budgets, one definition
@@ -909,6 +915,7 @@ object TextQueries {
     graft.textops.Sampling.tokenBudgetMixture(
         Tables.documents(spark, sfDir), stratumCol = "lang",
         budgets = MixtureBudgets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .orderBy("doc_id")
 
   /** Saved MinHash-LSH indexes keyed by corpus dir — built once per
@@ -937,6 +944,7 @@ object TextQueries {
     })
     Dedup.minhashLshAdmit(docs.filter(col("doc_id") % 5 === 0), path)
       .withColumn("est_jaccard", round(col("est_jaccard"), 4))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .orderBy("new_id", "old_id")
   }
 }
