@@ -1294,6 +1294,37 @@ object OracleGen {
      FROM est WHERE ej >= $estThreshold ORDER BY new_id, old_id"""
   }
 
+  /** q113: quantized JL random projection + projected-space top-k — the
+    * quantized plane matrix re-materialized as literals, projections as
+    * integer-exact `list_dot_product`s, and the cosine written as the
+    * SAME `sab/(√saa·√sbb)` composition as Spark's CosineSim: with exact
+    * integer inputs every IEEE rounding is shared, so the ranking is
+    * bit-deterministic across engines (no raw-float seam).
+    */
+  def q113Sql(k: Int = 5, outDim: Int = 16, dims: Int = 64,
+      scale: Int = 64, maxQueryId: Int = 8): String = {
+    val pq = (0 until outDim).map(p => Similarity.hyperplane(p, dims)
+        .map(x => math.floor(x * scale).toString).mkString("[", ", ", "]"))
+      .mkString("[", ",\n       ", "]")
+    s"""WITH consts AS (SELECT $pq::DOUBLE[][] AS pq),
+     e AS (SELECT vec_id AS id, list_transform(embedding::DOUBLE[],
+             x -> CAST(floor(x * $scale) AS DOUBLE)) AS qv
+           FROM embeddings),
+     pj AS (SELECT id, list_transform(range($outDim),
+             p -> list_dot_product(qv, pq[p + 1])) AS v FROM e, consts),
+     sc AS (SELECT q.id AS query_id, c.id AS neighbor_id,
+             list_dot_product(q.v, c.v) /
+               (sqrt(list_dot_product(q.v, q.v)) *
+                sqrt(list_dot_product(c.v, c.v))) AS cs
+            FROM pj q JOIN pj c ON c.id <> q.id
+            WHERE q.id < $maxQueryId),
+     rk AS (SELECT query_id, neighbor_id, cs,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cs DESC, neighbor_id) AS INTEGER) AS rank FROM sc)
+     SELECT query_id, neighbor_id, ROUND(cs, 4) AS cos_sim, rank
+     FROM rk WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
   /** q109: token-budget mixture — the SEMANTIC restatement of
     * [[graft.textops.Sampling.tokenBudgetMixture]]'s two-level prefix:
     * one running-sum window per language over UNSIGNED xxhash64 order

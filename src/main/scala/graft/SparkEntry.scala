@@ -131,6 +131,7 @@ object SparkEntry {
     "q110_snapshot_travel" -> (Relational.q110SnapshotTimeTravel _),
     "q111_incremental_dedup" -> (TextQueries.q111IncrementalDedup _),
     "q112_image_resize"    -> (TextQueries.q112ImageResize _),
+    "q113_random_projection" -> (TextQueries.q113RandomProjection _),
   )
 
   /** The cohort-retention-matrix oracle, shared by q93 (the batch
@@ -609,6 +610,9 @@ object SparkEntry {
     // both populations, pair space restricted to new x existing, index
     // bucket cap applied at build (existing side only, no lower bound).
     "q111_incremental_dedup" -> OracleGen.q111Sql(),
+    // Quantized JL projection: integer-exact components, shared-rounding
+    // cosine — bit-deterministic projected-space ranking.
+    "q113_random_projection" -> OracleGen.q113Sql(),
     // Real resize ground truth: output pixel (o) = floor(mean of its 4x4
     // block) over the q40 tiling; all-integer until the final /64.0.
     "q112_image_resize" ->

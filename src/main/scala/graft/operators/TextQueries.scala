@@ -532,6 +532,26 @@ object TextQueries {
       .orderBy("media_id", "w")
   }
 
+  /** q113: quantized JL random projection + top-k in the PROJECTED space
+    * ([[graft.textops.Similarity.randomProjectQ]]): 64 dims → 16
+    * integer-exact components, then the q31 brute-force top-k runs on the
+    * projections — the compressed-serving shape (ship 16 values, not
+    * 64). Fully deterministic across engines: projections are exact
+    * integers on the quantized grid, and the oracle's cosine is written
+    * as the SAME sab/(√saa·√sbb) composition as CosineSim, so with exact
+    * integer inputs both engines perform identical IEEE roundings — no
+    * raw-float ranking seam at all (stricter than q31's). Recall vs the
+    * unprojected q31 ranking is spec-measured, not gated.
+    */
+  def q113RandomProjection(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = asDouble(Tables.embeddings(spark, sfDir))
+    val proj = Similarity.randomProjectQ(emb, outDim = 16, dims = 64)
+    Similarity.cosineTopK(proj, proj.filter(col("vec_id") < 8), k = 5,
+        vecCol = "proj")
+      .withColumn("cos_sim", round(col("cos_sim"), 4))
+      .orderBy("query_id", "rank")
+  }
+
   /** q112: REAL image RESIZE under the hash gate — the 32×32 tiled gray
     * PNGs of the q40 fixture, box-downscaled 4× by
     * [[graft.multimodal.Multimodal.resizeImagesReal]] (decode through

@@ -217,6 +217,36 @@ object Similarity {
     corpus.select(col(idCol),
       nearestCentroidQ(ivfQuantized(col(vecCol)), cents).as("cid"))
 
+  /** Quantized Johnson–Lindenstrauss random projection: `outDim`
+    * components, component p = ⟨⌊v·scale⌋, ⌊h_p·scale⌋⟩ over the
+    * deterministic [[hyperplane]] matrix — dimensionality reduction as a
+    * pure PROJECTION (no shuffle, no training, no state), the cheap
+    * pre-filter in front of exact/ANN search when 64-float vectors are
+    * too wide to ship. Both the vector and the planes are quantized to
+    * a small integer grid first, so every component is an EXACT integer
+    * in a double (|qv|,|qh| ≤ scale ⇒ |proj| ≤ dims·scale² = 2^18 at the
+    * defaults) and downstream cosine dot/norm sums stay exact too
+    * (≤ outDim·2^36 ≪ 2^53) — rankings can never flip on accumulation
+    * order, the q44/q75 exactness discipline applied to JL. The scale
+    * trades quantization error against that exactness headroom; the
+    * recall spec quantifies the error at the defaults.
+    */
+  def randomProjectQ(corpus: DataFrame, outDim: Int, dims: Int,
+      scale: Int = 64, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(outDim >= 1 && dims >= 1 && scale >= 1)
+    require(dims.toLong * scale * scale * outDim < (1L << 52),
+      s"grid overflow: dims=$dims scale=$scale outDim=$outDim")
+    val qv = transform(col(vecCol),
+      x => floor(x * lit(scale.toDouble)).cast("double"))
+    val comps = (0 until outDim).map { p =>
+      val hq = hyperplane(p, dims)
+        .map(x => math.floor(x * scale)).toArray
+      dot(qv, lit(hq))
+    }
+    corpus.select(col(idCol), array(comps: _*).as("proj"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication by cluster-then-prune — assign every vector to its
     * nearest trained centroid ([[kmeansAssign]] semantics, bit-identical

@@ -160,6 +160,50 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("randomProjectQ: pure projection (no Exchange), integer-exact " +
+      "components, projected top-k keeps useful recall vs unprojected") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val proj = Similarity.randomProjectQ(emb, outDim = 16, dims = 64)
+    val plan = proj.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    val rows = proj.collect()
+    assert(rows.length === emb.count())
+    rows.foreach { r =>
+      val v = r.getSeq[Double](r.fieldIndex("proj"))
+      assert(v.length === 16)
+      v.foreach(x => assert(x == math.rint(x) && math.abs(x) < (1L << 52),
+        s"component not an exact integer: $x"))
+    }
+    // determinism: re-evaluation is bit-identical
+    assert(proj.collect().map(r => r.getSeq[Double](r.fieldIndex("proj"))).toSeq ===
+      rows.map(r => r.getSeq[Double](r.fieldIndex("proj"))).toSeq)
+
+    // recall of projected top-5 vs exact top-5 on the raw vectors. The
+    // synthetic corpus is deliberately NEAR-UNIFORM (max pairwise cosine
+    // ≈ 0.48 — q34's own note), so true neighbor structure is weak and
+    // JL at 16 of 64 dims preserves little of the noise-like ranking;
+    // the bound asserts "far above chance" (chance = 5/(n−1) ≈ 1%), not
+    // production recall — clustered real data is the favorable case.
+    val queries = emb.filter(col("vec_id") < 8)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.cosineTopK(emb, queries, k = 5))
+    val pq = pairs(Similarity.cosineTopK(proj,
+      proj.filter(col("vec_id") < 8), k = 5, vecCol = "proj"))
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    assert(recall >= 0.15, s"projected recall $recall below 0.15 " +
+      "(chance is ~0.01)")
+    // grid overflow guard is loud
+    intercept[IllegalArgumentException] {
+      Similarity.randomProjectQ(emb, outDim = 1 << 20, dims = 64,
+        scale = 1 << 16)
+    }
+  }
+
   test("semDedup: duplicates are exactly the non-id-minimal members of " +
       "within-cluster cosine neighborhoods; caps and thresholds degrade " +
       "to keep-all; the pair join never broadcasts the vector frame") {
