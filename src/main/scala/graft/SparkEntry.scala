@@ -132,6 +132,8 @@ object SparkEntry {
     "q111_incremental_dedup" -> (TextQueries.q111IncrementalDedup _),
     "q112_image_resize"    -> (TextQueries.q112ImageResize _),
     "q113_random_projection" -> (TextQueries.q113RandomProjection _),
+    "q114_unigram_nll"     -> (TextQueries.q114UnigramNll _),
+    "q115_snapshot_diff"   -> (Relational.q115SnapshotDiff _),
   )
 
   /** The cohort-retention-matrix oracle, shared by q93 (the batch
@@ -613,6 +615,32 @@ object SparkEntry {
     // Quantized JL projection: integer-exact components, shared-rounding
     // cosine — bit-deterministic projected-space ranking.
     "q113_random_projection" -> OracleGen.q113Sql(),
+    // Unigram-LM NLL: counts, add-one smoothing, ln scoring and the
+    // weighted mean restated; 4-decimal round absorbs sum-order ulps.
+    "q114_unigram_nll" ->
+      """WITH t AS (SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+           FROM documents),
+         tok AS (SELECT doc_id, term FROM t WHERE term <> ''),
+         tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2),
+         uni AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt
+           FROM tf GROUP BY 1),
+         st AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n,
+             CAST(COUNT(*) AS DOUBLE) AS v FROM uni)
+         SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+           ROUND(SUM(tf.tf * -ln((uni.cnt + 1.0) / (st.n + st.v)))
+             / SUM(tf.tf), 4) AS avg_nll
+         FROM tf JOIN uni USING (term) CROSS JOIN st
+         GROUP BY 1 ORDER BY 1""",
+    // Snapshot diff v1→v2 of the q110 store: v1 holds thirds 0+1, v2
+    // (overwrite) holds third 2 — every row changes, tagged exactly once.
+    "q115_snapshot_diff" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+           CASE WHEN o_orderkey % 3 = 2 THEN 'added' ELSE 'removed' END
+             AS change,
+           CAST(1 AS BIGINT) AS n_rows
+         FROM orders ORDER BY o_orderkey""",
     // Real resize ground truth: output pixel (o) = floor(mean of its 4x4
     // block) over the q40 tiling; all-integer until the final /64.0.
     "q112_image_resize" ->

@@ -1125,4 +1125,21 @@ object Relational {
           .as("cents"))
       .orderBy("o_orderpriority")
   }
+
+  /** q115: snapshot DIFF ([[graft.sources.SnapshotStore.diff]]) — the
+    * change feed between the q110 store's retained versions: v1 (thirds
+    * 0+1 of orders) → v2 (third 2, an overwrite), so every v1 row is
+    * `removed` and every v2 row `added`. The oracle re-derives the full
+    * expected change set straight from `orders` — proving the diff reads
+    * both manifests correctly and the bag-count merge tags every row
+    * exactly once.
+    */
+  def q115SnapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    // ensure the store exists (shares the q110 build, version layout
+    // documented there)
+    q110SnapshotTimeTravel(spark, sfDir).count()
+    graft.sources.SnapshotStore.diff(spark, snapshotRoot(sfDir),
+        from = 1, to = 2)
+      .orderBy("o_orderkey")
+  }
 }

@@ -532,6 +532,19 @@ object TextQueries {
       .orderBy("media_id", "w")
   }
 
+  /** q114: unigram-LM perplexity scoring
+    * ([[graft.textops.TextStats.unigramNll]]) — the CCNet-style quality
+    * signal: per-document mean token NLL under the corpus's own
+    * add-one-smoothed unigram model. DuckDB-oracled END TO END: counts,
+    * smoothing, the ln scoring and the weighted mean are restated; the
+    * per-doc sum runs over its ≤dozens of distinct terms, ulp noise
+    * absorbed by the 4-decimal round (the q66/q108 precedent).
+    */
+  def q114UnigramNll(spark: SparkSession, sfDir: String): DataFrame =
+    TextStats.unigramNll(Tables.documents(spark, sfDir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .orderBy("doc_id")
+
   /** q113: quantized JL random projection + top-k in the PROJECTED space
     * ([[graft.textops.Similarity.randomProjectQ]]): 64 dims → 16
     * integer-exact components, then the q31 brute-force top-k runs on the

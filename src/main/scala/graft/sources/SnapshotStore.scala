@@ -329,4 +329,39 @@ object SnapshotStore {
       manifestPath(root, v)))
     deleted
   }
+
+  // ---------------------------------------------------------------- diff
+
+  /** Row-level snapshot DIFF — the table-format change feed (Delta CDF /
+    * Iceberg changelog, reduced to its core): full rows present in
+    * version `to` but not `from` tagged `added`, the reverse tagged
+    * `removed`; rows in both (bag semantics — per-row multiplicity via a
+    * count aggregate, so n copies → n diff rows when the count changes)
+    * are absent. Plan: one count aggregate per side keyed by the full
+    * row, one full-outer merge on the row struct — both map-side
+    * combining; file pruning means an incremental consumer usually
+    * diffs adjacent versions where most files are SHARED, and shared
+    * files contribute identical counts that cancel.
+    */
+  def diff(spark: SparkSession, root: String, from: Int,
+      to: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val a = read(spark, root, Some(from))
+    val b = read(spark, root, Some(to))
+    require(a.schema == b.schema,
+      s"diff across schema change: v$from=[${a.schema.toDDL}] " +
+        s"v$to=[${b.schema.toDDL}]")
+    val cols = a.columns.toSeq
+    def counted(df: DataFrame, n: String) =
+      df.groupBy(cols.map(col): _*).agg(count(lit(1)).as(n))
+    counted(a, "n_from").join(counted(b, "n_to"), cols, "full_outer")
+      .withColumn("n_from", coalesce(col("n_from"), lit(0L)))
+      .withColumn("n_to", coalesce(col("n_to"), lit(0L)))
+      .filter(col("n_from") =!= col("n_to"))
+      .withColumn("change",
+        when(col("n_to") > col("n_from"), lit("added"))
+          .otherwise(lit("removed")))
+      .withColumn("n_rows", abs(col("n_to") - col("n_from")))
+      .select((cols.map(col) :+ col("change") :+ col("n_rows")): _*)
+  }
 }

@@ -309,6 +309,44 @@ object TextStats {
       .select(col(idCol), col("rank"), col("term"), col("score"))
   }
 
+  /** Unigram language-model negative log-likelihood per document — the
+    * CCNet/C4 perplexity-filter technique (Wenzek et al. 2020 rank web
+    * text by KenLM perplexity; the unigram-with-add-one-smoothing model
+    * here is its simplest deterministic instance, trained on the corpus
+    * itself): token w scores −ln((count(w) + 1)/(N + V)), a document
+    * reports its token count and MEAN token NLL — high avg_nll = rare
+    * vocabulary = boilerplate/garbage under the corpus distribution.
+    * Composable with the mixture/budget/stratified operators as the
+    * ranking signal.
+    *
+    * Shape at scale: one explode → (doc, term) partial-agg [per-doc tf]
+    * → term-keyed join against the unigram table (O(vocabulary), NOT
+    * broadcast — the tfidf df-table rule) → per-doc weighted sum. The
+    * scalar (N, V) pair rides an in-plan broadcast. Only (id, term)
+    * pairs cross exchanges; text never does.
+    */
+  def unigramNll(docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text")
+      : org.apache.spark.sql.DataFrame = {
+    val toks = docs
+      .select(col(idCol), words(col(textCol)).as("ws"))
+      .select(col(idCol), explode(col("ws")).as("term"))
+      .where(col("term") =!= "")
+    val tf = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val uni = tf.groupBy("term").agg(sum("tf").as("cnt"))
+    val stats = uni.agg(sum(col("cnt")).cast("double").as("graft_n"),
+      count(lit(1)).cast("double").as("graft_v"))
+    tf.join(uni, "term")
+      .crossJoin(broadcast(stats))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        round(
+          sum(col("tf") * -log((col("cnt") + lit(1.0)) /
+            (col("graft_n") + col("graft_v")))) / sum(col("tf")),
+          4).as("avg_nll"))
+  }
+
   /** BM25 top-k retrieval (Robertson & Zaragoza 2009, the Lucene
     * `ln(1 + (N − df + 0.5)/(df + 0.5))` idf variant — always positive):
     * score every document against a small literal query batch and return

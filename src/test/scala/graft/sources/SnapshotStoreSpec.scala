@@ -124,4 +124,40 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(cur.count() === 0)
     assert(cur.schema.fieldNames.toSeq === Seq("id", "s"))
   }
+
+  test("diff: added/removed/unchanged with bag multiplicity; schema " +
+      "change fails loudly") {
+    val root = freshRoot()
+    // v0: a, b, c, c (c twice); v1 appends d and ANOTHER c;
+    // v2 overwrite: b, c (one), e
+    SnapshotStore.commitOverwrite(
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (3L, "c")).toDF("id", "s"), root)
+    SnapshotStore.commitAppend(
+      Seq((4L, "d"), (3L, "c")).toDF("id", "s"), root)
+    SnapshotStore.commitOverwrite(
+      Seq((2L, "b"), (3L, "c"), (5L, "e")).toDF("id", "s"), root)
+    def diffSet(from: Int, to: Int) =
+      SnapshotStore.diff(spark, root, from, to).collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[String]("s"),
+          r.getAs[String]("change"), r.getAs[Long]("n_rows"))).toSet
+    // v0 -> v1: only the appended rows appear; c's multiplicity 2 -> 3
+    assert(diffSet(0, 1) === Set(
+      (4L, "d", "added", 1L), (3L, "c", "added", 1L)))
+    // v1 -> v2: a gone, c 3 -> 1 (removed x2), d gone, e new, b unchanged
+    assert(diffSet(1, 2) === Set(
+      (1L, "a", "removed", 1L), (3L, "c", "removed", 2L),
+      (4L, "d", "removed", 1L), (5L, "e", "added", 1L)))
+    // reversed direction flips the tags
+    assert(diffSet(2, 1).map(_._3) === Set("added", "removed"))
+    assert(diffSet(2, 1).count(_._3 == "added") === 3)
+    // identical versions diff empty
+    assert(SnapshotStore.diff(spark, root, 2, 2).isEmpty)
+    // schema change across versions is a loud error
+    val root2 = freshRoot()
+    SnapshotStore.commitOverwrite(Seq((1L, "a")).toDF("id", "s"), root2)
+    SnapshotStore.commitOverwrite(Seq(1L).toDF("id"), root2)
+    intercept[IllegalArgumentException] {
+      SnapshotStore.diff(spark, root2, 0, 1)
+    }
+  }
 }

@@ -805,6 +805,38 @@ class TextOpsSpec extends SparkSpec {
     assert(plan.contains("ShuffledHashJoin"), plan)
   }
 
+  test("unigramNll matches a hand-rolled add-one unigram model; rare " +
+      "vocabulary scores higher NLL than common") {
+    val corpus = Seq(
+      (1L, "the cat and the dog"),
+      (2L, "the cat"),
+      (3L, "zyzzyva qwerty"),      // rare vocabulary -> high NLL
+      (4L, "   "))                 // whitespace-only -> absent
+      .toDF("doc_id", "text")
+    val got = TextStats.unigramNll(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("avg_nll"))).toMap
+    val toks = Map(1L -> Seq("the", "cat", "and", "the", "dog"),
+      2L -> Seq("the", "cat"), 3L -> Seq("zyzzyva", "qwerty"))
+    val counts = toks.values.flatten.groupBy(identity)
+      .map { case (w, ws) => w -> ws.size }
+    val n = counts.values.sum.toDouble
+    val v = counts.size.toDouble
+    def nll(id: Long): Double = {
+      val ts = toks(id)
+      val s = ts.map(w => -math.log((counts(w) + 1.0) / (n + v))).sum
+      math.rint(s / ts.size * 10000.0) / 10000.0
+    }
+    assert(got.keySet === Set(1L, 2L, 3L),
+      "tokenless docs must be absent")
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(got(id)._1 === toks(id).size.toLong, s"doc $id tokens")
+      assert(math.abs(got(id)._2 - nll(id)) < 1e-9, s"doc $id nll")
+    }
+    assert(got(3L)._2 > got(1L)._2,
+      "rare vocabulary must score higher NLL than common")
+  }
+
   test("bm25TopK matches a hand-rolled BM25 and ranks without a window") {
     val corpus = Seq(
       (1L, "quick fox and quick dog"),
