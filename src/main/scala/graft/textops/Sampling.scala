@@ -166,6 +166,13 @@ object Sampling {
     * `cum_before(bucket) + cum_within ≤ budget` — exactly the global
     * prefix rule, proven against the one-window oracle restatement.
     *
+    * Degenerate edge, part of the contract: a budget-0 (or absent)
+    * stratum keeps NOTHING — including its zero-token documents, which
+    * a bare `running_total ≤ 0` window rule would admit. (The q109
+    * oracle's window restatement is equivalent on any corpus whose
+    * documents tokenize non-empty, which TESTDATA.md's do; the property
+    * spec pins the operator's drop-entirely semantics directly.)
+    *
     * Returns (idCol, stratumCol, n_tokens) for every kept document.
     */
   def tokenBudgetMixture(df: DataFrame, stratumCol: String,

@@ -183,4 +183,78 @@ class TextPropertySpec extends SparkSpec {
       got.map(_.toSeq).toSeq == expected.map(_.toSeq).toSeq
     })
   }
+
+  test("tokenBudgetMixture: kept set is ALWAYS the exact maximal " +
+      "unsigned-hash-order prefix, for arbitrary corpora and budgets") {
+    import org.apache.spark.sql.functions.xxhash64
+    val genRow = for {
+      id <- Gen.chooseNum(0L, 999L)
+      lang <- Gen.oneOf("aa", "bb", "cc")
+      nTok <- Gen.chooseNum(0, 9)
+    } yield (id, lang, Seq.fill(nTok)("w").mkString(" "))
+    val genBudget = Gen.mapOf(Gen.zip(Gen.oneOf("aa", "bb", "cc", "dd"),
+      Gen.chooseNum(0L, 40L)))
+    check("token-budget-prefix",
+      Prop.forAll(Gen.listOfN(40, genRow), genBudget) { (rows0, budgets) =>
+        val rows = rows0.distinctBy(_._1) // unique doc ids
+        val df = rows.toDF("doc_id", "lang", "text")
+        val got = Sampling
+          .tokenBudgetMixture(df, "lang", budgets, logBuckets = 2)
+          .collect().map(r => r.getAs[Long]("doc_id")).toSet
+        val hashed = df.select(col("doc_id"), col("lang"),
+            TextStats.tokenCount(col("text")).cast("long").as("n"),
+            xxhash64(col("doc_id")).as("h")).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+            r.getLong(3)))
+        // contract: budget-0/absent strata are dropped ENTIRELY — even
+        // their zero-token docs, which a bare `cum <= 0` window rule
+        // would keep (this property originally used that rule and
+        // caught the divergence)
+        val want = hashed.groupBy(_._2).toSeq.flatMap { case (l, rs) =>
+          val budget = budgets.getOrElse(l, 0L)
+          if (budget <= 0L) Nil
+          else {
+            var cum = 0L
+            rs.sortBy { case (id, _, _, h) => (h ^ Long.MinValue, id) }
+              .flatMap { case (id, _, n, _) =>
+                cum += n; if (cum <= budget) Some(id) else None
+              }
+          }
+        }.toSet
+        got == want
+      })
+  }
+
+  test("semDedup: kept set is exactly the id-minimal elements of " +
+      "within-cluster cosine neighborhoods on arbitrary small corpora") {
+    val genVec = Gen.listOfN(4, Gen.chooseNum(-1.0, 1.0))
+      .map(_.toArray).suchThat(v => v.exists(_ != 0.0))
+    check("semdedup-survivors",
+      Prop.forAll(Gen.listOfN(10, genVec), Gen.chooseNum(0.1, 0.9)) {
+        (vecs0, tau) =>
+          val vecs = vecs0.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          val df = vecs.toDF("vec_id", "embedding")
+          val cents = Similarity.trainIvfCentroids(df, nCentroids = 3,
+            iters = 1)
+          val asg = Similarity.kmeansAssign(df, cents).collect()
+            .map(r => r.getLong(0) -> r.getInt(1)).toMap
+          def cos(a: Array[Double], b: Array[Double]): Double = {
+            val sab = a.indices.map(i => a(i) * b(i)).sum
+            val na = math.sqrt(a.map(x => x * x).sum)
+            val nb = math.sqrt(b.map(x => x * x).sum)
+            sab / (na * nb)
+          }
+          val byId = vecs.toMap
+          val wantDup = vecs.map(_._1).filter(idB =>
+            vecs.map(_._1).exists(idA => idA < idB &&
+              asg(idA) == asg(idB) &&
+              cos(byId(idA), byId(idB)) >= tau)).toSet
+          val got = Similarity.semDedup(df, cents, threshold = tau)
+            .collect()
+            .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("kept"))
+            .toMap
+          vecs.map(_._1).forall(id =>
+            got(id) == (if (wantDup(id)) 0 else 1))
+      })
+  }
 }
