@@ -354,9 +354,18 @@ object SnapshotStore {
     val cols = a.columns.toSeq
     def counted(df: DataFrame, n: String) =
       df.groupBy(cols.map(col): _*).agg(count(lit(1)).as(n))
-    counted(a, "n_from").join(counted(b, "n_to"), cols, "full_outer")
-      .withColumn("n_from", coalesce(col("n_from"), lit(0L)))
-      .withColumn("n_to", coalesce(col("n_to"), lit(0L)))
+    // NULL-SAFE merge: a plain equi/USING join treats null ≠ null, so a
+    // row with a null field present in both versions would surface as
+    // BOTH removed and added — the merge must use <=> per column (rows
+    // with null fields are still one grouped identity on each side)
+    val l = counted(a, "n_from").as("l")
+    val r = counted(b, "n_to").as("r")
+    val cond = cols.map(c => col(s"l.$c") <=> col(s"r.$c"))
+      .reduce(_ && _)
+    l.join(r, cond, "full_outer")
+      .select((cols.map(c => coalesce(col(s"l.$c"), col(s"r.$c")).as(c)) ++
+        Seq(coalesce(col("n_from"), lit(0L)).as("n_from"),
+          coalesce(col("n_to"), lit(0L)).as("n_to"))): _*)
       .filter(col("n_from") =!= col("n_to"))
       .withColumn("change",
         when(col("n_to") > col("n_from"), lit("added"))

@@ -237,14 +237,20 @@ object Similarity {
     require(outDim >= 1 && dims >= 1 && scale >= 1)
     require(dims.toLong * scale * scale * outDim < (1L << 52),
       s"grid overflow: dims=$dims scale=$scale outDim=$outDim")
-    val qv = transform(col(vecCol),
-      x => floor(x * lit(scale.toDouble)).cast("double"))
+    // quantize ONCE through its own projection: referencing the transform
+    // expression from all outDim dot components would inline (and
+    // re-evaluate) it outDim times per row — CollapseProject declines to
+    // merge the two projections precisely because qv is multiply
+    // referenced and non-cheap
+    val quantized = corpus.select(col(idCol),
+      transform(col(vecCol),
+        x => floor(x * lit(scale.toDouble)).cast("double")).as("graft_qv"))
     val comps = (0 until outDim).map { p =>
       val hq = hyperplane(p, dims)
         .map(x => math.floor(x * scale)).toArray
-      dot(qv, lit(hq))
+      dot(col("graft_qv"), lit(hq))
     }
-    corpus.select(col(idCol), array(comps: _*).as("proj"))
+    quantized.select(col(idCol), array(comps: _*).as("proj"))
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic

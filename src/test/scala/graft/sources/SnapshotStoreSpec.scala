@@ -152,6 +152,20 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(diffSet(2, 1).count(_._3 == "added") === 3)
     // identical versions diff empty
     assert(SnapshotStore.diff(spark, root, 2, 2).isEmpty)
+    // null fields: a row with a null column present in BOTH versions is
+    // unchanged (null-safe merge) — a plain equi-join would emit it as
+    // both removed and added
+    val root3 = freshRoot()
+    SnapshotStore.commitOverwrite(
+      Seq((1L, Option.empty[String]), (2L, Some("x")))
+        .toDF("id", "s"), root3)
+    SnapshotStore.commitOverwrite(
+      Seq((1L, Option.empty[String]), (3L, Some("y")))
+        .toDF("id", "s"), root3)
+    val nd = SnapshotStore.diff(spark, root3, 0, 1).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("change"))).toSet
+    assert(nd === Set((2L, "removed"), (3L, "added")),
+      s"null-field row must be unchanged, got $nd")
     // schema change across versions is a loud error
     val root2 = freshRoot()
     SnapshotStore.commitOverwrite(Seq((1L, "a")).toDF("id", "s"), root2)
