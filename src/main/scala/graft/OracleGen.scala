@@ -1205,8 +1205,11 @@ object OracleGen {
     * links, both absorbed by ROUND(…, 4) before ranking.
     */
   def q108Sql(k: Int = 5, k1: Double = 1.2, b: Double = 0.75): String = {
+    // mirror bm25TopK's term normalization (lowercase), and escape the
+    // SQL literal so a term containing a quote cannot break the VALUES
     val vals = graft.operators.TextQueries.Bm25QueryBatch
-      .flatMap { case (qid, ts) => ts.distinct.map(t => s"($qid, '$t')") }
+      .flatMap { case (qid, ts) => ts.map(_.toLowerCase).distinct
+        .map(t => s"($qid, '${t.replace("'", "''")}')") }
       .mkString(", ")
     s"""WITH q(query_id, term) AS (VALUES $vals),
      tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)),

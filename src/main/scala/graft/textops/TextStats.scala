@@ -374,10 +374,15 @@ object TextStats {
       : org.apache.spark.sql.DataFrame = {
     require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
       "queries must be a non-empty batch of non-empty term lists")
+    // the tokenizer lowercases ([[words]]), so an uppercase query term
+    // would silently match NOTHING — normalize here instead of failing
+    // the user
+    val norm = queries.map { case (qid, ts) =>
+      qid -> ts.map(_.toLowerCase) }
     val spark = docs.sparkSession
     import spark.implicits._
-    val qTerms = queries.flatMap(_._2).distinct
-    val q = broadcast(queries
+    val qTerms = norm.flatMap(_._2).distinct
+    val q = broadcast(norm
       .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
       .toDF("query_id", "term"))
     val stats = docs.agg(
