@@ -219,6 +219,24 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set(thresholdKey, prior)
   }
 
+  test("q114 unigram NLL: the vocabulary join carries no forced " +
+      "broadcast — same web-scale-vocabulary rule as q67's df table") {
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prior = spark.conf.get(thresholdKey)
+    spark.conf.set(thresholdKey, "-1")
+    try {
+      val plan = finalPlan(graft.textops.TextStats.unigramNll(docs))
+      // only the one-row (N, V) scalar is explicitly broadcast; the
+      // O(vocabulary) unigram table must degrade to a shuffle join
+      val bcasts = plan.collect { case b: BroadcastExchangeExec => b }
+      assert(bcasts.size == 1, s"expected only the scalar-stats " +
+        s"broadcast, got ${bcasts.size}:\n$plan")
+    } finally spark.conf.set(thresholdKey, prior)
+  }
+
   test("q93 retention scans prune events to (user_id, ts) on every branch") {
     val cols = scanColumns(finalPlan(Relational.q93Retention(spark, sf)))
     assert(cols.nonEmpty &&
