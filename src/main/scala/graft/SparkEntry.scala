@@ -134,6 +134,9 @@ object SparkEntry {
     "q113_random_projection" -> (TextQueries.q113RandomProjection _),
     "q114_unigram_nll"     -> (TextQueries.q114UnigramNll _),
     "q115_snapshot_diff"   -> (Relational.q115SnapshotDiff _),
+    "q116_schema_evolution" -> (Relational.q116SchemaEvolution _),
+    "q117_change_feed"     -> (Relational.q117ChangeFeed _),
+    "q118_optimize"        -> (Relational.q118Optimize _),
   )
 
   /** The cohort-retention-matrix oracle, shared by q93 (the batch
@@ -641,6 +644,42 @@ object SparkEntry {
              AS change,
            CAST(1 AS BIGINT) AS n_rows
          FROM orders ORDER BY o_orderkey""",
+    // Schema evolution: v0 = narrow third 0, v1 = evolve-append third 1
+    // carrying o_totalprice — current read backfills v0's price as NULL
+    // off the OLD parquet files, so only third-1 rows can be priced.
+    "q116_schema_evolution" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+           CAST(COUNT(CASE WHEN o_orderkey % 3 = 1 THEN 1 END) AS BIGINT)
+             AS n_priced,
+           CAST(SUM(CASE WHEN o_orderkey % 3 = 1
+               THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END)
+             AS BIGINT) AS cents
+         FROM orders WHERE o_orderkey % 3 IN (0, 1)
+         GROUP BY 1 ORDER BY 1""",
+    // Change feed over v0 overwrite / v1 append / v2 overwrite: third 1
+    // added at version 1; thirds 0+1 removed and third 2 added at
+    // version 2 — every row tagged exactly once with its commit.
+    "q117_change_feed" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice, change,
+           CAST(1 AS BIGINT) AS n_rows, version FROM (
+           SELECT o_orderkey, o_orderpriority, o_totalprice,
+             'added' AS change, 1 AS version
+           FROM orders WHERE o_orderkey % 3 = 1
+           UNION ALL
+           SELECT o_orderkey, o_orderpriority, o_totalprice,
+             'removed', 2 FROM orders WHERE o_orderkey % 3 IN (0, 1)
+           UNION ALL
+           SELECT o_orderkey, o_orderpriority, o_totalprice,
+             'added', 2 FROM orders WHERE o_orderkey % 3 = 2)
+         ORDER BY version, o_orderkey, change""",
+    // OPTIMIZE: content-hash invariance through the compaction rewrite —
+    // the oracle is the pre-optimize content (thirds 0+1), recomputed.
+    "q118_optimize" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+         FROM orders WHERE o_orderkey % 3 IN (0, 1)
+         GROUP BY 1 ORDER BY 1""",
     // Real resize ground truth: output pixel (o) = floor(mean of its 4x4
     // block) over the q40 tiling; all-integer until the final /64.0.
     "q112_image_resize" ->

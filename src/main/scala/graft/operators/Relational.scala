@@ -1142,4 +1142,121 @@ object Relational {
         from = 1, to = 2)
       .orderBy("o_orderkey")
   }
+
+  /** q116: snapshot SCHEMA EVOLUTION with NULL backfill
+    * ([[graft.sources.SnapshotStore.commitAppendEvolve]]) — the
+    * reference's own migration semantics (migrate.py:89-94 back-fills
+    * absent columns as NULL) lifted into the ACID layer: v0 overwrites
+    * in a NARROW projection (key + priority) of one third of `orders`;
+    * v1 appends the second third carrying an ADDITIONAL `o_totalprice`
+    * column. The current read sees the evolved 3-column schema, with the
+    * v0 rows' new column backfilled NULL straight off the old parquet
+    * files (by-name resolution — no rewrite). The gate aggregates
+    * n_orders / n_priced / cents per priority; the oracle re-derives
+    * which rows can carry a price (third 1 only) from `orders` itself —
+    * equality proves the merged schema, the backfill, and that evolution
+    * rewrote nothing.
+    */
+  private val evolveRoot =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def q116SchemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = evolveRoot.getOrElseUpdate(sfDir, {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-snapevolve-").toString
+      val o = Tables.orders(spark, sfDir)
+      SnapshotStore.commitOverwrite(
+        o.filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"), col("o_orderpriority")), dir) // v0
+      SnapshotStore.commitAppendEvolve(
+        o.filter(col("o_orderkey") % 3 === 1)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice")), dir)                             // v1
+      // time travel stays pinned to the NARROW schema — loud here, not
+      // just in the spec (a widened v0 read would break the gate anyway
+      // via the n_priced count, but this failure names the cause)
+      require(SnapshotStore.read(spark, dir, Some(0)).columns.toSeq ==
+        Seq("o_orderkey", "o_orderpriority"),
+        "evolution must not widen earlier snapshots")
+      dir
+    })
+    SnapshotStore.read(spark, root)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        count(col("o_totalprice")).as("n_priced"),
+        sum(round(col("o_totalprice") * lit(100)).cast("long"))
+          .as("cents"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** q117: snapshot CHANGE FEED ([[graft.sources.SnapshotStore
+    * .changeFeed]]) — the incremental-consumer read path: per-commit
+    * diffs of every adjacent version pair, each row tagged with the
+    * version that introduced it. Store: v0 overwrite (third 0), v1
+    * append (third 1), v2 overwrite (third 2) — so the feed must show
+    * third 1 `added` at version 1, then thirds 0+1 `removed` and third 2
+    * `added` at version 2, every row exactly once. The oracle re-derives
+    * the whole feed from `orders`; SnapshotStreamSpec proves the
+    * telescoping contract (collapseFeed(feed) == endpoint diff) and the
+    * STREAMING write side (each micro-batch one version, replay-proof).
+    */
+  private val feedRoot =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def q117ChangeFeed(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = feedRoot.getOrElseUpdate(sfDir, {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-snapfeed-").toString
+      val o = Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"))
+      SnapshotStore.commitOverwrite(o.filter(col("o_orderkey") % 3 === 0), dir)
+      SnapshotStore.commitAppend(o.filter(col("o_orderkey") % 3 === 1), dir)
+      SnapshotStore.commitOverwrite(o.filter(col("o_orderkey") % 3 === 2), dir)
+      dir
+    })
+    SnapshotStore.changeFeed(spark, root, from = 0, to = 2)
+      .orderBy("version", "o_orderkey", "change")
+  }
+
+  /** q118: OPTIMIZE/compaction through the hash gate
+    * ([[graft.sources.SnapshotStore.optimize]]) — the lakehouse
+    * small-file rewrite: v0 overwrite + v1 append land the usual many
+    * small files; OPTIMIZE (z-order clustered on the key) rewrites them
+    * into ONE file as v2 with bit-identical content. The gate reads the
+    * OPTIMIZED snapshot and aggregates exactly like q110, against the
+    * SAME oracle — equality proves content-hash invariance through the
+    * rewrite; the builder asserts the file-count drop loudly, and
+    * SnapshotStoreSpec covers pinned-reader isolation + vacuum
+    * eligibility of the replaced files.
+    */
+  private val optimizeRoot =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def q118Optimize(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = optimizeRoot.getOrElseUpdate(sfDir, {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-snapopt-").toString
+      val o = Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"))
+      SnapshotStore.commitOverwrite(o.filter(col("o_orderkey") % 3 === 0), dir)
+      SnapshotStore.commitAppend(o.filter(col("o_orderkey") % 3 === 1), dir)
+      val before = SnapshotStore.snapshot(dir).get.files.size
+      SnapshotStore.optimize(spark, dir, targetFiles = 1)
+      val after = SnapshotStore.snapshot(dir).get.files.size
+      require(after == 1 && after < before,
+        s"optimize must compact the file list ($before -> $after)")
+      dir
+    })
+    SnapshotStore.read(spark, root) // current = the optimized snapshot
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * lit(100)).cast("long"))
+          .as("cents"))
+      .orderBy("o_orderpriority")
+  }
 }

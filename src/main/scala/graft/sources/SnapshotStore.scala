@@ -56,10 +56,12 @@ import org.apache.spark.sql.types.StructType
 object SnapshotStore {
 
   /** One snapshot's facts: version, the files it references (relative to
-    * the table root), the schema DDL, and the parent version (-1 for the
-    * first). */
+    * the table root), the schema DDL, the parent version (-1 for the
+    * first), and an optional writer TRANSACTION id ("" = none) — the
+    * Delta-`txn`-action pattern a replayed streaming micro-batch uses to
+    * make its commit idempotent ([[commitAppendOnce]]). */
   final case class Manifest(version: Int, base: Int, schemaDdl: String,
-      files: Seq[String])
+      files: Seq[String], txn: String = "")
 
   private def manifestDir(root: String): Path =
     Paths.get(root, "_manifests")
@@ -111,6 +113,7 @@ object SnapshotStore {
   private def render(m: Manifest): String = {
     val fs = m.files.map(f => "\"" + esc(f) + "\"").mkString(",")
     s"""{"version":${m.version},"base":${m.base},""" +
+      s""""txn":"${esc(m.txn)}",""" +
       s""""schema":"${esc(m.schemaDdl)}","files":[$fs]}"""
   }
 
@@ -131,7 +134,11 @@ object SnapshotStore {
       .getOrElse(sys.error(s"manifest missing files: $s")).group(1)
     val files = strLit.r.findAllMatchIn(filesBlob).map(m =>
       unesc(m.group(1))).toSeq
-    Manifest(intField("version"), intField("base"), unesc(schema), files)
+    // txn is OPTIONAL (manifests written before the field existed parse
+    // to "" — no retroactive meaning, just absence)
+    val txn = (s""""txn":$strLit""").r.findFirstMatchIn(s)
+      .map(m => unesc(m.group(1))).getOrElse("")
+    Manifest(intField("version"), intField("base"), unesc(schema), files, txn)
   }
 
   // ------------------------------------------------------------- resolve
@@ -274,6 +281,153 @@ object SnapshotStore {
     sys.error(s"commitAppend lost $MaxRetries version races under $root")
   }
 
+  /** IDEMPOTENT append — the Delta `txn` action pattern for exactly-once
+    * streaming sinks: if any RETAINED manifest already carries `txn`, the
+    * commit is a no-op returning None (a replayed micro-batch after a
+    * sink crash); otherwise appends with the txn recorded in the new
+    * manifest. The idempotency horizon is the manifest retention horizon
+    * ([[vacuum]]'s keepVersions) — the same contract Delta documents for
+    * its txn retention: replays older than retention are not deduped.
+    * Safe against REPLAYS (sequential by construction — a streaming query
+    * never races itself), not against two live writers sharing a txn id.
+    */
+  def commitAppendOnce(df: DataFrame, root: String,
+      txn: String): Option[Int] = {
+    require(txn.nonEmpty, "txn id must be non-empty")
+    if (versions(root).exists(v => snapshot(root, Some(v)).get.txn == txn))
+      None
+    else Some(commitAppendTagged(df, root, txn))
+  }
+
+  /** [[commitAppend]] with a txn tag on the published manifest — kept
+    * private; the public idempotent door is [[commitAppendOnce]]. */
+  private def commitAppendTagged(df: DataFrame, root: String,
+      txn: String): Int = {
+    val files = writeData(df, root)
+    val ddl = df.schema.toDDL
+    var attempt = 0
+    while (attempt < MaxRetries) {
+      val cur = snapshot(root)
+      cur.foreach(m => require(m.schemaDdl == ddl,
+        s"append schema mismatch: table has [${m.schemaDdl}], " +
+          s"append has [$ddl]"))
+      val base = cur.map(_.version).getOrElse(-1)
+      val baseFiles = cur.map(_.files).getOrElse(Seq.empty)
+      if (publish(root,
+          Manifest(base + 1, base, ddl, baseFiles ++ files, txn)))
+        return base + 1
+      attempt += 1
+    }
+    sys.error(s"commitAppendOnce lost $MaxRetries version races under $root")
+  }
+
+  // --------------------------------------------------- schema evolution
+
+  /** Union of a table schema and an incoming batch schema, for
+    * add-column-with-NULL-backfill evolution (the reference's own
+    * migration semantics — `/root/reference/migrate.py:89-94` back-fills
+    * absent columns as NULL). Result = the table's columns in their
+    * order, then incoming-only columns in theirs. A column present on
+    * BOTH sides must carry the identical data type (type CHANGES are not
+    * evolution — loud error); any column absent from either side becomes
+    * nullable, because null backfill makes nulls observable. */
+  private[graft] def mergeSchemas(table: StructType,
+      incoming: StructType): StructType = {
+    val inByName = incoming.fields.map(f => f.name -> f).toMap
+    val tabNames = table.fieldNames.toSet
+    val evolved = table.fields.map { tf =>
+      inByName.get(tf.name) match {
+        case Some(inf) =>
+          require(inf.dataType == tf.dataType,
+            s"schema evolution cannot change a column type: " +
+              s"${tf.name} is ${tf.dataType.sql}, incoming has " +
+              s"${inf.dataType.sql}")
+          tf.copy(nullable = tf.nullable || inf.nullable)
+        case None => tf.copy(nullable = true) // backfilled on the append
+      }
+    }
+    val added = incoming.fields.filterNot(f => tabNames(f.name))
+      .map(_.copy(nullable = true)) // backfilled on every earlier file
+    StructType(evolved ++ added)
+  }
+
+  /** APPEND with SCHEMA EVOLUTION: like [[commitAppend]], but the new
+    * snapshot's schema is the UNION of the table's and the batch's —
+    * columns the batch adds are read as NULL from every earlier data
+    * file (parquet by-name resolution backfills them for free), and
+    * columns the batch is missing are written as NULL literals (the
+    * reference's migrate semantics). Earlier versions remain pinned to
+    * their own manifests' narrower schema: time travel never widens.
+    * Type changes fail loudly — evolution is add-column only. */
+  def commitAppendEvolve(df: DataFrame, root: String): Int = {
+    import org.apache.spark.sql.functions.{col, lit}
+    var attempt = 0
+    var written: Option[(String, Seq[String])] = None // merged DDL -> files
+    while (attempt < MaxRetries) {
+      val cur = snapshot(root)
+      val merged = cur match {
+        case Some(m) => mergeSchemas(StructType.fromDDL(m.schemaDdl), df.schema)
+        case None    => df.schema
+      }
+      val ddl = merged.toDDL
+      // data files are written once per distinct merged schema; a lost
+      // race against a same-schema winner reuses them (appends commute)
+      val files = written match {
+        case Some((d, fs)) if d == ddl => fs
+        case _ =>
+          val dfNames = df.columns.toSet
+          val aligned = df.select(merged.fields.toSeq.map { f =>
+            if (dfNames(f.name)) col(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }: _*)
+          val fs = writeData(aligned, root)
+          written = Some((ddl, fs)); fs
+      }
+      val base = cur.map(_.version).getOrElse(-1)
+      val baseFiles = cur.map(_.files).getOrElse(Seq.empty)
+      if (publish(root, Manifest(base + 1, base, ddl, baseFiles ++ files)))
+        return base + 1
+      attempt += 1
+    }
+    sys.error(s"commitAppendEvolve lost $MaxRetries version races under $root")
+  }
+
+  // ------------------------------------------------ optimize (compaction)
+
+  /** OPTIMIZE: rewrite the CURRENT snapshot's rows into `targetFiles`
+    * fresh data files (optionally z-order clustered over `zorderBy` via
+    * [[graft.operators.Layout.zOrder]]) and commit the rewrite as a new
+    * version with BIT-IDENTICAL content — the lakehouse compaction
+    * action. The old small files stay referenced by earlier manifests
+    * (pinned readers are untouched) and become [[vacuum]]-eligible once
+    * those versions age out. Concurrency: compaction is read-modify-
+    * write, so on losing the version race the whole rewrite RESTARTS
+    * from the new current snapshot (never publishing a compaction of a
+    * stale base — that would silently drop the interleaved commit); the
+    * abandoned attempt's files are unreachable scratch that vacuum
+    * sweeps. Returns the committed version. */
+  def optimize(spark: SparkSession, root: String, targetFiles: Int = 1,
+      zorderBy: Seq[String] = Nil): Int = {
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    var attempt = 0
+    while (attempt < MaxRetries) {
+      val cur = snapshot(root).getOrElse(
+        sys.error(s"optimize of a table with no commits under $root"))
+      val df = read(spark, root, Some(cur.version))
+      val rewritten =
+        if (zorderBy.nonEmpty)
+          graft.operators.Layout.zOrder(df, zorderBy,
+            partitions = targetFiles).drop("zkey")
+        else df.repartition(targetFiles)
+      val files = writeData(rewritten, root)
+      if (publish(root,
+          Manifest(cur.version + 1, cur.version, cur.schemaDdl, files)))
+        return cur.version + 1
+      attempt += 1
+    }
+    sys.error(s"optimize lost $MaxRetries version races under $root")
+  }
+
   // -------------------------------------------------------------- vacuum
 
   /** Delete data files unreachable from the newest `keepVersions`
@@ -343,14 +497,40 @@ object SnapshotStore {
     * diffs adjacent versions where most files are SHARED, and shared
     * files contribute identical counts that cancel.
     */
-  def diff(spark: SparkSession, root: String, from: Int,
-      to: Int): DataFrame = {
+  /** How [[diff]] treats a schema change between the two versions:
+    * [[SchemaChange.Error]] (default) fails loudly; [[SchemaChange.Common]]
+    * aligns both sides on their COMMON projection (columns present in
+    * both with the identical type, in the `from` version's order) — the
+    * caller's explicit acknowledgement that rows equal on the shared
+    * columns cancel even where the evolved column differs. */
+  sealed trait SchemaChange
+  object SchemaChange {
+    case object Error extends SchemaChange
+    case object Common extends SchemaChange
+  }
+
+  def diff(spark: SparkSession, root: String, from: Int, to: Int,
+      onSchemaChange: SchemaChange = SchemaChange.Error): DataFrame = {
     import org.apache.spark.sql.functions._
-    val a = read(spark, root, Some(from))
-    val b = read(spark, root, Some(to))
-    require(a.schema == b.schema,
-      s"diff across schema change: v$from=[${a.schema.toDDL}] " +
-        s"v$to=[${b.schema.toDDL}]")
+    val a0 = read(spark, root, Some(from))
+    val b0 = read(spark, root, Some(to))
+    val (a, b) =
+      if (a0.schema == b0.schema) (a0, b0)
+      else onSchemaChange match {
+        case SchemaChange.Error =>
+          throw new IllegalArgumentException(
+            s"diff across schema change: v$from=[${a0.schema.toDDL}] " +
+              s"v$to=[${b0.schema.toDDL}] (pass SchemaChange.Common to " +
+              "align on the shared columns)")
+        case SchemaChange.Common =>
+          val bTypes = b0.schema.fields.map(f => f.name -> f.dataType).toMap
+          val shared = a0.schema.fields.toSeq.collect {
+            case f if bTypes.get(f.name).contains(f.dataType) => f.name
+          }
+          require(shared.nonEmpty,
+            s"diff v$from..v$to: no common columns to align on")
+          (a0.select(shared.map(col): _*), b0.select(shared.map(col): _*))
+      }
     val cols = a.columns.toSeq
     def counted(df: DataFrame, n: String) =
       df.groupBy(cols.map(col): _*).agg(count(lit(1)).as(n))
@@ -372,5 +552,45 @@ object SnapshotStore {
           .otherwise(lit("removed")))
       .withColumn("n_rows", abs(col("n_to") - col("n_from")))
       .select((cols.map(col) :+ col("change") :+ col("n_rows")): _*)
+  }
+
+  // --------------------------------------------------------- change feed
+
+  /** Incremental CHANGE FEED: the per-commit diffs of every adjacent
+    * version pair in `(from, to]`, unioned, each row tagged with the
+    * `version` whose commit introduced it — what a downstream
+    * incremental consumer reads instead of rescanning the table. An
+    * adjacent-version diff prunes to the files the commit touched
+    * (shared files contribute cancelling counts), so consuming the feed
+    * costs O(changed data), not O(table). The feed REFINES the endpoint
+    * diff: [[collapseFeed]] of this frame equals
+    * `diff(root, from, to)` by construction (signed multiplicities
+    * telescope), which is the gate/spec contract. */
+  def changeFeed(spark: SparkSession, root: String, from: Int, to: Int,
+      onSchemaChange: SchemaChange = SchemaChange.Error): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(from < to, s"changeFeed needs from < to, got $from..$to")
+    (from until to).map { v =>
+      diff(spark, root, v, v + 1, onSchemaChange)
+        .withColumn("version", lit(v + 1))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Collapse a [[changeFeed]] back to the endpoint diff: net signed
+    * multiplicity per row across the feed (added = +n, removed = −n);
+    * rows whose changes telescope to zero (added then removed, or an
+    * unchanged count) disappear. One map-side-combining aggregate. */
+  def collapseFeed(feed: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dataCols = feed.columns.toSeq
+      .filterNot(Set("change", "n_rows", "version"))
+    feed.groupBy(dataCols.map(col): _*)
+      .agg(sum(when(col("change") === "added", col("n_rows"))
+        .otherwise(-col("n_rows"))).as("net"))
+      .filter(col("net") =!= 0L)
+      .withColumn("change",
+        when(col("net") > 0, lit("added")).otherwise(lit("removed")))
+      .withColumn("n_rows", abs(col("net")))
+      .select((dataCols.map(col) :+ col("change") :+ col("n_rows")): _*)
   }
 }

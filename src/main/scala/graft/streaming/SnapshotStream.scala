@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.sources.SnapshotStore
+
+/** Structured Streaming ⇄ ACID snapshot layer — the two halves a
+  * daily-crawl pipeline needs on top of [[graft.sources.SnapshotStore]]:
+  *
+  *   - WRITE side ([[commitStream]]): every micro-batch lands as ONE
+  *     snapshot append version, so the table's version chain IS the
+  *     micro-batch history. Exactly-once: a replayed batch (sink crash
+  *     between commit and checkpoint advance) is deduplicated through
+  *     [[SnapshotStore.commitAppendOnce]]'s manifest-recorded txn id —
+  *     the Delta `txn` action pattern, with the same retention-horizon
+  *     contract.
+  *   - READ side ([[readChangesSince]]): an incremental consumer holds
+  *     the last version it processed and reads only the per-commit
+  *     diffs past it — O(changed data) per poll, never O(table). The
+  *     feed refines the endpoint diff: [[SnapshotStore.collapseFeed]]
+  *     of any contiguous range equals `diff(from, to)` by construction
+  *     (signed multiplicities telescope), which is what the q117 gate
+  *     and SnapshotStreamSpec pin.
+  *
+  * Parity contract (spec-proven): draining a stream through
+  * [[commitStream]] across ≥3 micro-batches and collapsing the full
+  * change feed equals the one-shot batch diff — and equals the input
+  * tagged `added`, since appends never remove rows.
+  */
+object SnapshotStream {
+
+  /** Run `df` (a streaming frame) into the snapshot table at `root`,
+    * committing each micro-batch as one append version. `sinkId` names
+    * this sink's txn lineage (stable across restarts — derive it from
+    * the checkpoint identity, not the run id); with it, micro-batch N
+    * commits under txn `"<sinkId>:N"` exactly once even if foreachBatch
+    * replays it. AvailableNow by default so one call drains what is
+    * currently readable and stops (the one-shot import shape); a
+    * deployment passes its own trigger. */
+  def commitStream(df: DataFrame, root: String, checkpoint: String,
+      sinkId: String, trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery = {
+    require(sinkId.nonEmpty, "sinkId must be non-empty")
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        SnapshotStore.commitAppendOnce(batch, root, s"$sinkId:$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /** Incremental poll: the change feed past `lastVersion` (exclusive)
+    * up to the current head, plus the new head to carry into the next
+    * poll. No new versions → (None, lastVersion). Each returned row is
+    * tagged with the `version` whose commit introduced it, so the
+    * consumer can checkpoint mid-feed. */
+  def readChangesSince(spark: org.apache.spark.sql.SparkSession,
+      root: String, lastVersion: Int): (Option[DataFrame], Int) = {
+    val head = SnapshotStore.versions(root).lastOption.getOrElse(-1)
+    if (head <= lastVersion) (None, lastVersion)
+    else (Some(SnapshotStore.changeFeed(spark, root, lastVersion, head)),
+      head)
+  }
+}

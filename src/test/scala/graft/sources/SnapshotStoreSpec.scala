@@ -174,4 +174,180 @@ class SnapshotStoreSpec extends SparkSpec {
       SnapshotStore.diff(spark, root2, 0, 1)
     }
   }
+
+  // ----------------------------------------------------- schema evolution
+
+  test("evolve-append widens the CURRENT schema, backfills the new " +
+      "column as NULL off old files, and leaves earlier versions pinned " +
+      "to their narrow schema") {
+    val root = freshRoot()
+    SnapshotStore.commitOverwrite(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root)            // v0
+    SnapshotStore.commitAppendEvolve(
+      Seq((3L, "c", 30.0), (4L, "d", 40.0)).toDF("id", "s", "x"), root) // v1
+    // current read: evolved 3-col schema, v0 rows' x backfilled NULL
+    val cur = SnapshotStore.read(spark, root)
+    assert(cur.schema.fieldNames.toSeq === Seq("id", "s", "x"))
+    assert(cur.as[(Long, String, Option[Double])].collect().toSet === Set(
+      (1L, "a", None), (2L, "b", None),
+      (3L, "c", Some(30.0)), (4L, "d", Some(40.0))))
+    // time travel: v0 keeps its own (narrow) schema — evolution never
+    // rewrites history
+    val v0 = SnapshotStore.read(spark, root, Some(0))
+    assert(v0.schema.fieldNames.toSeq === Seq("id", "s"))
+    assert(v0.count() === 2)
+  }
+
+  test("evolve-append backfills columns the BATCH is missing (the " +
+      "reference's migrate semantics) and rejects type changes loudly") {
+    val root = freshRoot()
+    SnapshotStore.commitOverwrite(
+      Seq((1L, "a", 10.0)).toDF("id", "s", "x"), root)
+    // batch missing x: written as NULL literals, table schema unchanged
+    SnapshotStore.commitAppendEvolve(Seq((2L, "b")).toDF("id", "s"), root)
+    val cur = SnapshotStore.read(spark, root)
+    assert(cur.schema.fieldNames.toSeq === Seq("id", "s", "x"))
+    assert(cur.as[(Long, String, Option[Double])].collect().toSet === Set(
+      (1L, "a", Some(10.0)), (2L, "b", None)))
+    // type change is NOT evolution
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.commitAppendEvolve(
+        Seq((3L, "c", "not a double")).toDF("id", "s", "x"), root)
+    }
+    assert(e.getMessage.contains("cannot change a column type"))
+  }
+
+  test("diff across an evolution: Error policy is loud; Common policy " +
+      "aligns on the shared projection so shared-column-equal rows cancel") {
+    val root = freshRoot()
+    SnapshotStore.commitOverwrite(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root)             // v0
+    SnapshotStore.commitAppendEvolve(
+      Seq((3L, "c", 30.0)).toDF("id", "s", "x"), root)             // v1
+    intercept[Exception] { SnapshotStore.diff(spark, root, 0, 1) }
+    val d = SnapshotStore.diff(spark, root, 0, 1,
+        SnapshotStore.SchemaChange.Common).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("change"))).toSet
+    // on the (id, s) projection only the appended row differs — the v0
+    // rows present in both versions cancel despite the new column
+    assert(d === Set((3L, "added")))
+  }
+
+  // ------------------------------------------------- optimize (compaction)
+
+  test("optimize rewrites many small files into one with bit-identical " +
+      "content; pinned readers are isolated; replaced files become " +
+      "vacuum-eligible") {
+    val root = freshRoot()
+    // many small files: each append lands at least one
+    SnapshotStore.commitOverwrite(
+      spark.range(0, 40).repartition(4).toDF(), root)              // v0
+    SnapshotStore.commitAppend(
+      spark.range(40, 80).repartition(4).toDF(), root)             // v1
+    val before = SnapshotStore.snapshot(root).get.files
+    assert(before.size >= 8)
+    val pinned = SnapshotStore.read(spark, root, Some(1))
+    val v2 = SnapshotStore.optimize(spark, root, targetFiles = 1)
+    assert(v2 === 2)
+    val after = SnapshotStore.snapshot(root).get
+    assert(after.files.size === 1)
+    assert(after.schemaDdl === SnapshotStore.snapshot(root, Some(1)).get
+      .schemaDdl) // compaction never changes the schema
+    // content-hash invariance: optimized snapshot == pre-optimize content
+    assert(SnapshotStore.read(spark, root).as[Long].collect().sorted
+      .toSeq === (0L until 80L))
+    // the endpoint diff across the compaction is EMPTY — same bag of rows
+    assert(SnapshotStore.diff(spark, root, 1, 2).isEmpty)
+    // pinned reader still sees its own files
+    assert(pinned.count() === 80)
+    // vacuum to current only: the small files are now unreachable
+    val deleted = SnapshotStore.vacuum(root, keepVersions = 1)
+    assert(deleted >= 8)
+    assert(SnapshotStore.read(spark, root).count() === 80)
+  }
+
+  test("optimize with z-order clustering keeps content bit-identical " +
+      "(the OPTIMIZE ZORDER BY action)") {
+    val root = freshRoot()
+    SnapshotStore.commitOverwrite(
+      spark.range(0, 100).repartition(5)
+        .selectExpr("id", "CAST(id % 7 AS BIGINT) AS k"), root)
+    SnapshotStore.optimize(spark, root, targetFiles = 2,
+      zorderBy = Seq("id", "k"))
+    val after = SnapshotStore.snapshot(root).get
+    assert(after.files.size <= 2)
+    // zkey is layout-only — it must NOT leak into the table schema
+    val cur = SnapshotStore.read(spark, root)
+    assert(cur.schema.fieldNames.toSeq === Seq("id", "k"))
+    assert(cur.as[(Long, Long)].collect().toSet ===
+      (0L until 100L).map(i => (i, i % 7)).toSet)
+    assert(SnapshotStore.diff(spark, root, 0, 1).isEmpty)
+  }
+
+  test("optimize restarts (never publishes a stale rewrite) when a " +
+      "commit interleaves — the read-modify-write race") {
+    val root = freshRoot()
+    SnapshotStore.commitOverwrite(
+      spark.range(0, 10).toDF(), root)                             // v0
+    // interleave a commit by racing a thread doing appends against the
+    // optimize; whatever the interleaving, the optimized snapshot must
+    // contain every committed row at its version
+    val t = new Thread(() => {
+      SnapshotStore.commitAppend(spark.range(10, 20).toDF(), root); ()
+    })
+    t.start()
+    SnapshotStore.optimize(spark, root, targetFiles = 1)
+    t.join()
+    val head = SnapshotStore.versions(root).last
+    val content = SnapshotStore.read(spark, root, Some(head))
+      .as[Long].collect().toSet
+    // the head snapshot reflects a serial order of {append, optimize}:
+    // either the optimize came last (all 20 rows, 1..n files) or the
+    // append did (all 20 rows) — in EVERY case no committed row is lost
+    assert(content === (0L until 20L).toSet)
+  }
+
+  // ------------------------------------------------------- change feed
+
+  test("changeFeed tags each commit's diff with its version and " +
+      "collapseFeed telescopes back to the endpoint diff") {
+    val root = freshRoot()
+    SnapshotStore.commitOverwrite(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root)             // v0
+    SnapshotStore.commitAppend(Seq((3L, "c")).toDF("id", "s"), root) // v1
+    SnapshotStore.commitOverwrite(
+      Seq((2L, "b"), (4L, "d")).toDF("id", "s"), root)             // v2
+    val feed = SnapshotStore.changeFeed(spark, root, 0, 2)
+    val rows = feed.collect().map(r => (r.getAs[Long]("id"),
+      r.getAs[String]("change"), r.getAs[Int]("version"))).toSet
+    assert(rows === Set(
+      (3L, "added", 1),
+      (1L, "removed", 2), (3L, "removed", 2), (4L, "added", 2)))
+    // telescoping: collapse(feed) == diff(0, 2) — the row added at v1
+    // and removed at v2 cancels; 2L unchanged throughout never appears
+    val collapsed = SnapshotStore.collapseFeed(feed).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("change"),
+        r.getAs[Long]("n_rows"))).toSet
+    val endpoint = SnapshotStore.diff(spark, root, 0, 2).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("change"),
+        r.getAs[Long]("n_rows"))).toSet
+    assert(collapsed === endpoint)
+    assert(endpoint === Set((1L, "removed", 1L), (4L, "added", 1L)))
+  }
+
+  // -------------------------------------------------- idempotent commits
+
+  test("commitAppendOnce: a replayed txn id is a no-op (exactly-once " +
+      "for streaming sinks); distinct txns land as distinct versions") {
+    val root = freshRoot()
+    assert(SnapshotStore.commitAppendOnce(
+      Seq((1L, "a")).toDF("id", "s"), root, "sink:0") === Some(0))
+    // replay of the same micro-batch: deduplicated through the manifest
+    assert(SnapshotStore.commitAppendOnce(
+      Seq((1L, "a")).toDF("id", "s"), root, "sink:0") === None)
+    assert(SnapshotStore.commitAppendOnce(
+      Seq((2L, "b")).toDF("id", "s"), root, "sink:1") === Some(1))
+    assert(SnapshotStore.read(spark, root).count() === 2)
+    assert(SnapshotStore.versions(root) === Seq(0, 1))
+  }
 }
