@@ -495,6 +495,57 @@ object ArrayExprs {
       copy(child = c)
   }
 
+  /** Row-local term histogram: array<string> →
+    * array<struct<term string, tf bigint>> with one entry per DISTINCT
+    * element, in first-occurrence order, nulls skipped.
+    *
+    * This is the per-document tf computation as a PROJECTION: the
+    * `explode → groupBy(doc, term) → count` formulation it replaces
+    * moves every (doc, token) occurrence through an Exchange and hash-
+    * aggregates tens of millions of string-keyed rows, for a statistic
+    * that never leaves the row — per-doc term counts are as row-local as
+    * [[RepetitionSignals]]'s dup fractions. Downstream term-keyed work
+    * (vocabulary df, unigram models, tf-idf joins) starts from the
+    * already-deduplicated (doc, term, tf) stream — one exploded row per
+    * DISTINCT doc-term, not per occurrence. O(m) time, O(distinct)
+    * transient memory per row, same order as the token array itself.
+    */
+  case class ArrayHistogram(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("term", StringType, nullable = false),
+      StructField("tf", LongType, nullable = false))), containsNull = false)
+    override def prettyName: String = "graft_array_histogram"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val m = arr.numElements()
+      val counts = new java.util.LinkedHashMap[UTF8String, Array[Long]]()
+      var i = 0
+      while (i < m) {
+        if (!arr.isNullAt(i)) {
+          val t = arr.getUTF8String(i)
+          val c = counts.get(t)
+          if (c == null) counts.put(t.clone(), Array(1L)) else c(0) += 1L
+        }
+        i += 1
+      }
+      val out = new Array[Any](counts.size)
+      val it = counts.entrySet().iterator()
+      var j = 0
+      while (it.hasNext) {
+        val e = it.next()
+        out(j) = new GenericInternalRow(
+          Array[Any](e.getKey, e.getValue.apply(0)))
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): ArrayHistogram =
+      copy(child = c)
+  }
+
   /** All four Gopher repetition signals in ONE O(m) row-local pass over
     * the token array — struct(n_words, dup_word_frac, dup_3gram_frac,
     * top_2gram_frac):
@@ -903,6 +954,9 @@ object ArrayExprs {
 
   def repetitionSignals(words: Column): Column =
     exprColumn(RepetitionSignals(columnExpr(words)))
+
+  def arrayHistogram(elems: Column): Column =
+    exprColumn(ArrayHistogram(columnExpr(elems)))
 
   def langId(words: Column, profiles: Seq[(String, Seq[String])]): Column =
     exprColumn(LangIdExpr(columnExpr(words),

@@ -516,4 +516,93 @@ object TextExprs {
   }
 
   def foldText(text: Column): Column = exprColumn(FoldText(columnExpr(text)))
+
+  /** Byte-exact replacement for `split(str, "\\s+")` (Java regex, limit
+    * −1): parts between MAXIMAL whitespace runs, keeping a leading empty
+    * part when the string starts with whitespace and a trailing one when
+    * it ends with it; the empty string yields [""]. Java's `\s` (no
+    * UNICODE flag) is exactly [\t\n\x0B\f\r ] — six single-byte ASCII
+    * values that can never alias a UTF-8 continuation byte, so ONE byte
+    * scan replaces the regex machinery. This is the corpus tokenizer's
+    * hot loop ([[graft.textops.TextStats.words]]): every dedup shingle,
+    * vocabulary, tf and quality pass runs it over the full text column,
+    * so it gets a real `doGenCode`, not CodegenFallback.
+    */
+  case class WhitespaceSplit(child: Expression) extends UnaryExpression {
+    override def dataType: DataType =
+      ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_ws_split"
+
+    override def nullSafeEval(input: Any): Any =
+      TextExprs.wsSplit(input.asInstanceOf[UTF8String])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.TextExprs$$.MODULE$$.wsSplit($c)")
+
+    override protected def withNewChildInternal(c: Expression)
+        : WhitespaceSplit = copy(child = c)
+  }
+
+  private def isWs(b: Byte): Boolean =
+    b == 0x20 || (b >= 0x09 && b <= 0x0d)
+
+  /** Public because generated code calls it. */
+  def wsSplit(u: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = u.getBytes
+    val n = bytes.length
+    val parts = new scala.collection.mutable.ArrayBuffer[Any](16)
+    var start = 0
+    var i = 0
+    while (i < n) {
+      if (isWs(bytes(i))) {
+        parts += UTF8String.fromBytes(bytes, start, i - start)
+        while (i < n && isWs(bytes(i))) i += 1
+        start = i
+      } else i += 1
+    }
+    parts += UTF8String.fromBytes(bytes, start, n - start)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(parts.toArray)
+  }
+
+  /** `size(split(str, "\\s+"))` without materializing the array — the
+    * token-COUNT twin for stats passes (corpus Σdl, quality length
+    * signals) where only the number matters. Same whitespace class and
+    * part-count semantics as [[WhitespaceSplit]] (runs + 1, boundary
+    * empties included). */
+  case class WhitespaceCount(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "graft_ws_count"
+
+    override def nullSafeEval(input: Any): Any =
+      TextExprs.wsCount(input.asInstanceOf[UTF8String])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.TextExprs$$.MODULE$$.wsCount($c)")
+
+    override protected def withNewChildInternal(c: Expression)
+        : WhitespaceCount = copy(child = c)
+  }
+
+  /** Public because generated code calls it. */
+  def wsCount(u: UTF8String): Int = {
+    val bytes = u.getBytes
+    val n = bytes.length
+    var runs = 0
+    var i = 0
+    while (i < n) {
+      if (isWs(bytes(i))) {
+        runs += 1
+        while (i < n && isWs(bytes(i))) i += 1
+      } else i += 1
+    }
+    runs + 1
+  }
+
+  def whitespaceSplit(text: Column): Column =
+    exprColumn(WhitespaceSplit(columnExpr(text)))
+
+  def whitespaceCount(text: Column): Column =
+    exprColumn(WhitespaceCount(columnExpr(text)))
 }

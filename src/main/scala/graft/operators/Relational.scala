@@ -847,18 +847,35 @@ object Relational {
     Graph.pageRank(edges, iters = 3, dedupEdges = true).orderBy("node")
   }
 
-  /** q97: CDC changelog apply ([[Temporal.applyChangelog]]) — a
-    * versioned upsert/tombstone changelog (synthesized deterministically
-    * from lineitem: version = linenumber, tombstone = quantity < 2,
+  /** q97: CDC changelog apply against a BUCKETED base
+    * ([[Temporal.applyChangelogBucketed]]) — a versioned
+    * upsert/tombstone changelog (synthesized deterministically from
+    * lineitem: version = linenumber, tombstone = quantity < 2,
     * linenumber-7 rows re-keyed negative to exercise pure inserts)
-    * folded into the orders snapshot: latest-wins via one map-side
-    * max_by aggregate + one full-outer merge join. The oracle restates
-    * winner selection as a window and the fold as a FULL OUTER JOIN.
+    * folded into the orders snapshot held as a key-bucketed table
+    * ([[Temporal.saveBucketedBase]], built once per corpus — the
+    * persistent-store deployment shape): latest-wins via one map-side
+    * max_by aggregate + one full-outer merge join whose BASE side reads
+    * pre-partitioned and pre-sorted — no base Exchange, no base Sort
+    * (TemporalSpec pins the plan). The oracle restates winner selection
+    * as a window and the fold as a FULL OUTER JOIN. Result persisted
+    * before the presentation sort so the range partitioner's sampling
+    * pass cannot re-execute the merge (the q43 persist-before-sort
+    * rule).
     */
+  private val cdcBaseTable =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   def q97CdcApply(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = Tables.orders(spark, sfDir).select(col("o_orderkey"),
+    val baseDf = Tables.orders(spark, sfDir).select(col("o_orderkey"),
       col("o_custkey"), round(col("o_totalprice"), 2).as("o_totalprice"),
       col("o_orderpriority"))
+    val table = cdcBaseTable.getOrElseUpdate(sfDir, {
+      val t = "graft_q97_base_" + math.abs(sfDir.hashCode).toString
+      Temporal.saveBucketedBase(baseDf, t, key = "o_orderkey",
+        nBuckets = 32)
+      t
+    })
     // the testdata generator emits duplicate (orderkey, linenumber)
     // pairs, so the version is a COMPOSITE struct (linenumber, then the
     // payload fields) — a total order up to fully-identical rows, which
@@ -873,8 +890,9 @@ object Relational {
       col("l_partkey").as("o_custkey"),
       round(col("l_extendedprice"), 2).as("o_totalprice"),
       concat(lit("U-"), col("l_returnflag")).as("o_orderpriority"))
-    Temporal.applyChangelog(base, changes,
+    Temporal.applyChangelogBucketed(spark, table, changes,
         key = "o_orderkey", versionCol = "vord", deleteCol = "del")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .orderBy("o_orderkey")
   }
 

@@ -129,4 +129,52 @@ object Temporal {
         when(col("graft_w").isNotNull, col(s"graft_w.$c"))
           .otherwise(col(c)).as(c)): _*)
   }
+
+  /** Save a snapshot as a KEY-BUCKETED table — the base-table layout
+    * [[applyChangelogBucketed]] merges into without ever shuffling the
+    * base side. Same two-phase staging swap as the finance store's
+    * bucketed layout (finance/Store.saveBucketed), minus the year
+    * partitioning: a CDC base table's access path is the key, not time.
+    */
+  def saveBucketedBase(df: DataFrame, table: String, key: String,
+      nBuckets: Int = 32): Unit = {
+    val spark = df.sparkSession
+    val staging = table + "_staging"
+    // DROP in a fresh session's empty catalog does not remove a previous
+    // JVM's managed directory — clear the leftover locations explicitly
+    // or the staging rename fails with LOCATION_ALREADY_EXISTS
+    def dropWithLocation(t: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(wh)) fs.delete(wh, true)
+    }
+    dropWithLocation(staging)
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(staging)
+    dropWithLocation(table)
+    spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+  }
+
+  /** [[applyChangelog]] against a [[saveBucketedBase]] table: the base
+    * side of the full-outer merge reads ALREADY partitioned (and sorted)
+    * on the key, so the plan carries NO base-side Exchange — only the
+    * changelog shuffles (TemporalSpec pins the shape). This is the
+    * deployment contract that matters at fleet scale: the base snapshot
+    * is orders of magnitude larger than any day's changelog, so the
+    * plain operator's O(base) exchange + sort IS the job; against the
+    * bucketed table the merge costs O(changes) + a co-located join read.
+    * The merged OUTPUT is what the next [[saveBucketedBase]] writes —
+    * the same read-modify-write cycle as the finance store's bucketed
+    * upsert.
+    */
+  def applyChangelogBucketed(spark: org.apache.spark.sql.SparkSession,
+      baseTable: String, changes: DataFrame, key: String,
+      versionCol: String, deleteCol: String): DataFrame =
+    applyChangelog(spark.table(baseTable), changes, key, versionCol,
+      deleteCol)
 }

@@ -15,13 +15,22 @@ import org.apache.spark.sql.functions._
   */
 object TextStats {
 
-  /** Whitespace word tokenization (lowered). */
+  /** Whitespace word tokenization (lowered). Byte-exact to
+    * `split(lower(trim(text)), "\\s+")` — the split is the native
+    * one-pass [[graft.functions.TextExprs.WhitespaceSplit]] (Java `\s`
+    * is six ASCII bytes; the regex engine was the corpus hot loop),
+    * while lower/trim stay the Catalyst builtins they always were.
+    */
   def words(text: Column): Column =
-    split(lower(trim(text)), "\\s+")
+    graft.functions.TextExprs.whitespaceSplit(lower(trim(text)))
 
-  /** Whitespace token count. */
+  /** Whitespace token count — `size(words(text))` semantics without
+    * materializing the token array
+    * ([[graft.functions.TextExprs.WhitespaceCount]]; lowering cannot
+    * change the count, so the trim feeds it directly). */
   def tokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, 0).otherwise(size(words(text)))
+    when(length(trim(text)) === 0, 0)
+      .otherwise(graft.functions.TextExprs.whitespaceCount(trim(text)))
 
   /** BPE-ish sub-word tokenization: letter runs, digit runs, and single
     * punctuation marks — the shape a byte-pair tokenizer's pre-tokenizer
@@ -275,26 +284,29 @@ object TextStats {
     * tie-break — a total order two engines reproduce even when their
     * `ln` libms differ in the last ulp.
     *
-    * Shape: explode → (id, term) partial-agg [tf], term-keyed partial-agg
-    * [df], a join of the per-term df table back onto tf, the corpus count
-    * as a broadcast scalar (in-plan, never a driver action), and one
-    * window top-k per doc. The df join carries NO broadcast hint: the df
-    * table is O(vocabulary), which at web-corpus scale is 10⁸–10⁹ terms —
-    * a forced broadcast is a guaranteed executor OOM there. Catalyst
-    * broadcasts it when it measures small (AQE, test scale) and falls
-    * back to a shuffle join on `term` otherwise — tf is already keyed by
-    * (id, term), so the term-keyed exchange is the natural co-location.
-    * The only wide exchanges carry (id, term) pairs — never document
-    * text.
+    * Shape: per-doc tf as a row-local histogram projection
+    * ([[graft.functions.ArrayExprs.ArrayHistogram]] — the corpus-side
+    * `groupBy(id, term)` Exchange is gone; one exploded row per DISTINCT
+    * (doc, term)), term-keyed partial-agg [df], a join of the per-term
+    * df table back onto tf, the corpus count as a broadcast scalar
+    * (in-plan, never a driver action), and one window top-k per doc. The
+    * df join carries NO broadcast hint: the df table is O(vocabulary),
+    * which at web-corpus scale is 10⁸–10⁹ terms — a forced broadcast is
+    * a guaranteed executor OOM there. Catalyst broadcasts it when it
+    * measures small (AQE, test scale) and falls back to a shuffle join
+    * on `term` otherwise. The only wide exchanges carry (id, term, tf)
+    * triples — never document text.
     */
   def tfidfTopTerms(df: org.apache.spark.sql.DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       k: Int = 3): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = df.select(col(idCol), explode(words(col(textCol))).as("term"))
+    val tf = df
+      .select(col(idCol),
+        explode(graft.functions.ArrayExprs.arrayHistogram(
+          words(col(textCol)))).as("h"))
+      .select(col(idCol), col("h.term").as("term"), col("h.tf").as("tf"))
       .where(col("term") =!= "")
-    val tf = toks.groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).as("tf"))
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = df.agg(count_distinct(col(idCol)).as("graft_n"))
     val scored = tf
@@ -319,21 +331,25 @@ object TextStats {
     * Composable with the mixture/budget/stratified operators as the
     * ranking signal.
     *
-    * Shape at scale: one explode → (doc, term) partial-agg [per-doc tf]
-    * → term-keyed join against the unigram table (O(vocabulary), NOT
-    * broadcast — the tfidf df-table rule) → per-doc weighted sum. The
-    * scalar (N, V) pair rides an in-plan broadcast. Only (id, term)
-    * pairs cross exchanges; text never does.
+    * Shape at scale: per-doc tf is a row-local PROJECTION
+    * ([[graft.functions.ArrayExprs.ArrayHistogram]] — one histogram pass
+    * per document, exploded to one row per DISTINCT (doc, term)), so the
+    * corpus-side `groupBy(doc, term)` Exchange the naive explode plan
+    * pays is gone entirely; the unigram table aggregates map-side-
+    * combined from the same stream (O(vocabulary), NOT broadcast — the
+    * tfidf df-table rule) and joins back term-keyed. The scalar (N, V)
+    * pair rides an in-plan broadcast. Only (id, term, tf) triples cross
+    * exchanges; text never does.
     */
   def unigramNll(docs: org.apache.spark.sql.DataFrame,
       idCol: String = "doc_id", textCol: String = "text")
       : org.apache.spark.sql.DataFrame = {
-    val toks = docs
-      .select(col(idCol), words(col(textCol)).as("ws"))
-      .select(col(idCol), explode(col("ws")).as("term"))
+    val tf = docs
+      .select(col(idCol),
+        explode(graft.functions.ArrayExprs.arrayHistogram(
+          words(col(textCol)))).as("h"))
+      .select(col(idCol), col("h.term").as("term"), col("h.tf").as("tf"))
       .where(col("term") =!= "")
-    val tf = toks.groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).as("tf"))
     val uni = tf.groupBy("term").agg(sum("tf").as("cnt"))
     val stats = uni.agg(sum(col("cnt")).cast("double").as("graft_n"),
       count(lit(1)).cast("double").as("graft_v"))
@@ -389,18 +405,23 @@ object TextStats {
       count(lit(1)).cast("double").as("graft_n"),
       sum(tokenCount(col(textCol))).cast("double").as("graft_toks"))
     // the token array is materialized ONCE and the Generate explodes the
-    // bare attribute (the q81 shape — the plan audit rejects a tokenizer
-    // re-evaluated above its own Generate); dl = non-empty token count
-    // over the same array ≡ tokenCount(text) (a trimmed split emits ""
-    // only for whitespace-only text, which tokenCount defines as 0)
+    // row-local histogram over the bare attribute (the q81 shape — the
+    // plan audit rejects a tokenizer re-evaluated above its own
+    // Generate); per-doc tf is the histogram projection, so NO corpus-
+    // side groupBy exchange exists at all — the query-term isin filter
+    // prunes the exploded (term, tf) stream to O(hits) rows. dl =
+    // non-empty token count over the same array ≡ tokenCount(text) (a
+    // trimmed split emits "" only for whitespace-only text, which
+    // tokenCount defines as 0)
     val tf = docs
       .select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
       .select(col("doc_id"),
         size(filter(col("ws"), w => w =!= "")).as("dl"),
-        explode(col("ws")).as("term"))
+        explode(graft.functions.ArrayExprs.arrayHistogram(col("ws")))
+          .as("h"))
+      .select(col("doc_id"), col("dl"),
+        col("h.term").as("term"), col("h.tf").as("tf"))
       .where(col("term").isin(qTerms: _*))
-      .groupBy("doc_id", "dl", "term")
-      .agg(count(lit(1)).as("tf"))
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // every float literal below is the SAME Scala-computed double the
     // oracle interpolates (shortest round-trip repr), so both engines

@@ -162,4 +162,44 @@ class TemporalSpec extends SparkSpec {
       plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
       plan)
   }
+
+  test("applyChangelogBucketed: result equals applyChangelog and the " +
+      "merge plan carries NO base-side Exchange (bucketed scan feeds " +
+      "the join pre-partitioned)") {
+    val base = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L),
+      (4L, "d", 40L)).toDF("k", "s", "v")
+    val changes = Seq(
+      (1L, 1L, false, "a1", 11L),  // upsert
+      (1L, 2L, false, "a2", 12L),  // later upsert wins
+      (2L, 1L, true, "x", 0L),     // tombstone
+      (9L, 1L, false, "i", 90L))   // insert
+      .toDF("k", "ver", "del", "s", "v")
+    val table = "graft_spec_cdc_base"
+    Temporal.saveBucketedBase(base, table, key = "k", nBuckets = 4)
+    try {
+      val out = Temporal.applyChangelogBucketed(spark, table, changes,
+        key = "k", versionCol = "ver", deleteCol = "del")
+      val plain = Temporal.applyChangelog(base, changes,
+        key = "k", versionCol = "ver", deleteCol = "del")
+      assert(out.as[(Long, String, Long)].collect().toSet ===
+        plain.as[(Long, String, Long)].collect().toSet)
+      assert(out.as[(Long, String, Long)].collect().toSet === Set(
+        (1L, "a2", 12L), (3L, "c", 30L), (4L, "d", 40L), (9L, "i", 90L)))
+      // plan pin: walking down the join's BASE side must reach the
+      // bucketed table scan without crossing an Exchange — that is the
+      // whole point of the bucketed deployment shape
+      val plan = out.queryExecution.executedPlan.toString
+      val joinIdx = plan.indexOf("Join")
+      val scanIdx = plan.indexOf(table)
+      assert(joinIdx >= 0 && scanIdx > joinIdx, plan)
+      val baseSide = plan.substring(joinIdx, scanIdx)
+      // the base side is the FIRST join child in the printed tree; the
+      // changelog side (with its legitimate Exchange) prints after the
+      // base scan line, so no Exchange may appear between join and scan
+      assert(!baseSide.contains("Exchange"),
+        s"base side of the bucketed merge must not shuffle:\n$plan")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
 }
