@@ -137,6 +137,7 @@ object SparkEntry {
     "q116_schema_evolution" -> (Relational.q116SchemaEvolution _),
     "q117_change_feed"     -> (Relational.q117ChangeFeed _),
     "q118_optimize"        -> (Relational.q118Optimize _),
+    "q119_nsw_indexed"     -> (TextQueries.q119NswIndexed _),
   )
 
   /** The cohort-retention-matrix oracle, shared by q93 (the batch
@@ -590,6 +591,9 @@ object SparkEntry {
     // final ranking all re-derived inside DuckDB (selection on the
     // integer grid; final rank on raw cosine — the q44 FP boundary).
     "q106_graph_ann" -> OracleGen.q106Sql(),
+    // Saved-index graph ANN: the probe of the persisted graph must equal
+    // the from-scratch build — q106's oracle VERBATIM.
+    "q119_nsw_indexed" -> OracleGen.q106Sql(),
     // SemDeDup: centroids retrained in SQL (integer-grid Lloyd), the
     // duplicate set re-derived from scratch with raw-cosine verify.
     "q107_semdedup" -> OracleGen.q107Sql(),

@@ -874,6 +874,34 @@ object TextQueries {
   private val nswIndex =
     scala.collection.concurrent.TrieMap.empty[String, (Int, String)]
 
+  /** q119: graph ANN served from the PERSISTED index
+    * ([[graft.textops.Similarity.saveNswIndex]] /
+    * [[Similarity.nswTopKIndexed]]) — the same probe as q106 (same
+    * queries, k, beam, hops) against the same corpus, but the proximity
+    * graph, band width and bucket cap all come off disk via the index's
+    * own parameter manifest. Gated against q106's ORACLE verbatim: the
+    * saved-index probe must hash-equal the from-scratch build, which is
+    * exactly the "probe of the saved graph == in-memory build" contract.
+    * Incremental admission ([[Similarity.nswExtend]]) is spec-covered
+    * (TextOpsSpec: admitted batch reachable, pre-batch recall retained).
+    */
+  private val nswSavedIndex =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def q119NswIndexed(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = asDouble(Tables.embeddings(spark, sfDir))
+    val path = nswSavedIndex.getOrElseUpdate(sfDir, {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-nsw-index-").toString
+      Similarity.saveNswIndex(emb, dir)
+      dir
+    })
+    Similarity.nswTopKIndexed(path, emb, emb.filter(col("vec_id") < 8),
+        k = 5)
+      .withColumn("cos_sim", round(col("cos_sim"), 4))
+      .orderBy("query_id", "rank")
+  }
+
   /** q107: SemDeDup — semantic dedup by cluster-then-prune
     * ([[graft.textops.Similarity.semDedup]]): the q44/q75 trained
     * centroids (same cached index — built once per corpus), every vector

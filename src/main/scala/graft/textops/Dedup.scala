@@ -684,6 +684,17 @@ object Dedup {
       idCol: String = "doc_id", maxBucket: Int = 1 << 12): Unit = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
+    // parameter manifest: probing an index with different (n, k, bands)
+    // silently yields WRONG est_jaccard (zip_with over unequal-length
+    // signatures pads with null, which the equality filter drops) — the
+    // admit door require()s a match against this row instead
+    locally {
+      val sess = docs.sparkSession
+      import sess.implicits._
+      Seq((n, k, bands, maxBucket))
+        .toDF("n", "k", "bands", "max_bucket")
+        .write.mode("overwrite").parquet(s"$path/params")
+    }
     val sigs = docs.select(col(idCol).as("id"),
       minhashSignature(col(textCol), n, k).as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -726,10 +737,34 @@ object Dedup {
     */
   def minhashLshAdmit(newDocs: DataFrame, indexPath: String, n: Int = 3,
       k: Int = 64, bands: Int = 16, estThreshold: Double = 0.5,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    minhashLshAdmitReleasable(newDocs, indexPath, n, k, bands,
+      estThreshold, textCol, idCol)._1
+
+  /** [[minhashLshAdmit]] plus a release handle freeing the persisted
+    * batch-signature frame — the door for the operator's own premise of
+    * REPEATED daily calls: without the handle each admission leaks one
+    * cached frame for the session lifetime (the minhashLshPairs
+    * lifecycle contract, applied to the admission path). Call the handle
+    * after the caller's action has consumed the result.
+    */
+  def minhashLshAdmitReleasable(newDocs: DataFrame, indexPath: String,
+      n: Int = 3, k: Int = 64, bands: Int = 16,
+      estThreshold: Double = 0.5, textCol: String = "text",
+      idCol: String = "doc_id"): (DataFrame, () => Unit) = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     val spark = newDocs.sparkSession
+    // the index's parameter manifest must match the probe's parameters —
+    // a mismatched probe yields silently-wrong est_jaccard, never an
+    // error, so fail HERE (indexes written before the manifest existed
+    // fail loudly too: missing params/ is unreadable)
+    val p = spark.read.parquet(s"$indexPath/params").head()
+    require(p.getAs[Int]("n") == n && p.getAs[Int]("k") == k &&
+      p.getAs[Int]("bands") == bands,
+      s"minhash index $indexPath was built with (n=${p.getAs[Int]("n")}, " +
+        s"k=${p.getAs[Int]("k")}, bands=${p.getAs[Int]("bands")}); " +
+        s"probe asked (n=$n, k=$k, bands=$bands)")
     val newSigs = newDocs.select(col(idCol).as("id"),
       minhashSignature(col(textCol), n, k).as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -750,10 +785,7 @@ object Dedup {
           (x, y) => x === y), b => b)).cast("double") / k)
       .filter(col("est_jaccard") >= estThreshold)
       .select("new_id", "old_id", "est_jaccard")
-    // newSigs stays persisted until the caller's action completes (the
-    // minhashLshPairs lifecycle contract); batch frames are small by the
-    // operator's own premise
-    result
+    (result, () => { newSigs.unpersist(blocking = false); () })
   }
 
   // ---------------------------------------------------------------- SimHash

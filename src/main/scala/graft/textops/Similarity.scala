@@ -235,8 +235,17 @@ object Similarity {
       scale: Int = 64, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     require(outDim >= 1 && dims >= 1 && scale >= 1)
-    require(dims.toLong * scale * scale * outDim < (1L << 52),
-      s"grid overflow: dims=$dims scale=$scale outDim=$outDim")
+    // the guard covers the FULL exactness claim: not just each projected
+    // component (|proj| ≤ dims·scale²) but the downstream cosine dot/norm
+    // sums over outDim squared components — outDim·(dims·scale²)² must
+    // stay under 2^53 or projected-space rankings could flip on
+    // accumulation order despite exact components (BigInt: the square
+    // overflows Long well inside otherwise-plausible configs)
+    val comp = BigInt(dims) * scale * scale
+    require(BigInt(outDim) * comp * comp < (BigInt(1) << 53),
+      s"grid overflow: dims=$dims scale=$scale outDim=$outDim — " +
+        s"outDim·(dims·scale²)² = ${BigInt(outDim) * comp * comp} ≥ 2^53; " +
+        "downstream cosine sums would lose exactness")
     // quantize ONCE through its own projection: referencing the transform
     // expression from all outDim dot components would inline (and
     // re-evaluate) it outDim times per row — CollapseProject declines to
@@ -278,9 +287,24 @@ object Similarity {
     */
   def semDedup(corpus: DataFrame, cents: Array[Array[Double]],
       threshold: Double, maxCluster: Int = 1 << 20,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    semDedupReleasable(corpus, cents, threshold, maxCluster, idCol,
+      vecCol)._1
+
+  /** [[semDedup]] plus a release handle freeing the persisted assignment
+    * frame — the O(n·k·d) nearest-centroid assignment feeds FOUR plan
+    * subtrees (the cluster-size gate, both self-join sides, the final
+    * keep/drop select), so without the persist it recomputes per
+    * consumer (the minhashLshPairsReleasable discipline). Call the
+    * handle once the caller's action has materialized the result.
+    */
+  def semDedupReleasable(corpus: DataFrame, cents: Array[Array[Double]],
+      threshold: Double, maxCluster: Int = 1 << 20,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : (DataFrame, () => Unit) = {
     val asg = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-      nearestCentroidQ(ivfQuantized(col(vecCol)), cents).as("cid"))
+        nearestCentroidQ(ivfQuantized(col(vecCol)), cents).as("cid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // k is driver-small by construction (it's an Array in memory), so the
     // size gate is a broadcast of at most k rows; clusters over the cap
     // are excluded from pair generation entirely.
@@ -301,10 +325,11 @@ object Similarity {
         a("cid") === b("cid") && col("id_a") < col("id_b")
           && sim >= threshold)
       .select(col("id_b").as("id")).distinct()
-    asg.select("id", "cid")
+    val out = asg.select("id", "cid")
       .join(dups.withColumn("dup", lit(1)), Seq("id"), "left")
       .select(col("id").as(idCol), col("cid"),
         when(col("dup").isNull, 1).otherwise(0).as("kept"))
+    (out, () => { asg.unpersist(blocking = false); () })
   }
 
   // ------------------------------------------------------------------- PQ
@@ -1101,5 +1126,151 @@ object Similarity {
         col("cos_sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  // ------------------------------------------------ NSW index persistence
+
+  /** Materialize an [[nswGraph]] as a SERVING INDEX on disk — the
+    * graph-ANN analogue of [[saveIvfIndex]]/[[graft.textops.Dedup
+    * .saveMinhashIndex]], so the proximity graph builds once and every
+    * session probes it instead of rebuilding Θ(n·density·bands) links.
+    * Layout under `path`:
+    *
+    *   - `params/`  one row (m, bands, bits_per_band, dims, max_bucket) —
+    *     probing or extending with mismatched parameters is a silent-
+    *     wrong-results hazard, so both doors `require` a match against
+    *     this manifest (the saveMinhashIndex ADVICE lesson applied from
+    *     the start);
+    *   - `edges/`   the distinct (src, dst) link rows;
+    *   - `buckets/` the corpus's (band, bucket, id) assignment — what
+    *     lets [[nswExtend]] admit a new batch by touching only the
+    *     batch's own buckets (the q111 admission discipline: the corpus
+    *     is never re-banded, never rescanned).
+    *
+    * Returns the resolved bits-per-band (the [[exactBandBits]] outcome
+    * when `bitsPerBand` = 0), which the manifest records.
+    */
+  def saveNswIndex(corpus: DataFrame, path: String, m: Int = 6,
+      bands: Int = 2, bitsPerBand: Int = 0,
+      targetBucketDensity: Long = 64, dims: Int = 64,
+      maxBucket: Int = 1 << 12,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dropStats: Option[org.apache.spark.sql.Observation] = None): Int = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val r = if (bitsPerBand > 0) bitsPerBand
+      else exactBandBits(corpus.count(), targetBucketDensity)
+    nswGraph(corpus, m, bands, r, targetBucketDensity, dims, maxBucket,
+        idCol, vecCol, dropStats)
+      .write.mode("overwrite").parquet(s"$path/edges")
+    banded(corpus.select(col(idCol).as("id"), col(vecCol).as("v")),
+        "id", bands, r, dims, "v")
+      .select("band", "bucket", "id")
+      .write.mode("overwrite").parquet(s"$path/buckets")
+    Seq((m, bands, r, dims, maxBucket))
+      .toDF("m", "bands", "bits_per_band", "dims", "max_bucket")
+      .write.mode("overwrite").parquet(s"$path/params")
+    r
+  }
+
+  private def nswParams(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, Int, Int, Int, Int) = {
+    val row = spark.read.parquet(s"$path/params").head()
+    (row.getAs[Int]("m"), row.getAs[Int]("bands"),
+      row.getAs[Int]("bits_per_band"), row.getAs[Int]("dims"),
+      row.getAs[Int]("max_bucket"))
+  }
+
+  /** Probe a SAVED graph index ([[saveNswIndex]]): identical semantics
+    * to [[nswTopK]] with the same parameters — the gate proves it
+    * against the same oracle — but the proximity graph is the persisted
+    * edge frame, so the Θ(n·density·bands) build cost is never paid at
+    * query time. Band width, link degree and bucket cap come from the
+    * index's own manifest; passing a corpus banded differently than the
+    * index was built with is impossible by construction.
+    */
+  def nswTopKIndexed(indexPath: String, corpus: DataFrame,
+      queries: DataFrame, k: Int, beam: Int = 24, hops: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val (m, bands, r, dims, maxBucket) = nswParams(spark, indexPath)
+    nswTopK(corpus, queries, k, m, bands, bitsPerBand = r,
+      beam = beam, hops = hops, dims = dims, maxBucket = maxBucket,
+      idCol = idCol, vecCol = vecCol,
+      edges = Some(spark.read.parquet(s"$indexPath/edges")))
+  }
+
+  /** Incrementally ADMIT a new batch into a saved NSW index — the daily-
+    * crawl shape ([[graft.textops.Dedup.minhashLshAdmit]]'s discipline
+    * applied to the graph): per-batch cost is O(batch + touched-bucket
+    * peers), the existing corpus is never re-banded or rescanned.
+    *
+    *   1. the batch is banded with the INDEX's own manifest parameters;
+    *   2. only the batch's (band, bucket) keys are read back from the
+    *     saved bucket assignment, and only THOSE peers' vectors are
+    *     fetched from `corpus` (one id-keyed join, O(peers));
+    *   3. new out-links: batch → (peers ∪ batch) top-m per band, and
+    *     touched peers → batch top-m per band — both APPENDED. Existing
+    *     links are never re-ranked: a touched node's degree grows by at
+    *     most m per band per admitted batch, and the beam search simply
+    *     sees more candidates (TextOpsSpec pins post-extend recall).
+    *     Buckets beyond the manifest's cap are dropped loudly, as at
+    *     build time.
+    *
+    * `corpus` must be the PRE-batch corpus (vector source for touched
+    * peers); the batch's own vectors ride `batch`. After the call the
+    * index serves corpus ∪ batch.
+    */
+  def nswExtend(indexPath: String, corpus: DataFrame, batch: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dropStats: Option[org.apache.spark.sql.Observation] = None): Unit = {
+    val spark = corpus.sparkSession
+    val (m, bands, r, dims, maxBucket) = nswParams(spark, indexPath)
+    val bz = batch.select(col(idCol).as("id"), col(vecCol).as("v"),
+        ivfQuantized(col(vecCol)).as("qv"))
+      .withColumn("nq", sqrt(dot(col("qv"), col("qv"))))
+      .filter(col("nq") > 0)
+    val bb = banded(bz, "id", bands, r, dims, "v",
+      payload = Seq("qv", "nq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touched = bb.select("band", "bucket").distinct()
+      val peerIds = spark.read.parquet(s"$indexPath/buckets")
+        .join(broadcast(touched), Seq("band", "bucket"))
+      val peerVecs = corpus.select(col(idCol).as("id"),
+          ivfQuantized(col(vecCol)).as("qv"))
+        .withColumn("nq", sqrt(dot(col("qv"), col("qv"))))
+        .join(peerIds.hint("shuffle_hash"), Seq("id"))
+        .select("band", "bucket", "id", "qv", "nq")
+      val batchRows = bb.select("band", "bucket", "id", "qv", "nq")
+      val all = peerVecs.unionByName(batchRows)
+      val gate = Dedup.sizeGatedKeys(all, Seq("band", "bucket"),
+        maxBucket, dropStats, minSize = 2)
+      val ok = all.join(broadcast(gate), Seq("band", "bucket"))
+      def links(src: DataFrame, dst: DataFrame): DataFrame = {
+        val s = src.select(col("band"), col("bucket"),
+          col("id").as("src"), col("qv").as("sqv"), col("nq").as("snq"))
+        val d = dst.select(col("band"), col("bucket"),
+          col("id").as("dst"), col("qv").as("dqv"), col("nq").as("dnq"))
+        val w = Window.partitionBy("src", "band")
+          .orderBy(col("qsim").desc, col("dst"))
+        s.join(d.hint("shuffle_hash"), Seq("band", "bucket"))
+          .filter(col("src") =!= col("dst"))
+          .select(col("src"), col("band"), col("dst"),
+            (dot(col("sqv"), col("dqv")) / (col("snq") * col("dnq")))
+              .as("qsim"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= m)
+          .select("src", "dst").distinct()
+      }
+      // batch → everything in its buckets; touched peers → batch only
+      val gatedBatch = batchRows.join(broadcast(gate), Seq("band", "bucket"))
+      val gatedPeers = peerVecs.join(broadcast(gate), Seq("band", "bucket"))
+      links(gatedBatch, ok).unionByName(links(gatedPeers, gatedBatch))
+        .distinct()
+        .write.mode("append").parquet(s"$indexPath/edges")
+      bb.select("band", "bucket", "id")
+        .write.mode("append").parquet(s"$indexPath/buckets")
+    } finally { bb.unpersist(); () }
   }
 }

@@ -75,6 +75,46 @@ class TextOpsSpec extends SparkSpec {
       release()
       assert(cached === base, s"$name: release() must drop the cache entry")
     }
+    // the admission door (minhashLshAdmitReleasable) — the operator built
+    // for REPEATED daily calls, where a leaked signature frame per call
+    // compounds — follows the same contract
+    val idx = java.nio.file.Files
+      .createTempDirectory("minhash-idx-release").toString
+    Dedup.saveMinhashIndex(docs, idx, n = 3)
+    val (admitted, releaseAdmit) =
+      Dedup.minhashLshAdmitReleasable(docs.limit(2), idx, n = 3)
+    admitted.count()
+    assert(cached > base, "admit: expected a cache entry after the action")
+    releaseAdmit()
+    assert(cached === base, "admit: release() must drop the cache entry")
+    // semDedup's assignment frame has four plan consumers — same contract
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val cents = Similarity.trainIvfCentroids(emb, nCentroids = 4)
+    val (sem, releaseSem) =
+      Similarity.semDedupReleasable(emb, cents, threshold = 0.95)
+    sem.count()
+    assert(cached > base, "semdedup: expected a cache entry after the action")
+    releaseSem()
+    assert(cached === base, "semdedup: release() must drop the cache entry")
+  }
+
+  test("minhashLshAdmit fails loudly when the probe parameters do not " +
+      "match the index's manifest (a mismatch is silently-wrong " +
+      "est_jaccard, never an error, without the check)") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("minhash-idx-params").toString
+    Dedup.saveMinhashIndex(docs, idx, n = 3, k = 64, bands = 16)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashLshAdmit(docs.limit(1), idx, n = 3, k = 64, bands = 8)
+        .count()
+    }
+    assert(e.getMessage.contains("was built with"))
+    // matching parameters pass through the gate
+    assert(Dedup.minhashLshAdmit(docs.limit(1), idx, n = 3, k = 64,
+      bands = 16).count() >= 0)
   }
 
   test("simhash: identical texts collide, near-dups are close, distinct far") {
@@ -538,6 +578,46 @@ class TextOpsSpec extends SparkSpec {
     val deg = Similarity.nswGraph(emb, m = 6, bands = 2)
       .groupBy("src").count().agg(max("count")).as[Long].head()
     assert(deg <= 12, s"out-degree $deg exceeds m×bands = 12")
+  }
+
+  test("saved NSW index: probe equals the in-memory build bit-for-bit; " +
+      "nswExtend admits a batch (new docs reachable, old recall kept)") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val queries = emb.filter(col("vec_id") < 8)
+    val path = java.nio.file.Files
+      .createTempDirectory("nsw-index-spec").toString
+    // build over the PRE-batch corpus (hold out 20 vectors as the batch)
+    val batch = emb.filter(col("vec_id") % 25 === 7)
+    val pre = emb.filter(col("vec_id") % 25 =!= 7)
+    Similarity.saveNswIndex(pre, path)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3)).toSeq
+    // saved-index probe == in-memory build (the q119 gate's contract,
+    // asserted here at spec scale without the oracle)
+    val inMem = rows(Similarity.nswTopK(pre, queries, k = 5))
+    val fromDisk = rows(Similarity.nswTopKIndexed(path, pre, queries, k = 5))
+    assert(fromDisk === inMem)
+    // admit the batch: new docs must be REACHABLE as neighbors when the
+    // probe runs over the extended corpus
+    Similarity.nswExtend(path, pre, batch)
+    val extended = Similarity.nswTopKIndexed(path, emb, queries, k = 5)
+    val exact = Similarity.cosineTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = extended.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall >= 0.5, s"post-extend recall $recall below 0.5")
+    // at least one exact neighbor pair that involves a batch vector must
+    // be served — the extension made the admitted docs findable
+    val batchIds = batch.select("vec_id").as[Long].collect().toSet
+    val exactBatchPairs = exact.filter(p => batchIds(p._2))
+    if (exactBatchPairs.nonEmpty)
+      assert(got.exists(p => batchIds(p._2)),
+        "no admitted vector ever served as a neighbor after nswExtend")
   }
 
   test("graph ANN excludes zero-quantized-norm vectors instead of NaN-ranking them") {
