@@ -37,6 +37,33 @@ object ScaleSmoke {
           .otherwise(concat(col("text"), lit(" v"), col("copy"))).as("text"))
   }
 
+  /** The DISJOINT-copy regime: every copy's tokens carry a per-copy
+    * suffix (`token` → `tokenc<copy>`), so cross-copy shingle/token sets
+    * are disjoint for ANY multiplier — no cyclic transform, no cap
+    * (unlike a Caesar shift's mod-26 wraparound). Within-copy structure
+    * is preserved exactly (the suffix is injective per copy, so
+    * within-copy Jaccard is unchanged), which means near-dup CLIQUE
+    * SIZES stay constant as the corpus multiplies — the regime a real
+    * growing web corpus exhibits, where [[scaledDocs]]' suffix-append
+    * copies deliberately model the opposite (every clique grows with the
+    * multiplier; pair volume quadratic). The 100× lane runs BOTH:
+    * `jaccard_prefix_pairs` on the adversarial corpus (output-linear
+    * per-pair cost under clique growth) and `jaccard_prefix_disjoint`
+    * here (wall tracking corpus size under constant cliques).
+    */
+  def scaledDocsDisjoint(spark: SparkSession, sfDir: String,
+      mult: Int): DataFrame = {
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val copies = spark.range(mult.toLong).toDF("copy")
+    base.crossJoin(broadcast(copies))
+      .select(
+        (col("doc_id") * mult + col("copy")).as("doc_id"),
+        when(col("copy") === 0, col("text"))
+          .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1c"), col("copy")))).as("text"))
+  }
+
   def scaledEmbeddings(spark: SparkSession, sfDir: String,
       mult: Int): DataFrame = {
     val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -469,6 +496,24 @@ object ScaleSmoke {
         time("incremental_admit")(
           Dedup.minhashLshAdmit(batch, dir, estThreshold = 0.8))
       }
+    // Disjoint-copy regime (GenScaled's discipline, non-cyclic — see
+    // scaledDocsDisjoint): clique sizes constant as the corpus grows, so
+    // the pair set grows ~linearly with the multiplier, and the wall must
+    // track corpus size — the regime the r13 100× jaccard adjudication
+    // ASSUMED about real web corpora, now measured instead of argued.
+    if (enabled("jaccard_prefix_disjoint")) locally {
+      val docsD = scaledDocsDisjoint(spark, sfDir, mult)
+        .repartition(cpus.toInt).persist()
+      val nD = docsD.count()
+      println(s"[scale] disjoint corpus: $nD docs")
+      val dObs = Observation("jaccard_disjoint_caps")
+      timeReleasing("jaccard_prefix_disjoint")(
+        Dedup.ngramJaccardPairsPrefixReleasable(docsD, threshold = 0.9,
+          dropStats = Some(dObs)))
+      printCaps("jaccard_prefix_disjoint", dObs)
+      docsD.unpersist(blocking = false)
+      System.gc()
+    }
     // jittered copies are ~identical vectors (cos ≈ 0.9999) → they collide
     // even in wide bands. Geometry is the n-aware DEFAULT (autoBandBits:
     // 100k vectors → 9-bit bands → 512 buckets/band, expected density
@@ -498,9 +543,54 @@ object ScaleSmoke {
       if (enabled("ivfpq_topk")) locally {
         val cents = Similarity.trainIvfCentroids(embs, nCentroids = 16,
           iters = 2, trainMod = mult)
+        val queries = embs.filter(col("vec_id") < 64)
         time("ivfpq_topk")(Similarity.ivfPqTopK(
-          embs, embs.filter(col("vec_id") < 64), k = 5, cents, books,
-          nProbe = 4))
+          embs, queries, k = 5, cents, books, nProbe = 4))
+        def pairSet(df: DataFrame): Set[(Long, Long)] = df
+          .select(col("query_id"), col("neighbor_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val exact = pairSet(Similarity.cosineTopK(embs, queries, k = 5))
+        val pqR = (exact intersect pairSet(Similarity.ivfPqTopK(
+          embs, queries, k = 5, cents, books, nProbe = 4)))
+          .size.toDouble / exact.size
+        println(f"[scale]   recall_vs_exact: ivfpq_topk $pqR%.3f")
+        results.get("ivfpq_topk").foreach(e =>
+          record(e.copy(recallVsExact = Some(pqR))))
+      }
+    }
+    // Graph ANN at scale: the proximity graph builds OFFLINE (timed as
+    // its own entry, the minhash_index_build pattern) and the probe runs
+    // against the saved index — the serving split the operator ships
+    // (saveNswIndex / nswTopKIndexed). The jittered clone cliques are the
+    // bucket-density adversary: every clone lands in its original's
+    // buckets, so link candidates per node are ~mult regardless of r.
+    if (enabled("nsw_index_build") || enabled("nsw_topk")) locally {
+      val dir = java.nio.file.Files
+        .createTempDirectory("scale-nsw-idx").toString
+      val buildSec = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        Similarity.saveNswIndex(embs, dir)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"[scale] nsw_index_build             ${embs.count()}%10d " +
+        f"rows  $buildSec%8.2f s" +
+        (if (reps > 1) s"  (min of $reps)" else ""))
+      if (enabled("nsw_index_build"))
+        record(Entry("nsw_index_build", embs.count(), buildSec))
+      if (enabled("nsw_topk")) {
+        val queries = embs.filter(col("vec_id") < 64)
+        time("nsw_topk")(
+          Similarity.nswTopKIndexed(dir, embs, queries, k = 5))
+        def pairSet(df: DataFrame): Set[(Long, Long)] = df
+          .select(col("query_id"), col("neighbor_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val exact = pairSet(Similarity.cosineTopK(embs, queries, k = 5))
+        val nswR = (exact intersect pairSet(
+          Similarity.nswTopKIndexed(dir, embs, queries, k = 5)))
+          .size.toDouble / exact.size
+        println(f"[scale]   recall_vs_exact: nsw_topk $nswR%.3f")
+        results.get("nsw_topk").foreach(e =>
+          record(e.copy(recallVsExact = Some(nswR))))
       }
     }
     // SemDeDup at 20×: k grows with n (the semDedup scaladoc's k ∝ n rule
@@ -522,7 +612,7 @@ object ScaleSmoke {
     // recall vs the exact brute-force baseline for both ANN paths — the
     // artifact's "approximation is bounded, not hoped" line. 64 queries ×
     // k=5 = 320 pairs per side: tiny collects, one corpus-scan each.
-    if (enabled("ann_lsh_topk") && enabled("ivf_topk")) locally {
+    if (enabled("ann_lsh_topk") || enabled("ivf_topk")) locally {
       val queries = embs.filter(col("vec_id") < 64)
       def pairSet(df: DataFrame): Set[(Long, Long)] = df
         .select(col("query_id"), col("neighbor_id")).collect()
@@ -530,16 +620,20 @@ object ScaleSmoke {
       val exact = pairSet(Similarity.cosineTopK(embs, queries, k = 5))
       def recallOf(df: DataFrame): Double =
         (exact intersect pairSet(df)).size.toDouble / exact.size
-      val annR = recallOf(Similarity.annLshTopK(embs, queries, k = 5,
-        corpusCount = Some(nEmb)))
-      val ivfR = recallOf(Similarity.ivfTopK(embs, queries, k = 5,
-        trainMod = mult))
-      println(f"[scale]   recall_vs_exact: ann_lsh_topk $annR%.3f " +
-        f"ivf_topk $ivfR%.3f")
-      results.get("ann_lsh_topk").foreach(e =>
-        record(e.copy(recallVsExact = Some(annR))))
-      results.get("ivf_topk").foreach(e =>
-        record(e.copy(recallVsExact = Some(ivfR))))
+      if (enabled("ann_lsh_topk")) {
+        val annR = recallOf(Similarity.annLshTopK(embs, queries, k = 5,
+          corpusCount = Some(nEmb)))
+        println(f"[scale]   recall_vs_exact: ann_lsh_topk $annR%.3f")
+        results.get("ann_lsh_topk").foreach(e =>
+          record(e.copy(recallVsExact = Some(annR))))
+      }
+      if (enabled("ivf_topk")) {
+        val ivfR = recallOf(Similarity.ivfTopK(embs, queries, k = 5,
+          trainMod = mult))
+        println(f"[scale]   recall_vs_exact: ivf_topk $ivfR%.3f")
+        results.get("ivf_topk").foreach(e =>
+          record(e.copy(recallVsExact = Some(ivfR))))
+      }
     }
     time("langid_quality")(docs.select(
       TextStats.langId(col("text")).as("lang"),

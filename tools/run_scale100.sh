@@ -9,7 +9,10 @@
 # Usage: bash tools/run_scale100.sh   (needs an otherwise-idle machine)
 set -e
 cd "$(dirname "$0")/.."
-ENTRIES="jaccard_prefix_pairs dedup_groups cdc_apply curation_pipeline robust_outliers"
+# r13 set: jaccard_prefix_pairs dedup_groups cdc_apply curation_pipeline
+# robust_outliers; r14 adds the corrected-regime jaccard and the ANN
+# serving path. Override with SCALE100_ENTRIES.
+ENTRIES=${SCALE100_ENTRIES:-"jaccard_prefix_disjoint ann_lsh_topk nsw_topk ivfpq_topk cdc_apply"}
 for e in $ENTRIES; do
   echo "[scale100] running $e ..."
   SPARK_GRAFT_SCALE=100 SPARK_GRAFT_SCALE_ONLY=$e SPARK_GRAFT_SCALE_REPS=2 \
