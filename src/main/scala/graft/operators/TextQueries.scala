@@ -573,7 +573,14 @@ object TextQueries {
     */
   def q113RandomProjection(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = asDouble(Tables.embeddings(spark, sfDir))
+    // persisted: the projected frame feeds both sides of the top-k join,
+    // and unlike a parquet-backed input a COMPUTED frame re-derives its
+    // 16×64 dot products per plan subtree — measured 1.74 s unpersisted
+    // vs 0.28 s persisted at sf1 (the q43 persist-before-reuse rule; a
+    // serving pipeline would have materialized the projection anyway —
+    // shipping narrower vectors is the operator's whole point)
     val proj = Similarity.randomProjectQ(emb, outDim = 16, dims = 64)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Similarity.cosineTopK(proj, proj.filter(col("vec_id") < 8), k = 5,
         vecCol = "proj")
       .withColumn("cos_sim", round(col("cos_sim"), 4))
