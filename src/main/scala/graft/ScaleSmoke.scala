@@ -870,7 +870,7 @@ object ScaleSmoke {
 
     // tf-idf top-k terms at 20×: one tokenize pass reused for tf and df,
     // per-doc window top-k — the term explode is the volume axis
-    time("tfidf_topk")(TextStats.tfidfTopTerms(docs, k = 3))
+    timeReleasing("tfidf_topk")(TextStats.tfidfTopTermsReleasable(docs, k = 3))
 
     // composite curation pipeline at 20× — the q103 chain (fold → exact
     // dedup → 13-gram decontam → rebalance → pack) as ONE plan over the

@@ -299,14 +299,18 @@ object TextStats {
     */
   def tfidfTopTerms(df: org.apache.spark.sql.DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
-      k: Int = 3): org.apache.spark.sql.DataFrame = {
+      k: Int = 3): org.apache.spark.sql.DataFrame =
+    tfidfTopTermsReleasable(df, idCol, textCol, k)._1
+
+  /** [[tfidfTopTerms]] plus a release handle freeing the persisted tf
+    * frame (see [[unigramNllReleasable]] for why the persist exists —
+    * the same multi-consumer tokenize-once argument). */
+  def tfidfTopTermsReleasable(df: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 3): (org.apache.spark.sql.DataFrame, () => Unit) = {
     import org.apache.spark.sql.expressions.Window
-    val tf = df
-      .select(col(idCol),
-        explode(graft.functions.ArrayExprs.arrayHistogram(
-          words(col(textCol)))).as("h"))
-      .select(col(idCol), col("h.term").as("term"), col("h.tf").as("tf"))
-      .where(col("term") =!= "")
+    val tf = perDocTf(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = df.agg(count_distinct(col(idCol)).as("graft_n"))
     val scored = tf
@@ -316,10 +320,29 @@ object TextStats {
         round(col("tf") * log(col("graft_n").cast("double") / col("df")), 4))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("term").asc)
-    scored.withColumn("rank", row_number().over(w))
+    val out = scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col(idCol), col("rank"), col("term"), col("score"))
+    (out, () => { tf.unpersist(blocking = false); () })
   }
+
+  /** One distinct (doc, term, tf) row per document term — the shared
+    * row-local tokenize+histogram pass behind tf-idf, the unigram LM and
+    * BM25. The frame is meant to be PERSISTED by its caller: it always
+    * feeds ≥2 plan consumers (a term-keyed model/df table AND a scoring
+    * join), and column pruning specializes each consumer's copy of this
+    * subtree (one keeps `idCol`, one drops it), so no exchange
+    * canonicalizes equal and ReuseExchange cannot anchor — without a
+    * cache the corpus TOKENIZES once per consumer (measured 3× on q114;
+    * the plan-audit pin holds the count at one).
+    */
+  private def perDocTf(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol),
+        explode(graft.functions.ArrayExprs.arrayHistogram(
+          words(col(textCol)))).as("h"))
+      .select(col(idCol), col("h.term").as("term"), col("h.tf").as("tf"))
+      .where(col("term") =!= "")
 
   /** Unigram language-model negative log-likelihood per document — the
     * CCNet/C4 perplexity-filter technique (Wenzek et al. 2020 rank web
@@ -343,17 +366,24 @@ object TextStats {
     */
   def unigramNll(docs: org.apache.spark.sql.DataFrame,
       idCol: String = "doc_id", textCol: String = "text")
-      : org.apache.spark.sql.DataFrame = {
-    val tf = docs
-      .select(col(idCol),
-        explode(graft.functions.ArrayExprs.arrayHistogram(
-          words(col(textCol)))).as("h"))
-      .select(col(idCol), col("h.term").as("term"), col("h.tf").as("tf"))
-      .where(col("term") =!= "")
+      : org.apache.spark.sql.DataFrame =
+    unigramNllReleasable(docs, idCol, textCol)._1
+
+  /** [[unigramNll]] plus a release handle freeing the persisted tf
+    * frame. The persist is the TOKENIZE-ONCE guarantee, not a cache
+    * nicety: tf feeds three consumers (the unigram model, its (N, V)
+    * scalars, the scoring join) whose column-pruned copies of the
+    * tokenize subtree never canonicalize equal (see [[perDocTf]]), so
+    * without it the corpus tokenizes three times per action. */
+  def unigramNllReleasable(docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text")
+      : (org.apache.spark.sql.DataFrame, () => Unit) = {
+    val tf = perDocTf(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val uni = tf.groupBy("term").agg(sum("tf").as("cnt"))
     val stats = uni.agg(sum(col("cnt")).cast("double").as("graft_n"),
       count(lit(1)).cast("double").as("graft_v"))
-    tf.join(uni, "term")
+    val out = tf.join(uni, "term")
       .crossJoin(broadcast(stats))
       .groupBy(col(idCol))
       .agg(sum(col("tf")).as("n_tokens"),
@@ -361,6 +391,7 @@ object TextStats {
           sum(col("tf") * -log((col("cnt") + lit(1.0)) /
             (col("graft_n") + col("graft_v")))) / sum(col("tf")),
           4).as("avg_nll"))
+    (out, () => { tf.unpersist(blocking = false); () })
   }
 
   /** BM25 top-k retrieval (Robertson & Zaragoza 2009, the Lucene
@@ -387,7 +418,18 @@ object TextStats {
       queries: Seq[(Int, Seq[String])], k: Int,
       k1: Double = 1.2, b: Double = 0.75,
       idCol: String = "doc_id", textCol: String = "text")
-      : org.apache.spark.sql.DataFrame = {
+      : org.apache.spark.sql.DataFrame =
+    bm25TopKReleasable(docs, queries, k, k1, b, idCol, textCol)._1
+
+  /** [[bm25TopK]] plus a release handle freeing the persisted hits
+    * frame — the tokenize-once guarantee ([[perDocTf]] scaladoc): the
+    * (doc, query-term) hits feed both the df table and the scoring
+    * join, and the persisted frame is O(hits), tiny by construction. */
+  def bm25TopKReleasable(docs: org.apache.spark.sql.DataFrame,
+      queries: Seq[(Int, Seq[String])], k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text")
+      : (org.apache.spark.sql.DataFrame, () => Unit) = {
     require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
       "queries must be a non-empty batch of non-empty term lists")
     // the tokenizer lowercases ([[words]]), so an uppercase query term
@@ -422,6 +464,11 @@ object TextStats {
       .select(col("doc_id"), col("dl"),
         col("h.term").as("term"), col("h.tf").as("tf"))
       .where(col("term").isin(qTerms: _*))
+      // persisted (tokenize-once, [[perDocTf]] scaladoc): tf feeds the
+      // df table and the scoring join; the cached frame holds only the
+      // query-term HITS, while the alternative is a second full corpus
+      // tokenize per consumer
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // every float literal below is the SAME Scala-computed double the
     // oracle interpolates (shortest round-trip repr), so both engines
@@ -438,12 +485,13 @@ object TextStats {
       .crossJoin(broadcast(stats))
       .groupBy("query_id", "doc_id")
       .agg(round(sum(contrib), 4).as("score"))
-    perDoc.groupBy("query_id")
+    val out = perDoc.groupBy("query_id")
       .agg(graft.functions.AggExprs.collectTopK(
         struct(col("score"), (-col("doc_id")).as("nd"), col("doc_id")),
         k).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("rk", "t")))
       .select(col("query_id"), (col("rk") + 1).cast("int").as("rank"),
         col("t.doc_id").as("doc_id"), col("t.score").as("score"))
+    (out, () => { tf.unpersist(blocking = false); () })
   }
 }

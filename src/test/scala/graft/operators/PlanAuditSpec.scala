@@ -320,6 +320,51 @@ class PlanAuditSpec extends SparkSpec {
       cols.forall(_.toSet == Set("user_id", "ts")), cols.toString)
   }
 
+  test("q114/q108/q67: the corpus tokenizes ONCE — exactly one " +
+      "array-histogram Generate in each physical plan (every consumer " +
+      "reads the one persisted tf materialization; column-pruned " +
+      "subtree copies would otherwise re-tokenize per consumer)") {
+    // visited set: N scans of the SAME persisted relation must count its
+    // cached plan once — that single materialization is the whole claim
+    var seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
+    def histogramGenerates(p: SparkPlan): Int = (p.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec
+          if g.generator.toString.contains("graft_array_histogram") => 1
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        if (seen.add(m.relation.cacheBuilder))
+          histogramGenerates(m.relation.cachedPlan)
+        else 0
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        histogramGenerates(a.executedPlan)
+      // AQE hides materialized subtrees inside query-stage nodes; a
+      // REUSED exchange shows as a leaf ReusedExchangeExec (no subtree),
+      // so recursing every stage still counts each original exactly once
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        histogramGenerates(s.plan)
+    }).sum
+    for ((name, fn) <- Seq[(String, () => DataFrame)](
+      "q114" -> (() => TextQueries.q114UnigramNll(spark, sf)),
+      "q108" -> (() => TextQueries.q108Bm25(spark, sf)),
+      "q67" -> (() => TextQueries.q67TfIdf(spark, sf)))) {
+      // isolate queries from each other: identical tokenize subtrees
+      // would otherwise share one cache entry across queries and hide
+      // a later query's Generate from the count
+      spark.catalog.clearCache()
+      seen = java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
+      val df = fn()
+      // execute first: exchange reuse is decided when AQE materializes
+      // stages, so the pre-execution plan still shows one Exchange per
+      // consumer — the AQE-FINAL plan is the one the claim is about
+      df.count()
+      val plan = df.queryExecution.executedPlan
+      val n = histogramGenerates(plan)
+      assert(n === 1, s"$name: expected exactly one histogram " +
+        s"Generate (tokenize-once), found $n in:\n$plan")
+    }
+  }
+
   test("no gated query re-evaluates a generator subtree above its " +
       "Generate (sweep over every SparkEntry entry)") {
     val bad = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
