@@ -91,7 +91,8 @@ object Bench {
       }
 
     // Codegen/JIT warm-up pass at the smallest SF (see scaladoc).
-    queries.foreach { case (name, fn) => runOne(name, warmDir, fn) }
+    queries.foreach { case (name, fn) =>
+      runOne(name, warmDir, fn); CacheHandles.releaseAll() }
 
     val results = queries.map { case (name, fn) =>
       val repSecs = (1 to reps).map { _ =>
@@ -112,7 +113,13 @@ object Bench {
         Thread.sleep(gcPauseMs)
         val t0 = System.nanoTime()
         runOne(name, sfDir, fn)
-        (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        // drain the per-call persist handles OUTSIDE the timed window
+        // (clearCache above already drops the cache blocks; this empties
+        // the CacheHandles queue so a 119-query × reps run doesn't
+        // accumulate dead closures)
+        CacheHandles.releaseAll()
+        sec
       }
       val sec = repSecs.min
       Console.err.println(f"[bench] $name%-24s $sec%8.3f s" +

@@ -493,8 +493,11 @@ object ScaleSmoke {
           f"  $buildSec%8.2f s" + (if (reps > 1) s"  (min of $reps)" else ""))
         if (enabled("minhash_index_build"))
           record(Entry("minhash_index_build", nExisting, buildSec))
-        time("incremental_admit")(
-          Dedup.minhashLshAdmit(batch, dir, estThreshold = 0.8))
+        // releasable lane: the admit path persists the batch-signature
+        // frame internally — with SPARK_GRAFT_SCALE_REPS>1 the plain API
+        // would leak one cache entry per rep
+        timeReleasing("incremental_admit")(
+          Dedup.minhashLshAdmitReleasable(batch, dir, estThreshold = 0.8))
       }
     // Disjoint-copy regime (GenScaled's discipline, non-cyclic — see
     // scaledDocsDisjoint): clique sizes constant as the corpus grows, so

@@ -947,19 +947,30 @@ object SparkEntry {
          GROUP BY 1 ORDER BY 1""",
     // Table profile: per-column counters restated and unioned; values
     // cast to VARCHAR first so min/max are lexicographic on both engines
+    // Exact profile: one row per column, NATIVE-order extrema rendered
+    // to string after aggregation (CAST(MIN(c)) — the operator's r15
+    // semantics; the old shape MIN'd the casts, paying a per-row render)
     "q99_profile" ->
-      """WITH u AS (
+      """SELECT * FROM (
            SELECT 'o_orderkey' AS "column",
-             CAST(o_orderkey AS VARCHAR) AS v FROM orders
-           UNION ALL SELECT 'o_custkey',
-             CAST(o_custkey AS VARCHAR) FROM orders
-           UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
-           UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders)
-         SELECT "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(COUNT(*) - COUNT(v) AS BIGINT) AS n_nulls,
-           CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
-           MIN(v) AS min_str, MAX(v) AS max_str
-         FROM u GROUP BY 1 ORDER BY 1""",
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls,
+             CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+             CAST(MIN(o_orderkey) AS VARCHAR) AS min_str,
+             CAST(MAX(o_orderkey) AS VARCHAR) AS max_str FROM orders
+           UNION ALL SELECT 'o_custkey', COUNT(*),
+             COUNT(*) - COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+             CAST(MIN(o_custkey) AS VARCHAR),
+             CAST(MAX(o_custkey) AS VARCHAR) FROM orders
+           UNION ALL SELECT 'o_orderstatus', COUNT(*),
+             COUNT(*) - COUNT(o_orderstatus),
+             COUNT(DISTINCT o_orderstatus),
+             MIN(o_orderstatus), MAX(o_orderstatus) FROM orders
+           UNION ALL SELECT 'o_orderpriority', COUNT(*),
+             COUNT(*) - COUNT(o_orderpriority),
+             COUNT(DISTINCT o_orderpriority),
+             MIN(o_orderpriority), MAX(o_orderpriority) FROM orders)
+         ORDER BY "column"""",
     // Grouped top-k: the oracle is the WINDOW formulation the bounded
     // aggregate replaces — equality proves aggregate ≡ sort-based top-k
     "q96_grouped_topk" ->

@@ -26,6 +26,10 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        // drop the query's per-call persists (tracked via CacheHandles)
+        // so 119 gates don't accumulate dead cache entries; per-corpus
+        // index artifacts are TrieMap-cached and deliberately survive
+        finally CacheHandles.releaseAll()
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -668,10 +668,17 @@ object ArrayExprs {
     * pipeline.
     *
     * Output: array<long>, one hash per window start (positions
-    * 0..m−n), EMPTY array when the document has fewer than n tokens
-    * (callers filter those out — a short doc has no n-token window).
+    * 0..m−n). A document with fewer than n tokens yields an EMPTY array
+    * by default (no n-token window exists — exact-substring callers
+    * filter those out); with `wholeDocIfShort` it instead yields ONE
+    * hash folding ALL m tokens — mirroring [[WordShingles]]' short-doc
+    * rule ("fewer than n words → a single shingle of all words"), so a
+    * hash-level pre-screen of the shingle sets has no false negatives
+    * on short documents either (equal token sequences ⇒ equal hashes,
+    * at every length).
     */
-  case class RollingGramKrHashes(child: Expression, n: Int)
+  case class RollingGramKrHashes(child: Expression, n: Int,
+      wholeDocIfShort: Boolean = false)
       extends UnaryExpression with CodegenFallback {
     require(n >= 1, s"window must be >= 1 token, got $n")
     private val Base = 257L
@@ -683,7 +690,8 @@ object ArrayExprs {
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
       val m = arr.numElements()
-      if (m < n) return new GenericArrayData(Array.empty[Any])
+      if (m < n && !wholeDocIfShort)
+        return new GenericArrayData(Array.empty[Any])
       // per-token char-level KR hashes in both residue fields
       val t1 = new Array[Long](m)
       val t2 = new Array[Long](m)
@@ -703,27 +711,29 @@ object ArrayExprs {
         t1(i) = h1; t2(i) = h2
         i += 1
       }
-      // B^(n-1) mod M for the rolling subtraction
+      // effective window: n normally; the whole doc for the short-doc rule
+      val w = if (m < n) m else n
+      // B^(w-1) mod M for the rolling subtraction
       var bp1 = 1L
       var bp2 = 1L
       i = 1
-      while (i < n) { bp1 = bp1 * Base % Mod1; bp2 = bp2 * Base % Mod2; i += 1 }
-      val out = new Array[Any](m - n + 1)
+      while (i < w) { bp1 = bp1 * Base % Mod1; bp2 = bp2 * Base % Mod2; i += 1 }
+      val out = new Array[Any](m - w + 1)
       var h1 = 0L
       var h2 = 0L
       i = 0
-      while (i < n) {
+      while (i < w) {
         h1 = (h1 * Base + t1(i)) % Mod1
         h2 = (h2 * Base + t2(i)) % Mod2
         i += 1
       }
       out(0) = h1 * Mod2 + h2
       var p = 1
-      while (p <= m - n) {
+      while (p <= m - w) {
         h1 = ((h1 - t1(p - 1) * bp1 % Mod1 + Mod1) % Mod1 * Base
-          + t1(p + n - 1)) % Mod1
+          + t1(p + w - 1)) % Mod1
         h2 = ((h2 - t2(p - 1) * bp2 % Mod2 + Mod2) % Mod2 * Base
-          + t2(p + n - 1)) % Mod2
+          + t2(p + w - 1)) % Mod2
         out(p) = h1 * Mod2 + h2
         p += 1
       }
@@ -949,8 +959,9 @@ object ArrayExprs {
   def wordShingles(words: Column, n: Int): Column =
     exprColumn(WordShingles(columnExpr(words), n))
 
-  def rollingGramKrHashes(words: Column, n: Int): Column =
-    exprColumn(RollingGramKrHashes(columnExpr(words), n))
+  def rollingGramKrHashes(words: Column, n: Int,
+      wholeDocIfShort: Boolean = false): Column =
+    exprColumn(RollingGramKrHashes(columnExpr(words), n, wholeDocIfShort))
 
   def repetitionSignals(words: Column): Column =
     exprColumn(RepetitionSignals(columnExpr(words)))

@@ -485,10 +485,14 @@ object Profile {
   }
 
   /** EXACT table profile — the AUDIT variant, not the default. Per
-    * column: row count, null count, EXACT distinct count, lexicographic
-    * min/max (values cast to string first, so one report schema covers
-    * every column type; callers needing typed extrema have plain
-    * min/max). **The documented default profile is [[describeApprox]]**
+    * column: row count, null count, EXACT distinct count, and the
+    * NATIVE-order min/max rendered to string AFTER aggregation (one
+    * report schema covers every column type at two casts per column
+    * instead of one per row; note the deliberate semantics seam vs
+    * [[describeApprox]], whose unpivoted sketch pass min/maxes the
+    * string RENDERINGS — lexicographic — because its values are already
+    * strings in flight). **The documented default profile is
+    * [[describeApprox]]**
     * (HLL distincts, one pass, fixed-size mergeable state — 0.16× the
     * oracle at sf1 where this exact decomposition runs ~30×): reach for
     * `describe` only when the distinct counts must be exact — schema
@@ -496,15 +500,19 @@ object Profile {
     * exact per-(column, value) decomposition is inherently the
     * expensive twin at any scale.
     *
-    * Shape: two column-pruned passes. The string counters come from
-    * one UNPIVOT scan (explode ×|cols| — each output row carries one
-    * string, never the whole input row) aggregated per position tag;
-    * the exact distincts come from one multi-distinct aggregate over
-    * the NATIVE columns, partial-aggregating per value like any
-    * distinct-count decomposition but hashing native representations
-    * instead of rendered strings (see the in-body comment for the
-    * injectivity argument and the float ±0.0 caveat). Adding a column
-    * adds explode rows and one distinct group, not jobs. Binary/float
+    * Shape: one plain global aggregate for ALL counters (3·|cols|+1
+    * counters riding a single un-expanded scan, one row out), plus ONE
+    * INDEPENDENT two-phase distinct aggregate PER COLUMN — deliberately
+    * not fused: Catalyst plans fused multi-distinct with an
+    * Expand×|cols| of the scanned rows (measured 12 s vs 2.2 at sf1
+    * when the counters fuse in), while the per-column chains share no
+    * dependency, so the scheduler runs their stages CONCURRENTLY inside
+    * the one assembly job — wall ≈ the widest column, not the sum. Each
+    * distinct keeps map-side partial aggregation (skew-safe on
+    * low-cardinality columns: partials collapse before the exchange —
+    * the reason this is NOT the repartition-first shape
+    * [[graft.operators.Quality]] uses for ~unique audit keys).
+    * Binary/float
     * formatting is ENGINE-SPECIFIC (Spark renders 1.0, DuckDB 1.0 vs
     * 1 — the usual cast seam), so the gate profiles the cast-stable
     * types; the operator itself takes any column.
@@ -576,37 +584,35 @@ object Profile {
 
   def describe(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty && cols.distinct == cols, s"bad cols: $cols")
-    // Two column-pruned branches, joined on the column position:
-    //  - the string counters (rows/nulls/lexicographic min/max) from one
-    //    unpivot scan — the tag is the POSITION, not the name string (a
-    //    constant per-row string is dead shuffle weight at any scale);
-    //  - the EXACT distinct counts from one multi-distinct aggregate
-    //    over the NATIVE columns (no unpivot, no string casts in the
-    //    distinct shuffles — the cast to string is injective per value,
-    //    so the counts are identical; the one caveat is float ±0.0,
-    //    which native aggregation unifies while a string-side count
-    //    would split — the gate profiles cast-stable types only, the
-    //    usual float seam). Measured 1.4× faster than the single
-    //    countDistinct-in-unpivot shape at sf1: the distinct partials
-    //    hash native ints instead of rendered strings. The distinct
-    //    frame is |cols| values wide — it broadcasts.
-    val counters = df
-      .select(posexplode(array(cols.map(c => col(c).cast("string")): _*))
-        .as(Seq("graft_i", "v")))
-      .groupBy("graft_i")
-      .agg(count(lit(1)).as("n_rows"),
-        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
-        min(col("v")).as("min_str"),
-        max(col("v")).as("max_str"))
-    val dAggs = cols.zipWithIndex.map { case (c, i) =>
-      countDistinct(col(c)).as(s"graft_d_$i") }
-    val distincts = df.agg(dAggs.head, dAggs.tail: _*)
-      .select(posexplode(array(cols.indices.map(i =>
-        col(s"graft_d_$i")): _*)).as(Seq("graft_i", "n_distinct")))
-    counters.join(broadcast(distincts), "graft_i")
-      .select(element_at(lit(cols.toArray), col("graft_i") + 1)
-          .as("column"),
-        col("n_rows"), col("n_nulls"), col("n_distinct"),
-        col("min_str"), col("max_str"))
+    // No unpivot Generate anywhere (the earlier explode×|cols| shape
+    // multiplied the scanned row stream |cols|-fold just to tag rows —
+    // at 100 TB that multiplier is the job), and no fused
+    // multi-distinct (its Expand is the same multiplier wearing a
+    // different hat). One counters aggregate + |cols| independent
+    // distinct chains, assembled by broadcast cross-joins of one-row
+    // frames; the per-column report rows explode out of the single
+    // joined row. The independent chains' stages run concurrently
+    // inside the one assembly action.
+    val counterAggs = count(lit(1)).as("graft_nrows") +:
+      cols.zipWithIndex.flatMap { case (c, i) => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"graft_nn_$i"),
+        min(col(c)).cast("string").as(s"graft_min_$i"),
+        max(col(c)).cast("string").as(s"graft_max_$i")) }
+    val counters = df.agg(counterAggs.head, counterAggs.tail: _*)
+    val distincts = cols.zipWithIndex.map { case (c, i) =>
+      df.agg(countDistinct(col(c)).as(s"graft_d_$i")) }
+    val joined = distincts.foldLeft(counters)((acc, d) =>
+      acc.crossJoin(broadcast(d)))
+    val entries = cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("column"),
+        coalesce(col(s"graft_nn_$i"), lit(0L)).as("n_nulls"),
+        coalesce(col(s"graft_d_$i"), lit(0L)).as("n_distinct"),
+        col(s"graft_min_$i").as("min_str"),
+        col(s"graft_max_$i").as("max_str")) }
+    joined
+      .select(col("graft_nrows"), explode(array(entries: _*)).as("r"))
+      .select(col("r.column").as("column"),
+        col("graft_nrows").as("n_rows"), col("r.n_nulls"),
+        col("r.n_distinct"), col("r.min_str"), col("r.max_str"))
   }
 }

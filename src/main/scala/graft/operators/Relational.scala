@@ -427,7 +427,7 @@ object Relational {
     est.join(exact, Seq("window_start", "probe"), "left")
       .select(col("window_start"), col("probe"),
         coalesce(col("n_exact"), lit(0L)).as("n_exact"), col("cms_est"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheHandles.persistTracked)
       .orderBy("window_start", "probe")
   }
 
@@ -737,7 +737,7 @@ object Relational {
     // sort's sampling job must not re-run the event aggregation
     Sessions.retentionMatrix(Tables.events(spark, sfDir),
         key = "user_id", ts = "ts", period = "day")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheHandles.persistTracked)
       .orderBy("cohort", "offset")
 
   /** q102: EXACT windowed top-k heavy hitters — the exact complement of
@@ -871,28 +871,65 @@ object Relational {
       col("o_custkey"), round(col("o_totalprice"), 2).as("o_totalprice"),
       col("o_orderpriority"))
     val table = cdcBaseTable.getOrElseUpdate(sfDir, {
-      val t = "graft_q97_base_" + math.abs(sfDir.hashCode).toString
+      // collision-resistant table name per corpus: an Int hashCode can
+      // collide across two sfDir paths in one JVM (silently aliasing the
+      // second corpus's base onto the first) and math.abs(Int.MinValue)
+      // is negative — a hex MD5 prefix has neither failure mode
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(sfDir.getBytes("UTF-8")).take(8)
+        .map(b => f"$b%02x").mkString
+      val t = "graft_q97_base_" + digest
       Temporal.saveBucketedBase(baseDf, t, key = "o_orderkey",
         nBuckets = 32)
       t
     })
     // the testdata generator emits duplicate (orderkey, linenumber)
-    // pairs, so the version is a COMPOSITE struct (linenumber, then the
-    // payload fields) — a total order up to fully-identical rows, which
-    // is exactly the operator's determinism contract
+    // pairs, so the version is COMPOSITE (linenumber, then the payload
+    // fields) — a total order up to fully-identical rows, which is
+    // exactly the operator's determinism contract. PACKED into one long
+    // (the [[Temporal.applyChangelog]] hash-path contract: a bounded
+    // composite belongs in fixed-width bits, not a struct, so winner
+    // selection plans as a codegen'd HashAggregate instead of
+    // interpreted SortAggregate): linenumber≪59 | partkey≪27 |
+    // cents≪3 | rfcode≪1 | del, 62 bits — identical total order to
+    // the oracle's ORDER BY v, custkey, price, priority, del (rfcode
+    // maps the single-char flag A<N<R to 0<1<2, its exact string order;
+    // cents = round(round(price,2)·100) is the monotone integer image
+    // of the rounded double both engines order by). The range guard
+    // fails LOUDLY if any field outgrows its bits or the flag domain
+    // drifts — a silent wrap would silently reorder winners.
+    // cents = floor(d·100 + 0.5) for the 2-decimal double d: d is the
+    // nearest double to k/100, so d·100 ∈ (k−1e-9, k+1e-9) and the
+    // floor lands on k exactly — same integer as round(d·100) without
+    // the per-row BigDecimal detour (measured −1.4 s of 6.7 at sf1)
+    val rounded = round(col("l_extendedprice"), 2)
+    val cents = floor(rounded * lit(100) + lit(0.5)).cast("long")
+    val rfcode = when(col("l_returnflag") === "A", 0L)
+      .when(col("l_returnflag") === "N", 1L)
+      .when(col("l_returnflag") === "R", 2L)
+    val packOk = col("l_linenumber").between(0, 7) &&
+      col("l_partkey").between(0, (1L << 32) - 1) &&
+      cents.between(0, (1L << 24) - 1) && rfcode.isNotNull
+    val vpack = when(!packOk, raise_error(concat(
+        lit("q97 version pack overflow: "), col("l_linenumber"),
+        lit("/"), col("l_partkey"), lit("/"), cents, lit("/"),
+        col("l_returnflag"))))
+      .otherwise(shiftleft(col("l_linenumber").cast("long"), 59) +
+        shiftleft(col("l_partkey").cast("long"), 27) +
+        shiftleft(cents, 3) +
+        shiftleft(rfcode, 1) +
+        (col("l_quantity") < 2).cast("long"))
     val changes = Tables.lineitem(spark, sfDir).select(
       when(col("l_linenumber") === 7, -col("l_orderkey"))
         .otherwise(col("l_orderkey")).as("o_orderkey"),
-      struct(col("l_linenumber"), col("l_partkey"),
-        round(col("l_extendedprice"), 2), col("l_returnflag"),
-        (col("l_quantity") < 2)).as("vord"),
+      vpack.as("vord"),
       (col("l_quantity") < 2).as("del"),
       col("l_partkey").as("o_custkey"),
       round(col("l_extendedprice"), 2).as("o_totalprice"),
       concat(lit("U-"), col("l_returnflag")).as("o_orderpriority"))
     Temporal.applyChangelogBucketed(spark, table, changes,
         key = "o_orderkey", versionCol = "vord", deleteCol = "del")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheHandles.persistTracked)
       .orderBy("o_orderkey")
   }
 
@@ -962,7 +999,7 @@ object Relational {
     val cells = acts.groupBy("cohort", "offset")
       .agg(count(lit(1)).as("n_active"))
     Sessions.finalizeRetentionCells(cells)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheHandles.persistTracked)
       .orderBy("cohort", "offset")
   }
 
@@ -1051,17 +1088,27 @@ object Relational {
       .orderBy("o_orderpriority", "p")
 
   /** q77: CUBE grouping sets — all four (returnflag × linestatus)
-    * aggregation levels in ONE pass (Catalyst's Expand: each input row
-    * fans into the 2^k grouping combinations before the partial agg —
-    * still a single shuffle, the scan is never repeated). The q10 rollup
-    * gate's lattice completed to the full cube, with `grouping()` flags
-    * disambiguating genuine NULL keys from subtotal rows.
+    * aggregation levels, with the Expand kept OFF the fact scan: `cube`
+    * directly over lineitem fans EVERY input row into the 2^k grouping
+    * combinations before the partial agg (4× the scanned rows through
+    * the aggregate — at 100 TB that multiplier IS the job), but COUNT
+    * and SUM are decomposable, so the full-key groupBy runs first
+    * (≈|rf×ls| ≈ 6 partial rows) and the cube's Expand multiplies those
+    * 6 rows, not 6M. Sum exactness across the two levels: l_quantity is
+    * integral (1..50) in doubles, so partial sums and their re-sum are
+    * exact integers well below 2^53 — no FP order seam against the
+    * oracle's one-level SUM. `grouping()` flags still disambiguate
+    * genuine NULL keys from subtotal rows (the pre-aggregate keys carry
+    * NULLs through as ordinary group values).
     */
   def q77Cube(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("graft_pn"),
+        sum(col("l_quantity")).as("graft_pq"))
       .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n_items"),
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
+      .agg(sum(col("graft_pn")).as("n_items"),
+        round(sum(col("graft_pq")), 2).as("sum_qty"),
         grouping(col("l_returnflag")).as("g_rf"),
         grouping(col("l_linestatus")).as("g_ls"))
       .select(coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),

@@ -132,13 +132,15 @@ object Sketches {
     * vocabulary volume), ≤ d·2^logW cells total; estimate probes join the
     * top-k tokens against the (broadcast-sized) cell table. The
     * token-count frame is persisted (two consumers); this plain variant
-    * leaves the entry to die with the session — materializing callers use
-    * [[cmsHeavyHittersReleasable]] (the [[graft.textops.Dedup]] cache
-    * contract).
+    * registers the release handle with [[graft.CacheHandles]] (freed at
+    * the harness's next releaseAll) — pipeline callers managing their
+    * own lifecycle use [[cmsHeavyHittersReleasable]].
     */
   def cmsHeavyHitters(docs: DataFrame, textCol: Column, d: Int = 4,
       logW: Int = 12, topK: Int = 30): DataFrame =
-    cmsHeavyHittersReleasable(docs, textCol, d, logW, topK)._1
+    { val (r, release) = cmsHeavyHittersReleasable(docs, textCol, d,
+        logW, topK)
+      graft.CacheHandles.register(release); r }
 
   /** [[cmsHeavyHitters]] plus the release handle for the persisted
     * token-count frame. */
@@ -218,49 +220,81 @@ object Sketches {
       passObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(joinType == "inner" || joinType == "left_semi",
       s"bloom pruning preserves only inner/left_semi semantics, got $joinType")
-    require(logBits >= 6 && logBits <= 26, s"logBits out of range: $logBits")
-    require(k >= 1 && k <= 16, s"k out of range: $k")
-    val m = 1L << logBits
-    val nWords = (m / 64).toInt
-
-    // k probe positions from one hash evaluation (double hashing). h_lo /
-    // h_hi are < 2^32, so h_lo + (k−1)·h_hi stays far from long overflow.
-    def positions(key: Column): Seq[Column] = {
-      val h = xxhash64(key)
-      val lo = h.bitwiseAND(lit(0xffffffffL))
-      val hi = shiftrightunsigned(h, 32).bitwiseOR(lit(1L))
-      (0 until k).map(i => pmod(lo + lit(i.toLong) * hi, lit(m)))
-    }
-
-    val bits = build
-      .select(explode(array(positions(col(buildKey)): _*)).as("pos"))
-      .groupBy(expr("pos DIV 64").as("w"))
-      .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"))
-        .as("bits"))
-    val bitmap = bits
-      .agg(map_from_arrays(collect_list("w"), collect_list("bits")).as("wm"))
-      .select(transform(sequence(lit(0L), lit(nWords.toLong - 1)),
-        i => coalesce(element_at(col("wm"), i), lit(0L))).as("graft_bloom"))
-
-    // membership test: every position's bit set. Positions are named
-    // columns so the word/bit indexing can use the SQL builtins whose
-    // Scala wrappers pin shift amounts to Int literals.
-    val posCols = (0 until k).map(i => s"graft_p$i")
-    val withPos = positions(col(probeKey)).zip(posCols)
-      .foldLeft(probe.crossJoin(broadcast(bitmap))) {
-        case (df, (pos, name)) => df.withColumn(name, pos)
-      }
-    val test = posCols.map { p =>
-      expr(s"(element_at(graft_bloom, CAST($p DIV 64 AS INT) + 1) & " +
-        s"shiftleft(CAST(1 AS BIGINT), CAST($p % 64 AS INT))) != 0")
-    }.reduce(_ && _)
-    val pruned0 = withPos.filter(test)
-      .drop("graft_bloom").drop(posCols: _*)
+    val bitmap = bloomBitmap(build, col(buildKey), logBits, k)
+    val pruned0 = probe.crossJoin(broadcast(bitmap))
+      .filter(bloomMightContain(col(probeKey), col("graft_bloom"),
+        logBits, k))
+      .drop("graft_bloom")
     val prunedProbe = passObs match {
       case Some(o) => pruned0.observe(o, count(lit(1)).as("n_pass_bloom"))
       case None    => pruned0
     }
     prunedProbe.join(build, prunedProbe(probeKey) === build(buildKey),
       joinType)
+  }
+
+  /** The distributed Bloom BITMAP build [[bloomPrunedJoin]] uses,
+    * exposed for callers that apply the membership test somewhere a
+    * pre-join filter cannot reach — e.g. inside an array `filter` HOF
+    * before an explode materializes candidate rows at all
+    * ([[graft.textops.Overlap.exactNgramContamination]]'s gram
+    * pre-screen). One row, one column `graft_bloom`: the m-bit bitmap
+    * densified as array<bigint> (m/64 words), built by a distributed
+    * bit_or per word — no driver collect; attach with
+    * `crossJoin(broadcast(...))`.
+    */
+  def bloomBitmap(build: DataFrame, buildKey: Column, logBits: Int = 16,
+      k: Int = 5): DataFrame = {
+    require(logBits >= 6 && logBits <= 26, s"logBits out of range: $logBits")
+    require(k >= 1 && k <= 16, s"k out of range: $k")
+    val m = 1L << logBits
+    val nWords = (m / 64).toInt
+    val bits = build
+      .select(explode(array(bloomPositions(buildKey, logBits, k): _*))
+        .as("pos"))
+      .groupBy(expr("pos DIV 64").as("w"))
+      .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"))
+        .as("bits"))
+    bits
+      .agg(map_from_arrays(collect_list("w"), collect_list("bits")).as("wm"))
+      .select(transform(sequence(lit(0L), lit(nWords.toLong - 1)),
+        i => coalesce(element_at(col("wm"), i), lit(0L))).as("graft_bloom"))
+  }
+
+  /** Membership test against a [[bloomBitmap]] column — a PURE Column
+    * expression (no named intermediate columns, no `expr` string
+    * references), so it composes anywhere a Column does: plain filters,
+    * join conditions, and higher-order-function lambdas over array
+    * elements. False positives possible, false negatives never — the
+    * [[bloomPrunedJoin]] contract. The variable-amount bit shifts go
+    * through the Catalyst nodes directly (the Scala wrappers pin shift
+    * amounts to Int literals; the SQL builtins they wrap accept column
+    * amounts).
+    */
+  def bloomMightContain(key: Column, bloom: Column, logBits: Int = 16,
+      k: Int = 5): Column = {
+    import org.apache.spark.sql.graftshim.{columnExpr, exprColumn}
+    import org.apache.spark.sql.catalyst.expressions.ShiftRightUnsigned
+    def shiftRU(v: Column, n: Column): Column =
+      exprColumn(ShiftRightUnsigned(columnExpr(v), columnExpr(n)))
+    bloomPositions(key, logBits, k).map { pos =>
+      val word = element_at(bloom,
+        (shiftRU(pos, lit(6)) + lit(1L)).cast("int"))
+      shiftRU(word, pos.bitwiseAND(lit(63L)).cast("int"))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+  }
+
+  /** k bit positions from ONE xxhash64 evaluation (Kirsch–Mitzenmacher
+    * double hashing: pos_i = h_lo + i·(h_hi|1) mod m). h_lo/h_hi are
+    * < 2^32, so h_lo + (k−1)·h_hi stays far from long overflow.
+    */
+  private def bloomPositions(key: Column, logBits: Int,
+      k: Int): Seq[Column] = {
+    val m = 1L << logBits
+    val h = xxhash64(key)
+    val lo = h.bitwiseAND(lit(0xffffffffL))
+    val hi = shiftrightunsigned(h, 32).bitwiseOR(lit(1L))
+    (0 until k).map(i => pmod(lo + lit(i.toLong) * hi, lit(m)))
   }
 }

@@ -91,35 +91,61 @@ object Temporal {
     * semantics for a latest-wins changelog (Debezium/CDF compaction).
     *
     * Shape: winner selection is ONE aggregate — `max_by(payload,
-    * version)` partial-aggregates map-side, so a hot key's 10⁷ queued
-    * changes reduce to one row per map partition before the shuffle
-    * (never a per-key state buildup, never a window over the raw
-    * changelog). Physically Spark plans a struct-buffered max_by as
-    * SortAggregate (the buffer isn't mutable fixed-width) — the partials
-    * still combine map-side and spill safely, they just pay a per-task
-    * sort; measured ≈ the max+semi-join-back alternative at the 20×
-    * smoke, so the one-pass form wins on simplicity. The
-    * fold is then a single full-outer join on the key: changed keys take
-    * the winner's payload, unchanged keys keep the base row, tombstoned
-    * keys drop. Both sides shuffle once on the key — at 100 TB the
-    * changelog side is typically ≪ base, and AQE broadcasts it.
+    * version)` (struct-buffered, so physically an interpreted
+    * SortAggregate; a per-task sort, but no joins and one exchange).
+    * By default it PARTIAL-aggregates map-side, so a hot key's 10⁷
+    * queued changes reduce to one row per map partition before the
+    * shuffle — the skew armor a 100 TB replay needs. When the caller
+    * KNOWS per-key multiplicity is small (a compacted daily CDC batch:
+    * a handful of changes per key, spread across input splits), the
+    * partial phase reduces nothing and costs a second full sort —
+    * `skipPartialAgg` repartitions on the key and runs the aggregate
+    * COMPLETE-mode instead (the [[Quality.audit]]
+    * repartition-then-aggregate lesson applied to max_by; measured
+    * −2 s of 8.5 on the sf1 q97 gate). `numPartitions` sizes that
+    * exchange — align it with the base table's bucket count so the
+    * downstream merge join gets full parallelism without a second
+    * exchange. The r15 adjudication measured the plausible
+    * alternatives and kept max_by: a max(version)+join-back (even
+    * exchange-reusing, hash-hinted) pays the changelog exchange twice
+    * plus a dedup — 13.3 s on the gate; a row_number window carries
+    * the payload through its sort — 10.2 s; a bounded TypedImperative
+    * top-1 aggregate falls off ObjectHashAggregate's 128-key fallback
+    * into sorted-interpreted inserts — 27.7 s; max_by with the fixes
+    * above: 5.3 s. Callers with a BOUNDED composite version should
+    * still pack it into one long (cents/seq in the low bits, loud
+    * range guard — the q97 gate pattern): an 8-byte version makes
+    * every SortAggregate comparison one long compare instead of an
+    * interpreted struct walk.
+    * The fold is then a single full-outer join on the key: changed
+    * keys take the winner's payload, unchanged keys keep the base row,
+    * tombstoned keys drop. Both sides shuffle once on the key — at
+    * 100 TB the changelog side is typically ≪ base, and AQE broadcasts
+    * it.
     *
     * Determinism contract: `(key, version)` unique in `changes`
     * (standard CDC — version is an offset/LSN). Violations surface
     * loudly via max_by's ties being broken arbitrarily ONLY if the
     * caller supplied duplicate versions; pass a composite version
-    * (struct) to break ties totally when the source can't guarantee it.
+    * (struct, or better a packed long) to break ties totally when the
+    * source can't guarantee it.
     */
   def applyChangelog(base: DataFrame, changes: DataFrame, key: String,
-      versionCol: String, deleteCol: String): DataFrame = {
+      versionCol: String, deleteCol: String,
+      skipPartialAgg: Boolean = false,
+      numPartitions: Option[Int] = None): DataFrame = {
     val payloadCols = base.columns.toSeq
     require(payloadCols.contains(key), s"base must carry $key")
-    val winner = changes
-      .groupBy(col(key))
-      .agg(max_by(
-        struct(col(deleteCol).as("graft_del") +:
-          payloadCols.filter(_ != key).map(col): _*),
-        col(versionCol)).as("graft_w"))
+    val payload = struct(col(deleteCol).as("graft_del") +:
+      payloadCols.filter(_ != key).map(col): _*)
+    val pre =
+      if (!skipPartialAgg) changes
+      else numPartitions match {
+        case Some(n) => changes.repartition(n, col(key))
+        case None    => changes.repartition(col(key))
+      }
+    val winner = pre.groupBy(col(key))
+      .agg(max_by(payload, col(versionCol)).as("graft_w"))
     base.join(winner, Seq(key), "full_outer")
       // null tombstone flag = not a delete (a silent drop would be the
       // worst possible failure mode for a merge)
@@ -142,12 +168,28 @@ object Temporal {
     val staging = table + "_staging"
     // DROP in a fresh session's empty catalog does not remove a previous
     // JVM's managed directory — clear the leftover locations explicitly
-    // or the staging rename fails with LOCATION_ALREADY_EXISTS
+    // or the staging rename fails with LOCATION_ALREADY_EXISTS. When the
+    // table EXISTS in the catalog, resolve its real location from the
+    // catalog metadata (the <warehouse>/<table> guess only holds in the
+    // default database); the warehouse-relative path remains the fallback
+    // sweep for orphaned directories no catalog entry names.
     def dropWithLocation(t: String): Unit = {
+      val catalog = spark.sessionState.catalog
+      val ident = org.apache.spark.sql.catalyst.TableIdentifier(t)
+      val loc: Option[org.apache.hadoop.fs.Path] =
+        if (catalog.tableExists(ident))
+          Some(new org.apache.hadoop.fs.Path(
+            catalog.getTableMetadata(ident).location))
+        else None
       spark.sql(s"DROP TABLE IF EXISTS $t")
+      val hconf = spark.sparkContext.hadoopConfiguration
+      loc.foreach { p =>
+        val fs = p.getFileSystem(hconf)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
       val wh = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"), t)
-      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val fs = wh.getFileSystem(hconf)
       if (fs.exists(wh)) fs.delete(wh, true)
     }
     dropWithLocation(staging)
@@ -174,7 +216,17 @@ object Temporal {
     */
   def applyChangelogBucketed(spark: org.apache.spark.sql.SparkSession,
       baseTable: String, changes: DataFrame, key: String,
-      versionCol: String, deleteCol: String): DataFrame =
+      versionCol: String, deleteCol: String): DataFrame = {
+    // bucketed deployment = compacted batch per key: skip the useless
+    // partial phase and size the winner exchange to the base table's
+    // OWN bucket count (read from the catalog, never a drifting
+    // parameter) so the merge join runs bucket-parallel with the base
+    // scan staying bucketed — no base Exchange, no planner fallback
+    val buckets = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+        baseTable))
+      .bucketSpec.map(_.numBuckets)
     applyChangelog(spark.table(baseTable), changes, key, versionCol,
-      deleteCol)
+      deleteCol, skipPartialAgg = true, numPartitions = buckets)
+  }
 }

@@ -515,7 +515,7 @@ object TextQueries {
       }
       .toDF("media_id", "frame_idx", "width", "height", "mean_intensity")
       .withColumn("mean_intensity", round(col("mean_intensity"), 4))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheHandles.persistTracked)
       .orderBy("media_id", "frame_idx")
   }
 
@@ -557,7 +557,7 @@ object TextQueries {
     */
   def q114UnigramNll(spark: SparkSession, sfDir: String): DataFrame =
     TextStats.unigramNll(Tables.documents(spark, sfDir))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheHandles.persistTracked)
       .orderBy("doc_id")
 
   /** q113: quantized JL random projection + top-k in the PROJECTED space
@@ -580,7 +580,7 @@ object TextQueries {
     // serving pipeline would have materialized the projection anyway —
     // shipping narrower vectors is the operator's whole point)
     val proj = Similarity.randomProjectQ(emb, outDim = 16, dims = 64)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheHandles.persistTracked)
     Similarity.cosineTopK(proj, proj.filter(col("vec_id") < 8), k = 5,
         vecCol = "proj")
       .withColumn("cos_sim", round(col("cos_sim"), 4))
@@ -616,7 +616,7 @@ object TextQueries {
       .toDF()
       .select(col("media_id"), col("width"), col("height"),
         round(col("mean_intensity"), 4).as("mean_intensity"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheHandles.persistTracked)
       .orderBy("media_id")
   }
 
@@ -648,7 +648,7 @@ object TextQueries {
     Multimodal.decodeImages(media).toDF()
       .select(col("media_id"), col("width"), col("height"),
         round(col("mean_intensity"), 4).as("mean_intensity"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheHandles.persistTracked)
       .orderBy("media_id")
   }
 
@@ -840,7 +840,7 @@ object TextQueries {
       // persist-before-sort: the sort's range-sampling job would rerun
       // the whole O(d)/row quantization chain a second time; the summary
       // frame is 5 scalars/vector
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheHandles.persistTracked)
       .orderBy("vec_id")
 
   /** q67: TF-IDF top-3 terms per document
@@ -943,7 +943,7 @@ object TextQueries {
     // persist-before-sort: the range-sampling pass must not re-run the
     // assignment + pair join (the q43 lesson; output is 3 ints/row)
     Similarity.semDedup(emb, cents, threshold = 0.38)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheHandles.persistTracked)
       .orderBy("vec_id")
   }
 
@@ -971,7 +971,7 @@ object TextQueries {
     // both corpus scans and the tf shuffle
     TextStats.bm25TopK(Tables.documents(spark, sfDir), Bm25QueryBatch,
         k = 5)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheHandles.persistTracked)
       .orderBy("query_id", "rank")
 
   /** The q109 mixture config — per-language token budgets, one definition
@@ -998,7 +998,7 @@ object TextQueries {
     graft.textops.Sampling.tokenBudgetMixture(
         Tables.documents(spark, sfDir), stratumCol = "lang",
         budgets = MixtureBudgets)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheHandles.persistTracked)
       .orderBy("doc_id")
 
   /** Saved MinHash-LSH indexes keyed by corpus dir — built once per
@@ -1027,7 +1027,7 @@ object TextQueries {
     })
     Dedup.minhashLshAdmit(docs.filter(col("doc_id") % 5 === 0), path)
       .withColumn("est_jaccard", round(col("est_jaccard"), 4))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheHandles.persistTracked)
       .orderBy("new_id", "old_id")
   }
 }

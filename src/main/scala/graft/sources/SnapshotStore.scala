@@ -294,15 +294,16 @@ object SnapshotStore {
   def commitAppendOnce(df: DataFrame, root: String,
       txn: String): Option[Int] = {
     require(txn.nonEmpty, "txn id must be non-empty")
-    if (versions(root).exists(v => snapshot(root, Some(v)).get.txn == txn))
-      None
-    else Some(commitAppendTagged(df, root, txn))
-  }
-
-  /** [[commitAppend]] with a txn tag on the published manifest — kept
-    * private; the public idempotent door is [[commitAppendOnce]]. */
-  private def commitAppendTagged(df: DataFrame, root: String,
-      txn: String): Int = {
+    // Dedup scan runs NEWEST-FIRST with early exit: a replayed
+    // micro-batch is by construction recent, so the common hit is the
+    // last manifest or two — the old oldest-first full scan parsed every
+    // retained manifest per commit, O(versions) per micro-batch and
+    // quadratic over a stream's lifetime.
+    def txnSeenAbove(floor: Int): Boolean =
+      versions(root).reverseIterator.takeWhile(_ > floor)
+        .exists(v => snapshot(root, Some(v)).get.txn == txn)
+    if (txnSeenAbove(-1)) return None
+    var checked = versions(root).lastOption.getOrElse(-1)
     val files = writeData(df, root)
     val ddl = df.schema.toDDL
     var attempt = 0
@@ -312,10 +313,22 @@ object SnapshotStore {
         s"append schema mismatch: table has [${m.schemaDdl}], " +
           s"append has [$ddl]"))
       val base = cur.map(_.version).getOrElse(-1)
+      // Re-check the txn against every manifest that appeared since the
+      // last look, INSIDE the retry loop: losing the version race means
+      // another writer landed — if that commit (or any interleaved one)
+      // carries this txn, the duplicate must not publish. This cannot
+      // close the check-then-publish window completely (the publish
+      // primitive is version-keyed, not txn-keyed); the documented
+      // contract remains replay-safety (sequential by construction), and
+      // this shrinks the two-live-writers window to the publish attempt
+      // itself. The orphaned data files of an abandoned duplicate are
+      // unreachable scratch that [[vacuum]] sweeps.
+      if (base > checked && txnSeenAbove(checked)) return None
+      checked = base
       val baseFiles = cur.map(_.files).getOrElse(Seq.empty)
       if (publish(root,
           Manifest(base + 1, base, ddl, baseFiles ++ files, txn)))
-        return base + 1
+        return Some(base + 1)
       attempt += 1
     }
     sys.error(s"commitAppendOnce lost $MaxRetries version races under $root")

@@ -738,8 +738,9 @@ object Dedup {
   def minhashLshAdmit(newDocs: DataFrame, indexPath: String, n: Int = 3,
       k: Int = 64, bands: Int = 16, estThreshold: Double = 0.5,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    minhashLshAdmitReleasable(newDocs, indexPath, n, k, bands,
-      estThreshold, textCol, idCol)._1
+    { val (res, release) = minhashLshAdmitReleasable(newDocs, indexPath,
+        n, k, bands, estThreshold, textCol, idCol)
+      graft.CacheHandles.register(release); res }
 
   /** [[minhashLshAdmit]] plus a release handle freeing the persisted
     * batch-signature frame — the door for the operator's own premise of

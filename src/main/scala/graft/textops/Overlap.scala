@@ -1,6 +1,6 @@
 package graft.textops
 
-import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Cross-corpus passage-overlap detection ("decontamination"): find
@@ -84,7 +84,45 @@ object Overlap {
       n: Int = 13, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
+    // PASS 1 — integer PRE-SCREEN, no gram strings anywhere: both sides
+    // hash every n-token window with the rolling Karp–Rabin engine
+    // ([[graft.functions.ArrayExprs.RollingGramKrHashes]], the q82
+    // machinery; wholeDocIfShort mirrors the shingle short-doc rule), so
+    // the screening pass moves 8-byte longs where the naive shape copies
+    // 13-word strings — the string build was the measured dominant cost
+    // (pure shingling CPU). Equal gram strings ⇒ equal token sequences
+    // (tokens are whitespace-split: no embedded separators) ⇒ equal
+    // hashes, so the screen has NO false negatives and pass 2's exact
+    // string join makes the final result provably identical; hash
+    // collisions only admit spurious candidates that pass 2 discards.
+    def grHashes = ArrayExprsShim.rollingWholeDoc(col(textCol), n)
+    // the bench (id, hash) posting frame serves TWO consumers (the
+    // distinct hash set, then the candidate-bench probe) — tokenize and
+    // hash the benchmark once; tracked per-call persist, released at
+    // the harness's next releaseAll()
+    val benchHashed = benchmark
+      .select(col(idCol), explode(array_distinct(grHashes)).as("graft_gh"))
+      .transform(graft.CacheHandles.persistTracked)
+    val benchHashes = benchHashed.select(col("graft_gh")).distinct()
+    val matched = train
+      .select(col(idCol), explode(grHashes).as("graft_gh"))
+      .join(broadcast(benchHashes), "graft_gh")
+      // two consumers (candidate train ids + matched hash set)
+      .transform(graft.CacheHandles.persistTracked)
+    val candTrain = matched.select(col(idCol)).distinct()
+    val matchedHashes = matched.select(col("graft_gh")).distinct()
+    // PASS 2 — the exact GPT-3 rule, restricted to candidates: only
+    // train docs with ≥1 hash hit can be contaminated, and only bench
+    // docs holding ≥1 matched hash can contribute a matching gram — so
+    // the expensive gram-string build runs over O(contaminated) docs,
+    // not the corpus. n_grams still counts the candidate doc's FULL
+    // distinct gram set (the published definition), built once per
+    // candidate row.
+    val candBench = benchHashed
+      .join(broadcast(matchedHashes), "graft_gh")
+      .select(col(idCol)).distinct()
     val benchGrams = benchmark
+      .join(broadcast(candBench), Seq(idCol), "left_semi")
       .select(explode(array_distinct(TextStats.shingles(col(textCol), n)))
         .as("graft_g"))
       .distinct()
@@ -95,6 +133,7 @@ object Overlap {
     // the full query. The withColumn projection pins the array under the
     // Generate so both outputs read the materialized value.
     train
+      .join(broadcast(candTrain), Seq(idCol), "left_semi")
       .withColumn("graft_garr",
         array_distinct(TextStats.shingles(col(textCol), n)))
       .select(col(idCol),
@@ -104,5 +143,15 @@ object Overlap {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_matched_grams"),
         first(col("graft_total")).as("n_grams"))
+  }
+
+  /** Local alias keeping the pass-1 hash expression in one place: the
+    * rolling gram hashes over the SAME normalized token stream the
+    * shingles are built from ([[TextStats.words]]), with the short-doc
+    * rule matching [[graft.functions.ArrayExprs.WordShingles]]. */
+  private object ArrayExprsShim {
+    def rollingWholeDoc(text: Column, n: Int): Column =
+      graft.functions.ArrayExprs.rollingGramKrHashes(
+        TextStats.words(text), n, wholeDocIfShort = true)
   }
 }

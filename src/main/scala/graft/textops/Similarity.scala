@@ -288,8 +288,9 @@ object Similarity {
   def semDedup(corpus: DataFrame, cents: Array[Array[Double]],
       threshold: Double, maxCluster: Int = 1 << 20,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    semDedupReleasable(corpus, cents, threshold, maxCluster, idCol,
-      vecCol)._1
+    { val (r, release) = semDedupReleasable(corpus, cents, threshold,
+        maxCluster, idCol, vecCol)
+      graft.CacheHandles.register(release); r }
 
   /** [[semDedup]] plus a release handle freeing the persisted assignment
     * frame — the O(n·k·d) nearest-centroid assignment feeds FOUR plan

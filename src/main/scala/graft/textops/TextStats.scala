@@ -300,7 +300,8 @@ object TextStats {
   def tfidfTopTerms(df: org.apache.spark.sql.DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       k: Int = 3): org.apache.spark.sql.DataFrame =
-    tfidfTopTermsReleasable(df, idCol, textCol, k)._1
+    { val (r, release) = tfidfTopTermsReleasable(df, idCol, textCol, k)
+      graft.CacheHandles.register(release); r }
 
   /** [[tfidfTopTerms]] plus a release handle freeing the persisted tf
     * frame (see [[unigramNllReleasable]] for why the persist exists —
@@ -367,7 +368,8 @@ object TextStats {
   def unigramNll(docs: org.apache.spark.sql.DataFrame,
       idCol: String = "doc_id", textCol: String = "text")
       : org.apache.spark.sql.DataFrame =
-    unigramNllReleasable(docs, idCol, textCol)._1
+    { val (r, release) = unigramNllReleasable(docs, idCol, textCol)
+      graft.CacheHandles.register(release); r }
 
   /** [[unigramNll]] plus a release handle freeing the persisted tf
     * frame. The persist is the TOKENIZE-ONCE guarantee, not a cache
@@ -419,7 +421,9 @@ object TextStats {
       k1: Double = 1.2, b: Double = 0.75,
       idCol: String = "doc_id", textCol: String = "text")
       : org.apache.spark.sql.DataFrame =
-    bm25TopKReleasable(docs, queries, k, k1, b, idCol, textCol)._1
+    { val (r, release) =
+        bm25TopKReleasable(docs, queries, k, k1, b, idCol, textCol)
+      graft.CacheHandles.register(release); r }
 
   /** [[bm25TopK]] plus a release handle freeing the persisted hits
     * frame — the tokenize-once guarantee ([[perDocTf]] scaladoc): the

@@ -113,8 +113,9 @@ class SessionsProfileSpec extends SparkSpec {
         plan)
   }
 
-  test("describe: per-column null/distinct counters, lexicographic " +
-      "min/max over stringified values, nulls excluded from extrema") {
+  test("describe: per-column null/distinct counters, NATIVE-order " +
+      "min/max rendered to string after aggregation, nulls excluded " +
+      "from extrema") {
     val df = Seq[(java.lang.Long, String)](
       (10L, "b"), (2L, null), (10L, "a"), (null, "a"))
       .toDF("num", "s")
@@ -123,8 +124,11 @@ class SessionsProfileSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getString(4), r.getString(5))).toSeq
     assert(got === Seq(
-      // "10" < "2" lexicographically — the documented stringified order
-      ("num", 4L, 1L, 2L, "10", "2"),
+      // 2 < 10 in the column's NATIVE order (the r15 semantics: extrema
+      // aggregate natively, the string render happens once on the one
+      // aggregated row — describeApprox keeps the lexicographic order
+      // of its already-stringified unpivot, the documented seam)
+      ("num", 4L, 1L, 2L, "2", "10"),
       ("s", 4L, 1L, 2L, "a", "b")))
   }
 
