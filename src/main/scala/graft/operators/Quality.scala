@@ -62,6 +62,35 @@ object Quality {
     def name = s"unique_${cols.mkString("_")}"
   }
 
+  /** [[Unique]] specialized for the classic composite-key shape where
+    * the LAST component is a small bounded non-negative integer — line
+    * numbers, sequence-within-parent, array ordinals (TPC-H lineitem's
+    * (orderkey, linenumber) is the canonical case). Instead of hashing
+    * every ROW tuple, the check rolls the tail up into a per-prefix
+    * BITMAP (`bit_or(1 << tail)`) with a row count: distinct
+    * (prefix, tail) pairs = Σ popcount(bitmap), EXACT, no
+    * hash-collision caveat at all. The rollup aggregates
+    * repartition-then-complete (prefixes are ~unique, so a partial
+    * phase would build per-task maps that reduce almost nothing — the
+    * same call [[graft.operators.Temporal.applyChangelog]] exposes as
+    * skipPartialAgg; a corpus with HOT prefixes wants the partial
+    * phase back, per-key state is one long either way). The rollup is
+    * also the natural probe frame for a
+    * [[RefIntegrity]] on the same prefix column — [[audit]] reuses it,
+    * shrinking that anti join's probe side from rows to prefixes.
+    * Tail values outside [0, bits) fail LOUDLY (a silent shift wrap
+    * would corrupt the count); a NULL tail contributes nothing to the
+    * bitmap and therefore counts as a violation (stricter than
+    * [[Unique]]'s hashed tuple — the non-null-keys contract stands).
+    * `bits` ≤ 64 (one long).
+    */
+  case class UniqueBoundedTail(prefixCols: Seq[String], tailCol: String,
+      bits: Int = 64) extends Check {
+    require(prefixCols.nonEmpty, "need at least one prefix column")
+    require(bits >= 1 && bits <= 64, s"bits must be in [1,64], got $bits")
+    def name = s"unique_${(prefixCols :+ tailCol).mkString("_")}"
+  }
+
   /** Every non-null `col` value must exist in `refCol` of `ref`
     * (foreign-key integrity; orphan rows violate). */
   case class RefIntegrity(col: String, ref: DataFrame, refCol: String)
@@ -150,10 +179,12 @@ object Quality {
         "column collide in the fused aggregate: " +
         checks.groupBy(_.name).filter(_._2.size > 1).keys.mkString(", "))
     val rowLocal = checks.filter {
-      case _: Unique | _: RefIntegrity => false
+      case _: Unique | _: UniqueBoundedTail | _: RefIntegrity => false
       case _ => true
     }
     val uniques = checks.collect { case u: Unique => u }
+    val boundedUniques = checks.collect { case u: UniqueBoundedTail => u }
+    val riChecks = checks.collect { case c: RefIntegrity => c }
     // ONE aggregation pass for every row-local counter + the row count;
     // over an empty table the sums come back null — coalesce to 0 so the
     // report still reads "0 violations over 0 rows, pass"
@@ -181,6 +212,45 @@ object Quality {
         .select(col("r.check"), col("r.n_violations"),
           col("graft_n").as("n_rows")))
     }
+    // bounded-tail uniques: one bitmap rollup per check (see
+    // [[UniqueBoundedTail]]); the rollup persists (tracked) only when a
+    // RefIntegrity on the same prefix column reuses it as its probe
+    val rollups: Map[String, DataFrame] = boundedUniques.map { u =>
+      val tail = col(u.tailCol).cast("long")
+      val guarded = when(tail.isNotNull &&
+          (tail < 0 || tail >= u.bits),
+        raise_error(concat(
+          lit(s"${u.name}: tail value out of [0,${u.bits}): "), tail)))
+        .otherwise(tail)
+      val bitExpr = shiftLeftCol(lit(1L), guarded.cast("int"))
+      // NOT persisted even when an RI reuses it: a persist would force
+      // the RI stage to WAIT for the rollup's materialization (a
+      // serial critical path — measured +0.7 s on the q88 gate), while
+      // the two consumers' plans share an identical Exchange subtree
+      // that ReuseExchange dedups anyway; only the cheap final
+      // aggregates run twice, in parallel stages
+      u.name -> df
+        .select((u.prefixCols.map(col) :+ bitExpr.as("graft_bit")): _*)
+        // repartition-then-complete-aggregate (the ~unique-key lesson
+        // from the Unique branch below): the partial phase would build
+        // |keys|-sized per-task maps that reduce almost nothing
+        .repartition(u.prefixCols.map(col): _*)
+        .groupBy(u.prefixCols.map(col): _*)
+        .agg(bit_or(col("graft_bit")).as("graft_bits"),
+          count(lit(1)).as("graft_cnt"))
+    }.toMap
+    val boundedReports = boundedUniques.map { u =>
+      // distinct (prefix, tail) pairs = Σ popcount; an all-null-tail
+      // prefix contributes a null bitmap, which bit_count nulls and sum
+      // skips — those rows read as violations, per the scaladoc
+      val d = rollups(u.name)
+        .agg(coalesce(sum(expr("bit_count(graft_bits)")), lit(0L))
+          .as("graft_d"))
+      d.crossJoin(broadcast(nRowsDf))
+        .select(lit(u.name).as("check"),
+          (col("graft_total") - col("graft_d")).as("n_violations"),
+          col("graft_total").as("n_rows"))
+    }
     // per-unique dedicated branch (see scaladoc: repartition-then-
     // distinct beats both the Expand fusion and a lone countDistinct's
     // useless partial aggregate on ~unique keys)
@@ -195,18 +265,44 @@ object Quality {
           (col("graft_total") - col("graft_d")).as("n_violations"),
           col("graft_total").as("n_rows"))
     }
-    val riReports = checks.collect {
-      case c @ RefIntegrity(col1, ref, refCol) =>
-        // plain anti join, no ref dedup, no probe pre-agg (see scaladoc)
-        val orphans = df.select(col(col1)).filter(col(col1).isNotNull)
-          .join(ref.select(col(refCol).as(col1)), Seq(col1), "left_anti")
-          .agg(count(lit(1)).as("n_violations"))
-        orphans.crossJoin(broadcast(nRowsDf))
-          .select(lit(c.name).as("check"), col("n_violations"),
-            col("graft_total").as("n_rows"))
+    val riReports = riChecks.map { c =>
+      val col1 = c.col
+      // when a bounded-tail unique already rolled the table up by this
+      // column, its (prefix, count) frame IS the ideal probe: the anti
+      // join ships |distinct keys| rows instead of |rows|, and the
+      // violation count comes back as Σ graft_cnt over orphan keys —
+      // identical to counting the orphan rows directly
+      val rolled = boundedUniques.find(u => u.prefixCols == Seq(col1))
+        .map(u => rollups(u.name))
+      val orphans = rolled match {
+        case Some(r) =>
+          r.filter(col(col1).isNotNull)
+            .join(c.ref.select(col(c.refCol).as(col1)), Seq(col1),
+              "left_anti")
+            .agg(coalesce(sum(col("graft_cnt")), lit(0L))
+              .as("n_violations"))
+        case None =>
+          // plain anti join, no ref dedup, no probe pre-agg (scaladoc)
+          df.select(col(col1)).filter(col(col1).isNotNull)
+            .join(c.ref.select(col(c.refCol).as(col1)), Seq(col1),
+              "left_anti")
+            .agg(count(lit(1)).as("n_violations"))
+      }
+      orphans.crossJoin(broadcast(nRowsDf))
+        .select(lit(c.name).as("check"), col("n_violations"),
+          col("graft_total").as("n_rows"))
     }
-    (fusedReport ++ uniqueReports ++ riReports).reduce(_ unionByName _)
+    (fusedReport ++ uniqueReports ++ boundedReports ++ riReports)
+      .reduce(_ unionByName _)
       .withColumn("pass", col("n_violations") === 0L)
       .orderBy("check")
+  }
+
+  // variable-amount shift: the Scala shiftleft() wrapper pins the shift
+  // to an Int literal; the Catalyst node takes any expression
+  private def shiftLeftCol(v: Column, n: Column): Column = {
+    import org.apache.spark.sql.graftshim.{columnExpr, exprColumn}
+    exprColumn(org.apache.spark.sql.catalyst.expressions.ShiftLeft(
+      columnExpr(v), columnExpr(n)))
   }
 }

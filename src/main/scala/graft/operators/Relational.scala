@@ -667,7 +667,10 @@ object Relational {
       Quality.AcceptedValues("l_returnflag", Seq("A", "R")),
       Quality.Satisfies("disc_price",
         col("l_extendedprice") * (lit(1) - col("l_discount")) >= 0),
-      Quality.Unique(Seq("l_orderkey", "l_linenumber")),
+      // bounded-tail form: linenumber is 1..7, so uniqueness rolls up
+      // into a per-orderkey bitmap (16-byte rows on the exchange instead
+      // of 6M hashes) and the orderkey RI reuses the rollup as its probe
+      Quality.UniqueBoundedTail(Seq("l_orderkey"), "l_linenumber"),
       Quality.RefIntegrity("l_orderkey",
         Tables.orders(spark, sfDir), "o_orderkey"),
       Quality.RefIntegrity("l_partkey",

@@ -69,6 +69,45 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("UniqueBoundedTail: bitmap rollup equals the hashed Unique on " +
+      "in-domain data, RI reuse gives identical orphan row counts, " +
+      "null tail violates, out-of-range tail fails loudly") {
+    // (k, tail): k=1 has distinct tails 1,2; k=2 duplicates tail 3;
+    // k=3 single; k=9 orphan vs ref with 2 rows
+    val df = Seq((1L, 1), (1L, 2), (2L, 3), (2L, 3), (3L, 0),
+      (9L, 5), (9L, 5)).toDF("k", "t")
+    val ref = Seq(1L, 2L, 3L).toDF("rk")
+    val out = Quality.audit(df, Seq(
+        Quality.UniqueBoundedTail(Seq("k"), "t", bits = 8),
+        Quality.RefIntegrity("k", ref, "rk")))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // distinct (k,t): (1,1)(1,2)(2,3)(3,0)(9,5) = 5 of 7 rows
+    assert(out("unique_k_t") === ((2L, 7L)))
+    // orphan rows: both k=9 rows
+    assert(out("ref_k") === ((2L, 7L)))
+    // cross-check vs the generic hashed Unique on the same data
+    val hashed = Quality.audit(df, Seq(Quality.Unique(Seq("k", "t"))))
+      .collect().map(r => r.getLong(1)).head
+    assert(hashed === 2L)
+    // a NULL tail never enters the bitmap -> reads as a violation
+    val withNull = Seq((1L, Option(1)), (1L, None)).toDF("k", "t")
+    val nv = Quality.audit(withNull,
+        Seq(Quality.UniqueBoundedTail(Seq("k"), "t", bits = 8)))
+      .collect().map(r => r.getLong(1)).head
+    assert(nv === 1L)
+    // tail outside [0, bits) must fail loudly, never wrap the shift
+    val bad = Seq((1L, 9)).toDF("k", "t")
+    val e = intercept[Exception] {
+      Quality.audit(bad,
+        Seq(Quality.UniqueBoundedTail(Seq("k"), "t", bits = 8)))
+        .collect()
+    }
+    assert(e.getMessage.contains("out of [0,8)") ||
+      Option(e.getCause).exists(_.getMessage.contains("out of [0,8)")),
+      e.toString)
+  }
+
   test("audit rejects duplicate check names up front — two InRange on " +
       "one column would collide in the fused aggregate") {
     val df = Seq((1L, 5.0)).toDF("id", "v")
