@@ -138,6 +138,8 @@ object SparkEntry {
     "q117_change_feed"     -> (Relational.q117ChangeFeed _),
     "q118_optimize"        -> (Relational.q118Optimize _),
     "q119_nsw_indexed"     -> (TextQueries.q119NswIndexed _),
+    "q120_stats_pruned"    -> (Relational.q120StatsPrunedScan _),
+    "q121_catalog_commit"  -> (Relational.q121CatalogCommit _),
   )
 
   /** The cohort-retention-matrix oracle, shared by q93 (the batch
@@ -676,6 +678,26 @@ object SparkEntry {
            SELECT o_orderkey, o_orderpriority, o_totalprice,
              'added', 2 FROM orders WHERE o_orderkey % 3 = 2)
          ORDER BY version, o_orderkey, change""",
+    // Stats-pruned snapshot scan: the oracle is the plain filtered
+    // aggregate over lineitem — equality proves the file-skip logic
+    // dropped no qualifying file (the builder separately REQUIRES that
+    // files were in fact skipped on the z-ordered layout).
+    "q120_stats_pruned" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+             AS BIGINT) AS cents
+         FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000
+         GROUP BY 1 ORDER BY 1""",
+    // Multi-table atomic commit: the two catalog tables at PINNED
+    // catalog v0 joined back together must equal the join recomputed
+    // from orders thirds 0+1 (the later t_price overwrite must be
+    // invisible at v0).
+    "q121_catalog_commit" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+         FROM orders WHERE o_orderkey % 3 <> 2
+         GROUP BY 1 ORDER BY 1""",
     // OPTIMIZE: content-hash invariance through the compaction rewrite —
     // the oracle is the pre-optimize content (thirds 0+1), recomputed.
     "q118_optimize" ->

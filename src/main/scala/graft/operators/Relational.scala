@@ -1303,6 +1303,95 @@ object Relational {
   private val optimizeRoot =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** q120: STATS-PRUNED SNAPSHOT SCAN ([[graft.sources.SnapshotStore
+    * .readWhere]]) — the read-path payoff of the whole lakehouse stack:
+    * lineitem lands in the snapshot store (overwrite + append, so the
+    * stats sidecar provably composes across commits), OPTIMIZE
+    * Z-ORDERS it on (l_orderkey, l_suppkey) into 16 files, and the
+    * gated read pushes an l_orderkey RANGE predicate through the
+    * manifest's per-file min/max — opening only the files whose ranges
+    * intersect, which the builder REQUIRES loudly (files_opened <
+    * files_listed; at 100 TB this is the difference between scanning a
+    * corpus and scanning a slice). The oracle computes the same
+    * filtered aggregate straight from lineitem — equality proves the
+    * skip logic dropped no qualifying file (bloom-style no-false-
+    * negatives, here from exact ranges).
+    */
+  private val statsRoot =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def q120StatsPrunedScan(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = statsRoot.getOrElseUpdate(sfDir, {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-snapstats-").toString
+      val li = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+      SnapshotStore.commitOverwrite(
+        li.filter(col("l_orderkey") % 3 =!= 0), dir)
+      SnapshotStore.commitAppend(
+        li.filter(col("l_orderkey") % 3 === 0), dir)
+      SnapshotStore.optimize(spark, dir, targetFiles = 16,
+        zorderBy = Seq("l_orderkey", "l_suppkey"))
+      dir
+    })
+    val (df, report) = SnapshotStore.readWhere(spark, root,
+      SnapshotStore.StatsPred.Between("l_orderkey", 1000L, 3000L))
+    require(report.filesOpened < report.filesListed,
+      s"stats must prune the z-ordered layout, opened " +
+        s"${report.filesOpened} of ${report.filesListed}")
+    df.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        sum(round(col("l_extendedprice") * lit(100)).cast("long"))
+          .as("cents"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q121: MULTI-TABLE ATOMIC COMMIT ([[graft.sources.Catalog]]) —
+    * catalog v0 lands TWO tables in ONE transaction (t_main: key +
+    * priority, t_price: key + price, both thirds 0+1 of orders);
+    * catalog v1 then OVERWRITES t_price with different rows (third 2).
+    * The gate joins the two tables AT PINNED CATALOG VERSION 0 and
+    * aggregates integer cents per priority; the oracle recomputes the
+    * join straight from `orders`. Equality proves the transaction
+    * landed atomically (both tables present at v0), the pinned
+    * cross-table read is immune to the later commit, and the staged
+    * manifests resolve exactly the files the transaction wrote —
+    * CatalogSpec races three concurrent committers for the no-torn-
+    * reads half of the contract.
+    */
+  private val catalogRoot =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def q121CatalogCommit(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.Catalog
+    val root = catalogRoot.getOrElseUpdate(sfDir, {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-catalog-").toString
+      val o = Tables.orders(spark, sfDir)
+      val firstTwo = o.filter(col("o_orderkey") % 3 =!= 2)
+      Catalog.commit(dir, Map(
+        "t_main" -> ((firstTwo.select(col("o_orderkey"),
+          col("o_orderpriority")), Catalog.Overwrite)),
+        "t_price" -> ((firstTwo.select(col("o_orderkey"),
+          col("o_totalprice")), Catalog.Overwrite))))       // catalog v0
+      Catalog.commit(dir, Map(
+        "t_price" -> ((o.filter(col("o_orderkey") % 3 === 2)
+          .select(col("o_orderkey"), col("o_totalprice")),
+          Catalog.Overwrite))))                             // catalog v1
+      dir
+    })
+    Catalog.readTable(spark, root, "t_main", version = Some(0))
+      .join(Catalog.readTable(spark, root, "t_price", version = Some(0)),
+        "o_orderkey")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * lit(100)).cast("long"))
+          .as("cents"))
+      .orderBy("o_orderpriority")
+  }
+
   def q118Optimize(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.sources.SnapshotStore
     val root = optimizeRoot.getOrElseUpdate(sfDir, {

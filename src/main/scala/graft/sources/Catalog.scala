@@ -1,0 +1,243 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Multi-table ATOMIC commits over [[SnapshotStore]] tables — the
+  * catalog-level transaction the single-table layer scopes out: one
+  * commit appends/overwrites SEVERAL tables, and a reader pinned to a
+  * catalog version sees either ALL of a transaction's table states or
+  * NONE of them — never a torn cross-table view.
+  *
+  * Layout under a catalog root:
+  * {{{
+  *   <root>/_catalog/v<K>.json                  catalog version K
+  *   <root>/<table>/data/<uuid>/part-*.parquet  immutable data files
+  *   <root>/<table>/_manifests/staged-*.json    catalog-owned manifests
+  * }}}
+  *
+  * The design keyword is STAGED manifests: a catalog transaction writes
+  * each table's manifest under a name the single-table reader protocol
+  * cannot resolve (`staged-<uuid>.json` never matches `v<N>.json`), so
+  * in-flight table states are INVISIBLE until the one catalog publish —
+  * the same atomic hard-link primitive as the table layer, now guarding
+  * the whole set. Why not publish through each table's own v<N> chain
+  * and then link a catalog version at the end? Because a concurrent
+  * catalog committer could then publish a catalog version naming table
+  * X's NEW manifest (which rebase-included our staged append) while
+  * still naming table Y's OLD one — exposing half of our transaction: a
+  * torn read by construction. With staged manifests, table states only
+  * become reachable through the catalog version that names ALL of them.
+  *
+  * Concurrency: optimistic, serializable for append/overwrite. Data
+  * files are written ONCE (the expensive part needs no coordination);
+  * the retry loop rebuilds only the tiny staged manifests against the
+  * new head and re-attempts the link. Losing attempts leave unreachable
+  * staged manifests/sidecars — metadata-sized scratch (a catalog vacuum
+  * would sweep them with the same reachability walk as the table
+  * layer's; out of scope here, as manifest compaction is for the table
+  * layer).
+  *
+  * Stats ride along: each staged manifest carries the same footer-
+  * harvested sidecar as a table-layer commit, composed with the base's
+  * ([[SnapshotStore.fileStats]] / [[SnapshotStore.readWhere]]-style
+  * pruning works on catalog tables via [[readTableWhere]]).
+  */
+object Catalog {
+
+  sealed trait Mode
+  case object Append extends Mode
+  case object Overwrite extends Mode
+
+  /** Catalog version K's facts: per-table manifest paths (relative to
+    * each table's root `<catalogRoot>/<table>/`). Tables absent from
+    * the map have never been committed at this version. */
+  final case class CatalogSnapshot(version: Int,
+      tables: Map[String, String])
+
+  private def catDir(root: String): Path = Paths.get(root, "_catalog")
+  private def catPath(root: String, v: Int): Path =
+    catDir(root).resolve(s"v$v.json")
+  private val CatName = """v(\d+)\.json""".r
+
+  /** Committed catalog versions, ascending. */
+  def versions(root: String): Seq[Int] = {
+    val dir = catDir(root)
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val it = Files.list(dir)
+      try {
+        val i = it.iterator().asInstanceOf[java.util.Iterator[Path]]
+        val b = Seq.newBuilder[Int]
+        while (i.hasNext) i.next().getFileName.toString match {
+          case CatName(v) => b += v.toInt
+          case _ => ()
+        }
+        b.result().sorted
+      } finally it.close()
+    }
+  }
+
+  private def render(s: CatalogSnapshot): String = {
+    val ts = s.tables.toSeq.sortBy(_._1).map { case (n, m) =>
+      s"""{"name":"${SnapshotStore.esc(n)}","manifest":"${
+        SnapshotStore.esc(m)}"}"""
+    }.mkString(",")
+    s"""{"version":${s.version},"tables":[$ts]}"""
+  }
+
+  private def parseCat(s: String): CatalogSnapshot = {
+    val v = """"version":(-?\d+)""".r.findFirstMatchIn(s)
+      .getOrElse(sys.error(s"catalog snapshot missing version: $s"))
+      .group(1).toInt
+    val pair =
+      (""""name":"((?:\\.|[^"\\])*)","manifest":"((?:\\.|[^"\\])*)"""").r
+    val tables = pair.findAllMatchIn(s).map(m =>
+      SnapshotStore.unesc(m.group(1)) -> SnapshotStore.unesc(m.group(2)))
+      .toMap
+    CatalogSnapshot(v, tables)
+  }
+
+  /** The catalog state at `version` (or the current max). */
+  def snapshot(root: String,
+      version: Option[Int] = None): Option[CatalogSnapshot] =
+    (version match {
+      case Some(v) => Some(v)
+      case None    => versions(root).lastOption
+    }).map { v =>
+      val p = catPath(root, v)
+      require(Files.exists(p), s"no committed catalog v$v under $root")
+      parseCat(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+    }
+
+  private def tableRoot(root: String, table: String): String =
+    Paths.get(root, table).toString
+
+  /** The table's manifest as pinned by a catalog version. None when the
+    * catalog (at that version) does not know the table. */
+  def tableManifest(root: String, table: String,
+      version: Option[Int] = None): Option[SnapshotStore.Manifest] =
+    snapshot(root, version).flatMap(_.tables.get(table)).map { rel =>
+      val p = Paths.get(tableRoot(root, table), rel)
+      require(Files.exists(p), s"catalog names a missing manifest: $p")
+      SnapshotStore.parse(
+        new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+    }
+
+  /** Catalog-pinned table read: resolve the catalog version ONCE, then
+    * the named manifest's exact file list — the cross-table consistency
+    * contract: two [[readTable]]s at one `version` can never observe a
+    * transaction half-applied. */
+  def readTable(spark: SparkSession, root: String, table: String,
+      version: Option[Int] = None): DataFrame = {
+    val m = tableManifest(root, table, version).getOrElse(
+      sys.error(s"catalog under $root has no table $table"))
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val tr = tableRoot(root, table)
+    if (m.files.isEmpty)
+      spark.createDataFrame(spark.sparkContext
+        .emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.schema(schema)
+        .parquet(m.files.map(f => Paths.get(tr, f).toString): _*)
+  }
+
+  /** [[readTable]] with [[SnapshotStore.readWhere]]-style file skipping
+    * off the staged manifest's stats sidecar. */
+  def readTableWhere(spark: SparkSession, root: String, table: String,
+      pred: SnapshotStore.StatsPred, version: Option[Int] = None)
+      : (DataFrame, SnapshotStore.ScanReport) = {
+    val m = tableManifest(root, table, version).getOrElse(
+      sys.error(s"catalog under $root has no table $table"))
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val tr = tableRoot(root, table)
+    val stats = SnapshotStore.fileStats(tr, m)
+    val keep = m.files.filter(f =>
+      stats.get(f).forall(s => SnapshotStore.mayMatch(s, schema, pred)))
+    val report = SnapshotStore.ScanReport(m.files.size, keep.size)
+    val df =
+      if (keep.isEmpty)
+        spark.createDataFrame(spark.sparkContext
+          .emptyRDD[org.apache.spark.sql.Row], schema)
+      else
+        spark.read.schema(schema)
+          .parquet(keep.map(f => Paths.get(tr, f).toString): _*)
+    (df.filter(SnapshotStore.predColumn(pred)), report)
+  }
+
+  /** Atomically commit `writes` (table → frame + mode) as ONE catalog
+    * version. Appends rebase across concurrent winners exactly like the
+    * table layer; the whole transaction publishes through one hard
+    * link, so readers at any catalog version see all of it or none.
+    * Returns the committed catalog version. */
+  def commit(root: String,
+      writes: Map[String, (DataFrame, Mode)]): Int = {
+    require(writes.nonEmpty, "empty catalog commit")
+    // 1. the expensive, coordination-free part: data files + stats, once
+    val staged = writes.map { case (t, (df, mode)) =>
+      require(!t.contains("/") && !t.startsWith("_"),
+        s"bad table name: $t")
+      val tr = tableRoot(root, t)
+      val files = SnapshotStore.writeData(df, tr)
+      val stats = SnapshotStore.harvestStats(df.sparkSession, tr, files)
+      (t, mode, df.schema.toDDL, files, stats)
+    }.toSeq
+    // 2. the retry loop: tiny staged manifests against the current head
+    var attempt = 0
+    while (attempt < SnapshotStore.MaxRetries) {
+      val cur = snapshot(root)
+      val base = cur.map(_.version).getOrElse(-1)
+      val newTables = scala.collection.mutable.Map[String, String]() ++
+        cur.map(_.tables).getOrElse(Map.empty)
+      staged.foreach { case (t, mode, ddl, files, stats) =>
+        val tr = tableRoot(root, t)
+        val baseM = cur.flatMap(_.tables.get(t)).map { rel =>
+          SnapshotStore.parse(new String(Files.readAllBytes(
+            Paths.get(tr, rel)), StandardCharsets.UTF_8))
+        }
+        val (allFiles, allStats, baseV) = mode match {
+          case Overwrite => (files, stats, baseM.map(_.version)
+            .getOrElse(-1))
+          case Append =>
+            baseM.foreach(m => require(m.schemaDdl == ddl,
+              s"catalog append schema mismatch on $t: table has " +
+                s"[${m.schemaDdl}], append has [$ddl]"))
+            (baseM.map(_.files).getOrElse(Seq.empty) ++ files,
+              baseM.map(m => SnapshotStore.fileStats(tr, m))
+                .getOrElse(Map.empty) ++ stats,
+              baseM.map(_.version).getOrElse(-1))
+        }
+        val statsFile = SnapshotStore.writeStatsFile(tr, allStats)
+        val m = SnapshotStore.Manifest(baseV + 1, baseV, ddl, allFiles,
+          statsFile = statsFile)
+        val rel = s"_manifests/staged-${java.util.UUID.randomUUID()}.json"
+        val p = Paths.get(tr, rel)
+        Files.createDirectories(p.getParent)
+        Files.write(p,
+          SnapshotStore.render(m).getBytes(StandardCharsets.UTF_8))
+        newTables(t) = rel
+      }
+      if (publishCat(root,
+          CatalogSnapshot(base + 1, newTables.toMap))) return base + 1
+      attempt += 1
+    }
+    sys.error(s"catalog commit lost ${SnapshotStore.MaxRetries} " +
+      s"version races under $root")
+  }
+
+  private def publishCat(root: String, s: CatalogSnapshot): Boolean = {
+    val dir = catDir(root)
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, render(s).getBytes(StandardCharsets.UTF_8))
+    try {
+      Files.createLink(catPath(root, s.version), tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally Files.deleteIfExists(tmp)
+  }
+}

@@ -49,19 +49,37 @@ import org.apache.spark.sql.types.StructType
   *
   * What is deliberately NOT here (and where the full systems earn their
   * complexity): row-level deletes/merges (represent as overwrite of the
-  * merged result — [[graft.finance.Store.upsert]] composes on top),
-  * manifest compaction (list of lists) for 10⁶-file tables, column
-  * stats for file skipping, and multi-table transactions.
+  * merged result — [[graft.finance.Store.upsert]] composes on top) and
+  * manifest compaction (list of lists) for 10⁶-file tables. Column
+  * min/max stats + scan-time file skipping ARE here ([[readWhere]],
+  * stats sidecars harvested from parquet footers at commit time), and
+  * multi-table atomic commits live in [[Catalog]].
   */
 object SnapshotStore {
 
   /** One snapshot's facts: version, the files it references (relative to
     * the table root), the schema DDL, the parent version (-1 for the
-    * first), and an optional writer TRANSACTION id ("" = none) — the
+    * first), an optional writer TRANSACTION id ("" = none) — the
     * Delta-`txn`-action pattern a replayed streaming micro-batch uses to
-    * make its commit idempotent ([[commitAppendOnce]]). */
+    * make its commit idempotent ([[commitAppendOnce]]) — and an optional
+    * STATS SIDECAR path ("" = none): a write-once TSV of per-file,
+    * per-column (rows, nulls, min, max) harvested from the parquet
+    * FOOTERS at commit time (zero extra data scan), which
+    * [[readWhere]] consults to open only files whose ranges can
+    * intersect a predicate. The sidecar is immutable like data files
+    * (fresh uuid name per commit attempt) so a lost version race can
+    * never pair one commit's manifest with another's stats. */
   final case class Manifest(version: Int, base: Int, schemaDdl: String,
-      files: Seq[String], txn: String = "")
+      files: Seq[String], txn: String = "", statsFile: String = "")
+
+  /** Per-column file statistics: the file's total row count, the
+    * column's null count (None when any row group left it unset), and
+    * the min/max (None when any row group with non-null values lacked
+    * them — absent stats NEVER allow a skip). min/max are canonical
+    * strings decoded from the parquet logical type; [[readWhere]]
+    * re-types them against the table schema. */
+  final case class ColStats(rows: Long, nulls: Option[Long],
+      min: Option[String], max: Option[String])
 
   private def manifestDir(root: String): Path =
     Paths.get(root, "_manifests")
@@ -74,7 +92,7 @@ object SnapshotStore {
   // takes no JSON dependency, and escaping covers the two values that can
   // hold arbitrary characters (schema DDL, file paths).
 
-  private def esc(s: String): String = {
+  private[sources] def esc(s: String): String = {
     val b = new StringBuilder(s.length + 8)
     s.foreach {
       case '"'  => b.append("\\\"")
@@ -88,7 +106,7 @@ object SnapshotStore {
     b.toString
   }
 
-  private def unesc(s: String): String = {
+  private[sources] def unesc(s: String): String = {
     val b = new StringBuilder(s.length)
     var i = 0
     while (i < s.length) {
@@ -110,17 +128,18 @@ object SnapshotStore {
     b.toString
   }
 
-  private def render(m: Manifest): String = {
+  private[sources] def render(m: Manifest): String = {
     val fs = m.files.map(f => "\"" + esc(f) + "\"").mkString(",")
     s"""{"version":${m.version},"base":${m.base},""" +
       s""""txn":"${esc(m.txn)}",""" +
+      s""""statsfile":"${esc(m.statsFile)}",""" +
       s""""schema":"${esc(m.schemaDdl)}","files":[$fs]}"""
   }
 
   /** Parse [[render]]'s output. Strict by design: a manifest that does
     * not parse is a corrupted COMMITTED snapshot (tmp files never carry
     * the v<N>.json name) and must fail loudly, not read as empty. */
-  private def parse(s: String): Manifest = {
+  private[sources] def parse(s: String): Manifest = {
     def intField(name: String): Int = {
       val m = s""""$name":(-?\\d+)""".r.findFirstMatchIn(s)
         .getOrElse(sys.error(s"manifest missing $name: $s"))
@@ -134,11 +153,14 @@ object SnapshotStore {
       .getOrElse(sys.error(s"manifest missing files: $s")).group(1)
     val files = strLit.r.findAllMatchIn(filesBlob).map(m =>
       unesc(m.group(1))).toSeq
-    // txn is OPTIONAL (manifests written before the field existed parse
-    // to "" — no retroactive meaning, just absence)
+    // txn and statsfile are OPTIONAL (manifests written before the
+    // fields existed parse to "" — no retroactive meaning, just absence)
     val txn = (s""""txn":$strLit""").r.findFirstMatchIn(s)
       .map(m => unesc(m.group(1))).getOrElse("")
-    Manifest(intField("version"), intField("base"), unesc(schema), files, txn)
+    val statsFile = (s""""statsfile":$strLit""").r.findFirstMatchIn(s)
+      .map(m => unesc(m.group(1))).getOrElse("")
+    Manifest(intField("version"), intField("base"), unesc(schema), files,
+      txn, statsFile)
   }
 
   // ------------------------------------------------------------- resolve
@@ -201,12 +223,223 @@ object SnapshotStore {
         .parquet(m.files.map(f => Paths.get(root, f).toString): _*)
   }
 
+  // --------------------------------------------------- stats predicates
+
+  /** The predicate language [[readWhere]] can SKIP FILES for — the
+    * min/max-decidable core (comparisons, conjunction, disjunction,
+    * null tests) every table format's pruning layer speaks. Literals
+    * take the natural Scala/Java types of the column (numbers, String,
+    * java.sql.Date / LocalDate for dates, java.sql.Timestamp / Instant
+    * for timestamps). Semantics are SQL three-valued: a comparison on
+    * NULL is false, so an all-null file is skippable for any
+    * comparison. */
+  sealed trait StatsPred
+  object StatsPred {
+    final case class Eq(col: String, v: Any) extends StatsPred
+    final case class Lt(col: String, v: Any) extends StatsPred
+    final case class Le(col: String, v: Any) extends StatsPred
+    final case class Gt(col: String, v: Any) extends StatsPred
+    final case class Ge(col: String, v: Any) extends StatsPred
+    final case class Between(col: String, lo: Any, hi: Any) extends StatsPred
+    final case class In(col: String, vs: Seq[Any]) extends StatsPred
+    final case class IsNull(col: String) extends StatsPred
+    final case class IsNotNull(col: String) extends StatsPred
+    final case class And(a: StatsPred, b: StatsPred) extends StatsPred
+    final case class Or(a: StatsPred, b: StatsPred) extends StatsPred
+  }
+
+  /** The predicate as a Spark Column — [[readWhere]] applies it as the
+    * residual row filter, so file skipping is ONLY an optimization: the
+    * row result is identical with or without stats. */
+  def predColumn(p: StatsPred): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col => c, lit}
+    import StatsPred._
+    p match {
+      case Eq(n, v)         => c(n) === lit(v)
+      case Lt(n, v)         => c(n) < lit(v)
+      case Le(n, v)         => c(n) <= lit(v)
+      case Gt(n, v)         => c(n) > lit(v)
+      case Ge(n, v)         => c(n) >= lit(v)
+      case Between(n, l, h) => c(n) >= lit(l) && c(n) <= lit(h)
+      case In(n, vs)        => c(n).isin(vs: _*)
+      case IsNull(n)        => c(n).isNull
+      case IsNotNull(n)     => c(n).isNotNull
+      case And(a, b)        => predColumn(a) && predColumn(b)
+      case Or(a, b)         => predColumn(a) || predColumn(b)
+    }
+  }
+
+  /** Normalize a stats string or a caller literal of column type `dt`
+    * into one comparable domain. None = this layer does not reason
+    * about the type/value — treated as unknown (never skip). */
+  private def normalize(dt: org.apache.spark.sql.types.DataType,
+      v: Any): Option[Any] = {
+    import org.apache.spark.sql.types._
+    def asLong(x: Any): Option[Long] = x match {
+      case s: String  => scala.util.Try(s.toLong).toOption
+      case n: Number  => Some(n.longValue())
+      case _          => None
+    }
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => asLong(v)
+      case FloatType | DoubleType => v match {
+        case s: String => scala.util.Try(s.toDouble).toOption
+        case n: Number => Some(n.doubleValue())
+        case _         => None
+      }
+      case _: DecimalType => v match {
+        case s: String          => scala.util.Try(BigDecimal(s)).toOption
+        case d: BigDecimal      => Some(d)
+        case d: java.math.BigDecimal => Some(BigDecimal(d))
+        case n: Number          => Some(BigDecimal(n.toString))
+        case _                  => None
+      }
+      case StringType => v match {
+        case s: String => Some(s)
+        case _         => None
+      }
+      case DateType => v match {
+        case s: String => // stats store epoch days; literals may be ISO
+          scala.util.Try(s.toLong).toOption.orElse(
+            scala.util.Try(java.time.LocalDate.parse(s).toEpochDay).toOption)
+        case d: java.sql.Date       => Some(d.toLocalDate.toEpochDay)
+        case d: java.time.LocalDate => Some(d.toEpochDay)
+        case n: Number              => Some(n.longValue())
+        case _                      => None
+      }
+      case TimestampType | TimestampNTZType => v match {
+        case s: String => scala.util.Try(s.toLong).toOption // micros
+        case t: java.sql.Timestamp =>
+          Some(t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L)
+        case i: java.time.Instant =>
+          Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+        case n: Number => Some(n.longValue())
+        case _         => None
+      }
+      case BooleanType => v match {
+        case s: String  => scala.util.Try(s.toBoolean).toOption
+        case b: Boolean => Some(b)
+        case _          => None
+      }
+      case _ => None
+    }
+  }
+
+  private def cmpNorm(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: Long, y: Long)             => Some(java.lang.Long.compare(x, y))
+    case (x: Double, y: Double)         => Some(java.lang.Double.compare(x, y))
+    case (x: BigDecimal, y: BigDecimal) => Some(x.compare(y))
+    case (x: Boolean, y: Boolean)       => Some(java.lang.Boolean.compare(x, y))
+    case (x: String, y: String) =>
+      // parquet orders UTF8 by unsigned bytes; Java String compareTo
+      // orders UTF-16 units — they disagree above the BMP, so compare
+      // the UTF-8 bytes, matching the order the stats were taken in
+      val xb = x.getBytes(StandardCharsets.UTF_8)
+      val yb = y.getBytes(StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(xb.length, yb.length)
+      while (i < n) {
+        val d = (xb(i) & 0xff) - (yb(i) & 0xff)
+        if (d != 0) return Some(d)
+        i += 1
+      }
+      Some(xb.length - yb.length)
+    case _ => None // mixed domains: unknown, never skip on it
+  }
+
+  /** Conservative may-match: false ONLY when the stats PROVE no row of
+    * the file can satisfy `p`. Missing column entry, missing min/max,
+    * un-normalizable literal, mixed domains — all answer true (open
+    * the file; the residual filter decides). */
+  private[sources] def mayMatch(
+      stats: Map[String, ColStats],
+      schema: org.apache.spark.sql.types.StructType,
+      p: StatsPred): Boolean = {
+    import StatsPred._
+    def colInfo(n: String): Option[(ColStats,
+        org.apache.spark.sql.types.DataType)] =
+      for { cs <- stats.get(n); f <- schema.fields.find(_.name == n) }
+        yield (cs, f.dataType)
+    def allNull(cs: ColStats): Boolean = cs.nulls.contains(cs.rows)
+    // can any non-null value v of col n satisfy `test(cmp(v, lit))`?
+    def range(n: String, v: Any)(decide: (Int, Int) => Boolean): Boolean =
+      colInfo(n) match {
+        case None => true
+        case Some((cs, dt)) =>
+          if (allNull(cs)) false // comparison on null is never true
+          else (for {
+            lo <- cs.min; hi <- cs.max
+            nl <- normalize(dt, lo); nh <- normalize(dt, hi)
+            nv <- normalize(dt, v)
+            cLo <- cmpNorm(nl, nv); cHi <- cmpNorm(nh, nv)
+          } yield decide(cLo, cHi)).getOrElse(true)
+      }
+    p match {
+      case Eq(n, v) => range(n, v)((cLo, cHi) => cLo <= 0 && cHi >= 0)
+      case Lt(n, v) => range(n, v)((cLo, _) => cLo < 0)
+      case Le(n, v) => range(n, v)((cLo, _) => cLo <= 0)
+      case Gt(n, v) => range(n, v)((_, cHi) => cHi > 0)
+      case Ge(n, v) => range(n, v)((_, cHi) => cHi >= 0)
+      case Between(n, lo, hi) =>
+        mayMatch(stats, schema, And(Ge(n, lo), Le(n, hi)))
+      case In(n, vs) => vs.exists(v => mayMatch(stats, schema, Eq(n, v)))
+      case IsNull(n) => colInfo(n) match {
+        case Some((cs, _)) => cs.nulls.forall(_ > 0L)
+        case None          => true
+      }
+      case IsNotNull(n) => colInfo(n) match {
+        case Some((cs, _)) => cs.nulls.forall(_ < cs.rows)
+        case None          => true
+      }
+      case And(a, b) =>
+        mayMatch(stats, schema, a) && mayMatch(stats, schema, b)
+      case Or(a, b) =>
+        mayMatch(stats, schema, a) || mayMatch(stats, schema, b)
+    }
+  }
+
+  /** What [[readWhere]] decided: every file the manifest lists, how
+    * many the stats let it skip, how many it actually opened. */
+  final case class ScanReport(filesListed: Int, filesOpened: Int) {
+    def filesSkipped: Int = filesListed - filesOpened
+  }
+
+  /** Snapshot-pinned read WITH FILE SKIPPING: resolve the (given or
+    * current) version once, consult its stats sidecar, and open ONLY
+    * the files whose per-column ranges can intersect `pred`; the
+    * predicate is then applied as the residual row filter, so the
+    * result EQUALS `read(...).filter(predColumn(pred))` for every
+    * input — stats only ever remove files the filter would have
+    * emptied anyway. Files without stats (pre-stats manifests, columns
+    * added by evolution, exotic types) are always opened. This is the
+    * scan-time half of the Z-order story: [[optimize]] with `zorderBy`
+    * clusters ranges so a range predicate intersects FEW files, and
+    * this read cashes that in without touching the rest. */
+  def readWhere(spark: SparkSession, root: String, pred: StatsPred,
+      version: Option[Int] = None): (DataFrame, ScanReport) = {
+    val m = snapshot(root, version).getOrElse(
+      sys.error(s"no committed snapshot under $root"))
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val stats = fileStats(root, m)
+    val keep = m.files.filter(f =>
+      stats.get(f).forall(s => mayMatch(s, schema, pred)))
+    val report = ScanReport(m.files.size, keep.size)
+    val df =
+      if (keep.isEmpty)
+        spark.createDataFrame(spark.sparkContext
+          .emptyRDD[org.apache.spark.sql.Row], schema)
+      else
+        spark.read.schema(schema)
+          .parquet(keep.map(f => Paths.get(root, f).toString): _*)
+    (df.filter(predColumn(pred)), report)
+  }
+
   // -------------------------------------------------------------- commit
 
   /** Write `df` as a fresh immutable data directory; return the file
     * names relative to root. An empty frame writes no files (commit of
     * an empty manifest is legal — truncation). */
-  private def writeData(df: DataFrame, root: String): Seq[String] = {
+  private[sources] def writeData(df: DataFrame, root: String): Seq[String] = {
     val dirName = "data/" + java.util.UUID.randomUUID().toString
     val dir = Paths.get(root, dirName)
     df.write.parquet(dir.toString)
@@ -219,6 +452,180 @@ object SnapshotStore {
       }
       b.result().sorted
     } finally it.close()
+  }
+
+  // -------------------------------------------------- file column stats
+
+  /** Harvest per-column (rows, nulls, min, max) for each just-written
+    * file from its parquet FOOTER — row-group chunk statistics merged
+    * per column, O(files) metadata reads and zero data scan (the
+    * Iceberg/Delta commit-time stats pattern). Conservative by
+    * construction: a column whose any-row-group stats are unusable
+    * (absent, INT96, unannotated binary) records None and can never
+    * justify a skip. */
+  private[sources] def harvestStats(spark: SparkSession, root: String,
+      files: Seq[String]): Map[String, Map[String, ColStats]] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    files.map { rel =>
+      val p = Paths.get(root, rel)
+      val in = HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p.toUri), conf)
+      val reader = ParquetFileReader.open(in)
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        val rows = blocks.map(_.getRowCount).sum
+        // per-column accumulation across row groups
+        final class Acc {
+          var nulls = 0L
+          var nullsKnown = true
+          var minMaxKnown = true
+          var min: AnyRef = null
+          var max: AnyRef = null
+          var cmp: java.util.Comparator[AnyRef] = null
+          var prim: org.apache.parquet.schema.PrimitiveType = null
+        }
+        val accs = scala.collection.mutable.LinkedHashMap.empty[String, Acc]
+        blocks.foreach { b =>
+          b.getColumns.asScala.foreach { c =>
+            // top-level flat columns only; nested paths record nothing
+            val path = c.getPath.toArray
+            if (path.length == 1) {
+              val acc = accs.getOrElseUpdate(path(0), new Acc)
+              if (acc.prim == null) {
+                acc.prim = c.getPrimitiveType
+                acc.cmp = c.getPrimitiveType.comparator()
+                  .asInstanceOf[java.util.Comparator[AnyRef]]
+              }
+              val st = c.getStatistics
+              if (st == null) { acc.nullsKnown = false; acc.minMaxKnown = false }
+              else {
+                if (st.isNumNullsSet) acc.nulls += st.getNumNulls
+                else acc.nullsKnown = false
+                if (st.hasNonNullValue) {
+                  val mn = st.genericGetMin.asInstanceOf[AnyRef]
+                  val mx = st.genericGetMax.asInstanceOf[AnyRef]
+                  if (acc.min == null || acc.cmp.compare(mn, acc.min) < 0)
+                    acc.min = mn
+                  if (acc.max == null || acc.cmp.compare(mx, acc.max) > 0)
+                    acc.max = mx
+                } else if (!(st.isNumNullsSet &&
+                    st.getNumNulls == c.getValueCount)) {
+                  // non-null values exist but min/max were not recorded
+                  acc.minMaxKnown = false
+                }
+              }
+            }
+          }
+        }
+        rel -> accs.toMap.map { case (name, a) =>
+          val mm =
+            if (!a.minMaxKnown) (None, None)
+            else (Option(a.min).flatMap(statString(a.prim, _)),
+              Option(a.max).flatMap(statString(a.prim, _)))
+          // an unusable min OR max poisons both (a one-sided range is
+          // not the contract the skip logic assumes)
+          val (mnS, mxS) =
+            if (mm._1.isEmpty || mm._2.isEmpty) (None, None) else mm
+          name -> ColStats(rows,
+            if (a.nullsKnown) Some(a.nulls) else None, mnS, mxS)
+        }
+      } finally reader.close()
+    }.toMap
+  }
+
+  /** Canonical string for a footer min/max under the column's parquet
+    * LOGICAL type: UTF-8 for strings, epoch-day int for dates,
+    * micros for int64 timestamps (millis normalized), plain decimal
+    * string for DECIMAL, raw numbers otherwise. None = type this layer
+    * refuses to reason about (INT96, unannotated binary, interval…) —
+    * the column simply records no extrema. */
+  private def statString(prim: org.apache.parquet.schema.PrimitiveType,
+      v: AnyRef): Option[String] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.io.api.Binary
+    val ann = prim.getLogicalTypeAnnotation
+    (prim.getPrimitiveTypeName, ann) match {
+      case (BINARY, a: LogicalTypeAnnotation.StringLogicalTypeAnnotation) =>
+        Some(v.asInstanceOf[Binary].toStringUsingUTF8)
+      case (_, a: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =>
+        val unscaled = v match {
+          case i: java.lang.Integer => BigInt(i.intValue())
+          case l: java.lang.Long    => BigInt(l.longValue())
+          case b: Binary            => BigInt(new java.math.BigInteger(b.getBytes))
+          case _                    => return None
+        }
+        Some(BigDecimal(unscaled, a.getScale).bigDecimal.toPlainString)
+      case (INT32, _: LogicalTypeAnnotation.DateLogicalTypeAnnotation) =>
+        Some(v.asInstanceOf[java.lang.Integer].toString)
+      case (INT64, t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation) =>
+        val raw = v.asInstanceOf[java.lang.Long].longValue()
+        t.getUnit match {
+          case LogicalTypeAnnotation.TimeUnit.MICROS => Some(raw.toString)
+          case LogicalTypeAnnotation.TimeUnit.MILLIS => Some((raw * 1000L).toString)
+          case _ => None // nanos: out of scope, record nothing
+        }
+      case (INT32, _) | (INT64, _) => Some(v.toString)
+      case (FLOAT, _) | (DOUBLE, _) => Some(v.toString)
+      case (BOOLEAN, _) => Some(v.toString)
+      case _ => None // INT96, FIXED w/o decimal, unannotated binary
+    }
+  }
+
+  /** Write a stats sidecar (one esc'd TSV line per (file, column)) and
+    * return its root-relative path. Immutable write-once, fresh uuid. */
+  private[sources] def writeStatsFile(root: String,
+      stats: Map[String, Map[String, ColStats]]): String = {
+    val rel = s"_manifests/stats-${java.util.UUID.randomUUID()}.tsv"
+    val sb = new StringBuilder
+    stats.toSeq.sortBy(_._1).foreach { case (file, cols) =>
+      cols.toSeq.sortBy(_._1).foreach { case (name, s) =>
+        sb.append(esc(file)).append('\t').append(esc(name)).append('\t')
+          .append(s.rows).append('\t')
+          .append(s.nulls.map(_.toString).getOrElse("?")).append('\t')
+          .append(s.min.map(m => "=" + esc(m)).getOrElse("?")).append('\t')
+          .append(s.max.map(m => "=" + esc(m)).getOrElse("?")).append('\n')
+      }
+    }
+    val p = Paths.get(root, rel)
+    Files.createDirectories(p.getParent)
+    Files.write(p, sb.toString.getBytes(StandardCharsets.UTF_8))
+    rel
+  }
+
+  /** Load a manifest's stats sidecar; empty map when the manifest
+    * predates stats or the sidecar names files this manifest no longer
+    * references (entries are filtered to the manifest's file list). */
+  def fileStats(root: String,
+      m: Manifest): Map[String, Map[String, ColStats]] = {
+    if (m.statsFile.isEmpty) return Map.empty
+    val p = Paths.get(root, m.statsFile)
+    if (!Files.exists(p)) return Map.empty
+    val inManifest = m.files.toSet
+    val lines = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .split('\n').iterator.filter(_.nonEmpty)
+    val out = scala.collection.mutable.HashMap
+      .empty[String, Map[String, ColStats]]
+    lines.foreach { line =>
+      val f = line.split('\t')
+      if (f.length == 6) {
+        val file = unesc(f(0))
+        if (inManifest(file)) {
+          def opt(s: String): Option[String] =
+            if (s == "?") None
+            else Some(unesc(s.substring(1))) // strip the '=' marker
+          val cs = ColStats(f(2).toLong,
+            if (f(3) == "?") None else Some(f(3).toLong),
+            opt(f(4)), opt(f(5)))
+          out(file) = out.getOrElse(file,
+            Map.empty[String, ColStats]) + (unesc(f(1)) -> cs)
+        }
+      }
+    }
+    out.toMap
   }
 
   /** Atomically publish `m` as version `m.version`. True if this writer
@@ -238,7 +645,7 @@ object SnapshotStore {
     } finally Files.deleteIfExists(tmp)
   }
 
-  private val MaxRetries = 64
+  private[sources] val MaxRetries = 64
 
   /** OVERWRITE commit: the new snapshot references only `df`'s files.
     * Returns the committed version. Retries past concurrent winners —
@@ -247,11 +654,15 @@ object SnapshotStore {
   def commitOverwrite(df: DataFrame, root: String): Int = {
     val files = writeData(df, root)
     val ddl = df.schema.toDDL
+    val stats = harvestStats(df.sparkSession, root, files)
+    // an overwrite's stats do not depend on the base — written once
+    val statsFile = writeStatsFile(root, stats)
     var attempt = 0
     while (attempt < MaxRetries) {
       val base = versions(root).lastOption.getOrElse(-1)
       val v = base + 1
-      if (publish(root, Manifest(v, base, ddl, files))) return v
+      if (publish(root, Manifest(v, base, ddl, files,
+          statsFile = statsFile))) return v
       attempt += 1
     }
     sys.error(s"commitOverwrite lost $MaxRetries version races under $root")
@@ -266,6 +677,7 @@ object SnapshotStore {
   def commitAppend(df: DataFrame, root: String): Int = {
     val files = writeData(df, root)
     val ddl = df.schema.toDDL
+    val newStats = harvestStats(df.sparkSession, root, files)
     var attempt = 0
     while (attempt < MaxRetries) {
       val cur = snapshot(root)
@@ -274,7 +686,13 @@ object SnapshotStore {
           s"append has [$ddl]"))
       val base = cur.map(_.version).getOrElse(-1)
       val baseFiles = cur.map(_.files).getOrElse(Seq.empty)
-      if (publish(root, Manifest(base + 1, base, ddl, baseFiles ++ files)))
+      // the sidecar composes the base's stats with the new files' — it
+      // depends on the rebase target, so each attempt writes its own
+      // (orphaned attempts are unreferenced scratch; vacuum sweeps)
+      val statsFile = writeStatsFile(root,
+        cur.map(m => fileStats(root, m)).getOrElse(Map.empty) ++ newStats)
+      if (publish(root, Manifest(base + 1, base, ddl, baseFiles ++ files,
+          statsFile = statsFile)))
         return base + 1
       attempt += 1
     }
@@ -306,6 +724,7 @@ object SnapshotStore {
     var checked = versions(root).lastOption.getOrElse(-1)
     val files = writeData(df, root)
     val ddl = df.schema.toDDL
+    val newStats = harvestStats(df.sparkSession, root, files)
     var attempt = 0
     while (attempt < MaxRetries) {
       val cur = snapshot(root)
@@ -326,8 +745,11 @@ object SnapshotStore {
       if (base > checked && txnSeenAbove(checked)) return None
       checked = base
       val baseFiles = cur.map(_.files).getOrElse(Seq.empty)
+      val statsFile = writeStatsFile(root,
+        cur.map(m => fileStats(root, m)).getOrElse(Map.empty) ++ newStats)
       if (publish(root,
-          Manifest(base + 1, base, ddl, baseFiles ++ files, txn)))
+          Manifest(base + 1, base, ddl, baseFiles ++ files, txn,
+            statsFile)))
         return Some(base + 1)
       attempt += 1
     }
@@ -398,7 +820,15 @@ object SnapshotStore {
       }
       val base = cur.map(_.version).getOrElse(-1)
       val baseFiles = cur.map(_.files).getOrElse(Seq.empty)
-      if (publish(root, Manifest(base + 1, base, ddl, baseFiles ++ files)))
+      // evolution keeps the base files' OLD stats untouched: the added
+      // column simply has no entry for them, and a missing entry never
+      // justifies a skip — readWhere falls back to opening the file,
+      // where parquet's by-name resolution backfills NULLs
+      val statsFile = writeStatsFile(root,
+        cur.map(m => fileStats(root, m)).getOrElse(Map.empty) ++
+          harvestStats(df.sparkSession, root, files))
+      if (publish(root, Manifest(base + 1, base, ddl, baseFiles ++ files,
+          statsFile = statsFile)))
         return base + 1
       attempt += 1
     }
@@ -433,8 +863,14 @@ object SnapshotStore {
             partitions = targetFiles).drop("zkey")
         else df.repartition(targetFiles)
       val files = writeData(rewritten, root)
+      // compaction rewrites every row into fresh files — fresh footers,
+      // fresh stats; z-ordering is precisely what makes these ranges
+      // DISJOINT enough for readWhere to skip most of them
+      val statsFile = writeStatsFile(root,
+        harvestStats(spark, root, files))
       if (publish(root,
-          Manifest(cur.version + 1, cur.version, cur.schemaDdl, files)))
+          Manifest(cur.version + 1, cur.version, cur.schemaDdl, files,
+            statsFile = statsFile)))
         return cur.version + 1
       attempt += 1
     }
@@ -452,8 +888,26 @@ object SnapshotStore {
     require(keepVersions >= 1, "must retain at least the current version")
     val vs = versions(root)
     val keep = vs.takeRight(keepVersions).toSet
-    val live: Set[String] = vs.filter(keep)
-      .flatMap(v => snapshot(root, Some(v)).get.files).toSet
+    val retained = vs.filter(keep).map(v => snapshot(root, Some(v)).get)
+    val live: Set[String] = retained.flatMap(_.files).toSet
+    // stats sidecars referenced by retained manifests stay; every other
+    // stats-*.tsv (superseded versions, lost-race commit attempts) goes
+    val liveStats: Set[String] =
+      retained.map(_.statsFile).filter(_.nonEmpty).toSet
+    val mDir = manifestDir(root)
+    if (Files.isDirectory(mDir)) {
+      val ms = Files.list(mDir)
+      try {
+        val i = ms.iterator().asInstanceOf[java.util.Iterator[Path]]
+        while (i.hasNext) {
+          val f = i.next()
+          val n = f.getFileName.toString
+          if (n.startsWith("stats-") && n.endsWith(".tsv") &&
+              !liveStats.contains(s"_manifests/$n"))
+            Files.delete(f)
+        }
+      } finally ms.close()
+    }
     var deleted = 0
     val dataDir = Paths.get(root, "data")
     if (Files.isDirectory(dataDir)) {

@@ -350,4 +350,114 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.read(spark, root).count() === 2)
     assert(SnapshotStore.versions(root) === Seq(0, 1))
   }
+
+  // ------------------------------------------- stats + file skipping
+
+  import SnapshotStore.StatsPred._
+
+  test("readWhere equals read().filter for range/eq/in/null predicates " +
+      "and SKIPS files whose stats exclude the range") {
+    val root = freshRoot()
+    // three appends with disjoint id ranges -> >= 3 files with disjoint
+    // per-file min/max
+    SnapshotStore.commitOverwrite(
+      spark.range(0, 100).select(col("id"), (col("id") % 7).as("v"))
+        .coalesce(1), root)
+    SnapshotStore.commitAppend(
+      spark.range(100, 200).select(col("id"), (col("id") % 7).as("v"))
+        .coalesce(1), root)
+    SnapshotStore.commitAppend(
+      spark.range(200, 300).select(col("id"), (col("id") % 7).as("v"))
+        .coalesce(1), root)
+    val m = SnapshotStore.snapshot(root).get
+    assert(m.statsFile.nonEmpty)
+    assert(SnapshotStore.fileStats(root, m).nonEmpty)
+    val preds = Seq(
+      Between("id", 120L, 150L),
+      Eq("id", 5L),
+      In("id", Seq(5L, 205L)),
+      Lt("id", 40L), Ge("id", 260L),
+      And(Ge("id", 100L), Lt("id", 130L)),
+      Or(Lt("id", 10L), Ge("id", 290L)),
+      IsNotNull("v"), IsNull("v"))
+    preds.foreach { p =>
+      val (got, rep) = SnapshotStore.readWhere(spark, root, p)
+      val want = SnapshotStore.read(spark, root)
+        .filter(SnapshotStore.predColumn(p))
+      assert(got.collect().toSet === want.collect().toSet, p.toString)
+      assert(rep.filesListed === m.files.size)
+    }
+    // the single-range predicates must actually skip
+    val (_, r1) = SnapshotStore.readWhere(spark, root,
+      Between("id", 120L, 150L))
+    assert(r1.filesOpened < r1.filesListed, r1.toString)
+    val (_, r2) = SnapshotStore.readWhere(spark, root, Eq("id", 5L))
+    assert(r2.filesOpened === 1, r2.toString)
+  }
+
+  test("stats survive OPTIMIZE and schema EVOLUTION; a column added by " +
+      "evolution has no stats on old files and is never skipped " +
+      "wrongly; an all-null file skips comparisons but not IsNull") {
+    val root = freshRoot()
+    SnapshotStore.commitOverwrite(
+      spark.range(0, 50).select(col("id")).coalesce(1), root)   // v0
+    // evolution adds t: old file has NO stats entry for t
+    SnapshotStore.commitAppendEvolve(
+      spark.range(50, 100).select(col("id"), lit("x").as("t"))
+        .coalesce(1), root)                                      // v1
+    // an ALL-NULL t file (typed null column)
+    SnapshotStore.commitAppend(
+      spark.range(100, 150).select(col("id"),
+        lit(null).cast("string").as("t")).coalesce(1), root)     // v2
+    // Eq on the evolved column: the v0 file lacks t stats -> MUST open
+    // (its rows backfill NULL and the residual filter drops them); the
+    // all-null file's stats PROVE no match -> skipped
+    val (got, rep) = SnapshotStore.readWhere(spark, root, Eq("t", "x"))
+    assert(got.count() === 50)
+    assert(rep.filesOpened < rep.filesListed, rep.toString)
+    // IsNull must KEEP both the all-null file and the backfilled v0 file
+    val (gotNull, _) = SnapshotStore.readWhere(spark, root, IsNull("t"))
+    assert(gotNull.count() === 100)
+    // IsNotNull skips the all-null file, keeps the no-stats v0 file
+    val (gotNn, repNn) = SnapshotStore.readWhere(spark, root,
+      IsNotNull("t"))
+    assert(gotNn.count() === 50)
+    assert(repNn.filesOpened < repNn.filesListed, repNn.toString)
+    // OPTIMIZE: fresh stats for the rewritten layout, content identical,
+    // readWhere still exact (round-robin compaction spreads every range
+    // over every file, so no skip is claimed here — the z-ordered
+    // skip-after-optimize shape is pinned by the q120 gate on lineitem)
+    SnapshotStore.optimize(spark, root, targetFiles = 4)
+    val mOpt = SnapshotStore.snapshot(root).get
+    assert(mOpt.statsFile.nonEmpty)
+    assert(SnapshotStore.fileStats(root, mOpt).size === mOpt.files.size)
+    val (gotOpt, repOpt) = SnapshotStore.readWhere(spark, root,
+      Between("id", 0L, 20L))
+    assert(gotOpt.count() === 21)
+    assert(repOpt.filesListed === mOpt.files.size)
+  }
+
+  test("vacuum sweeps stats sidecars of dropped versions and keeps the " +
+      "retained manifests' sidecars readable") {
+    val root = freshRoot()
+    SnapshotStore.commitOverwrite(spark.range(10).toDF("id"), root)
+    SnapshotStore.commitOverwrite(spark.range(20).toDF("id"), root)
+    SnapshotStore.commitOverwrite(spark.range(30).toDF("id"), root)
+    SnapshotStore.vacuum(root, keepVersions = 2)
+    val statsFiles = Files.list(Paths.get(root, "_manifests"))
+      .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    val names = scala.collection.mutable.Buffer.empty[String]
+    while (statsFiles.hasNext) {
+      val n = statsFiles.next().getFileName.toString
+      if (n.startsWith("stats-")) names += n
+    }
+    // exactly the two retained versions' sidecars remain
+    assert(names.size === 2, names.toString)
+    val m = SnapshotStore.snapshot(root).get
+    assert(SnapshotStore.fileStats(root, m).nonEmpty)
+    // and skipping still works post-vacuum
+    val (df, rep) = SnapshotStore.readWhere(spark, root, Lt("id", 5L))
+    assert(df.count() === 5)
+    assert(rep.filesListed >= rep.filesOpened)
+  }
 }
