@@ -92,7 +92,8 @@ object ScaleSmoke {
       maxMs: Option[Long] = None, stragglerRatio: Option[Double] = None,
       audited: Option[Boolean] = None,
       recallVsExact: Option[Double] = None,
-      rounds: Option[Int] = None, components: Option[Long] = None)
+      rounds: Option[Int] = None, components: Option[Long] = None,
+      filesListed: Option[Int] = None, filesOpened: Option[Int] = None)
 
   private val results =
     scala.collection.mutable.LinkedHashMap.empty[String, Entry]
@@ -794,7 +795,7 @@ object ScaleSmoke {
     // the multiplied corpus + uniqueness distinct-count + FK anti-join
     if (enabled("quality_audit") || enabled("zorder") ||
         enabled("grouped_topk_hot") || enabled("cdc_apply") ||
-        enabled("robust_outliers")) locally {
+        enabled("robust_outliers") || enabled("stats_pruned_scan")) locally {
       val copies = spark.range(mult.toLong).toDF("copy")
       // persisted: four entries share it, and zorder alone reads it three
       // times (stats pass, range-boundary sampling, the sort itself).
@@ -840,10 +841,14 @@ object ScaleSmoke {
         .agg(graft.functions.AggExprs.collectTopK(
           struct(col("l_extendedprice"), col("l_orderkey"),
             col("l_linenumber")), 5).as("top")))
-      // CDC apply at 20×: the multiplied changelog (one change per
+      // CDC apply at 20×/100×: the multiplied changelog (one change per
       // lineitem) folds into the orders snapshot — winner selection is
-      // a map-side max_by partial agg, the fold one full-outer join
-      time("cdc_apply")(graft.operators.Temporal.applyChangelog(
+      // a map-side max_by partial agg, the fold one full-outer join.
+      // Skew-audited (r15): the artifact carries the dominant stage's
+      // task count, median/max task ms and the straggler ratio — the
+      // 100× lane's evidence that the merge has no hot-key tail
+      timeSkewAudited(spark, "cdc_apply")(
+        graft.operators.Temporal.applyChangelog(
         orders,
         li.select(col("l_orderkey").as("o_orderkey"),
           col("l_linenumber").as("v"),
@@ -860,6 +865,47 @@ object ScaleSmoke {
         graft.operators.Profile.robustOutliers(
           li, groupCol = "l_returnflag", valCol = "l_extendedprice",
           k = 3.0))
+      // STATS-PRUNED SNAPSHOT SCAN at mult x: the multiplied fact table
+      // lands in the snapshot store, OPTIMIZE z-orders it into 64 files,
+      // and the timed read pushes an l_orderkey range through the
+      // manifest stats - files_listed/files_opened land in the artifact,
+      // proving the skipped-file count grows with the corpus while the
+      // opened count stays O(selectivity). The commit+optimize (write
+      // side) is timed separately.
+      if (enabled("stats_pruned_scan")) locally {
+        import graft.sources.SnapshotStore
+        val dir = java.nio.file.Files
+          .createTempDirectory("scale-snapstats").toString
+        val tW0 = System.nanoTime()
+        SnapshotStore.commitOverwrite(li, dir)
+        SnapshotStore.optimize(spark, dir, targetFiles = 64,
+          zorderBy = Seq("l_orderkey", "l_partkey"))
+        val commitSec = (System.nanoTime() - tW0) / 1e9
+        println(f"[scale] snapshot_commit_optimize     " +
+          f"${li.count()}%10d rows  $commitSec%8.2f s")
+        record(Entry("snapshot_commit_optimize", li.count(), commitSec))
+        // the q120 gate's base range, scaled with the key space (keys
+        // are okey·mult+copy): a fixed ~3 % slice at every multiplier
+        val lo = 1000L * mult
+        val hi = 3000L * mult
+        var rep: SnapshotStore.ScanReport = null
+        var nOut = 0L
+        val sec = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          val (df, r) = SnapshotStore.readWhere(spark, dir,
+            SnapshotStore.StatsPred.Between("l_orderkey", lo, hi))
+          rep = r
+          nOut = df.count()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        require(rep.filesOpened < rep.filesListed,
+          s"stats must prune the z-ordered layout: $rep")
+        println(f"[scale] stats_pruned_scan           $nOut%10d rows" +
+          f"  $sec%8.2f s  (opened ${rep.filesOpened}/${rep.filesListed})")
+        record(Entry("stats_pruned_scan", nOut, sec,
+          filesListed = Some(rep.filesListed),
+          filesOpened = Some(rep.filesOpened)))
+      }
       li.unpersist(blocking = false)
       orders.unpersist(blocking = false)
     }
@@ -1034,7 +1080,9 @@ object ScaleSmoke {
         e.audited.map(v => s""""audited":$v"""),
         e.recallVsExact.map(v => s""""recall_vs_exact":${num(v, 3)}"""),
         e.rounds.map(v => s""""rounds":$v"""),
-        e.components.map(v => s""""components":$v"""))
+        e.components.map(v => s""""components":$v"""),
+        e.filesListed.map(v => s""""files_listed":$v"""),
+        e.filesOpened.map(v => s""""files_opened":$v"""))
       ).flatten.mkString(",")
       js(e.name) + ":{" + fields + "}"
     }.mkString(",")

@@ -786,8 +786,13 @@ object TextQueries {
     val folded = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"),
         graft.functions.TextExprs.foldText(col("text")).as("folded"))
+    // tracked persist: decontamination consumes each side TWICE (hash
+    // pre-screen + exact candidate pass, the r15 two-pass shape) and
+    // the rebalance adds a third train-side read — without the cache
+    // every consumer would recompute the fold+dedup shuffle
     val ded = Dedup.exact(folded, textCol = "folded", idCol = "doc_id")
       .select("doc_id", "source", "folded")
+      .transform(graft.CacheHandles.persistTracked)
     val train = ded.filter(pmod(col("doc_id"), lit(2)) === 0)
     val bench = ded.filter(pmod(col("doc_id"), lit(2)) === 1)
     val contaminated = graft.textops.Overlap.exactNgramContamination(

@@ -27,12 +27,12 @@ import graft.functions.{AggExprs, ArrayExprs}
   * signatures) that the RETURNED lazy plan still reads, so it cannot be
   * unpersisted inside the call — one MEMORY_AND_DISK entry per call.
   * Each has a `...Releasable` twin returning `(frame, release)` — the
-  * [[graft.finance.Store.upsertReleasable]] pattern: callers that
-  * materialize the result (write it, collect it) MUST call the handle
-  * afterwards, or a long-lived session accumulates one cache entry per
-  * call until `spark.catalog.clearCache()`. The plain variants remain for
-  * lazy one-shot consumers (the driver gates; the bench clears between
-  * reps) whose entries die with the session.
+  * [[graft.finance.Store.upsertReleasable]] pattern: pipeline callers
+  * that materialize the result (write it, collect it) call the handle
+  * afterwards. The plain variants register their handle with
+  * [[graft.CacheHandles]] (r15), so harness consumers (Verify between
+  * queries, Bench between reps) drain them automatically — a plain
+  * call is no longer a per-invocation leak, it is a deferred release.
   */
 object Dedup {
 

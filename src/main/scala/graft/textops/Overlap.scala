@@ -79,6 +79,12 @@ object Overlap {
     * Shingle semantics are [[TextStats.shingles]]' (a doc shorter than n
     * words contributes its whole text as one gram), mirrored exactly by
     * the oracle.
+    *
+    * Caller contract: BOTH input frames are read twice (the hash
+    * pre-screen pass, then the exact candidate pass). Parquet-backed
+    * frames just scan twice; a COMPUTED input (a dedup or fold
+    * upstream, as in the q103 pipeline) should be persisted by the
+    * caller or its subtree re-executes per consumer.
     */
   def exactNgramContamination(train: DataFrame, benchmark: DataFrame,
       n: Int = 13, idCol: String = "doc_id",
