@@ -140,6 +140,7 @@ object SparkEntry {
     "q119_nsw_indexed"     -> (TextQueries.q119NswIndexed _),
     "q120_stats_pruned"    -> (Relational.q120StatsPrunedScan _),
     "q121_catalog_commit"  -> (Relational.q121CatalogCommit _),
+    "q122_merge_into"      -> (Relational.q122MergeInto _),
   )
 
   /** The cohort-retention-matrix oracle, shared by q93 (the batch
@@ -688,6 +689,37 @@ object SparkEntry {
              AS BIGINT) AS cents
          FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000
          GROUP BY 1 ORDER BY 1""",
+    // MERGE INTO: the oracle is q97's winner-window + FULL OUTER fold
+    // restated, aggregated per priority in integer cents - equality
+    // proves the committed files carry exactly the merged row set.
+    "q122_merge_into" ->
+      """WITH ch AS (SELECT
+           CASE WHEN l_linenumber = 7 THEN -l_orderkey
+                ELSE l_orderkey END AS o_orderkey,
+           l_linenumber AS v, l_quantity < 2 AS del,
+           CAST(l_partkey AS BIGINT) AS o_custkey,
+           ROUND(l_extendedprice, 2) AS o_totalprice,
+           'U-' || l_returnflag AS o_orderpriority
+           FROM lineitem),
+         win AS (SELECT * FROM (SELECT ch.*, ROW_NUMBER() OVER (
+             PARTITION BY o_orderkey
+             ORDER BY v DESC, o_custkey DESC, o_totalprice DESC,
+               o_orderpriority DESC, del DESC) AS rn FROM ch)
+           WHERE rn = 1),
+         b AS (SELECT o_orderkey, o_custkey,
+             ROUND(o_totalprice, 2) AS o_totalprice, o_orderpriority
+           FROM orders),
+         m AS (SELECT o_orderkey,
+           CASE WHEN win.v IS NOT NULL THEN win.o_totalprice
+                ELSE b.o_totalprice END AS o_totalprice,
+           CASE WHEN win.v IS NOT NULL THEN win.o_orderpriority
+                ELSE b.o_orderpriority END AS o_orderpriority
+         FROM b FULL OUTER JOIN win USING (o_orderkey)
+         WHERE win.v IS NULL OR NOT win.del)
+         SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+         FROM m GROUP BY 1 ORDER BY 1""",
     // Multi-table atomic commit: the two catalog tables at PINNED
     // catalog v0 joined back together must equal the join recomputed
     // from orders thirds 0+1 (the later t_price overwrite must be

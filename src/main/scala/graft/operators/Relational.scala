@@ -1392,6 +1392,67 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** q122: transactional MERGE INTO ([[graft.sources.SnapshotStore
+    * .merge]]) — the q97 changelog fold executed as a STORE COMMIT
+    * instead of a transient frame: orders lands as snapshot v0, the
+    * lineitem-derived changelog (packed long version, the q97
+    * construction verbatim) merges as v1, and the gate reads v1 back
+    * THROUGH THE STORE and aggregates integer cents. The oracle is
+    * q97's winner-window + full-outer restatement aggregated the same
+    * way — equality proves merge semantics ≡ applyChangelog AND that
+    * the committed files carry exactly the merged row set. v0 stays
+    * pinned (time travel over a merge), and the merged version's
+    * footer stats serve a [[SnapshotStore.readWhere]] with a loud
+    * files-opened check in the spec.
+    */
+  private val mergeRoot =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def q122MergeInto(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = mergeRoot.getOrElseUpdate(sfDir, {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-snapmerge-").toString
+      val baseDf = Tables.orders(spark, sfDir).select(col("o_orderkey"),
+        col("o_custkey"), round(col("o_totalprice"), 2).as("o_totalprice"),
+        col("o_orderpriority"))
+      SnapshotStore.commitOverwrite(baseDf, dir)            // v0
+      val rounded = round(col("l_extendedprice"), 2)
+      val cents = floor(rounded * lit(100) + lit(0.5)).cast("long")
+      val rfcode = when(col("l_returnflag") === "A", 0L)
+        .when(col("l_returnflag") === "N", 1L)
+        .when(col("l_returnflag") === "R", 2L)
+      val packOk = col("l_linenumber").between(0, 7) &&
+        col("l_partkey").between(0, (1L << 32) - 1) &&
+        cents.between(0, (1L << 24) - 1) && rfcode.isNotNull
+      val vpack = when(!packOk, raise_error(
+          lit("q122 version pack overflow")))
+        .otherwise(shiftleft(col("l_linenumber").cast("long"), 59) +
+          shiftleft(col("l_partkey").cast("long"), 27) +
+          shiftleft(cents, 3) + shiftleft(rfcode, 1) +
+          (col("l_quantity") < 2).cast("long"))
+      val changes = Tables.lineitem(spark, sfDir).select(
+        when(col("l_linenumber") === 7, -col("l_orderkey"))
+          .otherwise(col("l_orderkey")).as("o_orderkey"),
+        vpack.as("vord"),
+        (col("l_quantity") < 2).as("del"),
+        col("l_partkey").as("o_custkey"),
+        rounded.as("o_totalprice"),
+        concat(lit("U-"), col("l_returnflag")).as("o_orderpriority"))
+      val v = SnapshotStore.merge(spark, dir, changes,
+        key = "o_orderkey", versionCol = "vord", deleteCol = "del",
+        skipPartialAgg = true)                              // v1
+      require(v == 1, s"merge must commit version 1, got $v")
+      dir
+    })
+    graft.sources.SnapshotStore.read(spark, root) // current = merged v1
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("o_totalprice") * lit(100)).cast("long"))
+          .as("cents"))
+      .orderBy("o_orderpriority")
+  }
+
   def q118Optimize(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.sources.SnapshotStore
     val root = optimizeRoot.getOrElseUpdate(sfDir, {

@@ -48,11 +48,13 @@ import org.apache.spark.sql.types.StructType
   *     because both commute only through the version chain.
   *
   * What is deliberately NOT here (and where the full systems earn their
-  * complexity): row-level deletes/merges (represent as overwrite of the
-  * merged result — [[graft.finance.Store.upsert]] composes on top) and
-  * manifest compaction (list of lists) for 10⁶-file tables. Column
-  * min/max stats + scan-time file skipping ARE here ([[readWhere]],
-  * stats sidecars harvested from parquet footers at commit time), and
+  * complexity): manifest compaction (list of lists) for 10⁶-file
+  * tables, and deletion-vector/delete-file row-level deletes — this
+  * store's [[merge]] is copy-on-write (O(base+changes) per merge,
+  * the right trade until base ≫ daily change volume by orders of
+  * magnitude). Column min/max stats + scan-time file skipping ARE here
+  * ([[readWhere]], stats sidecars harvested from parquet footers at
+  * commit time), transactional row-level MERGE is [[merge]], and
   * multi-table atomic commits live in [[Catalog]].
   */
 object SnapshotStore {
@@ -875,6 +877,50 @@ object SnapshotStore {
       attempt += 1
     }
     sys.error(s"optimize lost $MaxRetries version races under $root")
+  }
+
+  // --------------------------------------------------------------- merge
+
+  /** Transactional row-level MERGE — the Delta `MERGE INTO` core on this
+    * store's primitives: fold a latest-wins changelog (upserts + delete
+    * tombstones, each versioned) into the CURRENT snapshot and commit
+    * the result as a new version. Semantics are EXACTLY
+    * [[graft.operators.Temporal.applyChangelog]]'s (highest version per
+    * key wins; tombstones delete; unmatched base rows pass through;
+    * unmatched upserts insert), and the write side is an overwrite
+    * commit — new immutable files, fresh footer stats, pinned readers
+    * untouched, replaced files vacuum-eligible once their versions age
+    * out. Concurrency is [[optimize]]'s read-modify-write rule: losing
+    * the version race RESTARTS the fold from the new current snapshot
+    * (publishing a merge of a stale base would silently drop the
+    * interleaved commit); abandoned attempts' files are unreachable
+    * scratch that [[vacuum]] sweeps.
+    *
+    * Cost shape: O(base + changes) per merge — the copy-on-write
+    * trade every snapshot store makes without row-level delete files;
+    * amortize by batching changelogs ([[commitAppendOnce]] for the
+    * ingest side) and merging on a cadence. `changes` must carry every
+    * base column plus `versionCol` and `deleteCol`.
+    */
+  def merge(spark: SparkSession, root: String, changes: DataFrame,
+      key: String, versionCol: String, deleteCol: String,
+      skipPartialAgg: Boolean = false): Int = {
+    var attempt = 0
+    while (attempt < MaxRetries) {
+      val cur = snapshot(root).getOrElse(
+        sys.error(s"merge into a table with no commits under $root"))
+      val base = read(spark, root, Some(cur.version))
+      val merged = graft.operators.Temporal.applyChangelog(
+        base, changes, key, versionCol, deleteCol, skipPartialAgg)
+      val files = writeData(merged, root)
+      val statsFile = writeStatsFile(root,
+        harvestStats(spark, root, files))
+      if (publish(root, Manifest(cur.version + 1, cur.version,
+          base.schema.toDDL, files, statsFile = statsFile)))
+        return cur.version + 1
+      attempt += 1
+    }
+    sys.error(s"merge lost $MaxRetries version races under $root")
   }
 
   // -------------------------------------------------------------- vacuum

@@ -351,6 +351,50 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.versions(root) === Seq(0, 1))
   }
 
+  // ---------------------------------------------------------- merge
+
+  test("merge: latest-wins upserts/inserts/tombstones commit as a new " +
+      "version whose content equals applyChangelog; v0 stays pinned; " +
+      "the merged version's stats serve readWhere") {
+    val root = freshRoot()
+    val base = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "s", "v")
+    SnapshotStore.commitOverwrite(base, root) // v0
+    val changes = Seq(
+      (1L, 1L, false, "a1", 11L),
+      (1L, 2L, false, "a2", 12L),  // later version wins
+      (2L, 1L, true, "x", 0L),     // tombstone deletes k=2
+      (9L, 1L, false, "i", 90L))   // insert
+      .toDF("k", "ver", "del", "s", "v")
+    val v = SnapshotStore.merge(spark, root, changes,
+      key = "k", versionCol = "ver", deleteCol = "del")
+    assert(v === 1)
+    val got = SnapshotStore.read(spark, root).as[(Long, String, Long)]
+      .collect().toSet
+    assert(got === Set((1L, "a2", 12L), (3L, "c", 30L), (9L, "i", 90L)))
+    // the operator-level fold agrees bit for bit
+    val viaOp = graft.operators.Temporal.applyChangelog(base, changes,
+      "k", "ver", "del").as[(Long, String, Long)].collect().toSet
+    assert(got === viaOp)
+    // time travel: the pre-merge snapshot is untouched
+    assert(SnapshotStore.read(spark, root, Some(0))
+      .as[(Long, String, Long)].collect().toSet ===
+      Set((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)))
+    // the merged version carries fresh footer stats
+    val m = SnapshotStore.snapshot(root).get
+    assert(m.statsFile.nonEmpty)
+    val (df, rep) = SnapshotStore.readWhere(spark, root,
+      SnapshotStore.StatsPred.Eq("k", 9L))
+    assert(df.count() === 1)
+    assert(rep.filesListed >= rep.filesOpened)
+    // merging into a table with no commits is a loud error
+    val empty = freshRoot()
+    val e = intercept[RuntimeException] {
+      SnapshotStore.merge(spark, empty, changes, "k", "ver", "del")
+    }
+    assert(e.getMessage.contains("no commits"))
+  }
+
   // ------------------------------------------- stats + file skipping
 
   import SnapshotStore.StatsPred._
