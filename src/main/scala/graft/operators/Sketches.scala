@@ -245,8 +245,6 @@ object Sketches {
     */
   def bloomBitmap(build: DataFrame, buildKey: Column, logBits: Int = 16,
       k: Int = 5): DataFrame = {
-    require(logBits >= 6 && logBits <= 26, s"logBits out of range: $logBits")
-    require(k >= 1 && k <= 16, s"k out of range: $k")
     val m = 1L << logBits
     val nWords = (m / 64).toInt
     val bits = build
@@ -266,7 +264,14 @@ object Sketches {
     * references), so it composes anywhere a Column does: plain filters,
     * join conditions, and higher-order-function lambdas over array
     * elements. False positives possible, false negatives never — the
-    * [[bloomPrunedJoin]] contract. The variable-amount bit shifts go
+    * [[bloomPrunedJoin]] contract — PROVIDED the probe's (logBits, k)
+    * EQUAL the bitmap's build values: the positions are derived from
+    * them, so a mismatched probe reads the wrong bits and silently
+    * yields false negatives. Both paths validate the range (a probe
+    * logBits past the bitmap's word count would index off its end);
+    * the equality is the caller's contract, checked by construction in
+    * [[bloomPrunedJoin]] which passes one pair to both.
+    * The variable-amount bit shifts go
     * through the Catalyst nodes directly (the Scala wrappers pin shift
     * amounts to Int literals; the SQL builtins they wrap accept column
     * amounts).
@@ -291,6 +296,12 @@ object Sketches {
     */
   private def bloomPositions(key: Column, logBits: Int,
       k: Int): Seq[Column] = {
+    // validated HERE so both the build (bloomBitmap) and the probe
+    // (bloomMightContain) paths reject out-of-range parameters — a
+    // probe-only caller with logBits past the bitmap length would
+    // otherwise silently break the no-false-negatives contract
+    require(logBits >= 6 && logBits <= 26, s"logBits out of range: $logBits")
+    require(k >= 1 && k <= 16, s"k out of range: $k")
     val m = 1L << logBits
     val h = xxhash64(key)
     val lo = h.bitwiseAND(lit(0xffffffffL))

@@ -178,8 +178,12 @@ object Catalog {
     require(writes.nonEmpty, "empty catalog commit")
     // 1. the expensive, coordination-free part: data files + stats, once
     val staged = writes.map { case (t, (df, mode)) =>
-      require(!t.contains("/") && !t.startsWith("_"),
-        s"bad table name: $t")
+      // whitelist, not blacklist: "." / ".." / "" / backslashes would
+      // make tableRoot escape or collide with the catalog's own dirs
+      require(t.matches("[A-Za-z0-9._-]+") && t != "." && t != ".." &&
+          !t.startsWith("_"),
+        s"bad table name: '$t' (need [A-Za-z0-9._-]+, not '.'/'..', " +
+          "no leading '_')")
       val tr = tableRoot(root, t)
       val files = SnapshotStore.writeData(df, tr)
       val stats = SnapshotStore.harvestStats(df.sparkSession, tr, files)

@@ -722,8 +722,14 @@ object SnapshotStore {
     def txnSeenAbove(floor: Int): Boolean =
       versions(root).reverseIterator.takeWhile(_ > floor)
         .exists(v => snapshot(root, Some(v)).get.txn == txn)
-    if (txnSeenAbove(-1)) return None
-    var checked = versions(root).lastOption.getOrElse(-1)
+    // ONE listing seeds both the initial scan and the `checked`
+    // watermark: a second listing here would let a version landing
+    // between the two slip past both the initial scan (not listed yet)
+    // and the in-loop recheck (already below `checked`).
+    val vs0 = versions(root)
+    if (vs0.reverseIterator.exists(v =>
+        snapshot(root, Some(v)).get.txn == txn)) return None
+    var checked = vs0.lastOption.getOrElse(-1)
     val files = writeData(df, root)
     val ddl = df.schema.toDDL
     val newStats = harvestStats(df.sparkSession, root, files)
@@ -929,17 +935,59 @@ object SnapshotStore {
     * manifests, then the superseded manifests themselves. Readers pinned
     * to a RETAINED version are untouched; pinning older than the
     * retention horizon is the documented reader contract (same contract
-    * every snapshot store ships). Returns the deleted file count. */
+    * every snapshot store ships). Returns the deleted file count.
+    *
+    * Two reachability guards beyond the version walk:
+    *   - A root with ZERO committed v<N>.json versions fails loudly
+    *     instead of computing an empty live set — a Catalog-managed
+    *     table dir has only staged-*.json manifests by design, and
+    *     "no versions → everything unreachable → delete all data"
+    *     would destroy a live catalog table on a mistaken call.
+    *   - Files and sidecars referenced by any staged-*.json manifest
+    *     count as LIVE: staged manifests are the catalog layer's
+    *     publish units (and, pre-publish, an in-flight transaction's),
+    *     so the table-layer vacuum never pulls data out from under a
+    *     catalog version. Sweeping orphaned staged manifests themselves
+    *     is the catalog's job (it owns their reachability). */
   def vacuum(root: String, keepVersions: Int = 2): Int = {
     require(keepVersions >= 1, "must retain at least the current version")
     val vs = versions(root)
+    require(vs.nonEmpty,
+      s"vacuum of a root with no committed versions under $root — " +
+        "either the table never committed or it is catalog-managed " +
+        "(staged manifests only); refusing to treat every file as " +
+        "unreachable")
     val keep = vs.takeRight(keepVersions).toSet
     val retained = vs.filter(keep).map(v => snapshot(root, Some(v)).get)
-    val live: Set[String] = retained.flatMap(_.files).toSet
-    // stats sidecars referenced by retained manifests stay; every other
-    // stats-*.tsv (superseded versions, lost-race commit attempts) goes
+    // staged-*.json manifests (catalog publish units) keep their
+    // references alive regardless of the version walk
+    val stagedMs: Seq[Manifest] = {
+      val dir = manifestDir(root)
+      if (!Files.isDirectory(dir)) Seq.empty
+      else {
+        val it = Files.list(dir)
+        try {
+          val i = it.iterator().asInstanceOf[java.util.Iterator[Path]]
+          val b = Seq.newBuilder[Manifest]
+          while (i.hasNext) {
+            val f = i.next()
+            val n = f.getFileName.toString
+            if (n.startsWith("staged-") && n.endsWith(".json"))
+              b += parse(new String(Files.readAllBytes(f),
+                StandardCharsets.UTF_8))
+          }
+          b.result()
+        } finally it.close()
+      }
+    }
+    val live: Set[String] =
+      (retained.flatMap(_.files) ++ stagedMs.flatMap(_.files)).toSet
+    // stats sidecars referenced by retained or staged manifests stay;
+    // every other stats-*.tsv (superseded versions, lost-race commit
+    // attempts) goes
     val liveStats: Set[String] =
-      retained.map(_.statsFile).filter(_.nonEmpty).toSet
+      (retained.map(_.statsFile) ++ stagedMs.map(_.statsFile))
+        .filter(_.nonEmpty).toSet
     val mDir = manifestDir(root)
     if (Files.isDirectory(mDir)) {
       val ms = Files.list(mDir)

@@ -225,6 +225,26 @@ class SketchesSpec extends SparkSpec {
       "k", "bk").count() === 0)
   }
 
+  test("bloom build AND probe paths both reject out-of-range logBits/k " +
+      "(a probe past the bitmap length would silently false-negative)") {
+    import org.apache.spark.sql.functions.col
+    for (bad <- Seq(5, 27, 40)) {
+      intercept[IllegalArgumentException] {
+        Sketches.bloomBitmap(bloomBuild, col("bk"), logBits = bad)
+      }
+      intercept[IllegalArgumentException] {
+        Sketches.bloomMightContain(col("k"), col("graft_bloom"),
+          logBits = bad)
+      }
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.bloomMightContain(col("k"), col("graft_bloom"), k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.bloomBitmap(bloomBuild, col("bk"), k = 17)
+    }
+  }
+
   test("bloomPrunedJoin prunes the probe side: pass-through count is " +
       "near the true match count (FP rate small), far below the input") {
     val obs = new org.apache.spark.sql.Observation()

@@ -101,4 +101,20 @@ class CatalogSpec extends SparkSpec {
     assert(got.collect().toSet === want.collect().toSet)
     assert(rep.filesOpened < rep.filesListed, rep.toString)
   }
+
+  test("table names are whitelisted: traversal and reserved names fail " +
+      "before any write") {
+    val root = freshRoot()
+    val df = Seq((1L, "x")).toDF("id", "s")
+    Seq("..", ".", "", "a/b", "a\\b", "_manifests", "_catalog",
+        "x..y/../../z").foreach { bad =>
+      val e = intercept[IllegalArgumentException] {
+        Catalog.commit(root, Map(bad -> ((df, Catalog.Overwrite))))
+      }
+      assert(e.getMessage.contains("bad table name"), s"name '$bad'")
+    }
+    // nothing escaped the catalog root; a dotted-but-safe name works
+    Catalog.commit(root, Map("tbl.v2" -> ((df, Catalog.Overwrite))))
+    assert(Catalog.readTable(spark, root, "tbl.v2").count() === 1)
+  }
 }

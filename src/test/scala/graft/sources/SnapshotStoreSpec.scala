@@ -504,4 +504,42 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(df.count() === 5)
     assert(rep.filesListed >= rep.filesOpened)
   }
+
+  test("vacuum refuses a root with zero committed versions (a catalog-" +
+      "managed table dir) instead of deleting every data file") {
+    val root = freshRoot()
+    // a catalog-managed table: staged manifests only, no v<N>.json
+    Catalog.commit(root, Map(
+      "t" -> ((spark.range(10).toDF("id"), Catalog.Overwrite))))
+    val tableDir = Paths.get(root, "t").toString
+    assert(SnapshotStore.versions(tableDir).isEmpty)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.vacuum(tableDir)
+    }
+    assert(e.getMessage.contains("no committed versions"))
+    // the catalog table is untouched and still reads in full
+    assert(Catalog.readTable(spark, root, "t").count() === 10)
+  }
+
+  test("vacuum treats staged-manifest-referenced files as live: a " +
+      "catalog publish unit survives a table-layer vacuum") {
+    val root = freshRoot()
+    SnapshotStore.commitOverwrite(spark.range(10).toDF("id"), root)  // v0
+    val v0files = SnapshotStore.snapshot(root, Some(0)).get.files
+    SnapshotStore.commitOverwrite(spark.range(5).toDF("id"), root)   // v1
+    // an in-flight catalog transaction stages a manifest referencing
+    // v0's files (e.g. a rebase target) — those files must stay live
+    // even when the version walk alone would drop them
+    val staged = SnapshotStore.Manifest(99, 0, "id BIGINT", v0files)
+    Files.write(Paths.get(root, "_manifests",
+      s"staged-${java.util.UUID.randomUUID()}.json"),
+      SnapshotStore.render(staged).getBytes)
+    SnapshotStore.vacuum(root, keepVersions = 1)
+    // every staged-referenced file is still on disk and readable
+    v0files.foreach { f =>
+      assert(Files.exists(Paths.get(root, f)), s"staged-live file swept: $f")
+    }
+    assert(spark.read.parquet(
+      v0files.map(f => Paths.get(root, f).toString): _*).count() === 10)
+  }
 }
