@@ -141,6 +141,8 @@ object SparkEntry {
     "q120_stats_pruned"    -> (Relational.q120StatsPrunedScan _),
     "q121_catalog_commit"  -> (Relational.q121CatalogCommit _),
     "q122_merge_into"      -> (Relational.q122MergeInto _),
+    "q123_segmented_scan"  -> (Relational.q123SegmentedScan _),
+    "q124_manifest_rewrite" -> (Relational.q124ManifestRewrite _),
   )
 
   /** The cohort-retention-matrix oracle, shared by q93 (the batch
@@ -688,6 +690,25 @@ object SparkEntry {
            CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
              AS BIGINT) AS cents
          FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000
+         GROUP BY 1 ORDER BY 1""",
+    // Segmented (manifest-list) scan: the oracle is the plain filtered
+    // aggregate — equality proves neither the segment-level nor the
+    // file-level prune dropped a qualifying row (the builder REQUIRES
+    // that whole segments went unparsed and files unopened).
+    "q123_segmented_scan" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+             AS BIGINT) AS cents
+         FROM lineitem WHERE l_orderkey BETWEEN 4000 AND 4700
+         GROUP BY 1 ORDER BY 1""",
+    // Manifest rewrite: content-hash invariance through the metadata-
+    // only regroup — the oracle recomputes the range aggregate straight
+    // from orders; pruning through the REWRITTEN summaries is REQUIREd.
+    "q124_manifest_rewrite" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+         FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
          GROUP BY 1 ORDER BY 1""",
     // MERGE INTO: the oracle is q97's winner-window + FULL OUTER fold
     // restated, aggregated per priority in integer cents - equality

@@ -1453,6 +1453,121 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** q123: SEGMENTED (manifest-list) SNAPSHOT SCAN
+    * ([[graft.sources.SnapshotStore.appendSegment]] /
+    * [[graft.sources.SnapshotStore.readWhere]]) — the 10⁵-file-table
+    * story: lineitem lands as 20 key-range batches of 50 files each
+    * (1,000 data files, each batch ONE immutable segment whose
+    * aggregated column ranges ride inline in the manifest list), and
+    * the gated range read must (a) SKIP whole segments without even
+    * parsing their file lists and (b) open O(selectivity) of the
+    * 1,000 files — both REQUIREd loudly. At 100 TB this is what keeps
+    * reads from parsing a million-entry file list on the driver:
+    * commit metadata is O(new segment), read metadata is O(segments
+    * intersecting the predicate). The oracle computes the same
+    * filtered aggregate straight from lineitem — equality proves
+    * neither pruning level dropped a qualifying row.
+    */
+  private val segScanRoot =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val SegScanSlices = 20
+  private val SegScanFilesPerSlice = 50
+
+  def q123SegmentedScan(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = segScanRoot.getOrElseUpdate(sfDir, {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-snapseg-").toString
+      val li = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+        .persist()
+      try {
+        val maxKey = li.agg(max(col("l_orderkey"))).head.getLong(0)
+        val width = maxKey / SegScanSlices + 1
+        // 20 ingest batches, each clustered on a disjoint key range —
+        // the time-ordered-ingest shape segment pruning is built for
+        (0 until SegScanSlices).foreach { i =>
+          SnapshotStore.appendSegment(
+            li.filter(col("l_orderkey") >= i * width &&
+              col("l_orderkey") < (i + 1) * width)
+              .repartition(SegScanFilesPerSlice), dir)
+        }
+      } finally li.unpersist()
+      dir
+    })
+    // ~5% of the key space at sf0.01, proportionally less as SF grows —
+    // the "read one day out of a month of ingest" shape
+    val (df, report) = SnapshotStore.readWhere(spark, root,
+      SnapshotStore.StatsPred.Between("l_orderkey", 4000L, 4700L))
+    require(report.segmentsParsed < report.segmentsListed,
+      s"segment summaries must prune unparsed: parsed " +
+        s"${report.segmentsParsed} of ${report.segmentsListed}")
+    require(report.filesOpened * 5 <= report.filesListed,
+      s"segmented read must open O(selectivity) files, opened " +
+        s"${report.filesOpened} of ${report.filesListed}")
+    df.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        sum(round(col("l_extendedprice") * lit(100)).cast("long"))
+          .as("cents"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q124: METADATA-ONLY MANIFEST REWRITE
+    * ([[graft.sources.SnapshotStore.rewriteManifests]]) — Iceberg's
+    * rewrite-manifests action: 8 segmented appends accrete 8 small
+    * segments; the rewrite regroups their 32 data files into TWO fresh
+    * segments WITHOUT touching a data file, and the gated range read
+    * off the rewritten manifest list must still prune (1 of 2 segments
+    * parsed) and match the oracle computed straight from orders —
+    * proving the regrouped summaries are sound and the rewrite moved
+    * only metadata. SnapshotStoreSpec pins the stronger invariants
+    * (identical file paths, vacuum of the superseded segments).
+    */
+  private val segRewriteRoot =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def q124ManifestRewrite(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = segRewriteRoot.getOrElseUpdate(sfDir, {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-snaprw-").toString
+      val o = Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .persist()
+      try {
+        val maxKey = o.agg(max(col("o_orderkey"))).head.getLong(0)
+        val width = maxKey / 8 + 1
+        (0 until 8).foreach { i =>
+          SnapshotStore.appendSegment(
+            o.filter(col("o_orderkey") >= i * width &&
+              col("o_orderkey") < (i + 1) * width).repartition(4), dir)
+        }
+      } finally o.unpersist()
+      val segsBefore = SnapshotStore.snapshot(dir).get.segments.size
+      SnapshotStore.rewriteManifests(dir, targetSegments = 2)
+      val after = SnapshotStore.snapshot(dir).get
+      require(after.segments.size == 2 && segsBefore == 8,
+        s"rewrite must compact the manifest list ($segsBefore -> " +
+          s"${after.segments.size})")
+      dir
+    })
+    val (df, report) = SnapshotStore.readWhere(spark, root,
+      SnapshotStore.StatsPred.Between("o_orderkey", 1000L, 5000L))
+    require(report.segmentsParsed < report.segmentsListed,
+      s"rewritten summaries must still prune: parsed " +
+        s"${report.segmentsParsed} of ${report.segmentsListed}")
+    require(report.filesOpened < report.filesListed,
+      s"file-level pruning must survive the rewrite, opened " +
+        s"${report.filesOpened} of ${report.filesListed}")
+    df.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * lit(100)).cast("long"))
+          .as("cents"))
+      .orderBy("o_orderpriority")
+  }
+
   def q118Optimize(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.sources.SnapshotStore
     val root = optimizeRoot.getOrElseUpdate(sfDir, {

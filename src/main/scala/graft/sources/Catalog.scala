@@ -137,16 +137,19 @@ object Catalog {
       sys.error(s"catalog under $root has no table $table"))
     val schema = StructType.fromDDL(m.schemaDdl)
     val tr = tableRoot(root, table)
-    if (m.files.isEmpty)
+    val files = SnapshotStore.allFiles(tr, m)
+    if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext
         .emptyRDD[org.apache.spark.sql.Row], schema)
     else
       spark.read.schema(schema)
-        .parquet(m.files.map(f => Paths.get(tr, f).toString): _*)
+        .parquet(files.map(f => Paths.get(tr, f).toString): _*)
   }
 
   /** [[readTable]] with [[SnapshotStore.readWhere]]-style file skipping
-    * off the staged manifest's stats sidecar. */
+    * off the staged manifest's stats sidecar (and, for segmented
+    * tables, segment-level summary pruning — the same shared
+    * two-level prune). */
   def readTableWhere(spark: SparkSession, root: String, table: String,
       pred: SnapshotStore.StatsPred, version: Option[Int] = None)
       : (DataFrame, SnapshotStore.ScanReport) = {
@@ -154,10 +157,7 @@ object Catalog {
       sys.error(s"catalog under $root has no table $table"))
     val schema = StructType.fromDDL(m.schemaDdl)
     val tr = tableRoot(root, table)
-    val stats = SnapshotStore.fileStats(tr, m)
-    val keep = m.files.filter(f =>
-      stats.get(f).forall(s => SnapshotStore.mayMatch(s, schema, pred)))
-    val report = SnapshotStore.ScanReport(m.files.size, keep.size)
+    val (keep, report) = SnapshotStore.pruneScan(tr, m, schema, pred)
     val df =
       if (keep.isEmpty)
         spark.createDataFrame(spark.sparkContext
@@ -202,21 +202,23 @@ object Catalog {
           SnapshotStore.parse(new String(Files.readAllBytes(
             Paths.get(tr, rel)), StandardCharsets.UTF_8))
         }
-        val (allFiles, allStats, baseV) = mode match {
+        val (allFiles, allStats, baseV, segs) = mode match {
           case Overwrite => (files, stats, baseM.map(_.version)
-            .getOrElse(-1))
+            .getOrElse(-1), Nil)
           case Append =>
             baseM.foreach(m => require(m.schemaDdl == ddl,
               s"catalog append schema mismatch on $t: table has " +
                 s"[${m.schemaDdl}], append has [$ddl]"))
+            // inline stats compose; base SEGMENTS carry by reference
             (baseM.map(_.files).getOrElse(Seq.empty) ++ files,
               baseM.map(m => SnapshotStore.fileStats(tr, m))
                 .getOrElse(Map.empty) ++ stats,
-              baseM.map(_.version).getOrElse(-1))
+              baseM.map(_.version).getOrElse(-1),
+              baseM.map(_.segments).getOrElse(Nil))
         }
         val statsFile = SnapshotStore.writeStatsFile(tr, allStats)
         val m = SnapshotStore.Manifest(baseV + 1, baseV, ddl, allFiles,
-          statsFile = statsFile)
+          statsFile = statsFile, segments = segs)
         val rel = s"_manifests/staged-${java.util.UUID.randomUUID()}.json"
         val p = Paths.get(tr, rel)
         Files.createDirectories(p.getParent)

@@ -70,9 +70,34 @@ object SnapshotStore {
     * [[readWhere]] consults to open only files whose ranges can
     * intersect a predicate. The sidecar is immutable like data files
     * (fresh uuid name per commit attempt) so a lost version race can
-    * never pair one commit's manifest with another's stats. */
+    * never pair one commit's manifest with another's stats.
+    *
+    * `segments` is the MANIFEST-LIST tier (Iceberg's manifest-list /
+    * manifest-file split, reduced to its core): instead of naming every
+    * data file inline, a snapshot may reference immutable SEGMENT files
+    * (`_manifests/seg-<uuid>.json`), each naming a file subset plus its
+    * own stats sidecar. The complete file set is `files` ++ the
+    * segments'. Why the tier exists: at 10⁵-10⁶ files, one flat list
+    * makes every commit rewrite O(all files) of metadata and every read
+    * parse it — with segments, [[appendSegment]] writes O(new files)
+    * metadata (base segments carry forward BY REFERENCE), and
+    * [[readWhere]] prunes whole segments from the aggregated column
+    * ranges each [[SegmentRef]] carries inline, parsing only segments a
+    * predicate can intersect. */
   final case class Manifest(version: Int, base: Int, schemaDdl: String,
-      files: Seq[String], txn: String = "", statsFile: String = "")
+      files: Seq[String], txn: String = "", statsFile: String = "",
+      segments: Seq[SegmentRef] = Nil)
+
+  /** A manifest-list entry: the segment file's root-relative path, how
+    * many data files it names (so [[ScanReport.filesListed]] is exact
+    * without parsing skipped segments), and the segment-level column
+    * summary — per column, (total rows, summed nulls, min of mins, max
+    * of maxes) aggregated over the segment's files, Conservative like
+    * everything in the stats layer: a column any member file lacks
+    * usable stats for records nothing, and an empty summary never
+    * skips. */
+  final case class SegmentRef(path: String, nFiles: Int,
+      cols: Map[String, ColStats])
 
   /** Per-column file statistics: the file's total row count, the
     * column's null count (None when any row group left it unset), and
@@ -132,11 +157,48 @@ object SnapshotStore {
 
   private[sources] def render(m: Manifest): String = {
     val fs = m.files.map(f => "\"" + esc(f) + "\"").mkString(",")
+    // segments render BEFORE files on purpose: the files parser captures
+    // greedily to the final ']', which must be the files array's own
+    val segs =
+      if (m.segments.isEmpty) ""
+      else m.segments.map { s =>
+        s"""{"path":"${esc(s.path)}","nfiles":${s.nFiles},""" +
+          s""""colstats":"${esc(renderColStatsTsv(s.cols))}"}"""
+      }.mkString(""""segments":[""", ",", "],")
     s"""{"version":${m.version},"base":${m.base},""" +
       s""""txn":"${esc(m.txn)}",""" +
       s""""statsfile":"${esc(m.statsFile)}",""" +
-      s""""schema":"${esc(m.schemaDdl)}","files":[$fs]}"""
+      s""""schema":"${esc(m.schemaDdl)}",$segs"files":[$fs]}"""
   }
+
+  /** One escaped-TSV line per column:
+    * `name \t rows \t nulls|? \t =min|? \t =max|?` — the stats sidecar's
+    * field encodings, minus the file column. Values are esc'd BEFORE the
+    * real-tab join (same discipline as [[writeStatsFile]]) so a value
+    * containing a tab survives the round trip. */
+  private def renderColStatsTsv(cols: Map[String, ColStats]): String = {
+    val sb = new StringBuilder
+    cols.toSeq.sortBy(_._1).foreach { case (name, s) =>
+      sb.append(esc(name)).append('\t').append(s.rows).append('\t')
+        .append(s.nulls.map(_.toString).getOrElse("?")).append('\t')
+        .append(s.min.map(m => "=" + esc(m)).getOrElse("?")).append('\t')
+        .append(s.max.map(m => "=" + esc(m)).getOrElse("?")).append('\n')
+    }
+    sb.toString
+  }
+
+  private def parseColStatsTsv(tsv: String): Map[String, ColStats] =
+    tsv.split('\n').iterator.filter(_.nonEmpty).flatMap { line =>
+      val f = line.split('\t')
+      if (f.length != 5) None
+      else {
+        def opt(s: String): Option[String] =
+          if (s == "?") None else Some(unesc(s.substring(1)))
+        Some(unesc(f(0)) -> ColStats(f(1).toLong,
+          if (f(2) == "?") None else Some(f(2).toLong), opt(f(3)),
+          opt(f(4))))
+      }
+    }.toMap
 
   /** Parse [[render]]'s output. Strict by design: a manifest that does
     * not parse is a corrupted COMMITTED snapshot (tmp files never carry
@@ -161,8 +223,16 @@ object SnapshotStore {
       .map(m => unesc(m.group(1))).getOrElse("")
     val statsFile = (s""""statsfile":$strLit""").r.findFirstMatchIn(s)
       .map(m => unesc(m.group(1))).getOrElse("")
+    // segment objects matched directly by their unique key triple —
+    // pre-segment manifests simply have none (optional field, like txn)
+    val segRe =
+      (s"""\\{"path":$strLit,"nfiles":(\\d+),"colstats":$strLit\\}""").r
+    val segments = segRe.findAllMatchIn(s).map { m =>
+      SegmentRef(unesc(m.group(1)), m.group(2).toInt,
+        parseColStatsTsv(unesc(m.group(3))))
+    }.toSeq
     Manifest(intField("version"), intField("base"), unesc(schema), files,
-      txn, statsFile)
+      txn, statsFile, segments)
   }
 
   // ------------------------------------------------------------- resolve
@@ -206,23 +276,114 @@ object SnapshotStore {
       parse(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
     }
 
+  // ------------------------------------------------------------ segments
+
+  /** A segment file IS a mini-manifest (version/base pinned to -1, no
+    * schema): its `files` are the subset it names, its `statsFile` the
+    * per-file sidecar. Reusing the manifest codec keeps the segment
+    * tier one concept, not a second format. */
+  private[sources] def readSegmentManifest(root: String,
+      ref: SegmentRef): Manifest = {
+    val p = Paths.get(root, ref.path)
+    require(Files.exists(p), s"manifest names a missing segment: $p")
+    parse(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+  }
+
+  /** The snapshot's COMPLETE file list: inline files plus every
+    * segment's. O(segments) metadata reads — the full-read price; the
+    * pruned path ([[readWhere]]) parses only intersecting segments. */
+  def allFiles(root: String, m: Manifest): Seq[String] =
+    m.files ++ m.segments.flatMap(s => readSegmentManifest(root, s).files)
+
+  /** Per-file stats across the inline sidecar AND every segment's. */
+  def allFileStats(root: String,
+      m: Manifest): Map[String, Map[String, ColStats]] =
+    fileStats(root, m) ++ m.segments.flatMap { ref =>
+      fileStats(root, readSegmentManifest(root, ref))
+    }
+
+  /** Aggregate per-file stats into one segment-level summary, per
+    * column: rows summed, nulls summed when every file reports them,
+    * min/max folded when every file (with any non-null values) reports
+    * a usable range. A column ANY member file lacks an entry for is
+    * dropped — its values in that file are unknown, so no segment-level
+    * claim is sound. The summary is what lets [[readWhere]] skip a
+    * whole segment without parsing it. */
+  private[sources] def summarize(files: Seq[String],
+      stats: Map[String, Map[String, ColStats]],
+      schema: StructType): Map[String, ColStats] = {
+    if (files.isEmpty) return Map.empty
+    val maps = files.map(f => stats.getOrElse(f, Map.empty))
+    if (maps.exists(_.isEmpty)) return Map.empty // a stat-less file: no claims
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    val common = maps.map(_.keySet).reduce(_ intersect _)
+    common.iterator.map { c =>
+      val es = maps.map(_(c))
+      val rows = es.map(_.rows).sum
+      val nulls =
+        if (es.forall(_.nulls.isDefined)) Some(es.map(_.nulls.get).sum)
+        else None
+      // files that are ALL-NULL for c contribute no values to the range
+      val ranged = es.filterNot(e => e.nulls.isDefined &&
+        e.nulls.contains(e.rows))
+      val range: Option[(String, String)] = types.get(c).flatMap { dt =>
+        if (ranged.isEmpty ||
+            ranged.exists(e => e.min.isEmpty || e.max.isEmpty)) None
+        else {
+          // fold via the same normalize/compare the skip logic uses; any
+          // un-normalizable value poisons the whole range (never skip)
+          def fold(vals: Seq[String], wantMin: Boolean): Option[String] =
+            vals.tail.foldLeft(Option(vals.head)) { (accOpt, v) =>
+              for {
+                acc <- accOpt
+                na <- normalize(dt, acc); nv <- normalize(dt, v)
+                cmp <- cmpNorm(nv, na)
+              } yield if ((cmp < 0) == wantMin) v else acc
+            }
+          for {
+            mn <- fold(ranged.map(_.min.get), wantMin = true)
+            mx <- fold(ranged.map(_.max.get), wantMin = false)
+          } yield (mn, mx)
+        }
+      }
+      c -> ColStats(rows, nulls, range.map(_._1), range.map(_._2))
+    }.toMap
+  }
+
+  /** Write one immutable segment: the per-file stats sidecar, then the
+    * segment file naming `files` + that sidecar. Returns the manifest-
+    * list entry (path, file count, aggregated column summary). */
+  private[sources] def writeSegment(root: String, files: Seq[String],
+      stats: Map[String, Map[String, ColStats]],
+      schema: StructType): SegmentRef = {
+    val sidecar = writeStatsFile(root, stats)
+    val rel = s"_manifests/seg-${java.util.UUID.randomUUID()}.json"
+    val p = Paths.get(root, rel)
+    Files.createDirectories(p.getParent)
+    Files.write(p, render(Manifest(-1, -1, "", files, statsFile = sidecar))
+      .getBytes(StandardCharsets.UTF_8))
+    SegmentRef(rel, files.size, summarize(files, stats, schema))
+  }
+
   /** Snapshot-pinned read: resolve the (given or current) version ONCE,
-    * then read exactly that manifest's files. The returned frame stays
-    * correct across any number of concurrent commits; it survives
-    * [[vacuum]] for as long as its version is retained. A table with no
-    * commits has no schema — that is a caller error, not an empty frame.
+    * then read exactly that manifest's files (inline + segments). The
+    * returned frame stays correct across any number of concurrent
+    * commits; it survives [[vacuum]] for as long as its version is
+    * retained. A table with no commits has no schema — that is a caller
+    * error, not an empty frame.
     */
   def read(spark: SparkSession, root: String,
       version: Option[Int] = None): DataFrame = {
     val m = snapshot(root, version).getOrElse(
       sys.error(s"no committed snapshot under $root"))
     val schema = StructType.fromDDL(m.schemaDdl)
-    if (m.files.isEmpty)
+    val files = allFiles(root, m)
+    if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext
         .emptyRDD[org.apache.spark.sql.Row], schema)
     else
       spark.read.schema(schema)
-        .parquet(m.files.map(f => Paths.get(root, f).toString): _*)
+        .parquet(files.map(f => Paths.get(root, f).toString): _*)
   }
 
   // --------------------------------------------------- stats predicates
@@ -400,10 +561,43 @@ object SnapshotStore {
     }
   }
 
-  /** What [[readWhere]] decided: every file the manifest lists, how
-    * many the stats let it skip, how many it actually opened. */
-  final case class ScanReport(filesListed: Int, filesOpened: Int) {
+  /** What [[readWhere]] decided: every file the manifest lists (inline
+    * + all segments', counted from the refs without parsing), how many
+    * it actually opened, and — for segmented manifests — how many
+    * manifest segments exist vs how many the segment-level summaries
+    * made it PARSE at all (the manifest-compaction payoff: a skipped
+    * segment costs zero metadata reads, not just zero data reads). */
+  final case class ScanReport(filesListed: Int, filesOpened: Int,
+      segmentsListed: Int = 0, segmentsParsed: Int = 0) {
     def filesSkipped: Int = filesListed - filesOpened
+    def segmentsSkipped: Int = segmentsListed - segmentsParsed
+  }
+
+  /** The shared two-level prune behind [[readWhere]] and
+    * [[Catalog.readTableWhere]]: inline files filter on the inline
+    * sidecar; each segment first tests its AGGREGATED summary (a miss
+    * skips the segment unparsed), and only surviving segments get their
+    * file lists + per-file sidecars consulted. Returns the files to
+    * open and the full report. */
+  private[sources] def pruneScan(root: String, m: Manifest,
+      schema: StructType, pred: StatsPred): (Seq[String], ScanReport) = {
+    val inlineStats = fileStats(root, m)
+    val inlineKeep = m.files.filter(f =>
+      inlineStats.get(f).forall(s => mayMatch(s, schema, pred)))
+    var parsed = 0
+    val segKeep = m.segments.flatMap { ref =>
+      if (ref.cols.nonEmpty && !mayMatch(ref.cols, schema, pred)) Nil
+      else {
+        parsed += 1
+        val sm = readSegmentManifest(root, ref)
+        val st = fileStats(root, sm)
+        sm.files.filter(f =>
+          st.get(f).forall(s => mayMatch(s, schema, pred)))
+      }
+    }
+    val keep = inlineKeep ++ segKeep
+    val listed = m.files.size + m.segments.map(_.nFiles).sum
+    (keep, ScanReport(listed, keep.size, m.segments.size, parsed))
   }
 
   /** Snapshot-pinned read WITH FILE SKIPPING: resolve the (given or
@@ -422,10 +616,7 @@ object SnapshotStore {
     val m = snapshot(root, version).getOrElse(
       sys.error(s"no committed snapshot under $root"))
     val schema = StructType.fromDDL(m.schemaDdl)
-    val stats = fileStats(root, m)
-    val keep = m.files.filter(f =>
-      stats.get(f).forall(s => mayMatch(s, schema, pred)))
-    val report = ScanReport(m.files.size, keep.size)
+    val (keep, report) = pruneScan(root, m, schema, pred)
     val df =
       if (keep.isEmpty)
         spark.createDataFrame(spark.sparkContext
@@ -688,17 +879,93 @@ object SnapshotStore {
           s"append has [$ddl]"))
       val base = cur.map(_.version).getOrElse(-1)
       val baseFiles = cur.map(_.files).getOrElse(Seq.empty)
-      // the sidecar composes the base's stats with the new files' — it
-      // depends on the rebase target, so each attempt writes its own
-      // (orphaned attempts are unreferenced scratch; vacuum sweeps)
+      // the sidecar composes the base's INLINE stats with the new
+      // files' — it depends on the rebase target, so each attempt
+      // writes its own (orphaned attempts are unreferenced scratch;
+      // vacuum sweeps). Base SEGMENTS carry forward by reference: their
+      // stats live in their own sidecars, untouched.
       val statsFile = writeStatsFile(root,
         cur.map(m => fileStats(root, m)).getOrElse(Map.empty) ++ newStats)
       if (publish(root, Manifest(base + 1, base, ddl, baseFiles ++ files,
-          statsFile = statsFile)))
+          statsFile = statsFile,
+          segments = cur.map(_.segments).getOrElse(Nil))))
         return base + 1
       attempt += 1
     }
     sys.error(s"commitAppend lost $MaxRetries version races under $root")
+  }
+
+  /** SEGMENTED append — the O(touched-metadata) commit the manifest-
+    * list tier exists for: `df`'s files land as ONE new segment (its
+    * own file list + stats sidecar + aggregated summary), and the new
+    * manifest names the base's segments BY REFERENCE plus the new one —
+    * commit metadata cost is O(new files + number of segments), never
+    * O(all files). The base's inline files and sidecar also carry
+    * forward by reference (sidecars are immutable; two manifests may
+    * share one). Rebase-on-lost-race exactly like [[commitAppend]];
+    * the segment file is written once (its content does not depend on
+    * the base). */
+  def appendSegment(df: DataFrame, root: String): Int = {
+    val files = writeData(df, root)
+    val ddl = df.schema.toDDL
+    val ref = writeSegment(root, files,
+      harvestStats(df.sparkSession, root, files), df.schema)
+    var attempt = 0
+    while (attempt < MaxRetries) {
+      val cur = snapshot(root)
+      cur.foreach(m => require(m.schemaDdl == ddl,
+        s"append schema mismatch: table has [${m.schemaDdl}], " +
+          s"append has [$ddl]"))
+      val base = cur.map(_.version).getOrElse(-1)
+      if (publish(root, Manifest(base + 1, base, ddl,
+          cur.map(_.files).getOrElse(Seq.empty),
+          statsFile = cur.map(_.statsFile).getOrElse(""),
+          segments = cur.map(_.segments).getOrElse(Nil) :+ ref)))
+        return base + 1
+      attempt += 1
+    }
+    sys.error(s"appendSegment lost $MaxRetries version races under $root")
+  }
+
+  /** METADATA-ONLY manifest compaction (Iceberg's rewrite-manifests
+    * action): regroup the current snapshot's complete file list into
+    * `targetSegments` fresh segments — data files UNTOUCHED, content
+    * bit-identical — and commit the regrouping as a new version. Use
+    * it when many small appends have accreted many small segments: the
+    * manifest list shrinks to `targetSegments` entries and segment-
+    * level pruning gets coarser-but-fewer summaries to test. Grouping
+    * preserves the existing file order (ingest/z-order order is what
+    * makes neighboring files' ranges adjacent, which is what makes the
+    * regrouped summaries tight). Read-modify-write concurrency like
+    * [[optimize]]: a lost race restarts from the new head; abandoned
+    * segment files are unreferenced scratch for [[vacuum]]. */
+  def rewriteManifests(root: String, targetSegments: Int): Int = {
+    require(targetSegments >= 1, "targetSegments must be >= 1")
+    var attempt = 0
+    while (attempt < MaxRetries) {
+      val cur = snapshot(root).getOrElse(sys.error(
+        s"rewriteManifests of a table with no commits under $root"))
+      val schema = StructType.fromDDL(cur.schemaDdl)
+      val files = allFiles(root, cur)
+      val stats = allFileStats(root, cur)
+      val groups =
+        if (files.isEmpty) Seq.empty
+        else {
+          val per = math.max(1,
+            math.ceil(files.size.toDouble / targetSegments).toInt)
+          files.grouped(per).toSeq
+        }
+      val refs = groups.map { g =>
+        val inG = g.toSet
+        writeSegment(root, g, stats.filter { case (f, _) => inG(f) },
+          schema)
+      }
+      if (publish(root, Manifest(cur.version + 1, cur.version,
+          cur.schemaDdl, Seq.empty, segments = refs)))
+        return cur.version + 1
+      attempt += 1
+    }
+    sys.error(s"rewriteManifests lost $MaxRetries version races under $root")
   }
 
   /** IDEMPOTENT append — the Delta `txn` action pattern for exactly-once
@@ -757,7 +1024,7 @@ object SnapshotStore {
         cur.map(m => fileStats(root, m)).getOrElse(Map.empty) ++ newStats)
       if (publish(root,
           Manifest(base + 1, base, ddl, baseFiles ++ files, txn,
-            statsFile)))
+            statsFile, segments = cur.map(_.segments).getOrElse(Nil))))
         return Some(base + 1)
       attempt += 1
     }
@@ -836,7 +1103,8 @@ object SnapshotStore {
         cur.map(m => fileStats(root, m)).getOrElse(Map.empty) ++
           harvestStats(df.sparkSession, root, files))
       if (publish(root, Manifest(base + 1, base, ddl, baseFiles ++ files,
-          statsFile = statsFile)))
+          statsFile = statsFile,
+          segments = cur.map(_.segments).getOrElse(Nil))))
         return base + 1
       attempt += 1
     }
@@ -980,13 +1248,23 @@ object SnapshotStore {
         } finally it.close()
       }
     }
+    // reachability closes over SEGMENTS: a live manifest's segments are
+    // live, and a live segment's files + sidecar are live
+    val reachable = retained ++ stagedMs
+    val liveSegs: Set[String] =
+      reachable.flatMap(_.segments.map(_.path)).toSet
+    val segMs: Seq[Manifest] = reachable.flatMap(_.segments)
+      .map(_.path).distinct.map { rel =>
+        parse(new String(Files.readAllBytes(Paths.get(root, rel)),
+          StandardCharsets.UTF_8))
+      }
     val live: Set[String] =
-      (retained.flatMap(_.files) ++ stagedMs.flatMap(_.files)).toSet
-    // stats sidecars referenced by retained or staged manifests stay;
-    // every other stats-*.tsv (superseded versions, lost-race commit
-    // attempts) goes
+      (reachable.flatMap(_.files) ++ segMs.flatMap(_.files)).toSet
+    // stats sidecars referenced by retained, staged, or live-segment
+    // manifests stay; every other stats-*.tsv (superseded versions,
+    // lost-race commit attempts) goes — same for seg-*.json files
     val liveStats: Set[String] =
-      (retained.map(_.statsFile) ++ stagedMs.map(_.statsFile))
+      (reachable.map(_.statsFile) ++ segMs.map(_.statsFile))
         .filter(_.nonEmpty).toSet
     val mDir = manifestDir(root)
     if (Files.isDirectory(mDir)) {
@@ -998,6 +1276,9 @@ object SnapshotStore {
           val n = f.getFileName.toString
           if (n.startsWith("stats-") && n.endsWith(".tsv") &&
               !liveStats.contains(s"_manifests/$n"))
+            Files.delete(f)
+          else if (n.startsWith("seg-") && n.endsWith(".json") &&
+              !liveSegs.contains(s"_manifests/$n"))
             Files.delete(f)
         }
       } finally ms.close()

@@ -542,4 +542,144 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(spark.read.parquet(
       v0files.map(f => Paths.get(root, f).toString): _*).count() === 10)
   }
+
+  // --------------------------------------- manifest-list (segment) tier
+
+  private def segSlice(lo: Long, hi: Long, nFiles: Int) =
+    spark.range(lo, hi).select(col("id"), (col("id") % 7).as("v"))
+      .repartition(nFiles)
+
+  test("appendSegment: commits reuse base segments BY REFERENCE (no " +
+      "metadata rewrite), read back complete, codec round-trips") {
+    val root = freshRoot()
+    SnapshotStore.appendSegment(segSlice(0, 100, 3), root)     // v0
+    SnapshotStore.appendSegment(segSlice(100, 200, 3), root)   // v1
+    SnapshotStore.appendSegment(segSlice(200, 300, 3), root)   // v2
+    val m1 = SnapshotStore.snapshot(root, Some(1)).get
+    val m2 = SnapshotStore.snapshot(root, Some(2)).get
+    // segment reuse across appends: v2's first two segments ARE v1's
+    assert(m2.segments.size === 3 && m1.segments.size === 2)
+    assert(m2.segments.take(2) === m1.segments)
+    assert(m2.files.isEmpty) // all files live in segments
+    // complete read across all segments
+    assert(SnapshotStore.read(spark, root).count() === 300)
+    // codec round-trip including the summary stats
+    val back = SnapshotStore.parse(SnapshotStore.render(m2))
+    assert(back === m2)
+    // summaries carry real ranges for the clustered id column
+    m2.segments.foreach { ref =>
+      assert(ref.cols.contains("id") && ref.cols("id").min.isDefined,
+        ref.toString)
+    }
+  }
+
+  test("segmented readWhere: equals read().filter, skips whole " +
+      "segments UNPARSED, opens O(selectivity) files") {
+    val root = freshRoot()
+    (0 until 10).foreach(i =>
+      SnapshotStore.appendSegment(segSlice(i * 100L, i * 100L + 100, 4),
+        root))
+    val preds = Seq(
+      Between("id", 120L, 180L),
+      Eq("id", 555L),
+      And(Ge("id", 300L), Lt("id", 420L)),
+      Or(Lt("id", 50L), Ge("id", 950L)),
+      IsNotNull("v"), IsNull("v"))
+    preds.foreach { p =>
+      val (got, rep) = SnapshotStore.readWhere(spark, root, p)
+      val want = SnapshotStore.read(spark, root)
+        .filter(SnapshotStore.predColumn(p))
+      assert(got.collect().toSet === want.collect().toSet, p.toString)
+      assert(rep.filesListed === 40 && rep.segmentsListed === 10,
+        rep.toString)
+    }
+    // a one-slice range parses ONE segment and opens only its files
+    val (_, r) = SnapshotStore.readWhere(spark, root,
+      Between("id", 120L, 180L))
+    assert(r.segmentsParsed === 1, r.toString)
+    assert(r.filesOpened <= 4, r.toString)
+    // IsNull finds nothing but must not skip wrongly: v is never null,
+    // and the summaries know it (nulls=0) — zero segments parsed
+    val (gotNull, repNull) = SnapshotStore.readWhere(spark, root,
+      IsNull("v"))
+    assert(gotNull.count() === 0)
+    assert(repNull.segmentsParsed === 0, repNull.toString)
+  }
+
+  test("rewriteManifests is METADATA-ONLY: same data files, identical " +
+      "content, fewer segments, pruning intact; vacuum sweeps the old " +
+      "segment files once their versions age out") {
+    val root = freshRoot()
+    (0 until 8).foreach(i =>
+      SnapshotStore.appendSegment(segSlice(i * 50L, i * 50L + 50, 2), root))
+    val before = SnapshotStore.snapshot(root).get
+    val filesBefore = SnapshotStore.allFiles(root, before).sorted
+    val v = SnapshotStore.rewriteManifests(root, targetSegments = 2)
+    assert(v === 8)
+    val after = SnapshotStore.snapshot(root).get
+    assert(after.segments.size === 2)
+    // metadata-only: the data files are EXACTLY the same paths
+    assert(SnapshotStore.allFiles(root, after).sorted === filesBefore)
+    // content identical
+    assert(SnapshotStore.read(spark, root).as[(Long, Long)]
+      .collect().sorted === (0L until 400L).map(i => (i, i % 7)).sorted)
+    // pruning still works through the rewritten summaries
+    val (got, rep) = SnapshotStore.readWhere(spark, root,
+      Between("id", 10L, 40L))
+    assert(got.count() === 31)
+    assert(rep.segmentsParsed === 1 && rep.segmentsListed === 2,
+      rep.toString)
+    // old segment files are unreferenced once only the rewrite remains
+    SnapshotStore.vacuum(root, keepVersions = 1)
+    val segsOnDisk = {
+      val it = Files.list(Paths.get(root, "_manifests"))
+      try {
+        val i = it.iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+        val b = Seq.newBuilder[String]
+        while (i.hasNext) {
+          val n = i.next().getFileName.toString
+          if (n.startsWith("seg-")) b += n
+        }
+        b.result()
+      } finally it.close()
+    }
+    assert(segsOnDisk.size === 2, segsOnDisk.toString)
+    assert(SnapshotStore.read(spark, root).count() === 400)
+    // data files all survived (metadata-only rewrite deletes no data)
+    filesBefore.foreach(f =>
+      assert(Files.exists(Paths.get(root, f)), s"data file swept: $f"))
+  }
+
+  test("segmented tables compose with the inline paths: plain append, " +
+      "idempotent append, schema evolution, optimize all carry or " +
+      "collapse segments correctly") {
+    val root = freshRoot()
+    SnapshotStore.appendSegment(segSlice(0, 100, 2), root)         // v0
+    // plain inline append carries the segment by reference
+    SnapshotStore.commitAppend(
+      spark.range(100, 150).select(col("id"), (col("id") % 7).as("v")),
+      root)                                                        // v1
+    assert(SnapshotStore.snapshot(root).get.segments.size === 1)
+    assert(SnapshotStore.read(spark, root).count() === 150)
+    // idempotent append: first lands, replay no-ops, segments intact
+    assert(SnapshotStore.commitAppendOnce(
+      spark.range(150, 160).select(col("id"), (col("id") % 7).as("v")),
+      root, txn = "seg-batch-1").contains(2))
+    assert(SnapshotStore.commitAppendOnce(
+      spark.range(150, 160).select(col("id"), (col("id") % 7).as("v")),
+      root, txn = "seg-batch-1").isEmpty)
+    assert(SnapshotStore.read(spark, root).count() === 160)
+    // evolution widens the schema; old segment files backfill NULL
+    SnapshotStore.commitAppendEvolve(
+      spark.range(160, 170).select(col("id"), (col("id") % 7).as("v"),
+        lit("new").as("tag")), root)                               // v3
+    val cur = SnapshotStore.read(spark, root)
+    assert(cur.count() === 170)
+    assert(cur.filter(col("tag").isNull).count() === 160)
+    // optimize collapses everything back to inline files
+    SnapshotStore.optimize(spark, root, targetFiles = 1)
+    val opt = SnapshotStore.snapshot(root).get
+    assert(opt.segments.isEmpty && opt.files.size === 1)
+    assert(SnapshotStore.read(spark, root).count() === 170)
+  }
 }
