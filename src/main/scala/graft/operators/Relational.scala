@@ -1568,6 +1568,72 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** q125: MERGE-ON-READ ([[graft.sources.SnapshotStore.mergeOnRead]])
+    * — q122's exact changelog (the packed-long version construction
+    * verbatim) merged WITHOUT rewriting the base: the commit writes one
+    * equality-delete layer (O(changes) wall and I/O; the builder
+    * REQUIREs that v0's base files survive untouched in the merged
+    * manifest) and the gated read folds the layer over the base at
+    * scan time. The oracle is q122's — the winner-window + full-outer
+    * restatement — so equality proves the layered read is
+    * BIT-IDENTICAL to the copy-on-write rewrite. This is the
+    * base ≫ daily-changes trade: at a 100 TB base, the CoW merge
+    * rewrites everything per batch; this commit is priced by the batch.
+    */
+  private val morRoot =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def q125MergeOnRead(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = morRoot.getOrElseUpdate(sfDir, {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-snapmor-").toString
+      val baseDf = Tables.orders(spark, sfDir).select(col("o_orderkey"),
+        col("o_custkey"), round(col("o_totalprice"), 2).as("o_totalprice"),
+        col("o_orderpriority"))
+      SnapshotStore.commitOverwrite(baseDf, dir)            // v0
+      val baseFiles = SnapshotStore.snapshot(dir).get.files
+      val rounded = round(col("l_extendedprice"), 2)
+      val cents = floor(rounded * lit(100) + lit(0.5)).cast("long")
+      val rfcode = when(col("l_returnflag") === "A", 0L)
+        .when(col("l_returnflag") === "N", 1L)
+        .when(col("l_returnflag") === "R", 2L)
+      val packOk = col("l_linenumber").between(0, 7) &&
+        col("l_partkey").between(0, (1L << 32) - 1) &&
+        cents.between(0, (1L << 24) - 1) && rfcode.isNotNull
+      val vpack = when(!packOk, raise_error(
+          lit("q125 version pack overflow")))
+        .otherwise(shiftleft(col("l_linenumber").cast("long"), 59) +
+          shiftleft(col("l_partkey").cast("long"), 27) +
+          shiftleft(cents, 3) + shiftleft(rfcode, 1) +
+          (col("l_quantity") < 2).cast("long"))
+      val changes = Tables.lineitem(spark, sfDir).select(
+        when(col("l_linenumber") === 7, -col("l_orderkey"))
+          .otherwise(col("l_orderkey")).as("o_orderkey"),
+        vpack.as("vord"),
+        (col("l_quantity") < 2).as("del"),
+        col("l_partkey").as("o_custkey"),
+        rounded.as("o_totalprice"),
+        concat(lit("U-"), col("l_returnflag")).as("o_orderpriority"))
+      val v = SnapshotStore.mergeOnRead(spark, dir, changes,
+        key = "o_orderkey", versionCol = "vord", deleteCol = "del",
+        skipPartialAgg = true)                              // v1
+      require(v == 1, s"mergeOnRead must commit version 1, got $v")
+      val m = SnapshotStore.snapshot(dir).get
+      require(m.files == baseFiles && m.layers.size == 1,
+        s"mergeOnRead must leave the base untouched and add ONE layer " +
+          s"(files ${m.files.size} vs base ${baseFiles.size}, " +
+          s"layers ${m.layers.size})")
+      dir
+    })
+    graft.sources.SnapshotStore.read(spark, root) // base + folded layer
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("o_totalprice") * lit(100)).cast("long"))
+          .as("cents"))
+      .orderBy("o_orderpriority")
+  }
+
   def q118Optimize(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.sources.SnapshotStore
     val root = optimizeRoot.getOrElseUpdate(sfDir, {

@@ -138,12 +138,14 @@ object Catalog {
     val schema = StructType.fromDDL(m.schemaDdl)
     val tr = tableRoot(root, table)
     val files = SnapshotStore.allFiles(tr, m)
-    if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext
-        .emptyRDD[org.apache.spark.sql.Row], schema)
-    else
-      spark.read.schema(schema)
-        .parquet(files.map(f => Paths.get(tr, f).toString): _*)
+    val base =
+      if (files.isEmpty)
+        spark.createDataFrame(spark.sparkContext
+          .emptyRDD[org.apache.spark.sql.Row], schema)
+      else
+        spark.read.schema(schema)
+          .parquet(files.map(f => Paths.get(tr, f).toString): _*)
+    SnapshotStore.applyLayers(spark, tr, m, schema, base)
   }
 
   /** [[readTable]] with [[SnapshotStore.readWhere]]-style file skipping
@@ -158,14 +160,15 @@ object Catalog {
     val schema = StructType.fromDDL(m.schemaDdl)
     val tr = tableRoot(root, table)
     val (keep, report) = SnapshotStore.pruneScan(tr, m, schema, pred)
-    val df =
+    val base =
       if (keep.isEmpty)
         spark.createDataFrame(spark.sparkContext
           .emptyRDD[org.apache.spark.sql.Row], schema)
       else
         spark.read.schema(schema)
           .parquet(keep.map(f => Paths.get(tr, f).toString): _*)
-    (df.filter(SnapshotStore.predColumn(pred)), report)
+    (SnapshotStore.applyLayers(spark, tr, m, schema, base)
+      .filter(SnapshotStore.predColumn(pred)), report)
   }
 
   /** Atomically commit `writes` (table → frame + mode) as ONE catalog

@@ -47,15 +47,20 @@ import org.apache.spark.sql.types.StructType
   *     Optimistic concurrency, serializable for append/overwrite
   *     because both commute only through the version chain.
   *
-  * What is deliberately NOT here (and where the full systems earn their
-  * complexity): manifest compaction (list of lists) for 10⁶-file
-  * tables, and deletion-vector/delete-file row-level deletes — this
-  * store's [[merge]] is copy-on-write (O(base+changes) per merge,
-  * the right trade until base ≫ daily change volume by orders of
-  * magnitude). Column min/max stats + scan-time file skipping ARE here
-  * ([[readWhere]], stats sidecars harvested from parquet footers at
-  * commit time), transactional row-level MERGE is [[merge]], and
-  * multi-table atomic commits live in [[Catalog]].
+  * The full surface beyond the core protocol: column min/max stats +
+  * scan-time file skipping ([[readWhere]], sidecars harvested from
+  * parquet footers at commit time); MANIFEST COMPACTION — the
+  * Iceberg-style manifest-list tier ([[appendSegment]] /
+  * [[rewriteManifests]] / [[SegmentRef]]) so a 10⁵-file table commits
+  * O(touched segments) of metadata and range reads parse only
+  * intersecting segments; row-level MERGE both ways — copy-on-write
+  * [[merge]] (O(base+changes), folds everything into fresh base files)
+  * and [[mergeOnRead]] (O(changes): equality-delete layers applied as
+  * an anti-join at read, folded away by [[optimize]]); and multi-table
+  * atomic commits in [[Catalog]]. What remains out of scope: positional
+  * deletion vectors (the keyed layer model covers the same workload
+  * without tracking row ordinals) and an object-store conditional-PUT
+  * publish backend.
   */
 object SnapshotStore {
 
@@ -86,7 +91,29 @@ object SnapshotStore {
     * predicate can intersect. */
   final case class Manifest(version: Int, base: Int, schemaDdl: String,
       files: Seq[String], txn: String = "", statsFile: String = "",
-      segments: Seq[SegmentRef] = Nil)
+      segments: Seq[SegmentRef] = Nil, layers: Seq[MergeLayer] = Nil)
+
+  /** One MERGE-ON-READ layer — the O(changes) alternative to the
+    * copy-on-write [[merge]] (Iceberg's equality-delete / Delta's
+    * deletion-vector idea, keyed rather than positional): `files` hold
+    * the changelog WINNERS (one row per key: the full payload plus a
+    * `graft_del` tombstone flag), and a read folds the layers in
+    * commit order over the base —
+    * `acc = (acc ANTI-JOIN layer keys) ∪ layer's non-deleted rows` —
+    * so an update suppresses the stale base row, a tombstone suppresses
+    * without replacing, and an insert just lands. A layer with
+    * `key == ""` is ADD-ONLY (a plain append on a layered table: no
+    * keys suppressed, files carry exactly the table schema, no flag
+    * column). Layers accrete per [[mergeOnRead]] and FOLD AWAY on
+    * [[optimize]] or a copy-on-write [[merge]] — read amplification is
+    * one small anti-join per accreted layer, the price of not
+    * rewriting an O(base) table for an O(changes) merge. */
+  final case class MergeLayer(key: String, files: Seq[String],
+      statsFile: String = "")
+
+  /** The flag column a merge-on-read layer's files carry alongside the
+    * table schema. */
+  private[sources] val LayerDelCol = "graft_del"
 
   /** A manifest-list entry: the segment file's root-relative path, how
     * many data files it names (so [[ScanReport.filesListed]] is exact
@@ -165,10 +192,20 @@ object SnapshotStore {
         s"""{"path":"${esc(s.path)}","nfiles":${s.nFiles},""" +
           s""""colstats":"${esc(renderColStatsTsv(s.cols))}"}"""
       }.mkString(""""segments":[""", ",", "],")
+    // "ldata", not "lfiles": the files parser below keys on the first
+    // `"files":[` occurrence, and "lfiles" would contain it as a
+    // substring — layer arrays must never look like the files array
+    val lys =
+      if (m.layers.isEmpty) ""
+      else m.layers.map { l =>
+        val lf = l.files.map(f => "\"" + esc(f) + "\"").mkString(",")
+        s"""{"lkey":"${esc(l.key)}","lstats":"${esc(l.statsFile)}",""" +
+          s""""ldata":[$lf]}"""
+      }.mkString(""""layers":[""", ",", "],")
     s"""{"version":${m.version},"base":${m.base},""" +
       s""""txn":"${esc(m.txn)}",""" +
       s""""statsfile":"${esc(m.statsFile)}",""" +
-      s""""schema":"${esc(m.schemaDdl)}",$segs"files":[$fs]}"""
+      s""""schema":"${esc(m.schemaDdl)}",$segs$lys"files":[$fs]}"""
   }
 
   /** One escaped-TSV line per column:
@@ -231,8 +268,17 @@ object SnapshotStore {
       SegmentRef(unesc(m.group(1)), m.group(2).toInt,
         parseColStatsTsv(unesc(m.group(3))))
     }.toSeq
+    // merge-on-read layers, in commit order (order is the semantics)
+    val layRe =
+      (s"""\\{"lkey":$strLit,"lstats":$strLit,"ldata":\\[(.*?)\\]\\}""").r
+    val layers = layRe.findAllMatchIn(s).map { m =>
+      MergeLayer(unesc(m.group(1)),
+        strLit.r.findAllMatchIn(m.group(3)).map(f =>
+          unesc(f.group(1))).toSeq,
+        unesc(m.group(2)))
+    }.toSeq
     Manifest(intField("version"), intField("base"), unesc(schema), files,
-      txn, statsFile, segments)
+      txn, statsFile, segments, layers)
   }
 
   // ------------------------------------------------------------- resolve
@@ -289,11 +335,45 @@ object SnapshotStore {
     parse(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
   }
 
-  /** The snapshot's COMPLETE file list: inline files plus every
-    * segment's. O(segments) metadata reads — the full-read price; the
-    * pruned path ([[readWhere]]) parses only intersecting segments. */
+  /** The snapshot's BASE file list: inline files plus every segment's
+    * (merge-on-read layer files are NOT base data — they fold over it;
+    * [[vacuum]] tracks them separately). O(segments) metadata reads —
+    * the full-read price; the pruned path ([[readWhere]]) parses only
+    * intersecting segments. */
   def allFiles(root: String, m: Manifest): Seq[String] =
     m.files ++ m.segments.flatMap(s => readSegmentManifest(root, s).files)
+
+  /** Fold a manifest's merge-on-read layers over the base frame, in
+    * commit order: a keyed layer anti-joins its keys out of everything
+    * OLDER, then unions its non-tombstoned rows; an add-only layer
+    * (key == "") just unions. The result is EXACTLY what the
+    * copy-on-write [[merge]] would have materialized — the spec and the
+    * q125 gate pin the hash equality. */
+  private[sources] def applyLayers(spark: SparkSession, root: String,
+      m: Manifest, schema: StructType, base: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, coalesce, lit, not}
+    m.layers.foldLeft(base) { (acc, l) =>
+      if (l.files.isEmpty) acc
+      else if (l.key.isEmpty) {
+        // add-only layer: plain table-schema files, nothing suppressed
+        acc.unionByName(spark.read.schema(schema)
+          .parquet(l.files.map(f => Paths.get(root, f).toString): _*))
+      } else {
+        val lySchema = StructType(schema.fields :+
+          org.apache.spark.sql.types.StructField(LayerDelCol,
+            org.apache.spark.sql.types.BooleanType, nullable = true))
+        val ly = spark.read.schema(lySchema)
+          .parquet(l.files.map(f => Paths.get(root, f).toString): _*)
+        // EVERY layer key suppresses the older row (update or delete);
+        // only non-tombstones come back. The anti-join side projects to
+        // the key column — parquet column pruning keeps it cheap.
+        acc.join(ly.select(col(l.key)), Seq(l.key), "left_anti")
+          .unionByName(ly
+            .filter(not(coalesce(col(LayerDelCol), lit(false))))
+            .drop(LayerDelCol))
+      }
+    }
+  }
 
   /** Per-file stats across the inline sidecar AND every segment's. */
   def allFileStats(root: String,
@@ -378,12 +458,14 @@ object SnapshotStore {
       sys.error(s"no committed snapshot under $root"))
     val schema = StructType.fromDDL(m.schemaDdl)
     val files = allFiles(root, m)
-    if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext
-        .emptyRDD[org.apache.spark.sql.Row], schema)
-    else
-      spark.read.schema(schema)
-        .parquet(files.map(f => Paths.get(root, f).toString): _*)
+    val base =
+      if (files.isEmpty)
+        spark.createDataFrame(spark.sparkContext
+          .emptyRDD[org.apache.spark.sql.Row], schema)
+      else
+        spark.read.schema(schema)
+          .parquet(files.map(f => Paths.get(root, f).toString): _*)
+    applyLayers(spark, root, m, schema, base)
   }
 
   // --------------------------------------------------- stats predicates
@@ -617,14 +699,20 @@ object SnapshotStore {
       sys.error(s"no committed snapshot under $root"))
     val schema = StructType.fromDDL(m.schemaDdl)
     val (keep, report) = pruneScan(root, m, schema, pred)
-    val df =
+    val base =
       if (keep.isEmpty)
         spark.createDataFrame(spark.sparkContext
           .emptyRDD[org.apache.spark.sql.Row], schema)
       else
         spark.read.schema(schema)
           .parquet(keep.map(f => Paths.get(root, f).toString): _*)
-    (df.filter(predColumn(pred)), report)
+    // pruning the base is sound under layers: a pruned-away base row
+    // fails `pred` regardless of whether a layer would have suppressed
+    // it. Layer files themselves are NEVER pruned — a skipped delete
+    // key would resurrect a suppressed base row — and the report
+    // counts base data files only.
+    (applyLayers(spark, root, m, schema, base).filter(predColumn(pred)),
+      report)
   }
 
   // -------------------------------------------------------------- commit
@@ -879,17 +967,28 @@ object SnapshotStore {
           s"append has [$ddl]"))
       val base = cur.map(_.version).getOrElse(-1)
       val baseFiles = cur.map(_.files).getOrElse(Seq.empty)
-      // the sidecar composes the base's INLINE stats with the new
-      // files' — it depends on the rebase target, so each attempt
-      // writes its own (orphaned attempts are unreferenced scratch;
-      // vacuum sweeps). Base SEGMENTS carry forward by reference: their
-      // stats live in their own sidecars, untouched.
-      val statsFile = writeStatsFile(root,
-        cur.map(m => fileStats(root, m)).getOrElse(Map.empty) ++ newStats)
-      if (publish(root, Manifest(base + 1, base, ddl, baseFiles ++ files,
-          statsFile = statsFile,
-          segments = cur.map(_.segments).getOrElse(Nil))))
-        return base + 1
+      // On a LAYERED table (merge-on-read in flight) the append lands
+      // as an ADD-ONLY layer ABOVE the existing ones: appended rows
+      // must never be suppressed by an older layer's delete keys.
+      val published = cur match {
+        case Some(c) if c.layers.nonEmpty =>
+          publish(root, Manifest(base + 1, base, ddl, c.files,
+            statsFile = c.statsFile, segments = c.segments,
+            layers = c.layers :+ MergeLayer("", files)))
+        case _ =>
+          // the sidecar composes the base's INLINE stats with the new
+          // files' — it depends on the rebase target, so each attempt
+          // writes its own (orphaned attempts are unreferenced scratch;
+          // vacuum sweeps). Base SEGMENTS carry forward by reference:
+          // their stats live in their own sidecars, untouched.
+          val statsFile = writeStatsFile(root,
+            cur.map(m => fileStats(root, m)).getOrElse(Map.empty) ++
+              newStats)
+          publish(root, Manifest(base + 1, base, ddl, baseFiles ++ files,
+            statsFile = statsFile,
+            segments = cur.map(_.segments).getOrElse(Nil)))
+      }
+      if (published) return base + 1
       attempt += 1
     }
     sys.error(s"commitAppend lost $MaxRetries version races under $root")
@@ -916,6 +1015,13 @@ object SnapshotStore {
       cur.foreach(m => require(m.schemaDdl == ddl,
         s"append schema mismatch: table has [${m.schemaDdl}], " +
           s"append has [$ddl]"))
+      // a segment lands at BASE level, below any merge-on-read layer —
+      // its rows would be suppressed by older layers' delete keys,
+      // which is never what an append means. Fold the layers first.
+      cur.foreach(m => require(m.layers.isEmpty,
+        s"appendSegment on a table with ${m.layers.size} merge-on-read " +
+          "layer(s): optimize() to fold them first (or use commitAppend, " +
+          "which lands as an add-only layer)"))
       val base = cur.map(_.version).getOrElse(-1)
       if (publish(root, Manifest(base + 1, base, ddl,
           cur.map(_.files).getOrElse(Seq.empty),
@@ -945,6 +1051,10 @@ object SnapshotStore {
     while (attempt < MaxRetries) {
       val cur = snapshot(root).getOrElse(sys.error(
         s"rewriteManifests of a table with no commits under $root"))
+      require(cur.layers.isEmpty,
+        s"rewriteManifests on a table with ${cur.layers.size} merge-on-" +
+          "read layer(s): a manifest rewrite regroups BASE files only — " +
+          "optimize() to fold the layers first")
       val schema = StructType.fromDDL(cur.schemaDdl)
       val files = allFiles(root, cur)
       val stats = allFileStats(root, cur)
@@ -1020,12 +1130,21 @@ object SnapshotStore {
       if (base > checked && txnSeenAbove(checked)) return None
       checked = base
       val baseFiles = cur.map(_.files).getOrElse(Seq.empty)
-      val statsFile = writeStatsFile(root,
-        cur.map(m => fileStats(root, m)).getOrElse(Map.empty) ++ newStats)
-      if (publish(root,
-          Manifest(base + 1, base, ddl, baseFiles ++ files, txn,
-            statsFile, segments = cur.map(_.segments).getOrElse(Nil))))
-        return Some(base + 1)
+      // layered table: land as an add-only layer (see commitAppend)
+      val published = cur match {
+        case Some(c) if c.layers.nonEmpty =>
+          publish(root, Manifest(base + 1, base, ddl, c.files, txn,
+            c.statsFile, segments = c.segments,
+            layers = c.layers :+ MergeLayer("", files)))
+        case _ =>
+          val statsFile = writeStatsFile(root,
+            cur.map(m => fileStats(root, m)).getOrElse(Map.empty) ++
+              newStats)
+          publish(root,
+            Manifest(base + 1, base, ddl, baseFiles ++ files, txn,
+              statsFile, segments = cur.map(_.segments).getOrElse(Nil)))
+      }
+      if (published) return Some(base + 1)
       attempt += 1
     }
     sys.error(s"commitAppendOnce lost $MaxRetries version races under $root")
@@ -1099,13 +1218,23 @@ object SnapshotStore {
       // column simply has no entry for them, and a missing entry never
       // justifies a skip — readWhere falls back to opening the file,
       // where parquet's by-name resolution backfills NULLs
-      val statsFile = writeStatsFile(root,
-        cur.map(m => fileStats(root, m)).getOrElse(Map.empty) ++
-          harvestStats(df.sparkSession, root, files))
-      if (publish(root, Manifest(base + 1, base, ddl, baseFiles ++ files,
-          statsFile = statsFile,
-          segments = cur.map(_.segments).getOrElse(Nil))))
-        return base + 1
+      // layered table: land as an add-only layer (see commitAppend);
+      // older layer files read back through the WIDENED schema with
+      // by-name NULL backfill, same as base files
+      val published = cur match {
+        case Some(c) if c.layers.nonEmpty =>
+          publish(root, Manifest(base + 1, base, ddl, c.files,
+            statsFile = c.statsFile, segments = c.segments,
+            layers = c.layers :+ MergeLayer("", files)))
+        case _ =>
+          val statsFile = writeStatsFile(root,
+            cur.map(m => fileStats(root, m)).getOrElse(Map.empty) ++
+              harvestStats(df.sparkSession, root, files))
+          publish(root, Manifest(base + 1, base, ddl, baseFiles ++ files,
+            statsFile = statsFile,
+            segments = cur.map(_.segments).getOrElse(Nil)))
+      }
+      if (published) return base + 1
       attempt += 1
     }
     sys.error(s"commitAppendEvolve lost $MaxRetries version races under $root")
@@ -1197,6 +1326,58 @@ object SnapshotStore {
     sys.error(s"merge lost $MaxRetries version races under $root")
   }
 
+  /** MERGE-ON-READ — the O(changes) merge: fold the changelog to its
+    * per-key winners (the exact [[graft.operators.Temporal
+    * .applyChangelog]] max_by shape, minus the base join — THE BASE IS
+    * NEVER READ) and commit them as one [[MergeLayer]]; reads apply the
+    * layer as an anti-join + union ([[applyLayers]]), yielding content
+    * BIT-IDENTICAL to what the copy-on-write [[merge]] would have
+    * rewritten (spec + q125 gate pin the hash equality). Wall and I/O
+    * scale with |changes| alone — the deletion-vector/equality-delete
+    * trade every table format ships for base ≫ daily-changes — at the
+    * price of one small anti-join per accreted layer on every read;
+    * [[optimize]] (or a CoW [[merge]]) folds the layers back into
+    * plain base files. Concurrency: the layer content depends only on
+    * `changes`, so it is written ONCE and the publish rebases across
+    * losing races like an append (concurrent mergeOnReads serialize
+    * into layer order = version order — the same result as running
+    * them sequentially). Changelog contract as [[merge]]: non-null
+    * keys, `(key, version)` unique, null tombstone flag = insert. */
+  def mergeOnRead(spark: SparkSession, root: String, changes: DataFrame,
+      key: String, versionCol: String, deleteCol: String,
+      skipPartialAgg: Boolean = false): Int = {
+    import org.apache.spark.sql.functions.{col, struct, max_by, coalesce, lit}
+    val cur0 = snapshot(root).getOrElse(
+      sys.error(s"mergeOnRead into a table with no commits under $root"))
+    val schema = StructType.fromDDL(cur0.schemaDdl)
+    val cols = schema.fieldNames.toSeq
+    require(cols.contains(key), s"table must carry $key")
+    val payload = struct(
+      coalesce(col(deleteCol), lit(false)).as(LayerDelCol) +:
+        cols.filter(_ != key).map(col): _*)
+    val pre = if (skipPartialAgg) changes.repartition(col(key)) else changes
+    val winners = pre.groupBy(col(key))
+      .agg(max_by(payload, col(versionCol)).as("graft_w"))
+      .select(cols.map(c =>
+        if (c == key) col(key) else col(s"graft_w.$c").as(c)) :+
+        col(s"graft_w.$LayerDelCol").as(LayerDelCol): _*)
+    val files = writeData(winners, root)
+    val layer = MergeLayer(key, files)
+    var attempt = 0
+    while (attempt < MaxRetries) {
+      val cur = snapshot(root).get
+      require(cur.schemaDdl == cur0.schemaDdl,
+        s"schema evolved during mergeOnRead: winners were built for " +
+          s"[${cur0.schemaDdl}], table now has [${cur.schemaDdl}]")
+      if (publish(root, Manifest(cur.version + 1, cur.version,
+          cur.schemaDdl, cur.files, statsFile = cur.statsFile,
+          segments = cur.segments, layers = cur.layers :+ layer)))
+        return cur.version + 1
+      attempt += 1
+    }
+    sys.error(s"mergeOnRead lost $MaxRetries version races under $root")
+  }
+
   // -------------------------------------------------------------- vacuum
 
   /** Delete data files unreachable from the newest `keepVersions`
@@ -1259,12 +1440,14 @@ object SnapshotStore {
           StandardCharsets.UTF_8))
       }
     val live: Set[String] =
-      (reachable.flatMap(_.files) ++ segMs.flatMap(_.files)).toSet
+      (reachable.flatMap(_.files) ++ segMs.flatMap(_.files) ++
+        reachable.flatMap(_.layers.flatMap(_.files))).toSet
     // stats sidecars referenced by retained, staged, or live-segment
     // manifests stay; every other stats-*.tsv (superseded versions,
     // lost-race commit attempts) goes — same for seg-*.json files
     val liveStats: Set[String] =
-      (reachable.map(_.statsFile) ++ segMs.map(_.statsFile))
+      (reachable.map(_.statsFile) ++ segMs.map(_.statsFile) ++
+        reachable.flatMap(_.layers.map(_.statsFile)))
         .filter(_.nonEmpty).toSet
     val mDir = manifestDir(root)
     if (Files.isDirectory(mDir)) {

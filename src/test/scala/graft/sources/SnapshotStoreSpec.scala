@@ -395,6 +395,136 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("no commits"))
   }
 
+  // ------------------------------------------------------ merge-on-read
+
+  private val morBase = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+  private val morChanges = Seq(
+    (1L, 1L, false, "a1", 11L),
+    (1L, 2L, false, "a2", 12L),  // later version wins
+    (2L, 1L, true, "x", 0L),     // tombstone deletes k=2
+    (9L, 1L, false, "i", 90L))   // insert
+
+  test("mergeOnRead equals the copy-on-write merge bit for bit, NEVER " +
+      "touches a base file, and time travel still works") {
+    val rootMor = freshRoot(); val rootCow = freshRoot()
+    val base = morBase.toDF("k", "s", "v")
+    val changes = morChanges.toDF("k", "ver", "del", "s", "v")
+    SnapshotStore.commitOverwrite(base, rootMor)
+    SnapshotStore.commitOverwrite(base, rootCow)
+    val filesBefore = SnapshotStore.snapshot(rootMor).get.files
+    assert(SnapshotStore.mergeOnRead(spark, rootMor, changes,
+      "k", "ver", "del") === 1)
+    SnapshotStore.merge(spark, rootCow, changes, "k", "ver", "del")
+    val got = SnapshotStore.read(spark, rootMor)
+      .as[(Long, String, Long)].collect().toSet
+    val cow = SnapshotStore.read(spark, rootCow)
+      .as[(Long, String, Long)].collect().toSet
+    assert(got === cow)
+    assert(got === Set((1L, "a2", 12L), (3L, "c", 30L), (9L, "i", 90L)))
+    // O(changes) evidence: the base files are the SAME paths, untouched
+    val after = SnapshotStore.snapshot(rootMor).get
+    assert(after.files === filesBefore)
+    assert(after.layers.size === 1 && after.layers.head.key === "k")
+    // codec round-trip with layers
+    assert(SnapshotStore.parse(SnapshotStore.render(after)) === after)
+    // time travel: v0 pre-merge
+    assert(SnapshotStore.read(spark, rootMor, Some(0))
+      .as[(Long, String, Long)].collect().toSet === morBase.toSet)
+  }
+
+  test("layers accrete in order (update-then-delete, delete-then-" +
+      "reinsert), appends on a layered table are NOT suppressed by " +
+      "older deletes, and readWhere equals read().filter") {
+    val root = freshRoot()
+    SnapshotStore.commitOverwrite(morBase.toDF("k", "s", "v"), root) // v0
+    SnapshotStore.mergeOnRead(spark, root,
+      morChanges.toDF("k", "ver", "del", "s", "v"),
+      "k", "ver", "del")                                             // v1
+    // layer 2: delete k=1 (which layer 1 updated), re-insert k=2
+    // (which layer 1 deleted), update k=9
+    SnapshotStore.mergeOnRead(spark, root, Seq(
+      (1L, 3L, true, "x", 0L),
+      (2L, 3L, false, "b2", 21L),
+      (9L, 3L, false, "i2", 91L)).toDF("k", "ver", "del", "s", "v"),
+      "k", "ver", "del")                                             // v2
+    val expect2 = Set((2L, "b2", 21L), (3L, "c", 30L), (9L, "i2", 91L))
+    assert(SnapshotStore.read(spark, root).as[(Long, String, Long)]
+      .collect().toSet === expect2)
+    // append a row whose key an OLDER layer deleted: it must survive
+    SnapshotStore.commitAppend(Seq((1L, "back", 100L))
+      .toDF("k", "s", "v"), root)                                    // v3
+    val expect3 = expect2 + ((1L, "back", 100L))
+    assert(SnapshotStore.read(spark, root).as[(Long, String, Long)]
+      .collect().toSet === expect3)
+    val m = SnapshotStore.snapshot(root).get
+    assert(m.layers.size === 3 && m.layers.last.key === "")
+    // readWhere ≡ read().filter under layers, for predicates that both
+    // hit and miss the suppressed/resurrected keys
+    import SnapshotStore.StatsPred.{Le, Eq, Ge, IsNotNull}
+    Seq(Le("k", 2L), Eq("k", 1L), Ge("v", 30L), IsNotNull("s"))
+      .foreach { p =>
+        val (got, _) = SnapshotStore.readWhere(spark, root, p)
+        val want = SnapshotStore.read(spark, root)
+          .filter(SnapshotStore.predColumn(p))
+        assert(got.collect().toSet === want.collect().toSet, p.toString)
+      }
+  }
+
+  test("optimize folds merge-on-read layers back into plain base files " +
+      "with identical content; vacuum then sweeps the layer files; " +
+      "segment ops refuse layered tables loudly") {
+    val root = freshRoot()
+    SnapshotStore.commitOverwrite(morBase.toDF("k", "s", "v"), root)
+    SnapshotStore.mergeOnRead(spark, root,
+      morChanges.toDF("k", "ver", "del", "s", "v"), "k", "ver", "del")
+    val layerFiles = SnapshotStore.snapshot(root).get.layers.head.files
+    assert(layerFiles.nonEmpty)
+    // segment ops refuse while layers exist
+    val e1 = intercept[IllegalArgumentException] {
+      SnapshotStore.appendSegment(morBase.toDF("k", "s", "v"), root)
+    }
+    assert(e1.getMessage.contains("merge-on-read"))
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotStore.rewriteManifests(root, 1)
+    }
+    assert(e2.getMessage.contains("merge-on-read"))
+    val want = SnapshotStore.read(spark, root)
+      .as[(Long, String, Long)].collect().toSet
+    SnapshotStore.optimize(spark, root, targetFiles = 1)
+    val opt = SnapshotStore.snapshot(root).get
+    assert(opt.layers.isEmpty && opt.segments.isEmpty)
+    assert(SnapshotStore.read(spark, root).as[(Long, String, Long)]
+      .collect().toSet === want)
+    // layer files still live while the merge version is retained...
+    SnapshotStore.vacuum(root, keepVersions = 2)
+    layerFiles.foreach(f =>
+      assert(Files.exists(Paths.get(root, f)), s"retained layer swept: $f"))
+    // ...and swept once it ages out
+    SnapshotStore.vacuum(root, keepVersions = 1)
+    layerFiles.foreach(f =>
+      assert(!Files.exists(Paths.get(root, f)), s"aged layer kept: $f"))
+    assert(SnapshotStore.read(spark, root).as[(Long, String, Long)]
+      .collect().toSet === want)
+  }
+
+  test("schema evolution on a layered table lands as an add-only layer; " +
+      "old layer files backfill the new column as NULL") {
+    val root = freshRoot()
+    SnapshotStore.commitOverwrite(morBase.toDF("k", "s", "v"), root)
+    SnapshotStore.mergeOnRead(spark, root,
+      morChanges.toDF("k", "ver", "del", "s", "v"), "k", "ver", "del")
+    SnapshotStore.commitAppendEvolve(
+      Seq((50L, "e", 500L, "tagged")).toDF("k", "s", "v", "tag"), root)
+    val cur = SnapshotStore.read(spark, root)
+    assert(cur.columns.toSeq === Seq("k", "s", "v", "tag"))
+    val got = cur.as[(Long, String, Long, Option[String])]
+      .collect().toSet
+    assert(got === Set(
+      (1L, "a2", 12L, None), (3L, "c", 30L, None), (9L, "i", 90L, None),
+      (50L, "e", 500L, Some("tagged"))))
+    assert(SnapshotStore.snapshot(root).get.layers.size === 2)
+  }
+
   // ------------------------------------------- stats + file skipping
 
   import SnapshotStore.StatsPred._
