@@ -90,7 +90,17 @@ object GenScaled {
 
     def write(name: String, df: DataFrame): Unit = {
       val tmp = s"$dst/_tmp_$name"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      // 16 MB row groups, NOT the 128 MB default: parquet's row group is
+      // the scan-split unit, and the driver-style one-file-per-table
+      // layout with a single giant row group caps every Spark scan at
+      // ONE task no matter how many cores exist (measured r16: the
+      // sf1 full-scan floor queries were single-threaded at the source).
+      // Real ingest never produces a 6M-row single-group file; 16 MB
+      // groups are the realistic shape and give both engines the same
+      // bytes — DuckDB parallelizes within OR across groups either way.
+      df.coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", (16 * 1024 * 1024).toString)
+        .parquet(tmp)
       val dir = new java.io.File(tmp)
       val part = dir.listFiles()
         .find(f => f.getName.endsWith(".parquet")).get

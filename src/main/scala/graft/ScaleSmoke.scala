@@ -1028,11 +1028,14 @@ object ScaleSmoke {
     }
     }
 
-    // Salted join under the same 10 % hot key: unsalted, the hot key's
-    // 200k matches land in ONE shuffle partition of the join; the salt
-    // spreads them across 16 buckets and the task audit proves the
-    // straggler is gone (the downstream agg partial-combines map-side,
-    // so re-concentrating on the raw key afterwards stays flat too)
+    // Adaptive skew join under the same 10 % hot key: unsalted, the hot
+    // key's 200k matches land in ONE shuffle partition of the join; the
+    // sampled histogram detects key 0 and routes its rows to the salted
+    // branch (16 buckets), and the task audit proves the straggler is
+    // gone (the downstream agg partial-combines map-side, so
+    // re-concentrating on the raw key afterwards stays flat too). This
+    // audits the ADAPTIVE front door — the same route the q61 gate
+    // takes, where a flat histogram instead skips the salt entirely.
     if (enabled("salted_join_skew10pct")) locally {
       val hotLeft = spark.range(nTx).select(
         when(pmod(col("id"), lit(10)) === 0, 0L).otherwise(col("id"))
@@ -1041,7 +1044,7 @@ object ScaleSmoke {
       val dimRight = spark.range(nTx / 100).select(
         col("id").as("rk"), (col("id") * 2).as("weight"))
       timeSkewAudited(spark, "salted_join_skew10pct")(
-        graft.operators.SkewJoin.saltedEquiJoin(hotLeft, dimRight,
+        graft.operators.SkewJoin.adaptiveSkewJoin(hotLeft, dimRight,
             "k", "rk", buckets = 16)
           .groupBy("k")
           .agg(count(lit(1)).as("n"), sum("weight").as("w")))

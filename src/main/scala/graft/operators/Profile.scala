@@ -582,6 +582,31 @@ object Profile {
         col("min_str"), col("max_str"))
   }
 
+  /** Exact distinct count of an INTEGER-domain column as a bitmap
+    * rollup — the [[Quality.UniqueBoundedTail]] trick turned on a
+    * single column: group values by `v div 64`, OR each group's tail
+    * bits into one long (`bit_or(1 << (v mod 64))`), and Σ popcount is
+    * the EXACT distinct count. vs `countDistinct`: the exchange carries
+    * one long per OCCUPIED 64-value window instead of one row per
+    * distinct value (64× less for dense domains — surrogate keys, the
+    * common profiled shape), and the map-side partial is a bit-OR
+    * instead of a hash-set insert. Floor division keeps negative
+    * domains consistent (`v = 64·floor(v/64) + pmod(v,64)`). NULLs
+    * excluded, matching countDistinct. */
+  private def bitmapDistinct(df: DataFrame, c: String,
+      alias: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.{columnExpr, exprColumn}
+    import org.apache.spark.sql.catalyst.expressions.ShiftLeft
+    val v = col(c).cast("long")
+    val bit = exprColumn(ShiftLeft(columnExpr(lit(1L)),
+      columnExpr(pmod(v, lit(64L)).cast("int"))))
+    df.filter(col(c).isNotNull)
+      .groupBy(floor(v / lit(64L)).as("graft_pfx"))
+      .agg(bit_or(bit).as("graft_bm"))
+      .agg(coalesce(sum(bit_count(col("graft_bm")).cast("long")), lit(0L))
+        .as(alias))
+  }
+
   def describe(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty && cols.distinct == cols, s"bad cols: $cols")
     // No unpivot Generate anywhere (the earlier explode×|cols| shape
@@ -589,18 +614,53 @@ object Profile {
     // at 100 TB that multiplier is the job), and no fused
     // multi-distinct (its Expand is the same multiplier wearing a
     // different hat). One counters aggregate + |cols| independent
-    // distinct chains, assembled by broadcast cross-joins of one-row
+    // per-column chains, assembled by broadcast cross-joins of one-row
     // frames; the per-column report rows explode out of the single
-    // joined row. The independent chains' stages run concurrently
-    // inside the one assembly action.
+    // joined row, and the independent chains' stages run concurrently
+    // inside the one assembly action. Column routing is where the r16
+    // measurements landed (ProfDebug decomposition, sf1 orders):
+    //  - INTEGER columns: [[bitmapDistinct]] rollup (900→220 ms on the
+    //    1.5M-unique surrogate key: the exchange carries one long per
+    //    occupied 64-value window, the partial is a bit-OR not a
+    //    hash-set insert); min/max/nulls ride the counters aggregate,
+    //    whose primitive buffers stay in HashAggregate's fast path.
+    //  - STRING columns: min/max CANNOT ride the counters aggregate —
+    //    a non-primitive buffer type evicts the WHOLE aggregate from
+    //    hash aggregation into SortAggregate, sorting every row twice
+    //    (measured 700 of the 1,150 ms counters wall). Instead one
+    //    dedupe-first chain per string column: groupBy(value) (strings
+    //    ARE fast-path GROUPING keys) collapses to the distinct set
+    //    map-side, then n_distinct, n_nulls, min and max all fold over
+    //    |distinct| rows — the sort the string extrema need now runs
+    //    over the value domain, not the row count.
+    //  - other types (date/timestamp/double/bool: primitive buffers)
+    //    keep counters-riding min/max and a plain countDistinct chain.
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType,
+      LongType, StringType}
+    val isString = cols.map(c =>
+      df.schema(c).dataType == StringType)
     val counterAggs = count(lit(1)).as("graft_nrows") +:
-      cols.zipWithIndex.flatMap { case (c, i) => Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"graft_nn_$i"),
-        min(col(c)).cast("string").as(s"graft_min_$i"),
-        max(col(c)).cast("string").as(s"graft_max_$i")) }
+      cols.zipWithIndex.filterNot(ci => isString(ci._2))
+        .flatMap { case (c, i) => Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"graft_nn_$i"),
+          min(col(c)).cast("string").as(s"graft_min_$i"),
+          max(col(c)).cast("string").as(s"graft_max_$i")) }
     val counters = df.agg(counterAggs.head, counterAggs.tail: _*)
     val distincts = cols.zipWithIndex.map { case (c, i) =>
-      df.agg(countDistinct(col(c)).as(s"graft_d_$i")) }
+      df.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          bitmapDistinct(df, c, s"graft_d_$i")
+        case StringType =>
+          df.groupBy(col(c).as("graft_v"))
+            .agg(count(lit(1)).as("graft_cnt"))
+            .agg(count(col("graft_v")).as(s"graft_d_$i"),
+              coalesce(sum(when(col("graft_v").isNull, col("graft_cnt"))
+                .otherwise(0L)), lit(0L)).as(s"graft_nn_$i"),
+              min(col("graft_v")).as(s"graft_min_$i"),
+              max(col("graft_v")).as(s"graft_max_$i"))
+        case _ => df.agg(countDistinct(col(c)).as(s"graft_d_$i"))
+      }
+    }
     val joined = distincts.foldLeft(counters)((acc, d) =>
       acc.crossJoin(broadcast(d)))
     val entries = cols.zipWithIndex.map { case (c, i) =>

@@ -59,6 +59,59 @@ class SkewJoinSpec extends SparkSpec {
       s"salt must be a join key: $joinKeys\n$plan")
   }
 
+  test("adaptiveSkewJoin: result equals the plain join on BOTH routes " +
+      "(skewed input salts the hot key; flat input skips the salt)") {
+    // skewed: key 7 holds 10% — above the 2% hotShare default
+    val plainHot = hotLeft.join(smallRight, $"k" === $"rk")
+      .select($"k", $"payload", $"weight")
+      .as[(Long, String, Double)].collect().sorted
+    val gotHot = SkewJoin.adaptiveSkewJoin(hotLeft, smallRight, "k", "rk",
+        buckets = 4)
+      .select($"k", $"payload", $"weight")
+      .as[(Long, String, Double)].collect().sorted
+    assert(gotHot.toSeq === plainHot.toSeq)
+    // flat: uniform keys — no key above hotShare
+    val flatLeft = (1L to 400L).map(i => (i, s"p$i")).toDF("k", "payload")
+    val plainFlat = flatLeft.join(smallRight, $"k" === $"rk")
+      .select($"k", $"payload", $"weight")
+      .as[(Long, String, Double)].collect().sorted
+    val gotFlat = SkewJoin.adaptiveSkewJoin(flatLeft, smallRight, "k", "rk",
+        buckets = 4)
+      .select($"k", $"payload", $"weight")
+      .as[(Long, String, Double)].collect().sorted
+    assert(gotFlat.toSeq === plainFlat.toSeq)
+    // left join: unmatched and null-key probe rows survive either route
+    val withNull = hotLeft.unionByName(
+      Seq((Option.empty[Long], "pnull")).toDF("k", "payload"))
+    val gotLeft = SkewJoin.adaptiveSkewJoin(withNull, smallRight, "k", "rk",
+        buckets = 4, joinType = "left")
+      .select($"k", $"weight").as[(Option[Long], Option[Double])].collect()
+    assert(gotLeft.length === withNull.count())
+    assert(gotLeft.exists(r => r._1.isEmpty && r._2.isEmpty))
+    // right/full are rejected loudly (probe-sided split contract)
+    intercept[IllegalArgumentException] {
+      SkewJoin.adaptiveSkewJoin(hotLeft, smallRight, "k", "rk", 4, "right")
+    }
+  }
+
+  test("adaptiveSkewJoin plan: flat input has NO graft_salt anywhere; " +
+      "skewed input salts only the hot branch") {
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prior = spark.conf.get(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    try {
+      val flatLeft = (1L to 4000L).map(i => (i, s"p$i")).toDF("k", "payload")
+      val flatPlan = SkewJoin.adaptiveSkewJoin(flatLeft, smallRight,
+        "k", "rk", buckets = 4).queryExecution.executedPlan.toString
+      assert(!flatPlan.contains("graft_salt"),
+        s"flat histogram must skip the salt:\n$flatPlan")
+      val hotPlan = SkewJoin.adaptiveSkewJoin(hotLeft, smallRight,
+        "k", "rk", buckets = 4).queryExecution.executedPlan.toString
+      assert(hotPlan.contains("graft_salt"),
+        s"skewed histogram must route the hot key to the salt:\n$hotPlan")
+    } finally spark.conf.set(aqeKey, prior)
+  }
+
   test("salt assignment is deterministic across evaluations (retry " +
       "stability) and spreads the hot key over multiple buckets") {
     val salted = hotLeft.withColumn("graft_salt",
