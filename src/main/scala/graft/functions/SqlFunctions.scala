@@ -45,6 +45,16 @@ object GraftFunctions {
         s"$fn: $what must fit in a 32-bit int, got ${litLong(e, fn, what)}")
     }
 
+  private def litString(e: Expression, fn: String, what: String): String = {
+    require(e.foldable, s"$fn: $what must be a literal")
+    e.eval() match {
+      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+      case s: String => s
+      case other => throw new IllegalArgumentException(
+        s"$fn: $what must be a string literal, got $other")
+    }
+  }
+
   private def arity(fn: String, args: Seq[Expression], ns: Int*): Unit =
     require(ns.contains(args.length),
       s"$fn takes ${ns.mkString(" or ")} arguments, got ${args.length}")
@@ -132,7 +142,13 @@ object GraftFunctions {
         "column in [0, bins) (literal bins) — long[bins] state",
         { args => arity("graft_bin_counts", args, 2)
           AggExprs.BinCounts(args(0),
-            litInt(args(1), "graft_bin_counts", "bins")) })
+            litInt(args(1), "graft_bin_counts", "bins")) }),
+      ("graft_json_field", "top-level scalar JSON field as string " +
+        "(literal key) — single byte-scan; null for missing/null/" +
+        "non-scalar/malformed",
+        { args => arity("graft_json_field", args, 2)
+          TextExprs.JsonScalarField(args(0),
+            litString(args(1), "graft_json_field", "key")) })
     )
 
   private def info(name: String, doc: String): ExpressionInfo =

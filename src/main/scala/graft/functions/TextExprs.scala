@@ -605,4 +605,193 @@ object TextExprs {
 
   def whitespaceCount(text: Column): Column =
     exprColumn(WhitespaceCount(columnExpr(text)))
+
+  /** `get_json_object(json, '$.<key>')` for TOP-LEVEL SCALAR fields as a
+    * single byte-scan — the codegen'd fast path for the ubiquitous
+    * "one numeric/string property out of a flat props object" shape
+    * (q19): Spark's GetJsonObject builds a Jackson streaming parser per
+    * row and navigates a compiled path; this walks the object's bytes
+    * once, skipping nested values structurally. Semantics vs
+    * GetJsonObject, for the contract's domain (top-level key, scalar
+    * value): identical — string values unescape (incl. \uXXXX and
+    * surrogate pairs), numbers/booleans return their literal text,
+    * JSON null / missing key / malformed input return SQL NULL.
+    * DELIBERATE seam: a matched value that is an OBJECT or ARRAY
+    * returns NULL (GetJsonObject re-serializes it) — this expression is
+    * for scalar fields, the name says so, and [[jsonScalarField]]'s
+    * caller contract pins it. Duplicate keys: first wins (Jackson's
+    * GetJsonObject matches the first too). Keys needing JSON escapes
+    * are out of contract (the wrapper restricts to simple keys, which
+    * no standard writer escapes).
+    */
+  case class JsonScalarField(child: Expression, key: String)
+      extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_json_field"
+
+    private lazy val keyU = UTF8String.fromString(key)
+
+    override def nullSafeEval(input: Any): Any =
+      TextExprs.jsonScalar(input.asInstanceOf[UTF8String], keyU)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val keyRef = ctx.addReferenceObj("graftJsonKey", keyU,
+        classOf[UTF8String].getName)
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.functions.TextExprs$$.MODULE$$.jsonScalar(
+          $c, $keyRef);
+        ${ev.isNull} = ${ev.value} == null;
+      """)
+    }
+
+    override protected def withNewChildInternal(c: Expression)
+        : JsonScalarField = copy(child = c)
+  }
+
+  /** Public because generated code calls it. Returns null for
+    * missing/null/non-scalar/malformed — see [[JsonScalarField]]. */
+  def jsonScalar(json: UTF8String, key: UTF8String): UTF8String = {
+    val b = json.getBytes
+    val kb = key.getBytes
+    val n = b.length
+    var i = 0
+    def ws(): Unit = { while (i < n && (b(i) == ' ' || b(i) == '\t' ||
+      b(i) == '\n' || b(i) == '\r')) i += 1 }
+    // skip a string already positioned ON the opening quote; leaves i
+    // after the closing quote; returns (contentStart, contentEnd, hadEsc)
+    def skipString(): (Int, Int, Boolean) = {
+      i += 1
+      val start = i
+      var esc = false
+      while (i < n && b(i) != '"') {
+        if (b(i) == '\\') { esc = true; i += 2 } else i += 1
+      }
+      if (i >= n) return null // unterminated — malformed
+      val end = i
+      i += 1
+      (start, end, esc)
+    }
+    // skip a balanced object/array positioned ON '{' or '['
+    def skipNested(): Boolean = {
+      var depth = 0
+      while (i < n) {
+        b(i).toChar match {
+          case '{' | '[' => depth += 1; i += 1
+          case '}' | ']' => depth -= 1; i += 1
+            if (depth == 0) return true
+          case '"' => if (skipString() == null) return false
+          case _ => i += 1
+        }
+      }
+      false
+    }
+    ws()
+    if (i >= n || b(i) != '{') return null
+    i += 1
+    var first = true
+    while (i < n) {
+      ws()
+      if (i < n && b(i) == '}') return null // end of object: not found
+      if (!first) {
+        if (i >= n || b(i) != ',') return null
+        i += 1; ws()
+      }
+      first = false
+      if (i >= n || b(i) != '"') return null
+      val k = skipString()
+      if (k == null) return null
+      val matches = !k._3 && (k._2 - k._1) == kb.length && {
+        var j = 0; var ok = true
+        while (ok && j < kb.length) { ok = b(k._1 + j) == kb(j); j += 1 }
+        ok
+      }
+      ws()
+      if (i >= n || b(i) != ':') return null
+      i += 1; ws()
+      if (i >= n) return null
+      b(i).toChar match {
+        case '"' =>
+          val v = skipString()
+          if (v == null) return null
+          if (matches) return jsonUnescape(b, v._1, v._2, v._3)
+        case '{' | '[' =>
+          if (!skipNested()) return null
+          if (matches) return null // non-scalar: out of contract
+        case _ =>
+          val start = i
+          while (i < n && b(i) != ',' && b(i) != '}' && b(i) != ' ' &&
+            b(i) != '\t' && b(i) != '\n' && b(i) != '\r') i += 1
+          if (matches) {
+            val len = i - start
+            // JSON null → SQL NULL
+            if (len == 4 && b(start) == 'n' && b(start + 1) == 'u' &&
+              b(start + 2) == 'l' && b(start + 3) == 'l') return null
+            // GetJsonObject (Jackson) re-renders NON-INTEGER numbers
+            // ("-12.5e3" → "-12500.0"); integers pass through verbatim.
+            // Match that: normalize only when a '.', 'e' or 'E' appears.
+            val c0 = b(start)
+            val numeric = c0 == '-' || (c0 >= '0' && c0 <= '9')
+            var j = start; var float = false
+            while (j < i) {
+              val ch = b(j)
+              if (ch == '.' || ch == 'e' || ch == 'E') float = true
+              j += 1
+            }
+            if (numeric && float) {
+              val txt = new String(b, start, len,
+                java.nio.charset.StandardCharsets.US_ASCII)
+              return try UTF8String.fromString(
+                java.lang.Double.toString(java.lang.Double.parseDouble(txt)))
+              catch { case _: NumberFormatException => null }
+            }
+            return UTF8String.fromBytes(b, start, len)
+          }
+      }
+    }
+    null
+  }
+
+  /** Decode a JSON string value's bytes [start, end); fast path when no
+    * escape was seen. */
+  private def jsonUnescape(b: Array[Byte], start: Int, end: Int,
+      hadEsc: Boolean): UTF8String = {
+    if (!hadEsc) return UTF8String.fromBytes(b, start, end - start)
+    val s = new String(b, start, end - start,
+      java.nio.charset.StandardCharsets.UTF_8)
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"'  => out.append('"');  i += 2
+          case '\\' => out.append('\\'); i += 2
+          case '/'  => out.append('/');  i += 2
+          case 'b'  => out.append('\b'); i += 2
+          case 'f'  => out.append('\f'); i += 2
+          case 'n'  => out.append('\n'); i += 2
+          case 'r'  => out.append('\r'); i += 2
+          case 't'  => out.append('\t'); i += 2
+          case 'u' if i + 6 <= s.length =>
+            out.append(Integer.parseInt(s.substring(i + 2, i + 6), 16)
+              .toChar)
+            i += 6
+          case o    => out.append(o); i += 2
+        }
+      } else { out.append(c); i += 1 }
+    }
+    UTF8String.fromString(out.toString)
+  }
+
+  /** Column wrapper: the native scan for simple `$.key` paths, falling
+    * back to Spark's `get_json_object` for anything beyond the
+    * contract (nested paths, array indexing, keys needing escapes). */
+  def jsonScalarField(json: Column, path: String): Column = {
+    val Simple = """\$\.([A-Za-z0-9_\- ]+)""".r
+    path match {
+      case Simple(key) => exprColumn(JsonScalarField(columnExpr(json), key))
+      case _ => org.apache.spark.sql.functions.get_json_object(json, path)
+    }
+  }
 }

@@ -280,50 +280,25 @@ object Relational {
 
   /** JSON field extraction from the events.props payload (§2.9 note).
     *
-    * CPU-bound projection over an under-split scan: the sf0.1 test file is
-    * ONE parquet row group, so Spark cannot split it — the per-row JSON
-    * parse would run on a single task while 31 cores idle. The fix is
-    * scan-shape-AWARE, not unconditional: when the scan yields fewer
-    * input splits than the session's parallelism, redistribute the (column-
-    * pruned: event_type + props only) rows before the parse; when the scan
-    * is already well-split — the fleet case, thousands of row groups —
-    * the repartition is skipped and the plan stays shuffle-free before
-    * the aggregation, exactly as the round-5 audit wanted it. Reading
-    * `rdd.getNumPartitions` is plan metadata (no job).
-    *
-    * Local floor anatomy (measured round 7, solo min-of-6 at sf0.1,
-    * local[32], each ablation a separate bench run): full query 0.36 s =
-    * scan+agg+launch floor 0.22 s (two stages, no JSON, no repartition)
-    * + repartition exchange ~0.08 s + 32-way-parallel JSON parse ~0.06 s;
-    * the parse costs 0.19 s UNSPREAD (no-repartition variant: 0.41 s
-    * total), so the exchange buys more than it costs even at a 2 MB
-    * input, and repartition width 8/16/32 all land within noise
-    * (0.355-0.414 s). The ~0.6 s this query records inside a 50-query
-    * bench pass is JVM neighborhood (code-cache and GC pressure from
-    * adjacent heavy queries), not plan cost — the 0.22 s two-stage floor
-    * is the irreducible local minimum for this shape, and none of it
-    * shuffles more than (event_type, k) pairs at fleet scale.
+    * History of this gate is the history of the parse cost: with Spark's
+    * `get_json_object` (a Jackson streaming parser built per row) the
+    * parse dominated the under-split scan so badly that rounds 5-15
+    * carried a scan-shape-aware repartition to spread it across cores.
+    * The r16 native expression ([[graft.functions.TextExprs
+    * .JsonScalarField]] — one byte-scan of the flat object, whole-stage
+    * codegen) removed the cost instead of spreading it: measured sf1
+    * isolated, scan+agg floor 0.30 s, native parse 0.31 s (parse is
+    * FREE at measurement noise; Jackson was 2.1 s unspread), while the
+    * old repartition spread cost 0.70 s of pure exchange. So the
+    * repartition is GONE — the plan is scan → project → partial agg →
+    * 5-group final agg, shuffling only (event_type, k) pairs, which is
+    * also exactly the fleet-scale shape.
     */
   def q19Json(spark: SparkSession, sfDir: String): DataFrame = {
-    val pruned = Tables.events(spark, sfDir).select("event_type", "props")
-    val par = spark.sparkContext.defaultParallelism
-    // estimate the scan's split count from file bytes (driver-side FS
-    // metadata, ~ms) — `rdd.getNumPartitions` would be exact but compiles
-    // the physical plan a second time (~90 ms, a fifth of this query)
-    val p = new org.apache.hadoop.fs.Path(s"$sfDir/events.parquet")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.getContentSummary(p).getLength
-    // byteStringAsBytes handles every form the conf accepts ("134217728b",
-    // "128m", "1g", bare digits) — string-munging broke on unit suffixes
-    val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-      spark.conf.get("spark.sql.files.maxPartitionBytes"))
-    val estSplits = math.max(1L, bytes / math.max(1L, maxSplit))
-    val spread =
-      if (estSplits < par) pruned.repartition(par)
-      else pruned
-    spread
+    Tables.events(spark, sfDir).select("event_type", "props")
       .select(col("event_type"),
-              get_json_object(col("props"), "$.k").cast("long").as("k"))
+              graft.functions.TextExprs.jsonScalarField(col("props"), "$.k")
+                .cast("long").as("k"))
       .groupBy(col("event_type"))
       .agg(round(avg(col("k")), 4).as("avg_k"), max(col("k")).as("max_k"))
       // global order on a |event_type|-row result: coalesce(1) + local

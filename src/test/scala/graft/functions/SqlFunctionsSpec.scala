@@ -85,6 +85,55 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("literal"), e.getMessage)
   }
 
+  test("graft_json_field equals get_json_object on every in-contract " +
+      "shape (scalars, escapes, nesting skipped, null/missing/" +
+      "malformed) and nulls the documented non-scalar seam") {
+    val cases = Seq(
+      """{"k": 69}""",
+      """{"k":-12.5e3,"j":1}""",
+      """{"a": 1, "k": 2, "z": 3}""",
+      """{ "k" : true }""",
+      """{"k": false, "k": 99}""",              // duplicate: first wins
+      """{"k": "plain"}""",
+      """{"k": "a\"b\\c\/d\n\té😀"}""", // escapes + surrogate
+      """{"k": null}""",                        // JSON null -> SQL NULL
+      """{"j": 1}""",                           // missing key
+      """{"nested": {"k": 5}, "k": 7}""",       // inner k must not match
+      """{"arr": [1, {"k": 9}, "k"], "k": 8}""",
+      """{"s": "has \"k\": inside", "k": 4}""", // key-lookalike in a value
+      """{}""",
+      """   {"k": 42}   """,
+      """not json at all""",
+      """[1, 2, 3]""",                          // non-object
+      """{"k": """,                             // truncated
+      null)
+    val df = cases.zipWithIndex
+      .map { case (j, i) => (i.toLong, Option(j)) }.toDF("i", "js")
+    val got = df.select(col("i"),
+        TextExprs.jsonScalarField(col("js"), "$.k").as("v"))
+      .orderBy("i").collect().map(r => Option(r.getString(1))).toSeq
+    val ref = df.select(col("i"),
+        get_json_object(col("js"), "$.k").as("v"))
+      .orderBy("i").collect().map(r => Option(r.getString(1))).toSeq
+    assert(got === ref)
+    // documented seam: matched OBJECT/ARRAY values return NULL here
+    // (GetJsonObject re-serializes them) — the wrapper name pins the
+    // scalar contract
+    val seam = Seq("""{"k": {"x": 1}}""", """{"k": [1,2]}""").toDF("js")
+    assert(seam.select(TextExprs.jsonScalarField(col("js"), "$.k"))
+      .collect().forall(_.isNullAt(0)))
+    // non-simple paths fall back to get_json_object transparently
+    val nested = Seq("""{"a": {"b": 7}}""").toDF("js")
+    assert(nested.select(TextExprs.jsonScalarField(col("js"), "$.a.b")
+      .cast("long")).head.getLong(0) === 7L)
+    // SQL registration: same values through the SQL front door
+    df.createOrReplaceTempView("sql_json")
+    val viaSql = spark.sql(
+      "SELECT graft_json_field(js, 'k') AS v FROM sql_json ORDER BY i")
+      .collect().map(r => Option(r.getString(0))).toSeq
+    assert(viaSql === ref)
+  }
+
   test("SQL and Column build the SAME expression tree (canonical plan " +
       "equality, not just value equality)") {
     docs.createOrReplaceTempView("sql_docs2")
