@@ -795,7 +795,8 @@ object ScaleSmoke {
     // the multiplied corpus + uniqueness distinct-count + FK anti-join
     if (enabled("quality_audit") || enabled("zorder") ||
         enabled("grouped_topk_hot") || enabled("cdc_apply") ||
-        enabled("robust_outliers") || enabled("stats_pruned_scan")) locally {
+        enabled("robust_outliers") || enabled("stats_pruned_scan") ||
+        enabled("merge_on_read") || enabled("catalog_read")) locally {
       val copies = spark.range(mult.toLong).toDF("copy")
       // persisted: four entries share it, and zorder alone reads it three
       // times (stats pass, range-boundary sampling, the sort itself).
@@ -872,12 +873,17 @@ object ScaleSmoke {
       // proving the skipped-file count grows with the corpus while the
       // opened count stays O(selectivity). The commit+optimize (write
       // side) is timed separately.
-      if (enabled("stats_pruned_scan")) locally {
+      if (enabled("stats_pruned_scan") || enabled("merge_on_read")) locally {
         import graft.sources.SnapshotStore
         val dir = java.nio.file.Files
           .createTempDirectory("scale-snapstats").toString
         val tW0 = System.nanoTime()
-        SnapshotStore.commitOverwrite(li, dir)
+        // lk = 8·l_orderkey + l_linenumber is the table's UNIQUE row key
+        // (linenumber ≤ 7 fits in 3 bits) — the merge_on_read entry needs
+        // per-row identity; the stats scan ignores the extra column
+        val liSnap = li.withColumn("lk",
+          col("l_orderkey") * 8 + col("l_linenumber"))
+        SnapshotStore.commitOverwrite(liSnap, dir)
         SnapshotStore.optimize(spark, dir, targetFiles = 64,
           zorderBy = Seq("l_orderkey", "l_partkey"))
         val commitSec = (System.nanoTime() - tW0) / 1e9
@@ -886,23 +892,129 @@ object ScaleSmoke {
         record(Entry("snapshot_commit_optimize", li.count(), commitSec))
         // the q120 gate's base range, scaled with the key space (keys
         // are okey·mult+copy): a fixed ~3 % slice at every multiplier
+        if (enabled("stats_pruned_scan")) locally {
+          val lo = 1000L * mult
+          val hi = 3000L * mult
+          var rep: SnapshotStore.ScanReport = null
+          var nOut = 0L
+          val sec = (1 to reps).map { _ =>
+            val t0 = System.nanoTime()
+            val (df, r) = SnapshotStore.readWhere(spark, dir,
+              SnapshotStore.StatsPred.Between("l_orderkey", lo, hi))
+            rep = r
+            nOut = df.count()
+            (System.nanoTime() - t0) / 1e9
+          }.min
+          require(rep.filesOpened < rep.filesListed,
+            s"stats must prune the z-ordered layout: $rep")
+          println(f"[scale] stats_pruned_scan           $nOut%10d rows" +
+            f"  $sec%8.2f s  (opened ${rep.filesOpened}/${rep.filesListed})")
+          record(Entry("stats_pruned_scan", nOut, sec,
+            filesListed = Some(rep.filesListed),
+            filesOpened = Some(rep.filesOpened)))
+        }
+        // MERGE-ON-READ at mult×: two change batches 10× apart in size
+        // land as equality-delete layers against the untouched z-ordered
+        // base — the wall must track |changes|, never the base (the CoW
+        // cdc_apply entry above prices the rewrite alternative on the
+        // same corpus). Then the read tax with two layers accreted, and
+        // the OPTIMIZE that folds the layers back into plain base files.
+        if (enabled("merge_on_read")) locally {
+          val baseFiles = SnapshotStore.snapshot(dir).get.files
+          // the changelog: bumped price, l_quantity=1 rows are deletes;
+          // modulus picks ~1/m of the 8·okey+line key space
+          def changelog(m: Int): DataFrame = li
+            .filter(pmod(col("l_orderkey") * 8 + col("l_linenumber"),
+              lit(m)) === 0)
+            .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_partkey"), col("l_quantity"),
+              (col("l_extendedprice") * 1.1).as("l_extendedprice"),
+              col("l_discount"), col("l_returnflag"), col("l_shipdate"),
+              (col("l_orderkey") * 8 + col("l_linenumber")).as("lk"),
+              lit(1L).as("vord"), (col("l_quantity") === 1).as("del"))
+          def morCommit(name: String, m: Int): Unit = {
+            // persist OUTSIDE the timed region: the entry prices the
+            // merge (winner fold + layer write + publish), not the
+            // synthetic corpus multiply that builds the changelog
+            val ch = changelog(m).persist()
+            val nCh = ch.count()
+            val t0 = System.nanoTime()
+            SnapshotStore.mergeOnRead(spark, dir, ch,
+              key = "lk", versionCol = "vord", deleteCol = "del")
+            val sec = (System.nanoTime() - t0) / 1e9
+            ch.unpersist(blocking = false)
+            println(f"[scale] $name%-28s $nCh%10d rows  $sec%8.2f s")
+            record(Entry(name, nCh, sec))
+          }
+          morCommit("mor_commit_small", 503) // ~0.2 % of the base keys
+          morCommit("mor_commit_large", 47)  // ~2 % — the 10× size axis
+          val m2 = SnapshotStore.snapshot(dir).get
+          require(m2.files == baseFiles && m2.layers.size == 2,
+            s"mergeOnRead must leave the ${baseFiles.size}-file base " +
+              s"untouched and accrete 2 layers (files ${m2.files.size}, " +
+              s"layers ${m2.layers.size})")
+          // the read tax: base + two anti-join layers, full scan
+          time("mor_read")(SnapshotStore.read(spark, dir))
+          // fold the layers back into plain files; reads return to
+          // layer-free scans (and stats pruning applies to ALL rows)
+          val tF0 = System.nanoTime()
+          SnapshotStore.optimize(spark, dir, targetFiles = 64,
+            zorderBy = Seq("l_orderkey", "l_partkey"))
+          val foldSec = (System.nanoTime() - tF0) / 1e9
+          val m3 = SnapshotStore.snapshot(dir).get
+          require(m3.layers.isEmpty,
+            s"optimize must fold the layers (left ${m3.layers.size})")
+          val nFold = SnapshotStore.read(spark, dir).count()
+          println(f"[scale] mor_fold_optimize           " +
+            f"$nFold%10d rows  $foldSec%8.2f s")
+          record(Entry("mor_fold_optimize", nFold, foldSec))
+        }
+      }
+      // PINNED CATALOG READ at mult×: one atomic two-table transaction
+      // (fact range-clustered on its key + dim beside it), then the head
+      // moves on with a second commit — the timed read travels back to
+      // the pinned version and must still file-skip through that
+      // version's staged manifest stats. files_listed/files_opened land
+      // in the artifact like the table-layer scan's.
+      if (enabled("catalog_read")) locally {
+        import graft.sources.{Catalog, SnapshotStore}
+        val root = java.nio.file.Files
+          .createTempDirectory("scale-catalog").toString
+        val nLi = li.count()
+        val tC0 = System.nanoTime()
+        Catalog.commit(root, Map(
+          "lineitem" ->
+            ((li.repartitionByRange(64, col("l_orderkey")),
+              Catalog.Overwrite: Catalog.Mode)),
+          "orders" ->
+            ((orders.repartitionByRange(16, col("o_orderkey")),
+              Catalog.Overwrite: Catalog.Mode))))
+        val commitSec = (System.nanoTime() - tC0) / 1e9
+        println(f"[scale] catalog_commit2t            " +
+          f"$nLi%10d rows  $commitSec%8.2f s")
+        record(Entry("catalog_commit2t", nLi, commitSec))
+        // head moves to v1 so the timed read is genuine time travel
+        Catalog.commit(root, Map("orders" ->
+          ((orders.filter(pmod(col("o_orderkey"), lit(1000)) === 0),
+            Catalog.Append: Catalog.Mode))))
         val lo = 1000L * mult
         val hi = 3000L * mult
         var rep: SnapshotStore.ScanReport = null
         var nOut = 0L
         val sec = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
-          val (df, r) = SnapshotStore.readWhere(spark, dir,
-            SnapshotStore.StatsPred.Between("l_orderkey", lo, hi))
+          val (df, r) = Catalog.readTableWhere(spark, root, "lineitem",
+            SnapshotStore.StatsPred.Between("l_orderkey", lo, hi),
+            version = Some(0))
           rep = r
           nOut = df.count()
           (System.nanoTime() - t0) / 1e9
         }.min
-        require(rep.filesOpened < rep.filesListed,
-          s"stats must prune the z-ordered layout: $rep")
-        println(f"[scale] stats_pruned_scan           $nOut%10d rows" +
+        require(rep.filesOpened * 5 <= rep.filesListed,
+          s"pinned catalog read must open O(selectivity) files: $rep")
+        println(f"[scale] catalog_read                $nOut%10d rows" +
           f"  $sec%8.2f s  (opened ${rep.filesOpened}/${rep.filesListed})")
-        record(Entry("stats_pruned_scan", nOut, sec,
+        record(Entry("catalog_read", nOut, sec,
           filesListed = Some(rep.filesListed),
           filesOpened = Some(rep.filesOpened)))
       }

@@ -36,10 +36,9 @@ import org.apache.spark.sql.types.StructType
   * files are written ONCE (the expensive part needs no coordination);
   * the retry loop rebuilds only the tiny staged manifests against the
   * new head and re-attempts the link. Losing attempts leave unreachable
-  * staged manifests/sidecars — metadata-sized scratch (a catalog vacuum
-  * would sweep them with the same reachability walk as the table
-  * layer's; out of scope here, as manifest compaction is for the table
-  * layer).
+  * staged manifests/sidecars — metadata-sized scratch that [[vacuum]]
+  * sweeps with the same reachability walk as the table layer's, along
+  * with expired catalog versions' data files.
   *
   * Stats ride along: each staged manifest carries the same footer-
   * harvested sidecar as a table-layer commit, composed with the base's
@@ -235,6 +234,66 @@ object Catalog {
     }
     sys.error(s"catalog commit lost ${SnapshotStore.MaxRetries} " +
       s"version races under $root")
+  }
+
+  /** Catalog-level GC — the reachability walk the table layer's
+    * [[SnapshotStore.vacuum]] explicitly refuses to run on a
+    * catalog-managed dir (it cannot know which staged manifests a
+    * catalog version still names). Retains the newest `keepVersions`
+    * catalog versions; for every table directory under the root, a
+    * staged manifest is LIVE iff a retained catalog version names it,
+    * and reachability closes over its segments and merge layers exactly
+    * as at the table layer. Dead staged manifests (lost-race commit
+    * attempts, expired catalog versions' publish units), dead sidecars
+    * and dead data files are deleted, then the expired catalog version
+    * files themselves. A table dir that ALSO carries committed v<N>.json
+    * table-layer versions (mixed management) keeps everything those
+    * reach — expiring table-layer versions is [[SnapshotStore.vacuum]]'s
+    * job with its own retention, never this one's. Readers pinned to a
+    * RETAINED catalog version are untouched; pinning past the horizon is
+    * the same documented contract as the table layer's. Returns the
+    * deleted data-file count. */
+  def vacuum(root: String, keepVersions: Int = 2): Int = {
+    require(keepVersions >= 1, "must retain at least the current version")
+    val vs = versions(root)
+    require(vs.nonEmpty,
+      s"catalog vacuum of a root with no committed catalog versions " +
+        s"under $root — refusing to treat every table as unreachable")
+    val keep = vs.takeRight(keepVersions).toSet
+    val retained = vs.filter(keep).map(v => snapshot(root, Some(v)).get)
+    var deleted = 0
+    val dirs = Files.list(Paths.get(root))
+    try {
+      val i = dirs.iterator().asInstanceOf[java.util.Iterator[Path]]
+      while (i.hasNext) {
+        val d = i.next()
+        val name = d.getFileName.toString
+        // a table dir is any non-catalog dir carrying a _manifests tier;
+        // unknown dirs (no manifests) are not ours to touch
+        if (Files.isDirectory(d) && !name.startsWith("_") &&
+            Files.isDirectory(d.resolve("_manifests"))) {
+          val tr = d.toString
+          val liveStaged: Set[String] =
+            retained.flatMap(_.tables.get(name)).toSet
+          val staged = SnapshotStore.stagedManifests(tr)
+          // a retained catalog version naming a manifest that is not on
+          // disk is corruption — sweeping ANYTHING here could orphan
+          // that version's data, so fail before deleting a single file
+          val missing = liveStaged.filterNot(staged.contains)
+          require(missing.isEmpty,
+            s"retained catalog version names missing staged manifests " +
+              s"under $tr: ${missing.mkString(", ")}")
+          val tableLayerMs = SnapshotStore.versions(tr)
+            .flatMap(v => SnapshotStore.snapshot(tr, Some(v)))
+          val reachable =
+            liveStaged.toSeq.flatMap(staged.get) ++ tableLayerMs
+          deleted += SnapshotStore.sweepTableDir(tr, reachable,
+            keepStaged = Some(liveStaged))
+        }
+      }
+    } finally dirs.close()
+    vs.filterNot(keep).foreach(v => Files.deleteIfExists(catPath(root, v)))
+    deleted
   }
 
   private def publishCat(root: String, s: CatalogSnapshot): Boolean = {

@@ -1410,28 +1410,50 @@ object SnapshotStore {
     val retained = vs.filter(keep).map(v => snapshot(root, Some(v)).get)
     // staged-*.json manifests (catalog publish units) keep their
     // references alive regardless of the version walk
-    val stagedMs: Seq[Manifest] = {
-      val dir = manifestDir(root)
-      if (!Files.isDirectory(dir)) Seq.empty
-      else {
-        val it = Files.list(dir)
-        try {
-          val i = it.iterator().asInstanceOf[java.util.Iterator[Path]]
-          val b = Seq.newBuilder[Manifest]
-          while (i.hasNext) {
-            val f = i.next()
-            val n = f.getFileName.toString
-            if (n.startsWith("staged-") && n.endsWith(".json"))
-              b += parse(new String(Files.readAllBytes(f),
-                StandardCharsets.UTF_8))
-          }
-          b.result()
-        } finally it.close()
+    val stagedMs = stagedManifests(root).values.toSeq
+    sweepTableDir(root, retained ++ stagedMs, keepStaged = None)
+      .let { deleted =>
+        vs.filterNot(keep).foreach(v => Files.deleteIfExists(
+          manifestPath(root, v)))
+        deleted
       }
+  }
+
+  /** All staged-*.json manifests under `root` (catalog publish units /
+    * in-flight transactions), parsed, keyed by root-relative path. */
+  private[sources] def stagedManifests(root: String)
+      : Map[String, Manifest] = {
+    val dir = manifestDir(root)
+    if (!Files.isDirectory(dir)) Map.empty
+    else {
+      val it = Files.list(dir)
+      try {
+        val i = it.iterator().asInstanceOf[java.util.Iterator[Path]]
+        val b = Map.newBuilder[String, Manifest]
+        while (i.hasNext) {
+          val f = i.next()
+          val n = f.getFileName.toString
+          if (n.startsWith("staged-") && n.endsWith(".json"))
+            b += (s"_manifests/$n" -> parse(new String(
+              Files.readAllBytes(f), StandardCharsets.UTF_8)))
+        }
+        b.result()
+      } finally it.close()
     }
-    // reachability closes over SEGMENTS: a live manifest's segments are
-    // live, and a live segment's files + sidecar are live
-    val reachable = retained ++ stagedMs
+  }
+
+  /** The shared GC sweep under one table root: close reachability over
+    * `reachable` (a live manifest's segments are live; a live segment's
+    * files + sidecar are live; layer files/sidecars are live), then
+    * delete every dead stats-*.tsv and seg-*.json sidecar and every
+    * dead data parquet. `keepStaged`: None = staged-*.json manifests are
+    * never deleted (the table-layer [[vacuum]] contract — they belong to
+    * the catalog, which must ALREADY have folded the live ones into
+    * `reachable`); Some(live) = delete staged manifests outside `live`
+    * (the catalog-layer sweep, which owns their reachability). Returns
+    * the deleted DATA file count. */
+  private[sources] def sweepTableDir(root: String,
+      reachable: Seq[Manifest], keepStaged: Option[Set[String]]): Int = {
     val liveSegs: Set[String] =
       reachable.flatMap(_.segments.map(_.path)).toSet
     val segMs: Seq[Manifest] = reachable.flatMap(_.segments)
@@ -1442,9 +1464,9 @@ object SnapshotStore {
     val live: Set[String] =
       (reachable.flatMap(_.files) ++ segMs.flatMap(_.files) ++
         reachable.flatMap(_.layers.flatMap(_.files))).toSet
-    // stats sidecars referenced by retained, staged, or live-segment
-    // manifests stay; every other stats-*.tsv (superseded versions,
-    // lost-race commit attempts) goes — same for seg-*.json files
+    // stats sidecars referenced by a reachable or live-segment manifest
+    // stay; every other stats-*.tsv (superseded versions, lost-race
+    // commit attempts) goes — same for seg-*.json files
     val liveStats: Set[String] =
       (reachable.map(_.statsFile) ++ segMs.map(_.statsFile) ++
         reachable.flatMap(_.layers.map(_.statsFile)))
@@ -1462,6 +1484,9 @@ object SnapshotStore {
             Files.delete(f)
           else if (n.startsWith("seg-") && n.endsWith(".json") &&
               !liveSegs.contains(s"_manifests/$n"))
+            Files.delete(f)
+          else if (n.startsWith("staged-") && n.endsWith(".json") &&
+              keepStaged.exists(k => !k.contains(s"_manifests/$n")))
             Files.delete(f)
         }
       } finally ms.close()
@@ -1504,8 +1529,6 @@ object SnapshotStore {
         }
       } finally dirs.close()
     }
-    vs.filterNot(keep).foreach(v => Files.deleteIfExists(
-      manifestPath(root, v)))
     deleted
   }
 

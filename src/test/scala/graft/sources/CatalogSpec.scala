@@ -117,4 +117,110 @@ class CatalogSpec extends SparkSpec {
     Catalog.commit(root, Map("tbl.v2" -> ((df, Catalog.Overwrite))))
     assert(Catalog.readTable(spark, root, "tbl.v2").count() === 1)
   }
+
+  private def walk(dir: String, suffix: String): Seq[String] = {
+    val base = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(base)) return Seq.empty
+    val s = java.nio.file.Files.walk(base)
+    try s.iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+      .asScala.map(_.toString).filter(_.endsWith(suffix)).toSeq
+    finally s.close()
+  }
+  private implicit class IterOps[A](private val i: java.util.Iterator[A]) {
+    def asScala: Iterator[A] = new Iterator[A] {
+      def hasNext = i.hasNext; def next() = i.next()
+    }
+  }
+
+  test("catalog vacuum: expired versions' data files, staged manifests " +
+      "and catalog jsons go; retained pinned reads are untouched") {
+    val root = freshRoot()
+    // v0/v1/v2: t overwritten three times (each version strands the last)
+    (0 to 2).foreach { i =>
+      Catalog.commit(root, Map(
+        "t" -> ((spark.range(i * 100, i * 100 + 100).toDF("id")
+          .coalesce(2), Catalog.Overwrite))))
+    }
+    val beforeData = walk(s"$root/t/data", ".parquet").size
+    val beforeStaged = walk(s"$root/t/_manifests", ".json")
+      .count(_.contains("staged-"))
+    assert(beforeData === 6 && beforeStaged === 3)
+    val deleted = Catalog.vacuum(root, keepVersions = 2)
+    assert(deleted === 2) // v0's two files
+    assert(walk(s"$root/t/data", ".parquet").size === 4)
+    assert(walk(s"$root/t/_manifests", ".json")
+      .count(_.contains("staged-")) === 2)
+    assert(Catalog.versions(root) === Seq(1, 2))
+    // retained pinned read (v1) and head (v2) both intact
+    assert(Catalog.readTable(spark, root, "t", Some(1))
+      .agg(min(col("id")), max(col("id"))).as[(Long, Long)].head()
+      === ((100L, 199L)))
+    assert(Catalog.readTable(spark, root, "t")
+      .agg(min(col("id")), max(col("id"))).as[(Long, Long)].head()
+      === ((200L, 299L)))
+    // stats-pruned reads still work off the retained staged manifests
+    val (got, rep) = Catalog.readTableWhere(spark, root, "t",
+      SnapshotStore.StatsPred.Ge("id", 250L))
+    assert(got.count() === 50 && rep.filesListed === 2)
+  }
+
+  test("catalog vacuum keeps appended tables' shared base files live, " +
+      "sweeps never-referenced orphan staged manifests, and refuses an " +
+      "uncommitted root") {
+    val root = freshRoot()
+    Catalog.commit(root, Map(
+      "t" -> ((spark.range(0, 100).toDF("id").coalesce(1),
+        Catalog.Overwrite))))
+    Catalog.commit(root, Map(
+      "t" -> ((spark.range(100, 200).toDF("id").coalesce(1),
+        Catalog.Append))))
+    // fake a lost-race commit attempt: an orphan staged manifest naming
+    // the SAME base files (the realistic shape — losing attempts reuse
+    // their once-written data, which the winning rebase then also names)
+    val mDir = java.nio.file.Paths.get(s"$root/t/_manifests")
+    val aStaged = walk(mDir.toString, ".json").filter(_.contains("staged-"))
+    val orphan = mDir.resolve("staged-00000000-dead-beef-0000-000000000000.json")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(aStaged.head), orphan)
+    val deleted = Catalog.vacuum(root, keepVersions = 2)
+    // both real versions retained -> no data deleted; orphan swept
+    assert(deleted === 0)
+    assert(!java.nio.file.Files.exists(orphan))
+    assert(Catalog.readTable(spark, root, "t").count() === 200)
+    assert(Catalog.readTable(spark, root, "t", Some(0)).count() === 100)
+    // keepVersions=1 now strands v0's staged manifest but NOT its files
+    // (the append composed them into v1's list)
+    assert(Catalog.vacuum(root, keepVersions = 1) === 0)
+    assert(Catalog.readTable(spark, root, "t").count() === 200)
+    assert(walk(s"$root/t/_manifests", ".json")
+      .count(_.contains("staged-")) === 1)
+    // an empty root refuses loudly instead of sweeping everything
+    val e = intercept[IllegalArgumentException] {
+      Catalog.vacuum(freshRoot())
+    }
+    assert(e.getMessage.contains("no committed catalog versions"))
+  }
+
+  test("catalog vacuum leaves mixed-managed table-layer versions and a " +
+      "foreign dir alone") {
+    val root = freshRoot()
+    Catalog.commit(root, Map(
+      "t" -> ((spark.range(0, 10).toDF("id").coalesce(1),
+        Catalog.Overwrite))))
+    // a table-layer commit in the SAME dir (mixed management): catalog
+    // vacuum must keep everything its v<N> chain reaches
+    SnapshotStore.commitOverwrite(
+      spark.range(50, 60).toDF("id").coalesce(1), s"$root/t2")
+    // a foreign dir with no _manifests tier: not ours, untouched
+    val foreign = java.nio.file.Paths.get(root, "scratch")
+    java.nio.file.Files.createDirectories(foreign)
+    java.nio.file.Files.write(foreign.resolve("keep.parquet"),
+      Array[Byte](1, 2, 3))
+    Catalog.commit(root, Map(
+      "t" -> ((spark.range(10, 20).toDF("id").coalesce(1),
+        Catalog.Overwrite))))
+    assert(Catalog.vacuum(root, keepVersions = 1) === 1) // only t's v0 file
+    assert(SnapshotStore.read(spark, s"$root/t2").count() === 10)
+    assert(java.nio.file.Files.exists(foreign.resolve("keep.parquet")))
+    assert(Catalog.readTable(spark, root, "t").count() === 10)
+  }
 }
