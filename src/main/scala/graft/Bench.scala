@@ -54,6 +54,17 @@ object Bench {
       .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      // openCostInBytes floors the scan-split size at 4 MB by default —
+      // sized for many-file cloud listings, not this lane's one-file
+      // tables, where it caps a 5.7 MB compressed documents file at TWO
+      // splits and serializes expensive first map stages (q43's media
+      // encode) onto two cores. 256 KB lets split count follow
+      // bytes/parallelism; row-group midpoints still decide task
+      // assignment, so the generator's per-table group sizing is the
+      // other half of this fix. A real cluster keeps the default: its
+      // parallelism comes from file count.
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPENCOST", (256 * 1024).toString))
       // 48 queries × several whole-stage-codegen units each overflow the
       // default 100-entry generated-class cache EVERY pass, so each timed
       // rep re-runs janino on code the warm-up already compiled — raise

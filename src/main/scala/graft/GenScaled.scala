@@ -88,18 +88,21 @@ object GenScaled {
     def copies(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until factor).map(k => f(df, k)).reduce(_ unionAll _)
 
-    def write(name: String, df: DataFrame): Unit = {
+    // Row groups sized PER TABLE so every table yields ~24-36 groups:
+    // parquet's row group is the finest scan-split unit, and a fixed
+    // 16 MB block left every table whose UNCOMPRESSED footprint is
+    // ≤16 MB (documents 15.6 MB, events, embeddings) as a SINGLE group —
+    // which serializes any expensive first map stage (the q43 media
+    // encode, tokenization) onto one core no matter how many exist
+    // (measured r16: documents-family first stages were single-task).
+    // Real ingest produces many files; many groups per file is the
+    // local-lane equivalent, and both engines read the same bytes —
+    // DuckDB parallelizes within OR across groups either way.
+    def write(name: String, df: DataFrame,
+        blockBytes: Long = 16L * 1024 * 1024): Unit = {
       val tmp = s"$dst/_tmp_$name"
-      // 16 MB row groups, NOT the 128 MB default: parquet's row group is
-      // the scan-split unit, and the driver-style one-file-per-table
-      // layout with a single giant row group caps every Spark scan at
-      // ONE task no matter how many cores exist (measured r16: the
-      // sf1 full-scan floor queries were single-threaded at the source).
-      // Real ingest never produces a 6M-row single-group file; 16 MB
-      // groups are the realistic shape and give both engines the same
-      // bytes — DuckDB parallelizes within OR across groups either way.
       df.coalesce(1).write.mode("overwrite")
-        .option("parquet.block.size", (16 * 1024 * 1024).toString)
+        .option("parquet.block.size", blockBytes.toString)
         .parquet(tmp)
       val dir = new java.io.File(tmp)
       val part = dir.listFiles()
@@ -115,25 +118,31 @@ object GenScaled {
 
     write("region", t("region"))
     write("nation", t("nation"))
-    write("customer", copies(t("customer")) { (d, k) =>
-      d.withColumn("c_custkey", col("c_custkey") + lit(k * KC)) })
-    write("supplier", copies(t("supplier")) { (d, k) =>
-      d.withColumn("s_suppkey", col("s_suppkey") + lit(k * KS)) })
-    write("part", copies(t("part")) { (d, k) =>
-      d.withColumn("p_partkey", col("p_partkey") + lit(k * KP)) })
-    write("orders", copies(t("orders")) { (d, k) =>
+    write("customer", blockBytes = 1L * 1024 * 1024,
+      df = copies(t("customer")) { (d, k) =>
+        d.withColumn("c_custkey", col("c_custkey") + lit(k * KC)) })
+    write("supplier", blockBytes = 1L * 1024 * 1024,
+      df = copies(t("supplier")) { (d, k) =>
+        d.withColumn("s_suppkey", col("s_suppkey") + lit(k * KS)) })
+    write("part", blockBytes = 1L * 1024 * 1024,
+      df = copies(t("part")) { (d, k) =>
+        d.withColumn("p_partkey", col("p_partkey") + lit(k * KP)) })
+    write("orders", blockBytes = 1L * 1024 * 1024, df = copies(t("orders")) { (d, k) =>
       d.withColumn("o_orderkey", col("o_orderkey") + lit(k * KO))
         .withColumn("o_custkey", col("o_custkey") + lit(k * KC)) })
-    write("lineitem", copies(t("lineitem")) { (d, k) =>
-      d.withColumn("l_orderkey", col("l_orderkey") + lit(k * KO))
-        .withColumn("l_partkey", col("l_partkey") + lit(k * KP))
-        .withColumn("l_suppkey", col("l_suppkey") + lit(k * KS)) })
-    write("events", copies(t("events")) { (d, k) =>
-      d.withColumn("event_id", col("event_id") + lit(k * KE))
-        .withColumn("user_id", col("user_id") + lit(k * KU)) })
-    write("documents", copies(t("documents")) { (d, k) =>
-      d.withColumn("doc_id", col("doc_id") + lit(k * KD))
-        .withColumn("text", caesar(col("text"), k)) })
+    write("lineitem", blockBytes = 4L * 1024 * 1024,
+      df = copies(t("lineitem")) { (d, k) =>
+        d.withColumn("l_orderkey", col("l_orderkey") + lit(k * KO))
+          .withColumn("l_partkey", col("l_partkey") + lit(k * KP))
+          .withColumn("l_suppkey", col("l_suppkey") + lit(k * KS)) })
+    write("events", blockBytes = 1L * 1024 * 1024,
+      df = copies(t("events")) { (d, k) =>
+        d.withColumn("event_id", col("event_id") + lit(k * KE))
+          .withColumn("user_id", col("user_id") + lit(k * KU)) })
+    write("documents", blockBytes = 512L * 1024,
+      df = copies(t("documents")) { (d, k) =>
+        d.withColumn("doc_id", col("doc_id") + lit(k * KD))
+          .withColumn("text", caesar(col("text"), k)) })
     // rotation cycles at the vector length — the disjointness bound for
     // embeddings is min(26, dim), so verify dim covers the factor
     val embDim = t("embeddings").select(size(col("embedding")))
@@ -141,14 +150,15 @@ object GenScaled {
     require(factor <= embDim,
       s"factor $factor exceeds embedding dim $embDim: component rotation" +
       " would cycle and copies would collide")
-    write("embeddings", copies(t("embeddings")) { (d, k) =>
-      val rot = k.toInt
-      d.withColumn("vec_id", col("vec_id") + lit(k * KD))
-        .withColumn("embedding",
-          if (rot == 0) col("embedding")
-          else concat(
-            slice(col("embedding"), rot + 1, Int.MaxValue),
-            slice(col("embedding"), 1, rot))) })
+    write("embeddings", blockBytes = 256L * 1024,
+      df = copies(t("embeddings")) { (d, k) =>
+        val rot = k.toInt
+        d.withColumn("vec_id", col("vec_id") + lit(k * KD))
+          .withColumn("embedding",
+            if (rot == 0) col("embedding")
+            else concat(
+              slice(col("embedding"), rot + 1, Int.MaxValue),
+              slice(col("embedding"), 1, rot))) })
 
     spark.stop()
   }
