@@ -144,6 +144,7 @@ object SparkEntry {
     "q123_segmented_scan"  -> (Relational.q123SegmentedScan _),
     "q124_manifest_rewrite" -> (Relational.q124ManifestRewrite _),
     "q125_merge_on_read"   -> (Relational.q125MergeOnRead _),
+    "q126_streaming_upsert" -> (Relational.q126StreamingUpsert _),
   )
 
   /** The cohort-retention-matrix oracle, shared by q93 (the batch
@@ -707,6 +708,38 @@ object SparkEntry {
     // rewrite would have materialized; the builder REQUIREs the base
     // files survived the merge untouched.
     "q125_merge_on_read" ->
+      """WITH ch AS (SELECT
+           CASE WHEN l_linenumber = 7 THEN -l_orderkey
+                ELSE l_orderkey END AS o_orderkey,
+           l_linenumber AS v, l_quantity < 2 AS del,
+           CAST(l_partkey AS BIGINT) AS o_custkey,
+           ROUND(l_extendedprice, 2) AS o_totalprice,
+           'U-' || l_returnflag AS o_orderpriority
+           FROM lineitem),
+         win AS (SELECT * FROM (SELECT ch.*, ROW_NUMBER() OVER (
+             PARTITION BY o_orderkey
+             ORDER BY v DESC, o_custkey DESC, o_totalprice DESC,
+               o_orderpriority DESC, del DESC) AS rn FROM ch)
+           WHERE rn = 1),
+         b AS (SELECT o_orderkey, o_custkey,
+             ROUND(o_totalprice, 2) AS o_totalprice, o_orderpriority
+           FROM orders),
+         m AS (SELECT o_orderkey,
+           CASE WHEN win.v IS NOT NULL THEN win.o_totalprice
+                ELSE b.o_totalprice END AS o_totalprice,
+           CASE WHEN win.v IS NOT NULL THEN win.o_orderpriority
+                ELSE b.o_orderpriority END AS o_orderpriority
+         FROM b FULL OUTER JOIN win USING (o_orderkey)
+         WHERE win.v IS NULL OR NOT win.del)
+         SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+         FROM m GROUP BY 1 ORDER BY 1""",
+    // Streaming CDC upsert: q125's changelog delivered as three
+    // KEY-DISJOINT micro-batches through a real streaming query, each a
+    // replay-deduped merge-on-read layer — key-disjointness makes layer
+    // order irrelevant, so the global winner-fold oracle stays exact.
+    "q126_streaming_upsert" ->
       """WITH ch AS (SELECT
            CASE WHEN l_linenumber = 7 THEN -l_orderkey
                 ELSE l_orderkey END AS o_orderkey,

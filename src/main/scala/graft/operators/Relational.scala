@@ -1578,39 +1578,51 @@ object Relational {
   private val morRoot =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** The q122/q125/q126 shared base projection over orders. */
+  private def morBase(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir).select(col("o_orderkey"),
+      col("o_custkey"), round(col("o_totalprice"), 2).as("o_totalprice"),
+      col("o_orderpriority"))
+
+  /** The q122/q125/q126 shared changelog over lineitem: per-order
+    * upserts + tombstones + line-7 inserts, version = a packed long
+    * whose byte order mirrors the oracle's tie-break chain (loud
+    * overflow guard). */
+  private def morChangelog(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val rounded = round(col("l_extendedprice"), 2)
+    val cents = floor(rounded * lit(100) + lit(0.5)).cast("long")
+    val rfcode = when(col("l_returnflag") === "A", 0L)
+      .when(col("l_returnflag") === "N", 1L)
+      .when(col("l_returnflag") === "R", 2L)
+    val packOk = col("l_linenumber").between(0, 7) &&
+      col("l_partkey").between(0, (1L << 32) - 1) &&
+      cents.between(0, (1L << 24) - 1) && rfcode.isNotNull
+    val vpack = when(!packOk, raise_error(
+        lit("q125 version pack overflow")))
+      .otherwise(shiftleft(col("l_linenumber").cast("long"), 59) +
+        shiftleft(col("l_partkey").cast("long"), 27) +
+        shiftleft(cents, 3) + shiftleft(rfcode, 1) +
+        (col("l_quantity") < 2).cast("long"))
+    Tables.lineitem(spark, sfDir).select(
+      when(col("l_linenumber") === 7, -col("l_orderkey"))
+        .otherwise(col("l_orderkey")).as("o_orderkey"),
+      vpack.as("vord"),
+      (col("l_quantity") < 2).as("del"),
+      col("l_partkey").as("o_custkey"),
+      rounded.as("o_totalprice"),
+      concat(lit("U-"), col("l_returnflag")).as("o_orderpriority"))
+  }
+
   def q125MergeOnRead(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.sources.SnapshotStore
     val root = morRoot.getOrElseUpdate(sfDir, {
       val dir = java.nio.file.Files
         .createTempDirectory("graft-snapmor-").toString
-      val baseDf = Tables.orders(spark, sfDir).select(col("o_orderkey"),
-        col("o_custkey"), round(col("o_totalprice"), 2).as("o_totalprice"),
-        col("o_orderpriority"))
-      SnapshotStore.commitOverwrite(baseDf, dir)            // v0
+      SnapshotStore.commitOverwrite(morBase(spark, sfDir), dir)  // v0
       val baseFiles = SnapshotStore.snapshot(dir).get.files
-      val rounded = round(col("l_extendedprice"), 2)
-      val cents = floor(rounded * lit(100) + lit(0.5)).cast("long")
-      val rfcode = when(col("l_returnflag") === "A", 0L)
-        .when(col("l_returnflag") === "N", 1L)
-        .when(col("l_returnflag") === "R", 2L)
-      val packOk = col("l_linenumber").between(0, 7) &&
-        col("l_partkey").between(0, (1L << 32) - 1) &&
-        cents.between(0, (1L << 24) - 1) && rfcode.isNotNull
-      val vpack = when(!packOk, raise_error(
-          lit("q125 version pack overflow")))
-        .otherwise(shiftleft(col("l_linenumber").cast("long"), 59) +
-          shiftleft(col("l_partkey").cast("long"), 27) +
-          shiftleft(cents, 3) + shiftleft(rfcode, 1) +
-          (col("l_quantity") < 2).cast("long"))
-      val changes = Tables.lineitem(spark, sfDir).select(
-        when(col("l_linenumber") === 7, -col("l_orderkey"))
-          .otherwise(col("l_orderkey")).as("o_orderkey"),
-        vpack.as("vord"),
-        (col("l_quantity") < 2).as("del"),
-        col("l_partkey").as("o_custkey"),
-        rounded.as("o_totalprice"),
-        concat(lit("U-"), col("l_returnflag")).as("o_orderpriority"))
-      val v = SnapshotStore.mergeOnRead(spark, dir, changes,
+      val v = SnapshotStore.mergeOnRead(spark, dir,
+        morChangelog(spark, sfDir),
         key = "o_orderkey", versionCol = "vord", deleteCol = "del",
         skipPartialAgg = true)                              // v1
       require(v == 1, s"mergeOnRead must commit version 1, got $v")
@@ -1622,6 +1634,67 @@ object Relational {
       dir
     })
     graft.sources.SnapshotStore.read(spark, root) // base + folded layer
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(centsOf(col("o_totalprice")))
+          .as("cents"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** q126: STREAMING CDC UPSERT SINK
+    * ([[graft.streaming.SnapshotStream.upsertStream]] over
+    * [[graft.sources.SnapshotStore.mergeOnReadOnce]]) — q125's exact
+    * changelog delivered as THREE micro-batches through a real
+    * Structured Streaming query (parquet source, maxFilesPerTrigger=1),
+    * each landing as one replay-deduped merge-on-read layer; the base
+    * is never rewritten (REQUIREd). The staged batches are KEY-DISJOINT
+    * (hash of the merge key picks the file), so layer order is
+    * irrelevant and the layered fold equals the global winner fold —
+    * which is why q122's oracle stays exact. Batch count is REQUIREd
+    * equal to the staged file count, and each batch's txn id is
+    * REQUIREd into the manifest chain (replay idempotence is
+    * spec-pinned in SnapshotStreamSpec).
+    */
+  private val upsertStreamRoot =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def q126StreamingUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = upsertStreamRoot.getOrElseUpdate(sfDir, {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-snapus-").toString
+      SnapshotStore.commitOverwrite(morBase(spark, sfDir), dir)  // v0
+      val baseFiles = SnapshotStore.snapshot(dir).get.files
+      // stage the changelog as key-disjoint parquet files: same key →
+      // same hash bucket → same file → same micro-batch
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-snapus-stage-").toString
+      morChangelog(spark, sfDir)
+        .repartition(3, pmod(col("o_orderkey"), lit(3)))
+        .write.mode("overwrite").parquet(stage)
+      val staged = spark.read.parquet(stage)
+      val nFiles = staged.inputFiles.length
+      val src = spark.readStream.schema(staged.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-snapus-ckpt-").toString
+      val q = graft.streaming.SnapshotStream.upsertStream(src, dir,
+        ckpt, sinkId = "q126", key = "o_orderkey", versionCol = "vord",
+        deleteCol = "del", skipPartialAgg = true)
+      q.awaitTermination()
+      val m = SnapshotStore.snapshot(dir).get
+      require(m.files == baseFiles && m.layers.size == nFiles,
+        s"upsert stream must leave the ${baseFiles.size}-file base " +
+          s"untouched and land one layer per micro-batch " +
+          s"(files ${m.files.size}, layers ${m.layers.size}, " +
+          s"batches $nFiles)")
+      val txns = (0 to SnapshotStore.versions(dir).max)
+        .map(v => SnapshotStore.snapshot(dir, Some(v)).get.txn)
+      (0 until nFiles).foreach(b => require(txns.contains(s"q126:$b"),
+        s"micro-batch $b's txn missing from the manifest chain: $txns"))
+      dir
+    })
+    SnapshotStore.read(spark, root) // base + three folded layers
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_rows"),
         sum(centsOf(col("o_totalprice")))

@@ -1343,24 +1343,36 @@ object SnapshotStore {
     * into layer order = version order — the same result as running
     * them sequentially). Changelog contract as [[merge]]: non-null
     * keys, `(key, version)` unique, null tombstone flag = insert. */
-  def mergeOnRead(spark: SparkSession, root: String, changes: DataFrame,
+  /** The changelog fold shared by [[mergeOnRead]] and
+    * [[mergeOnReadOnce]]: per-key winners (latest version's payload +
+    * tombstone flag) in table-column order — exactly the
+    * [[graft.operators.Temporal.applyChangelog]] max_by shape minus the
+    * base join. */
+  private def foldChangeWinners(changes: DataFrame, schema: StructType,
       key: String, versionCol: String, deleteCol: String,
-      skipPartialAgg: Boolean = false): Int = {
+      skipPartialAgg: Boolean): DataFrame = {
     import org.apache.spark.sql.functions.{col, struct, max_by, coalesce, lit}
-    val cur0 = snapshot(root).getOrElse(
-      sys.error(s"mergeOnRead into a table with no commits under $root"))
-    val schema = StructType.fromDDL(cur0.schemaDdl)
     val cols = schema.fieldNames.toSeq
     require(cols.contains(key), s"table must carry $key")
     val payload = struct(
       coalesce(col(deleteCol), lit(false)).as(LayerDelCol) +:
         cols.filter(_ != key).map(col): _*)
     val pre = if (skipPartialAgg) changes.repartition(col(key)) else changes
-    val winners = pre.groupBy(col(key))
+    pre.groupBy(col(key))
       .agg(max_by(payload, col(versionCol)).as("graft_w"))
       .select(cols.map(c =>
         if (c == key) col(key) else col(s"graft_w.$c").as(c)) :+
         col(s"graft_w.$LayerDelCol").as(LayerDelCol): _*)
+  }
+
+  def mergeOnRead(spark: SparkSession, root: String, changes: DataFrame,
+      key: String, versionCol: String, deleteCol: String,
+      skipPartialAgg: Boolean = false): Int = {
+    val cur0 = snapshot(root).getOrElse(
+      sys.error(s"mergeOnRead into a table with no commits under $root"))
+    val schema = StructType.fromDDL(cur0.schemaDdl)
+    val winners = foldChangeWinners(changes, schema, key, versionCol,
+      deleteCol, skipPartialAgg)
     val files = writeData(winners, root)
     val layer = MergeLayer(key, files)
     var attempt = 0
@@ -1376,6 +1388,56 @@ object SnapshotStore {
       attempt += 1
     }
     sys.error(s"mergeOnRead lost $MaxRetries version races under $root")
+  }
+
+  /** [[mergeOnRead]] with [[commitAppendOnce]]'s replay idempotence —
+    * the streaming-CDC-upsert primitive: a micro-batch replayed after a
+    * sink crash (txn already in a retained manifest) returns None and
+    * commits NOTHING, so the layer chain stays exactly one layer per
+    * logical batch. Same dedup protocol as the append twin (one listing
+    * seeds scan + watermark, newest-first early-exit scan, in-loop
+    * recheck across lost races) and the same contract: replay-safe by
+    * construction, retention-horizon-bounded, not a guard against two
+    * live writers sharing a txn id. The winners fold and layer files are
+    * built ONCE before the retry loop — a lost race re-publishes the
+    * same immutable layer against the new head, which is correct
+    * because a layer's content depends only on `changes`. */
+  def mergeOnReadOnce(spark: SparkSession, root: String,
+      changes: DataFrame, key: String, versionCol: String,
+      deleteCol: String, txn: String,
+      skipPartialAgg: Boolean = false): Option[Int] = {
+    require(txn.nonEmpty, "txn id must be non-empty")
+    def txnSeenAbove(floor: Int): Boolean =
+      versions(root).reverseIterator.takeWhile(_ > floor)
+        .exists(v => snapshot(root, Some(v)).get.txn == txn)
+    val vs0 = versions(root)
+    require(vs0.nonEmpty,
+      s"mergeOnReadOnce into a table with no commits under $root")
+    if (vs0.reverseIterator.exists(v =>
+        snapshot(root, Some(v)).get.txn == txn)) return None
+    var checked = vs0.last
+    val cur0 = snapshot(root).get
+    val schema = StructType.fromDDL(cur0.schemaDdl)
+    val winners = foldChangeWinners(changes, schema, key, versionCol,
+      deleteCol, skipPartialAgg)
+    val files = writeData(winners, root)
+    val layer = MergeLayer(key, files)
+    var attempt = 0
+    while (attempt < MaxRetries) {
+      val cur = snapshot(root).get
+      require(cur.schemaDdl == cur0.schemaDdl,
+        s"schema evolved during mergeOnReadOnce: winners were built " +
+          s"for [${cur0.schemaDdl}], table now has [${cur.schemaDdl}]")
+      if (cur.version > checked && txnSeenAbove(checked)) return None
+      checked = cur.version
+      if (publish(root, Manifest(cur.version + 1, cur.version,
+          cur.schemaDdl, cur.files, txn, cur.statsFile,
+          segments = cur.segments, layers = cur.layers :+ layer)))
+        return Some(cur.version + 1)
+      attempt += 1
+    }
+    sys.error(
+      s"mergeOnReadOnce lost $MaxRetries version races under $root")
   }
 
   // -------------------------------------------------------------- vacuum

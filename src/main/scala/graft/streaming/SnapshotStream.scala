@@ -52,6 +52,36 @@ object SnapshotStream {
       .start()
   }
 
+  /** Streaming UPSERT sink — the CDC shape [[commitStream]] cannot
+    * express: each micro-batch is a changelog (upserts + delete
+    * tombstones, versioned) that lands as ONE merge-on-read layer via
+    * [[SnapshotStore.mergeOnReadOnce]], so the base table is never read
+    * or rewritten per batch (O(batch) commits against any base size)
+    * and a replayed micro-batch is deduplicated through the same
+    * manifest txn protocol as the append sink. Cross-batch semantics:
+    * layers fold in COMMIT order, so a key updated in two different
+    * micro-batches resolves to the later BATCH (stream order), with the
+    * version column breaking ties only WITHIN a batch — the standard
+    * CDC-stream contract (upstream emits changes in commit order).
+    * Fold the accreted layers back with [[SnapshotStore.optimize]] on
+    * whatever cadence read amplification warrants. */
+  def upsertStream(df: DataFrame, root: String, checkpoint: String,
+      sinkId: String, key: String, versionCol: String, deleteCol: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      skipPartialAgg: Boolean = false): StreamingQuery = {
+    require(sinkId.nonEmpty, "sinkId must be non-empty")
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        SnapshotStore.mergeOnReadOnce(batch.sparkSession, root, batch,
+          key, versionCol, deleteCol, txn = s"$sinkId:$batchId",
+          skipPartialAgg = skipPartialAgg)
+        ()
+      }
+      .start()
+  }
+
   /** Incremental poll: the change feed past `lastVersion` (exclusive)
     * up to the current head, plus the new head to carry into the next
     * poll. No new versions → (None, lastVersion). Each returned row is

@@ -93,4 +93,74 @@ class SnapshotStreamSpec extends SparkSpec {
     assert(SnapshotStore.versions(root) === Seq(0))
     assert(SnapshotStore.read(spark, root).count() === 1)
   }
+
+  test("upsertStream: each micro-batch lands as one merge-on-read " +
+      "layer, later BATCHES win over earlier ones, tombstones delete, " +
+      "and the base files are never rewritten") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = freshDir("snapstream-upsert")
+    SnapshotStore.commitOverwrite(
+      Seq((1L, "base1"), (2L, "base2"), (3L, "base3"))
+        .toDF("id", "s"), root)                              // v0
+    val baseFiles = SnapshotStore.snapshot(root).get.files
+    val stream = MemoryStream[(Long, Long, Boolean, String)]
+    val q = SnapshotStream.upsertStream(
+      stream.toDF().toDF("id", "v", "del", "s"), root,
+      freshDir("us-ckpt"), sinkId = "us", key = "id",
+      versionCol = "v", deleteCol = "del",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    val batches = Seq(
+      // batch 0: update 1 (v=9 wins within batch over v=5), insert 4
+      Seq((1L, 5L, false, "b0-lo"), (1L, 9L, false, "b0-hi"),
+        (4L, 1L, false, "b0-new")),
+      // batch 1: delete 2; re-update 1 with a LOWER version — later
+      // batch still wins (stream order beats version across batches)
+      Seq((2L, 1L, true, "x"), (1L, 1L, false, "b1-rewrite")))
+    try batches.foreach { b =>
+      stream.addData(b)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val m = SnapshotStore.snapshot(root).get
+    assert(m.files === baseFiles && m.layers.size === 2,
+      s"files ${m.files.size}, layers ${m.layers.size}")
+    assert(SnapshotStore.read(spark, root).as[(Long, String)]
+      .collect().toSet ===
+      Set((1L, "b1-rewrite"), (3L, "base3"), (4L, "b0-new")))
+    // replay the SAME batches through a fresh checkpoint, same sinkId:
+    // both txns are in the manifest chain, nothing double-applies
+    val q2 = SnapshotStream.upsertStream(
+      stream.toDF().toDF("id", "v", "del", "s"), root,
+      freshDir("us-ckpt2"), sinkId = "us", key = "id",
+      versionCol = "v", deleteCol = "del")
+    q2.awaitTermination()
+    assert(SnapshotStore.snapshot(root).get.layers.size === 2)
+    assert(SnapshotStore.read(spark, root).count() === 3)
+    // optimize folds the layers; content unchanged
+    SnapshotStore.optimize(spark, root, targetFiles = 1)
+    assert(SnapshotStore.snapshot(root).get.layers.isEmpty)
+    assert(SnapshotStore.read(spark, root).as[(Long, String)]
+      .collect().toSet ===
+      Set((1L, "b1-rewrite"), (3L, "base3"), (4L, "b0-new")))
+  }
+
+  test("mergeOnReadOnce refuses an empty table and dedupes a direct " +
+      "replayed txn") {
+    val root = freshDir("snapmor-once")
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.mergeOnReadOnce(spark, root,
+        Seq((1L, 1L, false, "a")).toDF("id", "v", "del", "s"),
+        key = "id", versionCol = "v", deleteCol = "del", txn = "t:0")
+    }
+    assert(e.getMessage.contains("no commits"))
+    SnapshotStore.commitOverwrite(Seq((1L, "x")).toDF("id", "s"), root)
+    val ch = Seq((1L, 1L, false, "y")).toDF("id", "v", "del", "s")
+    assert(SnapshotStore.mergeOnReadOnce(spark, root, ch,
+      "id", "v", "del", txn = "t:0") === Some(1))
+    assert(SnapshotStore.mergeOnReadOnce(spark, root, ch,
+      "id", "v", "del", txn = "t:0") === None)
+    assert(SnapshotStore.mergeOnReadOnce(spark, root, ch,
+      "id", "v", "del", txn = "t:1") === Some(2))
+    assert(SnapshotStore.versions(root) === Seq(0, 1, 2))
+  }
 }
