@@ -849,9 +849,14 @@ object SparkEntry {
     // Bloom-pruned join: the bloom is semantics-transparent (no false
     // negatives), so the oracle IS the plain join — equality proves the
     // pruning dropped only non-matching rows.
+    // revenue in integer ten-thousandths (cents(price)·(100−cents(disc)))
+    // — a double SUM's accumulation order diverges between engines by a
+    // final cent at sf1; the integer image is exact at any volume.
     "q72_bloom_join" ->
-      """SELECT p_brand, COUNT(*) AS n_items,
-         ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      """SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) *
+           (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT)
+           AS revenue_c4
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE p_size = 1
          GROUP BY p_brand ORDER BY p_brand""",

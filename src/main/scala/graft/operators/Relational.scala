@@ -1053,11 +1053,16 @@ object Relational {
     val smallParts = Tables.part(spark, sfDir)
       .filter(col("p_size") === 1)
       .select(col("p_partkey"), col("p_brand"))
+    // revenue in integer TEN-THOUSANDTHS: price and discount are exact
+    // 2-dp values, so cents(price) · (100 − cents(discount)) is the
+    // exact integer image of price·(1−discount) — a double SUM here
+    // differs from DuckDB's by accumulation order at sf1 volumes (one
+    // final cent), which is an FP seam, not a semantics difference
     Sketches.bloomPrunedJoin(lineitem, smallParts, "l_partkey", "p_partkey")
       .groupBy("p_brand")
       .agg(count(lit(1)).as("n_items"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-          .as("revenue"))
+        sum(centsOf(col("l_extendedprice")) *
+          (lit(100L) - centsOf(col("l_discount")))).as("revenue_c4"))
       .orderBy("p_brand")
   }
 
