@@ -145,6 +145,86 @@ object Profile {
     quantileWithStats(df, groupCol, valCol, p, bins,
       rangeStats(df, groupCol, valCol))
 
+  /** Multi-quantile [[quantileDiscNoSort]] with [[percentilesDisc]]'s
+    * exact output schema (`p<nn>` columns + `n_rows`) — the q64 serving
+    * path. One histogram aggregate locates EVERY requested rank (the
+    * walk repeats per p over the same in-row positional array — G×bins
+    * cells, no data sort), then ONE bucket-filter pass collects the ≤|ps|
+    * target bins' distinct values and the per-p in-bucket walk selects
+    * the exact type-1 element. Same contract deltas as
+    * [[quantileDiscNoSort]] (NULL group keys drop; `valCol` non-null) —
+    * and unlike the window formulation, no group ever funnels through a
+    * single sort task: both passes are map-side-combining aggregates, so
+    * a 5-group × 20 B-row profile parallelizes by split, not by group.
+    * Spec-pinned equal to [[percentilesDisc]] on random corpora with
+    * ties (SessionsProfileSpec).
+    */
+  def percentilesDiscNoSort(df: DataFrame, groupCol: String,
+      valCol: String, ps: Seq[Double], bins: Int = 1024): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      s"quantiles must be in (0,1], got $ps")
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val g = col(groupCol)
+    val v = col(valCol).cast("double")
+    val stats = rangeStats(df, groupCol, valCol)
+    def binOf: Column =
+      when(col("graft_hi") === col("graft_lo"), lit(0L))
+        .otherwise(least(lit(bins.toLong - 1),
+          floor((v - col("graft_lo")) /
+            ((col("graft_hi") - col("graft_lo")) / lit(bins.toDouble)))))
+    def walk(cells: Column, rank: Column): Column =
+      aggregate(cells,
+        struct(lit(0L).as("cum"), lit(false).as("found"),
+          lit(0.0).as("key"), lit(0L).as("before")),
+        (acc, x) => when(acc("found"), acc).otherwise(
+          when(acc("cum") + x("cnt") >= rank,
+            struct((acc("cum") + x("cnt")).as("cum"), lit(true).as("found"),
+              x("key").as("key"), acc("cum").as("before")))
+            .otherwise(struct((acc("cum") + x("cnt")).as("cum"),
+              lit(false).as("found"), lit(0.0).as("key"),
+              lit(0L).as("before")))))
+    // locate pass: one fixed-state histogram per group, every rank
+    // walked over the same positional array
+    val hist = df.join(broadcast(stats), groupCol)
+      .groupBy(g)
+      .agg(graft.functions.AggExprs.binCounts(binOf, bins)
+          .as("graft_hist"),
+        first(col("graft_n")).as("graft_n"))
+      .select(Seq(g, col("graft_n"),
+        transform(col("graft_hist"),
+          (c, i) => struct(i.cast("double").as("key"), c.as("cnt")))
+          .as("graft_cells")): _*)
+    val located = hist.select(
+      Seq(g, col("graft_n")) ++ ps.zipWithIndex.flatMap { case (p, i) =>
+        val rank = ceil(col("graft_n") * lit(p)).cast("long")
+        val w = walk(col("graft_cells"), rank)
+        Seq(w.getField("key").cast("long").as(s"graft_tbin_$i"),
+          (rank - w.getField("before")).as(s"graft_kin_$i"))
+      }: _*)
+      .withColumn("graft_tbins",
+        array(ps.indices.map(i => col(s"graft_tbin_$i")): _*))
+    // bucket pass: only rows in a target bin survive; per-bin distinct
+    // values sort inside a bounded array, never a data-row sort
+    val cellsByBin = df.join(broadcast(located), groupCol)
+      .join(broadcast(stats), groupCol)
+      .filter(array_contains(col("graft_tbins"), binOf))
+      .groupBy(g, binOf.as("graft_bin"), v.as("graft_v"))
+      .agg(count(lit(1)).as("graft_cnt"))
+      .groupBy(g, col("graft_bin"))
+      .agg(sort_array(collect_list(struct(col("graft_v").as("key"),
+        col("graft_cnt").as("cnt")))).as("graft_bcells"))
+      .groupBy(g)
+      .agg(map_from_entries(collect_list(struct(col("graft_bin"),
+        col("graft_bcells")))).as("graft_bymap"))
+    val picks: Seq[Column] = ps.zipWithIndex.map { case (p, i) =>
+      val name = "p" + math.round(p * 100).toString
+      walk(element_at(col("graft_bymap"), col(s"graft_tbin_$i")),
+        col(s"graft_kin_$i")).getField("key").as(name)
+    }
+    located.join(cellsByBin, groupCol)
+      .select(Seq(g) ++ picks :+ col("graft_n").as("n_rows"): _*)
+  }
+
   /** Per-group (graft_lo, graft_hi, graft_n) over `valCol` as doubles —
     * the range-statistics frame [[quantileWithStats]] consumes.
     */

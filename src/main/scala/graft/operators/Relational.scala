@@ -600,13 +600,17 @@ object Relational {
         gapMicros = 30L * 60 * 1000000)
       .orderBy("user_id", "session_seq")
 
-  /** q64: exact discontinuous percentiles ([[Profile.percentilesDisc]])
-    * of order totals per priority class. Type-1 quantiles (the element at
-    * rank ceil(p·n)) — engine-portable by construction; the oracle
-    * restates the rank selection, never an interpolating quantile.
+  /** q64: exact discontinuous percentiles
+    * ([[Profile.percentilesDiscNoSort]]) of order totals per priority
+    * class. Type-1 quantiles (the element at rank ceil(p·n)) —
+    * engine-portable by construction; the oracle restates the rank
+    * selection, never an interpolating quantile. The no-sort histogram
+    * localization replaced the window formulation in r16: with 5
+    * priority classes the window sorted 300 k rows per SINGLE task —
+    * the q100 de-sort argument applied to the percentile surface.
     */
   def q64Percentiles(spark: SparkSession, sfDir: String): DataFrame =
-    Profile.percentilesDisc(
+    Profile.percentilesDiscNoSort(
         Tables.orders(spark, sfDir)
           .select(col("o_orderpriority"), col("o_totalprice")),
         groupCol = "o_orderpriority", valCol = "o_totalprice",

@@ -176,6 +176,20 @@ class SessionsProfileSpec extends SparkSpec {
           .as[(String, Double)].collect().toMap
         assert(noSort === exact, s"trial $trial p=$p")
       }
+      // the multi-quantile twin: every p in ONE histogram + ONE bucket
+      // pass must match the window formulation column for column,
+      // n_rows included (two ps deliberately landing in the same bin
+      // exercise the duplicate-target-bin path)
+      val ps = Seq(0.5, 0.52, 0.9, 1.0)
+      val names = ps.map(p => "p" + math.round(p * 100))
+      def rowsOf(d: org.apache.spark.sql.DataFrame) = d
+        .select($"g" +: names.map(col) :+ $"n_rows": _*)
+        .collect().map(r => r.getString(0) ->
+          (names.indices.map(i => r.getDouble(i + 1)),
+            r.getLong(names.size + 1))).toMap
+      assert(rowsOf(Profile.percentilesDiscNoSort(df, "g", "x", ps))
+        === rowsOf(Profile.percentilesDisc(df, "g", "x", ps)),
+        s"trial $trial multi-quantile")
     }
   }
 
