@@ -946,15 +946,31 @@ object ScaleSmoke {
             println(f"[scale] $name%-28s $nCh%10d rows  $sec%8.2f s")
             record(Entry(name, nCh, sec))
           }
-          morCommit("mor_commit_small", 503) // ~0.2 % of the base keys
-          morCommit("mor_commit_large", 47)  // ~2 % — the 10× size axis
+          // three sizes spanning 200× in |changes|; the first also
+          // absorbs the fold pipeline's JIT so the small/large contrast
+          // is warm-vs-warm
+          morCommit("mor_commit_tiny", 9973)  // ~0.01 % of the base keys
+          morCommit("mor_commit_small", 503)  // ~0.2 %
+          morCommit("mor_commit_large", 47)   // ~2 % — the size axis
           val m2 = SnapshotStore.snapshot(dir).get
-          require(m2.files == baseFiles && m2.layers.size == 2,
+          require(m2.files == baseFiles && m2.layers.size == 3,
             s"mergeOnRead must leave the ${baseFiles.size}-file base " +
-              s"untouched and accrete 2 layers (files ${m2.files.size}, " +
+              s"untouched and accrete 3 layers (files ${m2.files.size}, " +
               s"layers ${m2.layers.size})")
-          // the read tax: base + two anti-join layers, full scan
-          time("mor_read")(SnapshotStore.read(spark, dir))
+          // the read tax: base + three anti-join layers, full scan
+          // (timed manually — the entry-name filter would drop a
+          // time("mor_read") call when only merge_on_read is enabled)
+          locally {
+            var nRead = 0L
+            val sec = (1 to reps).map { _ =>
+              val t0 = System.nanoTime()
+              nRead = SnapshotStore.read(spark, dir).count()
+              (System.nanoTime() - t0) / 1e9
+            }.min
+            println(f"[scale] mor_read                    " +
+              f"$nRead%10d rows  $sec%8.2f s")
+            record(Entry("mor_read", nRead, sec))
+          }
           // fold the layers back into plain files; reads return to
           // layer-free scans (and stats pruning applies to ALL rows)
           val tF0 = System.nanoTime()
