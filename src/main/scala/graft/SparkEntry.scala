@@ -145,6 +145,7 @@ object SparkEntry {
     "q124_manifest_rewrite" -> (Relational.q124ManifestRewrite _),
     "q125_merge_on_read"   -> (Relational.q125MergeOnRead _),
     "q126_streaming_upsert" -> (Relational.q126StreamingUpsert _),
+    "q127_bloom_index"     -> (Relational.q127BloomIndex _),
   )
 
   /** The cohort-retention-matrix oracle, shared by q93 (the batch
@@ -767,6 +768,18 @@ object SparkEntry {
            CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
              AS cents
          FROM m GROUP BY 1 ORDER BY 1""",
+    // Bloom index point lookup: the oracle re-derives the probe key and
+    // selects the order directly — hash equality proves the bloom skip
+    // kept every file that held the key (no false negatives), the
+    // builder require()s the opened-file drop (the skipping is real).
+    "q127_bloom_index" ->
+      """WITH probe AS (SELECT MAX(o_orderkey) AS k FROM orders
+           WHERE o_orderkey % 13 = 0)
+         SELECT o_orderkey, o_custkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+           o_orderpriority
+         FROM orders, probe WHERE o_orderkey = probe.k
+         ORDER BY o_orderkey""",
     // Manifest rewrite: content-hash invariance through the metadata-
     // only regroup — the oracle recomputes the range aggregate straight
     // from orders; pruning through the REWRITTEN summaries is REQUIREd.

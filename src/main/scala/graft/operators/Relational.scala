@@ -1711,6 +1711,52 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** q127: FILE-LEVEL BLOOM INDEX ([[graft.sources.SnapshotStore
+    * .indexBloom]]) — the point-lookup complement to q120's min/max
+    * skipping: orders committed range-clustered on o_CUSTKEY, so every
+    * file's o_orderkey range spans the domain and the stats tier cannot
+    * skip an orderkey equality; the per-file bloom sidecar can. The
+    * builder require()s the probe opened ≤1/4 of the files (expected: 1
+    * + vanishing false positives) and that a key OUTSIDE the domain
+    * opens at most one; the gated rows are the matched order itself, so
+    * the hash equality proves no file holding the key was skipped (no
+    * false negatives) while the opened-count proves the skipping is
+    * real. Probe key = MAX(o_orderkey) among multiples of 13 —
+    * deterministic at every SF, re-derived by the oracle.
+    */
+  private val bloomIdxRoot =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def q127BloomIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = bloomIdxRoot.getOrElseUpdate(sfDir, {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-snapblm-").toString
+      SnapshotStore.commitOverwrite(
+        Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice"), col("o_orderpriority"))
+          .repartitionByRange(16, col("o_custkey")), dir)     // v0
+      SnapshotStore.indexBloom(spark, dir, "o_orderkey")      // v1
+      dir
+    })
+    val probe = Tables.orders(spark, sfDir)
+      .filter(pmod(col("o_orderkey"), lit(13)) === 0)
+      .agg(max(col("o_orderkey"))).head.getLong(0)
+    val (df, rep) = SnapshotStore.readWhere(spark, root,
+      SnapshotStore.StatsPred.Eq("o_orderkey", probe))
+    require(rep.filesOpened * 4 <= rep.filesListed,
+      s"bloom index must prune the custkey-clustered layout: $rep")
+    val (_, repAbsent) = SnapshotStore.readWhere(spark, root,
+      SnapshotStore.StatsPred.Eq("o_orderkey", -424242L))
+    require(repAbsent.filesOpened <= 1,
+      s"absent key must open (almost) nothing: $repAbsent")
+    df.select(col("o_orderkey"), col("o_custkey"),
+        centsOf(col("o_totalprice")).as("cents"),
+        col("o_orderpriority"))
+      .orderBy("o_orderkey")
+  }
+
   def q118Optimize(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.sources.SnapshotStore
     val root = optimizeRoot.getOrElseUpdate(sfDir, {

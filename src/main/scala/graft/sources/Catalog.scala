@@ -204,23 +204,25 @@ object Catalog {
           SnapshotStore.parse(new String(Files.readAllBytes(
             Paths.get(tr, rel)), StandardCharsets.UTF_8))
         }
-        val (allFiles, allStats, baseV, segs) = mode match {
+        val (allFiles, allStats, baseV, segs, blms) = mode match {
           case Overwrite => (files, stats, baseM.map(_.version)
-            .getOrElse(-1), Nil)
+            .getOrElse(-1), Nil, Nil)
           case Append =>
             baseM.foreach(m => require(m.schemaDdl == ddl,
               s"catalog append schema mismatch on $t: table has " +
                 s"[${m.schemaDdl}], append has [$ddl]"))
-            // inline stats compose; base SEGMENTS carry by reference
+            // inline stats compose; base SEGMENTS and bloom indexes
+            // carry by reference (new files are simply unindexed)
             (baseM.map(_.files).getOrElse(Seq.empty) ++ files,
               baseM.map(m => SnapshotStore.fileStats(tr, m))
                 .getOrElse(Map.empty) ++ stats,
               baseM.map(_.version).getOrElse(-1),
-              baseM.map(_.segments).getOrElse(Nil))
+              baseM.map(_.segments).getOrElse(Nil),
+              baseM.map(_.blooms).getOrElse(Nil))
         }
         val statsFile = SnapshotStore.writeStatsFile(tr, allStats)
         val m = SnapshotStore.Manifest(baseV + 1, baseV, ddl, allFiles,
-          statsFile = statsFile, segments = segs)
+          statsFile = statsFile, segments = segs, blooms = blms)
         val rel = s"_manifests/staged-${java.util.UUID.randomUUID()}.json"
         val p = Paths.get(tr, rel)
         Files.createDirectories(p.getParent)

@@ -91,7 +91,21 @@ object SnapshotStore {
     * predicate can intersect. */
   final case class Manifest(version: Int, base: Int, schemaDdl: String,
       files: Seq[String], txn: String = "", statsFile: String = "",
-      segments: Seq[SegmentRef] = Nil, layers: Seq[MergeLayer] = Nil)
+      segments: Seq[SegmentRef] = Nil, layers: Seq[MergeLayer] = Nil,
+      blooms: Seq[BloomIndex] = Nil)
+
+  /** One FILE-LEVEL BLOOM INDEX over a column — the point-lookup
+    * complement to the min/max sidecar: after a z-order/range layout
+    * clusters ONE key, every other column's per-file ranges overlap and
+    * stats cannot skip an equality probe on them; a per-file Bloom
+    * bitmap can (no false negatives, so skipping is sound — the
+    * Iceberg/Delta bloom-filter-index idea as an immutable sidecar).
+    * `file` names the sidecar mapping data-file path → bitmap; a data
+    * file ABSENT from the sidecar (added after indexing) is
+    * conservatively opened, so an index is never invalidated by later
+    * commits — only made less effective until re-indexed. */
+  final case class BloomIndex(column: String, logBits: Int, k: Int,
+      file: String)
 
   /** One MERGE-ON-READ layer — the O(changes) alternative to the
     * copy-on-write [[merge]] (Iceberg's equality-delete / Delta's
@@ -202,7 +216,13 @@ object SnapshotStore {
         s"""{"lkey":"${esc(l.key)}","lstats":"${esc(l.statsFile)}",""" +
           s""""ldata":[$lf]}"""
       }.mkString(""""layers":[""", ",", "],")
-    s"""{"version":${m.version},"base":${m.base},""" +
+    val blm =
+      if (m.blooms.isEmpty) ""
+      else m.blooms.map { b =>
+        s"""{"bcol":"${esc(b.column)}","blogbits":${b.logBits},""" +
+          s""""bk":${b.k},"bfile":"${esc(b.file)}"}"""
+      }.mkString(""""blooms":[""", ",", "],")
+    s"""{"version":${m.version},"base":${m.base},$blm""" +
       s""""txn":"${esc(m.txn)}",""" +
       s""""statsfile":"${esc(m.statsFile)}",""" +
       s""""schema":"${esc(m.schemaDdl)}",$segs$lys"files":[$fs]}"""
@@ -277,8 +297,15 @@ object SnapshotStore {
           unesc(f.group(1))).toSeq,
         unesc(m.group(2)))
     }.toSeq
+    // bloom index refs — optional like segments/layers
+    val blmRe = (s"""\\{"bcol":$strLit,"blogbits":(\\d+),"bk":(\\d+),""" +
+      s""""bfile":$strLit\\}""").r
+    val blooms = blmRe.findAllMatchIn(s).map { m =>
+      BloomIndex(unesc(m.group(1)), m.group(2).toInt, m.group(3).toInt,
+        unesc(m.group(4)))
+    }.toSeq
     Manifest(intField("version"), intField("base"), unesc(schema), files,
-      txn, statsFile, segments, layers)
+      txn, statsFile, segments, layers, blooms)
   }
 
   // ------------------------------------------------------------- resolve
@@ -663,9 +690,21 @@ object SnapshotStore {
     * open and the full report. */
   private[sources] def pruneScan(root: String, m: Manifest,
       schema: StructType, pred: StatsPred): (Seq[String], ScanReport) = {
+    // bloom sidecars load once per scan, and only when the predicate
+    // carries equality conjuncts an index column could decide
+    val eqCols = eqConjuncts(pred).map {
+      case StatsPred.Eq(n, _) => n
+      case StatsPred.In(n, _) => n
+      case _                  => ""
+    }.toSet
+    val loaded = m.blooms.filter(b => eqCols.contains(b.column))
+      .map(b => (b, bloomBitmaps(root, b)))
+    def bloomKeep(f: String): Boolean =
+      loaded.isEmpty || bloomMayMatch(f, schema, pred, loaded)
     val inlineStats = fileStats(root, m)
     val inlineKeep = m.files.filter(f =>
-      inlineStats.get(f).forall(s => mayMatch(s, schema, pred)))
+      inlineStats.get(f).forall(s => mayMatch(s, schema, pred)) &&
+        bloomKeep(f))
     var parsed = 0
     val segKeep = m.segments.flatMap { ref =>
       if (ref.cols.nonEmpty && !mayMatch(ref.cols, schema, pred)) Nil
@@ -674,7 +713,8 @@ object SnapshotStore {
         val sm = readSegmentManifest(root, ref)
         val st = fileStats(root, sm)
         sm.files.filter(f =>
-          st.get(f).forall(s => mayMatch(s, schema, pred)))
+          st.get(f).forall(s => mayMatch(s, schema, pred)) &&
+            bloomKeep(f))
       }
     }
     val keep = inlineKeep ++ segKeep
@@ -909,6 +949,217 @@ object SnapshotStore {
     out.toMap
   }
 
+  // --------------------------------------------------------- bloom index
+
+  /** Build a FILE-LEVEL BLOOM INDEX over `column` for the current
+    * snapshot's base data files and commit it as a new version
+    * (metadata + one index scan; data files untouched). One pass reads
+    * only (file, column) — per file, a 2^logBits-bit bitmap over
+    * xxhash64(value) with Kirsch–Mitzenmacher double hashing, the exact
+    * [[graft.operators.Sketches.bloomBitmap]] construction — and the
+    * sidecar maps data-file path → bitmap. [[readWhere]] then skips
+    * files whose bitmap rules out an equality/IN conjunct: no false
+    * negatives, so skipping is sound; stats pruning still applies on
+    * top. Null values set no bits — an `Eq` can never select null rows
+    * (SQL 3VL), so a file of ONLY nulls is safely skippable; IsNull
+    * pruning stays with the stats tier.
+    *
+    * Later appends leave new files unindexed (conservatively opened);
+    * OPTIMIZE/merge rewrite file sets and DROP the index (re-run after).
+    * Sizing: the sidecar costs 2^logBits/8 bytes per file (default 16 →
+    * 8 KiB/file), the same per-file-metadata scale as the stats tier;
+    * at manifest-list scale the segment tier shards sidecars exactly
+    * like stats. Retries past concurrent appends (the per-file bitmaps
+    * stay valid for every file that survives; files added by the
+    * interleaved commit are simply not indexed). Refuses an unknown
+    * column; layered tables index their BASE files (layer files are
+    * never pruned, so the fold stays exact). Returns the committed
+    * version. */
+  def indexBloom(spark: SparkSession, root: String, column: String,
+      logBits: Int = 16, k: Int = 5): Int = {
+    import org.apache.spark.sql.functions.{bit_or, coalesce, col,
+      collect_list, element_at, explode, expr, input_file_name, lit,
+      map_from_arrays, pmod, sequence, shiftrightunsigned, transform,
+      xxhash64, array}
+    require(logBits >= 6 && logBits <= 26, s"logBits out of range: $logBits")
+    require(k >= 1 && k <= 16, s"k out of range: $k")
+    val cur0 = snapshot(root).getOrElse(
+      sys.error(s"indexBloom on a table with no commits under $root"))
+    val schema = StructType.fromDDL(cur0.schemaDdl)
+    require(schema.fieldNames.contains(column),
+      s"indexBloom: table has no column '$column' " +
+        s"(schema: ${cur0.schemaDdl})")
+    val baseFiles = allFiles(root, cur0)
+    val rel = s"_manifests/bloom-${java.util.UUID.randomUUID()}.tsv"
+    if (baseFiles.nonEmpty) {
+      val m = 1L << logBits
+      val nWords = (m / 64).toInt
+      val paths = baseFiles.map(f => Paths.get(root, f).toString)
+      // one scan of (file, column): per-file k positions -> word ors ->
+      // dense array; everything map-side combining on the (file, word)
+      // key, result rows = nFiles (bitmap-sized, driver-safe by the
+      // sidecar's own sizing contract)
+      val h = xxhash64(col(column))
+      val lo = h.bitwiseAND(lit(0xffffffffL))
+      val hi = shiftrightunsigned(h, 32).bitwiseOR(lit(1L))
+      val positions = (0 until k).map(i =>
+        pmod(lo + lit(i.toLong) * hi, lit(m)))
+      val rows = spark.read.schema(schema).parquet(paths: _*)
+        .select(input_file_name().as("graft_file"), col(column))
+        .filter(col(column).isNotNull)
+        .select(col("graft_file"),
+          explode(array(positions: _*)).as("pos"))
+        .groupBy(col("graft_file"), expr("pos DIV 64").as("w"))
+        .agg(bit_or(expr(
+          "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"))
+          .as("bits"))
+        .groupBy(col("graft_file"))
+        .agg(map_from_arrays(collect_list(col("w")),
+          collect_list(col("bits"))).as("wm"))
+        .select(col("graft_file"),
+          transform(sequence(lit(0L), lit(nWords.toLong - 1)),
+            i => coalesce(element_at(col("wm"), i), lit(0L)))
+            .as("graft_bloom"))
+        .collect()
+      // URI → manifest-relative path: input_file_name returns file: URIs
+      val byPath = rows.map { r =>
+        val uri = r.getString(0)
+        val abs = Paths.get(java.net.URI.create(uri)).toString
+        val relFile = Paths.get(root).toAbsolutePath.normalize
+          .relativize(Paths.get(abs).toAbsolutePath.normalize).toString
+        (relFile, r.getSeq[Long](1))
+      }
+      val missing = baseFiles.toSet -- byPath.map(_._1).toSet
+      // a base file yielding NO rows (empty or all-null column) still
+      // gets an explicit all-zero bitmap: absent-from-sidecar means
+      // "not indexed, must open", which would silently disable the
+      // index for exactly the files it prunes best
+      val sb = new StringBuilder
+      (byPath ++ missing.toSeq.map(f => (f, Seq.fill(nWords)(0L))))
+        .foreach { case (f, words) =>
+          val bytes = java.nio.ByteBuffer.allocate(words.length * 8)
+          words.foreach(bytes.putLong)
+          sb.append(esc(f)).append('\t').append(
+            java.util.Base64.getEncoder.encodeToString(bytes.array()))
+            .append('\n')
+        }
+      val p = Paths.get(root, rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, sb.toString.getBytes(StandardCharsets.UTF_8))
+    } else {
+      val p = Paths.get(root, rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, Array.emptyByteArray)
+    }
+    val idx = BloomIndex(column, logBits, k, rel)
+    var attempt = 0
+    while (attempt < MaxRetries) {
+      val cur = snapshot(root).get
+      require(cur.schemaDdl == cur0.schemaDdl,
+        s"schema evolved during indexBloom: index was built for " +
+          s"[${cur0.schemaDdl}], table now has [${cur.schemaDdl}]")
+      // one live index per column: re-indexing replaces the old ref
+      if (publish(root, cur.copy(version = cur.version + 1,
+          base = cur.version, txn = "",
+          blooms = cur.blooms.filterNot(_.column == column) :+ idx)))
+        return cur.version + 1
+      attempt += 1
+    }
+    sys.error(s"indexBloom lost $MaxRetries version races under $root")
+  }
+
+  /** Load a bloom sidecar: data-file path → bitmap words. */
+  private[sources] def bloomBitmaps(root: String,
+      b: BloomIndex): Map[String, Array[Long]] = {
+    val p = Paths.get(root, b.file)
+    if (!Files.exists(p)) return Map.empty
+    new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .split('\n').iterator.filter(_.nonEmpty).flatMap { line =>
+        val f = line.split('\t')
+        if (f.length != 2) None
+        else {
+          val bytes = java.util.Base64.getDecoder.decode(f(1))
+          val words = new Array[Long](bytes.length / 8)
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+          words.indices.foreach(i => words(i) = bb.getLong())
+          Some(unesc(f(0)) -> words)
+        }
+      }.toMap
+  }
+
+  /** Driver-side twin of the executor-side hash: the probe value cast
+    * to the COLUMN's type (so int-vs-long literals cannot diverge from
+    * the build), then catalyst's own XxHash64 evaluated on the literal —
+    * bit-identical to `xxhash64(col)` by construction. None when the
+    * cast fails or the value is null (→ conservative, no skip). */
+  private def bloomProbePositions(value: Any,
+      dt: org.apache.spark.sql.types.DataType, logBits: Int,
+      k: Int): Option[Seq[Long]] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
+    try {
+      val lit0 = Literal(value)
+      val cast = if (lit0.dataType == dt) lit0
+        else Cast(lit0, dt, Some("UTC"))
+      val internal = cast.eval(null)
+      if (internal == null) return None
+      // seed 42 = the SQL xxhash64() default, the build side's seed
+      val h = XxHash64(Seq(Literal(internal, dt)), 42L).eval(null)
+        .asInstanceOf[Long]
+      val m = 1L << logBits
+      val lo = h & 0xffffffffL
+      val hi = (h >>> 32) | 1L
+      Some((0 until k).map(i => Math.floorMod(lo + i.toLong * hi, m)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def bloomHit(words: Array[Long], positions: Seq[Long]): Boolean =
+    positions.forall { pos =>
+      val w = (pos >>> 6).toInt
+      w < words.length && ((words(w) >>> (pos & 63).toInt) & 1L) == 1L
+    }
+
+  /** Equality/IN conjuncts of `pred` that a FALSE bloom probe makes
+    * decisive: walking only And nodes keeps the implication sound (a
+    * file failing ANY conjunct cannot match the conjunction; inside an
+    * Or a failing arm decides nothing). */
+  private def eqConjuncts(p: StatsPred): Seq[StatsPred] = p match {
+    case StatsPred.And(a, b) => eqConjuncts(a) ++ eqConjuncts(b)
+    case e: StatsPred.Eq     => Seq(e)
+    case i: StatsPred.In     => Seq(i)
+    case _                   => Nil
+  }
+
+  /** Whether `file` may contain rows matching `pred`'s equality
+    * conjuncts, per the manifest's bloom indexes. Conservative: files
+    * absent from a sidecar, unindexed columns, unevaluable probe values
+    * and empty IN lists all answer true. */
+  private def bloomMayMatch(file: String, schema: StructType,
+      pred: StatsPred,
+      loaded: Seq[(BloomIndex, Map[String, Array[Long]])]): Boolean =
+    eqConjuncts(pred).forall { c =>
+      val (colName, values) = c match {
+        case StatsPred.Eq(n, v)  => (n, Seq(v))
+        case StatsPred.In(n, vs) => (n, vs)
+        case _                   => return true
+      }
+      if (values.isEmpty) true
+      else loaded.filter(_._1.column == colName).forall {
+        case (idx, maps) =>
+          maps.get(file) match {
+            case None => true // file not indexed
+            case Some(words) =>
+              val dt = schema.fields(schema.fieldIndex(colName)).dataType
+              // the file may match if ANY sought value might be present
+              values.exists { v =>
+                bloomProbePositions(v, dt, idx.logBits, idx.k) match {
+                  case Some(ps) => bloomHit(words, ps)
+                  case None     => true
+                }
+              }
+          }
+      }
+    }
+
   /** Atomically publish `m` as version `m.version`. True if this writer
     * won the version; false if another commit got there first. */
   private def publish(root: String, m: Manifest): Boolean = {
@@ -974,7 +1225,8 @@ object SnapshotStore {
         case Some(c) if c.layers.nonEmpty =>
           publish(root, Manifest(base + 1, base, ddl, c.files,
             statsFile = c.statsFile, segments = c.segments,
-            layers = c.layers :+ MergeLayer("", files)))
+            layers = c.layers :+ MergeLayer("", files),
+            blooms = c.blooms))
         case _ =>
           // the sidecar composes the base's INLINE stats with the new
           // files' — it depends on the rebase target, so each attempt
@@ -986,7 +1238,8 @@ object SnapshotStore {
               newStats)
           publish(root, Manifest(base + 1, base, ddl, baseFiles ++ files,
             statsFile = statsFile,
-            segments = cur.map(_.segments).getOrElse(Nil)))
+            segments = cur.map(_.segments).getOrElse(Nil),
+            blooms = cur.map(_.blooms).getOrElse(Nil)))
       }
       if (published) return base + 1
       attempt += 1
@@ -1026,7 +1279,8 @@ object SnapshotStore {
       if (publish(root, Manifest(base + 1, base, ddl,
           cur.map(_.files).getOrElse(Seq.empty),
           statsFile = cur.map(_.statsFile).getOrElse(""),
-          segments = cur.map(_.segments).getOrElse(Nil) :+ ref)))
+          segments = cur.map(_.segments).getOrElse(Nil) :+ ref,
+          blooms = cur.map(_.blooms).getOrElse(Nil))))
         return base + 1
       attempt += 1
     }
@@ -1135,14 +1389,16 @@ object SnapshotStore {
         case Some(c) if c.layers.nonEmpty =>
           publish(root, Manifest(base + 1, base, ddl, c.files, txn,
             c.statsFile, segments = c.segments,
-            layers = c.layers :+ MergeLayer("", files)))
+            layers = c.layers :+ MergeLayer("", files),
+            blooms = c.blooms))
         case _ =>
           val statsFile = writeStatsFile(root,
             cur.map(m => fileStats(root, m)).getOrElse(Map.empty) ++
               newStats)
           publish(root,
             Manifest(base + 1, base, ddl, baseFiles ++ files, txn,
-              statsFile, segments = cur.map(_.segments).getOrElse(Nil)))
+              statsFile, segments = cur.map(_.segments).getOrElse(Nil),
+              blooms = cur.map(_.blooms).getOrElse(Nil)))
       }
       if (published) return Some(base + 1)
       attempt += 1
@@ -1225,14 +1481,16 @@ object SnapshotStore {
         case Some(c) if c.layers.nonEmpty =>
           publish(root, Manifest(base + 1, base, ddl, c.files,
             statsFile = c.statsFile, segments = c.segments,
-            layers = c.layers :+ MergeLayer("", files)))
+            layers = c.layers :+ MergeLayer("", files),
+            blooms = c.blooms))
         case _ =>
           val statsFile = writeStatsFile(root,
             cur.map(m => fileStats(root, m)).getOrElse(Map.empty) ++
               harvestStats(df.sparkSession, root, files))
           publish(root, Manifest(base + 1, base, ddl, baseFiles ++ files,
             statsFile = statsFile,
-            segments = cur.map(_.segments).getOrElse(Nil)))
+            segments = cur.map(_.segments).getOrElse(Nil),
+            blooms = cur.map(_.blooms).getOrElse(Nil)))
       }
       if (published) return base + 1
       attempt += 1
@@ -1383,7 +1641,8 @@ object SnapshotStore {
           s"[${cur0.schemaDdl}], table now has [${cur.schemaDdl}]")
       if (publish(root, Manifest(cur.version + 1, cur.version,
           cur.schemaDdl, cur.files, statsFile = cur.statsFile,
-          segments = cur.segments, layers = cur.layers :+ layer)))
+          segments = cur.segments, layers = cur.layers :+ layer,
+          blooms = cur.blooms)))
         return cur.version + 1
       attempt += 1
     }
@@ -1432,7 +1691,8 @@ object SnapshotStore {
       checked = cur.version
       if (publish(root, Manifest(cur.version + 1, cur.version,
           cur.schemaDdl, cur.files, txn, cur.statsFile,
-          segments = cur.segments, layers = cur.layers :+ layer)))
+          segments = cur.segments, layers = cur.layers :+ layer,
+          blooms = cur.blooms)))
         return Some(cur.version + 1)
       attempt += 1
     }
@@ -1533,6 +1793,8 @@ object SnapshotStore {
       (reachable.map(_.statsFile) ++ segMs.map(_.statsFile) ++
         reachable.flatMap(_.layers.map(_.statsFile)))
         .filter(_.nonEmpty).toSet
+    val liveBlooms: Set[String] =
+      reachable.flatMap(_.blooms.map(_.file)).toSet
     val mDir = manifestDir(root)
     if (Files.isDirectory(mDir)) {
       val ms = Files.list(mDir)
@@ -1543,6 +1805,9 @@ object SnapshotStore {
           val n = f.getFileName.toString
           if (n.startsWith("stats-") && n.endsWith(".tsv") &&
               !liveStats.contains(s"_manifests/$n"))
+            Files.delete(f)
+          else if (n.startsWith("bloom-") && n.endsWith(".tsv") &&
+              !liveBlooms.contains(s"_manifests/$n"))
             Files.delete(f)
           else if (n.startsWith("seg-") && n.endsWith(".json") &&
               !liveSegs.contains(s"_manifests/$n"))

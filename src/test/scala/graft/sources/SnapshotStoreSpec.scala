@@ -812,4 +812,105 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(opt.segments.isEmpty && opt.files.size === 1)
     assert(SnapshotStore.read(spark, root).count() === 170)
   }
+
+  // ----------------------------------------------- file-level bloom index
+
+  test("bloom index: equality reads skip files the min/max tier cannot, " +
+      "equal read().filter exactly, and an absent key opens zero files") {
+    val root = freshRoot()
+    // clustered on `grp`, probed on `id`: every file's id range is the
+    // full span (id % pattern), so stats alone can never skip an id probe
+    (0 until 4).foreach { g =>
+      SnapshotStore.commitAppend(
+        spark.range(0, 400).filter(col("id") % 4 === g)
+          .select(col("id"), lit(g).as("grp")).coalesce(1), root)
+    }
+    val v = SnapshotStore.indexBloom(spark, root, "id", logBits = 12)
+    assert(v === 4)
+    val m = SnapshotStore.snapshot(root).get
+    assert(m.blooms.size === 1 && m.blooms.head.column === "id")
+    // manifest codec round-trips the index ref
+    assert(SnapshotStore.parse(SnapshotStore.render(m)) === m)
+    // present key: exactly the one file holding id=42 (mod-4 slice 2)
+    val (hit, rep) = SnapshotStore.readWhere(spark, root,
+      SnapshotStore.StatsPred.Eq("id", 42L))
+    assert(hit.as[(Long, Int)].collect().toSeq === Seq((42L, 2)))
+    assert(rep.filesOpened === 1 && rep.filesListed === 4, rep.toString)
+    // absent key: bloom rules out every file (false positives possible
+    // but vanishing at 4096 bits over 100 ids; the content check is the
+    // real invariant)
+    val (miss, repM) = SnapshotStore.readWhere(spark, root,
+      SnapshotStore.StatsPred.Eq("id", 9999L))
+    assert(miss.count() === 0)
+    assert(repM.filesOpened <= 1, repM.toString)
+    // IN prunes to the union of its members' files; OR of equalities is
+    // conservatively NOT bloom-pruned but stays exact
+    val (inDf, repIn) = SnapshotStore.readWhere(spark, root,
+      SnapshotStore.StatsPred.In("id", Seq(10L, 11L)))
+    assert(inDf.count() === 2 && repIn.filesOpened <= 2, repIn.toString)
+    val orPred = SnapshotStore.StatsPred.Or(
+      SnapshotStore.StatsPred.Eq("id", 10L),
+      SnapshotStore.StatsPred.Eq("id", 11L))
+    val (orDf, _) = SnapshotStore.readWhere(spark, root, orPred)
+    assert(orDf.count() === 2)
+  }
+
+  test("bloom index: later appends stay conservative, re-indexing " +
+      "replaces the column's ref, vacuum sweeps dead sidecars, " +
+      "overwrite drops the index") {
+    val root = freshRoot()
+    SnapshotStore.commitAppend(
+      spark.range(0, 100).select(col("id"), lit("a").as("s"))
+        .coalesce(1), root)                                        // v0
+    SnapshotStore.indexBloom(spark, root, "id")                    // v1
+    // an appended file is unindexed -> every Eq must open it (absent
+    // from the sidecar = conservative), so the new row IS found
+    SnapshotStore.commitAppend(
+      spark.range(1000, 1001).select(col("id"), lit("b").as("s"))
+        .coalesce(1), root)                                        // v2
+    val (got, rep) = SnapshotStore.readWhere(spark, root,
+      SnapshotStore.StatsPred.Eq("id", 1000L))
+    assert(got.count() === 1)
+    // stats already skip the old file here (disjoint id ranges); the
+    // invariant under test is the new file was not bloom-skipped
+    assert(rep.filesOpened >= 1)
+    // re-index: ONE live ref per column, old sidecar becomes dead
+    val before = SnapshotStore.snapshot(root).get.blooms.head.file
+    SnapshotStore.indexBloom(spark, root, "id")                    // v3
+    val after = SnapshotStore.snapshot(root).get.blooms
+    assert(after.size === 1 && after.head.file != before)
+    // now probing 1000 through the fresh index skips the v0 file AND
+    // finds the row
+    val (got2, rep2) = SnapshotStore.readWhere(spark, root,
+      SnapshotStore.StatsPred.Eq("id", 1000L))
+    assert(got2.count() === 1 && rep2.filesOpened === 1, rep2.toString)
+    // vacuum (keep current only) sweeps the superseded sidecar
+    SnapshotStore.vacuum(root, keepVersions = 1)
+    val blooms = java.nio.file.Files.list(
+      java.nio.file.Paths.get(root, "_manifests"))
+    val names = try {
+      val it = blooms.iterator()
+      var b = List.empty[String]
+      while (it.hasNext) b ::= it.next().getFileName.toString
+      b
+    } finally blooms.close()
+    assert(names.count(n => n.startsWith("bloom-")) === 1)
+    // an overwrite replaces the file set -> the index drops
+    SnapshotStore.commitOverwrite(
+      spark.range(0, 5).select(col("id"), lit("c").as("s")), root)
+    assert(SnapshotStore.snapshot(root).get.blooms.isEmpty)
+    // string-typed probe: driver hash must equal the executor hash
+    val root2 = freshRoot()
+    (0 until 3).foreach { g =>
+      SnapshotStore.commitAppend(
+        spark.range(0, 90).filter(col("id") % 3 === g)
+          .select(concat(lit("k"), col("id")).as("key"), col("id"))
+          .coalesce(1), root2)
+    }
+    SnapshotStore.indexBloom(spark, root2, "key")
+    val (sGot, sRep) = SnapshotStore.readWhere(spark, root2,
+      SnapshotStore.StatsPred.Eq("key", "k77"))
+    assert(sGot.as[(String, Long)].collect().toSeq === Seq(("k77", 77L)))
+    assert(sRep.filesOpened === 1, sRep.toString)
+  }
 }
