@@ -773,8 +773,10 @@ object SparkEntry {
     // kept every file that held the key (no false negatives), the
     // builder require()s the opened-file drop (the skipping is real).
     "q127_bloom_index" ->
-      """WITH probe AS (SELECT MAX(o_orderkey) AS k FROM orders
-           WHERE o_orderkey % 13 = 0)
+      """WITH mid AS (SELECT (MIN(o_orderkey) + MAX(o_orderkey)) // 2
+             AS m FROM orders),
+           probe AS (SELECT MAX(o_orderkey) AS k FROM orders, mid
+             WHERE o_orderkey % 13 = 0 AND o_orderkey <= mid.m)
          SELECT o_orderkey, o_custkey,
            CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
            o_orderpriority

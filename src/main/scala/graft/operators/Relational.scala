@@ -1713,16 +1713,27 @@ object Relational {
 
   /** q127: FILE-LEVEL BLOOM INDEX ([[graft.sources.SnapshotStore
     * .indexBloom]]) — the point-lookup complement to q120's min/max
-    * skipping: orders committed range-clustered on o_CUSTKEY, so every
-    * file's o_orderkey range spans the domain and the stats tier cannot
-    * skip an orderkey equality; the per-file bloom sidecar can. The
-    * builder require()s the probe opened ≤1/4 of the files (expected: 1
-    * + vanishing false positives) and that a key OUTSIDE the domain
-    * opens at most one; the gated rows are the matched order itself, so
+    * skipping: orders committed range-clustered on xxhash64(o_CUSTKEY) —
+    * same-custkey rows still co-locate, but the cluster key is
+    * UNCORRELATED with o_orderkey at every scale factor (plain
+    * o_custkey is not: GenScaled shifts orderkey and custkey together
+    * per copy, and the base data itself correlates them, so
+    * custkey-range files are also orderkey-range files and the stats
+    * tier pruned the probe by itself — the r16 gate's flaw, measured:
+    * 9 of 15 skips were stats-attributed even under pmod(custkey,8191)
+    * at sf0.01). Under the hash clustering every file's o_orderkey range
+    * spans the domain; only the per-file bloom sidecar can skip an
+    * orderkey equality, and the gate require()s exactly that through
+    * [[graft.sources.SnapshotStore.ScanReport.bloomSkipped]]'s per-tier
+    * attribution: the probe must open ≤1/4 of the files with every skip
+    * bloom-attributed; a key below the domain must open ≤1 (there the
+    * stats tier is entitled to the skips — attribution counts stats
+    * first). The gated rows are the matched order itself, so
     * the hash equality proves no file holding the key was skipped (no
     * false negatives) while the opened-count proves the skipping is
-    * real. Probe key = MAX(o_orderkey) among multiples of 13 —
-    * deterministic at every SF, re-derived by the oracle.
+    * real. Probe key = the largest multiple of 13 at or below the
+    * orderkey domain midpoint — deterministic at every SF, mid-domain
+    * so stats cannot claim the skips, re-derived by the oracle.
     */
   private val bloomIdxRoot =
     scala.collection.concurrent.TrieMap.empty[String, String]
@@ -1736,19 +1747,38 @@ object Relational {
         Tables.orders(spark, sfDir)
           .select(col("o_orderkey"), col("o_custkey"),
             col("o_totalprice"), col("o_orderpriority"))
-          .repartitionByRange(16, col("o_custkey")), dir)     // v0
+          .repartitionByRange(16, xxhash64(col("o_custkey"))),
+        dir)                                                  // v0
       SnapshotStore.indexBloom(spark, dir, "o_orderkey")      // v1
       dir
     })
+    // probe key = the largest multiple of 13 at or below the DOMAIN
+    // MIDPOINT: an extreme key (the old plain max-of-13) sits above
+    // ~half the files' own maxima even when every file's range spans
+    // the bulk of the domain, handing those skips to the stats tier —
+    // a mid-domain key is inside every spanning file's [min, max], so
+    // only the bloom tier can skip (which is the thing under test)
+    val (kMin, kMax) = Tables.orders(spark, sfDir)
+      .agg(min(col("o_orderkey")), max(col("o_orderkey")))
+      .as[(Long, Long)](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong)).head()
+    val mid = (kMin + kMax) / 2
     val probe = Tables.orders(spark, sfDir)
-      .filter(pmod(col("o_orderkey"), lit(13)) === 0)
+      .filter(pmod(col("o_orderkey"), lit(13)) === 0 &&
+        col("o_orderkey") <= mid)
       .agg(max(col("o_orderkey"))).head.getLong(0)
     val (df, rep) = SnapshotStore.readWhere(spark, root,
       SnapshotStore.StatsPred.Eq("o_orderkey", probe))
     require(rep.filesOpened * 4 <= rep.filesListed,
-      s"bloom index must prune the custkey-clustered layout: $rep")
+      s"bloom index must prune the decorrelated layout: $rep")
+    require(rep.bloomSkipped == rep.filesSkipped && rep.bloomSkipped > 0,
+      s"every skip must be BLOOM-attributed (stats cannot prune the " +
+        s"pmod-clustered o_orderkey ranges): $rep")
     val (_, repAbsent) = SnapshotStore.readWhere(spark, root,
       SnapshotStore.StatsPred.Eq("o_orderkey", -424242L))
+    // the absent key sits BELOW the domain, so the stats tier is
+    // entitled to this one — no bloom attribution asserted here
     require(repAbsent.filesOpened <= 1,
       s"absent key must open (almost) nothing: $repAbsent")
     df.select(col("o_orderkey"), col("o_custkey"),

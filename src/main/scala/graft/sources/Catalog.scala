@@ -253,10 +253,23 @@ object Catalog {
     * reach — expiring table-layer versions is [[SnapshotStore.vacuum]]'s
     * job with its own retention, never this one's. Readers pinned to a
     * RETAINED catalog version are untouched; pinning past the horizon is
-    * the same documented contract as the table layer's. Returns the
-    * deleted data-file count. */
-  def vacuum(root: String, keepVersions: Int = 2): Int = {
+    * the same documented contract as the table layer's.
+    *
+    * `stagedGraceMs` is the IN-FLIGHT-COMMIT guard (Delta VACUUM's
+    * retention-hours idea applied to publish units): a concurrent
+    * [[commit]] writes staged manifests + data in stage 1 BEFORE its
+    * catalog publish, so a staged manifest no retained catalog version
+    * names yet may be a live transaction, not garbage. Any staged
+    * manifest younger (by mtime) than the grace window therefore counts
+    * as LIVE — it and everything it references survive the sweep; once
+    * it ages past the window unpublished, it is a dead commit attempt
+    * and goes. Pass 0 ONLY when no catalog commit can be concurrent
+    * with the vacuum. Returns the deleted data-file count. */
+  def vacuum(root: String, keepVersions: Int = 2,
+      stagedGraceMs: Long = 24L * 3600 * 1000): Int = {
     require(keepVersions >= 1, "must retain at least the current version")
+    require(stagedGraceMs >= 0, "stagedGraceMs must be >= 0")
+    val now = System.currentTimeMillis()
     val vs = versions(root)
     require(vs.nonEmpty,
       s"catalog vacuum of a root with no committed catalog versions " +
@@ -275,16 +288,28 @@ object Catalog {
         if (Files.isDirectory(d) && !name.startsWith("_") &&
             Files.isDirectory(d.resolve("_manifests"))) {
           val tr = d.toString
-          val liveStaged: Set[String] =
+          val named: Set[String] =
             retained.flatMap(_.tables.get(name)).toSet
           val staged = SnapshotStore.stagedManifests(tr)
           // a retained catalog version naming a manifest that is not on
           // disk is corruption — sweeping ANYTHING here could orphan
           // that version's data, so fail before deleting a single file
-          val missing = liveStaged.filterNot(staged.contains)
+          val missing = named.filterNot(staged.contains)
           require(missing.isEmpty,
             s"retained catalog version names missing staged manifests " +
               s"under $tr: ${missing.mkString(", ")}")
+          // grace window: a young staged manifest may belong to an
+          // in-flight commit whose publishCat has not landed yet —
+          // treating it as dead would let this sweep delete files a
+          // just-published catalog version references (torn table)
+          val inGrace: Set[String] = staged.keySet.filter { rel =>
+            !named(rel) && {
+              val p = Paths.get(tr, rel)
+              Files.exists(p) &&
+                now - Files.getLastModifiedTime(p).toMillis < stagedGraceMs
+            }
+          }
+          val liveStaged = named ++ inGrace
           val tableLayerMs = SnapshotStore.versions(tr)
             .flatMap(v => SnapshotStore.snapshot(tr, Some(v)))
           val reachable =

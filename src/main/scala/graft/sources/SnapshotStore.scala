@@ -675,11 +675,18 @@ object SnapshotStore {
     * it actually opened, and — for segmented manifests — how many
     * manifest segments exist vs how many the segment-level summaries
     * made it PARSE at all (the manifest-compaction payoff: a skipped
-    * segment costs zero metadata reads, not just zero data reads). */
+    * segment costs zero metadata reads, not just zero data reads).
+    * `bloomSkipped` attributes skips PER TIER: files the min/max stats
+    * passed but a bloom sidecar ruled out — the count a gate asserts to
+    * prove bloom pruning is real and not stats pruning in disguise
+    * (stats are always consulted first, so a file both tiers could skip
+    * counts as a stats skip). */
   final case class ScanReport(filesListed: Int, filesOpened: Int,
-      segmentsListed: Int = 0, segmentsParsed: Int = 0) {
+      segmentsListed: Int = 0, segmentsParsed: Int = 0,
+      bloomSkipped: Int = 0) {
     def filesSkipped: Int = filesListed - filesOpened
     def segmentsSkipped: Int = segmentsListed - segmentsParsed
+    def statsSkipped: Int = filesSkipped - bloomSkipped
   }
 
   /** The shared two-level prune behind [[readWhere]] and
@@ -702,9 +709,15 @@ object SnapshotStore {
     def bloomKeep(f: String): Boolean =
       loaded.isEmpty || bloomMayMatch(f, schema, pred, loaded)
     val inlineStats = fileStats(root, m)
-    val inlineKeep = m.files.filter(f =>
-      inlineStats.get(f).forall(s => mayMatch(s, schema, pred)) &&
-        bloomKeep(f))
+    // stats tier first, bloom second — a file both could skip counts as
+    // a stats skip, so bloomSkipped measures what the bloom tier ALONE
+    // bought (the per-tier attribution the q127 gate asserts)
+    var bloomSkipped = 0
+    def keepFile(f: String, st: Option[Map[String, ColStats]]): Boolean =
+      if (!st.forall(s => mayMatch(s, schema, pred))) false
+      else if (!bloomKeep(f)) { bloomSkipped += 1; false }
+      else true
+    val inlineKeep = m.files.filter(f => keepFile(f, inlineStats.get(f)))
     var parsed = 0
     val segKeep = m.segments.flatMap { ref =>
       if (ref.cols.nonEmpty && !mayMatch(ref.cols, schema, pred)) Nil
@@ -712,14 +725,13 @@ object SnapshotStore {
         parsed += 1
         val sm = readSegmentManifest(root, ref)
         val st = fileStats(root, sm)
-        sm.files.filter(f =>
-          st.get(f).forall(s => mayMatch(s, schema, pred)) &&
-            bloomKeep(f))
+        sm.files.filter(f => keepFile(f, st.get(f)))
       }
     }
     val keep = inlineKeep ++ segKeep
     val listed = m.files.size + m.segments.map(_.nFiles).sum
-    (keep, ScanReport(listed, keep.size, m.segments.size, parsed))
+    (keep, ScanReport(listed, keep.size, m.segments.size, parsed,
+      bloomSkipped))
   }
 
   /** Snapshot-pinned read WITH FILE SKIPPING: resolve the (given or
@@ -966,22 +978,31 @@ object SnapshotStore {
     *
     * Later appends leave new files unindexed (conservatively opened);
     * OPTIMIZE/merge rewrite file sets and DROP the index (re-run after).
-    * Sizing: the sidecar costs 2^logBits/8 bytes per file (default 16 →
-    * 8 KiB/file), the same per-file-metadata scale as the stats tier;
-    * at manifest-list scale the segment tier shards sidecars exactly
-    * like stats. Retries past concurrent appends (the per-file bitmaps
-    * stay valid for every file that survives; files added by the
-    * interleaved commit are simply not indexed). Refuses an unknown
-    * column; layered tables index their BASE files (layer files are
-    * never pruned, so the fold stays exact). Returns the committed
-    * version. */
+    * Sizing: `logBits = 0` (the default) AUTO-SIZES from the per-file
+    * row counts already in the stats sidecars (footer-harvested for any
+    * file missing one) targeting ≥10 bits per row of the LARGEST file —
+    * rows bound distinct keys, so with k = 5 the expected fill is
+    * ≤ 1−e^(−1/2) ≈ 39 % and the false-positive rate ≤ ~1 %. A fixed
+    * logBits that undershoots (e.g. 2^16 bits against 100 k keys/file)
+    * saturates the bitmap: still CORRECT (conservative — it just opens
+    * everything) but it prunes nothing while costing the index scan, so
+    * the build WARNS loudly when any file's measured fill exceeds 60 %.
+    * The sidecar costs 2^logBits/8 bytes per file, the same
+    * per-file-metadata scale as the stats tier; at manifest-list scale
+    * the segment tier shards sidecars exactly like stats. Retries past
+    * concurrent appends (the per-file bitmaps stay valid for every file
+    * that survives; files added by the interleaved commit are simply
+    * not indexed). Refuses an unknown column; layered tables index
+    * their BASE files (layer files are never pruned, so the fold stays
+    * exact). Returns the committed version. */
   def indexBloom(spark: SparkSession, root: String, column: String,
-      logBits: Int = 16, k: Int = 5): Int = {
+      logBits: Int = 0, k: Int = 5): Int = {
     import org.apache.spark.sql.functions.{bit_or, coalesce, col,
       collect_list, element_at, explode, expr, input_file_name, lit,
       map_from_arrays, pmod, sequence, shiftrightunsigned, transform,
       xxhash64, array}
-    require(logBits >= 6 && logBits <= 26, s"logBits out of range: $logBits")
+    require(logBits == 0 || (logBits >= 6 && logBits <= 26),
+      s"logBits out of range (0 = auto): $logBits")
     require(k >= 1 && k <= 16, s"k out of range: $k")
     val cur0 = snapshot(root).getOrElse(
       sys.error(s"indexBloom on a table with no commits under $root"))
@@ -990,9 +1011,27 @@ object SnapshotStore {
       s"indexBloom: table has no column '$column' " +
         s"(schema: ${cur0.schemaDdl})")
     val baseFiles = allFiles(root, cur0)
+    // auto-size from per-file row counts: stats sidecars already carry
+    // them; files missing a sidecar get an O(1) footer read. rows ≥
+    // distinct keys, so 10 bits/row is 10 bits/key or better.
+    val effLogBits =
+      if (logBits != 0) logBits
+      else {
+        val known = allFileStats(root, cur0)
+        val missing = baseFiles.filterNot(known.contains)
+        val rowsOf = known ++ (if (missing.isEmpty) Map.empty
+          else harvestStats(spark, root, missing))
+        val maxRows = baseFiles
+          .flatMap(f => rowsOf.get(f).flatMap(_.values.headOption)
+            .map(_.rows))
+          .foldLeft(0L)(_ max _)
+        val need = math.max(2L, 10L * math.max(1L, maxRows))
+        math.min(26,
+          math.max(10, 64 - java.lang.Long.numberOfLeadingZeros(need - 1)))
+      }
     val rel = s"_manifests/bloom-${java.util.UUID.randomUUID()}.tsv"
     if (baseFiles.nonEmpty) {
-      val m = 1L << logBits
+      val m = 1L << effLogBits
       val nWords = (m / 64).toInt
       val paths = baseFiles.map(f => Paths.get(root, f).toString)
       // one scan of (file, column): per-file k positions -> word ors ->
@@ -1029,6 +1068,19 @@ object SnapshotStore {
           .relativize(Paths.get(abs).toAbsolutePath.normalize).toString
         (relFile, r.getSeq[Long](1))
       }
+      // measured-fill guard (conservative correctness is unaffected —
+      // a saturated bitmap answers "maybe" everywhere — but it prunes
+      // NOTHING while costing the index scan and commit, which is a
+      // sizing bug worth shouting about; auto-sizing cannot trip this)
+      byPath.foreach { case (f, words) =>
+        val set = words.map(java.lang.Long.bitCount(_).toLong).sum
+        if (set * 10 > m * 6)
+          Console.err.println(s"[graft] WARNING indexBloom($column): " +
+            f"bitmap for $f is ${set * 100.0 / m}%.1f%% full " +
+            s"(2^$effLogBits bits, k=$k) — the index will prune " +
+            "(almost) nothing; pass logBits=0 to auto-size from row " +
+            "counts")
+      }
       val missing = baseFiles.toSet -- byPath.map(_._1).toSet
       // a base file yielding NO rows (empty or all-null column) still
       // gets an explicit all-zero bitmap: absent-from-sidecar means
@@ -1051,7 +1103,7 @@ object SnapshotStore {
       Files.createDirectories(p.getParent)
       Files.write(p, Array.emptyByteArray)
     }
-    val idx = BloomIndex(column, logBits, k, rel)
+    val idx = BloomIndex(column, effLogBits, k, rel)
     var attempt = 0
     while (attempt < MaxRetries) {
       val cur = snapshot(root).get

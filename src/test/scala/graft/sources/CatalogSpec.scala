@@ -145,7 +145,8 @@ class CatalogSpec extends SparkSpec {
     val beforeStaged = walk(s"$root/t/_manifests", ".json")
       .count(_.contains("staged-"))
     assert(beforeData === 6 && beforeStaged === 3)
-    val deleted = Catalog.vacuum(root, keepVersions = 2)
+    val deleted = Catalog.vacuum(root, keepVersions = 2,
+      stagedGraceMs = 0)
     assert(deleted === 2) // v0's two files
     assert(walk(s"$root/t/data", ".parquet").size === 4)
     assert(walk(s"$root/t/_manifests", ".json")
@@ -181,7 +182,8 @@ class CatalogSpec extends SparkSpec {
     val aStaged = walk(mDir.toString, ".json").filter(_.contains("staged-"))
     val orphan = mDir.resolve("staged-00000000-dead-beef-0000-000000000000.json")
     java.nio.file.Files.copy(java.nio.file.Paths.get(aStaged.head), orphan)
-    val deleted = Catalog.vacuum(root, keepVersions = 2)
+    val deleted = Catalog.vacuum(root, keepVersions = 2,
+      stagedGraceMs = 0)
     // both real versions retained -> no data deleted; orphan swept
     assert(deleted === 0)
     assert(!java.nio.file.Files.exists(orphan))
@@ -189,7 +191,7 @@ class CatalogSpec extends SparkSpec {
     assert(Catalog.readTable(spark, root, "t", Some(0)).count() === 100)
     // keepVersions=1 now strands v0's staged manifest but NOT its files
     // (the append composed them into v1's list)
-    assert(Catalog.vacuum(root, keepVersions = 1) === 0)
+    assert(Catalog.vacuum(root, keepVersions = 1, stagedGraceMs = 0) === 0)
     assert(Catalog.readTable(spark, root, "t").count() === 200)
     assert(walk(s"$root/t/_manifests", ".json")
       .count(_.contains("staged-")) === 1)
@@ -218,9 +220,40 @@ class CatalogSpec extends SparkSpec {
     Catalog.commit(root, Map(
       "t" -> ((spark.range(10, 20).toDF("id").coalesce(1),
         Catalog.Overwrite))))
-    assert(Catalog.vacuum(root, keepVersions = 1) === 1) // only t's v0 file
+    assert(Catalog.vacuum(root, keepVersions = 1, stagedGraceMs = 0) === 1) // only t's v0 file
     assert(SnapshotStore.read(spark, s"$root/t2").count() === 10)
     assert(java.nio.file.Files.exists(foreign.resolve("keep.parquet")))
+    assert(Catalog.readTable(spark, root, "t").count() === 10)
+  }
+
+  test("catalog vacuum grace window: a young unpublished staged " +
+      "manifest (an in-flight commit's stage 1) and its data survive; " +
+      "past the window it is a dead attempt and goes") {
+    val root = freshRoot()
+    Catalog.commit(root, Map(
+      "t" -> ((spark.range(0, 10).toDF("id").coalesce(1),
+        Catalog.Overwrite))))
+    // simulate a concurrent commit between its stage 1 (staged manifest
+    // + data written) and its publishCat: a staged manifest naming a
+    // FRESH data file no catalog version references yet
+    val tr = s"$root/t"
+    val inflight = spark.range(100, 110).toDF("id").coalesce(1)
+    val files = SnapshotStore.writeData(inflight, tr)
+    val m = SnapshotStore.Manifest(1, 0, "id BIGINT NOT NULL", files)
+    val rel = "_manifests/staged-11111111-1111-1111-1111-111111111111.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(tr, rel),
+      SnapshotStore.render(m).getBytes("UTF-8"))
+    val dataFile = java.nio.file.Paths.get(tr, files.head)
+    // default grace: the young in-flight unit and its data are LIVE
+    assert(Catalog.vacuum(root, keepVersions = 1) === 0)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(tr, rel)))
+    assert(java.nio.file.Files.exists(dataFile))
+    // the (now-publishable) catalog version referencing it still reads
+    assert(Catalog.readTable(spark, root, "t").count() === 10)
+    // zero grace (caller asserts no concurrent commits): swept as dead
+    assert(Catalog.vacuum(root, keepVersions = 1, stagedGraceMs = 0) === 1)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(tr, rel)))
+    assert(!java.nio.file.Files.exists(dataFile))
     assert(Catalog.readTable(spark, root, "t").count() === 10)
   }
 }
