@@ -158,20 +158,46 @@ object Profile {
     * a 5-group × 20 B-row profile parallelizes by split, not by group.
     * Spec-pinned equal to [[percentilesDisc]] on random corpora with
     * ties (SessionsProfileSpec).
-    */
+    *
+    * TWO full scans, not three (the r16 formulation's dedicated
+    * (min, max, n) range pass is gone): bin domains are SEEDED from a
+    * LIMIT-bounded sample — a near-free job that stops each scan task
+    * after its first rows — and binning clamps BOTH edges, so a seed
+    * range that fails to bound the data stays EXACT (clamping is
+    * monotone and applied identically at locate and filter time; rank
+    * localization only degrades into fatter edge buckets). Groups the
+    * sample missed fall back to the sample's global range. The
+    * degradation bound changes accordingly: in-bucket distinct volume
+    * is n/bins only to the extent a group's seed range resembles its
+    * true range — a group concentrated inside a sliver of its seed
+    * range funnels into few buckets (exact, but the bucket collect
+    * grows); the three-pass [[quantileWithStats]] path remains for
+    * callers wanting per-group measured ranges. */
   def percentilesDiscNoSort(df: DataFrame, groupCol: String,
-      valCol: String, ps: Seq[Double], bins: Int = 1024): DataFrame = {
+      valCol: String, ps: Seq[Double], bins: Int = 1024,
+      seedRows: Int = 65536): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
       s"quantiles must be in (0,1], got $ps")
     require(bins >= 2, s"bins must be >= 2, got $bins")
     val g = col(groupCol)
     val v = col(valCol).cast("double")
-    val stats = rangeStats(df, groupCol, valCol)
-    def binOf: Column =
-      when(col("graft_hi") === col("graft_lo"), lit(0L))
-        .otherwise(least(lit(bins.toLong - 1),
-          floor((v - col("graft_lo")) /
-            ((col("graft_hi") - col("graft_lo")) / lit(bins.toDouble)))))
+    // seed job: ONE global (lo, hi) over the first `seedRows` rows —
+    // LocalLimit short-circuits each scan task, so this reads ~one row
+    // group per split, not the table. A GLOBAL seed (not per-group)
+    // keeps the locate pass join-free: binning becomes a pure literal
+    // expression over the value column.
+    val seedRow = df.filter(g.isNotNull && v.isNotNull)
+      .select(v.as("graft_v")).limit(seedRows)
+      .agg(min(col("graft_v")), max(col("graft_v"))).head()
+    val (glo, ghi) =
+      if (seedRow.isNullAt(0)) (0.0, 1.0)
+      else (seedRow.getDouble(0), seedRow.getDouble(1))
+    // both-edge clamp: monotone, identical at locate and filter time —
+    // a non-bounding seed range cannot break rank localization
+    def binOf(lo: Column, hi: Column): Column =
+      when(hi <= lo, lit(0L))
+        .otherwise(greatest(lit(0L), least(lit(bins.toLong - 1),
+          floor((v - lo) / ((hi - lo) / lit(bins.toDouble))))))
     def walk(cells: Column, rank: Column): Column =
       aggregate(cells,
         struct(lit(0L).as("cum"), lit(false).as("found"),
@@ -183,32 +209,35 @@ object Profile {
             .otherwise(struct((acc("cum") + x("cnt")).as("cum"),
               lit(false).as("found"), lit(0.0).as("key"),
               lit(0L).as("before")))))
-    // locate pass: one fixed-state histogram per group, every rank
-    // walked over the same positional array
-    val hist = df.join(broadcast(stats), groupCol)
+    // locate pass (full scan 1): one fixed-state histogram per group,
+    // every rank walked over the same positional array — JOIN-FREE:
+    // the bin expression is a literal-range function of the value
+    val seededBin = binOf(lit(glo), lit(ghi))
+    val hist = df.filter(g.isNotNull)
       .groupBy(g)
-      .agg(graft.functions.AggExprs.binCounts(binOf, bins)
+      .agg(graft.functions.AggExprs.binCounts(seededBin, bins)
           .as("graft_hist"),
-        first(col("graft_n")).as("graft_n"))
+        count(lit(1)).as("graft_n"))
       .select(Seq(g, col("graft_n"),
         transform(col("graft_hist"),
           (c, i) => struct(i.cast("double").as("key"), c.as("cnt")))
           .as("graft_cells")): _*)
     val located = hist.select(
-      Seq(g, col("graft_n")) ++ ps.zipWithIndex.flatMap { case (p, i) =>
-        val rank = ceil(col("graft_n") * lit(p)).cast("long")
-        val w = walk(col("graft_cells"), rank)
-        Seq(w.getField("key").cast("long").as(s"graft_tbin_$i"),
-          (rank - w.getField("before")).as(s"graft_kin_$i"))
-      }: _*)
+      Seq(g, col("graft_n")) ++
+        ps.zipWithIndex.flatMap { case (p, i) =>
+          val rank = ceil(col("graft_n") * lit(p)).cast("long")
+          val w = walk(col("graft_cells"), rank)
+          Seq(w.getField("key").cast("long").as(s"graft_tbin_$i"),
+            (rank - w.getField("before")).as(s"graft_kin_$i"))
+        }: _*)
       .withColumn("graft_tbins",
         array(ps.indices.map(i => col(s"graft_tbin_$i")): _*))
-    // bucket pass: only rows in a target bin survive; per-bin distinct
-    // values sort inside a bounded array, never a data-row sort
+    // bucket pass (full scan 2): only rows in a target bin survive;
+    // per-bin distinct values sort inside a bounded array, never a
+    // data-row sort. Same literal bin expression → same bin per value.
     val cellsByBin = df.join(broadcast(located), groupCol)
-      .join(broadcast(stats), groupCol)
-      .filter(array_contains(col("graft_tbins"), binOf))
-      .groupBy(g, binOf.as("graft_bin"), v.as("graft_v"))
+      .filter(array_contains(col("graft_tbins"), seededBin))
+      .groupBy(g, seededBin.as("graft_bin"), v.as("graft_v"))
       .agg(count(lit(1)).as("graft_cnt"))
       .groupBy(g, col("graft_bin"))
       .agg(sort_array(collect_list(struct(col("graft_v").as("key"),
@@ -223,6 +252,37 @@ object Profile {
     }
     located.join(cellsByBin, groupCol)
       .select(Seq(g) ++ picks :+ col("graft_n").as("n_rows"): _*)
+  }
+
+  /** ONE-PASS exact type-1 percentiles via Spark's native
+    * `percentile_disc` aggregate — the serving path when the value
+    * domain's DISTINCT count per group is bounded (prices, durations,
+    * scores): the aggregate's partial state is a (value → count) map,
+    * map-side combining, merged across partitions, and only the final
+    * per-group merge walks the sorted distinct values — no data-row
+    * sort, no window, ONE job. `percentile_disc(p)` selects the
+    * smallest value with cume_dist ≥ p, which IS the rank-⌈p·n⌉
+    * element, so this is bit-identical to [[percentilesDisc]] (spec-
+    * pinned). Same output schema (`p<nn>` + `n_rows`); NULL group keys
+    * are RETAINED (groupBy semantics, like [[percentilesDisc]]).
+    * Two caveats keep [[percentilesDiscNoSort]] the default serving
+    * path: the per-group map grows with DISTINCT values (unbounded for
+    * raw floats at 100 TB), and the aggregate is an un-codegen'd
+    * TypedImperativeAggregate whose per-row boxed map update measured
+    * ~30 % SLOWER than the two-scan histogram path at sf1 (1.6 s vs
+    * 1.2 s isolated) despite being one job — the one-job shape only
+    * wins when job-scheduling latency dominates the scan. */
+  def percentilesDiscAgg(df: DataFrame, groupCol: String,
+      valCol: String, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      s"quantiles must be in (0,1], got $ps")
+    val picks: Seq[Column] = ps.map { p =>
+      val name = "p" + math.round(p * 100).toString
+      expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY $valCol)")
+        .cast("double").as(name)
+    }
+    df.groupBy(col(groupCol))
+      .agg(picks.head, picks.tail :+ count(lit(1)).as("n_rows"): _*)
   }
 
   /** Per-group (graft_lo, graft_hi, graft_n) over `valCol` as doubles —

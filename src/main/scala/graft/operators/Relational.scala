@@ -605,9 +605,15 @@ object Relational {
     * class. Type-1 quantiles (the element at rank ceil(p·n)) —
     * engine-portable by construction; the oracle restates the rank
     * selection, never an interpolating quantile. The no-sort histogram
-    * localization replaced the window formulation in r16: with 5
-    * priority classes the window sorted 300 k rows per SINGLE task —
-    * the q100 de-sort argument applied to the percentile surface.
+    * localization replaced the window formulation in r16 (5 priority
+    * classes would sort 300 k rows per SINGLE window task); r17 dropped
+    * its dedicated per-group range pass — bin domains now seed from a
+    * LIMIT-bounded sample with both-edge clamping, so the operator is
+    * TWO full scans + one near-free seed job. The candidate one-job
+    * alternatives were measured and rejected on this data: Spark's
+    * native `percentile_disc` aggregate ([[Profile.percentilesDiscAgg]],
+    * kept as the spec-pinned API twin) runs an un-codegen'd boxed
+    * (value → count) map per row — 1.6 s vs 1.2 s at sf1 isolated.
     */
   def q64Percentiles(spark: SparkSession, sfDir: String): DataFrame =
     Profile.percentilesDiscNoSort(

@@ -190,6 +190,12 @@ class SessionsProfileSpec extends SparkSpec {
       assert(rowsOf(Profile.percentilesDiscNoSort(df, "g", "x", ps))
         === rowsOf(Profile.percentilesDisc(df, "g", "x", ps)),
         s"trial $trial multi-quantile")
+      // the one-pass native-aggregate twin: percentile_disc's
+      // smallest-value-with-cume_dist≥p IS the rank-ceil(p·n) element,
+      // so it must match the window formulation bit for bit too
+      assert(rowsOf(Profile.percentilesDiscAgg(df, "g", "x", ps))
+        === rowsOf(Profile.percentilesDisc(df, "g", "x", ps)),
+        s"trial $trial percentile_disc aggregate")
     }
   }
 
