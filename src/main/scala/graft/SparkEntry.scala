@@ -146,6 +146,7 @@ object SparkEntry {
     "q125_merge_on_read"   -> (Relational.q125MergeOnRead _),
     "q126_streaming_upsert" -> (Relational.q126StreamingUpsert _),
     "q127_bloom_index"     -> (Relational.q127BloomIndex _),
+    "q128_format_pushdown" -> (Relational.q128FormatPushdown _),
   )
 
   /** The cohort-retention-matrix oracle, shared by q93 (the batch
@@ -782,6 +783,17 @@ object SparkEntry {
            o_orderpriority
          FROM orders, probe WHERE o_orderkey = probe.k
          ORDER BY o_orderkey""",
+    // Spark-native pushdown front door: the oracle is the plain
+    // filtered aggregate — equality proves the PLANNER-driven file skip
+    // (format("graft") -> FileIndex -> stats prune) dropped no
+    // qualifying file; the builder separately REQUIREs skips happened
+    // and that the decision equals readWhere's.
+    "q128_format_pushdown" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+             AS BIGINT) AS cents
+         FROM lineitem WHERE l_orderkey BETWEEN 2000 AND 3500
+         GROUP BY 1 ORDER BY 1""",
     // Manifest rewrite: content-hash invariance through the metadata-
     // only regroup — the oracle recomputes the range aggregate straight
     // from orders; pruning through the REWRITTEN summaries is REQUIREd.

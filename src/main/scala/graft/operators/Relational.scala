@@ -1793,6 +1793,65 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** q128: SPARK-NATIVE PUSHDOWN FRONT DOOR
+    * ([[graft.sources.GraftDataSource]]) — q120's stats-pruned scan,
+    * but the predicate arrives through SPARK'S OWN PLANNER instead of
+    * the Scala `StatsPred` API: the table commits + z-orders exactly
+    * like q120, then the gate reads `spark.read.format("graft")
+    * .load(root).filter(between)` — a registered data source whose
+    * [[graft.sources.GraftFileIndex]] receives the pushed dataFilters
+    * at planning time, translates them, and runs the same three-tier
+    * prune. The builder REQUIREs (a) files were skipped, (b) the
+    * decision is IDENTICAL (same opened count) to `readWhere` with the
+    * equivalent StatsPred — front-door/Scala-API parity, (c) the
+    * physical plan carries PushedFilters (parquet row-group skipping
+    * sees the predicate too). The oracle is the plain filtered
+    * aggregate — equality proves the planner-driven skip dropped no
+    * qualifying file, and the filter Spark evaluates on the opened
+    * rows is the residual that makes pruning correctness-neutral.
+    */
+  private val formatRoot =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def q128FormatPushdown(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.{GraftFileIndex, SnapshotStore}
+    val root = formatRoot.getOrElseUpdate(sfDir, {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-snapfmt-").toString
+      val li = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+      SnapshotStore.commitOverwrite(
+        li.filter(col("l_orderkey") % 3 =!= 0), dir)
+      SnapshotStore.commitAppend(
+        li.filter(col("l_orderkey") % 3 === 0), dir)
+      SnapshotStore.optimize(spark, dir, targetFiles = 16,
+        zorderBy = Seq("l_orderkey", "l_suppkey"))
+      dir
+    })
+    val df = spark.read.format("graft").load(root)
+      .filter(col("l_orderkey").between(2000, 3500))
+    val plan = df.queryExecution.executedPlan.toString
+    require(plan.contains("PushedFilters"),
+      s"planner must push the range into the parquet scan:\n$plan")
+    df.count() // drive listFiles with the pushed dataFilters
+    val rep = GraftFileIndex.lastReport(root).getOrElse(
+      sys.error("front-door scan left no report"))
+    require(rep.filesOpened < rep.filesListed,
+      s"planner-driven prune must skip files on the z-ordered " +
+        s"layout: $rep")
+    val (_, repRef) = SnapshotStore.readWhere(spark, root,
+      SnapshotStore.StatsPred.Between("l_orderkey", 2000L, 3500L))
+    require(rep.filesOpened == repRef.filesOpened,
+      s"front door and Scala API must make the same decision: " +
+        s"format=$rep readWhere=$repRef")
+    df.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        sum(centsOf(col("l_extendedprice")))
+          .as("cents"))
+      .orderBy("l_returnflag")
+  }
+
   def q118Optimize(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.sources.SnapshotStore
     val root = optimizeRoot.getOrElseUpdate(sfDir, {
