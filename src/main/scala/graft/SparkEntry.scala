@@ -147,6 +147,7 @@ object SparkEntry {
     "q126_streaming_upsert" -> (Relational.q126StreamingUpsert _),
     "q127_bloom_index"     -> (Relational.q127BloomIndex _),
     "q128_format_pushdown" -> (Relational.q128FormatPushdown _),
+    "q129_delete_where"    -> (Relational.q129DeleteWhere _),
   )
 
   /** The cohort-retention-matrix oracle, shared by q93 (the batch
@@ -793,6 +794,21 @@ object SparkEntry {
            CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
              AS BIGINT) AS cents
          FROM lineitem WHERE l_orderkey BETWEEN 2000 AND 3500
+         GROUP BY 1 ORDER BY 1""",
+    // Predicate delete: the oracle is the complement-filtered aggregate
+    // with the same integer window arithmetic — equality proves the
+    // data-less predicate layer (and the stats-proven full-file drops)
+    // removed exactly the matching rows; the builder REQUIREs the
+    // metadata-only shape and OPTIMIZE fold parity.
+    "q129_delete_where" ->
+      """WITH b AS (SELECT MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx
+             FROM orders)
+         SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+             AS BIGINT) AS cents
+         FROM orders, b
+         WHERE NOT (o_orderkey BETWEEN mn + (mx - mn) // 4
+                                   AND mn + (mx - mn) // 2)
          GROUP BY 1 ORDER BY 1""",
     // Manifest rewrite: content-hash invariance through the metadata-
     // only regroup — the oracle recomputes the range aggregate straight

@@ -1852,6 +1852,71 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** q129: PREDICATE-LEVEL DELETE ([[graft.sources.SnapshotStore
+    * .deleteWhere]]) — the GDPR shape `DELETE FROM orders WHERE
+    * o_orderkey BETWEEN lo AND hi` as a PURE METADATA commit: orders
+    * lands range-clustered on o_orderkey in 16 files, the delete
+    * window spans the second quarter of the key domain (deterministic
+    * at every SF: lo = min + span/4, hi = min + span/2, re-derived by
+    * the oracle with the same integer arithmetic), and the builder
+    * REQUIREs (a) ZERO data files written or read by the delete — the
+    * new manifest's files are a strict SUBSET of v0's, (b) the fully-
+    * covered middle files DROPPED from the manifest outright
+    * (stats-proven all-matching), (c) exactly one predicate layer, and
+    * (d) fold parity — OPTIMIZE's rewritten table aggregates
+    * identically to the layered read the gate serves. The oracle is
+    * the complement-filtered aggregate straight from orders; hash
+    * equality proves the predicate fold (NOT coalesce(p, false))
+    * removed exactly the matching rows.
+    */
+  private val deleteRoot = scala.collection.concurrent.TrieMap
+    .empty[String, (String, Int)]
+
+  def q129DeleteWhere(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    def agg(df: DataFrame): DataFrame =
+      df.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(centsOf(col("o_totalprice"))).as("cents"))
+        .orderBy("o_orderpriority")
+    val (root, delV) = deleteRoot.getOrElseUpdate(sfDir, {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-snapdel-").toString
+      SnapshotStore.commitOverwrite(
+        Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice"), col("o_orderpriority"))
+          .repartitionByRange(16, col("o_orderkey")), dir)     // v0
+      val v0 = SnapshotStore.snapshot(dir).get
+      val (kMin, kMax) = Tables.orders(spark, sfDir)
+        .agg(min(col("o_orderkey")), max(col("o_orderkey")))
+        .as[(Long, Long)](org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong)).head()
+      val span = kMax - kMin
+      val v = SnapshotStore.deleteWhere(spark, dir,
+        SnapshotStore.StatsPred.Between("o_orderkey",
+          kMin + span / 4, kMin + span / 2))                   // v1
+      val m = SnapshotStore.snapshot(dir).get
+      require(m.files.toSet.subsetOf(v0.files.toSet) &&
+          m.files.size < v0.files.size,
+        s"delete must be metadata-only AND drop fully-covered files " +
+          s"(v0 ${v0.files.size} files -> ${m.files.size})")
+      require(m.layers.size == 1 && m.layers.head.pred.nonEmpty &&
+          m.layers.head.files.isEmpty,
+        s"delete must land as ONE data-less predicate layer: ${m.layers}")
+      // fold parity: OPTIMIZE materializes the layered content; the
+      // rewritten table must aggregate identically
+      val layered = agg(SnapshotStore.read(spark, dir, Some(v))).collect()
+      SnapshotStore.optimize(spark, dir, targetFiles = 4)      // v2
+      val folded = agg(SnapshotStore.read(spark, dir)).collect()
+      require(layered.sameElements(folded),
+        "optimize fold must equal the layered read")
+      (dir, v)
+    })
+    agg(SnapshotStore.read(spark, root, Some(delV)))
+  }
+
   def q118Optimize(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.sources.SnapshotStore
     val root = optimizeRoot.getOrElseUpdate(sfDir, {

@@ -116,14 +116,20 @@ object SnapshotStore {
     * `acc = (acc ANTI-JOIN layer keys) ∪ layer's non-deleted rows` —
     * so an update suppresses the stale base row, a tombstone suppresses
     * without replacing, and an insert just lands. A layer with
-    * `key == ""` is ADD-ONLY (a plain append on a layered table: no
-    * keys suppressed, files carry exactly the table schema, no flag
-    * column). Layers accrete per [[mergeOnRead]] and FOLD AWAY on
-    * [[optimize]] or a copy-on-write [[merge]] — read amplification is
-    * one small anti-join per accreted layer, the price of not
-    * rewriting an O(base) table for an O(changes) merge. */
+    * `key == ""` and no `pred` is ADD-ONLY (a plain append on a layered
+    * table: no keys suppressed, files carry exactly the table schema,
+    * no flag column). A layer with `pred` non-empty is a PREDICATE
+    * DELETE ([[deleteWhere]]): NO data files at all — the serialized
+    * [[StatsPred]] applies at its position in the fold as
+    * `filter(NOT coalesce(pred, false))` (SQL DELETE semantics: only
+    * rows where the predicate is TRUE go; NULL keeps). Layers accrete
+    * per [[mergeOnRead]]/[[deleteWhere]] and FOLD AWAY on [[optimize]]
+    * or a copy-on-write [[merge]] — read amplification is one small
+    * anti-join (keyed) or one fused filter (predicate) per accreted
+    * layer, the price of not rewriting an O(base) table for an
+    * O(changes) change. */
   final case class MergeLayer(key: String, files: Seq[String],
-      statsFile: String = "")
+      statsFile: String = "", pred: String = "")
 
   /** The flag column a merge-on-read layer's files carry alongside the
     * table schema. */
@@ -214,7 +220,7 @@ object SnapshotStore {
       else m.layers.map { l =>
         val lf = l.files.map(f => "\"" + esc(f) + "\"").mkString(",")
         s"""{"lkey":"${esc(l.key)}","lstats":"${esc(l.statsFile)}",""" +
-          s""""ldata":[$lf]}"""
+          s""""lpred":"${esc(l.pred)}","ldata":[$lf]}"""
       }.mkString(""""layers":[""", ",", "],")
     val blm =
       if (m.blooms.isEmpty) ""
@@ -288,14 +294,17 @@ object SnapshotStore {
       SegmentRef(unesc(m.group(1)), m.group(2).toInt,
         parseColStatsTsv(unesc(m.group(3))))
     }.toSeq
-    // merge-on-read layers, in commit order (order is the semantics)
+    // merge-on-read layers, in commit order (order is the semantics);
+    // lpred is optional so pre-predicate-delete manifests parse as ""
     val layRe =
-      (s"""\\{"lkey":$strLit,"lstats":$strLit,"ldata":\\[(.*?)\\]\\}""").r
+      (s"""\\{"lkey":$strLit,"lstats":$strLit""" +
+        s"""(?:,"lpred":$strLit)?,"ldata":\\[(.*?)\\]\\}""").r
     val layers = layRe.findAllMatchIn(s).map { m =>
       MergeLayer(unesc(m.group(1)),
-        strLit.r.findAllMatchIn(m.group(3)).map(f =>
+        strLit.r.findAllMatchIn(m.group(4)).map(f =>
           unesc(f.group(1))).toSeq,
-        unesc(m.group(2)))
+        unesc(m.group(2)),
+        Option(m.group(3)).map(unesc).getOrElse(""))
     }.toSeq
     // bloom index refs — optional like segments/layers
     val blmRe = (s"""\\{"bcol":$strLit,"blogbits":(\\d+),"bk":(\\d+),""" +
@@ -380,7 +389,15 @@ object SnapshotStore {
       m: Manifest, schema: StructType, base: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, coalesce, lit, not}
     m.layers.foldLeft(base) { (acc, l) =>
-      if (l.files.isEmpty) acc
+      if (l.pred.nonEmpty) {
+        // predicate-delete layer: DELETE WHERE p at this point of the
+        // chain — NOT(coalesce(p, false)) so NULL-p rows are KEPT (SQL
+        // DELETE only removes rows where the predicate is TRUE). Rows
+        // later layers add are unaffected (they fold in above).
+        acc.filter(not(coalesce(predColumn(parsePred(l.pred)),
+          lit(false))))
+      }
+      else if (l.files.isEmpty) acc
       else if (l.key.isEmpty) {
         // add-only layer: plain table-schema files, nothing suppressed
         acc.unionByName(spark.read.schema(schema)
@@ -541,6 +558,149 @@ object SnapshotStore {
     }
   }
 
+  // ------------------------------------------- StatsPred serialization
+  // (for predicate-delete layers: the predicate must survive in the
+  // manifest). S-expression with quoted esc'd strings and one-letter
+  // literal type tags — hand-rolled like the manifest codec, same
+  // no-JSON-dependency rule.
+
+  private def renderLit(v: Any): String = v match {
+    case n @ (_: java.lang.Long | _: java.lang.Integer |
+        _: java.lang.Short | _: java.lang.Byte) => "L" + n
+    case n @ (_: java.lang.Double | _: java.lang.Float) => "D" + n
+    case d: BigDecimal               => "B" + d.bigDecimal.toPlainString
+    case d: java.math.BigDecimal     => "B" + d.toPlainString
+    case s: String                   => "S" + s
+    case b: java.lang.Boolean        => "Z" + b
+    case d: java.sql.Date            => "A" + d.toLocalDate.toEpochDay
+    case d: java.time.LocalDate      => "A" + d.toEpochDay
+    case t: java.sql.Timestamp       =>
+      "T" + (t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L)
+    case i: java.time.Instant        =>
+      "T" + (i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    case other => sys.error(
+      s"unsupported predicate literal for serialization: " +
+        s"${other.getClass.getName}")
+  }
+
+  private def parseLit(s: String): Any = {
+    val body = s.substring(1)
+    s.charAt(0) match {
+      case 'L' => java.lang.Long.valueOf(body)
+      case 'D' => java.lang.Double.valueOf(body)
+      case 'B' => BigDecimal(body)
+      case 'S' => body
+      case 'Z' => java.lang.Boolean.valueOf(body)
+      case 'A' => java.time.LocalDate.ofEpochDay(body.toLong)
+      case 'T' =>
+        val us = body.toLong
+        java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+          Math.floorMod(us, 1000000L) * 1000L)
+      case c => sys.error(s"bad literal tag '$c' in predicate: $s")
+    }
+  }
+
+  private def q(s: String): String = "\"" + esc(s) + "\""
+
+  private[sources] def renderPred(p: StatsPred): String = {
+    import StatsPred._
+    p match {
+      case Eq(n, v) => s"(eq ${q(n)} ${q(renderLit(v))})"
+      case Lt(n, v) => s"(lt ${q(n)} ${q(renderLit(v))})"
+      case Le(n, v) => s"(le ${q(n)} ${q(renderLit(v))})"
+      case Gt(n, v) => s"(gt ${q(n)} ${q(renderLit(v))})"
+      case Ge(n, v) => s"(ge ${q(n)} ${q(renderLit(v))})"
+      case Between(n, lo, hi) =>
+        s"(between ${q(n)} ${q(renderLit(lo))} ${q(renderLit(hi))})"
+      case In(n, vs) =>
+        (s"(in ${q(n)}" +: vs.map(v => q(renderLit(v)))).mkString(" ") + ")"
+      case IsNull(n)    => s"(isnull ${q(n)})"
+      case IsNotNull(n) => s"(notnull ${q(n)})"
+      case And(a, b)    => s"(and ${renderPred(a)} ${renderPred(b)})"
+      case Or(a, b)     => s"(or ${renderPred(a)} ${renderPred(b)})"
+    }
+  }
+
+  /** Parse [[renderPred]]'s output. Strict: a predicate that does not
+    * parse is a corrupted committed manifest — fail loudly. */
+  private[sources] def parsePred(s: String): StatsPred = {
+    import StatsPred._
+    // tokenize: parens + quoted strings; whitespace separates
+    val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < s.length) s.charAt(i) match {
+      case '(' => toks += "("; i += 1
+      case ')' => toks += ")"; i += 1
+      case '"' =>
+        val b = new StringBuilder
+        i += 1
+        while (s.charAt(i) != '"') {
+          if (s.charAt(i) == '\\') { b.append(s.charAt(i)).append(s.charAt(i + 1)); i += 2 }
+          else { b.append(s.charAt(i)); i += 1 }
+        }
+        toks += "\"" + b.toString; i += 1
+      case c if c.isWhitespace => i += 1
+      case _ =>
+        val start = i
+        while (i < s.length && !s.charAt(i).isWhitespace &&
+          s.charAt(i) != '(' && s.charAt(i) != ')') i += 1
+        toks += s.substring(start, i)
+    }
+    var pos = 0
+    def next(): String = { val t = toks(pos); pos += 1; t }
+    def str(): String = {
+      val t = next()
+      require(t.startsWith("\""), s"expected string, got $t in: $s")
+      unesc(t.substring(1))
+    }
+    def node(): StatsPred = {
+      require(next() == "(", s"expected '(' in predicate: $s")
+      val op = next()
+      val r = op match {
+        case "eq" => Eq(str(), parseLit(str()))
+        case "lt" => Lt(str(), parseLit(str()))
+        case "le" => Le(str(), parseLit(str()))
+        case "gt" => Gt(str(), parseLit(str()))
+        case "ge" => Ge(str(), parseLit(str()))
+        case "between" =>
+          Between(str(), parseLit(str()), parseLit(str()))
+        case "in" =>
+          val n = str()
+          val vs = Seq.newBuilder[Any]
+          while (toks(pos) != ")") vs += parseLit(str())
+          In(n, vs.result())
+        case "isnull"  => IsNull(str())
+        case "notnull" => IsNotNull(str())
+        case "and"     => And(node(), node())
+        case "or"      => Or(node(), node())
+        case o => sys.error(s"bad predicate op '$o' in: $s")
+      }
+      require(next() == ")", s"expected ')' in predicate: $s")
+      r
+    }
+    val r = node()
+    require(pos == toks.length, s"trailing tokens in predicate: $s")
+    r
+  }
+
+  /** Column names a predicate references (for schema validation). */
+  private def predCols(p: StatsPred): Set[String] = {
+    import StatsPred._
+    p match {
+      case Eq(n, _)         => Set(n)
+      case Lt(n, _)         => Set(n)
+      case Le(n, _)         => Set(n)
+      case Gt(n, _)         => Set(n)
+      case Ge(n, _)         => Set(n)
+      case Between(n, _, _) => Set(n)
+      case In(n, _)         => Set(n)
+      case IsNull(n)        => Set(n)
+      case IsNotNull(n)     => Set(n)
+      case And(a, b)        => predCols(a) ++ predCols(b)
+      case Or(a, b)         => predCols(a) ++ predCols(b)
+    }
+  }
+
   /** Normalize a stats string or a caller literal of column type `dt`
     * into one comparable domain. None = this layer does not reason
     * about the type/value — treated as unknown (never skip). */
@@ -667,6 +827,54 @@ object SnapshotStore {
         mayMatch(stats, schema, a) && mayMatch(stats, schema, b)
       case Or(a, b) =>
         mayMatch(stats, schema, a) || mayMatch(stats, schema, b)
+    }
+  }
+
+  /** The DUAL of [[mayMatch]] for [[deleteWhere]]'s metadata-only
+    * file drops: true ONLY when the stats PROVE every row of the file
+    * satisfies `p` — min/max inside the predicate's range AND zero
+    * nulls (a null row never satisfies a comparison). Anything
+    * unknown answers false (keep the file; the predicate layer's
+    * filter still removes its matching rows — dropping is only ever an
+    * optimization). */
+  private[sources] def mustMatch(
+      stats: Map[String, ColStats],
+      schema: org.apache.spark.sql.types.StructType,
+      p: StatsPred): Boolean = {
+    import StatsPred._
+    def colInfo(n: String) =
+      for { cs <- stats.get(n); f <- schema.fields.find(_.name == n) }
+        yield (cs, f.dataType)
+    // every row's value provably satisfies test(cmp(v, lit))?
+    def rangeAll(n: String, v: Any)(
+        decide: (Int, Int) => Boolean): Boolean =
+      colInfo(n) match {
+        case Some((cs, dt)) if cs.nulls.contains(0L) =>
+          (for {
+            lo <- cs.min; hi <- cs.max
+            nl <- normalize(dt, lo); nh <- normalize(dt, hi)
+            nv <- normalize(dt, v)
+            cLo <- cmpNorm(nl, nv); cHi <- cmpNorm(nh, nv)
+          } yield decide(cLo, cHi)).getOrElse(false)
+        case _ => false
+      }
+    p match {
+      case Eq(n, v) => rangeAll(n, v)((cLo, cHi) => cLo == 0 && cHi == 0)
+      case Lt(n, v) => rangeAll(n, v)((_, cHi) => cHi < 0)
+      case Le(n, v) => rangeAll(n, v)((_, cHi) => cHi <= 0)
+      case Gt(n, v) => rangeAll(n, v)((cLo, _) => cLo > 0)
+      case Ge(n, v) => rangeAll(n, v)((cLo, _) => cLo >= 0)
+      case Between(n, lo, hi) =>
+        mustMatch(stats, schema, And(Ge(n, lo), Le(n, hi)))
+      case In(n, vs) => vs.exists(v => mustMatch(stats, schema, Eq(n, v)))
+      case IsNull(n) => colInfo(n).exists { case (cs, _) =>
+        cs.nulls.contains(cs.rows) }
+      case IsNotNull(n) => colInfo(n).exists { case (cs, _) =>
+        cs.nulls.contains(0L) }
+      case And(a, b) =>
+        mustMatch(stats, schema, a) && mustMatch(stats, schema, b)
+      case Or(a, b) =>
+        mustMatch(stats, schema, a) || mustMatch(stats, schema, b)
     }
   }
 
@@ -1750,6 +1958,62 @@ object SnapshotStore {
     }
     sys.error(
       s"mergeOnReadOnce lost $MaxRetries version races under $root")
+  }
+
+  /** PREDICATE-LEVEL DELETE as a MERGE-ON-READ layer — the
+    * GDPR/right-to-be-forgotten shape (`DELETE FROM t WHERE p`) the
+    * keyed changelog cannot express without first materializing the
+    * matching keys: commit is pure METADATA — zero data files written,
+    * zero data read. Two composable pieces:
+    *
+    *   - Inline base files whose stats PROVE every row matches `p`
+    *     ([[mustMatch]]: range inside the predicate, zero nulls) DROP
+    *     from the manifest's file list outright — on a table clustered
+    *     by the delete column that is most of the deleted volume gone
+    *     for the cost of a metadata walk (the Iceberg metadata-delete /
+    *     Delta partition-delete idea at file granularity). Segment-
+    *     resident files keep their segments intact (the layer covers
+    *     them).
+    *   - One predicate layer appends to the chain carrying the
+    *     serialized predicate; reads fold it in commit order as
+    *     `filter(NOT coalesce(p, false))` (SQL DELETE semantics: NULL
+    *     keeps) — rows layers add LATER are untouched, exactly like a
+    *     delete that committed before them.
+    *
+    * [[optimize]]/[[merge]] fold the layer away (their read applies
+    * it); [[vacuum]] needs no new rules (the layer has no files; the
+    * dropped base files age out with their versions). Cost at 100 TB:
+    * the commit is O(inline-file stats walk) metadata; the read tax is
+    * one codegen'd filter — cheaper than any keyed layer. Unknown
+    * predicate columns fail loudly. Concurrency: rebase-and-retry;
+    * the drop set recomputes against each new head. Returns the
+    * committed version. */
+  def deleteWhere(spark: SparkSession, root: String,
+      pred: StatsPred): Int = {
+    val rendered = renderPred(pred)
+    require(parsePred(rendered) == pred,
+      s"predicate must survive the manifest round-trip: $rendered")
+    var attempt = 0
+    while (attempt < MaxRetries) {
+      val cur = snapshot(root).getOrElse(
+        sys.error(s"deleteWhere on a table with no commits under $root"))
+      val schema = StructType.fromDDL(cur.schemaDdl)
+      val missing = predCols(pred) -- schema.fieldNames.toSet
+      require(missing.isEmpty,
+        s"deleteWhere predicate references unknown column(s) " +
+          s"${missing.mkString(", ")} (schema: ${cur.schemaDdl})")
+      val stats = fileStats(root, cur)
+      val keep = cur.files.filterNot(f =>
+        stats.get(f).exists(s => mustMatch(s, schema, pred)))
+      if (publish(root, Manifest(cur.version + 1, cur.version,
+          cur.schemaDdl, keep, statsFile = cur.statsFile,
+          segments = cur.segments,
+          layers = cur.layers :+ MergeLayer("", Nil, "", rendered),
+          blooms = cur.blooms)))
+        return cur.version + 1
+      attempt += 1
+    }
+    sys.error(s"deleteWhere lost $MaxRetries version races under $root")
   }
 
   // -------------------------------------------------------------- vacuum

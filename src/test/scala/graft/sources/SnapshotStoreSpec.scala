@@ -913,4 +913,108 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(sGot.as[(String, Long)].collect().toSeq === Seq(("k77", 77L)))
     assert(sRep.filesOpened === 1, sRep.toString)
   }
+
+  // ------------------------------------------------- predicate delete
+
+  test("deleteWhere: metadata-only commit — fully-covered clustered " +
+      "files drop from the manifest, partial files filter at read, " +
+      "NULL-predicate rows are kept, optimize folds the layer") {
+    import SnapshotStore.StatsPred._
+    val root = freshRoot()
+    // 4 files range-clustered on id: [0,100) [100,200) [200,300) [300,400);
+    // v is NULL on every 10th id
+    (0 until 4).foreach { k =>
+      SnapshotStore.commitAppend(
+        spark.range(k * 100, (k + 1) * 100)
+          .select(col("id"),
+            when(col("id") % 10 =!= 0, col("id") % 7).as("v"))
+          .coalesce(1), root)
+    }
+    val v0 = SnapshotStore.snapshot(root).get
+    val dataBefore = walkData(root)
+    // DELETE WHERE id BETWEEN 100 AND 250: file [100,200) is FULLY
+    // covered (drops from the manifest), [200,300) partially (filters)
+    val v = SnapshotStore.deleteWhere(spark, root,
+      Between("id", 100L, 250L))
+    assert(v === v0.version + 1)
+    val m = SnapshotStore.snapshot(root).get
+    assert(m.files.size === 3 && v0.files.size === 4,
+      s"fully-covered file must drop: ${m.files.size}")
+    assert(m.layers.size === 1 && m.layers.head.pred.nonEmpty &&
+      m.layers.head.files.isEmpty)
+    // ZERO data files written by the delete
+    assert(walkData(root) === dataBefore)
+    // manifest codec round-trips the predicate layer
+    assert(SnapshotStore.parse(SnapshotStore.render(m)) === m)
+    val got = SnapshotStore.read(spark, root)
+      .agg(count(lit(1)), min(col("id")), max(col("id")))
+      .as[(Long, Long, Long)].head()
+    assert(got === ((249L, 0L, 399L))) // 400 - 151 deleted
+    // NULL-predicate semantics: DELETE WHERE v > 100 matches nothing,
+    // and rows with NULL v are KEPT (SQL 3VL)
+    SnapshotStore.deleteWhere(spark, root, Gt("v", 100L))
+    assert(SnapshotStore.read(spark, root).count() === 249)
+    // time travel: v0-era read still sees all 400
+    assert(SnapshotStore.read(spark, root, Some(v0.version)).count() === 400)
+    // optimize folds both layers away; content unchanged
+    SnapshotStore.optimize(spark, root, targetFiles = 2)
+    val opt = SnapshotStore.snapshot(root).get
+    assert(opt.layers.isEmpty)
+    assert(SnapshotStore.read(spark, root).count() === 249)
+    // unknown column fails loudly
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.deleteWhere(spark, root, Eq("nope", 1L))
+    }
+    assert(e.getMessage.contains("unknown column"))
+  }
+
+  test("deleteWhere composes with keyed layers and appends in commit " +
+      "order: update-then-delete removes the update; append-after-" +
+      "delete survives") {
+    import SnapshotStore.StatsPred._
+    val root = freshRoot()
+    SnapshotStore.commitOverwrite(
+      spark.range(0, 100)
+        .select(col("id"),
+          // when() keeps `tag` NULLABLE so later Seq-built appends
+          // (nullable strings) schema-match the table
+          when(col("id") >= 0, lit("base")).as("tag"))
+        .coalesce(1), root)                                    // v0
+    // keyed layer: move id=5 into the soon-deleted range's tag space
+    SnapshotStore.mergeOnRead(spark, root,
+      Seq((5L, "upd", 1L, false)).toDF("id", "tag", "ver", "del"),
+      key = "id", versionCol = "ver", deleteCol = "del")       // v1
+    // predicate delete AFTER the update: id <= 10 — the updated row
+    // (still id=5) goes with it
+    SnapshotStore.deleteWhere(spark, root, Le("id", 10L))      // v2
+    assert(SnapshotStore.read(spark, root).count() === 89)
+    assert(SnapshotStore.read(spark, root)
+      .filter(col("id") === 5L).count() === 0)
+    // append AFTER the delete: matching ids land anyway (commit order)
+    SnapshotStore.commitAppend(
+      Seq((5L, "back")).toDF("id", "tag"), root)               // v3
+    val fin = SnapshotStore.read(spark, root)
+    assert(fin.count() === 90)
+    assert(fin.filter(col("id") === 5L).as[(Long, String)]
+      .collect().toSeq === Seq((5L, "back")))
+    // the mid-chain pinned read (post-delete, pre-append) is stable
+    assert(SnapshotStore.read(spark, root, Some(2)).count() === 89)
+  }
+
+  private def walkData(root: String): Set[String] = {
+    val d = java.nio.file.Paths.get(root, "data")
+    if (!java.nio.file.Files.isDirectory(d)) Set.empty
+    else {
+      val s = java.nio.file.Files.walk(d)
+      try {
+        val it = s.iterator()
+        val b = Set.newBuilder[String]
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.toString.endsWith(".parquet")) b += p.toString
+        }
+        b.result()
+      } finally s.close()
+    }
+  }
 }
