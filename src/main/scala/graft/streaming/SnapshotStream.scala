@@ -63,13 +63,29 @@ object SnapshotStream {
     * micro-batches resolves to the later BATCH (stream order), with the
     * version column breaking ties only WITHIN a batch — the standard
     * CDC-stream contract (upstream emits changes in commit order).
-    * Fold the accreted layers back with [[SnapshotStore.optimize]] on
-    * whatever cadence read amplification warrants. */
+    *
+    * READ-AMPLIFICATION POLICY (`maxLayers`): an unbounded stream
+    * accretes one layer per micro-batch FOREVER — every reader pays one
+    * anti-join per layer, so a long-running sink degrades reads without
+    * bound unless someone compacts. `maxLayers > 0` bounds it inside
+    * the sink itself: after a batch commits, if the head manifest
+    * carries more than `maxLayers` layers, the sink runs
+    * [[SnapshotStore.optimize]] (folding every layer into
+    * `compactTargetFiles` fresh base files) before the next batch —
+    * steady-state read cost is ≤ `maxLayers` anti-joins no matter how
+    * long the stream runs, and the compaction wall amortizes over the
+    * batches between folds. Exactly-once is unaffected: optimize
+    * commits its own (txn-less) version, the txn chain stays in the
+    * retained manifests, and a replayed batch still dedups. 0 (the
+    * default) keeps the manual-cadence contract. */
   def upsertStream(df: DataFrame, root: String, checkpoint: String,
       sinkId: String, key: String, versionCol: String, deleteCol: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      skipPartialAgg: Boolean = false): StreamingQuery = {
+      skipPartialAgg: Boolean = false, maxLayers: Int = 0,
+      compactTargetFiles: Int = 4): StreamingQuery = {
     require(sinkId.nonEmpty, "sinkId must be non-empty")
+    require(maxLayers >= 0, "maxLayers must be >= 0 (0 = never compact)")
+    require(compactTargetFiles >= 1, "compactTargetFiles must be >= 1")
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -77,6 +93,10 @@ object SnapshotStream {
         SnapshotStore.mergeOnReadOnce(batch.sparkSession, root, batch,
           key, versionCol, deleteCol, txn = s"$sinkId:$batchId",
           skipPartialAgg = skipPartialAgg)
+        if (maxLayers > 0 &&
+            SnapshotStore.snapshot(root).exists(_.layers.size > maxLayers))
+          SnapshotStore.optimize(batch.sparkSession, root,
+            targetFiles = compactTargetFiles)
         ()
       }
       .start()

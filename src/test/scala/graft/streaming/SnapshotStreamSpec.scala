@@ -144,6 +144,55 @@ class SnapshotStreamSpec extends SparkSpec {
       Set((1L, "b1-rewrite"), (3L, "base3"), (4L, "b0-new")))
   }
 
+  test("upsertStream maxLayers: a long stream keeps BOUNDED layer " +
+      "count via in-sink compaction, with content identical to the " +
+      "unbounded fold") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = freshDir("snapstream-compact")
+    SnapshotStore.commitOverwrite(
+      spark.range(0, 50).select(
+        org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("base"),
+          org.apache.spark.sql.functions.col("id")).as("s")), root)
+    val stream = MemoryStream[(Long, Long, Boolean, String)]
+    val q = SnapshotStream.upsertStream(
+      stream.toDF().toDF("id", "v", "del", "s"), root,
+      freshDir("usc-ckpt"), sinkId = "usc", key = "id",
+      versionCol = "v", deleteCol = "del",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+      maxLayers = 2, compactTargetFiles = 1)
+    // 6 micro-batches: batch b updates id=b, deletes id=10+b, inserts
+    // id=100+b — without compaction the head would carry 6 layers
+    try (0 until 6).foreach { b =>
+      stream.addData(Seq(
+        (b.toLong, 1L, false, s"upd$b"),
+        (10L + b, 1L, true, "x"),
+        (100L + b, 1L, false, s"ins$b")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val m = SnapshotStore.snapshot(root).get
+    assert(m.layers.size <= 2,
+      s"steady-state layer count must stay bounded: ${m.layers.size}")
+    val got = SnapshotStore.read(spark, root).as[(Long, String)]
+      .collect().toMap
+    assert(got.size === 50 - 6 + 6) // 6 deleted, 6 inserted
+    (0 until 6).foreach { b =>
+      assert(got(b.toLong) === s"upd$b")
+      assert(!got.contains(10L + b))
+      assert(got(100L + b) === s"ins$b")
+    }
+    // replay the whole stream through a fresh checkpoint: txn chain
+    // survives the in-sink optimizes, nothing double-applies
+    val q2 = SnapshotStream.upsertStream(
+      stream.toDF().toDF("id", "v", "del", "s"), root,
+      freshDir("usc-ckpt2"), sinkId = "usc", key = "id",
+      versionCol = "v", deleteCol = "del", maxLayers = 2,
+      compactTargetFiles = 1)
+    q2.awaitTermination()
+    assert(SnapshotStore.read(spark, root).count() === 50)
+  }
+
   test("mergeOnReadOnce refuses an empty table and dedupes a direct " +
       "replayed txn") {
     val root = freshDir("snapmor-once")
