@@ -101,6 +101,16 @@ object Bench {
           throw e
       }
 
+    // Fixed-work CPU calibration BEFORE any timing (shared with
+    // ScaleSmoke): the ±20-25 % host-drift windows this VM shows are
+    // larger than most round-over-round per-query deltas, so every
+    // bench artifact carries the host-speed measurement the RATIO
+    // reports normalize by — an entry that moved with calib moved with
+    // the HOST.
+    val (calibSt, calibMt) = Calib.calibrate(cpus.toInt)
+    Console.err.println(
+      s"[bench] calibration: st=${calibSt}ms mt=${calibMt}ms")
+
     // Codegen/JIT warm-up pass at the smallest SF (see scaladoc).
     queries.foreach { case (name, fn) =>
       runOne(name, warmDir, fn); CacheHandles.releaseAll() }
@@ -167,6 +177,7 @@ object Bench {
     val compact =
       s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
       s""""queries":$qs,"rep_policy":"min","jit_ms_at_timing_end":$jitMs,""" +
+      s""""calib_st_ms":$calibSt,"calib_mt_ms":$calibMt,""" +
       s""""sf":"$sfDir"}"""
     // provenance: label WHICH harness invocation produced the record
     // (round-11 VERDICT: driver BENCH_r{N} and builder BENCH_FULL_r{N}
@@ -185,6 +196,7 @@ object Bench {
       s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
       s""""queries":$qs,"reps":$repsJson,"rep_policy":"min",""" +
       s""""provenance":"$provenance",""" +
+      s""""calib_st_ms":$calibSt,"calib_mt_ms":$calibMt,""" +
       s""""jit_ms_at_timing_end":$jitMs,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

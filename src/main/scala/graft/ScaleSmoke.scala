@@ -125,44 +125,11 @@ object ScaleSmoke {
   private val reps: Int =
     math.max(1, sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "1").toInt)
 
-  /** Fixed-work CPU calibration, recorded into the artifact so rounds on
-    * this shared VM are comparable: `calib_st_ms` = single-thread wall
-    * for a fixed integer-multiply loop (min of 3, after warm-up),
-    * `calib_mt_ms` = the same total work split across all cores. An
-    * entry that doubled while calib doubled is a slower HOST, not a
-    * slower operator.
-    */
-  /** Sink for burn() results — @volatile so the JIT cannot prove the
-    * multiply loops dead and eliminate them (which would record a
-    * near-zero calibration and silently invalidate cross-round host
-    * comparisons). The value itself is meaningless; it is also folded
-    * into the artifact's calib line as a checksum nobody reads.
-    */
-  @volatile private var calibSink: Long = 0L
-
-  private def calibrate(threads: Int): (Long, Long) = {
-    val work = 400000000L // 4e8 multiply-adds
-    def burn(n: Long, seed: Long): Long = {
-      var s = seed; var i = 0L
-      while (i < n) { s = s * 6364136223846793005L + 1442695040888963407L; i += 1 }
-      s
-    }
-    calibSink ^= burn(work / 4, 1L) // JIT warm-up
-    def st(): Long = {
-      val t0 = System.nanoTime(); calibSink ^= burn(work, 2L)
-      (System.nanoTime() - t0) / 1000000L
-    }
-    def mt(): Long = {
-      val t0 = System.nanoTime()
-      val ts = (0 until threads).map { t =>
-        val th = new Thread(() => { calibSink ^= burn(work / threads, t.toLong) })
-        th.start(); th
-      }
-      ts.foreach(_.join())
-      (System.nanoTime() - t0) / 1000000L
-    }
-    ((1 to 3).map(_ => st()).min, (1 to 3).map(_ => mt()).min)
-  }
+  /** Fixed-work CPU calibration — shared implementation in
+    * [[Calib]] (Bench emits the same fields since r17 so RATIO reports
+    * can normalize across host-drift windows). */
+  private def calibrate(threads: Int): (Long, Long) =
+    Calib.calibrate(threads)
 
   /** SPARK_GRAFT_SCALE_DEBUG=1 prints the heaviest stages (summed task
     * time) of each timed entry — the "where did the wall go" view the
