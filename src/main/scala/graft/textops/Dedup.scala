@@ -188,11 +188,15 @@ object Dedup {
     *     observable (a run with `dropped_groups = 0` is provably exact
     *     AND complete).
     *
-    * The counted score is a lower bound on true jaccard (undercounting
-    * |A∩B| also overcounts |A∪B|), so exact verification can only keep
-    * pairs, never reject them — the final threshold filter is a no-op kept
-    * for the contract. For bounded fan-out without the stop-shingle recall
-    * caveat at high thresholds see [[ngramJaccardPairsPrefix]].
+    * The counted score brackets true jaccard from both sides: posting
+    * groups key on xxhash64(shingle) (8-byte exchange, see inline), so
+    * a hash collision can INFLATE a pair's count, while a capped-group
+    * drop DEFLATES it — which is exactly why the exact string-array
+    * verification is the decider in both directions (the final
+    * threshold filter rejects collision-admitted pairs; reported
+    * values are always the true string-shingle jaccard). For bounded
+    * fan-out without the stop-shingle recall caveat at high thresholds
+    * see [[ngramJaccardPairsPrefix]].
     *
     * The doc→shingle-array frame is persisted (three consumers: posting
     * build + both verification sides); see the object scaladoc's cache
@@ -213,9 +217,20 @@ object Dedup {
       threshold: Double = 0.8, textCol: String = "text",
       idCol: String = "doc_id", maxPostingList: Int = 1 << 14,
       dropStats: Option[Observation] = None): (DataFrame, () => Unit) = {
+    // HASH-FIRST (the q81 lesson, applied end to end): every shingle
+    // becomes its xxhash64 ONCE, per document, inside the array — the
+    // persisted frame carries long arrays (~3× smaller than the string
+    // arrays), the posting exchange ships 8-byte keys, and the
+    // verification intersects long arrays (integer compares, no string
+    // walks). A 64-bit collision merges two shingles corpus-wide —
+    // probability any exists is ≤ m²/2⁶⁵ for m distinct shingles
+    // (~10⁻⁶ at m = 10⁷), and its effect is a ±1 on one pair's
+    // intersection — the same documented bound as
+    // [[graft.operators.Quality.Unique]]'s hashed distinct count.
     val sh = docs
       .select(col(idCol).as("id"),
-        array_distinct(TextStats.shingles(col(textCol), n)).as("sh"))
+        array_distinct(transform(TextStats.shingles(col(textCol), n),
+          s => xxhash64(s))).as("sh"))
       .select(col("id"), col("sh"), size(col("sh")).as("n_sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Carry each doc's shingle count inside the posting list so |A|,|B|
@@ -224,6 +239,12 @@ object Dedup {
       explode(col("sh")).as("shingle"))
     val cands = groupPairs(posting, Seq("shingle"),
         struct(col("id"), col("n_sh")), maxPostingList, dropStats)
+      // PPJoin length filter BEFORE the pair-key exchange: J ≥ t forces
+      // min(|A|,|B|) ≥ t·max(|A|,|B|) (|A∩B| ≤ min, |A∪B| ≥ max), so a
+      // length-mismatched co-occurrence never becomes an aggregate row —
+      // the filter runs on the two ints already riding the pair struct
+      .filter(col("b.n_sh") >= lit(threshold) * col("a.n_sh") &&
+        col("a.n_sh") >= lit(threshold) * col("b.n_sh"))
       .groupBy(col("a.id").as("id_a"), col("a.n_sh").as("n_a"),
         col("b.id").as("id_b"), col("b.n_sh").as("n_b"))
       .agg(count(lit(1)).as("n_counted"))
@@ -232,7 +253,10 @@ object Dedup {
         (col("n_a") + col("n_b") - col("n_counted")) >= threshold)
       .select("id_a", "id_b")
     // shuffle_hash pin, same reason as the prefix variant: per-document
-    // shingle arrays must never ride a (misestimated) broadcast
+    // shingle arrays must never ride a (misestimated) broadcast.
+    // (A candidate-id semi-join prune of the array side was measured
+    // and REJECTED: the broadcast subquery re-executes the whole
+    // candidate pipeline — 3.7 s vs 2.7 s at sf1.)
     val result = cands
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a"),
         col("n_sh").as("n_a")).hint("shuffle_hash"), "id_a")
