@@ -93,7 +93,10 @@ object ScaleSmoke {
       audited: Option[Boolean] = None,
       recallVsExact: Option[Double] = None,
       rounds: Option[Int] = None, components: Option[Long] = None,
-      filesListed: Option[Int] = None, filesOpened: Option[Int] = None)
+      filesListed: Option[Int] = None, filesOpened: Option[Int] = None,
+      segmentsListed: Option[Int] = None,
+      segmentsParsed: Option[Int] = None,
+      bloomSkipped: Option[Int] = None)
 
   private val results =
     scala.collection.mutable.LinkedHashMap.empty[String, Entry]
@@ -763,7 +766,8 @@ object ScaleSmoke {
     if (enabled("quality_audit") || enabled("zorder") ||
         enabled("grouped_topk_hot") || enabled("cdc_apply") ||
         enabled("robust_outliers") || enabled("stats_pruned_scan") ||
-        enabled("merge_on_read") || enabled("catalog_read")) locally {
+        enabled("merge_on_read") || enabled("catalog_read") ||
+        enabled("bloom_probe")) locally {
       val copies = spark.range(mult.toLong).toDF("copy")
       // persisted: four entries share it, and zorder alone reads it three
       // times (stats pass, range-boundary sampling, the sort itself).
@@ -1001,8 +1005,144 @@ object ScaleSmoke {
           filesListed = Some(rep.filesListed),
           filesOpened = Some(rep.filesOpened)))
       }
+      // FILE-LEVEL BLOOM INDEX at mult×: orders lands clustered on
+      // o_totalprice (⊥ o_orderkey — per-file key ranges span the
+      // domain, so the min/max tier provably cannot skip a point
+      // probe), the index builds in one (file, column) scan with
+      // AUTO-SIZED bitmaps (≥10 bits/row of the largest file), and the
+      // timed probe is a mid-domain key equality: every skip must be
+      // BLOOM-attributed and the probe opens O(1 + false positives)
+      // files out of 64 — the q127 gate's claim at corpus scale, with
+      // the build wall priced beside the serve wall.
+      if (enabled("bloom_probe")) locally {
+        import graft.sources.SnapshotStore
+        val dir = java.nio.file.Files
+          .createTempDirectory("scale-bloomidx").toString
+        val nOrd = orders.count()
+        SnapshotStore.commitOverwrite(
+          orders.repartitionByRange(64, col("o_totalprice")), dir)
+        val tI0 = System.nanoTime()
+        SnapshotStore.indexBloom(spark, dir, "o_orderkey")
+        val idxSec = (System.nanoTime() - tI0) / 1e9
+        println(f"[scale] bloom_index_build           $nOrd%10d rows" +
+          f"  $idxSec%8.2f s")
+        record(Entry("bloom_index_build", nOrd, idxSec))
+        // mid-domain probe key (an extreme key would hand skips to the
+        // stats tier — the r17 q127 lesson)
+        val Array(kMin, kMax) = orders
+          .agg(min(col("o_orderkey")), max(col("o_orderkey")))
+          .head().toSeq.map(_.asInstanceOf[Long]).toArray
+        val probe = orders
+          .filter(pmod(col("o_orderkey"), lit(13)) === 0 &&
+            col("o_orderkey") <= (kMin + kMax) / 2)
+          .agg(max(col("o_orderkey"))).head().getLong(0)
+        var rep: SnapshotStore.ScanReport = null
+        var nOut = 0L
+        val sec = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          val (df, r) = SnapshotStore.readWhere(spark, dir,
+            SnapshotStore.StatsPred.Eq("o_orderkey", probe))
+          rep = r
+          nOut = df.count()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        require(rep.filesOpened * 4 <= rep.filesListed &&
+            rep.bloomSkipped == rep.filesSkipped && rep.bloomSkipped > 0,
+          s"point probe must be bloom-pruned on the decorrelated " +
+            s"layout: $rep")
+        println(f"[scale] bloom_probe                 $nOut%10d rows" +
+          f"  $sec%8.2f s  (opened ${rep.filesOpened}/${rep.filesListed}" +
+          f", bloom-skipped ${rep.bloomSkipped})")
+        record(Entry("bloom_probe", nOut, sec,
+          filesListed = Some(rep.filesListed),
+          filesOpened = Some(rep.filesOpened),
+          bloomSkipped = Some(rep.bloomSkipped)))
+      }
       li.unpersist(blocking = false)
       orders.unpersist(blocking = false)
+    }
+
+    // MANIFEST-LIST METADATA at ~10⁵ FILES: the segment tier's claim —
+    // commits touch O(new files + segments) metadata and range reads
+    // parse only intersecting segments — exercised at the file count it
+    // was built for (q123 proves 1,000 files; this lane builds
+    // 1000×mult, capped at 100k). Rows are TINY on purpose: the entry
+    // prices METADATA walks, not data volume. Four walls recorded:
+    // building the raw 10⁵-file table (inline commits), the
+    // METADATA-ONLY rewriteManifests regroup into ~250-file segments,
+    // one tail appendSegment (must be O(new files + segment count),
+    // never O(total files)), and the pruned range read
+    // (segments_parsed / files_opened land in the artifact).
+    if (enabled("segment_metadata")) locally {
+      import graft.sources.SnapshotStore
+      val dir = java.nio.file.Files
+        .createTempDirectory("scale-segmeta").toString
+      val totalFiles = sys.env.get("SPARK_GRAFT_SEG_FILES").map(_.toInt)
+        .getOrElse(math.min(100000, 1000 * mult))
+      val chunks = 16
+      val perChunk = totalFiles / chunks
+      val rowsPerFile = 20L
+      val tB0 = System.nanoTime()
+      (0 until chunks).foreach { c =>
+        val lo = c.toLong * perChunk * rowsPerFile
+        val hi = lo + perChunk * rowsPerFile
+        SnapshotStore.commitAppend(
+          spark.range(lo, hi)
+            .repartitionByRange(perChunk, col("id"))
+            .select(col("id"), (col("id") % 97).as("v")), dir)
+      }
+      val nF = SnapshotStore.snapshot(dir).get.files.size
+      val buildSec = (System.nanoTime() - tB0) / 1e9
+      println(f"[scale] segment_build_files         $nF%10d files" +
+        f"  $buildSec%8.2f s")
+      record(Entry("segment_build_files", nF.toLong, buildSec))
+      val nSegs = math.max(2, totalFiles / 250)
+      val tR0 = System.nanoTime()
+      SnapshotStore.rewriteManifests(dir, targetSegments = nSegs)
+      val rwSec = (System.nanoTime() - tR0) / 1e9
+      val mSeg = SnapshotStore.snapshot(dir).get
+      require(mSeg.files.isEmpty && mSeg.segments.size >= nSegs - 1,
+        s"rewrite must regroup everything into ~$nSegs segments " +
+          s"(got ${mSeg.segments.size})")
+      println(f"[scale] segment_rewrite_manifests   $nF%10d files" +
+        f"  $rwSec%8.2f s  (${mSeg.segments.size} segments)")
+      record(Entry("segment_rewrite_manifests", nF.toLong, rwSec,
+        segmentsListed = Some(mSeg.segments.size)))
+      // tail append: O(new files + segments), never O(total files)
+      val tailLo = totalFiles.toLong * rowsPerFile + 1000000L
+      val tA0 = System.nanoTime()
+      SnapshotStore.appendSegment(
+        spark.range(tailLo, tailLo + 64 * rowsPerFile)
+          .repartitionByRange(64, col("id"))
+          .select(col("id"), (col("id") % 97).as("v")), dir)
+      val tailSec = (System.nanoTime() - tA0) / 1e9
+      println(f"[scale] segment_append_tail         ${64}%10d files" +
+        f"  $tailSec%8.2f s")
+      record(Entry("segment_append_tail", 64L, tailSec))
+      // pruned range read: a ~50-file slice out of 10⁵
+      val sliceLo = totalFiles.toLong * rowsPerFile / 2
+      val sliceHi = sliceLo + 50 * rowsPerFile - 1
+      var rep: SnapshotStore.ScanReport = null
+      var nOut = 0L
+      val sec = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val (df, r) = SnapshotStore.readWhere(spark, dir,
+          SnapshotStore.StatsPred.Between("id", sliceLo, sliceHi))
+        rep = r
+        nOut = df.count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      require(rep.segmentsParsed * 4 <= rep.segmentsListed &&
+          rep.filesOpened * 10 <= rep.filesListed,
+        s"metadata-scale prune must skip whole segments unparsed: $rep")
+      println(f"[scale] segment_pruned_read         $nOut%10d rows" +
+        f"  $sec%8.2f s  (opened ${rep.filesOpened}/${rep.filesListed}" +
+        f", parsed ${rep.segmentsParsed}/${rep.segmentsListed} segments)")
+      record(Entry("segment_pruned_read", nOut, sec,
+        filesListed = Some(rep.filesListed),
+        filesOpened = Some(rep.filesOpened),
+        segmentsListed = Some(rep.segmentsListed),
+        segmentsParsed = Some(rep.segmentsParsed)))
     }
 
     // corpus-level boilerplate stats at 20×: distinct-shingle explode →
@@ -1180,7 +1320,10 @@ object ScaleSmoke {
         e.rounds.map(v => s""""rounds":$v"""),
         e.components.map(v => s""""components":$v"""),
         e.filesListed.map(v => s""""files_listed":$v"""),
-        e.filesOpened.map(v => s""""files_opened":$v"""))
+        e.filesOpened.map(v => s""""files_opened":$v"""),
+        e.segmentsListed.map(v => s""""segments_listed":$v"""),
+        e.segmentsParsed.map(v => s""""segments_parsed":$v"""),
+        e.bloomSkipped.map(v => s""""bloom_skipped":$v"""))
       ).flatten.mkString(",")
       js(e.name) + ":{" + fields + "}"
     }.mkString(",")

@@ -1010,7 +1010,38 @@ object SnapshotStore {
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import scala.jdk.CollectionConverters._
     val conf = spark.sparkContext.hadoopConfiguration
-    files.map { rel =>
+    // footer reads are independent ~1-3 ms I/O each: a 10⁵-file commit
+    // (the segment-metadata lane) would walk them sequentially for
+    // minutes — harvest on a bounded driver-side pool instead. The
+    // readers share nothing; the Hadoop conf is read-only here.
+    val par = math.min(16, math.max(1, files.size / 64))
+    val work: Seq[String] => Seq[(String,
+        Map[String, ColStats])] = batch => batch.map { rel =>
+      rel -> harvestOne(conf, root, rel)
+    }
+    if (par <= 1) files.map(rel => rel -> harvestOne(conf, root, rel)).toMap
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+      try {
+        val groups = files.grouped(
+          math.max(1, files.size / par / 4)).toSeq
+        val futs = groups.map(g => pool.submit(
+          new java.util.concurrent.Callable[Seq[(String,
+              Map[String, ColStats])]] {
+            def call() = work(g)
+          }))
+        futs.flatMap(_.get()).toMap
+      } finally pool.shutdown()
+    }
+  }
+
+  /** One file's footer harvest (see [[harvestStats]]). */
+  private def harvestOne(conf: org.apache.hadoop.conf.Configuration,
+      root: String, rel: String): Map[String, ColStats] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    Seq(rel).map { rel =>
       val p = Paths.get(root, rel)
       val in = HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(p.toUri), conf)
@@ -1074,7 +1105,7 @@ object SnapshotStore {
             if (a.nullsKnown) Some(a.nulls) else None, mnS, mxS)
         }
       } finally reader.close()
-    }.toMap
+    }.head._2
   }
 
   /** Canonical string for a footer min/max under the column's parquet
