@@ -1236,10 +1236,9 @@ object SnapshotStore {
     * exact). Returns the committed version. */
   def indexBloom(spark: SparkSession, root: String, column: String,
       logBits: Int = 0, k: Int = 5): Int = {
-    import org.apache.spark.sql.functions.{bit_or, coalesce, col,
-      collect_list, element_at, explode, expr, input_file_name, lit,
-      map_from_arrays, pmod, sequence, shiftrightunsigned, transform,
-      xxhash64, array}
+    import org.apache.spark.sql.functions.{bit_or, col, collect_list,
+      explode, expr, input_file_name, lit, pmod, shiftrightunsigned,
+      struct, xxhash64, array}
     require(logBits == 0 || (logBits >= 6 && logBits <= 26),
       s"logBits out of range (0 = auto): $logBits")
     require(k >= 1 && k <= 16, s"k out of range: $k")
@@ -1282,6 +1281,15 @@ object SnapshotStore {
       val hi = shiftrightunsigned(h, 32).bitwiseOR(lit(1L))
       val positions = (0 until k).map(i =>
         pmod(lo + lit(i.toLong) * hi, lit(m)))
+      // densification happens DRIVER-SIDE from the sparse (word, bits)
+      // pairs: the executor-side alternative — transform(sequence(...))
+      // probing a collected MapType with element_at — is QUADRATIC,
+      // because Spark's ArrayBasedMapData lookup is a linear scan
+      // (measured: 2^22-bit bitmaps over 64 files = 46 MINUTES of
+      // map probes vs seconds for this shape). The collected sparse
+      // rows are ≤ nFiles·nWords structs — bitmap-sized by the
+      // sidecar's own contract, same driver-memory class as the
+      // sidecar itself.
       val rows = spark.read.schema(schema).parquet(paths: _*)
         .select(input_file_name().as("graft_file"), col(column))
         .filter(col(column).isNotNull)
@@ -1292,12 +1300,7 @@ object SnapshotStore {
           "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"))
           .as("bits"))
         .groupBy(col("graft_file"))
-        .agg(map_from_arrays(collect_list(col("w")),
-          collect_list(col("bits"))).as("wm"))
-        .select(col("graft_file"),
-          transform(sequence(lit(0L), lit(nWords.toLong - 1)),
-            i => coalesce(element_at(col("wm"), i), lit(0L)))
-            .as("graft_bloom"))
+        .agg(collect_list(struct(col("w"), col("bits"))).as("wb"))
         .collect()
       // URI → manifest-relative path: input_file_name returns file: URIs
       val byPath = rows.map { r =>
@@ -1305,7 +1308,11 @@ object SnapshotStore {
         val abs = Paths.get(java.net.URI.create(uri)).toString
         val relFile = Paths.get(root).toAbsolutePath.normalize
           .relativize(Paths.get(abs).toAbsolutePath.normalize).toString
-        (relFile, r.getSeq[Long](1))
+        val words = new Array[Long](nWords)
+        r.getSeq[org.apache.spark.sql.Row](1).foreach { p =>
+          words(p.getLong(0).toInt) = p.getLong(1)
+        }
+        (relFile, words.toSeq)
       }
       // measured-fill guard (conservative correctness is unaffected —
       // a saturated bitmap answers "maybe" everywhere — but it prunes
