@@ -148,6 +148,7 @@ object SparkEntry {
     "q127_bloom_index"     -> (Relational.q127BloomIndex _),
     "q128_format_pushdown" -> (Relational.q128FormatPushdown _),
     "q129_delete_where"    -> (Relational.q129DeleteWhere _),
+    "q130_compact_small"   -> (Relational.q130CompactSmall _),
   )
 
   /** The cohort-retention-matrix oracle, shared by q93 (the batch
@@ -810,6 +811,15 @@ object SparkEntry {
          WHERE NOT (o_orderkey BETWEEN mn + (mx - mn) // 4
                                    AND mn + (mx - mn) // 2)
          GROUP BY 1 ORDER BY 1""",
+    // Partial bin-pack compaction: the oracle is the plain full
+    // aggregate over orders — hash equality proves re-packing the five
+    // small files moved every row and dropped/duplicated none; the
+    // builder REQUIREs the two large files survive byte-identical.
+    "q130_compact_small" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+             AS BIGINT) AS cents
+         FROM orders GROUP BY 1 ORDER BY 1""",
     // Manifest rewrite: content-hash invariance through the metadata-
     // only regroup — the oracle recomputes the range aggregate straight
     // from orders; pruning through the REWRITTEN summaries is REQUIREd.

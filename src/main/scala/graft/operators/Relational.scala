@@ -1917,6 +1917,70 @@ object Relational {
     agg(SnapshotStore.read(spark, root, Some(delV)))
   }
 
+  /** q130: PARTIAL BIN-PACK COMPACTION ([[graft.sources.SnapshotStore
+    * .compactSmallFiles]]) — the incremental maintenance a full
+    * OPTIMIZE is not: two LARGE base files (4/5 of orders) plus five
+    * small appends (the remaining fifth in slices) accrete a 7-file
+    * table; the compaction re-packs ONLY the five small files into one
+    * (threshold derived from the measured on-disk sizes, require()d to
+    * separate the populations) — the builder REQUIREs the two large
+    * files survive BYTE-IDENTICAL under their original manifest paths,
+    * the file count drops 7 → 3, and exactly one version is added. The
+    * oracle is the plain full aggregate over orders — hash equality
+    * proves re-packing moved every small-file row and dropped/duplicated
+    * none. At 100 TB this is the cadence job on every append-heavy
+    * table: O(small bytes) per run, never O(table).
+    */
+  private val compactRoot =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def q130CompactSmall(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = compactRoot.getOrElseUpdate(sfDir, {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-snapcmp-").toString
+      val o = Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+      SnapshotStore.commitOverwrite(
+        o.filter(col("o_orderkey") % 5 =!= 0)
+          .repartition(2), dir)                              // v0
+      (0 until 5).foreach { r =>
+        SnapshotStore.commitAppend(
+          o.filter(col("o_orderkey") % 5 === 0 &&
+            pmod(floor(col("o_orderkey") / 5), lit(5)) === r)
+            .coalesce(1), dir)                             // v1..v5
+      }
+      val before = SnapshotStore.snapshot(dir).get
+      require(before.files.size == 7,
+        s"expected 2 large + 5 small files, got ${before.files.size}")
+      val sizes = before.files.map(f => f ->
+        java.nio.file.Files.size(java.nio.file.Paths.get(dir, f))).toMap
+      val sorted = sizes.values.toSeq.sorted
+      val (smallMax, bigMin) = (sorted(4), sorted(5))
+      require(smallMax < bigMin,
+        s"size populations must separate: smallMax=$smallMax " +
+          s"bigMin=$bigMin")
+      val big = sizes.filter(_._2 >= bigMin).keys.toSet
+      val v = SnapshotStore.compactSmallFiles(spark, dir,
+        maxBytes = (smallMax + bigMin) / 2)
+      val after = SnapshotStore.snapshot(dir).get
+      require(v == before.version + 1 && after.files.size == 3,
+        s"compaction must pack 5 small files into 1 " +
+          s"(v$v, ${after.files.size} files)")
+      require(big.subsetOf(after.files.toSet) && big.forall(f =>
+          java.nio.file.Files.size(
+            java.nio.file.Paths.get(dir, f)) == sizes(f)),
+        "large files must survive byte-untouched under their paths")
+      dir
+    })
+    SnapshotStore.read(spark, root)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(centsOf(col("o_totalprice"))).as("cents"))
+      .orderBy("o_orderpriority")
+  }
+
   def q118Optimize(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.sources.SnapshotStore
     val root = optimizeRoot.getOrElseUpdate(sfDir, {

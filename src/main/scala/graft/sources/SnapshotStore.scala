@@ -1838,6 +1838,56 @@ object SnapshotStore {
     sys.error(s"optimize lost $MaxRetries version races under $root")
   }
 
+  /** PARTIAL (BIN-PACK) COMPACTION — the incremental maintenance
+    * [[optimize]] deliberately is not: rewrite ONLY the inline data
+    * files at or under `maxBytes` into `targetFiles` fresh files,
+    * leaving every larger file BYTE-UNTOUCHED in the manifest (the
+    * Iceberg rewrite-data-files binpack shape). This is what a
+    * streaming/append-heavy table runs on a cadence: many small
+    * commits accrete many small files, and re-packing them costs
+    * O(small bytes), never O(table). Segment-resident files are out of
+    * scope (segment membership is immutable — regroup via
+    * [[rewriteManifests]] or fold via [[optimize]]); merge-on-read
+    * layers are PRESERVED and stay correct, because layer suppression
+    * is by KEY (or predicate), never by file — a base row's location
+    * is irrelevant to the fold. Stats compose: surviving files keep
+    * their sidecar entries, the packed files get fresh footer stats.
+    * Returns the committed version, or the CURRENT version unchanged
+    * when fewer than two files qualify (nothing to pack — no empty
+    * commit). Concurrency: read-modify-write like [[optimize]] — a
+    * lost race restarts selection AND rewrite from the new head
+    * (abandoned files are vacuum scratch). */
+  def compactSmallFiles(spark: SparkSession, root: String,
+      maxBytes: Long, targetFiles: Int = 1): Int = {
+    require(maxBytes > 0, "maxBytes must be positive")
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    var attempt = 0
+    while (attempt < MaxRetries) {
+      val cur = snapshot(root).getOrElse(sys.error(
+        s"compactSmallFiles on a table with no commits under $root"))
+      val schema = StructType.fromDDL(cur.schemaDdl)
+      val small = cur.files.filter(f =>
+        Files.size(Paths.get(root, f)) <= maxBytes)
+      if (small.size < 2) return cur.version
+      val packed = spark.read.schema(schema)
+        .parquet(small.map(f => Paths.get(root, f).toString): _*)
+        .repartition(targetFiles)
+      val files = writeData(packed, root)
+      val keep = cur.files.filterNot(small.toSet)
+      val statsFile = writeStatsFile(root,
+        fileStats(root, cur).view.filterKeys(keep.toSet).toMap ++
+          harvestStats(spark, root, files))
+      if (publish(root, Manifest(cur.version + 1, cur.version,
+          cur.schemaDdl, keep ++ files, statsFile = statsFile,
+          segments = cur.segments, layers = cur.layers,
+          blooms = cur.blooms)))
+        return cur.version + 1
+      attempt += 1
+    }
+    sys.error(
+      s"compactSmallFiles lost $MaxRetries version races under $root")
+  }
+
   // --------------------------------------------------------------- merge
 
   /** Transactional row-level MERGE — the Delta `MERGE INTO` core on this

@@ -1001,6 +1001,48 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.read(spark, root, Some(2)).count() === 89)
   }
 
+  test("compactSmallFiles: packs only under-threshold inline files, " +
+      "preserves layers and their fold, no-ops below two candidates") {
+    import SnapshotStore.StatsPred._
+    val root = freshRoot()
+    // one big file (1000 rows), four small (10 rows each)
+    SnapshotStore.commitOverwrite(
+      spark.range(0, 1000).select(col("id"),
+        when(col("id") >= 0, lit("big")).as("tag")).coalesce(1), root)
+    (0 until 4).foreach { k =>
+      SnapshotStore.commitAppend(
+        spark.range(10000 + k * 10, 10000 + (k + 1) * 10)
+          .select(col("id"), when(col("id") >= 0, lit(s"s$k")).as("tag"))
+          .coalesce(1), root)
+    }
+    // a keyed layer + a predicate delete BEFORE compaction: both must
+    // survive the re-pack bit-for-bit (suppression is by key/predicate,
+    // never by file)
+    SnapshotStore.mergeOnRead(spark, root,
+      Seq((10005L, "upd", 1L, false), (10017L, "x", 1L, true))
+        .toDF("id", "tag", "ver", "del"),
+      key = "id", versionCol = "ver", deleteCol = "del")
+    SnapshotStore.deleteWhere(spark, root, Between("id", 0L, 4L))
+    val before = SnapshotStore.read(spark, root)
+      .as[(Long, String)].collect().toSet
+    val m0 = SnapshotStore.snapshot(root).get
+    val sizes = m0.files.map(f => f ->
+      java.nio.file.Files.size(java.nio.file.Paths.get(root, f))).toMap
+    val bigFile = sizes.maxBy(_._2)._1
+    val v = SnapshotStore.compactSmallFiles(spark, root,
+      maxBytes = sizes(bigFile) - 1)
+    val m1 = SnapshotStore.snapshot(root).get
+    assert(v === m0.version + 1)
+    assert(m1.files.size === 2 && m1.files.contains(bigFile))
+    assert(m1.layers === m0.layers) // both layers carried verbatim
+    assert(SnapshotStore.read(spark, root)
+      .as[(Long, String)].collect().toSet === before)
+    // fewer than two qualifying files -> no-op, no version bump
+    assert(SnapshotStore.compactSmallFiles(spark, root,
+      maxBytes = 1L) === v)
+    assert(SnapshotStore.versions(root).last === v)
+  }
+
   private def walkData(root: String): Set[String] = {
     val d = java.nio.file.Paths.get(root, "data")
     if (!java.nio.file.Files.isDirectory(d)) Set.empty
