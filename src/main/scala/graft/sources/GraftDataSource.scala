@@ -9,8 +9,9 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.execution.datasources.{FileIndex,
   HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister,
-  RelationProvider}
+import org.apache.spark.sql.{SaveMode}
+import org.apache.spark.sql.sources.{BaseRelation,
+  CreatableRelationProvider, DataSourceRegister, RelationProvider}
 import org.apache.spark.sql.types.StructType
 
 import SnapshotStore.{Manifest, ScanReport, StatsPred}
@@ -194,13 +195,54 @@ object GraftFileIndex {
   }
 }
 
-/** `spark.read.format("graft").load(root)` / SQL `USING graft` entry.
-  * Options: `path` (the table root), `versionAsOf` (time travel; default
-  * = current snapshot). Registered via
+/** `spark.read.format("graft").load(root)` / SQL `USING graft` entry,
+  * and the WRITE half: `df.write.format("graft").mode(...).save(root)`
+  * maps SaveMode onto the snapshot commit protocol — Append →
+  * [[SnapshotStore.commitAppend]] (rebases across racing writers;
+  * lands as an add-only layer on a layered table), Overwrite →
+  * [[SnapshotStore.commitOverwrite]], ErrorIfExists fails iff the
+  * table has any committed version, Ignore no-ops then. Every write is
+  * one ACID snapshot version with footer-harvested stats — a
+  * format("graft") writer gets file skipping on the next read for
+  * free. Options: `path` (the table root), `versionAsOf` (time
+  * travel, read side). Registered via
   * META-INF/services/org.apache.spark.sql.sources.DataSourceRegister. */
-class GraftDataSource extends RelationProvider with DataSourceRegister {
+class GraftDataSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val root = parameters.getOrElse("path",
+      sys.error("graft: missing 'path' (use .save(<table root>))"))
+    val exists = SnapshotStore.versions(root).nonEmpty
+    mode match {
+      case SaveMode.Append    => SnapshotStore.commitAppend(data, root)
+      case SaveMode.Overwrite => SnapshotStore.commitOverwrite(data, root)
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalArgumentException(
+          s"graft: table at $root already has committed versions " +
+            "(mode ErrorIfExists)")
+        SnapshotStore.commitOverwrite(data, root)
+      case SaveMode.Ignore =>
+        if (!exists) SnapshotStore.commitOverwrite(data, root)
+    }
+    // an Append onto a LAYERED table lands as an add-only layer — the
+    // raw read relation refuses those (see the read-side require), so
+    // return a schema-only relation there; Spark's save() path only
+    // consults the result's schema
+    val m = SnapshotStore.snapshot(root).getOrElse(
+      sys.error(s"graft: write to $root left no snapshot"))
+    if (m.layers.isEmpty) createRelation(sqlContext, parameters)
+    else {
+      val ctx = sqlContext
+      new BaseRelation {
+        override def sqlContext: SQLContext = ctx
+        override def schema: StructType = StructType.fromDDL(m.schemaDdl)
+      }
+    }
+  }
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {

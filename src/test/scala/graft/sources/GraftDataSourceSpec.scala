@@ -151,6 +151,43 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(t.filter(col("id") === 450L).count() === 1)
   }
 
+  test("write half: SaveMode maps onto snapshot commits — append " +
+      "accumulates versions with stats-pruned reads, overwrite " +
+      "replaces, ErrorIfExists/Ignore respect existing tables") {
+    val root = freshRoot()
+    val mk = (lo: Long, hi: Long) => spark.range(lo, hi)
+      .select(col("id"), (col("id") % 7).as("v")).coalesce(1)
+    mk(0, 100).write.format("graft").mode("errorifexists").save(root)
+    assert(SnapshotStore.versions(root) === Seq(0))
+    val e = intercept[Exception] {
+      mk(0, 10).write.format("graft").mode("errorifexists").save(root)
+    }
+    assert(e.getMessage.contains("already has committed versions"))
+    mk(100, 200).write.format("graft").mode("append").save(root)
+    mk(900, 910).write.format("graft").mode("ignore").save(root) // no-op
+    assert(SnapshotStore.versions(root) === Seq(0, 1))
+    // the written table reads back through the read half, pruned
+    val got = spark.read.format("graft").load(root)
+      .filter(col("id") >= 150).count()
+    assert(got === 50)
+    assert(GraftFileIndex.lastReport(root).get.filesOpened === 1)
+    // overwrite replaces; time travel still reaches v1
+    mk(500, 520).write.format("graft").mode("overwrite").save(root)
+    assert(spark.read.format("graft").load(root).count() === 20)
+    assert(spark.read.format("graft").option("versionAsOf", "1")
+      .load(root).count() === 200)
+    // append onto a LAYERED table lands as an add-only layer and the
+    // write itself succeeds (the read half still routes via GraftTable)
+    SnapshotStore.mergeOnRead(spark, root,
+      Seq((505L, 1L, 1L, true)).toDF("id", "v", "ver", "del")
+        .select(col("id"), col("v"), col("ver"), col("del")),
+      key = "id", versionCol = "ver", deleteCol = "del")
+    mk(1000, 1010).write.format("graft").mode("append").save(root)
+    val t = GraftTable.table(spark, root)
+    assert(t.count() === 20 - 1 + 10)
+    assert(t.filter(col("id") === 505L).count() === 0)
+  }
+
   test("translate: OR needs both arms, EqualNullSafe null maps to " +
       "IsNull, and a lone untranslatable filter yields no pred") {
     import org.apache.spark.sql.catalyst.expressions._
