@@ -1080,6 +1080,9 @@ object ScaleSmoke {
       val totalFiles = sys.env.get("SPARK_GRAFT_SEG_FILES").map(_.toInt)
         .getOrElse(math.min(100000, 1000 * mult))
       val chunks = 16
+      require(totalFiles >= chunks,
+        s"SPARK_GRAFT_SEG_FILES=$totalFiles is below the $chunks-chunk " +
+          "commit layout this lane builds (need >= 16)")
       val perChunk = totalFiles / chunks
       val rowsPerFile = 20L
       val tB0 = System.nanoTime()

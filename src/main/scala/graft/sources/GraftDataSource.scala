@@ -216,17 +216,18 @@ class GraftDataSource extends RelationProvider
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
     val root = parameters.getOrElse("path",
       sys.error("graft: missing 'path' (use .save(<table root>))"))
-    val exists = SnapshotStore.versions(root).nonEmpty
     mode match {
       case SaveMode.Append    => SnapshotStore.commitAppend(data, root)
       case SaveMode.Overwrite => SnapshotStore.commitOverwrite(data, root)
       case SaveMode.ErrorIfExists =>
-        if (exists) throw new IllegalArgumentException(
-          s"graft: table at $root already has committed versions " +
-            "(mode ErrorIfExists)")
-        SnapshotStore.commitOverwrite(data, root)
+        // race-free: the v0 hard link is the one-winner arbiter — a
+        // check-then-act against versions() would let two concurrent
+        // ErrorIfExists writers both pass and both land
+        SnapshotStore.commitCreate(data, root)
       case SaveMode.Ignore =>
-        if (!exists) SnapshotStore.commitOverwrite(data, root)
+        if (SnapshotStore.versions(root).isEmpty)
+          try SnapshotStore.commitCreate(data, root)
+          catch { case _: IllegalArgumentException => () } // raced: ignore
     }
     // an Append onto a LAYERED table lands as an add-only layer — the
     // raw read relation refuses those (see the read-side require), so

@@ -634,10 +634,19 @@ object SnapshotStore {
       case '"' =>
         val b = new StringBuilder
         i += 1
-        while (s.charAt(i) != '"') {
-          if (s.charAt(i) == '\\') { b.append(s.charAt(i)).append(s.charAt(i + 1)); i += 2 }
+        // bound-checked: a TRUNCATED predicate (unterminated quote or
+        // trailing backslash) must fail with the parser's loud
+        // corrupted-manifest diagnostic, not StringIndexOutOfBounds
+        while (i < s.length && s.charAt(i) != '"') {
+          if (s.charAt(i) == '\\') {
+            require(i + 1 < s.length,
+              s"truncated predicate (dangling escape): $s")
+            b.append(s.charAt(i)).append(s.charAt(i + 1)); i += 2
+          }
           else { b.append(s.charAt(i)); i += 1 }
         }
+        require(i < s.length,
+          s"truncated predicate (unterminated string): $s")
         toks += "\"" + b.toString; i += 1
       case c if c.isWhitespace => i += 1
       case _ =>
@@ -1498,6 +1507,27 @@ object SnapshotStore {
     sys.error(s"commitOverwrite lost $MaxRetries version races under $root")
   }
 
+  /** CREATE-ONLY commit: publish STRICTLY at version 0 — the race-free
+    * ErrorIfExists primitive. A check-then-act (`versions(root).isEmpty`
+    * then [[commitOverwrite]]) lets two concurrent creators BOTH pass
+    * the check and both land (the loser rebasing onto v1), silently
+    * violating the create contract; here the v0 hard link itself is the
+    * one-winner arbiter — the loser fails loudly and its data files are
+    * vacuum scratch. Throws [[IllegalArgumentException]] when any
+    * version already exists (before writing data) or when the v0
+    * publish loses the link race (after). */
+  def commitCreate(df: DataFrame, root: String): Int = {
+    def already = new IllegalArgumentException(
+      s"graft: table at $root already has committed versions")
+    if (versions(root).nonEmpty) throw already // cheap pre-check only
+    val files = writeData(df, root)
+    val statsFile = writeStatsFile(root,
+      harvestStats(df.sparkSession, root, files))
+    if (!publish(root, Manifest(0, -1, df.schema.toDDL, files,
+        statsFile = statsFile))) throw already
+    0
+  }
+
   /** APPEND commit: the new snapshot references the CURRENT snapshot's
     * files plus `df`'s. On losing a version race the append REBASES —
     * re-reads the new current file list and retries — so concurrent
@@ -2079,7 +2109,14 @@ object SnapshotStore {
   def deleteWhere(spark: SparkSession, root: String,
       pred: StatsPred): Int = {
     val rendered = renderPred(pred)
-    require(parsePred(rendered) == pred,
+    // round-trip check on CANONICAL forms: the codec normalizes literal
+    // types (java.sql.Date→LocalDate, Timestamp→Instant, Float→Double,
+    // java BigDecimal→scala), so parsePred(rendered) == pred would
+    // reject every documented StatsPred literal type that normalizes —
+    // what must hold is that the rendering is a FIXED POINT of the
+    // codec (render∘parse is identity on rendered strings), which is
+    // exactly what a later manifest reader relies on.
+    require(renderPred(parsePred(rendered)) == rendered,
       s"predicate must survive the manifest round-trip: $rendered")
     var attempt = 0
     while (attempt < MaxRetries) {

@@ -191,10 +191,12 @@ object Dedup {
     * The counted score brackets true jaccard from both sides: posting
     * groups key on xxhash64(shingle) (8-byte exchange, see inline), so
     * a hash collision can INFLATE a pair's count, while a capped-group
-    * drop DEFLATES it — which is exactly why the exact string-array
+    * drop DEFLATES it — which is exactly why the exact array
     * verification is the decider in both directions (the final
     * threshold filter rejects collision-admitted pairs; reported
-    * values are always the true string-shingle jaccard). For bounded
+    * values are the true HASHED-shingle jaccard, which matches the
+    * string-shingle jaccard up to the documented ±1-intersection
+    * 64-bit collision bound below). For bounded
     * fan-out without the stop-shingle recall caveat at high thresholds
     * see [[ngramJaccardPairsPrefix]].
     *

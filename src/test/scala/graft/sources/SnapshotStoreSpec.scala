@@ -1001,6 +1001,46 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.read(spark, root, Some(2)).count() === 89)
   }
 
+  test("deleteWhere accepts the documented normalizing literal types " +
+      "(java.sql.Date / Timestamp / Float / java BigDecimal) — the " +
+      "round-trip guard compares canonical forms, not raw equality") {
+    import SnapshotStore.StatsPred._
+    val root = freshRoot()
+    SnapshotStore.commitOverwrite(
+      spark.range(0, 20).select(col("id"),
+        date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+          col("id").cast("int")).as("d"),
+        (col("id").cast("double") / 4.0).cast("float").as("f"),
+        col("id").cast("decimal(10,2)").as("m"),
+        to_timestamp(lit("2024-01-01 00:00:00")).as("ts")), root)
+    // each would previously throw "must survive the manifest
+    // round-trip" because the codec normalizes the literal's type
+    SnapshotStore.deleteWhere(spark, root,
+      Eq("d", java.sql.Date.valueOf("2024-01-05")))
+    SnapshotStore.deleteWhere(spark, root, Lt("f", 0.5f))
+    SnapshotStore.deleteWhere(spark, root,
+      Gt("m", new java.math.BigDecimal("17.00")))
+    SnapshotStore.deleteWhere(spark, root,
+      Le("ts", java.sql.Timestamp.valueOf("2023-01-01 00:00:00")))
+    // 20 - 1 (date) - 2 (f<0.5: ids 0,1) - 2 (m>17: ids 18,19) - 0 (ts)
+    assert(SnapshotStore.read(spark, root).count() === 15)
+    // and the committed layers re-parse: the manifest is readable
+    val m = SnapshotStore.snapshot(root).get
+    assert(SnapshotStore.parse(SnapshotStore.render(m)) === m)
+  }
+
+  test("parsePred fails loudly (not StringIndexOutOfBounds) on " +
+      "truncated predicates") {
+    val unterminated = intercept[IllegalArgumentException] {
+      SnapshotStore.parsePred("""(eq "col""")
+    }
+    assert(unterminated.getMessage.contains("truncated predicate"))
+    val dangling = intercept[IllegalArgumentException] {
+      SnapshotStore.parsePred("""(eq "col\""")
+    }
+    assert(dangling.getMessage.contains("truncated predicate"))
+  }
+
   test("compactSmallFiles: packs only under-threshold inline files, " +
       "preserves layers and their fold, no-ops below two candidates") {
     import SnapshotStore.StatsPred._
