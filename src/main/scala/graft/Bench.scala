@@ -51,6 +51,10 @@ object Bench {
       .master(s"local[$cpus]")
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+      // layered-table front door + SQL functions (analyzer rule
+      // injection applies at session construction only)
+      .config("spark.sql.extensions",
+        "graft.functions.GraftSparkExtensions")
       .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)

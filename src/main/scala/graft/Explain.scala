@@ -15,6 +15,10 @@ object Explain {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions", "32")
+      // layered-table front door + SQL functions (analyzer rule
+      // injection applies at session construction only)
+      .config("spark.sql.extensions",
+        "graft.functions.GraftSparkExtensions")
       .config("spark.ui.enabled", "false")
       .appName("graft-explain")
       .getOrCreate()

@@ -372,6 +372,10 @@ object ScaleSmoke {
       .master(s"local[$cpus]")
       .appName("graft-scale-smoke")
       .config("spark.sql.shuffle.partitions", cpus)
+      // layered-table front door + SQL functions (analyzer rule
+      // injection applies at session construction only)
+      .config("spark.sql.extensions",
+        "graft.functions.GraftSparkExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       // the banded-embedding plans (36+ hyperplane dot products inlined
       // per row) compile large whole-stage-codegen units; the default

@@ -149,6 +149,7 @@ object SparkEntry {
     "q128_format_pushdown" -> (Relational.q128FormatPushdown _),
     "q129_delete_where"    -> (Relational.q129DeleteWhere _),
     "q130_compact_small"   -> (Relational.q130CompactSmall _),
+    "q131_layered_format"  -> (Relational.q131LayeredFormat _),
   )
 
   /** The cohort-retention-matrix oracle, shared by q93 (the batch
@@ -810,6 +811,46 @@ object SparkEntry {
          FROM orders, b
          WHERE NOT (o_orderkey BETWEEN mn + (mx - mn) // 4
                                    AND mn + (mx - mn) // 2)
+         GROUP BY 1 ORDER BY 1""",
+    // Layered table through the Spark-native front door: q125's
+    // winner-fold oracle restated over a deterministic mid-domain key
+    // slice (same integer arithmetic as the builder) — hash equality
+    // proves the ANALYZER-folded format("graft") read returns exactly
+    // the merged rows; the builder separately REQUIREs the pushed
+    // filter pruned base files THROUGH the fold and that the decision
+    // equals readWhere's.
+    "q131_layered_format" ->
+      """WITH ch AS (SELECT
+           CASE WHEN l_linenumber = 7 THEN -l_orderkey
+                ELSE l_orderkey END AS o_orderkey,
+           l_linenumber AS v, l_quantity < 2 AS del,
+           CAST(l_partkey AS BIGINT) AS o_custkey,
+           ROUND(l_extendedprice, 2) AS o_totalprice,
+           'U-' || l_returnflag AS o_orderpriority
+           FROM lineitem),
+         win AS (SELECT * FROM (SELECT ch.*, ROW_NUMBER() OVER (
+             PARTITION BY o_orderkey
+             ORDER BY v DESC, o_custkey DESC, o_totalprice DESC,
+               o_orderpriority DESC, del DESC) AS rn FROM ch)
+           WHERE rn = 1),
+         b AS (SELECT o_orderkey, o_custkey,
+             ROUND(o_totalprice, 2) AS o_totalprice, o_orderpriority
+           FROM orders),
+         m AS (SELECT o_orderkey,
+           CASE WHEN win.v IS NOT NULL THEN win.o_totalprice
+                ELSE b.o_totalprice END AS o_totalprice,
+           CASE WHEN win.v IS NOT NULL THEN win.o_orderpriority
+                ELSE b.o_orderpriority END AS o_orderpriority
+         FROM b FULL OUTER JOIN win USING (o_orderkey)
+         WHERE win.v IS NULL OR NOT win.del),
+         bounds AS (SELECT MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx
+           FROM orders)
+         SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+         FROM m, bounds
+         WHERE o_orderkey BETWEEN mn + (mx - mn) // 4
+                              AND mn + (mx - mn) // 2
          GROUP BY 1 ORDER BY 1""",
     // Partial bin-pack compaction: the oracle is the plain full
     // aggregate over orders — hash equality proves re-packing the five

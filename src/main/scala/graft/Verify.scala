@@ -13,6 +13,10 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // layered-table front door + SQL functions (analyzer rule
+      // injection applies at session construction only)
+      .config("spark.sql.extensions",
+        "graft.functions.GraftSparkExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

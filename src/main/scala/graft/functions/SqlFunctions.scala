@@ -169,7 +169,7 @@ object GraftFunctions {
   * (cluster-wide config, the Delta/Iceberg extension pattern).
   */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.registrations.foreach { case (name, doc, builder) =>
       ext.injectFunction((
         org.apache.spark.sql.catalyst.FunctionIdentifier(name),
@@ -177,4 +177,9 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
           null, name, doc, ""),
         builder))
     }
+    // the layered-table half of the format("graft") front door: fold
+    // merge-on-read layers over the pruned base scan at resolution time
+    ext.injectResolutionRule(session =>
+      new graft.sources.GraftLayerFoldRule(session))
+  }
 }

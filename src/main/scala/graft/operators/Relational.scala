@@ -1981,6 +1981,77 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** q131: LAYERED TABLE THROUGH THE SPARK-NATIVE FRONT DOOR
+    * ([[graft.sources.GraftLayerFoldRule]]) — the r17 seam closed:
+    * a table with a LIVE merge-on-read layer (the steady state of any
+    * CDC-streamed table, q126's shape) read through
+    * `spark.read.format("graft")`, where the injected analyzer rule
+    * folds the layer over the base relation DURING RESOLUTION so the
+    * whole optimizer works on the folded plan: the gate's range filter
+    * pushes through the fold's union and anti-join into the BASE scan
+    * and prunes files through the manifest stats tier. The builder
+    * REQUIREs (a) the manifest still carries its layer (nothing was
+    * folded into data files), (b) PushedFilters in the executed plan,
+    * (c) files skipped on the base scan THROUGH the fold
+    * (files_opened < files_listed), and (d) decision parity with the
+    * rule-free Scala path ([[graft.sources.SnapshotStore.readWhere]],
+    * which prunes then folds). The oracle is q125's winner-fold
+    * restated with the same deterministic mid-domain range
+    * (lo = mn + span/4, hi = mn + span/2, integer arithmetic re-derived
+    * from orders) — hash equality proves the planner-served fold
+    * returns exactly the merged rows of the slice.
+    */
+  private val layeredFmtRoot = scala.collection.concurrent.TrieMap
+    .empty[String, (String, Long, Long)]
+
+  def q131LayeredFormat(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.{GraftFileIndex, SnapshotStore}
+    val (root, lo, hi) = layeredFmtRoot.getOrElseUpdate(sfDir, {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-snaplyr-").toString
+      SnapshotStore.commitOverwrite(
+        morBase(spark, sfDir)
+          .repartitionByRange(16, col("o_orderkey")), dir)     // v0
+      val baseFiles = SnapshotStore.snapshot(dir).get.files
+      SnapshotStore.mergeOnRead(spark, dir, morChangelog(spark, sfDir),
+        key = "o_orderkey", versionCol = "vord", deleteCol = "del",
+        skipPartialAgg = true)                                 // v1
+      val m = SnapshotStore.snapshot(dir).get
+      require(m.files == baseFiles && m.layers.size == 1,
+        s"layered front-door gate needs a LIVE layer over an " +
+          s"untouched base (files ${m.files.size} vs " +
+          s"${baseFiles.size}, layers ${m.layers.size})")
+      val (kMin, kMax) = Tables.orders(spark, sfDir)
+        .agg(min(col("o_orderkey")), max(col("o_orderkey")))
+        .as[(Long, Long)](org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong)).head()
+      val span = kMax - kMin
+      (dir, kMin + span / 4, kMin + span / 2)
+    })
+    val df = spark.read.format("graft").load(root)
+      .filter(col("o_orderkey").between(lo, hi))
+    val plan = df.queryExecution.executedPlan.toString
+    require(plan.contains("PushedFilters"),
+      s"the range must push through the layer fold into the base " +
+        s"parquet scan:\n$plan")
+    df.count() // drive the base listFiles with the pushed dataFilters
+    val rep = GraftFileIndex.lastReport(root).getOrElse(
+      sys.error("layered front-door scan left no report"))
+    require(rep.filesOpened < rep.filesListed,
+      s"planner-driven prune must skip base files through the fold: " +
+        s"$rep")
+    val (_, repRef) = SnapshotStore.readWhere(spark, root,
+      SnapshotStore.StatsPred.Between("o_orderkey", lo, hi))
+    require(rep.filesOpened == repRef.filesOpened,
+      s"front door and Scala API must make the same base-prune " +
+        s"decision: format=$rep readWhere=$repRef")
+    df.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(centsOf(col("o_totalprice"))).as("cents"))
+      .orderBy("o_orderpriority")
+  }
+
   def q118Optimize(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.sources.SnapshotStore
     val root = optimizeRoot.getOrElseUpdate(sfDir, {

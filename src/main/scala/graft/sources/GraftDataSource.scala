@@ -253,13 +253,74 @@ class GraftDataSource extends RelationProvider
     val spark = sqlContext.sparkSession
     val m = SnapshotStore.snapshot(root, version).getOrElse(
       sys.error(s"graft: no committed snapshot under $root"))
-    require(m.layers.isEmpty,
+    // A LAYERED manifest (merge-on-read in flight — the steady state of
+    // any CDC-streamed table) is served through [[GraftLayerFoldRule]]:
+    // the relation below scans the BASE only, and the injected analyzer
+    // rule replaces it with the layer fold over that same (prunable)
+    // scan. Serving it RAW on a session without the rule would silently
+    // drop the layers' updates — refuse loudly instead.
+    require(m.layers.isEmpty || GraftTable.sessionHasFoldRule(spark),
       s"graft: table at $root (v${m.version}) has ${m.layers.size} " +
         "merge-on-read layer(s); a raw file relation would read the " +
-        "base WITHOUT them — use graft.sources.GraftTable.table(...) " +
-        "(folds the layers over the same pruned scan) or optimize() " +
-        "to fold them into base files first")
+        "base WITHOUT them — configure spark.sql.extensions=" +
+        "graft.functions.GraftSparkExtensions (the analyzer then folds " +
+        "the layers over the same pruned scan), use " +
+        "graft.sources.GraftTable.table(...), or optimize() to fold " +
+        "them into base files first")
     GraftTable.relation(spark, root, m)
+  }
+}
+
+/** The analyzer half of the LAYERED front door (injected by
+  * [[graft.functions.GraftSparkExtensions]], the Delta-style extension
+  * pattern): a [[LogicalRelation]] whose [[GraftFileIndex]] manifest
+  * carries merge-on-read layers is replaced DURING RESOLUTION with the
+  * [[SnapshotStore.applyLayers]] fold over the same relation restricted
+  * to the base (layers stripped). Because the substitution happens in
+  * the analyzer's fixed point — before any optimization — the whole
+  * optimizer then works on the folded plan: a filter above it pushes
+  * through the union and the anti-join's left side into the BASE scan,
+  * where [[GraftFileIndex.listFiles]] turns it into the three-tier file
+  * prune, exactly as on an unlayered table. SQL (`USING graft`),
+  * `spark.read.format("graft")` and [[GraftTable.table]] all converge
+  * on the same plan shape.
+  *
+  * The rewritten subtree is re-aliased to the original relation's
+  * output [[org.apache.spark.sql.catalyst.expressions.ExprId]]s, so
+  * references held by operators above stay valid. Idempotent by
+  * construction: the fold's inner base relation carries a layer-free
+  * manifest and never re-matches. */
+class GraftLayerFoldRule(spark: SparkSession)
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.Alias
+  import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+  import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case lr: LogicalRelation =>
+        lr.relation match {
+          case fs: HadoopFsRelation => fs.location match {
+            case idx: GraftFileIndex if idx.manifest.layers.nonEmpty =>
+              fold(lr, idx)
+            case _ => lr
+          }
+          case _ => lr
+        }
+    }
+
+  private def fold(lr: LogicalRelation,
+      idx: GraftFileIndex): LogicalPlan = {
+    val m = idx.manifest
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val base = lr.copy(relation =
+      GraftTable.relation(spark, idx.root, m.copy(layers = Nil)))
+    val folded = SnapshotStore.applyLayers(spark, idx.root, m, schema,
+      org.apache.spark.sql.graftshim.ofRows(spark, base))
+    val foldPlan = folded.queryExecution.analyzed
+    Project(foldPlan.output.zip(lr.output).map { case (n, o) =>
+      Alias(n, o.name)(exprId = o.exprId) }, foldPlan)
   }
 }
 
@@ -269,6 +330,13 @@ class GraftDataSource extends RelationProvider
   * while merge-on-read layers apply exactly as in
   * [[SnapshotStore.read]]. */
 object GraftTable {
+
+  /** Whether the session's analyzer carries [[GraftLayerFoldRule]] —
+    * the precondition for serving a layered manifest through the raw
+    * format (see the read-side require). */
+  def sessionHasFoldRule(spark: SparkSession): Boolean =
+    org.apache.spark.sql.graftshim.extendedResolutionRules(spark)
+      .exists(_.isInstanceOf[GraftLayerFoldRule])
 
   private[sources] def relation(spark: SparkSession, root: String,
       m: Manifest): HadoopFsRelation = {
@@ -289,11 +357,16 @@ object GraftTable {
     val m = SnapshotStore.snapshot(root, version).getOrElse(
       sys.error(s"graft: no committed snapshot under $root"))
     val schema = StructType.fromDDL(m.schemaDdl)
+    // the base relation carries a LAYER-FREE manifest: this method
+    // applies the layers itself, and a layered manifest inside the
+    // relation would make [[GraftLayerFoldRule]] (when injected) fold
+    // them a second time
     val base =
       if (SnapshotStore.allFiles(root, m).isEmpty)
         spark.createDataFrame(spark.sparkContext
           .emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.baseRelationToDataFrame(relation(spark, root, m))
+      else spark.baseRelationToDataFrame(
+        relation(spark, root, m.copy(layers = Nil)))
     SnapshotStore.applyLayers(spark, root, m, schema, base)
   }
 }

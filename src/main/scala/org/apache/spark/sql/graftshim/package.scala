@@ -54,6 +54,24 @@ package object graftshim {
   def columnExprEager(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** Wrap an (analyzed or analyzable) logical plan as a DataFrame —
+    * the plan-level twin of [[exprColumn]], needed by analyzer rules
+    * that graft a DataFrame-built subtree into the plan under
+    * resolution (the layered-table fold). Same `private[sql]` surface
+    * policy as the converters above. */
+  def ofRows(spark: SparkSession,
+      plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The session's injected extended resolution rules — how a data
+    * source can VERIFY the extension rule it depends on is actually
+    * installed before returning a relation whose correctness needs it
+    * (a layered graft table served raw would silently drop updates). */
+  def extendedResolutionRules(spark: SparkSession)
+      : Seq[catalyst.rules.Rule[catalyst.plans.logical.LogicalPlan]] =
+    spark.asInstanceOf[classic.SparkSession].sessionState.analyzer
+      .extendedResolutionRules
+
   /** Register a SQL function on a LIVE session's function registry — the
     * runtime twin of `SparkSessionExtensions.injectFunction` (which only
     * applies at session construction via `spark.sql.extensions`). Same

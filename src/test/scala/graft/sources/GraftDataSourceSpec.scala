@@ -118,9 +118,12 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(rep.filesOpened === 1 && rep.bloomSkipped === 3, rep.toString)
   }
 
-  test("layered tables refuse the raw format and route through " +
-      "GraftTable.table, whose fold equals the copy-on-write merge " +
-      "while the base scan still prunes") {
+  test("layered tables serve through the raw format via the injected " +
+      "fold rule: format('graft') and SQL equal the layered read, the " +
+      "base scan still prunes, GraftTable.table stays the rule-free " +
+      "twin") {
+    assert(GraftTable.sessionHasFoldRule(spark),
+      "spec session must carry GraftSparkExtensions")
     val root = freshRoot()
     clustered(root)
     val changes = Seq(
@@ -131,23 +134,28 @@ class GraftDataSourceSpec extends SparkSpec {
       .select(col("id"), col("v"), col("tag"), col("ver"), col("del"))
     SnapshotStore.mergeOnRead(spark, root, changes,
       key = "id", versionCol = "ver", deleteCol = "del")
-    val e = intercept[IllegalArgumentException] {
-      spark.read.format("graft").load(root).collect()
-    }
-    assert(e.getMessage.contains("merge-on-read layer"))
-    val t = GraftTable.table(spark, root)
-    // fold parity with the plain read
-    assert(t.as[(Long, Long, String)].collect().toSet ===
-      SnapshotStore.read(spark, root).as[(Long, Long, String)]
-        .collect().toSet)
+    val want = SnapshotStore.read(spark, root)
+      .as[(Long, Long, String)].collect().toSet
+    // the raw format folds (analyzer rule) — full parity
+    val viaFormat = spark.read.format("graft").load(root)
+    assert(viaFormat.as[(Long, Long, String)].collect().toSet === want)
+    // pure SQL over a temp view folds identically
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW layered_t USING " +
+      s"graft OPTIONS (path '$root')")
+    assert(spark.sql("SELECT id, v, tag FROM layered_t")
+      .as[(Long, Long, String)].collect().toSet === want)
     // a filter above the fold prunes the BASE scan (files 0,1,3 skip);
     // the updated/deleted/inserted keys land correctly
-    val got = t.filter(col("id").between(145, 155))
+    val got = viaFormat.filter(col("id").between(145, 155))
       .as[(Long, Long, String)].collect()
       .map { case (k, _, tag) => (k, tag) }.toMap
     assert(!got.contains(151L) && got(150L) === "upd")
     assert(GraftFileIndex.lastReport(root).get.filesOpened === 1)
     // the layer-resident insert is visible despite base pruning
+    assert(viaFormat.filter(col("id") === 450L).count() === 1)
+    // GraftTable.table (no extension needed) produces the same rows
+    val t = GraftTable.table(spark, root)
+    assert(t.as[(Long, Long, String)].collect().toSet === want)
     assert(t.filter(col("id") === 450L).count() === 1)
   }
 
