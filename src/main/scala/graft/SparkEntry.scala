@@ -150,6 +150,7 @@ object SparkEntry {
     "q129_delete_where"    -> (Relational.q129DeleteWhere _),
     "q130_compact_small"   -> (Relational.q130CompactSmall _),
     "q131_layered_format"  -> (Relational.q131LayeredFormat _),
+    "q132_catalog_sql"     -> (Relational.q132CatalogSqlJoin _),
   )
 
   /** The cohort-retention-matrix oracle, shared by q93 (the batch
@@ -906,6 +907,17 @@ object SparkEntry {
     // from orders thirds 0+1 (the later t_price overwrite must be
     // invisible at v0).
     "q121_catalog_commit" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+         FROM orders WHERE o_orderkey % 3 <> 2
+         GROUP BY 1 ORDER BY 1""",
+    // Named-table SQL catalog: q121's oracle verbatim — the pure-SQL
+    // VERSION AS OF 0 join by name must equal the v0-pinned cross-table
+    // read (atomic transaction + pin isolation, now through the
+    // TableCatalog surface; the builder REQUIREs the graft relation in
+    // the plan).
+    "q132_catalog_sql" ->
       """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
            CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
              AS cents

@@ -181,5 +181,9 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     // merge-on-read layers over the pruned base scan at resolution time
     ext.injectResolutionRule(session =>
       new graft.sources.GraftLayerFoldRule(session))
+    // the named-catalog read half: SQL-by-name over GraftSqlCatalog
+    // tables resolves to the same pruned-scan-plus-fold plan
+    ext.injectResolutionRule(session =>
+      new graft.sources.GraftCatalogRelationRule(session))
   }
 }

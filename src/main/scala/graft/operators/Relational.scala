@@ -1374,9 +1374,13 @@ object Relational {
   private val catalogRoot =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  def q121CatalogCommit(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.sources.Catalog
-    val root = catalogRoot.getOrElseUpdate(sfDir, {
+  /** The q121/q132 shared catalog corpus: catalog v0 lands t_main +
+    * t_price in ONE transaction (thirds 0+1 of orders), catalog v1
+    * overwrites t_price (third 2) — so any v0-pinned cross-table read
+    * proves both atomicity and pin isolation. */
+  private def catalogRootFor(spark: SparkSession, sfDir: String): String =
+    catalogRoot.getOrElseUpdate(sfDir, {
+      import graft.sources.Catalog
       val dir = java.nio.file.Files
         .createTempDirectory("graft-catalog-").toString
       val o = Tables.orders(spark, sfDir)
@@ -1392,6 +1396,10 @@ object Relational {
           Catalog.Overwrite))))                             // catalog v1
       dir
     })
+
+  def q121CatalogCommit(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.Catalog
+    val root = catalogRootFor(spark, sfDir)
     Catalog.readTable(spark, root, "t_main", version = Some(0))
       .join(Catalog.readTable(spark, root, "t_price", version = Some(0)),
         "o_orderkey")
@@ -2050,6 +2058,46 @@ object Relational {
       .agg(count(lit(1)).as("n_rows"),
         sum(centsOf(col("o_totalprice"))).as("cents"))
       .orderBy("o_orderpriority")
+  }
+
+  /** q132: NAMED-TABLE SQL CATALOG ([[graft.sources.GraftSqlCatalog]])
+    * — q121's pinned cross-table join restated as PURE SQL BY NAME, no
+    * path strings anywhere in the query: the multi-table [[graft
+    * .sources.Catalog]] registers as a Spark `TableCatalog`
+    * (`spark.sql.catalog.graft`), `graft.main.t_main` / `t_price`
+    * resolve through it, and `VERSION AS OF 0` pins CATALOG version 0
+    * on both sides — the join must be immune to catalog v1's t_price
+    * overwrite, which the shared oracle (q121's) proves by hash. The
+    * builder REQUIREs the catalog head has moved past the pin (v1
+    * exists) and that the scan actually routed through the
+    * [[graft.sources.GraftFileIndex]] relation the injected
+    * [[graft.sources.GraftCatalogRelationRule]] swaps in (the plan
+    * names it) — i.e. SQL-by-name gets the same prunable scan as every
+    * other front door. DDL (CREATE/DROP) and SQL DELETE routing are
+    * spec-pinned in GraftSqlCatalogSpec.
+    */
+  def q132CatalogSqlJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.Catalog
+    val root = catalogRootFor(spark, sfDir)
+    require(Catalog.versions(root).max >= 1,
+      "gate needs a catalog commit ABOVE the pinned version")
+    spark.conf.set("spark.sql.catalog.graft",
+      "graft.sources.GraftSqlCatalog")
+    spark.conf.set("spark.sql.catalog.graft.root", root)
+    val df = spark.sql(
+      """SELECT m.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(p.o_totalprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS cents
+         FROM graft.main.t_main VERSION AS OF 0 m
+         JOIN graft.main.t_price VERSION AS OF 0 p
+           ON m.o_orderkey = p.o_orderkey
+         GROUP BY m.o_orderpriority
+         ORDER BY m.o_orderpriority""")
+    val plan = df.queryExecution.executedPlan.toString
+    require(plan.contains("GraftFileIndex"),
+      s"SQL-by-name must scan through the graft relation:\n$plan")
+    df
   }
 
   def q118Optimize(spark: SparkSession, sfDir: String): DataFrame = {

@@ -238,6 +238,57 @@ object Catalog {
       s"version races under $root")
   }
 
+  /** Predicate-level DELETE on a catalog table — the catalog-published
+    * twin of [[SnapshotStore.deleteWhere]] (same manifest transform:
+    * stats-proven fully-covered files drop, one data-less predicate
+    * layer appends), landing as a NEW CATALOG VERSION through a staged
+    * manifest. Pure metadata; pinned catalog readers are untouched.
+    * Returns the committed catalog version. */
+  def deleteWhere(root: String, table: String,
+      pred: SnapshotStore.StatsPred): Int = {
+    val tr = tableRoot(root, table)
+    var attempt = 0
+    while (attempt < SnapshotStore.MaxRetries) {
+      val cur = snapshot(root).getOrElse(sys.error(
+        s"deleteWhere on a catalog with no committed versions: $root"))
+      val baseRel = cur.tables.getOrElse(table,
+        sys.error(s"catalog under $root has no table $table"))
+      val baseM = SnapshotStore.parse(new String(Files.readAllBytes(
+        Paths.get(tr, baseRel)), StandardCharsets.UTF_8))
+      val next = SnapshotStore.deleteTransform(tr, baseM, pred)
+      val rel = s"_manifests/staged-${java.util.UUID.randomUUID()}.json"
+      Files.createDirectories(Paths.get(tr, rel).getParent)
+      Files.write(Paths.get(tr, rel),
+        SnapshotStore.render(next).getBytes(StandardCharsets.UTF_8))
+      if (publishCat(root, CatalogSnapshot(cur.version + 1,
+          cur.tables + (table -> rel)))) return cur.version + 1
+      attempt += 1
+    }
+    sys.error(s"catalog deleteWhere lost ${SnapshotStore.MaxRetries} " +
+      s"version races under $root")
+  }
+
+  /** DROP a table from the catalog: the next catalog version simply no
+    * longer names it — data and staged manifests stay on disk until
+    * [[vacuum]]'s retention expires the versions that still reach them
+    * (so pinned readers at older catalog versions are untouched, and
+    * an accidental drop is recoverable by reading at the pre-drop
+    * version). Returns false when the catalog does not know the table
+    * (the [[org.apache.spark.sql.connector.catalog.TableCatalog]]
+    * dropTable contract). */
+  def drop(root: String, table: String): Boolean = {
+    var attempt = 0
+    while (attempt < SnapshotStore.MaxRetries) {
+      val cur = snapshot(root).getOrElse(return false)
+      if (!cur.tables.contains(table)) return false
+      if (publishCat(root, CatalogSnapshot(cur.version + 1,
+          cur.tables - table))) return true
+      attempt += 1
+    }
+    sys.error(s"catalog drop lost ${SnapshotStore.MaxRetries} " +
+      s"version races under $root")
+  }
+
   /** Catalog-level GC — the reachability walk the table layer's
     * [[SnapshotStore.vacuum]] explicitly refuses to run on a
     * catalog-managed dir (it cannot know which staged manifests a

@@ -353,9 +353,17 @@ object GraftTable {
   /** Snapshot-pinned DataFrame over the Spark-native relation; layered
     * manifests fold their layers above the (prunable) base scan. */
   def table(spark: SparkSession, root: String,
-      version: Option[Int] = None): DataFrame = {
-    val m = SnapshotStore.snapshot(root, version).getOrElse(
-      sys.error(s"graft: no committed snapshot under $root"))
+      version: Option[Int] = None): DataFrame =
+    tableFor(spark, root, SnapshotStore.snapshot(root, version).getOrElse(
+      sys.error(s"graft: no committed snapshot under $root")))
+
+  /** [[table]] for an ALREADY-RESOLVED manifest — the shared read plan
+    * of every front door that pins its own manifest (catalog tables
+    * pin per CATALOG version; [[GraftCatalogRelationRule]] routes SQL
+    * here). `root` is the TABLE root the manifest's paths are relative
+    * to. */
+  private[sources] def tableFor(spark: SparkSession, root: String,
+      m: Manifest): DataFrame = {
     val schema = StructType.fromDDL(m.schemaDdl)
     // the base relation carries a LAYER-FREE manifest: this method
     // applies the layers itself, and a layered manifest inside the

@@ -1,0 +1,351 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException,
+  NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete,
+  Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.sources.{And => FAnd, EqualNullSafe => FEqNs,
+  EqualTo => FEq, Filter, GreaterThan => FGt,
+  GreaterThanOrEqual => FGe, In => FIn, IsNotNull => FNotNull,
+  IsNull => FIsNull, LessThan => FLt, LessThanOrEqual => FLe,
+  Or => FOr}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import SnapshotStore.{Manifest, StatsPred}
+
+/** The NAMED-TABLE SQL front door: [[Catalog]] (the multi-table atomic
+  * snapshot layer) registered as a Spark
+  * [[org.apache.spark.sql.connector.catalog.TableCatalog]], so pure SQL
+  * reaches catalog tables by NAME — no path strings:
+  *
+  * {{{
+  *   spark.sql.catalog.graft      = graft.sources.GraftSqlCatalog
+  *   spark.sql.catalog.graft.root = /data/my-catalog
+  *
+  *   SELECT ... FROM graft.main.t_main VERSION AS OF 0 m
+  *     JOIN graft.main.t_price VERSION AS OF 0 p USING (k)
+  *   DELETE FROM graft.main.events WHERE day < '2024-01-01'
+  *   DROP TABLE graft.main.scratch
+  * }}}
+  *
+  * Architecture is the Delta/Iceberg split: this class owns IDENTITY
+  * (resolving `graft.<ns>.<table>` to a catalog-pinned [[Manifest]],
+  * DDL, version time travel, the [[SupportsDelete]] routing), while the
+  * READ plan is produced by [[GraftCatalogRelationRule]] — an injected
+  * resolution rule that swaps the analyzer's DataSourceV2Relation for
+  * the same pruned-scan-plus-layer-fold plan every other graft front
+  * door uses ([[GraftFileIndex]] under Spark's parquet reader, layers
+  * folded above). Writing a DSv2 Scan/Batch/PartitionReader stack would
+  * re-implement what Spark's own file source already does better — the
+  * rule reuses it wholesale, and file skipping from pushed filters
+  * works identically through SQL-by-name.
+  *
+  * The catalog ROOT is read from the session conf AT CALL TIME (not
+  * pinned at [[initialize]]): Spark's CatalogManager caches the plugin
+  * instance per session, and a pinned root would silently stick across
+  * `spark.conf.set("spark.sql.catalog.graft.root", ...)` — the
+  * multi-corpus pattern every gate and test uses. Snapshot semantics
+  * are per-STATEMENT: [[loadTable]] resolves the catalog head once per
+  * analysis, so one query never sees a torn cross-table state
+  * (the [[Catalog]] layer's contract), while two statements may see
+  * different heads — exactly a SQL user's expectation.
+  *
+  * Namespace model: the flat [[Catalog]] table space is exposed as the
+  * single namespace `main` — a [[Catalog]] table name (already
+  * whitelisted to `[A-Za-z0-9._-]+`) IS the SQL table name.
+  * `VERSION AS OF k` pins CATALOG version k (the cross-table-consistent
+  * pin — not per-table versions, which the catalog layer deliberately
+  * hides). */
+class GraftSqlCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var initOptions: Map[String, String] = Map.empty
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    initOptions = options.asScala.toMap
+  }
+
+  override def name(): String = catalogName
+
+  override def defaultNamespace(): Array[String] = Array(Ns)
+
+  private val Ns = "main"
+
+  /** Call-time root resolution (see class doc): session conf first,
+    * initialize-time option as the fallback. */
+  private def root: String =
+    Option(SQLConf.get.getConfString(
+        s"spark.sql.catalog.$catalogName.root", null))
+      .orElse(initOptions.get("root"))
+      .getOrElse(sys.error(
+        s"graft catalog '$catalogName': set spark.sql.catalog." +
+          s"$catalogName.root to the catalog root directory"))
+
+  private def checkNs(namespace: Array[String]): Unit =
+    if (!(namespace.sameElements(Array(Ns))))
+      throw new NoSuchNamespaceException(namespace.toSeq)
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    checkNs(namespace)
+    Catalog.snapshot(root).map(_.tables.keys.toSeq.sorted).getOrElse(Nil)
+      .map(t => Identifier.of(Array(Ns), t)).toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    ident.namespace.sameElements(Array(Ns)) &&
+      Catalog.snapshot(root).exists(_.tables.contains(ident.name))
+
+  private def load(ident: Identifier, version: Option[Int]): Table = {
+    checkNs(ident.namespace)
+    val r = root
+    val m = Catalog.tableManifest(r, ident.name, version)
+      .getOrElse(throw new NoSuchTableException(ident))
+    GraftSqlTable(r, ident.name, m, version)
+  }
+
+  override def loadTable(ident: Identifier): Table = load(ident, None)
+
+  /** SQL `VERSION AS OF k` — pins CATALOG version k. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v = try version.trim.toInt catch {
+      case _: NumberFormatException => throw new NoSuchTableException(
+        Seq(s"$ident at non-integer catalog version '$version'"))
+    }
+    if (!Catalog.versions(root).contains(v))
+      throw new NoSuchTableException(
+        Seq(s"$ident at catalog version $v (committed: " +
+          s"${Catalog.versions(root).mkString(",")})"))
+    load(ident, Some(v))
+  }
+
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog: TIMESTAMP AS OF is not supported — catalog " +
+        "versions are ordinal (use VERSION AS OF <catalog version>)")
+
+  /** `CREATE TABLE graft.main.t (...) USING graft`: an EMPTY overwrite
+    * through the catalog transaction (an empty manifest is a legal
+    * table — the first append fills it). Partitioning transforms are
+    * refused: layout belongs to OPTIMIZE/zorder at the table layer. */
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    checkNs(ident.namespace)
+    require(partitions.isEmpty,
+      "graft catalog: PARTITIONED BY is not supported — cluster with " +
+        "SnapshotStore.optimize(zorderBy) instead")
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(
+          (ident.namespace :+ ident.name).toSeq)
+    val spark = SparkSession.active
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    Catalog.commit(root, Map(ident.name -> ((empty, Catalog.Overwrite))))
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog: ALTER TABLE is not supported — schema evolution " +
+        "goes through SnapshotStore.commitAppendEvolve")
+
+  override def dropTable(ident: Identifier): Boolean =
+    ident.namespace.sameElements(Array(Ns)) &&
+      Catalog.drop(root, ident.name)
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog: RENAME TABLE is not supported")
+}
+
+/** One catalog-pinned table identity: the [[Manifest]] resolved at
+  * analysis time (so the statement's plan is immune to concurrent
+  * catalog commits) plus the coordinates [[GraftCatalogRelationRule]]
+  * needs to build the pruned-scan-plus-fold plan. DELETE statements
+  * route through [[SupportsDelete]] into [[Catalog.deleteWhere]] — a
+  * pure-metadata predicate layer, never a rewrite. */
+final case class GraftSqlTable(catRoot: String, tableName: String,
+    manifest: Manifest, pinnedVersion: Option[Int])
+    extends Table with SupportsDelete {
+
+  override def name(): String = s"graft.main.$tableName" +
+    pinnedVersion.map(v => s"@v$v").getOrElse("")
+
+  override def schema(): StructType =
+    StructType.fromDDL(manifest.schemaDdl)
+
+  // BATCH_READ declares intent; the actual scan is the v1 relation the
+  // resolution rule swaps in (a session without the rule fails loudly
+  // at the capability CHECK stage instead of planning a broken scan)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    pinnedVersion.isEmpty &&
+      GraftSqlTable.translate(filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(pinnedVersion.isEmpty,
+      "graft catalog: DELETE on a VERSION AS OF pin is meaningless — " +
+        "delete the current version")
+    val pred = GraftSqlTable.translate(filters).getOrElse(
+      sys.error("graft catalog: DELETE predicate not translatable " +
+        s"(canDeleteWhere contract violated): ${filters.mkString(", ")}"))
+    Catalog.deleteWhere(catRoot, tableName, pred)
+  }
+}
+
+object GraftSqlTable {
+
+  /** v1 [[Filter]] → [[StatsPred]], EXACT (unlike the scan-side
+    * conservative translation): a DELETE must remove precisely the
+    * matching rows, so any untranslatable filter fails the whole
+    * conjunction (canDeleteWhere answers false and Spark reports the
+    * unsupported DELETE instead of silently over- or under-deleting).
+    * Filter values arrive as external Scala/Java types — exactly what
+    * [[StatsPred]] literals take. */
+  private[sources] def translate(fs: Array[Filter]): Option[StatsPred] =
+    fs.foldLeft(Option.empty[StatsPred]) { (acc, f) =>
+      tr(f) match {
+        case None    => return None
+        case Some(p) => Some(acc.fold(p)(StatsPred.And(_, p)))
+      }
+    }
+
+  private def tr(f: Filter): Option[StatsPred] = f match {
+    case FEq(c, v) if v != null   => Some(StatsPred.Eq(c, v))
+    case FEqNs(c, null)           => Some(StatsPred.IsNull(c))
+    case FEqNs(c, v)              => Some(StatsPred.Eq(c, v))
+    case FLt(c, v)                => Some(StatsPred.Lt(c, v))
+    case FLe(c, v)                => Some(StatsPred.Le(c, v))
+    case FGt(c, v)                => Some(StatsPred.Gt(c, v))
+    case FGe(c, v)                => Some(StatsPred.Ge(c, v))
+    case FIn(c, vs) if !vs.contains(null) =>
+      Some(StatsPred.In(c, vs.toSeq))
+    case FIsNull(c)               => Some(StatsPred.IsNull(c))
+    case FNotNull(c)              => Some(StatsPred.IsNotNull(c))
+    case FAnd(l, r) =>
+      for { a <- tr(l); b <- tr(r) } yield StatsPred.And(a, b)
+    case FOr(l, r) =>
+      for { a <- tr(l); b <- tr(r) } yield StatsPred.Or(a, b)
+    case _ => None
+  }
+}
+
+/** The read half of the named catalog (injected by
+  * [[graft.functions.GraftSparkExtensions]], same mechanism as
+  * [[GraftLayerFoldRule]]): a resolved DataSourceV2Relation over a
+  * [[GraftSqlTable]] is replaced DURING RESOLUTION with the v1 plan —
+  * [[GraftFileIndex]]-pruned base scan, merge-on-read layers folded
+  * above — re-aliased to the relation's output ExprIds.
+  *
+  * DELETE FROM is the exception: its relation must stay a v2 relation
+  * so the predicate routes into [[GraftSqlTable.deleteWhere]] (the
+  * metadata-only path). Spark's own metadata-only conversion
+  * (`OptimizeMetadataOnlyDeleteFromTable`) only fires for
+  * `SupportsRowLevelOperations` rewrite plans — a plain
+  * [[org.apache.spark.sql.connector.catalog.SupportsDelete]] table's
+  * `DeleteFromTable` would fall through to scan planning and fail on
+  * the (deliberately) read-less v2 table. So this rule performs the
+  * conversion itself at the end of resolution: fold the condition's
+  * foldable subtrees (type coercion wraps literals in casts the v1
+  * translator refuses), translate to connector predicates, and emit
+  * `DeleteFromTableWithFilters` — a LEAF command the planner executes
+  * directly against the table's deleteWhere. An untranslatable DELETE
+  * fails HERE with a clear message instead of over- or under-deleting
+  * (matching the canDeleteWhere contract). */
+class GraftCatalogRelationRule(spark: SparkSession)
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases
+  import org.apache.spark.sql.catalyst.expressions.{Alias, Expression,
+    Literal}
+  import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable,
+    DeleteFromTableWithFilters, LogicalPlan, Project}
+  import org.apache.spark.sql.execution.datasources.DataSourceStrategy
+  import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case d @ DeleteFromTable(rel, cond) =>
+      EliminateSubqueryAliases(rel) match {
+        case r: DataSourceV2Relation => r.table match {
+          case t: GraftSqlTable if d.resolved =>
+            val preds = toV2Predicates(cond)
+            preds match {
+              case Some(ps) if t.canDeleteWhere(ps.toArray) =>
+                DeleteFromTableWithFilters(r, ps)
+              case _ => throw new UnsupportedOperationException(
+                "graft catalog: DELETE FROM supports only metadata " +
+                  "predicate deletes (comparisons/IN/null tests on " +
+                  s"bare columns, AND/OR); not expressible: $cond")
+            }
+          case _ => d
+        }
+        case _ => d
+      }
+    case _ => plan.resolveOperatorsUp {
+      case r: DataSourceV2Relation => r.table match {
+        case t: GraftSqlTable =>
+          val folded = GraftTable.tableFor(spark,
+            java.nio.file.Paths.get(t.catRoot, t.tableName).toString,
+            t.manifest)
+          val foldPlan = folded.queryExecution.analyzed
+          Project(foldPlan.output.zip(r.output).map { case (n, o) =>
+            Alias(n, o.name)(exprId = o.exprId) }, foldPlan)
+        case _ => r
+      }
+    }
+  }
+
+  /** Condition → connector predicates: constant-fold first (analysis
+    * has not run ConstantFolding yet, and type coercion leaves literals
+    * wrapped in casts), then the standard v1 translation per conjunct,
+    * bridged to v2. None when ANY conjunct refuses — a DELETE predicate
+    * must be exact. */
+  private def toV2Predicates(cond: Expression): Option[
+      Seq[org.apache.spark.sql.connector.expressions.filter.Predicate]] = {
+    // RuntimeReplaceable (BETWEEN, ilike, ...) normally expands in the
+    // optimizer's ReplaceExpressions — expand here since translation
+    // runs at analysis time; the replacement may be a With/common-
+    // expression form (Spark 4 dedups the shared operand), which the
+    // optimizer's RewriteWithExpression would inline — inline it the
+    // same way (a DELETE predicate is tiny; duplication is free)
+    import org.apache.spark.sql.catalyst.expressions.{
+      CommonExpressionDef, CommonExpressionRef, With}
+    val expanded = cond.transformUp {
+      case r: org.apache.spark.sql.catalyst.expressions
+          .RuntimeReplaceable => r.replacement
+    }.transformUp {
+      case w: With =>
+        val byId = w.defs.map(d => d.id -> d.child).toMap
+        w.child.transformUp {
+          case ref: CommonExpressionRef => byId.getOrElse(ref.id, ref)
+        }
+    }
+    val folded = expanded.transformUp {
+      case e if e.foldable && !e.isInstanceOf[Literal] &&
+          e.deterministic =>
+        try Literal.create(e.eval(), e.dataType)
+        catch { case _: Exception => e }
+    }
+    val v1 = splitConjunctivePredicates(folded)
+      .map(org.apache.spark.sql.graftshim.translateV1Filter)
+    if (v1.exists(_.isEmpty)) None
+    else Some(v1.map(f =>
+      org.apache.spark.sql.graftshim.filterToV2(f.get)))
+  }
+}

@@ -2108,6 +2108,26 @@ object SnapshotStore {
     * committed version. */
   def deleteWhere(spark: SparkSession, root: String,
       pred: StatsPred): Int = {
+    var attempt = 0
+    while (attempt < MaxRetries) {
+      val cur = snapshot(root).getOrElse(
+        sys.error(s"deleteWhere on a table with no commits under $root"))
+      if (publish(root, deleteTransform(root, cur, pred)))
+        return cur.version + 1
+      attempt += 1
+    }
+    sys.error(s"deleteWhere lost $MaxRetries version races under $root")
+  }
+
+  /** The manifest TRANSFORM behind [[deleteWhere]], shared with
+    * [[Catalog.deleteWhere]] (same semantics, catalog-published):
+    * validate the predicate round-trips the manifest codec, drop
+    * inline files the stats PROVE all-matching, and append one
+    * data-less predicate layer. Pure metadata — no data read or
+    * written. Returns the NEXT manifest (version bumped; caller
+    * publishes through its own protocol). */
+  private[sources] def deleteTransform(tableRoot: String, m: Manifest,
+      pred: StatsPred): Manifest = {
     val rendered = renderPred(pred)
     // round-trip check on CANONICAL forms: the codec normalizes literal
     // types (java.sql.Date→LocalDate, Timestamp→Instant, Float→Double,
@@ -2118,27 +2138,20 @@ object SnapshotStore {
     // exactly what a later manifest reader relies on.
     require(renderPred(parsePred(rendered)) == rendered,
       s"predicate must survive the manifest round-trip: $rendered")
-    var attempt = 0
-    while (attempt < MaxRetries) {
-      val cur = snapshot(root).getOrElse(
-        sys.error(s"deleteWhere on a table with no commits under $root"))
-      val schema = StructType.fromDDL(cur.schemaDdl)
-      val missing = predCols(pred) -- schema.fieldNames.toSet
-      require(missing.isEmpty,
-        s"deleteWhere predicate references unknown column(s) " +
-          s"${missing.mkString(", ")} (schema: ${cur.schemaDdl})")
-      val stats = fileStats(root, cur)
-      val keep = cur.files.filterNot(f =>
-        stats.get(f).exists(s => mustMatch(s, schema, pred)))
-      if (publish(root, Manifest(cur.version + 1, cur.version,
-          cur.schemaDdl, keep, statsFile = cur.statsFile,
-          segments = cur.segments,
-          layers = cur.layers :+ MergeLayer("", Nil, "", rendered),
-          blooms = cur.blooms)))
-        return cur.version + 1
-      attempt += 1
-    }
-    sys.error(s"deleteWhere lost $MaxRetries version races under $root")
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val missing = predCols(pred) -- schema.fieldNames.toSet
+    require(missing.isEmpty,
+      s"deleteWhere predicate references unknown column(s) " +
+        s"${missing.mkString(", ")} (schema: ${m.schemaDdl})")
+    val stats = fileStats(tableRoot, m)
+    val keep = m.files.filterNot(f =>
+      stats.get(f).exists(s => mustMatch(s, schema, pred)))
+    // txn reset: a writer-transaction id marks exactly ONE commit's
+    // replay identity — carrying it into the delete's version would
+    // make a replayed streaming batch think it already landed here
+    m.copy(version = m.version + 1, base = m.version, files = keep,
+      txn = "",
+      layers = m.layers :+ MergeLayer("", Nil, "", rendered))
   }
 
   // -------------------------------------------------------------- vacuum

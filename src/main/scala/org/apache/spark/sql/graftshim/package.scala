@@ -72,6 +72,20 @@ package object graftshim {
     spark.asInstanceOf[classic.SparkSession].sessionState.analyzer
       .extendedResolutionRules
 
+  /** Catalyst predicate → v1 data-source [[sources.Filter]] — Spark's
+    * own pushdown translation (`DataSourceStrategy.translateFilter`,
+    * `private[sql]`), reused so a DELETE condition translates EXACTLY
+    * the way scan pushdown would. */
+  def translateV1Filter(e: Expression): Option[sources.Filter] =
+    execution.datasources.DataSourceStrategy.translateFilter(e,
+      supportNestedPredicatePushdown = true)
+
+  /** v1 [[sources.Filter]] → connector v2 Predicate (the
+    * `private[sql]` bridge `Filter.toV2`). */
+  def filterToV2(f: sources.Filter)
+      : connector.expressions.filter.Predicate =
+    f.toV2
+
   /** Register a SQL function on a LIVE session's function registry — the
     * runtime twin of `SparkSessionExtensions.injectFunction` (which only
     * applies at session construction via `spark.sql.extensions`). Same

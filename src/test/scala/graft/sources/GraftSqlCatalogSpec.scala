@@ -1,0 +1,124 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class GraftSqlCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshCatalog(): String = {
+    val root = Files.createTempDirectory("graftsqlcat").toString
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root", root)
+    root
+  }
+
+  test("SQL by name: SELECT/JOIN over graft.main.* resolve through the " +
+      "catalog, VERSION AS OF pins the CATALOG version, scans prune " +
+      "through the manifest stats tier") {
+    val root = freshCatalog()
+    val t1 = spark.range(0, 400).repartitionByRange(4, col("id"))
+      .select(col("id"), (col("id") % 5).as("grp"))
+    val p1 = spark.range(0, 400)
+      .select(col("id"), (col("id") * 2).as("price"))
+    Catalog.commit(root, Map(
+      "t_main"  -> ((t1, Catalog.Overwrite)),
+      "t_price" -> ((p1, Catalog.Overwrite))))              // cat v0
+    // v1 overwrites prices — the pinned join below must not see it
+    Catalog.commit(root, Map(
+      "t_price" -> ((spark.range(0, 400)
+        .select(col("id"), lit(-1L).as("price")), Catalog.Overwrite))))
+    // head read sees v1
+    assert(spark.sql("SELECT sum(price) FROM graft.main.t_price")
+      .as[Long].head() === -400L)
+    // VERSION AS OF 0 pins the catalog version for BOTH sides
+    val joined = spark.sql(
+      """SELECT m.grp, CAST(SUM(p.price) AS BIGINT) AS s
+         FROM graft.main.t_main VERSION AS OF 0 m
+         JOIN graft.main.t_price VERSION AS OF 0 p USING (id)
+         GROUP BY m.grp ORDER BY m.grp""")
+    val want = t1.join(p1, "id").groupBy("grp")
+      .agg(sum("price").as("s")).orderBy("grp")
+      .as[(Long, Long)].collect().toSeq
+    assert(joined.as[(Long, Long)].collect().toSeq === want)
+    // pruning: a range filter through SQL-by-name opens 1 of 4 files
+    val got = spark.sql(
+      "SELECT count(*) FROM graft.main.t_main WHERE id BETWEEN 120 AND 180")
+      .as[Long].head()
+    assert(got === 61)
+    val tr = java.nio.file.Paths.get(root, "t_main").toString
+    val rep = GraftFileIndex.lastReport(tr).get
+    assert(rep.filesListed === 4 && rep.filesOpened === 1, rep.toString)
+    // identity surface
+    assert(spark.sql("SHOW TABLES IN graft.main").collect()
+      .map(_.getString(1)).toSet === Set("t_main", "t_price"))
+  }
+
+  test("DELETE FROM lands a data-less predicate layer through the " +
+      "catalog transaction; DROP removes the name, pinned versions " +
+      "stay readable") {
+    val root = freshCatalog()
+    val t = spark.range(0, 400).repartitionByRange(4, col("id"))
+      .select(col("id"), (col("id") % 7).as("v"))
+    Catalog.commit(root, Map("ev" -> ((t, Catalog.Overwrite))))  // v0
+    val m0 = Catalog.tableManifest(root, "ev").get
+    val dataBefore = Files.walk(java.nio.file.Paths.get(root))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    spark.sql("DELETE FROM graft.main.ev WHERE id BETWEEN 100 AND 250")
+    val m1 = Catalog.tableManifest(root, "ev").get
+    // metadata only: no data files written, fully-covered file dropped,
+    // exactly one predicate layer
+    assert(Files.walk(java.nio.file.Paths.get(root))
+      .filter(p => p.toString.endsWith(".parquet")).count() === dataBefore)
+    assert(m1.files.toSet.subsetOf(m0.files.toSet) &&
+      m1.files.size < m0.files.size)
+    assert(m1.layers.size === 1 && m1.layers.head.pred.nonEmpty &&
+      m1.layers.head.files.isEmpty)
+    // SQL sees the post-delete rows (layer folds through the rule)
+    assert(spark.sql("SELECT count(*) FROM graft.main.ev")
+      .as[Long].head() === 249L)
+    // pinned catalog version still sees all 400
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.main.ev VERSION AS OF 0")
+      .as[Long].head() === 400L)
+    // an untranslatable DELETE fails instead of over/under-deleting
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM graft.main.ev WHERE v + 1 = 3")
+    }
+    assert(e.getMessage.toLowerCase.contains("delete"))
+    // DROP TABLE: the name goes; the pre-drop catalog version still
+    // resolves it
+    spark.sql("DROP TABLE graft.main.ev")
+    assert(!new GraftSqlCatalog { initialize("graft",
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("root", root))) }
+      .tableExists(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("main"), "ev")))
+    assert(Catalog.tableManifest(root, "ev").isEmpty)
+    assert(Catalog.tableManifest(root, "ev", Some(1)).isDefined)
+  }
+
+  test("CREATE TABLE lands an empty catalog table; catalog reads " +
+      "refuse unknown namespaces and non-integer versions") {
+    val root = freshCatalog()
+    spark.sql("CREATE TABLE graft.main.fresh (id BIGINT, tag STRING)")
+    assert(spark.sql("SELECT * FROM graft.main.fresh").count() === 0)
+    // a later Catalog.commit append fills it through the same name
+    // (Option makes the frame's id NULLABLE, matching the CREATE DDL)
+    Catalog.commit(root, Map("fresh" ->
+      ((Seq((Option(1L), "a"), (Option(2L), "b")).toDF("id", "tag"),
+        Catalog.Append))))
+    assert(spark.sql("SELECT count(*) FROM graft.main.fresh")
+      .as[Long].head() === 2L)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.other.fresh").collect()
+    }
+    assert(e.getMessage.contains("other") ||
+      e.getMessage.toLowerCase.contains("namespace") ||
+      e.getMessage.toLowerCase.contains("not found"), e.getMessage)
+  }
+}
