@@ -151,6 +151,7 @@ object SparkEntry {
     "q130_compact_small"   -> (Relational.q130CompactSmall _),
     "q131_layered_format"  -> (Relational.q131LayeredFormat _),
     "q132_catalog_sql"     -> (Relational.q132CatalogSqlJoin _),
+    "q133_streaming_feed"  -> (Relational.q133StreamingFeed _),
   )
 
   /** The cohort-retention-matrix oracle, shared by q93 (the batch
@@ -677,6 +678,23 @@ object SparkEntry {
     // added at version 1; thirds 0+1 removed and third 2 added at
     // version 2 — every row tagged exactly once with its commit.
     "q117_change_feed" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice, change,
+           CAST(1 AS BIGINT) AS n_rows, version FROM (
+           SELECT o_orderkey, o_orderpriority, o_totalprice,
+             'added' AS change, 1 AS version
+           FROM orders WHERE o_orderkey % 3 = 1
+           UNION ALL
+           SELECT o_orderkey, o_orderpriority, o_totalprice,
+             'removed', 2 FROM orders WHERE o_orderkey % 3 IN (0, 1)
+           UNION ALL
+           SELECT o_orderkey, o_orderpriority, o_totalprice,
+             'added', 2 FROM orders WHERE o_orderkey % 3 = 2)
+         ORDER BY version, o_orderkey, change""",
+    // Streaming change-feed source: q117's oracle verbatim — the
+    // memory-sink collection of the readStream.format("graft") query
+    // must equal the batch feed row for row (the builder additionally
+    // REQUIREs fresh-checkpoint replay determinism).
+    "q133_streaming_feed" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice, change,
            CAST(1 AS BIGINT) AS n_rows, version FROM (
            SELECT o_orderkey, o_orderpriority, o_totalprice,

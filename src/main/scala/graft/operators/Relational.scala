@@ -1282,9 +1282,12 @@ object Relational {
   private val feedRoot =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  def q117ChangeFeed(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.sources.SnapshotStore
-    val root = feedRoot.getOrElseUpdate(sfDir, {
+  /** The q117/q133 shared corpus: three commits whose adjacent diffs
+    * are the canonical feed (v1 append adds third 1; v2 overwrite
+    * removes thirds 0+1 and adds third 2). */
+  private def feedRootFor(spark: SparkSession, sfDir: String): String =
+    feedRoot.getOrElseUpdate(sfDir, {
+      import graft.sources.SnapshotStore
       val dir = java.nio.file.Files
         .createTempDirectory("graft-snapfeed-").toString
       val o = Tables.orders(spark, sfDir)
@@ -1295,7 +1298,66 @@ object Relational {
       SnapshotStore.commitOverwrite(o.filter(col("o_orderkey") % 3 === 2), dir)
       dir
     })
+
+  def q117ChangeFeed(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = feedRootFor(spark, sfDir)
     SnapshotStore.changeFeed(spark, root, from = 0, to = 2)
+      .orderBy("version", "o_orderkey", "change")
+  }
+
+  /** q133: STREAMING CHANGE-FEED SOURCE ([[graft.sources
+    * .GraftChangeSource]], `readStream.format("graft")`) — q117's feed
+    * consumed through a REAL Structured Streaming query instead of the
+    * batch API: offsets are table versions, each micro-batch
+    * materializes [[graft.sources.SnapshotStore.changeFeed]] over its
+    * version range (O(changed data) — shared files cancel), and the
+    * memory-sink result must hash-equal q117's oracle (the per-commit
+    * diff recomputed in SQL). The builder additionally REQUIREs replay
+    * determinism: a SECOND run through a FRESH checkpoint collects
+    * exactly the same row set (immutable manifests make version ranges
+    * stable — the exactly-once foundation). Incremental multi-batch
+    * arrival and the vacuum retention contract are spec-pinned in
+    * GraftStreamSourceSpec.
+    */
+  private val streamedFeedSink =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def q133StreamingFeed(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = feedRootFor(spark, sfDir)
+    val sink = streamedFeedSink.getOrElseUpdate(sfDir, {
+      val name = "q133_feed_" +
+        java.lang.Integer.toHexString(sfDir.hashCode)
+      def run(sinkName: String): Unit = {
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft-streamfeed-ckpt-").toString
+        val q = spark.readStream.format("graft")
+          .option("startingVersion", "0").load(root)
+          .writeStream.format("memory").queryName(sinkName)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        q.processAllAvailable(); q.stop()
+      }
+      run(name); run(name + "_replay")
+      def rows(df: DataFrame) = df
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"), col("change"), col("n_rows"),
+          col("version"))
+        .as[(Long, String, Double, String, Long, Int)](
+          org.apache.spark.sql.Encoders.product[
+            (Long, String, Double, String, Long, Int)])
+        .collect().toSet
+      val first = rows(spark.table(name))
+      require(first == rows(spark.table(name + "_replay")),
+        "fresh-checkpoint replay must collect exactly the same feed")
+      require(first == rows(SnapshotStore.changeFeed(spark, root, 0, 2)),
+        "streamed feed must equal the batch changeFeed")
+      name
+    })
+    spark.table(sink)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"), col("change"), col("n_rows"), col("version"))
       .orderBy("version", "o_orderkey", "change")
   }
 

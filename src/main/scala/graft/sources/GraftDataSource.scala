@@ -208,9 +208,35 @@ object GraftFileIndex {
   * travel, read side). Registered via
   * META-INF/services/org.apache.spark.sql.sources.DataSourceRegister. */
 class GraftDataSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  // ------------------------------------------------- streaming source
+  // `spark.readStream.format("graft").load(root)` — the change-feed
+  // micro-batch source (see [[GraftChangeSource]]).
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    require(schema.isEmpty,
+      "graft stream: the change-feed schema is derived from the " +
+        "table's — do not pass .schema(...)")
+    val root = parameters.getOrElse("path", sys.error(
+      "graft stream: missing 'path' (use .load(<table root>))"))
+    val m = SnapshotStore.snapshot(root).getOrElse(sys.error(
+      s"graft stream: no committed snapshot under $root"))
+    (shortName(), GraftChangeSource.feedSchema(
+      StructType.fromDDL(m.schemaDdl)))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source =
+    GraftChangeSource.create(sqlContext, parameters)
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
       parameters: Map[String, String], data: DataFrame): BaseRelation = {

@@ -42,6 +42,21 @@ package object graftshim {
         isStreaming = false))
   }
 
+  /** [[cutLineage]] with `isStreaming = true` — how a v1 streaming
+    * [[execution.streaming.Source.getBatch]] returns an arbitrary
+    * batch computation (the change feed's diffs are joins+aggregates):
+    * MicroBatchExecution asserts the returned frame's plan IS streaming
+    * before splicing it into the micro-batch, and the LogicalRDD leaf
+    * satisfies that while the underlying RDD still computes lazily
+    * inside the batch. The same move Spark's own FileStreamSource makes
+    * with internalCreateDataFrame(isStreaming = true). */
+  def asStreamingFrame(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    classic.Dataset.ofRows(ds.sparkSession,
+      execution.LogicalRDD.fromDataset(ds.queryExecution.toRdd, ds,
+        isStreaming = true))
+  }
+
   /** EAGER Column → Expression conversion. [[columnExpr]] defers: it
     * wraps the column's node in a lazily-converted placeholder that only
     * resolves when the Column crosses a Dataset boundary — fine for the

@@ -1,0 +1,90 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class GraftStreamSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graftstream").toString
+
+  private def feedSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("id", "v", "change", "n_rows", "version")
+      .as[(Long, Long, String, Long, Int)].collect().toSet
+
+  test("streamed change feed equals batch changeFeed; later commits " +
+      "arrive as separate micro-batches; fresh-checkpoint replay is " +
+      "idempotent") {
+    val root = freshRoot()
+    val o = (k: Int) => spark.range(k * 100, (k + 1) * 100)
+      .select(col("id"), (col("id") % 7).as("v"))
+    SnapshotStore.commitOverwrite(o(0), root)               // v0
+    SnapshotStore.commitAppend(o(1), root)                  // v1
+    SnapshotStore.commitOverwrite(o(2), root)               // v2
+    def startQuery(sinkName: String) = {
+      val ckpt = Files.createTempDirectory("graftstream-ckpt").toString
+      spark.readStream.format("graft")
+        .option("startingVersion", "0").load(root)
+        .writeStream.format("memory").queryName(sinkName)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+    }
+    val q = startQuery("gs_feed")
+    q.processAllAvailable()
+    val want = feedSet(SnapshotStore.changeFeed(spark, root, 0, 2))
+    assert(feedSet(spark.table("gs_feed")) === want)
+    val batches1 = q.recentProgress.count(_.numInputRows > 0)
+    // a NEW commit while the query runs arrives as its own micro-batch
+    SnapshotStore.commitAppend(o(3), root)                  // v3
+    q.processAllAvailable()
+    val want3 = feedSet(SnapshotStore.changeFeed(spark, root, 0, 3))
+    assert(feedSet(spark.table("gs_feed")) === want3)
+    assert(q.recentProgress.count(_.numInputRows > 0) > batches1,
+      "the v3 commit must arrive as a separate micro-batch")
+    q.stop()
+    // fresh checkpoint + fresh sink: exactly the same set (replay
+    // determinism — immutable manifests make version ranges stable)
+    val q2 = startQuery("gs_feed_replay")
+    q2.processAllAvailable()
+    q2.stop()
+    assert(feedSet(spark.table("gs_feed_replay")) === want3)
+  }
+
+  test("default startingVersion is the head at stream start (only " +
+      "future commits stream); vacuumed versions behind the cursor " +
+      "fail loudly") {
+    val root = freshRoot()
+    SnapshotStore.commitOverwrite(
+      spark.range(0, 50).select(col("id"), (col("id") % 7).as("v")), root)
+    SnapshotStore.commitAppend(
+      spark.range(50, 60).select(col("id"), (col("id") % 7).as("v")), root)
+    val ckpt = Files.createTempDirectory("graftstream-ckpt").toString
+    val q = spark.readStream.format("graft").load(root)
+      .writeStream.format("memory").queryName("gs_tail")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    q.processAllAvailable()
+    assert(spark.table("gs_tail").count() === 0,
+      "no history replay without startingVersion")
+    SnapshotStore.commitAppend(
+      spark.range(60, 65).select(col("id"), (col("id") % 7).as("v")), root)
+    q.processAllAvailable()
+    assert(feedSet(spark.table("gs_tail")) ===
+      feedSet(SnapshotStore.changeFeed(spark, root, 1, 2)))
+    q.stop()
+    // retention violation: vacuum past v0, then ask for history
+    SnapshotStore.vacuum(root, keepVersions = 1)
+    val ckpt2 = Files.createTempDirectory("graftstream-ckpt").toString
+    val q2 = spark.readStream.format("graft")
+      .option("startingVersion", "0").load(root)
+      .writeStream.format("memory").queryName("gs_gone")
+      .option("checkpointLocation", ckpt2).outputMode("append").start()
+    val e = intercept[org.apache.spark.sql.streaming
+      .StreamingQueryException] { q2.processAllAvailable(); q2.stop() }
+    assert(e.getMessage.contains("vacuumed") ||
+      Option(e.getCause).exists(_.getMessage.contains("vacuumed")) ||
+      e.getMessage.contains("no committed"), e.getMessage)
+  }
+}
