@@ -61,22 +61,37 @@ class GraftFileIndex(spark: SparkSession, val root: String,
 
   override def refresh(): Unit = () // manifest is snapshot-pinned
 
+  /** Manifest-carried byte sizes (the commit-time footer harvest
+    * records them alongside column stats) — relation creation and
+    * listFiles make ZERO per-file filesystem calls for any file a
+    * sidecar covers. Pre-size manifests fall back to a live stat,
+    * counted in [[GraftFileIndex.statFallbacks]] (the spec pins the
+    * zero). */
+  private lazy val manifestSizes: Map[String, Long] =
+    SnapshotStore.allFileSizes(root, manifest)
+
+  private def sizeOf(rel: String): Long =
+    manifestSizes.getOrElse(rel, {
+      GraftFileIndex.statFallbacks.incrementAndGet()
+      Files.size(Paths.get(root, rel))
+    })
+
   private def statusOf(rel: String): FileStatus = {
     val p = Paths.get(root, rel)
-    new FileStatus(Files.size(p), false, 1, 128L * 1024 * 1024,
-      Files.getLastModifiedTime(p).toMillis, new HPath(p.toUri))
+    // mtime 0: immutable files make modification time meaningless to
+    // the scan (it only feeds cache-staleness heuristics)
+    new FileStatus(sizeOf(rel), false, 1, 128L * 1024 * 1024,
+      0L, new HPath(p.toUri))
   }
 
   override def inputFiles: Array[String] =
     SnapshotStore.allFiles(root, manifest)
       .map(f => Paths.get(root, f).toUri.toString).toArray
 
-  // planner's size estimate (join-strategy input): O(kept files) stat
-  // calls on the full listing — cheap locally; object stores would
-  // carry sizes in the manifest instead
+  // planner's size estimate (join-strategy input): manifest sizes, no
+  // filesystem walk
   override lazy val sizeInBytes: Long =
-    SnapshotStore.allFiles(root, manifest)
-      .map(f => Files.size(Paths.get(root, f))).sum
+    SnapshotStore.allFiles(root, manifest).map(sizeOf).sum
 
   /** The planner's hook: `dataFilters` are the pushed-down predicates of
     * the query plan above this scan. Translate their conjunction's
@@ -102,6 +117,15 @@ class GraftFileIndex(spark: SparkSession, val root: String,
 }
 
 object GraftFileIndex {
+
+  /** Count of per-file stat() fallbacks taken because a manifest lacked
+    * a recorded size (pre-size commits) — observable so the spec can
+    * pin "relation creation makes zero filesystem calls per file" on a
+    * fresh table. */
+  private[sources] val statFallbacks =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  private[sources] def statFallbacksCount: Long = statFallbacks.get()
 
   /** Last [[ScanReport]] per (normalized) table root — how a test or
     * gate observes what the planner-driven prune decided without

@@ -155,6 +155,27 @@ object SnapshotStore {
   final case class ColStats(rows: Long, nulls: Option[Long],
       min: Option[String], max: Option[String])
 
+  /** Reserved sidecar pseudo-column carrying the data file's BYTE SIZE
+    * in its `rows` field (harvested at commit; exact forever — files
+    * are immutable). Flows through every stats compose/rewrite like any
+    * column; never consulted by predicate logic (predicates name schema
+    * columns) and excluded from segment summaries. */
+  private[sources] val SizeKey = "_graft:size"
+
+  /** Per-file byte sizes recorded in a manifest's stats sidecar (inline
+    * files only; see [[allFileSizes]] for segments). Files committed
+    * before size recording are simply absent — callers fall back to a
+    * live stat. */
+  def fileSizes(root: String, m: Manifest): Map[String, Long] =
+    fileStats(root, m).flatMap { case (f, cols) =>
+      cols.get(SizeKey).map(f -> _.rows) }
+
+  /** [[fileSizes]] across the inline sidecar AND every segment's. */
+  def allFileSizes(root: String, m: Manifest): Map[String, Long] =
+    fileSizes(root, m) ++ m.segments.flatMap { ref =>
+      fileSizes(root, readSegmentManifest(root, ref))
+    }
+
   private def manifestDir(root: String): Path =
     Paths.get(root, "_manifests")
 
@@ -440,7 +461,9 @@ object SnapshotStore {
     val maps = files.map(f => stats.getOrElse(f, Map.empty))
     if (maps.exists(_.isEmpty)) return Map.empty // a stat-less file: no claims
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
-    val common = maps.map(_.keySet).reduce(_ intersect _)
+    // the size pseudo-column is per-FILE metadata — a segment-level
+    // "sum of sizes as rows" claim would be noise
+    val common = maps.map(_.keySet).reduce(_ intersect _) - SizeKey
     common.iterator.map { c =>
       val es = maps.map(_(c))
       val rows = es.map(_.rows).sum
@@ -1101,7 +1124,7 @@ object SnapshotStore {
             }
           }
         }
-        rel -> accs.toMap.map { case (name, a) =>
+        val cols = accs.toMap.map { case (name, a) =>
           val mm =
             if (!a.minMaxKnown) (None, None)
             else (Option(a.min).flatMap(statString(a.prim, _)),
@@ -1113,8 +1136,18 @@ object SnapshotStore {
           name -> ColStats(rows,
             if (a.nullsKnown) Some(a.nulls) else None, mnS, mxS)
         }
+        // FILE SIZE rides the sidecar as a reserved pseudo-column (rows
+        // = byte size): the harvest already opens the file, so this is
+        // free at commit time, and it removes the per-file stat walk an
+        // object store cannot afford at relation-creation time
+        // ([[GraftFileIndex.sizeInBytes]]/listFiles). Data files are
+        // immutable, so the recorded size is exact forever. A real
+        // column shadowing the reserved name (vanishingly unlikely)
+        // simply keeps its stats — sizes then fall back to live stats.
+        if (cols.contains(SizeKey)) cols
+        else cols + (SizeKey -> ColStats(Files.size(p), None, None, None))
       } finally reader.close()
-    }.head._2
+    }.head
   }
 
   /** Canonical string for a footer min/max under the column's parquet

@@ -196,6 +196,27 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(t.filter(col("id") === 505L).count() === 0)
   }
 
+  test("manifest-carried file sizes: relation creation and scans make " +
+      "zero per-file stat calls on freshly-committed tables, and the " +
+      "recorded sizes are byte-exact") {
+    val root = freshRoot()
+    clustered(root)
+    val m = SnapshotStore.snapshot(root).get
+    val sizes = SnapshotStore.fileSizes(root, m)
+    assert(sizes.keySet === m.files.toSet)
+    sizes.foreach { case (f, s) =>
+      assert(s === Files.size(java.nio.file.Paths.get(root, f)),
+        s"recorded size of $f must be byte-exact") }
+    val before = GraftFileIndex.statFallbacksCount
+    val df = spark.read.format("graft").load(root)
+    assert(df.filter(col("id") < 150).count() === 150)
+    // join-size estimation consults sizeInBytes — still no stat walk
+    val idx = new GraftFileIndex(spark, root, m)
+    assert(idx.sizeInBytes === sizes.values.sum)
+    assert(GraftFileIndex.statFallbacksCount === before,
+      "a sized manifest must serve the scan without stat() fallbacks")
+  }
+
   test("translate: OR needs both arms, EqualNullSafe null maps to " +
       "IsNull, and a lone untranslatable filter yields no pred") {
     import org.apache.spark.sql.catalyst.expressions._
