@@ -105,7 +105,7 @@ object SnapshotStore {
     * conservatively opened, so an index is never invalidated by later
     * commits — only made less effective until re-indexed. */
   final case class BloomIndex(column: String, logBits: Int, k: Int,
-      file: String)
+      file: String, maintain: Boolean = false)
 
   /** One MERGE-ON-READ layer — the O(changes) alternative to the
     * copy-on-write [[merge]] (Iceberg's equality-delete / Delta's
@@ -246,8 +246,9 @@ object SnapshotStore {
     val blm =
       if (m.blooms.isEmpty) ""
       else m.blooms.map { b =>
+        val maint = if (b.maintain) """"bmaint":1,""" else ""
         s"""{"bcol":"${esc(b.column)}","blogbits":${b.logBits},""" +
-          s""""bk":${b.k},"bfile":"${esc(b.file)}"}"""
+          s""""bk":${b.k},$maint"bfile":"${esc(b.file)}"}"""
       }.mkString(""""blooms":[""", ",", "],")
     s"""{"version":${m.version},"base":${m.base},$blm""" +
       s""""txn":"${esc(m.txn)}",""" +
@@ -329,10 +330,10 @@ object SnapshotStore {
     }.toSeq
     // bloom index refs — optional like segments/layers
     val blmRe = (s"""\\{"bcol":$strLit,"blogbits":(\\d+),"bk":(\\d+),""" +
-      s""""bfile":$strLit\\}""").r
+      s"""(?:"bmaint":(\\d+),)?"bfile":$strLit\\}""").r
     val blooms = blmRe.findAllMatchIn(s).map { m =>
       BloomIndex(unesc(m.group(1)), m.group(2).toInt, m.group(3).toInt,
-        unesc(m.group(4)))
+        unesc(m.group(5)), maintain = m.group(4) != null)
     }.toSeq
     Manifest(intField("version"), intField("base"), unesc(schema), files,
       txn, statsFile, segments, layers, blooms)
@@ -1257,8 +1258,13 @@ object SnapshotStore {
     * (SQL 3VL), so a file of ONLY nulls is safely skippable; IsNull
     * pruning stays with the stats tier.
     *
-    * Later appends leave new files unindexed (conservatively opened);
-    * OPTIMIZE/merge rewrite file sets and DROP the index (re-run after).
+    * Later appends leave new files unindexed (conservatively opened) —
+    * UNLESS the index opted into commit-time maintenance
+    * (`maintain = true`): then every [[commitAppend]] also harvests
+    * bitmaps for its new files (O(new data), one scan per maintained
+    * column) and publishes a merged sidecar, so point-probe pruning
+    * never decays on an append-heavy table. OPTIMIZE/merge rewrite
+    * file sets and DROP the index (re-run after).
     * Sizing: `logBits = 0` (the default) AUTO-SIZES from the per-file
     * row counts already in the stats sidecars (footer-harvested for any
     * file missing one) targeting ≥10 bits per row of the LARGEST file —
@@ -1277,7 +1283,7 @@ object SnapshotStore {
     * their BASE files (layer files are never pruned, so the fold stays
     * exact). Returns the committed version. */
   def indexBloom(spark: SparkSession, root: String, column: String,
-      logBits: Int = 0, k: Int = 5): Int = {
+      logBits: Int = 0, k: Int = 5, maintain: Boolean = false): Int = {
     import org.apache.spark.sql.functions.{bit_or, col, collect_list,
       explode, expr, input_file_name, lit, pmod, shiftrightunsigned,
       struct, xxhash64, array}
@@ -1310,88 +1316,17 @@ object SnapshotStore {
           math.max(10, 64 - java.lang.Long.numberOfLeadingZeros(need - 1)))
       }
     val rel = s"_manifests/bloom-${java.util.UUID.randomUUID()}.tsv"
-    if (baseFiles.nonEmpty) {
-      val m = 1L << effLogBits
-      val nWords = (m / 64).toInt
-      val paths = baseFiles.map(f => Paths.get(root, f).toString)
-      // one scan of (file, column): per-file k positions -> word ors ->
-      // dense array; everything map-side combining on the (file, word)
-      // key, result rows = nFiles (bitmap-sized, driver-safe by the
-      // sidecar's own sizing contract)
-      val h = xxhash64(col(column))
-      val lo = h.bitwiseAND(lit(0xffffffffL))
-      val hi = shiftrightunsigned(h, 32).bitwiseOR(lit(1L))
-      val positions = (0 until k).map(i =>
-        pmod(lo + lit(i.toLong) * hi, lit(m)))
-      // densification happens DRIVER-SIDE from the sparse (word, bits)
-      // pairs: the executor-side alternative — transform(sequence(...))
-      // probing a collected MapType with element_at — is QUADRATIC,
-      // because Spark's ArrayBasedMapData lookup is a linear scan
-      // (measured: 2^22-bit bitmaps over 64 files = 46 MINUTES of
-      // map probes vs seconds for this shape). The collected sparse
-      // rows are ≤ nFiles·nWords structs — bitmap-sized by the
-      // sidecar's own contract, same driver-memory class as the
-      // sidecar itself.
-      val rows = spark.read.schema(schema).parquet(paths: _*)
-        .select(input_file_name().as("graft_file"), col(column))
-        .filter(col(column).isNotNull)
-        .select(col("graft_file"),
-          explode(array(positions: _*)).as("pos"))
-        .groupBy(col("graft_file"), expr("pos DIV 64").as("w"))
-        .agg(bit_or(expr(
-          "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"))
-          .as("bits"))
-        .groupBy(col("graft_file"))
-        .agg(collect_list(struct(col("w"), col("bits"))).as("wb"))
-        .collect()
-      // URI → manifest-relative path: input_file_name returns file: URIs
-      val byPath = rows.map { r =>
-        val uri = r.getString(0)
-        val abs = Paths.get(java.net.URI.create(uri)).toString
-        val relFile = Paths.get(root).toAbsolutePath.normalize
-          .relativize(Paths.get(abs).toAbsolutePath.normalize).toString
-        val words = new Array[Long](nWords)
-        r.getSeq[org.apache.spark.sql.Row](1).foreach { p =>
-          words(p.getLong(0).toInt) = p.getLong(1)
-        }
-        (relFile, words.toSeq)
-      }
-      // measured-fill guard (conservative correctness is unaffected —
-      // a saturated bitmap answers "maybe" everywhere — but it prunes
-      // NOTHING while costing the index scan and commit, which is a
-      // sizing bug worth shouting about; auto-sizing cannot trip this)
-      byPath.foreach { case (f, words) =>
-        val set = words.map(java.lang.Long.bitCount(_).toLong).sum
-        if (set * 10 > m * 6)
-          Console.err.println(s"[graft] WARNING indexBloom($column): " +
-            f"bitmap for $f is ${set * 100.0 / m}%.1f%% full " +
-            s"(2^$effLogBits bits, k=$k) — the index will prune " +
-            "(almost) nothing; pass logBits=0 to auto-size from row " +
-            "counts")
-      }
-      val missing = baseFiles.toSet -- byPath.map(_._1).toSet
-      // a base file yielding NO rows (empty or all-null column) still
-      // gets an explicit all-zero bitmap: absent-from-sidecar means
-      // "not indexed, must open", which would silently disable the
-      // index for exactly the files it prunes best
-      val sb = new StringBuilder
-      (byPath ++ missing.toSeq.map(f => (f, Seq.fill(nWords)(0L))))
-        .foreach { case (f, words) =>
-          val bytes = java.nio.ByteBuffer.allocate(words.length * 8)
-          words.foreach(bytes.putLong)
-          sb.append(esc(f)).append('\t').append(
-            java.util.Base64.getEncoder.encodeToString(bytes.array()))
-            .append('\n')
-        }
+    val sb = new StringBuilder
+    if (baseFiles.nonEmpty)
+      buildBloomWords(spark, schema, root, baseFiles, column,
+        effLogBits, k).foreach { case (f, words) =>
+          sb.append(bloomLine(f, words)) }
+    locally {
       val p = Paths.get(root, rel)
       Files.createDirectories(p.getParent)
       Files.write(p, sb.toString.getBytes(StandardCharsets.UTF_8))
-    } else {
-      val p = Paths.get(root, rel)
-      Files.createDirectories(p.getParent)
-      Files.write(p, Array.emptyByteArray)
     }
-    val idx = BloomIndex(column, effLogBits, k, rel)
+    val idx = BloomIndex(column, effLogBits, k, rel, maintain)
     var attempt = 0
     while (attempt < MaxRetries) {
       val cur = snapshot(root).get
@@ -1406,6 +1341,90 @@ object SnapshotStore {
       attempt += 1
     }
     sys.error(s"indexBloom lost $MaxRetries version races under $root")
+  }
+
+  /** One scan of (`files`, `column`) → per-file bloom bitmap words
+    * under (2^effLogBits bits, k probes) — the build shared by
+    * [[indexBloom]] (all base files) and commit-time maintenance
+    * ([[commitAppend]] on a `maintain` index: NEW files only). Every
+    * requested file gets an entry: an empty or all-null file gets an
+    * explicit all-zero bitmap, because absent-from-sidecar means "not
+    * indexed, must open" — which would silently disable the index for
+    * exactly the files it prunes best. */
+  private def buildBloomWords(spark: SparkSession, schema: StructType,
+      root: String, files: Seq[String], column: String, effLogBits: Int,
+      k: Int): Seq[(String, Seq[Long])] = {
+    import org.apache.spark.sql.functions.{array, bit_or, col, collect_list,
+      explode, expr, input_file_name, lit, pmod, shiftrightunsigned,
+      struct, xxhash64}
+    val m = 1L << effLogBits
+    val nWords = (m / 64).toInt
+    val paths = files.map(f => Paths.get(root, f).toString)
+    // one scan of (file, column): per-file k positions -> word ors ->
+    // dense array; everything map-side combining on the (file, word)
+    // key, result rows = nFiles (bitmap-sized, driver-safe by the
+    // sidecar's own sizing contract)
+    val h = xxhash64(col(column))
+    val lo = h.bitwiseAND(lit(0xffffffffL))
+    val hi = shiftrightunsigned(h, 32).bitwiseOR(lit(1L))
+    val positions = (0 until k).map(i =>
+      pmod(lo + lit(i.toLong) * hi, lit(m)))
+    // densification happens DRIVER-SIDE from the sparse (word, bits)
+    // pairs: the executor-side alternative — transform(sequence(...))
+    // probing a collected MapType with element_at — is QUADRATIC,
+    // because Spark's ArrayBasedMapData lookup is a linear scan
+    // (measured: 2^22-bit bitmaps over 64 files = 46 MINUTES of
+    // map probes vs seconds for this shape). The collected sparse
+    // rows are <= nFiles*nWords structs — bitmap-sized by the
+    // sidecar's own contract, same driver-memory class as the
+    // sidecar itself.
+    val rows = spark.read.schema(schema).parquet(paths: _*)
+      .select(input_file_name().as("graft_file"), col(column))
+      .filter(col(column).isNotNull)
+      .select(col("graft_file"),
+        explode(array(positions: _*)).as("pos"))
+      .groupBy(col("graft_file"), expr("pos DIV 64").as("w"))
+      .agg(bit_or(expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"))
+        .as("bits"))
+      .groupBy(col("graft_file"))
+      .agg(collect_list(struct(col("w"), col("bits"))).as("wb"))
+      .collect()
+    // URI -> manifest-relative path: input_file_name returns file: URIs
+    val byPath = rows.map { r =>
+      val uri = r.getString(0)
+      val abs = Paths.get(java.net.URI.create(uri)).toString
+      val relFile = Paths.get(root).toAbsolutePath.normalize
+        .relativize(Paths.get(abs).toAbsolutePath.normalize).toString
+      val words = new Array[Long](nWords)
+      r.getSeq[org.apache.spark.sql.Row](1).foreach { p =>
+        words(p.getLong(0).toInt) = p.getLong(1)
+      }
+      (relFile, words.toSeq)
+    }.toSeq
+    // measured-fill guard (conservative correctness is unaffected —
+    // a saturated bitmap answers "maybe" everywhere — but it prunes
+    // NOTHING while costing the index scan and commit, which is a
+    // sizing bug worth shouting about; auto-sizing cannot trip this)
+    byPath.foreach { case (f, words) =>
+      val set = words.map(java.lang.Long.bitCount(_).toLong).sum
+      if (set * 10 > m * 6)
+        Console.err.println(s"[graft] WARNING bloom build($column): " +
+          f"bitmap for $f is ${set * 100.0 / m}%.1f%% full " +
+          s"(2^$effLogBits bits, k=$k) — the index will prune " +
+          "(almost) nothing; pass logBits=0 to auto-size from row " +
+          "counts")
+    }
+    val missing = files.toSet -- byPath.map(_._1).toSet
+    byPath ++ missing.toSeq.map(f => (f, Seq.fill(nWords)(0L)))
+  }
+
+  /** One encoded sidecar line: `file \t base64(words)`. */
+  private def bloomLine(f: String, words: Seq[Long]): String = {
+    val bytes = java.nio.ByteBuffer.allocate(words.length * 8)
+    words.foreach(bytes.putLong)
+    esc(f) + "\t" +
+      java.util.Base64.getEncoder.encodeToString(bytes.array()) + "\n"
   }
 
   /** Load a bloom sidecar: data-file path → bitmap words. */
@@ -1571,6 +1590,41 @@ object SnapshotStore {
     val files = writeData(df, root)
     val ddl = df.schema.toDDL
     val newStats = harvestStats(df.sparkSession, root, files)
+    // commit-time BLOOM MAINTENANCE (opt-in per index via
+    // indexBloom(maintain = true)): bitmaps for the NEW files on each
+    // maintained column, memoized across rebase retries on the index
+    // parameters (the new files' bitmaps do not depend on the base —
+    // only the sidecar merge does). Without this, every append leaves
+    // its files conservatively unindexed and a CDC-heavy table's
+    // point-probe pruning decays until a manual re-index.
+    val newWords = scala.collection.mutable
+      .Map.empty[(String, Int, Int), Seq[(String, Seq[Long])]]
+    def maintained(blooms: Seq[BloomIndex]): Seq[BloomIndex] =
+      if (files.isEmpty) blooms
+      else blooms.map { b =>
+        if (!b.maintain) b
+        else {
+          val words = newWords.getOrElseUpdate(
+            (b.column, b.logBits, b.k),
+            buildBloomWords(df.sparkSession,
+              org.apache.spark.sql.types.StructType.fromDDL(ddl), root,
+              files, b.column, b.logBits, b.k))
+          // sidecars are immutable: the maintained index is a fresh
+          // file = previous content + the new files' lines
+          val rel =
+            s"_manifests/bloom-${java.util.UUID.randomUUID()}.tsv"
+          val sb = new StringBuilder
+          val old = Paths.get(root, b.file)
+          if (Files.exists(old))
+            sb.append(new String(Files.readAllBytes(old),
+              StandardCharsets.UTF_8))
+          words.foreach { case (f, w) => sb.append(bloomLine(f, w)) }
+          val p = Paths.get(root, rel)
+          Files.createDirectories(p.getParent)
+          Files.write(p, sb.toString.getBytes(StandardCharsets.UTF_8))
+          b.copy(file = rel)
+        }
+      }
     var attempt = 0
     while (attempt < MaxRetries) {
       val cur = snapshot(root)
@@ -1600,7 +1654,7 @@ object SnapshotStore {
           publish(root, Manifest(base + 1, base, ddl, baseFiles ++ files,
             statsFile = statsFile,
             segments = cur.map(_.segments).getOrElse(Nil),
-            blooms = cur.map(_.blooms).getOrElse(Nil)))
+            blooms = maintained(cur.map(_.blooms).getOrElse(Nil))))
       }
       if (published) return base + 1
       attempt += 1

@@ -914,6 +914,52 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(sRep.filesOpened === 1, sRep.toString)
   }
 
+  test("bloom maintenance: a maintain=true index keeps pruning after " +
+      "appends (new files get commit-time bitmaps); default indexes " +
+      "stay conservative; the codec round-trips the flag") {
+    import SnapshotStore.StatsPred._
+    // keys co-located by hash so the stats tier cannot claim the skips
+    def byHash(lo: Long, hi: Long) =
+      spark.range(lo, hi).select(col("id"), (col("id") % 7).as("v"))
+        .repartition(4, xxhash64(col("id")))
+    // maintained index
+    val root = freshRoot()
+    SnapshotStore.commitOverwrite(byHash(0, 400), root)      // v0
+    SnapshotStore.indexBloom(spark, root, "id", maintain = true) // v1
+    val m1 = SnapshotStore.snapshot(root).get
+    assert(m1.blooms.head.maintain)
+    assert(SnapshotStore.parse(SnapshotStore.render(m1)) === m1)
+    SnapshotStore.commitAppend(byHash(1000, 1400), root)     // v2
+    val m2 = SnapshotStore.snapshot(root).get
+    assert(m2.blooms.head.maintain &&
+      m2.blooms.head.file != m1.blooms.head.file,
+      "append must publish a merged sidecar")
+    // probe a key that lives ONLY in an appended file: the 4 old files
+    // stats-skip (disjoint ranges; attribution counts stats first), and
+    // the bloom tier must skip the other 3 NEW files — without
+    // maintenance all 4 would open conservatively
+    val (gotNew, repNew) = SnapshotStore.readWhere(spark, root,
+      Eq("id", 1077L))
+    assert(gotNew.as[(Long, Long)].collect().toSeq ===
+      Seq((1077L, 1077L % 7)))
+    assert(repNew.filesOpened === 1 && repNew.bloomSkipped === 3,
+      repNew.toString)
+    // an old key still probes through the merged sidecar
+    val (gotOld, repOld) = SnapshotStore.readWhere(spark, root,
+      Eq("id", 77L))
+    assert(gotOld.as[(Long, Long)].collect().toSeq === Seq((77L, 77L % 7)))
+    assert(repOld.filesOpened === 1, repOld.toString)
+    // default (maintain = false): appended files open conservatively
+    val root2 = freshRoot()
+    SnapshotStore.commitOverwrite(byHash(0, 400), root2)
+    SnapshotStore.indexBloom(spark, root2, "id")
+    SnapshotStore.commitAppend(byHash(1000, 1400), root2)
+    val (_, repCons) = SnapshotStore.readWhere(spark, root2,
+      Eq("id", 1077L))
+    assert(repCons.filesOpened === 4 && repCons.bloomSkipped === 0,
+      s"all 4 unindexed new files must open conservatively: $repCons")
+  }
+
   // ------------------------------------------------- predicate delete
 
   test("deleteWhere: metadata-only commit — fully-covered clustered " +
