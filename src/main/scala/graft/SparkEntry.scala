@@ -152,6 +152,7 @@ object SparkEntry {
     "q131_layered_format"  -> (Relational.q131LayeredFormat _),
     "q132_catalog_sql"     -> (Relational.q132CatalogSqlJoin _),
     "q133_streaming_feed"  -> (Relational.q133StreamingFeed _),
+    "q134_incr_recluster"  -> (Relational.q134IncrementalRecluster _),
   )
 
   /** The cohort-retention-matrix oracle, shared by q93 (the batch
@@ -940,6 +941,22 @@ object SparkEntry {
            CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
              AS cents
          FROM orders WHERE o_orderkey % 3 <> 2
+         GROUP BY 1 ORDER BY 1""",
+    // Incremental re-cluster: the oracle recomputes the table content
+    // (3/4 base ∪ top-quarter slice of the rest) as a filtered
+    // aggregate with the builder's integer window arithmetic — hash
+    // equality proves the overlap-group rewrite moved every row and
+    // dropped/duplicated none; the builder REQUIREs the byte ratio,
+    // byte-identical untouched files, and pruning parity.
+    "q134_incr_recluster" ->
+      """WITH b AS (SELECT MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx
+             FROM orders)
+         SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+             AS BIGINT) AS cents
+         FROM orders, b
+         WHERE o_orderkey % 4 <> 0
+            OR o_orderkey >= mn + (3 * (mx - mn)) // 4
          GROUP BY 1 ORDER BY 1""",
     // OPTIMIZE: content-hash invariance through the compaction rewrite —
     // the oracle is the pre-optimize content (thirds 0+1), recomputed.

@@ -72,7 +72,11 @@ object Layout {
       // can land one off when the true quotient is integral
       expr(s"((CAST(`$c` AS BIGINT) - ${lo}) * ${span}) DIV ${range}")
     }
-    df.withColumn("zkey", zValue(scaled, bits))
+    // one column: the Morton interleave is the identity — zkey is the
+    // scaled column itself (plain range clustering, the degenerate
+    // z-order every lakehouse treats as the same operation)
+    if (scaled.size == 1) df.withColumn("zkey", scaled.head)
+    else df.withColumn("zkey", zValue(scaled, bits))
   }
 
   /** Full layout operator: [[zOrderKey]] then range-repartition + local

@@ -2162,6 +2162,100 @@ object Relational {
     df
   }
 
+  /** q134: INCREMENTAL RE-CLUSTER ([[graft.sources.SnapshotStore
+    * .optimizeIncremental]]) — clustering-spec evolution closed: the
+    * spec (`zorderBy`) is RECORDED in the manifest by OPTIMIZE and
+    * carried by appends, so the maintenance job takes no arguments.
+    * Corpus: 3/4 of orders (key%4≠0) z-ordered on o_orderkey into 16
+    * range-disjoint files; one append lands the key%4=0 rows of the TOP
+    * key quarter (the realistic "new data has recent keys" shape) —
+    * straddling only the top ~4 clustered files. The incremental
+    * re-cluster must rewrite ONLY that overlap group: the builder
+    * REQUIREs (a) a strict subset of files rewritten with rewritten
+    * bytes ≤ 1/2 of the table (expected ~1/4), (b) every untouched
+    * file byte-identical under its original manifest path, (c) PRUNING
+    * PARITY — a lower-half range probe opens exactly as many files as
+    * on the pre-append fully-clustered snapshot (those files ARE the
+    * original files), and (d) a top-region probe still prunes. The
+    * oracle recomputes the content (base ∪ top-quarter slice) as a
+    * filtered aggregate — hash equality proves the re-sort moved every
+    * overlapping row and dropped/duplicated none. At 100 TB this is
+    * the nightly layout job: O(straddled bytes), never O(table).
+    */
+  private val reclusterRoot = scala.collection.concurrent.TrieMap
+    .empty[String, String]
+
+  def q134IncrementalRecluster(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    import SnapshotStore.StatsPred.Between
+    val root = reclusterRoot.getOrElseUpdate(sfDir, {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-snaprec-").toString
+      val o = Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+      val (kMin, kMax) = Tables.orders(spark, sfDir)
+        .agg(min(col("o_orderkey")), max(col("o_orderkey")))
+        .as[(Long, Long)](org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong)).head()
+      val top = kMin + 3 * (kMax - kMin) / 4
+      SnapshotStore.commitOverwrite(
+        o.filter(col("o_orderkey") % 4 =!= 0), dir)            // v0
+      SnapshotStore.optimize(spark, dir, targetFiles = 16,
+        zorderBy = Seq("o_orderkey"))                          // v1
+      val m1 = SnapshotStore.snapshot(dir).get
+      require(m1.cluster == Seq("o_orderkey"),
+        s"optimize must record the clustering spec, got ${m1.cluster}")
+      SnapshotStore.commitAppend(
+        o.filter(col("o_orderkey") % 4 === 0 &&
+          col("o_orderkey") >= top).coalesce(1), dir)          // v2
+      val m2 = SnapshotStore.snapshot(dir).get
+      require(m2.cluster == Seq("o_orderkey"),
+        "append must carry the clustering spec forward")
+      val v3 = SnapshotStore.optimizeIncremental(spark, dir)   // v3
+      require(v3 == m2.version + 1, s"recluster must commit, got $v3")
+      val m3 = SnapshotStore.snapshot(dir).get
+      val untouched = m3.files.toSet intersect m2.files.toSet
+      val rewritten = m2.files.toSet -- m3.files.toSet
+      require(untouched.nonEmpty && rewritten.nonEmpty &&
+          rewritten.size < m2.files.size,
+        s"must rewrite a strict non-empty subset: ${rewritten.size} " +
+          s"of ${m2.files.size}")
+      val sz2 = SnapshotStore.fileSizes(dir, m2)
+      val ratio = rewritten.toSeq.map(sz2).sum.toDouble /
+        m2.files.map(sz2).sum
+      require(ratio <= 0.5,
+        f"incremental recluster must rewrite a fraction of the " +
+          f"table's bytes, got $ratio%.2f")
+      untouched.foreach { f =>
+        require(java.nio.file.Files.size(
+            java.nio.file.Paths.get(dir, f)) == sz2(f),
+          s"untouched file $f must survive byte-identical") }
+      // pruning parity: a lower-half probe opens exactly the files the
+      // fully-clustered pre-append snapshot opened (same files)
+      val probe = Between("o_orderkey",
+        kMin + (kMax - kMin) / 8, kMin + (kMax - kMin) / 4)
+      val (_, repInc) = SnapshotStore.readWhere(spark, dir, probe)
+      val (_, repFull) = SnapshotStore.readWhere(spark, dir, probe,
+        version = Some(m1.version))
+      require(repInc.filesOpened == repFull.filesOpened,
+        s"lower-half pruning parity: inc=$repInc full=$repFull")
+      // the rewritten top region prunes too (disjoint again)
+      val (_, repTop) = SnapshotStore.readWhere(spark, dir,
+        Between("o_orderkey", kMin + 7 * (kMax - kMin) / 8, kMax))
+      require(repTop.filesOpened < m3.files.size,
+        s"top-region probe must prune: $repTop of ${m3.files.size}")
+      dir
+    })
+    SnapshotStore.read(spark, root)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(centsOf(col("o_totalprice"))).as("cents"))
+      .orderBy("o_orderpriority")
+  }
+
   def q118Optimize(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.sources.SnapshotStore
     val root = optimizeRoot.getOrElseUpdate(sfDir, {

@@ -92,7 +92,7 @@ object SnapshotStore {
   final case class Manifest(version: Int, base: Int, schemaDdl: String,
       files: Seq[String], txn: String = "", statsFile: String = "",
       segments: Seq[SegmentRef] = Nil, layers: Seq[MergeLayer] = Nil,
-      blooms: Seq[BloomIndex] = Nil)
+      blooms: Seq[BloomIndex] = Nil, cluster: Seq[String] = Nil)
 
   /** One FILE-LEVEL BLOOM INDEX over a column — the point-lookup
     * complement to the min/max sidecar: after a z-order/range layout
@@ -250,7 +250,11 @@ object SnapshotStore {
         s"""{"bcol":"${esc(b.column)}","blogbits":${b.logBits},""" +
           s""""bk":${b.k},$maint"bfile":"${esc(b.file)}"}"""
       }.mkString(""""blooms":[""", ",", "],")
-    s"""{"version":${m.version},"base":${m.base},$blm""" +
+    val clu =
+      if (m.cluster.isEmpty) ""
+      else m.cluster.map(c => "\"" + esc(c) + "\"")
+        .mkString(""""cluster":[""", ",", "],")
+    s"""{"version":${m.version},"base":${m.base},$blm$clu""" +
       s""""txn":"${esc(m.txn)}",""" +
       s""""statsfile":"${esc(m.statsFile)}",""" +
       s""""schema":"${esc(m.schemaDdl)}",$segs$lys"files":[$fs]}"""
@@ -335,8 +339,13 @@ object SnapshotStore {
       BloomIndex(unesc(m.group(1)), m.group(2).toInt, m.group(3).toInt,
         unesc(m.group(5)), maintain = m.group(4) != null)
     }.toSeq
+    // clustering spec — optional like txn; non-greedy stop at the first
+    // ']' is safe (column names never carry brackets through toDDL)
+    val cluster = s""""cluster":\\[(.*?)\\]""".r.findFirstMatchIn(s)
+      .map(m => strLit.r.findAllMatchIn(m.group(1))
+        .map(c => unesc(c.group(1))).toSeq).getOrElse(Nil)
     Manifest(intField("version"), intField("base"), unesc(schema), files,
-      txn, statsFile, segments, layers, blooms)
+      txn, statsFile, segments, layers, blooms, cluster)
   }
 
   // ------------------------------------------------------------- resolve
@@ -1641,7 +1650,7 @@ object SnapshotStore {
           publish(root, Manifest(base + 1, base, ddl, c.files,
             statsFile = c.statsFile, segments = c.segments,
             layers = c.layers :+ MergeLayer("", files),
-            blooms = c.blooms))
+            blooms = c.blooms, cluster = c.cluster))
         case _ =>
           // the sidecar composes the base's INLINE stats with the new
           // files' — it depends on the rebase target, so each attempt
@@ -1654,7 +1663,8 @@ object SnapshotStore {
           publish(root, Manifest(base + 1, base, ddl, baseFiles ++ files,
             statsFile = statsFile,
             segments = cur.map(_.segments).getOrElse(Nil),
-            blooms = maintained(cur.map(_.blooms).getOrElse(Nil))))
+            blooms = maintained(cur.map(_.blooms).getOrElse(Nil)),
+            cluster = cur.map(_.cluster).getOrElse(Nil)))
       }
       if (published) return base + 1
       attempt += 1
@@ -1695,7 +1705,8 @@ object SnapshotStore {
           cur.map(_.files).getOrElse(Seq.empty),
           statsFile = cur.map(_.statsFile).getOrElse(""),
           segments = cur.map(_.segments).getOrElse(Nil) :+ ref,
-          blooms = cur.map(_.blooms).getOrElse(Nil))))
+          blooms = cur.map(_.blooms).getOrElse(Nil),
+          cluster = cur.map(_.cluster).getOrElse(Nil))))
         return base + 1
       attempt += 1
     }
@@ -1740,7 +1751,8 @@ object SnapshotStore {
           schema)
       }
       if (publish(root, Manifest(cur.version + 1, cur.version,
-          cur.schemaDdl, Seq.empty, segments = refs)))
+          cur.schemaDdl, Seq.empty, segments = refs,
+          cluster = cur.cluster)))
         return cur.version + 1
       attempt += 1
     }
@@ -1805,7 +1817,7 @@ object SnapshotStore {
           publish(root, Manifest(base + 1, base, ddl, c.files, txn,
             c.statsFile, segments = c.segments,
             layers = c.layers :+ MergeLayer("", files),
-            blooms = c.blooms))
+            blooms = c.blooms, cluster = c.cluster))
         case _ =>
           val statsFile = writeStatsFile(root,
             cur.map(m => fileStats(root, m)).getOrElse(Map.empty) ++
@@ -1813,7 +1825,8 @@ object SnapshotStore {
           publish(root,
             Manifest(base + 1, base, ddl, baseFiles ++ files, txn,
               statsFile, segments = cur.map(_.segments).getOrElse(Nil),
-              blooms = cur.map(_.blooms).getOrElse(Nil)))
+              blooms = cur.map(_.blooms).getOrElse(Nil),
+              cluster = cur.map(_.cluster).getOrElse(Nil)))
       }
       if (published) return Some(base + 1)
       attempt += 1
@@ -1897,7 +1910,7 @@ object SnapshotStore {
           publish(root, Manifest(base + 1, base, ddl, c.files,
             statsFile = c.statsFile, segments = c.segments,
             layers = c.layers :+ MergeLayer("", files),
-            blooms = c.blooms))
+            blooms = c.blooms, cluster = c.cluster))
         case _ =>
           val statsFile = writeStatsFile(root,
             cur.map(m => fileStats(root, m)).getOrElse(Map.empty) ++
@@ -1905,7 +1918,8 @@ object SnapshotStore {
           publish(root, Manifest(base + 1, base, ddl, baseFiles ++ files,
             statsFile = statsFile,
             segments = cur.map(_.segments).getOrElse(Nil),
-            blooms = cur.map(_.blooms).getOrElse(Nil)))
+            blooms = cur.map(_.blooms).getOrElse(Nil),
+            cluster = cur.map(_.cluster).getOrElse(Nil)))
       }
       if (published) return base + 1
       attempt += 1
@@ -1946,13 +1960,109 @@ object SnapshotStore {
       // DISJOINT enough for readWhere to skip most of them
       val statsFile = writeStatsFile(root,
         harvestStats(spark, root, files))
+      // the clustering SPEC is recorded in the manifest (Delta/Iceberg
+      // clustering-columns idea): later appends carry it forward, and
+      // [[optimizeIncremental]] uses it to re-cluster only the files
+      // whose key ranges overlap. A plain repartition destroys any
+      // clustering, so it clears the spec.
       if (publish(root,
           Manifest(cur.version + 1, cur.version, cur.schemaDdl, files,
-            statsFile = statsFile)))
+            statsFile = statsFile, cluster = zorderBy)))
         return cur.version + 1
       attempt += 1
     }
     sys.error(s"optimize lost $MaxRetries version races under $root")
+  }
+
+  /** INCREMENTAL RE-CLUSTER — the Iceberg rewrite-data-files-with-
+    * filter shape: re-sort ONLY the inline files whose key ranges
+    * OVERLAP another file's, leaving every already-disjoint file
+    * byte-untouched in the manifest. The clustering spec comes from the
+    * manifest itself ([[optimize]] records `zorderBy`; appends carry it
+    * forward), so the maintenance job needs no arguments: appends
+    * accrete files that straddle the clustered layout, and a cadence
+    * call re-sorts exactly the straddled region — O(overlapping bytes)
+    * per run, never O(table), with pruning parity against a full
+    * re-cluster for any predicate outside the rewritten region (those
+    * files ARE the original files).
+    *
+    * Overlap is computed on the LEADING cluster column's per-file
+    * min/max from the stats sidecar (exact for single-column
+    * clustering; conservative for multi-column z-order, where
+    * interleaving makes leading-column ranges wider). A file without a
+    * usable range conservatively joins the rewrite set. Groups are
+    * connected components of interval overlap; singleton groups are
+    * already in place. Merge-on-read layers are PRESERVED (suppression
+    * is by key/predicate, never by file location); bloom indexes carry
+    * forward with rewritten files conservatively unindexed (re-index or
+    * maintain to restore probe sharpness). Segment-resident files are
+    * out of scope like [[compactSmallFiles]]. Returns the committed
+    * version, or the current version unchanged when fewer than two
+    * files overlap. */
+  def optimizeIncremental(spark: SparkSession, root: String): Int = {
+    var attempt = 0
+    while (attempt < MaxRetries) {
+      val cur = snapshot(root).getOrElse(sys.error(
+        s"optimizeIncremental on a table with no commits under $root"))
+      require(cur.cluster.nonEmpty,
+        s"optimizeIncremental under $root: no clustering spec in the " +
+          "manifest — run optimize(zorderBy = ...) once to establish " +
+          "the layout")
+      val schema = StructType.fromDDL(cur.schemaDdl)
+      val keyCol = cur.cluster.head
+      val dt = schema.fields.find(_.name == keyCol).map(_.dataType)
+        .getOrElse(sys.error(s"cluster column '$keyCol' missing from " +
+          s"schema ${cur.schemaDdl}"))
+      val stats = fileStats(root, cur)
+      // leading-column interval per file; None = no usable range
+      val intervals: Seq[(String, Option[(Any, Any)])] =
+        cur.files.map { f =>
+          val rng = for {
+            cs <- stats.get(f).flatMap(_.get(keyCol))
+            mnS <- cs.min; mxS <- cs.max
+            mn <- normalize(dt, mnS); mx <- normalize(dt, mxS)
+          } yield (mn, mx)
+          (f, rng)
+        }
+      val rangeless = intervals.collect { case (f, None) => f }
+      val ranged = intervals.collect { case (f, Some(r)) => (f, r) }
+        .sortWith { case ((_, (a, _)), (_, (b, _))) =>
+          cmpNorm(a, b).exists(_ < 0) }
+      // sweep: connected components of interval overlap
+      val groups = scala.collection.mutable
+        .ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[String]]
+      var curMax: Option[Any] = None
+      ranged.foreach { case (f, (mn, mx)) =>
+        val joins = curMax.exists(m => cmpNorm(mn, m).exists(_ <= 0))
+        if (joins) {
+          groups.last += f
+          if (cmpNorm(mx, curMax.get).exists(_ > 0)) curMax = Some(mx)
+        } else {
+          groups += scala.collection.mutable.ArrayBuffer(f)
+          curMax = Some(mx)
+        }
+      }
+      val rewrite =
+        (groups.filter(_.size >= 2).flatten ++ rangeless).toSeq
+      if (rewrite.size < 2) return cur.version // layout already disjoint
+      val packed = graft.operators.Layout.zOrder(
+        spark.read.schema(schema)
+          .parquet(rewrite.map(f => Paths.get(root, f).toString): _*),
+        cur.cluster, partitions = rewrite.size).drop("zkey")
+      val files = writeData(packed, root)
+      val keep = cur.files.filterNot(rewrite.toSet)
+      val statsFile = writeStatsFile(root,
+        stats.view.filterKeys(keep.toSet).toMap ++
+          harvestStats(spark, root, files))
+      if (publish(root, Manifest(cur.version + 1, cur.version,
+          cur.schemaDdl, keep ++ files, statsFile = statsFile,
+          segments = cur.segments, layers = cur.layers,
+          blooms = cur.blooms, cluster = cur.cluster)))
+        return cur.version + 1
+      attempt += 1
+    }
+    sys.error(
+      s"optimizeIncremental lost $MaxRetries version races under $root")
   }
 
   /** PARTIAL (BIN-PACK) COMPACTION — the incremental maintenance
@@ -1997,7 +2107,7 @@ object SnapshotStore {
       if (publish(root, Manifest(cur.version + 1, cur.version,
           cur.schemaDdl, keep ++ files, statsFile = statsFile,
           segments = cur.segments, layers = cur.layers,
-          blooms = cur.blooms)))
+          blooms = cur.blooms, cluster = cur.cluster)))
         return cur.version + 1
       attempt += 1
     }
@@ -2107,7 +2217,7 @@ object SnapshotStore {
       if (publish(root, Manifest(cur.version + 1, cur.version,
           cur.schemaDdl, cur.files, statsFile = cur.statsFile,
           segments = cur.segments, layers = cur.layers :+ layer,
-          blooms = cur.blooms)))
+          blooms = cur.blooms, cluster = cur.cluster)))
         return cur.version + 1
       attempt += 1
     }
@@ -2157,7 +2267,7 @@ object SnapshotStore {
       if (publish(root, Manifest(cur.version + 1, cur.version,
           cur.schemaDdl, cur.files, txn, cur.statsFile,
           segments = cur.segments, layers = cur.layers :+ layer,
-          blooms = cur.blooms)))
+          blooms = cur.blooms, cluster = cur.cluster)))
         return Some(cur.version + 1)
       attempt += 1
     }

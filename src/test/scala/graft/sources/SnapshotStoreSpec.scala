@@ -914,6 +914,53 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(sRep.filesOpened === 1, sRep.toString)
   }
 
+  test("optimizeIncremental: no-op on a disjoint layout, rewrites only " +
+      "the overlap group after an append, preserves layers, refuses a " +
+      "spec-less table") {
+    import SnapshotStore.StatsPred._
+    val root = freshRoot()
+    SnapshotStore.commitOverwrite(
+      spark.range(0, 800).select(col("id"), (col("id") % 7).as("v")), root)
+    // no spec recorded yet -> loud refusal
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.optimizeIncremental(spark, root)
+    }
+    assert(e.getMessage.contains("no clustering spec"))
+    SnapshotStore.optimize(spark, root, targetFiles = 8,
+      zorderBy = Seq("id"))
+    val m1 = SnapshotStore.snapshot(root).get
+    assert(m1.cluster === Seq("id"))
+    // already disjoint -> no-op, no version bump
+    assert(SnapshotStore.optimizeIncremental(spark, root) === m1.version)
+    // an overlapping append + a keyed layer; the recluster must rewrite
+    // only the straddled group and keep the layer fold intact
+    SnapshotStore.commitAppend(
+      spark.range(600, 900)
+        .select(col("id"),
+          when(col("id") >= 0, 99L).as("v")) // nullable, matches table
+        .coalesce(1), root)
+    SnapshotStore.mergeOnRead(spark, root,
+      Seq((650L, 1L, 1L, false), (10L, 2L, 1L, true))
+        .toDF("id", "v", "ver", "del"),
+      key = "id", versionCol = "ver", deleteCol = "del")
+    val before = SnapshotStore.read(spark, root)
+      .as[(Long, Long)].collect().toSet
+    val m2 = SnapshotStore.snapshot(root).get
+    val v = SnapshotStore.optimizeIncremental(spark, root)
+    val m3 = SnapshotStore.snapshot(root).get
+    assert(v === m2.version + 1)
+    val untouched = m3.files.toSet intersect m2.files.toSet
+    assert(untouched.nonEmpty && (m2.files.toSet -- m3.files.toSet)
+      .nonEmpty && untouched.size < m3.files.size)
+    assert(m3.layers === m2.layers && m3.cluster === Seq("id"))
+    assert(SnapshotStore.read(spark, root)
+      .as[(Long, Long)].collect().toSet === before)
+    // layout is disjoint again: a mid-range probe prunes
+    val (_, rep) = SnapshotStore.readWhere(spark, root,
+      Between("id", 100L, 180L))
+    assert(rep.filesOpened < m3.files.size, rep.toString)
+  }
+
   test("bloom maintenance: a maintain=true index keeps pruning after " +
       "appends (new files get commit-time bitmaps); default indexes " +
       "stay conservative; the codec round-trips the flag") {
