@@ -1150,6 +1150,38 @@ object ScaleSmoke {
         filesOpened = Some(rep.filesOpened),
         segmentsListed = Some(rep.segmentsListed),
         segmentsParsed = Some(rep.segmentsParsed)))
+      // the SAME slice through the Spark-native front door: the planner
+      // pushes the range filter, GraftFileIndex.listFiles drives the
+      // identical segment-tier prune, and file sizes come from the
+      // sidecars the walk parsed (never an O(all-files) stat or size
+      // pass) — proving format("graft") carries the metadata tier's
+      // O(intersecting segments) promise behind Spark's own planner
+      import graft.sources.GraftFileIndex
+      var fdRep: SnapshotStore.ScanReport = null
+      var fdOut = 0L
+      val fdSec = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        fdOut = spark.read.format("graft").load(dir)
+          .filter(col("id").between(sliceLo, sliceHi)).count()
+        fdRep = GraftFileIndex.lastReport(dir).getOrElse(
+          sys.error("front-door scan left no report"))
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      require(fdOut == nOut,
+        s"front door must return the readWhere row count: $fdOut/$nOut")
+      require(fdRep.filesOpened == rep.filesOpened &&
+          fdRep.segmentsParsed == rep.segmentsParsed,
+        s"front door must make readWhere's prune decision: " +
+          s"format=$fdRep readWhere=$rep")
+      println(f"[scale] segment_front_door          $fdOut%10d rows" +
+        f"  $fdSec%8.2f s  (opened ${fdRep.filesOpened}/" +
+        f"${fdRep.filesListed}, parsed ${fdRep.segmentsParsed}/" +
+        f"${fdRep.segmentsListed} segments)")
+      record(Entry("segment_front_door", fdOut, fdSec,
+        filesListed = Some(fdRep.filesListed),
+        filesOpened = Some(fdRep.filesOpened),
+        segmentsListed = Some(fdRep.segmentsListed),
+        segmentsParsed = Some(fdRep.segmentsParsed)))
     }
 
     // corpus-level boilerplate stats at 20×: distinct-shingle explode →

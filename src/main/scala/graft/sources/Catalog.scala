@@ -158,7 +158,7 @@ object Catalog {
       sys.error(s"catalog under $root has no table $table"))
     val schema = StructType.fromDDL(m.schemaDdl)
     val tr = tableRoot(root, table)
-    val (keep, report) = SnapshotStore.pruneScan(tr, m, schema, pred)
+    val (keep, _, report) = SnapshotStore.pruneScan(tr, m, schema, pred)
     val base =
       if (keep.isEmpty)
         spark.createDataFrame(spark.sparkContext

@@ -70,17 +70,19 @@ class GraftFileIndex(spark: SparkSession, val root: String,
   private lazy val manifestSizes: Map[String, Long] =
     SnapshotStore.allFileSizes(root, manifest)
 
-  private def sizeOf(rel: String): Long =
-    manifestSizes.getOrElse(rel, {
+  private def sizeOf(rel: String,
+      loaded: Map[String, Long] = Map.empty): Long =
+    loaded.getOrElse(rel, manifestSizes.getOrElse(rel, {
       GraftFileIndex.statFallbacks.incrementAndGet()
       Files.size(Paths.get(root, rel))
-    })
+    }))
 
-  private def statusOf(rel: String): FileStatus = {
+  private def statusOf(rel: String,
+      loaded: Map[String, Long] = Map.empty): FileStatus = {
     val p = Paths.get(root, rel)
     // mtime 0: immutable files make modification time meaningless to
     // the scan (it only feeds cache-staleness heuristics)
-    new FileStatus(sizeOf(rel), false, 1, 128L * 1024 * 1024,
+    new FileStatus(sizeOf(rel, loaded), false, 1, 128L * 1024 * 1024,
       0L, new HPath(p.toUri))
   }
 
@@ -91,7 +93,7 @@ class GraftFileIndex(spark: SparkSession, val root: String,
   // planner's size estimate (join-strategy input): manifest sizes, no
   // filesystem walk
   override lazy val sizeInBytes: Long =
-    SnapshotStore.allFiles(root, manifest).map(sizeOf).sum
+    SnapshotStore.allFiles(root, manifest).map(sizeOf(_)).sum
 
   /** The planner's hook: `dataFilters` are the pushed-down predicates of
     * the query plan above this scan. Translate their conjunction's
@@ -100,19 +102,24 @@ class GraftFileIndex(spark: SparkSession, val root: String,
     * back through [[GraftFileIndex.lastReport]]). */
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val (keep, report) =
+    // a pruned scan reuses the sizes its own walk loaded (only the
+    // intersecting segments' sidecars — never an O(all-files) size
+    // parse for an O(selectivity) read); the unfiltered listing pays
+    // the full-metadata price its full scan implies anyway
+    val (keep, loadedSizes, report) =
       GraftFileIndex.translate(dataFilters) match {
         case Some(p) =>
           SnapshotStore.pruneScan(root, manifest, schema, p)
         case None =>
           val all = SnapshotStore.allFiles(root, manifest)
-          (all, ScanReport(all.size, all.size, manifest.segments.size,
-            manifest.segments.size))
+          (all, manifestSizes,
+            ScanReport(all.size, all.size, manifest.segments.size,
+              manifest.segments.size))
       }
     GraftFileIndex.reports.put(Paths.get(root).toAbsolutePath
       .normalize.toString, report)
     Seq(PartitionDirectory(InternalRow.empty,
-      keep.map(statusOf).toArray))
+      keep.map(statusOf(_, loadedSizes)).toArray))
   }
 }
 

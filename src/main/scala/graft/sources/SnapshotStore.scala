@@ -944,9 +944,13 @@ object SnapshotStore {
     * sidecar; each segment first tests its AGGREGATED summary (a miss
     * skips the segment unparsed), and only surviving segments get their
     * file lists + per-file sidecars consulted. Returns the files to
-    * open and the full report. */
+    * open, their byte sizes AS ALREADY LOADED by the walk (only from
+    * the sidecars it parsed anyway — the front door must never pay an
+    * O(all-segments) size walk for an O(selectivity) read), and the
+    * full report. */
   private[sources] def pruneScan(root: String, m: Manifest,
-      schema: StructType, pred: StatsPred): (Seq[String], ScanReport) = {
+      schema: StructType, pred: StatsPred)
+      : (Seq[String], Map[String, Long], ScanReport) = {
     // bloom sidecars load once per scan, and only when the predicate
     // carries equality conjuncts an index column could decide
     val eqCols = eqConjuncts(pred).map {
@@ -967,20 +971,27 @@ object SnapshotStore {
       if (!st.forall(s => mayMatch(s, schema, pred))) false
       else if (!bloomKeep(f)) { bloomSkipped += 1; false }
       else true
+    def sizesOf(keepSet: Seq[String],
+        st: Map[String, Map[String, ColStats]]): Map[String, Long] =
+      keepSet.flatMap(f => st.get(f).flatMap(_.get(SizeKey))
+        .map(f -> _.rows)).toMap
     val inlineKeep = m.files.filter(f => keepFile(f, inlineStats.get(f)))
     var parsed = 0
+    var sizes = sizesOf(inlineKeep, inlineStats)
     val segKeep = m.segments.flatMap { ref =>
       if (ref.cols.nonEmpty && !mayMatch(ref.cols, schema, pred)) Nil
       else {
         parsed += 1
         val sm = readSegmentManifest(root, ref)
         val st = fileStats(root, sm)
-        sm.files.filter(f => keepFile(f, st.get(f)))
+        val kept = sm.files.filter(f => keepFile(f, st.get(f)))
+        sizes ++= sizesOf(kept, st)
+        kept
       }
     }
     val keep = inlineKeep ++ segKeep
     val listed = m.files.size + m.segments.map(_.nFiles).sum
-    (keep, ScanReport(listed, keep.size, m.segments.size, parsed,
+    (keep, sizes, ScanReport(listed, keep.size, m.segments.size, parsed,
       bloomSkipped))
   }
 
@@ -1000,7 +1011,7 @@ object SnapshotStore {
     val m = snapshot(root, version).getOrElse(
       sys.error(s"no committed snapshot under $root"))
     val schema = StructType.fromDDL(m.schemaDdl)
-    val (keep, report) = pruneScan(root, m, schema, pred)
+    val (keep, _, report) = pruneScan(root, m, schema, pred)
     val base =
       if (keep.isEmpty)
         spark.createDataFrame(spark.sparkContext
