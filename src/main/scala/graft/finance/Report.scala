@@ -90,13 +90,31 @@ object Report {
   /** Build the full report document for a year. `pc` is the categorized
     * store frame (post-[[Categorizer.addCat]]).
     */
+  /** The report sink's COLLECT CONTRACT, enforced: each collected frame
+    * is a per-category / per-position AGGREGATE — row count bounded by
+    * the category vocabulary (~dozens), never by data volume. A future
+    * schema change that accidentally turns one of these into a
+    * row-level frame would otherwise become a silent driver-side
+    * data-volume collect; fail loudly instead. */
+  private def boundedCollect(df: DataFrame,
+      what: String): Array[org.apache.spark.sql.Row] = {
+    val rows = df.collect()
+    require(rows.length <= 1000,
+      s"report sink: $what collected ${rows.length} rows — this frame " +
+        "must stay a category-level aggregate (bounded by the category " +
+        "vocabulary), not a row-level collect")
+    rows
+  }
+
   def render(pc: DataFrame, yr: Int,
       afaCosts: Seq[(String, Double)], afaYears: Int,
       officeRatio: Double): String = {
-    val income = stableRows(Analysis.incomeOverview(pc, yr).collect()
+    val income = stableRows(boundedCollect(
+      Analysis.incomeOverview(pc, yr), "income overview")
       .map(r => Seq[Any](r.getAs[String]("cat"),
         r.getAs[Double]("category_sum"))))
-    val expense = stableRows(Analysis.expenseOverview(pc, yr).collect()
+    val expense = stableRows(boundedCollect(
+      Analysis.expenseOverview(pc, yr), "expense overview")
       .map(r => Seq[Any](r.getAs[String]("cat"),
         r.getAs[Double]("category_sum"), r.getAs[Double]("giro"),
         r.getAs[Double]("gesa"), r.getAs[Double]("common"))))
@@ -106,8 +124,9 @@ object Report {
     val officeOrder = (afaCosts.map(_._1) ++
       Seq("Darlehenszinsen", "Stromkosten", "Hausgeld", "Grundsteuer"))
       .zipWithIndex.toMap
-    val office = Analysis.homeOfficeReport(pc, yr, afaCosts, afaYears,
-        officeRatio).collect()
+    val office = boundedCollect(
+      Analysis.homeOfficeReport(pc, yr, afaCosts, afaYears,
+        officeRatio), "home-office report")
       .map(r => Seq[Any](r.getAs[String]("position"),
         r.getAs[Double]("gesamtkosten"), r.getAs[Double]("raumkosten")))
       .sortBy(r => officeOrder.getOrElse(r.head.asInstanceOf[String], Int.MaxValue))
