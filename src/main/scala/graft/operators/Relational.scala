@@ -1353,9 +1353,18 @@ object Relational {
         "fresh-checkpoint replay must collect exactly the same feed")
       require(first == rows(SnapshotStore.changeFeed(spark, root, 0, 2)),
         "streamed feed must equal the batch changeFeed")
-      name
+      // stage the streamed rows OUT of the memory sink once: the sink
+      // is a driver-side, single-partition store (a test harness, not
+      // a serving layer) — re-scanning it per read would serialize a
+      // 2M-row sort onto the driver; a real deployment streams into a
+      // distributed sink (parquet / the snapshot store) exactly like
+      // this
+      val staged = java.nio.file.Files
+        .createTempDirectory("graft-streamfeed-out-").toString
+      spark.table(name).write.mode("overwrite").parquet(staged)
+      staged
     })
-    spark.table(sink)
+    spark.read.parquet(sink)
       .select(col("o_orderkey"), col("o_orderpriority"),
         col("o_totalprice"), col("change"), col("n_rows"), col("version"))
       .orderBy("version", "o_orderkey", "change")
