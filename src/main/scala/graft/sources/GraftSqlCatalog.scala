@@ -179,7 +179,8 @@ class GraftSqlCatalog extends TableCatalog {
   * pure-metadata predicate layer, never a rewrite. */
 final case class GraftSqlTable(catRoot: String, tableName: String,
     manifest: Manifest, pinnedVersion: Option[Int])
-    extends Table with SupportsDelete {
+    extends Table with SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = s"graft.main.$tableName" +
     pinnedVersion.map(v => s"@v$v").getOrElse("")
@@ -189,9 +190,65 @@ final case class GraftSqlTable(catRoot: String, tableName: String,
 
   // BATCH_READ declares intent; the actual scan is the v1 relation the
   // resolution rule swaps in (a session without the rule fails loudly
-  // at the capability CHECK stage instead of planning a broken scan)
+  // at the capability CHECK stage instead of planning a broken scan).
+  // Writes go through the V1Write bridge below (V1_BATCH_WRITE), and
+  // TRUNCATE enables `INSERT OVERWRITE` (the truncate-then-append
+  // analysis path).
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  /** `INSERT INTO` / `INSERT OVERWRITE` / `df.writeTo("graft.main.t")`:
+    * the V1Write bridge — the insert lands as ONE atomic catalog
+    * transaction (append or overwrite), footer stats harvested like
+    * any catalog commit, so the next read prunes. The incoming frame
+    * is reconciled to the table schema (`Dataset.to`) because the
+    * analyzer's insert coercion preserves value types but not
+    * nullability flags, and catalog appends enforce exact DDL. */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(pinnedVersion.isEmpty,
+      "graft catalog: cannot write to a VERSION AS OF pin")
+    val table = this
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var overwrite = false
+      override def truncate()
+          : org.apache.spark.sql.connector.write.WriteBuilder = {
+        overwrite = true; this
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            new org.apache.spark.sql.sources.InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                  overwriteParam: Boolean): Unit = {
+                val mode =
+                  if (overwrite || overwriteParam) Catalog.Overwrite
+                  else Catalog.Append
+                Catalog.commit(table.catRoot, Map(table.tableName ->
+                  ((data.to(table.schema()), mode))))
+              }
+            }
+        }
+    }
+  }
+
+  /** SQL `TRUNCATE TABLE`: an empty overwrite through the catalog
+    * transaction — pure metadata (writeData of an empty frame writes
+    * no files), pinned readers untouched, recoverable at the pre-
+    * truncate catalog version. */
+  override def truncateTable(): Boolean = {
+    require(pinnedVersion.isEmpty,
+      "graft catalog: cannot truncate a VERSION AS OF pin")
+    val spark = SparkSession.active
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema())
+    Catalog.commit(catRoot, Map(tableName -> ((empty, Catalog.Overwrite))))
+    true
+  }
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     pinnedVersion.isEmpty &&
@@ -297,18 +354,42 @@ class GraftCatalogRelationRule(spark: SparkSession)
         }
         case _ => d
       }
-    case _ => plan.resolveOperatorsUp {
-      case r: DataSourceV2Relation => r.table match {
-        case t: GraftSqlTable =>
-          val folded = GraftTable.tableFor(spark,
-            java.nio.file.Paths.get(t.catRoot, t.tableName).toString,
-            t.manifest)
-          val foldPlan = folded.queryExecution.analyzed
-          Project(foldPlan.output.zip(r.output).map { case (n, o) =>
-            Alias(n, o.name)(exprId = o.exprId) }, foldPlan)
-        case _ => r
+    case _ =>
+      // WRITE commands keep their TARGET relation v2 — the planner
+      // routes it into the table's own write builder (V1Write bridge);
+      // only the SOURCE side of an insert folds into the scan plan.
+      // Identity set: one relation instance may legitimately appear as
+      // both a read and a (distinct-instance) write target.
+      val writeTargets = java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[DataSourceV2Relation, java.lang.Boolean]())
+      def markTargets(t: LogicalPlan): Unit = t.foreach {
+        case r: DataSourceV2Relation => writeTargets.add(r); ()
+        case _ => ()
       }
-    }
+      plan.foreach {
+        case i: org.apache.spark.sql.catalyst.plans.logical
+            .InsertIntoStatement => markTargets(i.table)
+        case a: org.apache.spark.sql.catalyst.plans.logical.AppendData =>
+          markTargets(a.table)
+        case o: org.apache.spark.sql.catalyst.plans.logical
+            .OverwriteByExpression => markTargets(o.table)
+        case o: org.apache.spark.sql.catalyst.plans.logical
+            .OverwritePartitionsDynamic => markTargets(o.table)
+        case _ => ()
+      }
+      plan.resolveOperatorsUp {
+        case r: DataSourceV2Relation if !writeTargets.contains(r) =>
+          r.table match {
+            case t: GraftSqlTable =>
+              val folded = GraftTable.tableFor(spark,
+                java.nio.file.Paths.get(t.catRoot, t.tableName).toString,
+                t.manifest)
+              val foldPlan = folded.queryExecution.analyzed
+              Project(foldPlan.output.zip(r.output).map { case (n, o) =>
+                Alias(n, o.name)(exprId = o.exprId) }, foldPlan)
+            case _ => r
+          }
+      }
   }
 
   /** Condition → connector predicates: constant-fold first (analysis

@@ -102,6 +102,47 @@ class GraftSqlCatalogSpec extends SparkSpec {
     assert(Catalog.tableManifest(root, "ev", Some(1)).isDefined)
   }
 
+  test("INSERT INTO / INSERT OVERWRITE / TRUNCATE route through catalog " +
+      "transactions; the insert SOURCE still folds through the rule; " +
+      "writes to a VERSION AS OF pin are refused") {
+    val root = freshCatalog()
+    Catalog.commit(root, Map(
+      "sink" -> ((spark.range(0, 10)
+        .select(col("id"), (col("id") * 10).as("v")), Catalog.Overwrite)),
+      "src"  -> ((spark.range(100, 110)
+        .select(col("id"), (col("id") * 10).as("v")), Catalog.Overwrite))))
+    // INSERT INTO ... SELECT: the target stays a v2 write, the source
+    // resolves through the same fold rule as any read
+    spark.sql("INSERT INTO graft.main.sink SELECT id, v FROM " +
+      "graft.main.src WHERE id < 105")
+    assert(spark.sql("SELECT count(*) FROM graft.main.sink")
+      .as[Long].head() === 15L)
+    // the insert landed as a catalog version (atomic transaction)
+    assert(Catalog.versions(root).size === 2)
+    // INSERT INTO ... VALUES (nullability reconciled via Dataset.to)
+    spark.sql("INSERT INTO graft.main.sink VALUES (999, 1), (998, 2)")
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.main.sink WHERE id >= 998")
+      .as[Long].head() === 2L)
+    // INSERT OVERWRITE replaces
+    spark.sql("INSERT OVERWRITE graft.main.sink SELECT id, v FROM " +
+      "graft.main.src")
+    assert(spark.sql("SELECT count(*) FROM graft.main.sink")
+      .as[Long].head() === 10L)
+    // TRUNCATE: empty, recoverable at the prior catalog version
+    val preTruncate = Catalog.versions(root).max
+    spark.sql("TRUNCATE TABLE graft.main.sink")
+    assert(spark.sql("SELECT count(*) FROM graft.main.sink")
+      .as[Long].head() === 0L)
+    assert(Catalog.readTable(spark, root, "sink",
+      version = Some(preTruncate)).count() === 10L)
+    // a pinned relation refuses writes
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO graft.main.sink VERSION AS OF 0 VALUES (1, 1)")
+    }
+    assert(e != null)
+  }
+
   test("CREATE TABLE lands an empty catalog table; catalog reads " +
       "refuse unknown namespaces and non-integer versions") {
     val root = freshCatalog()
