@@ -189,7 +189,7 @@ object Catalog {
       val tr = tableRoot(root, t)
       val files = SnapshotStore.writeData(df, tr)
       val stats = SnapshotStore.harvestStats(df.sparkSession, tr, files)
-      (t, mode, df.schema.toDDL, files, stats)
+      (t, mode, df.schema, files, stats)
     }.toSeq
     // 2. the retry loop: tiny staged manifests against the current head
     var attempt = 0
@@ -198,7 +198,8 @@ object Catalog {
       val base = cur.map(_.version).getOrElse(-1)
       val newTables = scala.collection.mutable.Map[String, String]() ++
         cur.map(_.tables).getOrElse(Map.empty)
-      staged.foreach { case (t, mode, ddl, files, stats) =>
+      staged.foreach { case (t, mode, schema, files, stats) =>
+        val ddl = schema.toDDL
         val tr = tableRoot(root, t)
         val baseM = cur.flatMap(_.tables.get(t)).map { rel =>
           SnapshotStore.parse(new String(Files.readAllBytes(
@@ -208,7 +209,8 @@ object Catalog {
           case Overwrite => (files, stats, baseM.map(_.version)
             .getOrElse(-1), Nil, Nil)
           case Append =>
-            baseM.foreach(m => require(m.schemaDdl == ddl,
+            baseM.foreach(m => require(
+              SnapshotStore.appendCompatible(m.schemaDdl, schema),
               s"catalog append schema mismatch on $t: table has " +
                 s"[${m.schemaDdl}], append has [$ddl]"))
             // inline stats compose; base SEGMENTS and bloom indexes
@@ -221,7 +223,13 @@ object Catalog {
               baseM.map(_.blooms).getOrElse(Nil))
         }
         val statsFile = SnapshotStore.writeStatsFile(tr, allStats)
-        val m = SnapshotStore.Manifest(baseV + 1, baseV, ddl, allFiles,
+        // the committed manifest keeps the TABLE's schema on append
+        // (nullability may be wider than the batch's)
+        val tddl = mode match {
+          case Append => baseM.map(_.schemaDdl).getOrElse(ddl)
+          case Overwrite => ddl
+        }
+        val m = SnapshotStore.Manifest(baseV + 1, baseV, tddl, allFiles,
           statsFile = statsFile, segments = segs, blooms = blms)
         val rel = s"_manifests/staged-${java.util.UUID.randomUUID()}.json"
         val p = Paths.get(tr, rel)

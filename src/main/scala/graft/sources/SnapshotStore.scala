@@ -1648,17 +1648,18 @@ object SnapshotStore {
     var attempt = 0
     while (attempt < MaxRetries) {
       val cur = snapshot(root)
-      cur.foreach(m => require(m.schemaDdl == ddl,
+      cur.foreach(m => require(appendCompatible(m.schemaDdl, df.schema),
         s"append schema mismatch: table has [${m.schemaDdl}], " +
           s"append has [$ddl]"))
       val base = cur.map(_.version).getOrElse(-1)
+      val tddl = cur.map(_.schemaDdl).getOrElse(ddl)
       val baseFiles = cur.map(_.files).getOrElse(Seq.empty)
       // On a LAYERED table (merge-on-read in flight) the append lands
       // as an ADD-ONLY layer ABOVE the existing ones: appended rows
       // must never be suppressed by an older layer's delete keys.
       val published = cur match {
         case Some(c) if c.layers.nonEmpty =>
-          publish(root, Manifest(base + 1, base, ddl, c.files,
+          publish(root, Manifest(base + 1, base, tddl, c.files,
             statsFile = c.statsFile, segments = c.segments,
             layers = c.layers :+ MergeLayer("", files),
             blooms = c.blooms, cluster = c.cluster))
@@ -1671,8 +1672,8 @@ object SnapshotStore {
           val statsFile = writeStatsFile(root,
             cur.map(m => fileStats(root, m)).getOrElse(Map.empty) ++
               newStats)
-          publish(root, Manifest(base + 1, base, ddl, baseFiles ++ files,
-            statsFile = statsFile,
+          publish(root, Manifest(base + 1, base, tddl,
+            baseFiles ++ files, statsFile = statsFile,
             segments = cur.map(_.segments).getOrElse(Nil),
             blooms = maintained(cur.map(_.blooms).getOrElse(Nil)),
             cluster = cur.map(_.cluster).getOrElse(Nil)))
@@ -1701,9 +1702,10 @@ object SnapshotStore {
     var attempt = 0
     while (attempt < MaxRetries) {
       val cur = snapshot(root)
-      cur.foreach(m => require(m.schemaDdl == ddl,
+      cur.foreach(m => require(appendCompatible(m.schemaDdl, df.schema),
         s"append schema mismatch: table has [${m.schemaDdl}], " +
           s"append has [$ddl]"))
+      val tddl = cur.map(_.schemaDdl).getOrElse(ddl)
       // a segment lands at BASE level, below any merge-on-read layer —
       // its rows would be suppressed by older layers' delete keys,
       // which is never what an append means. Fold the layers first.
@@ -1712,7 +1714,7 @@ object SnapshotStore {
           "layer(s): optimize() to fold them first (or use commitAppend, " +
           "which lands as an add-only layer)"))
       val base = cur.map(_.version).getOrElse(-1)
-      if (publish(root, Manifest(base + 1, base, ddl,
+      if (publish(root, Manifest(base + 1, base, tddl,
           cur.map(_.files).getOrElse(Seq.empty),
           statsFile = cur.map(_.statsFile).getOrElse(""),
           segments = cur.map(_.segments).getOrElse(Nil) :+ ref,
@@ -1805,10 +1807,11 @@ object SnapshotStore {
     var attempt = 0
     while (attempt < MaxRetries) {
       val cur = snapshot(root)
-      cur.foreach(m => require(m.schemaDdl == ddl,
+      cur.foreach(m => require(appendCompatible(m.schemaDdl, df.schema),
         s"append schema mismatch: table has [${m.schemaDdl}], " +
           s"append has [$ddl]"))
       val base = cur.map(_.version).getOrElse(-1)
+      val tddl = cur.map(_.schemaDdl).getOrElse(ddl)
       // Re-check the txn against every manifest that appeared since the
       // last look, INSIDE the retry loop: losing the version race means
       // another writer landed — if that commit (or any interleaved one)
@@ -1825,7 +1828,7 @@ object SnapshotStore {
       // layered table: land as an add-only layer (see commitAppend)
       val published = cur match {
         case Some(c) if c.layers.nonEmpty =>
-          publish(root, Manifest(base + 1, base, ddl, c.files, txn,
+          publish(root, Manifest(base + 1, base, tddl, c.files, txn,
             c.statsFile, segments = c.segments,
             layers = c.layers :+ MergeLayer("", files),
             blooms = c.blooms, cluster = c.cluster))
@@ -1834,7 +1837,7 @@ object SnapshotStore {
             cur.map(m => fileStats(root, m)).getOrElse(Map.empty) ++
               newStats)
           publish(root,
-            Manifest(base + 1, base, ddl, baseFiles ++ files, txn,
+            Manifest(base + 1, base, tddl, baseFiles ++ files, txn,
               statsFile, segments = cur.map(_.segments).getOrElse(Nil),
               blooms = cur.map(_.blooms).getOrElse(Nil),
               cluster = cur.map(_.cluster).getOrElse(Nil)))
@@ -1855,6 +1858,20 @@ object SnapshotStore {
     * BOTH sides must carry the identical data type (type CHANGES are not
     * evolution — loud error); any column absent from either side becomes
     * nullable, because null backfill makes nulls observable. */
+  /** Append-schema compatibility: identical column names and types in
+    * order; an append column may be NON-nullable where the table is
+    * nullable (reading non-null values under a nullable schema is
+    * always sound — the widening every SQL INSERT produces), never the
+    * reverse. The committed manifest keeps the TABLE's schema. */
+  private[sources] def appendCompatible(tableDdl: String,
+      in: StructType): Boolean = {
+    val table = StructType.fromDDL(tableDdl)
+    table.length == in.length && table.fields.zip(in.fields).forall {
+      case (t, i) => t.name == i.name && t.dataType == i.dataType &&
+        (t.nullable || !i.nullable)
+    }
+  }
+
   private[graft] def mergeSchemas(table: StructType,
       incoming: StructType): StructType = {
     val inByName = incoming.fields.map(f => f.name -> f).toMap

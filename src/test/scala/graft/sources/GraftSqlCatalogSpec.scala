@@ -143,6 +143,18 @@ class GraftSqlCatalogSpec extends SparkSpec {
     assert(e != null)
   }
 
+  test("CREATE TABLE AS SELECT composes createTable + insert through " +
+      "the catalog") {
+    val root = freshCatalog()
+    Catalog.commit(root, Map("base" -> ((spark.range(0, 40)
+      .select(col("id"), (col("id") % 4).as("g")), Catalog.Overwrite))))
+    spark.sql("CREATE TABLE graft.main.derived AS " +
+      "SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM graft.main.base " +
+      "GROUP BY g")
+    assert(spark.sql("SELECT * FROM graft.main.derived").count() === 4L)
+    assert(Catalog.tableManifest(root, "derived").isDefined)
+  }
+
   test("CREATE TABLE lands an empty catalog table; catalog reads " +
       "refuse unknown namespaces and non-integer versions") {
     val root = freshCatalog()
