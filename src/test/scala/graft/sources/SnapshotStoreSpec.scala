@@ -99,6 +99,34 @@ class SnapshotStoreSpec extends SparkSpec {
       .collect().toSet === Set((1L, "w0"), (2L, "w1"), (3L, "w2")))
   }
 
+  test("commitCreate race: two concurrent creators — exactly one wins " +
+      "the v0 link, the loser throws, nothing lands twice") {
+    val root = freshRoot()
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val ts = (0 until 2).map { i =>
+      new Thread(() => {
+        try {
+          SnapshotStore.commitCreate(
+            spark.range(i * 100, i * 100 + 50)
+              .select(col("id"), lit(s"w$i").as("w")), root)
+          results.add(s"win$i")
+        } catch {
+          case _: IllegalArgumentException => results.add(s"lose$i")
+        }
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val rs = results.asScala.toSeq.sorted
+    assert(rs.count(_.startsWith("win")) === 1 &&
+      rs.count(_.startsWith("lose")) === 1, rs.toString)
+    assert(SnapshotStore.versions(root) === Seq(0))
+    assert(SnapshotStore.read(spark, root).count() === 50)
+    // the winner's content is coherent (all rows from ONE writer)
+    assert(SnapshotStore.read(spark, root).select("w")
+      .distinct().count() === 1)
+  }
+
   test("writer scratch (.tmp-) files are never read as snapshots; a " +
       "corrupted COMMITTED manifest fails loudly instead of reading empty") {
     val root = freshRoot()
