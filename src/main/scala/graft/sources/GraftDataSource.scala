@@ -241,6 +241,7 @@ object GraftFileIndex {
 class GraftDataSource extends RelationProvider
     with CreatableRelationProvider
     with org.apache.spark.sql.sources.StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graft"
@@ -268,6 +269,37 @@ class GraftDataSource extends RelationProvider
       parameters: Map[String, String])
       : org.apache.spark.sql.execution.streaming.Source =
     GraftChangeSource.create(sqlContext, parameters)
+
+  // --------------------------------------------------- streaming sink
+  // `df.writeStream.format("graft").option("path", root)` — every
+  // micro-batch lands as ONE append version through the txn-deduped
+  // commit ([[SnapshotStore.commitAppendOnce]]): a batch replayed after
+  // a sink crash (commit landed, checkpoint did not advance) finds its
+  // txn in the manifest chain and commits NOTHING — exactly-once end to
+  // end. The txn lineage id defaults to the checkpoint location (stable
+  // across restarts by construction); override with .option("sinkId").
+
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val root = parameters.getOrElse("path", sys.error(
+      "graft sink: missing 'path' (use .option(\"path\", <table root>))"))
+    require(partitionColumns.isEmpty,
+      "graft sink: partitionBy is not supported — cluster with " +
+        "optimize(zorderBy) on a cadence instead")
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode
+        .Append(),
+      s"graft sink: only Append output mode maps onto snapshot " +
+        s"append commits, got $outputMode (use foreachBatch + " +
+        "mergeOnReadOnce for update/CDC shapes)")
+    val sinkId = parameters.get("sinkId")
+      .orElse(parameters.get("checkpointLocation"))
+      .getOrElse(sys.error("graft sink: need a stable txn lineage id — " +
+        "set .option(\"checkpointLocation\", ...) (the default) or " +
+        ".option(\"sinkId\", ...)"))
+    new GraftAppendSink(root, sinkId)
+  }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
       parameters: Map[String, String], data: DataFrame): BaseRelation = {

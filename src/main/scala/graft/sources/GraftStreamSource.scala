@@ -121,3 +121,24 @@ object GraftChangeSource {
 final case class GraftVersionOffset(v: Int) extends Offset {
   override def json: String = v.toString
 }
+
+/** The APPEND streaming sink behind `writeStream.format("graft")`:
+  * micro-batch N commits under txn `"<sinkId>:N"` through
+  * [[SnapshotStore.commitAppendOnce]] — one snapshot version per batch,
+  * replay-deduped by the manifest txn chain. The batch frame is
+  * re-rooted on its already-planned RDD ([[org.apache.spark.sql
+  * .graftshim.cutLineage]]) so the commit's parquet write reuses the
+  * micro-batch's physical plan instead of re-planning the incremental
+  * execution (the v1 Sink addBatch contract). */
+class GraftAppendSink(root: String, sinkId: String)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long,
+      data: org.apache.spark.sql.DataFrame): Unit = {
+    val batch = org.apache.spark.sql.graftshim.cutLineage(data)
+    SnapshotStore.commitAppendOnce(batch, root, s"$sinkId:$batchId")
+    ()
+  }
+
+  override def toString: String = s"GraftAppendSink[$root, $sinkId]"
+}

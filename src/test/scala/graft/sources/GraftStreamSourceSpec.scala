@@ -53,6 +53,55 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(feedSet(spark.table("gs_feed_replay")) === want3)
   }
 
+  test("streaming sink: each micro-batch lands as one txn-deduped " +
+      "append version; checkpoint replay commits nothing twice; " +
+      "non-append modes and partitioning are refused") {
+    val root = freshRoot()
+    // nullable base schema (parquet stage reads are nullable; appends
+    // may narrow nullability but never widen it)
+    SnapshotStore.commitOverwrite(
+      spark.range(0, 10).select(
+        when(col("id") >= 0, col("id")).as("id"),
+        (col("id") % 7).as("v")), root)
+    // stage 3 key-disjoint parquet files -> 3 micro-batches
+    val stage = Files.createTempDirectory("graftsink-stage").toString
+    spark.range(100, 160)
+      .select(col("id"), (col("id") % 7).as("v"))
+      .repartition(3, pmod(col("id"), lit(3)))
+      .write.mode("overwrite").parquet(stage)
+    val staged = spark.read.parquet(stage)
+    val ckpt = Files.createTempDirectory("graftsink-ckpt").toString
+    def run() = {
+      val q = spark.readStream.schema(staged.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+        .writeStream.format("graft")
+        .option("path", root)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    val m = SnapshotStore.snapshot(root).get
+    assert(SnapshotStore.read(spark, root).count() === 70)
+    // one version per micro-batch, txn-tagged
+    val txns = (0 to m.version)
+      .map(v => SnapshotStore.snapshot(root, Some(v)).get.txn)
+    assert((0 until 3).forall(b => txns.exists(_.endsWith(s":$b"))),
+      s"each batch's txn must be in the chain: $txns")
+    // a fresh query on the SAME checkpoint replays nothing
+    run()
+    assert(SnapshotStore.read(spark, root).count() === 70)
+    assert(SnapshotStore.versions(root).max === m.version)
+    // refusals
+    intercept[Exception] {
+      spark.readStream.schema(staged.schema).parquet(stage)
+        .writeStream.format("graft").option("path", root)
+        .option("checkpointLocation",
+          Files.createTempDirectory("x").toString)
+        .partitionBy("v").outputMode("append").start()
+    }
+  }
+
   test("default startingVersion is the head at stream start (only " +
       "future commits stream); vacuumed versions behind the cursor " +
       "fail loudly") {
