@@ -102,6 +102,39 @@ class GraftStreamSourceSpec extends SparkSpec {
     }
   }
 
+  test("end-to-end lakehouse loop: change-feed source -> transform -> " +
+      "graft sink, incremental across upstream commits, exactly-once") {
+    val a = freshRoot(); val b = freshRoot()
+    def nn(df: org.apache.spark.sql.Dataset[java.lang.Long]) = df.select(
+      when(col("id") >= 0, col("id")).as("id"), (col("id") % 7).as("v"))
+    SnapshotStore.commitOverwrite(nn(spark.range(0, 50)), a)    // A v0
+    val ckpt = Files.createTempDirectory("graftloop-ckpt").toString
+    def pump(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("startingVersion", "0").load(a)
+        .filter(col("change") === "added")
+        .select(col("id"), col("v"), col("version").as("src_version"))
+        .writeStream.format("graft").option("path", b)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+    }
+    // v0 is the baseline (startingVersion 0 = changes AFTER v0): only
+    // later commits flow. Two upstream appends arrive incrementally.
+    SnapshotStore.commitAppend(nn(spark.range(100, 130)), a)    // A v1
+    pump()
+    assert(SnapshotStore.read(spark, b).count() === 30)
+    SnapshotStore.commitAppend(nn(spark.range(200, 220)), a)    // A v2
+    pump() // restart from the SAME checkpoint: only the new commit lands
+    val got = SnapshotStore.read(spark, b)
+    assert(got.count() === 50)
+    assert(got.filter(col("src_version") === 1).count() === 30)
+    assert(got.filter(col("src_version") === 2).count() === 20)
+    // replay once more with nothing new upstream: B unchanged
+    pump()
+    assert(SnapshotStore.read(spark, b).count() === 50)
+  }
+
   test("default startingVersion is the head at stream start (only " +
       "future commits stream); vacuumed versions behind the cursor " +
       "fail loudly") {
