@@ -276,6 +276,47 @@ object Catalog {
       s"version races under $root")
   }
 
+  /** DATA-LESS SCHEMA EVOLUTION on a catalog table — `ALTER TABLE ...
+    * ADD COLUMNS`: the next catalog version names a staged manifest
+    * with the WIDENED schema over the SAME files/segments/layers —
+    * pure metadata; every existing file backfills the new columns as
+    * NULL at read (parquet missing-column semantics), which is why
+    * added columns must be nullable. Pinned catalog readers keep the
+    * narrow schema. Returns the committed catalog version. */
+  def evolveSchema(root: String, table: String,
+      added: Seq[org.apache.spark.sql.types.StructField]): Int = {
+    require(added.nonEmpty, "evolveSchema: no columns to add")
+    require(added.forall(_.nullable),
+      "added columns must be NULLABLE — existing files backfill NULL")
+    val tr = tableRoot(root, table)
+    var attempt = 0
+    while (attempt < SnapshotStore.MaxRetries) {
+      val cur = snapshot(root).getOrElse(sys.error(
+        s"evolveSchema on a catalog with no committed versions: $root"))
+      val baseRel = cur.tables.getOrElse(table,
+        sys.error(s"catalog under $root has no table $table"))
+      val baseM = SnapshotStore.parse(new String(Files.readAllBytes(
+        Paths.get(tr, baseRel)), StandardCharsets.UTF_8))
+      val schema = StructType.fromDDL(baseM.schemaDdl)
+      val dup = added.map(_.name).intersect(schema.fieldNames.toSeq)
+      require(dup.isEmpty,
+        s"evolveSchema: column(s) already exist on $table: " +
+          dup.mkString(", "))
+      val widened = StructType(schema.fields.toSeq ++ added)
+      val next = baseM.copy(version = baseM.version + 1,
+        base = baseM.version, schemaDdl = widened.toDDL, txn = "")
+      val rel = s"_manifests/staged-${java.util.UUID.randomUUID()}.json"
+      Files.createDirectories(Paths.get(tr, rel).getParent)
+      Files.write(Paths.get(tr, rel),
+        SnapshotStore.render(next).getBytes(StandardCharsets.UTF_8))
+      if (publishCat(root, CatalogSnapshot(cur.version + 1,
+          cur.tables + (table -> rel)))) return cur.version + 1
+      attempt += 1
+    }
+    sys.error(s"catalog evolveSchema lost ${SnapshotStore.MaxRetries} " +
+      s"version races under $root")
+  }
+
   /** DROP a table from the catalog: the next catalog version simply no
     * longer names it — data and staged manifests stay on disk until
     * [[vacuum]]'s retention expires the versions that still reach them

@@ -155,11 +155,36 @@ class GraftSqlCatalog extends TableCatalog {
     loadTable(ident)
   }
 
+  /** `ALTER TABLE graft.main.t ADD COLUMNS (...)` — a DATA-LESS schema
+    * evolution catalog transaction ([[Catalog.evolveSchema]]): existing
+    * files backfill the new columns as NULL at read, pinned versions
+    * keep the narrow schema. Only top-level nullable adds; every other
+    * change kind is refused with its reason (type changes break the
+    * immutable-files contract, renames would orphan stats/blooms). */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: ALTER TABLE is not supported — schema evolution " +
-        "goes through SnapshotStore.commitAppendEvolve")
+      changes: TableChange*): Table = {
+    checkNs(ident.namespace)
+    val added = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "graft catalog: nested column adds are not supported: " +
+            a.fieldNames.mkString("."))
+        require(a.isNullable,
+          s"graft catalog: added column '${a.fieldNames()(0)}' must be " +
+            "nullable — existing files backfill NULL")
+        require(a.position == null,
+          "graft catalog: column position is not supported (new " +
+            "columns append at the end)")
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames()(0), a.dataType, nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: only ADD COLUMNS is supported, got $other " +
+          "(type changes break immutable files; renames would orphan " +
+          "stats and bloom sidecars)")
+    }
+    Catalog.evolveSchema(root, ident.name, added)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     ident.namespace.sameElements(Array(Ns)) &&

@@ -143,6 +143,43 @@ class GraftSqlCatalogSpec extends SparkSpec {
     assert(e != null)
   }
 
+  test("ALTER TABLE ADD COLUMNS is a data-less catalog evolution: old " +
+      "files backfill NULL, pinned versions keep the narrow schema, " +
+      "inserts fill the new column, refusals are loud") {
+    val root = freshCatalog()
+    Catalog.commit(root, Map("ev" -> ((spark.range(0, 20)
+      .select(when(col("id") >= 0, col("id")).as("id"),
+        (col("id") % 3).as("g")), Catalog.Overwrite))))        // cat v0
+    val dataBefore = Files.walk(java.nio.file.Paths.get(root))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    spark.sql("ALTER TABLE graft.main.ev ADD COLUMNS (tag STRING)")
+    // metadata only; new column reads as NULL off the old files
+    assert(Files.walk(java.nio.file.Paths.get(root))
+      .filter(p => p.toString.endsWith(".parquet")).count() === dataBefore)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.main.ev WHERE tag IS NULL")
+      .as[Long].head() === 20L)
+    // pinned catalog version keeps the narrow schema
+    assert(spark.sql("SELECT * FROM graft.main.ev VERSION AS OF 0")
+      .columns.toSeq === Seq("id", "g"))
+    // inserts land in the widened schema
+    spark.sql("INSERT INTO graft.main.ev VALUES (100, 1, 'x')")
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.main.ev WHERE tag = 'x'")
+      .as[Long].head() === 1L)
+    // refusals: duplicate column, NOT NULL add, other change kinds
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.main.ev ADD COLUMNS (g BIGINT)")
+    }
+    intercept[Exception] {
+      spark.sql(
+        "ALTER TABLE graft.main.ev ADD COLUMNS (must STRING NOT NULL)")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.main.ev RENAME COLUMN g TO h")
+    }
+  }
+
   test("CREATE TABLE AS SELECT composes createTable + insert through " +
       "the catalog") {
     val root = freshCatalog()
