@@ -153,6 +153,7 @@ object SparkEntry {
     "q132_catalog_sql"     -> (Relational.q132CatalogSqlJoin _),
     "q133_streaming_feed"  -> (Relational.q133StreamingFeed _),
     "q134_incr_recluster"  -> (Relational.q134IncrementalRecluster _),
+    "q135_sql_dml"         -> (Relational.q135SqlDml _),
   )
 
   /** The cohort-retention-matrix oracle, shared by q93 (the batch
@@ -958,6 +959,27 @@ object SparkEntry {
          WHERE o_orderkey % 4 <> 0
             OR o_orderkey >= mn + (3 * (mx - mn)) // 4
          GROUP BY 1 ORDER BY 1""",
+    // SQL DML lifecycle: the oracle replays CTAS -> DELETE (second key
+    // quarter) -> INSERT (span+1-shifted every-10th slice) -> ALTER
+    // (tag all-NULL) straight from orders with the builder's integer
+    // window arithmetic — hash equality proves the four pure-SQL
+    // statements composed exactly through the catalog.
+    "q135_sql_dml" ->
+      """WITH b AS (SELECT MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx
+             FROM orders),
+         kept AS (SELECT o_orderkey, o_totalprice, o_orderpriority
+           FROM orders, b
+           WHERE NOT (o_orderkey BETWEEN mn + (mx - mn) // 4
+                                     AND mn + (mx - mn) // 2)),
+         ins AS (SELECT o_orderkey + (mx - mn) + 1 AS o_orderkey,
+             o_totalprice, o_orderpriority
+           FROM orders, b WHERE o_orderkey % 10 = 0),
+         final AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+         SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+             AS BIGINT) AS cents,
+           CAST(0 AS BIGINT) AS n_tag
+         FROM final GROUP BY 1 ORDER BY 1""",
     // OPTIMIZE: content-hash invariance through the compaction rewrite —
     // the oracle is the pre-optimize content (thirds 0+1), recomputed.
     "q118_optimize" ->

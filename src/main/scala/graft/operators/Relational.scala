@@ -2265,6 +2265,85 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** q135: SQL DML LIFECYCLE — the whole catalog write surface as ONE
+    * pure-SQL sequence over a fresh table, hash-checked end to end:
+    * CTAS from orders (createTable + AppendData through the V1Write
+    * bridge), a metadata-only DELETE (second key quarter, the q129
+    * window — REQUIREd to land as a data-less predicate layer), an
+    * INSERT INTO ... SELECT of key-shifted rows (shift = span+1, so
+    * inserts can't collide with the delete window), and an ALTER TABLE
+    * ADD COLUMNS (REQUIREd data-less). The gated aggregate groups the
+    * FINAL table per priority with integer cents and COUNT(tag) — the
+    * evolved column must read NULL off every pre-evolution file. The
+    * oracle replays the arithmetic straight from orders (complement of
+    * the delete window UNION the shifted slice; n_tag = 0), so hash
+    * equality proves the four statements composed exactly. The builder
+    * also REQUIREs the catalog version count (one transaction per
+    * statement, CTAS = create + insert).
+    */
+  private val dmlRoot =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def q135SqlDml(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.Catalog
+    val root = dmlRoot.getOrElseUpdate(sfDir, {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-sqldml-").toString
+      spark.conf.set("spark.sql.catalog.graft",
+        "graft.sources.GraftSqlCatalog")
+      spark.conf.set("spark.sql.catalog.graft.root", dir)
+      val view = "q135_src_" +
+        java.lang.Integer.toHexString(sfDir.hashCode)
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority"))
+        .createOrReplaceTempView(view)
+      val (kMin, kMax) = Tables.orders(spark, sfDir)
+        .agg(min(col("o_orderkey")), max(col("o_orderkey")))
+        .as[(Long, Long)](org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong)).head()
+      val span = kMax - kMin
+      val (lo, hi) = (kMin + span / 4, kMin + span / 2)
+      val shift = span + 1
+      spark.sql(s"CREATE TABLE graft.main.dml AS SELECT * FROM $view")
+      spark.sql(s"DELETE FROM graft.main.dml WHERE o_orderkey " +
+        s"BETWEEN $lo AND $hi")
+      val afterDelete = Catalog.tableManifest(dir, "dml").get
+      require(afterDelete.layers.size == 1 &&
+          afterDelete.layers.head.pred.nonEmpty &&
+          afterDelete.layers.head.files.isEmpty,
+        s"SQL DELETE must land as one data-less predicate layer: " +
+          s"${afterDelete.layers}")
+      spark.sql(s"INSERT INTO graft.main.dml SELECT o_orderkey + " +
+        s"$shift, o_custkey, o_totalprice, o_orderpriority FROM $view " +
+        s"WHERE o_orderkey % 10 = 0")
+      val beforeAlter = Catalog.tableManifest(dir, "dml").get
+      spark.sql("ALTER TABLE graft.main.dml ADD COLUMNS (tag STRING)")
+      val afterAlter = Catalog.tableManifest(dir, "dml").get
+      require(afterAlter.files == beforeAlter.files &&
+          afterAlter.schemaDdl != beforeAlter.schemaDdl,
+        "ALTER must widen the schema over the SAME files")
+      // one catalog transaction per statement: CTAS (create + insert),
+      // DELETE, INSERT, ALTER -> versions 0..4
+      require(Catalog.versions(dir) == (0 to 4),
+        s"expected 5 catalog versions, got ${Catalog.versions(dir)}")
+      dir
+    })
+    spark.conf.set("spark.sql.catalog.graft",
+      "graft.sources.GraftSqlCatalog")
+    spark.conf.set("spark.sql.catalog.graft.root", root)
+    spark.sql(
+      """SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS cents,
+           CAST(COUNT(tag) AS BIGINT) AS n_tag
+         FROM graft.main.dml
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""")
+  }
+
   def q118Optimize(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.sources.SnapshotStore
     val root = optimizeRoot.getOrElseUpdate(sfDir, {

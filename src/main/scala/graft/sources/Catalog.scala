@@ -205,32 +205,51 @@ object Catalog {
           SnapshotStore.parse(new String(Files.readAllBytes(
             Paths.get(tr, rel)), StandardCharsets.UTF_8))
         }
-        val (allFiles, allStats, baseV, segs, blms) = mode match {
-          case Overwrite => (files, stats, baseM.map(_.version)
-            .getOrElse(-1), Nil, Nil)
+        val m = mode match {
+          case Overwrite =>
+            val statsFile = SnapshotStore.writeStatsFile(tr, stats)
+            SnapshotStore.Manifest(
+              baseM.map(_.version).getOrElse(-1) + 1,
+              baseM.map(_.version).getOrElse(-1), ddl, files,
+              statsFile = statsFile)
           case Append =>
-            baseM.foreach(m => require(
-              SnapshotStore.appendCompatible(m.schemaDdl, schema),
+            baseM.foreach(m0 => require(
+              SnapshotStore.appendCompatible(m0.schemaDdl, schema),
               s"catalog append schema mismatch on $t: table has " +
-                s"[${m.schemaDdl}], append has [$ddl]"))
-            // inline stats compose; base SEGMENTS and bloom indexes
-            // carry by reference (new files are simply unindexed)
-            (baseM.map(_.files).getOrElse(Seq.empty) ++ files,
-              baseM.map(m => SnapshotStore.fileStats(tr, m))
-                .getOrElse(Map.empty) ++ stats,
-              baseM.map(_.version).getOrElse(-1),
-              baseM.map(_.segments).getOrElse(Nil),
-              baseM.map(_.blooms).getOrElse(Nil))
+                s"[${m0.schemaDdl}], append has [$ddl]"))
+            baseM match {
+              case Some(m0) if m0.layers.nonEmpty =>
+                // a LAYERED table (predicate delete / merge-on-read in
+                // flight): the append lands as an ADD-ONLY layer ABOVE
+                // the chain — appended rows must never be suppressed by
+                // an older layer's delete keys or predicate, and the
+                // layers themselves must survive the commit (the bug
+                // the q135 gate caught: composing into base files
+                // silently DROPPED the layer chain)
+                m0.copy(version = m0.version + 1, base = m0.version,
+                  txn = "",
+                  layers = m0.layers :+
+                    SnapshotStore.MergeLayer("", files))
+              case _ =>
+                // inline stats compose; base SEGMENTS and bloom indexes
+                // carry by reference (new files are simply unindexed);
+                // the manifest keeps the TABLE's schema (nullability
+                // may be wider than the batch's)
+                val allStats = baseM
+                  .map(m0 => SnapshotStore.fileStats(tr, m0))
+                  .getOrElse(Map.empty) ++ stats
+                val statsFile = SnapshotStore.writeStatsFile(tr, allStats)
+                SnapshotStore.Manifest(
+                  baseM.map(_.version).getOrElse(-1) + 1,
+                  baseM.map(_.version).getOrElse(-1),
+                  baseM.map(_.schemaDdl).getOrElse(ddl),
+                  baseM.map(_.files).getOrElse(Seq.empty) ++ files,
+                  statsFile = statsFile,
+                  segments = baseM.map(_.segments).getOrElse(Nil),
+                  blooms = baseM.map(_.blooms).getOrElse(Nil),
+                  cluster = baseM.map(_.cluster).getOrElse(Nil))
+            }
         }
-        val statsFile = SnapshotStore.writeStatsFile(tr, allStats)
-        // the committed manifest keeps the TABLE's schema on append
-        // (nullability may be wider than the batch's)
-        val tddl = mode match {
-          case Append => baseM.map(_.schemaDdl).getOrElse(ddl)
-          case Overwrite => ddl
-        }
-        val m = SnapshotStore.Manifest(baseV + 1, baseV, tddl, allFiles,
-          statsFile = statsFile, segments = segs, blooms = blms)
         val rel = s"_manifests/staged-${java.util.UUID.randomUUID()}.json"
         val p = Paths.get(tr, rel)
         Files.createDirectories(p.getParent)
