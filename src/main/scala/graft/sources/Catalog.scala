@@ -51,6 +51,13 @@ object Catalog {
   case object Append extends Mode
   case object Overwrite extends Mode
 
+  /** Thrown by [[commitCreate]] when the name exists at the rebased
+    * head — a dedicated type so callers (the SQL catalog) can map it to
+    * Spark's TableAlreadyExistsException without catching unrelated
+    * argument errors. */
+  final class TableExistsException(msg: String)
+      extends IllegalArgumentException(msg)
+
   /** Catalog version K's facts: per-table manifest paths (relative to
     * each table's root `<catalogRoot>/<table>/`). Tables absent from
     * the map have never been committed at this version. */
@@ -158,7 +165,7 @@ object Catalog {
       sys.error(s"catalog under $root has no table $table"))
     val schema = StructType.fromDDL(m.schemaDdl)
     val tr = tableRoot(root, table)
-    val (keep, _, report) = SnapshotStore.pruneScan(tr, m, schema, pred)
+    val (keep, _, report0) = SnapshotStore.pruneScan(tr, m, schema, pred)
     val base =
       if (keep.isEmpty)
         spark.createDataFrame(spark.sparkContext
@@ -166,7 +173,14 @@ object Catalog {
       else
         spark.read.schema(schema)
           .parquet(keep.map(f => Paths.get(tr, f).toString): _*)
-    (SnapshotStore.applyLayers(spark, tr, m, schema, base)
+    // add-only layers (catalog appends on a layered table) prune
+    // through their own sidecars, same soundness as the table layer's
+    val (mp, lyListed, lyOpened) =
+      SnapshotStore.pruneAddOnlyLayers(tr, m, schema, pred)
+    val report = report0.copy(
+      filesListed = report0.filesListed + lyListed,
+      filesOpened = report0.filesOpened + lyOpened)
+    (SnapshotStore.applyLayers(spark, tr, mp, schema, base)
       .filter(SnapshotStore.predColumn(pred)), report)
   }
 
@@ -191,6 +205,12 @@ object Catalog {
       val stats = SnapshotStore.harvestStats(df.sparkSession, tr, files)
       (t, mode, df.schema, files, stats)
     }.toSeq
+    // per-table bloom-maintenance memos: new-file bitmaps depend only on
+    // the staged files, so they survive rebase retries (the sidecar
+    // MERGE reruns per attempt against the current head's sidecar)
+    val bloomMemos = scala.collection.mutable.Map.empty[String,
+      scala.collection.mutable.Map[(String, Int, Int),
+        Seq[(String, Seq[Long])]]]
     // 2. the retry loop: tiny staged manifests against the current head
     var attempt = 0
     while (attempt < SnapshotStore.MaxRetries) {
@@ -225,11 +245,21 @@ object Catalog {
                 // an older layer's delete keys or predicate, and the
                 // layers themselves must survive the commit (the bug
                 // the q135 gate caught: composing into base files
-                // silently DROPPED the layer chain)
+                // silently DROPPED the layer chain). The layer CARRIES
+                // the already-harvested stats sidecar (and maintained
+                // bloom lines), so a CDC-heavy catalog table's appended
+                // rows stay prunable instead of decaying until OPTIMIZE.
+                val layerStats =
+                  if (files.isEmpty) ""
+                  else SnapshotStore.writeStatsFile(tr, stats)
                 m0.copy(version = m0.version + 1, base = m0.version,
                   txn = "",
                   layers = m0.layers :+
-                    SnapshotStore.MergeLayer("", files))
+                    SnapshotStore.MergeLayer("", files, layerStats),
+                  blooms = SnapshotStore.maintainBlooms(
+                    SparkSession.active, tr, m0.schemaDdl, files,
+                    bloomMemos.getOrElseUpdate(t,
+                      SnapshotStore.newBloomMemo()), m0.blooms))
               case _ =>
                 // inline stats compose; base SEGMENTS and bloom indexes
                 // carry by reference (new files are simply unindexed);
@@ -246,7 +276,12 @@ object Catalog {
                   baseM.map(_.files).getOrElse(Seq.empty) ++ files,
                   statsFile = statsFile,
                   segments = baseM.map(_.segments).getOrElse(Nil),
-                  blooms = baseM.map(_.blooms).getOrElse(Nil),
+                  blooms = SnapshotStore.maintainBlooms(
+                    SparkSession.active, tr,
+                    baseM.map(_.schemaDdl).getOrElse(ddl), files,
+                    bloomMemos.getOrElseUpdate(t,
+                      SnapshotStore.newBloomMemo()),
+                    baseM.map(_.blooms).getOrElse(Nil)),
                   cluster = baseM.map(_.cluster).getOrElse(Nil))
             }
         }
@@ -262,6 +297,52 @@ object Catalog {
       attempt += 1
     }
     sys.error(s"catalog commit lost ${SnapshotStore.MaxRetries} " +
+      s"version races under $root")
+  }
+
+  /** CREATE-ONLY catalog commit — the race-free twin of
+    * `commit(Overwrite)` for `CREATE TABLE`: the transaction FAILS
+    * (IllegalArgumentException) when the table name already exists at
+    * the rebased head, so two concurrent CREATE TABLEs get one winner
+    * and one loud loser instead of a silent overwrite (the same
+    * one-winner arbiter [[SnapshotStore.commitCreate]] gives
+    * SaveMode.ErrorIfExists — here the arbiter is the catalog publish:
+    * a lost race re-checks existence against the NEW head before
+    * retrying). Data files are written before the loop like any commit;
+    * a loser's files are unreachable scratch for [[vacuum]]. Returns
+    * the committed catalog version. */
+  def commitCreate(root: String, table: String, df: DataFrame): Int = {
+    require(table.matches("[A-Za-z0-9._-]+") && table != "." &&
+        table != ".." && !table.startsWith("_"),
+      s"bad table name: '$table' (need [A-Za-z0-9._-]+, not '.'/'..', " +
+        "no leading '_')")
+    def already = new TableExistsException(
+      s"catalog under $root already has table $table " +
+        "(create-only commit refuses to overwrite)")
+    // fast-fail BEFORE paying the data write; the in-loop re-check is
+    // what makes the commit race-free
+    if (snapshot(root).exists(_.tables.contains(table))) throw already
+    val tr = tableRoot(root, table)
+    val files = SnapshotStore.writeData(df, tr)
+    val stats = SnapshotStore.harvestStats(df.sparkSession, tr, files)
+    var attempt = 0
+    while (attempt < SnapshotStore.MaxRetries) {
+      val cur = snapshot(root)
+      if (cur.exists(_.tables.contains(table))) throw already
+      val statsFile = SnapshotStore.writeStatsFile(tr, stats)
+      val m = SnapshotStore.Manifest(0, -1, df.schema.toDDL, files,
+        statsFile = statsFile)
+      val rel = s"_manifests/staged-${java.util.UUID.randomUUID()}.json"
+      val p = Paths.get(tr, rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p,
+        SnapshotStore.render(m).getBytes(StandardCharsets.UTF_8))
+      val next = CatalogSnapshot(cur.map(_.version).getOrElse(-1) + 1,
+        cur.map(_.tables).getOrElse(Map.empty) + (table -> rel))
+      if (publishCat(root, next)) return next.version
+      attempt += 1
+    }
+    sys.error(s"catalog commitCreate lost ${SnapshotStore.MaxRetries} " +
       s"version races under $root")
   }
 

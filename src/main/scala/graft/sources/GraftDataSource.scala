@@ -116,8 +116,7 @@ class GraftFileIndex(spark: SparkSession, val root: String,
             ScanReport(all.size, all.size, manifest.segments.size,
               manifest.segments.size))
       }
-    GraftFileIndex.reports.put(Paths.get(root).toAbsolutePath
-      .normalize.toString, report)
+    GraftFileIndex.record(spark, root, report)
     Seq(PartitionDirectory(InternalRow.empty,
       keep.map(statusOf(_, loadedSizes)).toArray))
   }
@@ -136,13 +135,60 @@ object GraftFileIndex {
 
   /** Last [[ScanReport]] per (normalized) table root — how a test or
     * gate observes what the planner-driven prune decided without
-    * reaching into the physical plan. */
+    * reaching into the physical plan. Last-writer-wins per root:
+    * adequate for sequential drives; CONCURRENT queries over one root
+    * should use [[tagged]], which scopes the channel to one query via a
+    * job-local property. */
   private val reports =
     new java.util.concurrent.ConcurrentHashMap[String, ScanReport]()
 
+  /** Per-(root, tag) reports for [[tagged]] readers. Entries are
+    * removed when their tagged scope exits — the map never outgrows the
+    * set of in-flight tagged drives. */
+  private val taggedReports =
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      ScanReport]()
+
+  /** The Spark local property carrying the current scan tag. Local
+    * properties propagate from the action's thread into AQE stage
+    * materialization and broadcast threads (Spark captures and restores
+    * them per execution), which a plain ThreadLocal would not survive. */
+  private val TagKey = "graft.scan.tag"
+
+  private def norm(root: String): String =
+    Paths.get(root).toAbsolutePath.normalize.toString
+
+  private[sources] def record(spark: SparkSession, root: String,
+      report: ScanReport): Unit = {
+    val r = norm(root)
+    reports.put(r, report)
+    Option(spark.sparkContext.getLocalProperty(TagKey))
+      .foreach(tag => taggedReports.put((r, tag), report))
+  }
+
   def lastReport(root: String): Option[ScanReport] =
-    Option(reports.get(
-      Paths.get(root).toAbsolutePath.normalize.toString))
+    Option(reports.get(norm(root)))
+
+  /** Run `body` with a private scan-report channel over `root`: the
+    * prune decisions of graft scans driven INSIDE `body` (on this
+    * thread's actions, including their AQE/broadcast sub-threads) land
+    * under a unique tag, immune to concurrent queries over the same
+    * root clobbering the per-root last-writer slot. Returns `body`'s
+    * value and the last tagged report, if any scan ran. */
+  def tagged[T](spark: SparkSession, root: String)
+      (body: => T): (T, Option[ScanReport]) = {
+    val tag = java.util.UUID.randomUUID().toString
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty(TagKey)
+    sc.setLocalProperty(TagKey, tag)
+    try {
+      val out = body
+      (out, Option(taggedReports.get((norm(root), tag))))
+    } finally {
+      sc.setLocalProperty(TagKey, prev)
+      taggedReports.keySet.removeIf(_._2 == tag)
+    }
+  }
 
   /** Catalyst → [[StatsPred]], CONSERVATIVE: `filters` arrive implicitly
     * AND-ed, so any untranslatable conjunct is simply dropped (the
@@ -268,7 +314,7 @@ class GraftDataSource extends RelationProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String])
       : org.apache.spark.sql.execution.streaming.Source =
-    GraftChangeSource.create(sqlContext, parameters)
+    GraftChangeSource.create(sqlContext, parameters, metadataPath)
 
   // --------------------------------------------------- streaming sink
   // `df.writeStream.format("graft").option("path", root)` — every

@@ -133,10 +133,14 @@ class GraftSqlCatalog extends TableCatalog {
       "graft catalog: TIMESTAMP AS OF is not supported — catalog " +
         "versions are ordinal (use VERSION AS OF <catalog version>)")
 
-  /** `CREATE TABLE graft.main.t (...) USING graft`: an EMPTY overwrite
-    * through the catalog transaction (an empty manifest is a legal
-    * table — the first append fills it). Partitioning transforms are
-    * refused: layout belongs to OPTIMIZE/zorder at the table layer. */
+  /** `CREATE TABLE graft.main.t (...) USING graft`: a CREATE-ONLY
+    * catalog transaction ([[Catalog.commitCreate]] — an empty manifest
+    * is a legal table; the first append fills it). Race-free: two
+    * concurrent CREATE TABLEs are arbitrated by the catalog publish
+    * itself, so the loser gets TableAlreadyExistsException instead of
+    * silently overwriting the winner (a plain exists-then-commit check
+    * would let both pass). Partitioning transforms are refused: layout
+    * belongs to OPTIMIZE/zorder at the table layer. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -144,14 +148,16 @@ class GraftSqlCatalog extends TableCatalog {
     require(partitions.isEmpty,
       "graft catalog: PARTITIONED BY is not supported — cluster with " +
         "SnapshotStore.optimize(zorderBy) instead")
-    if (tableExists(ident))
-      throw new org.apache.spark.sql.catalyst.analysis
-        .TableAlreadyExistsException(
-          (ident.namespace :+ ident.name).toSeq)
     val spark = SparkSession.active
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    Catalog.commit(root, Map(ident.name -> ((empty, Catalog.Overwrite))))
+    try Catalog.commitCreate(root, ident.name, empty)
+    catch {
+      case _: Catalog.TableExistsException =>
+        throw new org.apache.spark.sql.catalyst.analysis
+          .TableAlreadyExistsException(
+            (ident.namespace :+ ident.name).toSeq)
+    }
     loadTable(ident)
   }
 

@@ -106,13 +106,51 @@ object GraftChangeSource {
       StructField("version", IntegerType, nullable = true)))
 
   private[sources] def create(sqlContext: SQLContext,
-      parameters: Map[String, String]): GraftChangeSource = {
+      parameters: Map[String, String],
+      metadataPath: String): GraftChangeSource = {
     val root = parameters.getOrElse("path", sys.error(
       "graft stream: missing 'path' (use .load(<table root>))"))
-    val starting = parameters.get("startingVersion").map(_.trim.toInt)
-      .getOrElse(SnapshotStore.versions(root).lastOption.getOrElse(
-        sys.error(s"graft stream: no committed snapshot under $root")))
+    val starting = resolveStarting(sqlContext, parameters, root,
+      metadataPath)
     new GraftChangeSource(sqlContext.sparkSession, root, starting)
+  }
+
+  /** Resolve-and-PIN the stream's starting version (the Delta
+    * initial-snapshot-pin pattern): the default starting version is
+    * "table head at stream START", but createSource also runs on every
+    * CHECKPOINT RESTART — recomputing the default there would skip to
+    * the NEW head, and getOffset would then sit silent on every version
+    * committed while the stream was down until yet another commit moved
+    * the head (a liveness stall). So the first start writes the
+    * resolved version under the source's own metadataPath (exactly-once
+    * via create-no-overwrite; the checkpoint dir is single-writer by
+    * Spark's own lock) and every restart reads it back. An EXPLICIT
+    * `startingVersion` option pins itself by value, but is persisted
+    * too so later option edits cannot silently rebase a running
+    * checkpoint's cursor. */
+  private def resolveStarting(sqlContext: SQLContext,
+      parameters: Map[String, String], root: String,
+      metadataPath: String): Int = {
+    val hp = new org.apache.hadoop.fs.Path(metadataPath,
+      "graft-starting-version")
+    val fs = hp.getFileSystem(
+      sqlContext.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(hp)) {
+      val buf = new Array[Byte](fs.getFileStatus(hp).getLen.toInt)
+      val in = fs.open(hp)
+      try in.readFully(buf) finally in.close()
+      new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+    } else {
+      val resolved = parameters.get("startingVersion").map(_.trim.toInt)
+        .getOrElse(SnapshotStore.versions(root).lastOption.getOrElse(
+          sys.error(s"graft stream: no committed snapshot under $root")))
+      fs.mkdirs(hp.getParent)
+      val out = fs.create(hp, false) // no-overwrite: first writer wins
+      try out.write(resolved.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      resolved
+    }
   }
 }
 

@@ -995,6 +995,50 @@ object SnapshotStore {
       bloomSkipped))
   }
 
+  /** Prune ADD-ONLY layers' files against `pred` through each layer's
+    * own stats sidecar (and the table's bloom sidecars, whose maintained
+    * lines cover layer files): SOUND for add-only layers ONLY — they
+    * contribute rows and suppress nothing, so skipping a file whose
+    * stats prove no row can match can never resurrect a deleted base
+    * row or drop a suppression. Keyed and predicate layers pass through
+    * UNTOUCHED (skipping a delete key would resurrect a suppressed base
+    * row), as do layers without a sidecar (pre-stats commits open
+    * conservatively). Returns the manifest with pruned layer file lists
+    * plus (listed, opened) counts over the add-only layer files — the
+    * caller folds them into its [[ScanReport]] so layer skips are
+    * attributed like base skips. */
+  private[sources] def pruneAddOnlyLayers(root: String, m: Manifest,
+      schema: StructType, pred: StatsPred): (Manifest, Int, Int) = {
+    val prunable = m.layers.filter(l => l.key.isEmpty && l.pred.isEmpty &&
+      l.files.nonEmpty && l.statsFile.nonEmpty)
+    if (prunable.isEmpty) return (m, 0, 0)
+    val eqCols = eqConjuncts(pred).map {
+      case StatsPred.Eq(n, _) => n
+      case StatsPred.In(n, _) => n
+      case _                  => ""
+    }.toSet
+    val loaded = m.blooms.filter(b => eqCols.contains(b.column))
+      .map(b => (b, bloomBitmaps(root, b)))
+    var listed = 0
+    var opened = 0
+    val layers = m.layers.map { l =>
+      if (l.key.nonEmpty || l.pred.nonEmpty || l.files.isEmpty ||
+          l.statsFile.isEmpty) l
+      else {
+        val st = fileStats(root,
+          Manifest(-1, -1, "", l.files, statsFile = l.statsFile))
+        val kept = l.files.filter { f =>
+          st.get(f).forall(s => mayMatch(s, schema, pred)) &&
+            (loaded.isEmpty || bloomMayMatch(f, schema, pred, loaded))
+        }
+        listed += l.files.size
+        opened += kept.size
+        l.copy(files = kept)
+      }
+    }
+    (m.copy(layers = layers), listed, opened)
+  }
+
   /** Snapshot-pinned read WITH FILE SKIPPING: resolve the (given or
     * current) version once, consult its stats sidecar, and open ONLY
     * the files whose per-column ranges can intersect `pred`; the
@@ -1011,7 +1055,7 @@ object SnapshotStore {
     val m = snapshot(root, version).getOrElse(
       sys.error(s"no committed snapshot under $root"))
     val schema = StructType.fromDDL(m.schemaDdl)
-    val (keep, _, report) = pruneScan(root, m, schema, pred)
+    val (keep, _, report0) = pruneScan(root, m, schema, pred)
     val base =
       if (keep.isEmpty)
         spark.createDataFrame(spark.sparkContext
@@ -1021,10 +1065,16 @@ object SnapshotStore {
           .parquet(keep.map(f => Paths.get(root, f).toString): _*)
     // pruning the base is sound under layers: a pruned-away base row
     // fails `pred` regardless of whether a layer would have suppressed
-    // it. Layer files themselves are NEVER pruned — a skipped delete
-    // key would resurrect a suppressed base row — and the report
-    // counts base data files only.
-    (applyLayers(spark, root, m, schema, base).filter(predColumn(pred)),
+    // it. ADD-ONLY layer files prune through their own sidecars
+    // ([[pruneAddOnlyLayers]], counted into the report); keyed and
+    // predicate layers are NEVER pruned — a skipped delete key would
+    // resurrect a suppressed base row.
+    val (mp, lyListed, lyOpened) =
+      pruneAddOnlyLayers(root, m, schema, pred)
+    val report = report0.copy(
+      filesListed = report0.filesListed + lyListed,
+      filesOpened = report0.filesOpened + lyOpened)
+    (applyLayers(spark, root, mp, schema, base).filter(predColumn(pred)),
       report)
   }
 
@@ -1327,8 +1377,12 @@ object SnapshotStore {
         val missing = baseFiles.filterNot(known.contains)
         val rowsOf = known ++ (if (missing.isEmpty) Map.empty
           else harvestStats(spark, root, missing))
+        // exclude the _graft:size pseudo-column: its `rows` field is the
+        // file BYTE SIZE, and HashMap ordering could surface it first —
+        // sizing the bloom from bytes would inflate to the 2^26 clamp
         val maxRows = baseFiles
-          .flatMap(f => rowsOf.get(f).flatMap(_.values.headOption)
+          .flatMap(f => rowsOf.get(f)
+            .flatMap(m => (m - SizeKey).values.headOption)
             .map(_.rows))
           .foldLeft(0L)(_ max _)
         val need = math.max(2L, 10L * math.max(1L, maxRows))
@@ -1438,6 +1492,48 @@ object SnapshotStore {
     val missing = files.toSet -- byPath.map(_._1).toSet
     byPath ++ missing.toSeq.map(f => (f, Seq.fill(nWords)(0L)))
   }
+
+  private[sources] def newBloomMemo(): scala.collection.mutable
+      .Map[(String, Int, Int), Seq[(String, Seq[Long])]] =
+    scala.collection.mutable.Map.empty
+
+  /** Commit-time BLOOM MAINTENANCE (opt-in per index via
+    * `indexBloom(maintain = true)`), shared by [[commitAppend]],
+    * [[commitAppendOnce]] and [[Catalog.commit]]'s append branches:
+    * bitmaps for the NEW files on each maintained column, memoized
+    * across rebase retries on the index parameters (the new files'
+    * bitmaps do not depend on the base — only the sidecar merge does,
+    * which is why the merge itself runs INSIDE the caller's retry loop
+    * against the current head's sidecar). Without this, every append
+    * leaves its files conservatively unindexed and a CDC-heavy table's
+    * point-probe pruning decays until a manual re-index. Sidecars are
+    * immutable: the maintained index is a fresh file = previous
+    * content + the new files' lines. */
+  private[sources] def maintainBlooms(spark: SparkSession, root: String,
+      schemaDdl: String, files: Seq[String],
+      memo: scala.collection.mutable.Map[(String, Int, Int),
+        Seq[(String, Seq[Long])]],
+      blooms: Seq[BloomIndex]): Seq[BloomIndex] =
+    if (files.isEmpty) blooms
+    else blooms.map { b =>
+      if (!b.maintain) b
+      else {
+        val words = memo.getOrElseUpdate((b.column, b.logBits, b.k),
+          buildBloomWords(spark, StructType.fromDDL(schemaDdl), root,
+            files, b.column, b.logBits, b.k))
+        val rel = s"_manifests/bloom-${java.util.UUID.randomUUID()}.tsv"
+        val sb = new StringBuilder
+        val old = Paths.get(root, b.file)
+        if (Files.exists(old))
+          sb.append(new String(Files.readAllBytes(old),
+            StandardCharsets.UTF_8))
+        words.foreach { case (f, w) => sb.append(bloomLine(f, w)) }
+        val p = Paths.get(root, rel)
+        Files.createDirectories(p.getParent)
+        Files.write(p, sb.toString.getBytes(StandardCharsets.UTF_8))
+        b.copy(file = rel)
+      }
+    }
 
   /** One encoded sidecar line: `file \t base64(words)`. */
   private def bloomLine(f: String, words: Seq[Long]): String = {
@@ -1610,41 +1706,14 @@ object SnapshotStore {
     val files = writeData(df, root)
     val ddl = df.schema.toDDL
     val newStats = harvestStats(df.sparkSession, root, files)
-    // commit-time BLOOM MAINTENANCE (opt-in per index via
-    // indexBloom(maintain = true)): bitmaps for the NEW files on each
-    // maintained column, memoized across rebase retries on the index
-    // parameters (the new files' bitmaps do not depend on the base —
-    // only the sidecar merge does). Without this, every append leaves
-    // its files conservatively unindexed and a CDC-heavy table's
-    // point-probe pruning decays until a manual re-index.
-    val newWords = scala.collection.mutable
-      .Map.empty[(String, Int, Int), Seq[(String, Seq[Long])]]
+    val newWords = newBloomMemo()
     def maintained(blooms: Seq[BloomIndex]): Seq[BloomIndex] =
-      if (files.isEmpty) blooms
-      else blooms.map { b =>
-        if (!b.maintain) b
-        else {
-          val words = newWords.getOrElseUpdate(
-            (b.column, b.logBits, b.k),
-            buildBloomWords(df.sparkSession,
-              org.apache.spark.sql.types.StructType.fromDDL(ddl), root,
-              files, b.column, b.logBits, b.k))
-          // sidecars are immutable: the maintained index is a fresh
-          // file = previous content + the new files' lines
-          val rel =
-            s"_manifests/bloom-${java.util.UUID.randomUUID()}.tsv"
-          val sb = new StringBuilder
-          val old = Paths.get(root, b.file)
-          if (Files.exists(old))
-            sb.append(new String(Files.readAllBytes(old),
-              StandardCharsets.UTF_8))
-          words.foreach { case (f, w) => sb.append(bloomLine(f, w)) }
-          val p = Paths.get(root, rel)
-          Files.createDirectories(p.getParent)
-          Files.write(p, sb.toString.getBytes(StandardCharsets.UTF_8))
-          b.copy(file = rel)
-        }
-      }
+      maintainBlooms(df.sparkSession, root, ddl, files, newWords, blooms)
+    // the add-only LAYER's stats sidecar (layered-table branch): written
+    // lazily once — layer stats depend only on the new files, never on
+    // the rebase target
+    lazy val layerStatsFile =
+      if (files.isEmpty) "" else writeStatsFile(root, newStats)
     var attempt = 0
     while (attempt < MaxRetries) {
       val cur = snapshot(root)
@@ -1656,13 +1725,16 @@ object SnapshotStore {
       val baseFiles = cur.map(_.files).getOrElse(Seq.empty)
       // On a LAYERED table (merge-on-read in flight) the append lands
       // as an ADD-ONLY layer ABOVE the existing ones: appended rows
-      // must never be suppressed by an older layer's delete keys.
+      // must never be suppressed by an older layer's delete keys. The
+      // layer CARRIES the harvested stats sidecar (and maintained bloom
+      // lines), so appended rows stay prunable ([[pruneAddOnlyLayers]])
+      // exactly like an unlayered append's.
       val published = cur match {
         case Some(c) if c.layers.nonEmpty =>
           publish(root, Manifest(base + 1, base, tddl, c.files,
             statsFile = c.statsFile, segments = c.segments,
-            layers = c.layers :+ MergeLayer("", files),
-            blooms = c.blooms, cluster = c.cluster))
+            layers = c.layers :+ MergeLayer("", files, layerStatsFile),
+            blooms = maintained(c.blooms), cluster = c.cluster))
         case _ =>
           // the sidecar composes the base's INLINE stats with the new
           // files' — it depends on the rebase target, so each attempt
@@ -1804,6 +1876,14 @@ object SnapshotStore {
     val files = writeData(df, root)
     val ddl = df.schema.toDDL
     val newStats = harvestStats(df.sparkSession, root, files)
+    // same bloom maintenance + layer-stats discipline as [[commitAppend]]
+    // — the streaming sink routes HERE, which is exactly the
+    // append-heaviest path maintained indexes exist for
+    val newWords = newBloomMemo()
+    def maintained(blooms: Seq[BloomIndex]): Seq[BloomIndex] =
+      maintainBlooms(df.sparkSession, root, ddl, files, newWords, blooms)
+    lazy val layerStatsFile =
+      if (files.isEmpty) "" else writeStatsFile(root, newStats)
     var attempt = 0
     while (attempt < MaxRetries) {
       val cur = snapshot(root)
@@ -1830,8 +1910,8 @@ object SnapshotStore {
         case Some(c) if c.layers.nonEmpty =>
           publish(root, Manifest(base + 1, base, tddl, c.files, txn,
             c.statsFile, segments = c.segments,
-            layers = c.layers :+ MergeLayer("", files),
-            blooms = c.blooms, cluster = c.cluster))
+            layers = c.layers :+ MergeLayer("", files, layerStatsFile),
+            blooms = maintained(c.blooms), cluster = c.cluster))
         case _ =>
           val statsFile = writeStatsFile(root,
             cur.map(m => fileStats(root, m)).getOrElse(Map.empty) ++
@@ -1839,7 +1919,7 @@ object SnapshotStore {
           publish(root,
             Manifest(base + 1, base, tddl, baseFiles ++ files, txn,
               statsFile, segments = cur.map(_.segments).getOrElse(Nil),
-              blooms = cur.map(_.blooms).getOrElse(Nil),
+              blooms = maintained(cur.map(_.blooms).getOrElse(Nil)),
               cluster = cur.map(_.cluster).getOrElse(Nil)))
       }
       if (published) return Some(base + 1)

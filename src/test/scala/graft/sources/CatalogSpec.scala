@@ -256,4 +256,21 @@ class CatalogSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(dataFile))
     assert(Catalog.readTable(spark, root, "t").count() === 10)
   }
+
+  test("commitCreate: create-only transaction — one winner, the loser " +
+      "refuses loudly and never overwrites") {
+    val root = freshRoot()
+    val v = Catalog.commitCreate(root, "t",
+      spark.range(0, 10).toDF("id"))
+    assert(v === 0)
+    intercept[Catalog.TableExistsException] {
+      Catalog.commitCreate(root, "t", spark.range(100, 200).toDF("id"))
+    }
+    // the winner's content is intact; the loser produced no version
+    assert(Catalog.readTable(spark, root, "t").count() === 10)
+    assert(Catalog.versions(root) === Seq(0))
+    // a different name still creates
+    assert(Catalog.commitCreate(root, "u",
+      spark.range(0, 3).toDF("id")) === 1)
+  }
 }

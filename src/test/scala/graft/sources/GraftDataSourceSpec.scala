@@ -237,4 +237,36 @@ class GraftDataSourceSpec extends SparkSpec {
       And(GreaterThan(a, lit5), Like(a, Literal("x%"), '\\')))) ===
       Some(SnapshotStore.StatsPred.Gt("x", 5L)))
   }
+
+  test("tagged scan reports: two concurrent queries over ONE root each " +
+      "observe their own prune decision (no last-writer clobber)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graftds-tagged").toString
+    SnapshotStore.commitOverwrite(
+      spark.range(0, 1000)
+        .select(col("id"), (col("id") % 7).as("v"))
+        .repartitionByRange(8, col("id")), root)
+    def drive(lo: Long, hi: Long) =
+      GraftFileIndex.tagged(spark, root) {
+        spark.read.format("graft").load(root)
+          .filter(col("id").between(lo, hi)).count()
+      }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    // interleave several rounds so the two drives genuinely overlap
+    val narrow = Future((1 to 5).map(_ => drive(0, 60)).last)
+    val wide = Future((1 to 5).map(_ => drive(0, 999)).last)
+    val (nCount, nRep) = Await.result(narrow, Duration.Inf)
+    val (wCount, wRep) = Await.result(wide, Duration.Inf)
+    pool.shutdown()
+    assert(nCount === 61 && wCount === 1000)
+    val (nr, wr) = (nRep.get, wRep.get)
+    assert(nr.filesOpened < wr.filesOpened,
+      s"each drive must see ITS OWN decision: narrow=$nr wide=$wr")
+    assert(wr.filesOpened === 8 && nr.filesOpened <= 2,
+      s"narrow=$nr wide=$wr")
+  }
 }

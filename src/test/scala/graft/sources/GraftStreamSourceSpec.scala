@@ -169,4 +169,51 @@ class GraftStreamSourceSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("vacuumed")) ||
       e.getMessage.contains("no committed"), e.getMessage)
   }
+
+  test("checkpoint restart pins the original startingVersion: commits " +
+      "that landed while the stream was down are emitted immediately " +
+      "on restart (no liveness stall)") {
+    val root = freshRoot()
+    SnapshotStore.commitOverwrite(
+      spark.range(0, 50).select(col("id"), (col("id") % 7).as("v")), root)
+    val sinkRoot = freshRoot()
+    SnapshotStore.commitOverwrite(
+      spark.range(0, 0).select(
+        when(col("id") >= 0, col("id")).as("id"),
+        (col("id") % 7).as("v"),
+        (col("id") % 2 === 0).as("is_add"),
+        col("id").cast("int").as("src_version")), sinkRoot)
+    val ckpt = Files.createTempDirectory("graftstream-ckpt").toString
+    def run(): Unit = {
+      // the graft sink is checkpoint-recoverable (memory is not)
+      val q = spark.readStream.format("graft").load(root)
+        .select(col("id"), col("v"),
+          (col("change") === "added").as("is_add"),
+          col("version").as("src_version"))
+        .writeStream.format("graft").option("path", sinkRoot)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    assert(SnapshotStore.read(spark, sinkRoot).count() === 0,
+      "default start = head at FIRST start")
+    // the stream is DOWN; two commits land meanwhile
+    SnapshotStore.commitAppend(
+      spark.range(50, 60).select(col("id"), (col("id") % 7).as("v")), root)
+    SnapshotStore.commitAppend(
+      spark.range(60, 65).select(col("id"), (col("id") % 7).as("v")), root)
+    // restart on the SAME checkpoint: without the metadataPath pin, the
+    // default would re-resolve to the NEW head and emit NOTHING until a
+    // further commit — the missed versions must arrive in this run
+    run()
+    val got = SnapshotStore.read(spark, sinkRoot)
+      .as[(Long, Long, Boolean, Int)].collect().toSet
+    val want = SnapshotStore.changeFeed(spark, root, 0, 2)
+      .select(col("id"), col("v"),
+        (col("change") === "added").as("is_add"),
+        col("version").as("src_version"))
+      .as[(Long, Long, Boolean, Int)].collect().toSet
+    assert(got === want,
+      "versions committed while down must stream on restart")
+  }
 }

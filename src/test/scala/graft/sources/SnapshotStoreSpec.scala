@@ -1204,6 +1204,84 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.versions(root).last === v)
   }
 
+  test("layered append keeps its stats: add-only layer files prune " +
+      "through their own sidecar with report attribution") {
+    val root = freshRoot()
+    SnapshotStore.commitOverwrite(
+      spark.range(0, 1000).select(col("id"), (col("id") % 7).as("v"))
+        .repartitionByRange(4, col("id")), root)              // v0
+    SnapshotStore.deleteWhere(spark, root,
+      SnapshotStore.StatsPred.Between("id", 100L, 199L))      // v1: layered
+    SnapshotStore.commitAppend(
+      spark.range(1000, 2000).select(col("id"), (col("id") % 7).as("v"))
+        .repartitionByRange(4, col("id")), root)              // v2
+    val m = SnapshotStore.snapshot(root).get
+    val addOnly = m.layers.last
+    assert(addOnly.key.isEmpty && addOnly.pred.isEmpty &&
+      addOnly.files.size === 4)
+    assert(addOnly.statsFile.nonEmpty,
+      "layered append must carry the harvested stats on the layer")
+    // base-resident probe: every add-only layer file must SKIP, and the
+    // report must attribute the layer files (listed, not opened)
+    val (df, rep) = SnapshotStore.readWhere(spark, root,
+      SnapshotStore.StatsPred.Between("id", 300L, 350L))
+    assert(df.agg(sum("id")).head.getLong(0) === (300L to 350L).sum)
+    assert(rep.filesListed === m.files.size + addOnly.files.size)
+    assert(rep.filesOpened < m.files.size,
+      s"all 4 layer files (and most base files) must skip: $rep")
+    // layer-resident probe: base skips, O(selectivity) layer files open
+    val (dfL, repL) = SnapshotStore.readWhere(spark, root,
+      SnapshotStore.StatsPred.Between("id", 1300L, 1350L))
+    assert(dfL.count() === 51)
+    assert(repL.filesOpened <= 2, s"base must skip entirely: $repL")
+    // the delete layer still applies above the pruned plan
+    val (dfD, _) = SnapshotStore.readWhere(spark, root,
+      SnapshotStore.StatsPred.Between("id", 0L, 999L))
+    assert(dfD.count() === 900)
+  }
+
+  test("commitAppendOnce maintains opt-in bloom indexes (the " +
+      "streaming-sink path) exactly like commitAppend") {
+    val root = freshRoot()
+    SnapshotStore.commitOverwrite(
+      spark.range(0, 500).select(col("id"), (col("id") % 7).as("v"))
+        .coalesce(1), root)
+    SnapshotStore.indexBloom(spark, root, "id", maintain = true)
+    val before = SnapshotStore.snapshot(root).get.blooms.head
+    SnapshotStore.commitAppendOnce(
+      spark.range(10000, 10500)
+        .select(col("id"), (col("id") % 7).as("v")).coalesce(1),
+      root, txn = "bloom-once:0")
+    val m = SnapshotStore.snapshot(root).get
+    val after = m.blooms.head
+    assert(after.file !== before.file,
+      "txn-deduped append must merge a fresh maintained sidecar")
+    // every file — including the appended one — carries bitmap lines
+    assert(m.files.toSet.subsetOf(
+      SnapshotStore.bloomBitmaps(root, after).keySet))
+    // replay: txn dedup still wins, index untouched
+    assert(SnapshotStore.commitAppendOnce(
+      spark.range(0, 1).select(col("id"), (col("id") % 7).as("v")),
+      root, txn = "bloom-once:0").isEmpty)
+    assert(SnapshotStore.snapshot(root).get.blooms.head === after)
+  }
+
+  test("bloom auto-size derives from ROW counts, never the _graft:size " +
+      "byte-size pseudo-column") {
+    val root = freshRoot()
+    // several columns so the sidecar map interleaves the size key among
+    // real columns regardless of hash order
+    SnapshotStore.commitOverwrite(
+      spark.range(0, 100).select(col("id"), (col("id") % 3).as("a"),
+        (col("id") % 5).as("b"), (col("id") % 7).as("c")).coalesce(1),
+      root)
+    SnapshotStore.indexBloom(spark, root, "id")
+    val b = SnapshotStore.snapshot(root).get.blooms.head
+    // 100 rows -> need 1000 bits -> the 2^10 floor; sizing from the
+    // file's BYTE size (KBs) would land several powers of two higher
+    assert(b.logBits === 10, s"auto-size must use row counts: $b")
+  }
+
   private def walkData(root: String): Set[String] = {
     val d = java.nio.file.Paths.get(root, "data")
     if (!java.nio.file.Files.isDirectory(d)) Set.empty
