@@ -154,6 +154,8 @@ object SparkEntry {
     "q133_streaming_feed"  -> (Relational.q133StreamingFeed _),
     "q134_incr_recluster"  -> (Relational.q134IncrementalRecluster _),
     "q135_sql_dml"         -> (Relational.q135SqlDml _),
+    "q136_sql_merge"       -> (Relational.q136SqlMerge _),
+    "q137_sql_update"      -> (Relational.q137SqlUpdate _),
   )
 
   /** The cohort-retention-matrix oracle, shared by q93 (the batch
@@ -980,6 +982,61 @@ object SparkEntry {
              AS BIGINT) AS cents,
            CAST(0 AS BIGINT) AS n_tag
          FROM final GROUP BY 1 ORDER BY 1""",
+    // SQL MERGE INTO: q122's winner-fold oracle verbatim — the pure-SQL
+    // three-clause merge through the catalog must materialize exactly
+    // the changelog fold the Scala merge (q122) and the layered
+    // merge-on-read (q125) produce; the builder REQUIREs one catalog
+    // transaction and the command refuses duplicate source matches.
+    "q136_sql_merge" ->
+      """WITH ch AS (SELECT
+           CASE WHEN l_linenumber = 7 THEN -l_orderkey
+                ELSE l_orderkey END AS o_orderkey,
+           l_linenumber AS v, l_quantity < 2 AS del,
+           CAST(l_partkey AS BIGINT) AS o_custkey,
+           ROUND(l_extendedprice, 2) AS o_totalprice,
+           'U-' || l_returnflag AS o_orderpriority
+           FROM lineitem),
+         win AS (SELECT * FROM (SELECT ch.*, ROW_NUMBER() OVER (
+             PARTITION BY o_orderkey
+             ORDER BY v DESC, o_custkey DESC, o_totalprice DESC,
+               o_orderpriority DESC, del DESC) AS rn FROM ch)
+           WHERE rn = 1),
+         b AS (SELECT o_orderkey, o_custkey,
+             ROUND(o_totalprice, 2) AS o_totalprice, o_orderpriority
+           FROM orders),
+         m AS (SELECT o_orderkey,
+           CASE WHEN win.v IS NOT NULL THEN win.o_totalprice
+                ELSE b.o_totalprice END AS o_totalprice,
+           CASE WHEN win.v IS NOT NULL THEN win.o_orderpriority
+                ELSE b.o_orderpriority END AS o_orderpriority
+         FROM b FULL OUTER JOIN win USING (o_orderkey)
+         WHERE win.v IS NULL OR NOT win.del)
+         SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+         FROM m GROUP BY 1 ORDER BY 1""",
+    // SQL UPDATE: the oracle replays the filtered rewrite (second key
+    // quarter gets +1 price and a 'U-' priority prefix) straight from
+    // orders; the builder REQUIREs one catalog transaction, the
+    // delete-layer + add-only-layer pair, and pruning parity for a
+    // probe outside the updated window.
+    "q137_sql_update" ->
+      """WITH b AS (SELECT MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx
+             FROM orders),
+         u AS (SELECT
+           CASE WHEN o_orderkey BETWEEN mn + (mx - mn) // 4
+                                    AND mn + (mx - mn) // 2
+                THEN o_totalprice + 1 ELSE o_totalprice
+             END AS o_totalprice,
+           CASE WHEN o_orderkey BETWEEN mn + (mx - mn) // 4
+                                    AND mn + (mx - mn) // 2
+                THEN 'U-' || o_orderpriority ELSE o_orderpriority
+             END AS o_orderpriority
+           FROM orders, b)
+         SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+             AS BIGINT) AS cents
+         FROM u GROUP BY 1 ORDER BY 1""",
     // OPTIMIZE: content-hash invariance through the compaction rewrite —
     // the oracle is the pre-optimize content (thirds 0+1), recomputed.
     "q118_optimize" ->

@@ -2344,6 +2344,166 @@ object Relational {
          ORDER BY o_orderpriority""")
   }
 
+  /** q136: SQL `MERGE INTO` on the named catalog
+    * ([[graft.sources.GraftMergeIntoCommand]] via the analyzer-rule
+    * conversion) — the single most common lakehouse DML statement, now
+    * pure SQL end to end: the shared q122/q125 changelog is folded to
+    * its per-key winners (SQL MERGE requires one source row per target
+    * row — the command's cardinality rule refuses otherwise) and merged
+    * into the catalog table with the canonical three-clause shape
+    * (MATCHED+del→DELETE, MATCHED→UPDATE, NOT MATCHED ∧ ¬del→INSERT).
+    * The builder REQUIREs the whole statement committed as ONE catalog
+    * transaction (versions 0→1). The gated aggregate reads the merged
+    * table BY NAME (same front door as q132); the oracle is q122's
+    * winner-fold restated — hash equality proves the SQL merge
+    * materialized exactly the changelog fold that the Scala
+    * [[graft.sources.SnapshotStore.merge]] (q122) and the layered
+    * merge-on-read (q125) produce. Cost shape: one CoW join commit,
+    * O(base + source) — the Delta CoW MERGE lane; the O(changes)
+    * streaming lane stays [[graft.sources.SnapshotStore
+    * .mergeOnReadOnce]] (q126).
+    */
+  private val sqlMergeRoot =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def q136SqlMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.Catalog
+    val root = sqlMergeRoot.getOrElseUpdate(sfDir, {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-sqlmerge-").toString
+      spark.conf.set("spark.sql.catalog.graft",
+        "graft.sources.GraftSqlCatalog")
+      spark.conf.set("spark.sql.catalog.graft.root", dir)
+      Catalog.commit(dir, Map("mrg" ->
+        ((morBase(spark, sfDir), Catalog.Overwrite))))      // catalog v0
+      // per-key winners (vpack makes max_by(vord) total per key) — the
+      // changelog-to-MERGE-source fold every CDC runbook performs
+      val ch = morChangelog(spark, sfDir)
+      val winners = ch.groupBy(col("o_orderkey"))
+        .agg(max_by(struct(col("del"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority")), col("vord"))
+          .as("w"))
+        .select(col("o_orderkey"), col("w.del").as("del"),
+          col("w.o_custkey").as("o_custkey"),
+          col("w.o_totalprice").as("o_totalprice"),
+          col("w.o_orderpriority").as("o_orderpriority"))
+      val view = "q136_src_" +
+        java.lang.Integer.toHexString(sfDir.hashCode)
+      winners.createOrReplaceTempView(view)
+      spark.sql(
+        s"""MERGE INTO graft.main.mrg t USING $view s
+           ON t.o_orderkey = s.o_orderkey
+           WHEN MATCHED AND s.del THEN DELETE
+           WHEN MATCHED THEN UPDATE SET
+             o_custkey = s.o_custkey,
+             o_totalprice = s.o_totalprice,
+             o_orderpriority = s.o_orderpriority
+           WHEN NOT MATCHED AND NOT s.del THEN
+             INSERT (o_orderkey, o_custkey, o_totalprice,
+               o_orderpriority)
+             VALUES (s.o_orderkey, s.o_custkey, s.o_totalprice,
+               s.o_orderpriority)""")
+      require(Catalog.versions(dir) == Seq(0, 1),
+        s"MERGE must commit as ONE catalog transaction: " +
+          s"${Catalog.versions(dir)}")
+      dir
+    })
+    spark.conf.set("spark.sql.catalog.graft",
+      "graft.sources.GraftSqlCatalog")
+    spark.conf.set("spark.sql.catalog.graft.root", root)
+    spark.sql(
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS cents
+         FROM graft.main.mrg
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""")
+  }
+
+  /** q137: SQL `UPDATE ... WHERE` on the named catalog
+    * ([[graft.sources.GraftUpdateCommand]]) taking the LAYER-PAIR lane:
+    * the WHERE translates to the stats language, so the statement
+    * commits as ONE catalog transaction carrying a data-less predicate
+    * layer (suppresses the old versions; stats-proven fully-covered
+    * base files drop outright) plus one add-only layer with the
+    * rewritten rows AND their harvested stats — O(changed rows)
+    * written, base files byte-untouched. The builder REQUIREs the
+    * transaction count, the exact layer-pair shape, and PRUNING PARITY:
+    * a probe outside the updated window opens exactly as many files at
+    * the updated version as at the pre-update version (the add-only
+    * layer's files all skip through their layer-carried sidecar — the
+    * r18-verdict stats-retention item made observable). The oracle
+    * replays the filtered rewrite straight from orders.
+    */
+  private val sqlUpdateRoot =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def q137SqlUpdate(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.{Catalog, SnapshotStore}
+    import SnapshotStore.StatsPred.Between
+    val root = sqlUpdateRoot.getOrElseUpdate(sfDir, {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-sqlupd-").toString
+      spark.conf.set("spark.sql.catalog.graft",
+        "graft.sources.GraftSqlCatalog")
+      spark.conf.set("spark.sql.catalog.graft.root", dir)
+      val base = Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .repartitionByRange(8, col("o_orderkey"))
+      Catalog.commit(dir, Map("upd" -> ((base, Catalog.Overwrite))))
+      val (kMin, kMax) = Tables.orders(spark, sfDir)
+        .agg(min(col("o_orderkey")), max(col("o_orderkey")))
+        .as[(Long, Long)](org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong)).head()
+      val span = kMax - kMin
+      val (lo, hi) = (kMin + span / 4, kMin + span / 2)
+      spark.sql(s"UPDATE graft.main.upd SET " +
+        s"o_totalprice = o_totalprice + 1, " +
+        s"o_orderpriority = concat('U-', o_orderpriority) " +
+        s"WHERE o_orderkey BETWEEN $lo AND $hi")
+      require(Catalog.versions(dir) == Seq(0, 1),
+        s"UPDATE must commit as ONE catalog transaction: " +
+          s"${Catalog.versions(dir)}")
+      val m = Catalog.tableManifest(dir, "upd").get
+      require(m.layers.size == 2 && m.layers.head.pred.nonEmpty &&
+          m.layers.head.files.isEmpty && m.layers.last.key.isEmpty &&
+          m.layers.last.pred.isEmpty && m.layers.last.files.nonEmpty &&
+          m.layers.last.statsFile.nonEmpty,
+        "translatable WHERE must land as the data-less-delete + " +
+          s"add-only(stats) layer pair: ${m.layers}")
+      // pruning parity outside the window: the add-only layer's files
+      // (key ranges inside [lo,hi]) must ALL skip via their sidecar —
+      // same opened count as the pre-update version; the layer files
+      // are listed (attributed) but never opened
+      val probe = Between("o_orderkey",
+        kMin + 7 * span / 8, kMax)
+      val (_, repNew) = Catalog.readTableWhere(spark, dir, "upd", probe)
+      val (_, repOld) = Catalog.readTableWhere(spark, dir, "upd", probe,
+        version = Some(0))
+      // (v1 may LIST fewer base files than v0 — deleteTransform drops
+      // stats-proven fully-covered ones — but must OPEN the same set
+      // for a probe outside the window, plus zero layer files)
+      require(repNew.filesOpened == repOld.filesOpened &&
+          repNew.filesListed ==
+            m.files.size + m.layers.last.files.size,
+        s"updated rows must stay prunable: new=$repNew old=$repOld " +
+          s"layerFiles=${m.layers.last.files.size} base=${m.files.size}")
+      dir
+    })
+    spark.conf.set("spark.sql.catalog.graft",
+      "graft.sources.GraftSqlCatalog")
+    spark.conf.set("spark.sql.catalog.graft.root", root)
+    spark.sql(
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS cents
+         FROM graft.main.upd
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""")
+  }
+
   def q118Optimize(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.sources.SnapshotStore
     val root = optimizeRoot.getOrElseUpdate(sfDir, {

@@ -346,6 +346,91 @@ object Catalog {
       s"version races under $root")
   }
 
+  /** COMPARE-AND-SWAP overwrite — the read-modify-write commit under
+    * SQL MERGE INTO / UPDATE (copy-on-write lane): replace `table`'s
+    * content with `df` as one catalog transaction IFF the table's
+    * manifest at the catalog head is still `expectedRel` (the manifest
+    * the caller computed `df` FROM). A concurrent commit to the SAME
+    * table means the computed result is stale — publishing it would
+    * silently drop the interleaved change, so the CAS fails with None
+    * and the caller recomputes from the new head ([[SnapshotStore
+    * .optimize]]'s restart rule lifted to the catalog). Concurrent
+    * commits to OTHER tables rebase fine (the retry loop re-links
+    * against the new catalog head as long as `table`'s rel is
+    * unchanged). Data files are written once; a conflicting attempt's
+    * files are unreachable scratch for [[vacuum]]. */
+  def replaceTableIf(root: String, table: String, expectedRel: String,
+      df: DataFrame): Option[Int] = {
+    val tr = tableRoot(root, table)
+    val files = SnapshotStore.writeData(df, tr)
+    val stats = SnapshotStore.harvestStats(df.sparkSession, tr, files)
+    var attempt = 0
+    while (attempt < SnapshotStore.MaxRetries) {
+      val cur = snapshot(root).getOrElse(sys.error(
+        s"replaceTableIf on a catalog with no committed versions: $root"))
+      val baseRel = cur.tables.getOrElse(table, sys.error(
+        s"catalog under $root has no table $table"))
+      if (baseRel != expectedRel) return None // stale base: recompute
+      val baseM = SnapshotStore.parse(new String(Files.readAllBytes(
+        Paths.get(tr, baseRel)), StandardCharsets.UTF_8))
+      val statsFile = SnapshotStore.writeStatsFile(tr, stats)
+      val next = SnapshotStore.Manifest(baseM.version + 1, baseM.version,
+        df.schema.toDDL, files, statsFile = statsFile)
+      val rel = s"_manifests/staged-${java.util.UUID.randomUUID()}.json"
+      Files.createDirectories(Paths.get(tr, rel).getParent)
+      Files.write(Paths.get(tr, rel),
+        SnapshotStore.render(next).getBytes(StandardCharsets.UTF_8))
+      if (publishCat(root, CatalogSnapshot(cur.version + 1,
+          cur.tables + (table -> rel)))) return Some(cur.version + 1)
+      attempt += 1
+    }
+    sys.error(s"catalog replaceTableIf lost ${SnapshotStore.MaxRetries} " +
+      s"version races under $root")
+  }
+
+  /** UPDATE as the LAYER PAIR in ONE catalog transaction — the
+    * O(changes)-write lane under SQL UPDATE when the predicate
+    * translates to the stats language: the next manifest is
+    * [[SnapshotStore.deleteTransform]] of the base (stats-proven
+    * fully-matching files drop, one data-less predicate layer removes
+    * the old versions of the matching rows) PLUS one add-only layer
+    * carrying `updated` (the new versions, with harvested stats so they
+    * stay prunable). Readers at the new version fold
+    * `...base, NOT(pred), +updated...` — exactly UPDATE semantics; the
+    * base is never rewritten. Same CAS contract as [[replaceTableIf]]:
+    * `updated` was computed FROM `expectedRel`, so a concurrent commit
+    * to the table fails the swap with None and the caller recomputes. */
+  def updateWhereIf(root: String, table: String, expectedRel: String,
+      pred: SnapshotStore.StatsPred, updated: DataFrame): Option[Int] = {
+    val tr = tableRoot(root, table)
+    val files = SnapshotStore.writeData(updated, tr)
+    val stats = SnapshotStore.harvestStats(updated.sparkSession, tr, files)
+    val layerStats =
+      if (files.isEmpty) "" else SnapshotStore.writeStatsFile(tr, stats)
+    var attempt = 0
+    while (attempt < SnapshotStore.MaxRetries) {
+      val cur = snapshot(root).getOrElse(sys.error(
+        s"updateWhereIf on a catalog with no committed versions: $root"))
+      val baseRel = cur.tables.getOrElse(table, sys.error(
+        s"catalog under $root has no table $table"))
+      if (baseRel != expectedRel) return None // stale base: recompute
+      val baseM = SnapshotStore.parse(new String(Files.readAllBytes(
+        Paths.get(tr, baseRel)), StandardCharsets.UTF_8))
+      val next0 = SnapshotStore.deleteTransform(tr, baseM, pred)
+      val next = next0.copy(layers = next0.layers :+
+        SnapshotStore.MergeLayer("", files, layerStats))
+      val rel = s"_manifests/staged-${java.util.UUID.randomUUID()}.json"
+      Files.createDirectories(Paths.get(tr, rel).getParent)
+      Files.write(Paths.get(tr, rel),
+        SnapshotStore.render(next).getBytes(StandardCharsets.UTF_8))
+      if (publishCat(root, CatalogSnapshot(cur.version + 1,
+          cur.tables + (table -> rel)))) return Some(cur.version + 1)
+      attempt += 1
+    }
+    sys.error(s"catalog updateWhereIf lost ${SnapshotStore.MaxRetries} " +
+      s"version races under $root")
+  }
+
   /** Predicate-level DELETE on a catalog table — the catalog-published
     * twin of [[SnapshotStore.deleteWhere]] (same manifest transform:
     * stats-proven fully-covered files drop, one data-less predicate

@@ -298,6 +298,56 @@ final case class GraftSqlTable(catRoot: String, tableName: String,
 
 object GraftSqlTable {
 
+  private object CondHelper
+      extends org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+    def conjuncts(e: org.apache.spark.sql.catalyst.expressions
+        .Expression): Seq[org.apache.spark.sql.catalyst.expressions
+        .Expression] = splitConjunctivePredicates(e)
+  }
+
+  /** Normalize a resolved condition for filter translation: expand
+    * RuntimeReplaceable (BETWEEN, ilike, ... normally expand in the
+    * optimizer's ReplaceExpressions — DML conversion runs at analysis
+    * time), inline Spark 4's With/common-expression forms, and
+    * constant-fold (type coercion wraps literals in casts the v1
+    * translator refuses). Shared by the DELETE conversion and UPDATE's
+    * lane chooser. */
+  private[sources] def normalizeCond(cond: org.apache.spark.sql.catalyst
+      .expressions.Expression): org.apache.spark.sql.catalyst
+      .expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      CommonExpressionRef, Literal, With}
+    val expanded = cond.transformUp {
+      case r: org.apache.spark.sql.catalyst.expressions
+          .RuntimeReplaceable => r.replacement
+    }.transformUp {
+      case w: With =>
+        val byId = w.defs.map(d => d.id -> d.child).toMap
+        w.child.transformUp {
+          case ref: CommonExpressionRef => byId.getOrElse(ref.id, ref)
+        }
+    }
+    expanded.transformUp {
+      case e if e.foldable && !e.isInstanceOf[Literal] &&
+          e.deterministic =>
+        try Literal.create(e.eval(), e.dataType)
+        catch { case _: Exception => e }
+    }
+  }
+
+  /** Resolved condition → EXACT [[StatsPred]] (None when any conjunct
+    * refuses) — how SQL UPDATE picks its commit lane: a translatable
+    * WHERE takes the metadata layer-pair path, anything else falls back
+    * to copy-on-write. Same exactness contract as DELETE's translation:
+    * the predicate layer must remove precisely the matching rows. */
+  private[sources] def condToStatsPred(cond: org.apache.spark.sql
+      .catalyst.expressions.Expression): Option[StatsPred] = {
+    val v1 = CondHelper.conjuncts(normalizeCond(cond))
+      .map(e => org.apache.spark.sql.graftshim.translateV1Filter(e))
+    if (v1.exists(_.isEmpty)) None
+    else translate(v1.flatten.toArray)
+  }
+
   /** v1 [[Filter]] → [[StatsPred]], EXACT (unlike the scan-side
     * conservative translation): a DELETE must remove precisely the
     * matching rows, so any untranslatable filter fails the whole
@@ -363,64 +413,117 @@ class GraftCatalogRelationRule(spark: SparkSession)
   import org.apache.spark.sql.catalyst.expressions.{Alias, Expression,
     Literal}
   import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable,
-    DeleteFromTableWithFilters, LogicalPlan, Project}
+    DeleteFromTableWithFilters, LogicalPlan, MergeIntoTable, Project,
+    UpdateTable}
   import org.apache.spark.sql.execution.datasources.DataSourceStrategy
   import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
+  /** The target's v2 relation + graft table, when `plan` is a (possibly
+    * aliased) relation over this catalog. */
+  private def graftTarget(plan: LogicalPlan)
+      : Option[(DataSourceV2Relation, GraftSqlTable)] =
+    EliminateSubqueryAliases(plan) match {
+      case r: DataSourceV2Relation => r.table match {
+        case t: GraftSqlTable => Some((r, t))
+        case _ => None
+      }
+      case _ => None
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case d @ DeleteFromTable(rel, cond) =>
-      EliminateSubqueryAliases(rel) match {
-        case r: DataSourceV2Relation => r.table match {
-          case t: GraftSqlTable if d.resolved =>
-            val preds = toV2Predicates(cond)
-            preds match {
-              case Some(ps) if t.canDeleteWhere(ps.toArray) =>
-                DeleteFromTableWithFilters(r, ps)
-              case _ => throw new UnsupportedOperationException(
-                "graft catalog: DELETE FROM supports only metadata " +
-                  "predicate deletes (comparisons/IN/null tests on " +
-                  s"bare columns, AND/OR); not expressible: $cond")
-            }
-          case _ => d
-        }
+      graftTarget(rel) match {
+        case Some((r, t)) if d.resolved =>
+          val preds = toV2Predicates(cond)
+          preds match {
+            case Some(ps) if t.canDeleteWhere(ps.toArray) =>
+              DeleteFromTableWithFilters(r, ps)
+            case _ => throw new UnsupportedOperationException(
+              "graft catalog: DELETE FROM supports only metadata " +
+                "predicate deletes (comparisons/IN/null tests on " +
+                s"bare columns, AND/OR); not expressible: $cond")
+          }
         case _ => d
       }
-    case _ =>
-      // WRITE commands keep their TARGET relation v2 — the planner
-      // routes it into the table's own write builder (V1Write bridge);
-      // only the SOURCE side of an insert folds into the scan plan.
-      // Identity set: one relation instance may legitimately appear as
-      // both a read and a (distinct-instance) write target.
-      val writeTargets = java.util.Collections.newSetFromMap(
-        new java.util.IdentityHashMap[DataSourceV2Relation, java.lang.Boolean]())
-      def markTargets(t: LogicalPlan): Unit = t.foreach {
-        case r: DataSourceV2Relation => writeTargets.add(r); ()
-        case _ => ()
+    // SQL MERGE INTO: Spark's own row-level rewrite only serves
+    // SupportsRowLevelOperations tables (and its planner refuses the
+    // raw node) — convert the RESOLVED plan into the graft CoW merge
+    // command. The target relation survives as v2 (markTargets below)
+    // so the table identity is still here; the source subtree folds to
+    // the pruned-scan plan like any read.
+    case m: MergeIntoTable if m.resolved =>
+      graftTarget(m.targetTable) match {
+        case Some((r, t)) =>
+          require(t.pinnedVersion.isEmpty,
+            "graft catalog: MERGE INTO a VERSION AS OF pin is " +
+              "meaningless — merge into the current version")
+          require(!m.withSchemaEvolution,
+            "graft catalog: MERGE ... WITH SCHEMA EVOLUTION is not " +
+              "supported — ALTER TABLE ADD COLUMNS first")
+          GraftDml.validateActions(m.matchedActions, m.notMatchedActions,
+            m.notMatchedBySourceActions, r.output, t.schema())
+          GraftMergeIntoCommand(t.catRoot, t.tableName, r.output,
+            foldRelations(m.sourceTable), m.mergeCondition,
+            m.matchedActions, m.notMatchedActions,
+            m.notMatchedBySourceActions)
+        case None => m
       }
-      plan.foreach {
-        case i: org.apache.spark.sql.catalyst.plans.logical
-            .InsertIntoStatement => markTargets(i.table)
-        case a: org.apache.spark.sql.catalyst.plans.logical.AppendData =>
-          markTargets(a.table)
-        case o: org.apache.spark.sql.catalyst.plans.logical
-            .OverwriteByExpression => markTargets(o.table)
-        case o: org.apache.spark.sql.catalyst.plans.logical
-            .OverwritePartitionsDynamic => markTargets(o.table)
-        case _ => ()
+    // SQL UPDATE: same conversion; the command itself picks the
+    // layer-pair or copy-on-write lane per the WHERE's translatability.
+    case u: UpdateTable if u.resolved =>
+      graftTarget(u.table) match {
+        case Some((r, t)) =>
+          require(t.pinnedVersion.isEmpty,
+            "graft catalog: UPDATE on a VERSION AS OF pin is " +
+              "meaningless — update the current version")
+          GraftUpdateCommand(t.catRoot, t.tableName, r.output,
+            u.assignments, u.condition)
+        case None => u
       }
-      plan.resolveOperatorsUp {
-        case r: DataSourceV2Relation if !writeTargets.contains(r) =>
-          r.table match {
-            case t: GraftSqlTable =>
-              val folded = GraftTable.tableFor(spark,
-                java.nio.file.Paths.get(t.catRoot, t.tableName).toString,
-                t.manifest)
-              val foldPlan = folded.queryExecution.analyzed
-              Project(foldPlan.output.zip(r.output).map { case (n, o) =>
-                Alias(n, o.name)(exprId = o.exprId) }, foldPlan)
-            case _ => r
-          }
-      }
+    case _ => foldRelations(plan)
+  }
+
+  /** The generic READ substitution: every graft v2 relation that is not
+    * a DML/write TARGET becomes the pruned-scan-plus-layer-fold v1
+    * plan. Write/DML targets stay v2 relations — the planner routes
+    * writes into the table's own write builder, and the MERGE/UPDATE/
+    * DELETE conversions above need the table identity intact. Identity
+    * set: one relation instance may legitimately appear as both a read
+    * and a (distinct-instance) write target. */
+  private def foldRelations(plan: LogicalPlan): LogicalPlan = {
+    val writeTargets = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[DataSourceV2Relation, java.lang.Boolean]())
+    def markTargets(t: LogicalPlan): Unit = t.foreach {
+      case r: DataSourceV2Relation => writeTargets.add(r); ()
+      case _ => ()
+    }
+    plan.foreach {
+      case i: org.apache.spark.sql.catalyst.plans.logical
+          .InsertIntoStatement => markTargets(i.table)
+      case a: org.apache.spark.sql.catalyst.plans.logical.AppendData =>
+        markTargets(a.table)
+      case o: org.apache.spark.sql.catalyst.plans.logical
+          .OverwriteByExpression => markTargets(o.table)
+      case o: org.apache.spark.sql.catalyst.plans.logical
+          .OverwritePartitionsDynamic => markTargets(o.table)
+      case m: MergeIntoTable => markTargets(m.targetTable)
+      case u: UpdateTable => markTargets(u.table)
+      case d: DeleteFromTable => markTargets(d.table)
+      case _ => ()
+    }
+    plan.resolveOperatorsUp {
+      case r: DataSourceV2Relation if !writeTargets.contains(r) =>
+        r.table match {
+          case t: GraftSqlTable =>
+            val folded = GraftTable.tableFor(spark,
+              java.nio.file.Paths.get(t.catRoot, t.tableName).toString,
+              t.manifest)
+            val foldPlan = folded.queryExecution.analyzed
+            Project(foldPlan.output.zip(r.output).map { case (n, o) =>
+              Alias(n, o.name)(exprId = o.exprId) }, foldPlan)
+          case _ => r
+        }
+    }
   }
 
   /** Condition → connector predicates: constant-fold first (analysis
@@ -430,31 +533,10 @@ class GraftCatalogRelationRule(spark: SparkSession)
     * must be exact. */
   private def toV2Predicates(cond: Expression): Option[
       Seq[org.apache.spark.sql.connector.expressions.filter.Predicate]] = {
-    // RuntimeReplaceable (BETWEEN, ilike, ...) normally expands in the
-    // optimizer's ReplaceExpressions — expand here since translation
-    // runs at analysis time; the replacement may be a With/common-
-    // expression form (Spark 4 dedups the shared operand), which the
-    // optimizer's RewriteWithExpression would inline — inline it the
-    // same way (a DELETE predicate is tiny; duplication is free)
-    import org.apache.spark.sql.catalyst.expressions.{
-      CommonExpressionDef, CommonExpressionRef, With}
-    val expanded = cond.transformUp {
-      case r: org.apache.spark.sql.catalyst.expressions
-          .RuntimeReplaceable => r.replacement
-    }.transformUp {
-      case w: With =>
-        val byId = w.defs.map(d => d.id -> d.child).toMap
-        w.child.transformUp {
-          case ref: CommonExpressionRef => byId.getOrElse(ref.id, ref)
-        }
-    }
-    val folded = expanded.transformUp {
-      case e if e.foldable && !e.isInstanceOf[Literal] &&
-          e.deterministic =>
-        try Literal.create(e.eval(), e.dataType)
-        catch { case _: Exception => e }
-    }
-    val v1 = splitConjunctivePredicates(folded)
+    // normalization (RuntimeReplaceable/With expansion + constant fold)
+    // is shared with UPDATE's lane chooser — GraftSqlTable.normalizeCond
+    val v1 = splitConjunctivePredicates(
+        GraftSqlTable.normalizeCond(cond))
       .map(org.apache.spark.sql.graftshim.translateV1Filter)
     if (v1.exists(_.isEmpty)) None
     else Some(v1.map(f =>

@@ -211,4 +211,120 @@ class GraftSqlCatalogSpec extends SparkSpec {
       e.getMessage.toLowerCase.contains("namespace") ||
       e.getMessage.toLowerCase.contains("not found"), e.getMessage)
   }
+
+  test("MERGE INTO: three-clause merge with per-clause conditions, " +
+      "first-matching-clause semantics, ONE catalog transaction") {
+    val root = freshCatalog()
+    Catalog.commit(root, Map("m" ->
+      ((spark.range(0, 10).select(col("id"), (col("id") % 7).as("v")),
+        Catalog.Overwrite))))
+    spark.range(5, 15).select(col("id"), lit(100L).as("v"),
+      (col("id") % 2 === 0).as("del"))
+      .createOrReplaceTempView("sqlcat_merge_src")
+    val v0 = Catalog.versions(root).max
+    spark.sql("""MERGE INTO graft.main.m t USING sqlcat_merge_src s
+      ON t.id = s.id
+      WHEN MATCHED AND s.del THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = s.v + t.v
+      WHEN NOT MATCHED AND NOT s.del THEN INSERT (id, v)
+        VALUES (s.id, -1)""")
+    assert(Catalog.versions(root).max === v0 + 1,
+      "one catalog transaction per MERGE statement")
+    val got = Catalog.readTable(spark, root, "m")
+      .as[(Long, Long)].collect().toSet
+    // matched 5..9: evens delete, odds update to 100+v; unmatched
+    // source 10..14: only odds insert (del filters evens)
+    val want = (0L to 4L).map(i => (i, i % 7)).toSet ++
+      Set((5L, 105L), (7L, 100L), (9L, 102L), (11L, -1L), (13L, -1L))
+    assert(got === want)
+    // WHEN NOT MATCHED BY SOURCE: delete the untouched low keys
+    spark.sql("""MERGE INTO graft.main.m t USING sqlcat_merge_src s
+      ON t.id = s.id
+      WHEN NOT MATCHED BY SOURCE AND t.id < 4 THEN DELETE""")
+    assert(Catalog.readTable(spark, root, "m")
+      .as[(Long, Long)].collect().toSet ===
+      want.filterNot { case (i, _) => i < 4 })
+  }
+
+  test("MERGE INTO refusals: duplicate source matches, incomplete " +
+      "INSERT column lists, nested assignments") {
+    val root = freshCatalog()
+    Catalog.commit(root, Map("r" ->
+      ((spark.range(0, 5).select(col("id"), (col("id") % 3).as("v")),
+        Catalog.Overwrite))))
+    // two source rows hit target id=3 -> nondeterministic, refuse
+    spark.range(0, 2).select(lit(3L).as("id"), col("id").as("v"))
+      .createOrReplaceTempView("sqlcat_dup_src")
+    val e1 = intercept[Exception] {
+      spark.sql("""MERGE INTO graft.main.r t USING sqlcat_dup_src s
+        ON t.id = s.id WHEN MATCHED THEN UPDATE SET v = s.v""")
+    }
+    assert(e1.getMessage.contains("multiple source rows"), e1.getMessage)
+    // INSERT must assign every column
+    val e2 = intercept[Exception] {
+      spark.sql("""MERGE INTO graft.main.r t USING sqlcat_dup_src s
+        ON t.id = s.id
+        WHEN NOT MATCHED THEN INSERT (id) VALUES (s.id)""")
+    }
+    assert(e2.getMessage.contains("every column") ||
+      e2.getMessage.toLowerCase.contains("insert"), e2.getMessage)
+    // the refused statements committed NOTHING
+    assert(Catalog.versions(root) === Seq(0))
+  }
+
+  test("UPDATE picks its lane by WHERE translatability: layer pair " +
+      "(data-less delete + add-only with stats) for stats predicates, " +
+      "copy-on-write otherwise; NULL predicates keep rows") {
+    val root = freshCatalog()
+    Catalog.commit(root, Map("u" ->
+      ((spark.range(0, 10).select(col("id"),
+        when(col("id") < 8, col("id") % 7).as("v")),
+        Catalog.Overwrite))))
+    // translatable WHERE -> ONE transaction, layer pair
+    spark.sql("UPDATE graft.main.u SET v = v + 100 WHERE id <= 4")
+    val m1 = Catalog.tableManifest(root, "u").get
+    assert(Catalog.versions(root) === Seq(0, 1))
+    assert(m1.layers.size === 2 && m1.layers.head.pred.nonEmpty &&
+      m1.layers.head.files.isEmpty && m1.layers.last.key.isEmpty &&
+      m1.layers.last.statsFile.nonEmpty, m1.layers.toString)
+    val got1 = Catalog.readTable(spark, root, "u")
+      .as[(Long, Option[Long])].collect().toSet
+    val want1 = (0L to 9L).map(i =>
+      (i, if (i >= 8) None else Some(i % 7 + (if (i <= 4) 100L else 0L))))
+      .toSet
+    assert(got1 === want1)
+    // untranslatable WHERE (arithmetic wraps the column) -> CoW, flat
+    // NULL v rows (id 8,9): v >= 100 is NULL there -> kept un-updated
+    spark.sql("UPDATE graft.main.u SET v = 0 WHERE v >= 100 AND id % 2 = 1")
+    val m2 = Catalog.tableManifest(root, "u").get
+    assert(m2.layers.isEmpty, "CoW lane folds the table flat")
+    val got2 = Catalog.readTable(spark, root, "u")
+      .as[(Long, Option[Long])].collect().toSet
+    val want2 = want1.map { case (i, v) =>
+      (i, if (i % 2 == 1 && v.exists(_ >= 100)) Some(0L) else v) }
+    assert(got2 === want2)
+    // full-table UPDATE (no WHERE) rewrites every row
+    spark.sql("UPDATE graft.main.u SET v = id")
+    assert(Catalog.readTable(spark, root, "u")
+      .as[(Long, Option[Long])].collect().toSet ===
+      (0L to 9L).map(i => (i, Some(i))).toSet)
+  }
+
+  test("MERGE/UPDATE enforce NOT NULL at runtime and refuse pinned " +
+      "targets at analysis") {
+    val root = freshCatalog()
+    Catalog.commit(root, Map("nn" ->
+      ((spark.range(0, 3).toDF("id")
+        .select(col("id"), (col("id") + 1).as("v")),
+        Catalog.Overwrite))))
+    // assigning NULL into the NOT NULL column v fails LOUDLY at write
+    val e = intercept[Exception] {
+      spark.sql("UPDATE graft.main.nn SET v = NULL WHERE id = 1")
+    }
+    assert((e.getMessage + " " + Option(e.getCause).map(_.getMessage)
+      .getOrElse("")).toLowerCase.contains("null"), e.getMessage)
+    // nothing committed
+    assert(Catalog.versions(root) === Seq(0))
+    assert(Catalog.readTable(spark, root, "nn").count() === 3)
+  }
 }
