@@ -156,6 +156,7 @@ object SparkEntry {
     "q135_sql_dml"         -> (Relational.q135SqlDml _),
     "q136_sql_merge"       -> (Relational.q136SqlMerge _),
     "q137_sql_update"      -> (Relational.q137SqlUpdate _),
+    "q138_named_stream"    -> (Relational.q138NamedStream _),
   )
 
   /** The cohort-retention-matrix oracle, shared by q93 (the batch
@@ -1037,6 +1038,18 @@ object SparkEntry {
            CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
              AS BIGINT) AS cents
          FROM u GROUP BY 1 ORDER BY 1""",
+    // Named-table streaming loop: the streamed-out table carries
+    // exactly the rows appended AFTER the stream's starting catalog
+    // version (orders thirds 1 and 2, each arriving as its own
+    // incremental epoch) — the oracle recomputes them from orders; the
+    // builder REQUIREs replay idempotence, one catalog transaction per
+    // data epoch, and the front-door relation in the gated plan.
+    "q138_named_stream" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+             AS BIGINT) AS cents
+         FROM orders WHERE o_orderkey % 3 IN (1, 2)
+         GROUP BY 1 ORDER BY 1""",
     // OPTIMIZE: content-hash invariance through the compaction rewrite —
     // the oracle is the pre-optimize content (thirds 0+1), recomputed.
     "q118_optimize" ->

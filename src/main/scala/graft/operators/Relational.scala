@@ -2504,6 +2504,95 @@ object Relational {
          ORDER BY o_orderpriority""")
   }
 
+  /** q138: NAMED-TABLE STREAMING round trip — the q133 lakehouse loop
+    * with ZERO path strings: `readStream.table("graft.main.src")` (the
+    * catalog ROW source — appended rows per catalog version, detected
+    * metadata-first from the manifests) through
+    * `writeStream.toTable("graft.main.out")` (executor-written parquet
+    * files, ONE txn-deduped catalog transaction per epoch). The builder
+    * runs a REAL streaming query three times on one checkpoint: the
+    * initial pump streams the v1 append, a mid-stream append arrives
+    * incrementally on restart (the metadataPath-pinned cursor), and a
+    * third pump replays nothing (versions REQUIREd unchanged — the
+    * empty-epoch skip plus txn dedup). Source and sink SHARE the
+    * catalog, so the sink's own commits exercise the source's
+    * unchanged-manifest fast path (metadata-only, no data I/O). The
+    * gated aggregate reads the OUT table by name (front-door relation
+    * REQUIREd in the plan); the oracle recomputes thirds 1+2 straight
+    * from orders — hash equality proves the named loop moved exactly
+    * the appended rows, once.
+    */
+  private val namedStreamRoot =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def q138NamedStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.Catalog
+    val root = namedStreamRoot.getOrElseUpdate(sfDir, {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-namedstream-").toString
+      spark.conf.set("spark.sql.catalog.graft",
+        "graft.sources.GraftSqlCatalog")
+      spark.conf.set("spark.sql.catalog.graft.root", dir)
+      val o = Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+      Catalog.commit(dir, Map("src" ->
+        ((o.filter(col("o_orderkey") % 3 === 0), Catalog.Overwrite))))
+      Catalog.commit(dir, Map("out" ->
+        ((o.limit(0), Catalog.Overwrite))))
+      Catalog.commit(dir, Map("src" ->
+        ((o.filter(col("o_orderkey") % 3 === 1), Catalog.Append))))
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-namedstream-ckpt-").toString
+      def pump(): Unit = {
+        val q = spark.readStream
+          .option("startingVersion", "1") // after the out-table create
+          .table("graft.main.src")
+          .writeStream.option("checkpointLocation", ckpt)
+          .outputMode("append").toTable("graft.main.out")
+        q.processAllAvailable(); q.stop()
+      }
+      pump()
+      val n1 = Catalog.readTable(spark, dir, "out").count()
+      // mid-stream append arrives incrementally on the SAME checkpoint
+      Catalog.commit(dir, Map("src" ->
+        ((o.filter(col("o_orderkey") % 3 === 2), Catalog.Append))))
+      pump()
+      val n2 = Catalog.readTable(spark, dir, "out").count()
+      require(n2 > n1 && n1 > 0,
+        s"incremental arrival expected: first=$n1 second=$n2")
+      // replay pump: no new rows, NO new catalog versions (empty-epoch
+      // skip + txn dedup)
+      val head = Catalog.versions(dir).max
+      pump()
+      require(Catalog.versions(dir).max == head,
+        "a replay pump must commit nothing")
+      require(Catalog.readTable(spark, dir, "out").count() == n2,
+        "a replay pump must emit nothing")
+      // every data epoch committed as ONE txn-tagged catalog transaction
+      val txns = Catalog.versions(dir)
+        .flatMap(v => Catalog.tableManifest(dir, "out", Some(v)))
+        .map(_.txn).filter(_.nonEmpty).distinct
+      require(txns.size == 2,
+        s"expected 2 data epochs (one per pump with data), got $txns")
+      dir
+    })
+    spark.conf.set("spark.sql.catalog.graft",
+      "graft.sources.GraftSqlCatalog")
+    spark.conf.set("spark.sql.catalog.graft.root", root)
+    val df = spark.sql(
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS cents
+         FROM graft.main.out
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""")
+    require(df.queryExecution.executedPlan.toString
+        .contains("GraftFileIndex"),
+      "the named read must route through the graft front door")
+    df
+  }
+
   def q118Optimize(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.sources.SnapshotStore
     val root = optimizeRoot.getOrElseUpdate(sfDir, {

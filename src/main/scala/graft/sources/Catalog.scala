@@ -59,10 +59,13 @@ object Catalog {
       extends IllegalArgumentException(msg)
 
   /** Catalog version K's facts: per-table manifest paths (relative to
-    * each table's root `<catalogRoot>/<table>/`). Tables absent from
-    * the map have never been committed at this version. */
+    * each table's root `<catalogRoot>/<table>/`), plus the commit
+    * wall-clock (epoch millis, stamped at publish — 0 on versions
+    * committed before timestamps existed, which time travel treats as
+    * arbitrarily old). Tables absent from the map have never been
+    * committed at this version. */
   final case class CatalogSnapshot(version: Int,
-      tables: Map[String, String])
+      tables: Map[String, String], ts: Long = 0L)
 
   private def catDir(root: String): Path = Paths.get(root, "_catalog")
   private def catPath(root: String, v: Int): Path =
@@ -88,11 +91,12 @@ object Catalog {
   }
 
   private def render(s: CatalogSnapshot): String = {
-    val ts = s.tables.toSeq.sortBy(_._1).map { case (n, m) =>
+    val entries = s.tables.toSeq.sortBy(_._1).map { case (n, m) =>
       s"""{"name":"${SnapshotStore.esc(n)}","manifest":"${
         SnapshotStore.esc(m)}"}"""
     }.mkString(",")
-    s"""{"version":${s.version},"tables":[$ts]}"""
+    val ts = if (s.ts != 0L) s""""ts":${s.ts},""" else ""
+    s"""{"version":${s.version},$ts"tables":[$entries]}"""
   }
 
   private def parseCat(s: String): CatalogSnapshot = {
@@ -104,8 +108,23 @@ object Catalog {
     val tables = pair.findAllMatchIn(s).map(m =>
       SnapshotStore.unesc(m.group(1)) -> SnapshotStore.unesc(m.group(2)))
       .toMap
-    CatalogSnapshot(v, tables)
+    // optional like the table layer's (pre-timestamp versions parse 0)
+    val ts = """"ts":(\d+)""".r.findFirstMatchIn(s)
+      .map(_.group(1).toLong).getOrElse(0L)
+    CatalogSnapshot(v, tables, ts)
   }
+
+  /** Newest catalog version whose commit wall-clock is ≤ `tsMillis` —
+    * the `TIMESTAMP AS OF` resolution (Delta's latest-commit-at-or-
+    * before rule). None when every committed version is newer (travel
+    * before the first commit is a caller refusal). Versions stamped 0
+    * (pre-timestamp catalogs) count as arbitrarily old. Wall clocks are
+    * stamped at publish and immutable thereafter; the newest-first walk
+    * returns the HIGHEST qualifying version even if a clock regression
+    * made timestamps locally non-monotone. */
+  def versionAsOfTimestamp(root: String, tsMillis: Long): Option[Int] =
+    versions(root).reverseIterator
+      .find(v => snapshot(root, Some(v)).get.ts <= tsMillis)
 
   /** The catalog state at `version` (or the current max). */
   def snapshot(root: String,
@@ -344,6 +363,87 @@ object Catalog {
     }
     sys.error(s"catalog commitCreate lost ${SnapshotStore.MaxRetries} " +
       s"version races under $root")
+  }
+
+  /** IDEMPOTENT append of ALREADY-WRITTEN data files — the driver half
+    * of the DSv2 streaming sink (`writeStream.toTable`): executors
+    * wrote `files` under `<root>/<table>/` themselves (the data never
+    * crosses the driver), and this publishes them as ONE catalog
+    * transaction with [[SnapshotStore.commitAppendOnce]]'s replay
+    * contract — if any RETAINED catalog version's manifest for this
+    * table already carries `txn`, the commit is a no-op returning None
+    * and the (re-written) staged files are deleted as this attempt's
+    * own scratch. Footer stats are harvested (one O(files) driver
+    * metadata pass), layered tables take the add-only-layer branch with
+    * layer-carried stats, and `maintain` blooms merge — identical
+    * manifest shapes to [[commit]]'s append. The txn-dedup scan walks
+    * catalog versions newest-first, parsing each DISTINCT manifest of
+    * this table once; cost is bounded by the vacuum retention horizon,
+    * the same idempotency horizon the table layer documents. */
+  def commitStagedFilesOnce(root: String, table: String,
+      files: Seq[String], schemaDdl: String, txn: String): Option[Int] = {
+    require(txn.nonEmpty, "txn id must be non-empty")
+    val tr = tableRoot(root, table)
+    def txnSeen(): Boolean = {
+      val seenRels = scala.collection.mutable.Set[String]()
+      versions(root).reverseIterator.exists { v =>
+        snapshot(root, Some(v)).get.tables.get(table).exists { rel =>
+          seenRels.add(rel) && {
+            val p = Paths.get(tr, rel)
+            Files.exists(p) && SnapshotStore.parse(new String(
+              Files.readAllBytes(p), StandardCharsets.UTF_8)).txn == txn
+          }
+        }
+      }
+    }
+    def dropStaged(): Unit = files.foreach(f =>
+      Files.deleteIfExists(Paths.get(tr, f)))
+    if (txnSeen()) { dropStaged(); return None }
+    val spark = org.apache.spark.sql.SparkSession.active
+    val schema = StructType.fromDDL(schemaDdl)
+    val stats = SnapshotStore.harvestStats(spark, tr, files)
+    lazy val layerStats =
+      if (files.isEmpty) "" else SnapshotStore.writeStatsFile(tr, stats)
+    val memo = SnapshotStore.newBloomMemo()
+    var attempt = 0
+    while (attempt < SnapshotStore.MaxRetries) {
+      val cur = snapshot(root).getOrElse(sys.error(
+        s"streaming append to a catalog with no versions: $root"))
+      val baseRel = cur.tables.getOrElse(table, sys.error(
+        s"catalog under $root has no table $table"))
+      val baseM = SnapshotStore.parse(new String(Files.readAllBytes(
+        Paths.get(tr, baseRel)), StandardCharsets.UTF_8))
+      require(SnapshotStore.appendCompatible(baseM.schemaDdl, schema),
+        s"streaming append schema mismatch on $table: table has " +
+          s"[${baseM.schemaDdl}], batch has [$schemaDdl]")
+      // lost-race recheck: an interleaved commit may carry this txn
+      if (attempt > 0 && txnSeen()) { dropStaged(); return None }
+      val blooms = SnapshotStore.maintainBlooms(spark, tr,
+        baseM.schemaDdl, files, memo, baseM.blooms)
+      val next =
+        if (baseM.layers.nonEmpty)
+          baseM.copy(version = baseM.version + 1, base = baseM.version,
+            txn = txn,
+            layers = baseM.layers :+
+              SnapshotStore.MergeLayer("", files, layerStats),
+            blooms = blooms)
+        else {
+          val allStats = SnapshotStore.fileStats(tr, baseM) ++ stats
+          baseM.copy(version = baseM.version + 1, base = baseM.version,
+            txn = txn, files = baseM.files ++ files,
+            statsFile = SnapshotStore.writeStatsFile(tr, allStats),
+            blooms = blooms)
+        }
+      val rel = s"_manifests/staged-${java.util.UUID.randomUUID()}.json"
+      Files.createDirectories(Paths.get(tr, rel).getParent)
+      Files.write(Paths.get(tr, rel),
+        SnapshotStore.render(next).getBytes(StandardCharsets.UTF_8))
+      if (publishCat(root, CatalogSnapshot(cur.version + 1,
+          cur.tables + (table -> rel)))) return Some(cur.version + 1)
+      attempt += 1
+    }
+    sys.error(s"catalog commitStagedFilesOnce lost " +
+      s"${SnapshotStore.MaxRetries} version races under $root")
   }
 
   /** COMPARE-AND-SWAP overwrite — the read-modify-write commit under
@@ -612,7 +712,10 @@ object Catalog {
     val dir = catDir(root)
     Files.createDirectories(dir)
     val tmp = dir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, render(s).getBytes(StandardCharsets.UTF_8))
+    // publish IS the commit instant — stamp unconditionally (see the
+    // table layer's publish); TIMESTAMP AS OF resolves against this
+    Files.write(tmp, render(s.copy(ts = System.currentTimeMillis()))
+      .getBytes(StandardCharsets.UTF_8))
     try {
       Files.createLink(catPath(root, s.version), tmp)
       true

@@ -300,21 +300,44 @@ class GraftDataSource extends RelationProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     require(schema.isEmpty,
-      "graft stream: the change-feed schema is derived from the " +
-        "table's — do not pass .schema(...)")
-    val root = parameters.getOrElse("path", sys.error(
-      "graft stream: missing 'path' (use .load(<table root>))"))
-    val m = SnapshotStore.snapshot(root).getOrElse(sys.error(
-      s"graft stream: no committed snapshot under $root"))
-    (shortName(), GraftChangeSource.feedSchema(
-      StructType.fromDDL(m.schemaDdl)))
+      "graft stream: the schema is derived from the table's — do not " +
+        "pass .schema(...)")
+    // two lanes: catalog+table (the readStream.table front door —
+    // appended-ROWS semantics, table schema) vs path (the change FEED
+    // over a table root — diff semantics, feed schema)
+    (parameters.get("catalog"), parameters.get("table")) match {
+      case (Some(catRoot), Some(t)) =>
+        val m = Catalog.tableManifest(catRoot, t).getOrElse(sys.error(
+          s"graft stream: catalog under $catRoot has no table $t"))
+        (shortName(), StructType.fromDDL(m.schemaDdl))
+      case _ =>
+        val root = parameters.getOrElse("path", sys.error(
+          "graft stream: missing 'path' (use .load(<table root>))"))
+        val m = SnapshotStore.snapshot(root).getOrElse(sys.error(
+          s"graft stream: no committed snapshot under $root"))
+        (shortName(), GraftChangeSource.feedSchema(
+          StructType.fromDDL(m.schemaDdl)))
+    }
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String])
       : org.apache.spark.sql.execution.streaming.Source =
-    GraftChangeSource.create(sqlContext, parameters, metadataPath)
+    (parameters.get("catalog"), parameters.get("table")) match {
+      case (Some(catRoot), Some(t)) =>
+        val starting = GraftChangeSource.pinnedStarting(sqlContext,
+          metadataPath,
+          parameters.get("startingVersion").map(_.trim.toInt)
+            .getOrElse(Catalog.versions(catRoot).lastOption
+              .getOrElse(sys.error(
+                s"graft stream: no committed catalog under $catRoot"))))
+        new GraftCatalogRowSource(sqlContext.sparkSession, catRoot, t,
+          starting,
+          parameters.get("skipChangeCommits").exists(_.trim.toBoolean))
+      case _ =>
+        GraftChangeSource.create(sqlContext, parameters, metadataPath)
+    }
 
   // --------------------------------------------------- streaming sink
   // `df.writeStream.format("graft").option("path", root)` — every
@@ -384,7 +407,19 @@ class GraftDataSource extends RelationProvider
       parameters: Map[String, String]): BaseRelation = {
     val root = parameters.getOrElse("path",
       sys.error("graft: missing 'path' (use .load(<table root>))"))
+    // time travel: by ordinal version, or by commit wall-clock
+    // (epoch millis or an ISO-8601 instant) — newest version at or
+    // before the instant; before-the-first-commit refuses loudly
     val version = parameters.get("versionAsOf").map(_.trim.toInt)
+      .orElse(parameters.get("timestampAsOf").map { s =>
+        val millis = s.trim match {
+          case d if d.forall(_.isDigit) => d.toLong
+          case iso => java.time.Instant.parse(iso).toEpochMilli
+        }
+        SnapshotStore.versionAsOfTimestamp(root, millis).getOrElse(
+          sys.error(s"graft: timestampAsOf $s predates the first " +
+            s"commit under $root"))
+      })
     val spark = sqlContext.sparkSession
     val m = SnapshotStore.snapshot(root, version).getOrElse(
       sys.error(s"graft: no committed snapshot under $root"))

@@ -128,10 +128,18 @@ class GraftSqlCatalog extends TableCatalog {
     load(ident, Some(v))
   }
 
-  override def loadTable(ident: Identifier, timestamp: Long): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: TIMESTAMP AS OF is not supported — catalog " +
-        "versions are ordinal (use VERSION AS OF <catalog version>)")
+  /** SQL `TIMESTAMP AS OF t` — `timestamp` arrives in MICROseconds
+    * (the TableCatalog contract); resolves to the newest CATALOG
+    * version committed at or before it (wall-clocks are stamped at
+    * publish into the immutable version files, so the answer never
+    * changes). Travel before the first commit refuses loudly. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val v = Catalog.versionAsOfTimestamp(root, timestamp / 1000L)
+      .getOrElse(throw new NoSuchTableException(
+        Seq(s"$ident at timestamp ${timestamp}us — before the " +
+          "catalog's first commit")))
+    load(ident, Some(v))
+  }
 
   /** `CREATE TABLE graft.main.t (...) USING graft`: a CREATE-ONLY
     * catalog transaction ([[Catalog.commitCreate]] — an empty manifest
@@ -222,12 +230,19 @@ final case class GraftSqlTable(catRoot: String, tableName: String,
   // BATCH_READ declares intent; the actual scan is the v1 relation the
   // resolution rule swaps in (a session without the rule fails loudly
   // at the capability CHECK stage instead of planning a broken scan).
-  // Writes go through the V1Write bridge below (V1_BATCH_WRITE), and
+  // Batch writes go through the V1Write bridge below (V1_BATCH_WRITE),
   // TRUNCATE enables `INSERT OVERWRITE` (the truncate-then-append
-  // analysis path).
+  // analysis path), and STREAMING_WRITE serves `writeStream.toTable`
+  // through [[GraftStreamingWrite]] — executor-written parquet files,
+  // one txn-deduped catalog transaction per epoch. MICRO_BATCH_READ is
+  // deliberately ABSENT: streaming READS are served by the analyzer
+  // rule swapping in the v1 catalog row source (the same front-door
+  // pattern as batch reads), so a session without the rule fails the
+  // capability check loudly instead of planning a broken v2 scan.
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   /** `INSERT INTO` / `INSERT OVERWRITE` / `df.writeTo("graft.main.t")`:
     * the V1Write bridge — the insert lands as ONE atomic catalog
@@ -263,6 +278,31 @@ final case class GraftSqlTable(catRoot: String, tableName: String,
                   ((data.to(table.schema()), mode))))
               }
             }
+          // `writeStream.toTable("graft.main.t")`: one catalog
+          // transaction per epoch, files written BY THE EXECUTORS
+          // (see [[GraftStreamingWrite]]); txn = queryId:epochId makes
+          // post-crash replays no-ops (exactly-once end to end).
+          override def toStreaming: org.apache.spark.sql.connector
+              .write.streaming.StreamingWrite = {
+            require(!overwrite,
+              "graft catalog: streaming supports APPEND output mode " +
+                "only (use foreachBatch + replaceTableIf for " +
+                "complete-mode shapes)")
+            // the analyzer aligned the query's output to the table's
+            // columns (names/types, table order); files are ENCODED
+            // with the TABLE schema — its NOT NULL fields are enforced
+            // per row in the writer, closing the nullability gap the
+            // batch bridge closes with Dataset.to
+            val ts = table.schema()
+            val in = info.schema()
+            require(in.fieldNames.sameElements(ts.fieldNames) &&
+                in.fields.map(_.dataType).sameElements(
+                  ts.fields.map(_.dataType)),
+              s"graft catalog: streaming write schema [${in.toDDL}] " +
+                s"does not align to table [${ts.toDDL}]")
+            new GraftStreamingWrite(table.catRoot, table.tableName,
+              ts, info.queryId())
+          }
         }
     }
   }
@@ -523,6 +563,27 @@ class GraftCatalogRelationRule(spark: SparkSession)
               Alias(n, o.name)(exprId = o.exprId) }, foldPlan)
           case _ => r
         }
+      // `spark.readStream.table("graft.main.t")`: swap the v2 streaming
+      // relation (the table deliberately lacks MICRO_BATCH_READ) for
+      // the v1 catalog ROW source — appended rows per catalog version,
+      // read metadata-first from the manifests (GraftCatalogRowSource).
+      // Options set on the reader (startingVersion, skipChangeCommits)
+      // ride through extraOptions.
+      case sr: org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
+          if sr.table.isInstanceOf[GraftSqlTable] =>
+        val t = sr.table.asInstanceOf[GraftSqlTable]
+        require(t.pinnedVersion.isEmpty,
+          "graft catalog: streaming a VERSION AS OF pin is " +
+            "meaningless — pins are static; stream the live table")
+        val v1 = org.apache.spark.sql.graftshim.v1StreamingRelation(
+          spark, "graft",
+          sr.extraOptions.asScala.toMap ++
+            Map("catalog" -> t.catRoot, "table" -> t.tableName))
+        Project(sr.output.map { o =>
+          val src = v1.output.find(_.name == o.name).getOrElse(
+            sys.error(s"graft stream: source lacks column ${o.name}"))
+          Alias(src, o.name)(exprId = o.exprId)
+        }, v1)
     }
   }
 

@@ -130,7 +130,18 @@ object GraftChangeSource {
     * checkpoint's cursor. */
   private def resolveStarting(sqlContext: SQLContext,
       parameters: Map[String, String], root: String,
-      metadataPath: String): Int = {
+      metadataPath: String): Int =
+    GraftChangeSource.pinnedStarting(sqlContext, metadataPath,
+      parameters.get("startingVersion").map(_.trim.toInt)
+        .getOrElse(SnapshotStore.versions(root).lastOption.getOrElse(
+          sys.error(s"graft stream: no committed snapshot under $root"))))
+
+  /** Read the pinned starting version under `metadataPath`, or resolve
+    * `default` and pin it (create-no-overwrite; the checkpoint dir is
+    * single-writer by Spark's own lock) — shared by both streaming
+    * sources. */
+  private[sources] def pinnedStarting(sqlContext: SQLContext,
+      metadataPath: String, default: => Int): Int = {
     val hp = new org.apache.hadoop.fs.Path(metadataPath,
       "graft-starting-version")
     val fs = hp.getFileSystem(
@@ -141,9 +152,7 @@ object GraftChangeSource {
       try in.readFully(buf) finally in.close()
       new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim.toInt
     } else {
-      val resolved = parameters.get("startingVersion").map(_.trim.toInt)
-        .getOrElse(SnapshotStore.versions(root).lastOption.getOrElse(
-          sys.error(s"graft stream: no committed snapshot under $root")))
+      val resolved = default
       fs.mkdirs(hp.getParent)
       val out = fs.create(hp, false) // no-overwrite: first writer wins
       try out.write(resolved.toString.getBytes(
@@ -158,6 +167,202 @@ object GraftChangeSource {
   * through commit v have been emitted". */
 final case class GraftVersionOffset(v: Int) extends Offset {
   override def json: String = v.toString
+}
+
+/** NAMED-TABLE STREAMING READ — `spark.readStream.table("graft.main.t")`
+  * — the catalog twin of the path change feed, with Delta's
+  * appended-ROWS semantics (not the diff feed): offsets are CATALOG
+  * versions, and micro-batch (start, end] emits exactly the rows the
+  * covered commits APPENDED, detected and read METADATA-FIRST:
+  *
+  *   - a version step whose manifest for this table is unchanged (some
+  *     other table committed) costs one snapshot parse — no data I/O;
+  *   - an APPEND-SHAPED step (old files ⊆ new files, segments carried,
+  *     layer chain only grew by add-only layers) reads exactly the NEW
+  *     files — zero joins, O(appended bytes), never O(table);
+  *   - any other step (overwrite, delete, merge, optimize) is NOT an
+  *     append: the stream fails loudly — the Delta rule ("streaming
+  *     source only supports appends") — unless `skipChangeCommits` is
+  *     set, which skips that step's rows entirely (Delta's option of
+  *     the same name).
+  *
+  * The schema is pinned at stream start (new columns added by ALTER
+  * are invisible to a running stream; restart to pick them up — files
+  * written before the widening simply lack the column). Replay is
+  * deterministic: manifests are immutable, so a version range always
+  * yields the same rows. Vacuumed-past-the-cursor versions fail
+  * loudly, same retention contract as the path source. */
+class GraftCatalogRowSource(spark: SparkSession, catRoot: String,
+    table: String, startingVersion: Int, skipChangeCommits: Boolean)
+    extends Source {
+
+  override val schema: StructType = {
+    val m = Catalog.tableManifest(catRoot, table).getOrElse(sys.error(
+      s"graft stream: catalog under $catRoot has no table $table"))
+    StructType.fromDDL(m.schemaDdl)
+  }
+
+  private def head: Int = Catalog.versions(catRoot).lastOption
+    .getOrElse(sys.error(s"graft stream: catalog vanished under $catRoot"))
+
+  override def getOffset: Option[Offset] = {
+    val h = head
+    if (h > startingVersion) Some(GraftVersionOffset(h)) else None
+  }
+
+  private def ver(o: Offset): Int = o match {
+    case GraftVersionOffset(v) => v
+    case other => other.json.trim.toInt
+  }
+
+  private def tableRoot: String =
+    java.nio.file.Paths.get(catRoot, table).toString
+
+  /** The files a step appended, or None when the step is not
+    * append-shaped. Absent-at-old (table created inside the range)
+    * baselines as empty. */
+  private def appendedFiles(oldM: Option[SnapshotStore.Manifest],
+      newM: SnapshotStore.Manifest): Option[Seq[String]] = {
+    val o = oldM.getOrElse(SnapshotStore.Manifest(-1, -1,
+      newM.schemaDdl, Nil))
+    val oldFiles = o.files.toSet
+    val sameSegs = newM.segments.map(_.path).toSet
+      .intersect(o.segments.map(_.path).toSet).size == o.segments.size
+    val layersGrewAddOnly =
+      newM.layers.take(o.layers.size) == o.layers &&
+        newM.layers.drop(o.layers.size)
+          .forall(l => l.key.isEmpty && l.pred.isEmpty)
+    val filesGrew = oldFiles.subsetOf(newM.files.toSet)
+    val newSegs = newM.segments.filterNot(s =>
+      o.segments.exists(_.path == s.path))
+    if (!(filesGrew && sameSegs && layersGrewAddOnly)) None
+    else Some((newM.files.filterNot(oldFiles) ++
+      newSegs.flatMap(s =>
+        SnapshotStore.readSegmentManifest(tableRoot, s).files) ++
+      newM.layers.drop(o.layers.size).flatMap(_.files)))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(ver).getOrElse(startingVersion)
+    val to = ver(end)
+    require(from <= to,
+      s"graft stream: offset went backwards ($from > $to)")
+    val empty = () => org.apache.spark.sql.graftshim.asStreamingFrame(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    if (from == to) return empty()
+    // every step needs both endpoint snapshots — vacuum guard is the
+    // snapshot() require (a missing catalog version fails loudly)
+    val snaps = (from to to).map(v =>
+      v -> Catalog.snapshot(catRoot, Some(v)).getOrElse(sys.error(
+        s"graft stream: catalog version $v of $catRoot was vacuumed " +
+          "past the stream's cursor (retention must cover checkpoint " +
+          "lag)"))).toMap
+    def manifestAt(v: Int): Option[SnapshotStore.Manifest] =
+      snaps(v).tables.get(table).map { rel =>
+        val p = java.nio.file.Paths.get(tableRoot, rel)
+        SnapshotStore.parse(new String(java.nio.file.Files
+          .readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8))
+      }
+    val files = (from + 1 to to).flatMap { v =>
+      val relOld = snaps(v - 1).tables.get(table)
+      val relNew = snaps(v).tables.get(table)
+      if (relOld == relNew) Nil // untouched by this catalog commit
+      else relNew match {
+        case None => sys.error(s"graft stream: table $table was " +
+          s"DROPPED at catalog version $v — cannot continue")
+        case Some(_) =>
+          appendedFiles(manifestAt(v - 1), manifestAt(v).get) match {
+            case Some(fs) => fs
+            case None if skipChangeCommits => Nil
+            case None => sys.error(s"graft stream: catalog version $v " +
+              s"changed $table in a non-append way (overwrite/delete/" +
+              "merge/optimize); a row stream only supports appends — " +
+              "set skipChangeCommits=true to skip such commits, or " +
+              "stream the path change feed " +
+              "(readStream.format(\"graft\").load(tableRoot)) for " +
+              "full CDC semantics")
+          }
+      }
+    }
+    if (files.isEmpty) return empty()
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.schema(schema).parquet(files.map(f =>
+      java.nio.file.Paths.get(tableRoot, f).toString): _*)
+      .select(schema.fields.map(f =>
+        col(f.name).cast(f.dataType)).toSeq: _*)
+    org.apache.spark.sql.graftshim.asStreamingFrame(df)
+  }
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+
+  override def toString: String =
+    s"GraftCatalogRowSource[$catRoot/$table, start=$startingVersion]"
+}
+
+/** The driver half of `writeStream.toTable("graft.main.t")`: executors
+  * write parquet files straight into the table's data dir
+  * ([[org.apache.spark.sql.graftshim.GraftStreamWriterFactory]] — data
+  * never crosses the driver), and each epoch's commit publishes ONE
+  * catalog transaction naming them
+  * ([[Catalog.commitStagedFilesOnce]], txn = `queryId:epochId`), so a
+  * replayed epoch after a sink crash commits nothing and deletes its
+  * own re-staged files. Abort deletes the epoch's files — no
+  * referenced state from failed attempts. */
+class GraftStreamingWrite(catRoot: String, table: String,
+    schema: StructType, queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.{PhysicalWriteInfo,
+    WriterCommitMessage}
+  import org.apache.spark.sql.graftshim.{GraftFileMessage,
+    GraftStreamWriterFactory, GraftStreamingParquet}
+
+  private val dirRel = "data/" + java.util.UUID.randomUUID().toString
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming
+        .StreamingDataWriterFactory =
+    GraftStreamWriterFactory(
+      java.nio.file.Paths.get(catRoot, table).toString, dirRel,
+      GraftStreamingParquet.writerConf(schema),
+      // the TABLE's NOT NULL ordinals, enforced per row in the writer
+      // (the incoming query schema types parquet sources nullable; the
+      // files are ENCODED with the table schema, so a silent null would
+      // corrupt a parquet `required` field)
+      schema.fields.zipWithIndex.collect {
+        case (f, i) if !f.nullable => i }.toSeq)
+
+  private def filesOf(messages: Array[WriterCommitMessage]): Seq[String] =
+    messages.toSeq.collect {
+      case GraftFileMessage(p) if p.nonEmpty => p
+    }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val files = filesOf(messages)
+    // an EMPTY epoch commits NOTHING — beyond avoiding version noise,
+    // this is what makes a source and sink sharing one catalog
+    // converge: the sink's own commits move the catalog head, the
+    // source sees the head move and emits an empty batch, and an empty
+    // COMMIT here would move the head again — a self-feeding loop.
+    // Zero files need no replay dedup (there is nothing to duplicate).
+    if (files.isEmpty) return
+    Catalog.commitStagedFilesOnce(catRoot, table, files,
+      schema.toDDL, txn = s"$queryId:$epochId")
+    ()
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    filesOf(messages).foreach { f =>
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(catRoot, table, f))
+    }
+
+  override def toString: String =
+    s"GraftStreamingWrite[$catRoot/$table, $queryId]"
 }
 
 /** The APPEND streaming sink behind `writeStream.format("graft")`:

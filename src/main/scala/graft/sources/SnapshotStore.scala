@@ -92,7 +92,8 @@ object SnapshotStore {
   final case class Manifest(version: Int, base: Int, schemaDdl: String,
       files: Seq[String], txn: String = "", statsFile: String = "",
       segments: Seq[SegmentRef] = Nil, layers: Seq[MergeLayer] = Nil,
-      blooms: Seq[BloomIndex] = Nil, cluster: Seq[String] = Nil)
+      blooms: Seq[BloomIndex] = Nil, cluster: Seq[String] = Nil,
+      ts: Long = 0L)
 
   /** One FILE-LEVEL BLOOM INDEX over a column — the point-lookup
     * complement to the min/max sidecar: after a z-order/range layout
@@ -254,7 +255,8 @@ object SnapshotStore {
       if (m.cluster.isEmpty) ""
       else m.cluster.map(c => "\"" + esc(c) + "\"")
         .mkString(""""cluster":[""", ",", "],")
-    s"""{"version":${m.version},"base":${m.base},$blm$clu""" +
+    val ts = if (m.ts != 0L) s""""ts":${m.ts},""" else ""
+    s"""{"version":${m.version},"base":${m.base},$ts$blm$clu""" +
       s""""txn":"${esc(m.txn)}",""" +
       s""""statsfile":"${esc(m.statsFile)}",""" +
       s""""schema":"${esc(m.schemaDdl)}",$segs$lys"files":[$fs]}"""
@@ -344,8 +346,12 @@ object SnapshotStore {
     val cluster = s""""cluster":\\[(.*?)\\]""".r.findFirstMatchIn(s)
       .map(m => strLit.r.findAllMatchIn(m.group(1))
         .map(c => unesc(c.group(1))).toSeq).getOrElse(Nil)
+    // commit wall-clock — optional like txn (pre-timestamp manifests
+    // parse as 0 = "unknown, counts as arbitrarily old" for time travel)
+    val ts = """"ts":(\d+)""".r.findFirstMatchIn(s)
+      .map(_.group(1).toLong).getOrElse(0L)
     Manifest(intField("version"), intField("base"), unesc(schema), files,
-      txn, statsFile, segments, layers, blooms, cluster)
+      txn, statsFile, segments, layers, blooms, cluster, ts)
   }
 
   // ------------------------------------------------------------- resolve
@@ -379,6 +385,17 @@ object SnapshotStore {
 
   /** The manifest of `version` (or the CURRENT = max committed version).
     * None for a table with no commits. */
+  /** Newest committed version whose commit wall-clock is ≤ `tsMillis`
+    * — `TIMESTAMP AS OF` at the table layer (the catalog twin is
+    * [[Catalog.versionAsOfTimestamp]]). None when every version is
+    * newer; pre-timestamp manifests (ts 0) count as arbitrarily old.
+    * Clocks stamp at publish and are immutable, so the answer is exact
+    * forever; the newest-first walk returns the highest qualifying
+    * version even across a wall-clock regression. */
+  def versionAsOfTimestamp(root: String, tsMillis: Long): Option[Int] =
+    versions(root).reverseIterator
+      .find(v => snapshot(root, Some(v)).get.ts <= tsMillis)
+
   def snapshot(root: String, version: Option[Int] = None): Option[Manifest] =
     (version match {
       case Some(v) => Some(v)
@@ -1641,7 +1658,12 @@ object SnapshotStore {
     val dir = manifestDir(root)
     Files.createDirectories(dir)
     val tmp = dir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, render(m).getBytes(StandardCharsets.UTF_8))
+    // commit wall-clock is stamped HERE, unconditionally: publish IS the
+    // commit instant, and manifests built by copy() would otherwise
+    // carry their base's clock. Immutable manifests make it exact
+    // forever — the TIMESTAMP AS OF resolution base.
+    Files.write(tmp, render(m.copy(ts = System.currentTimeMillis()))
+      .getBytes(StandardCharsets.UTF_8))
     try {
       // hard-link creation is atomic and fails iff the target exists —
       // exactly the one-winner-per-version primitive the protocol needs

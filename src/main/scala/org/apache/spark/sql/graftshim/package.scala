@@ -101,6 +101,20 @@ package object graftshim {
       : connector.expressions.filter.Predicate =
     f.toV2
 
+  /** A v1 [[execution.streaming.runtime.StreamingRelation]] leaf over a
+    * named source provider — how an analyzer rule swaps a DSv2
+    * streaming relation for a v1 micro-batch Source (the
+    * `readStream.table` front door). The provider's `sourceSchema`
+    * supplies the relation's name and output. Same `private[sql]`
+    * surface policy as the converters above. */
+  def v1StreamingRelation(spark: SparkSession, className: String,
+      options: Map[String, String])
+      : catalyst.plans.logical.LogicalPlan =
+    execution.streaming.runtime.StreamingRelation(
+      execution.datasources.DataSource(
+        spark.asInstanceOf[classic.SparkSession], className,
+        options = options))
+
   /** Register a SQL function on a LIVE session's function registry — the
     * runtime twin of `SparkSessionExtensions.injectFunction` (which only
     * applies at session construction via `spark.sql.extensions`). Same

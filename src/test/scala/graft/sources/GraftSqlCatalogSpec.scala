@@ -212,6 +212,42 @@ class GraftSqlCatalogSpec extends SparkSpec {
       e.getMessage.toLowerCase.contains("not found"), e.getMessage)
   }
 
+  test("TIMESTAMP AS OF: a timestamp between two commits reads the " +
+      "earlier catalog version; before the first commit refuses") {
+    val root = freshCatalog()
+    Catalog.commit(root, Map("tt" ->
+      ((spark.range(0, 5).toDF("id"), Catalog.Overwrite))))      // v0
+    val ts0 = Catalog.snapshot(root, Some(0)).get.ts
+    assert(ts0 > 0L, "publish must stamp the commit wall-clock")
+    Thread.sleep(30)
+    Catalog.commit(root, Map("tt" ->
+      ((spark.range(0, 50).toDF("id"), Catalog.Overwrite))))     // v1
+    val ts1 = Catalog.snapshot(root, Some(1)).get.ts
+    assert(ts1 > ts0)
+    // between the two commits -> v0; at/after v1 -> v1
+    assert(Catalog.versionAsOfTimestamp(root, (ts0 + ts1) / 2) ===
+      Some(0))
+    assert(Catalog.versionAsOfTimestamp(root, ts1) === Some(1))
+    assert(Catalog.versionAsOfTimestamp(root, ts0 - 1) === None)
+    // pure SQL: format the midpoint in the session's UTC clock
+    val mid = java.time.Instant.ofEpochMilli((ts0 + ts1) / 2)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.main.tt TIMESTAMP AS OF '$mid'")
+      .as[Long].head() === 5L)
+    assert(spark.sql("SELECT count(*) FROM graft.main.tt")
+      .as[Long].head() === 50L)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.main.tt TIMESTAMP AS OF " +
+        "'1999-01-01 00:00:00'").collect()
+    }
+    assert(e.getMessage.contains("before the") ||
+      e.getMessage.toLowerCase.contains("cannot be found") ||
+      e.getMessage.toLowerCase.contains("not found"), e.getMessage)
+  }
+
   test("MERGE INTO: three-clause merge with per-clause conditions, " +
       "first-matching-clause semantics, ONE catalog transaction") {
     val root = freshCatalog()

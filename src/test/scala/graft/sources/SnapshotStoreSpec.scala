@@ -1204,6 +1204,33 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.versions(root).last === v)
   }
 
+  test("timestampAsOf travels to the newest version at or before the " +
+      "instant; before-first-commit refuses; old manifests parse") {
+    val root = freshRoot()
+    SnapshotStore.commitOverwrite(spark.range(0, 5).toDF("id"), root)
+    val ts0 = SnapshotStore.snapshot(root, Some(0)).get.ts
+    assert(ts0 > 0L)
+    Thread.sleep(30)
+    SnapshotStore.commitAppend(spark.range(5, 8).toDF("id"), root)
+    val ts1 = SnapshotStore.snapshot(root, Some(1)).get.ts
+    assert(SnapshotStore.versionAsOfTimestamp(root, (ts0 + ts1) / 2)
+      === Some(0))
+    assert(SnapshotStore.versionAsOfTimestamp(root, ts0 - 1) === None)
+    // the format front door takes epoch millis or an ISO instant
+    assert(spark.read.format("graft")
+      .option("timestampAsOf", ((ts0 + ts1) / 2).toString)
+      .load(root).count() === 5)
+    assert(spark.read.format("graft")
+      .option("timestampAsOf",
+        java.time.Instant.ofEpochMilli(ts1).toString)
+      .load(root).count() === 8)
+    val e = intercept[Exception] {
+      spark.read.format("graft")
+        .option("timestampAsOf", (ts0 - 1).toString).load(root)
+    }
+    assert(e.getMessage.contains("predates"), e.getMessage)
+  }
+
   test("layered append keeps its stats: add-only layer files prune " +
       "through their own sidecar with report attribution") {
     val root = freshRoot()
