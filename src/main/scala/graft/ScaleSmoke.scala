@@ -1079,8 +1079,11 @@ object ScaleSmoke {
     // (segments_parsed / files_opened land in the artifact).
     if (enabled("segment_metadata")) locally {
       import graft.sources.SnapshotStore
-      val dir = java.nio.file.Files
+      // the table dir sits INSIDE a catalog root so the catalog can
+      // ADOPT it later (pure metadata) for the by-name lane
+      val segCatRoot = java.nio.file.Files
         .createTempDirectory("scale-segmeta").toString
+      val dir = java.nio.file.Paths.get(segCatRoot, "seg").toString
       val totalFiles = sys.env.get("SPARK_GRAFT_SEG_FILES").map(_.toInt)
         .getOrElse(math.min(100000, 1000 * mult))
       val chunks = 16
@@ -1182,6 +1185,50 @@ object ScaleSmoke {
         filesOpened = Some(fdRep.filesOpened),
         segmentsListed = Some(fdRep.segmentsListed),
         segmentsParsed = Some(fdRep.segmentsParsed)))
+      // the SAME slice BY NAME through the SQL catalog: adoption is a
+      // pure-metadata catalog commit (zero bytes moved at 10⁵ files),
+      // and per-statement resolution adds O(1) — one catalog-version
+      // read + one manifest parse — on top of the front door's
+      // O(intersecting segments) walk. Decision parity is REQUIREd
+      // against the readWhere reference; wall must sit within noise of
+      // segment_front_door.
+      import graft.sources.Catalog
+      val tAd0 = System.nanoTime()
+      Catalog.adopt(segCatRoot, "seg")
+      val adoptSec = (System.nanoTime() - tAd0) / 1e9
+      println(f"[scale] catalog_adopt               $nF%10d files" +
+        f"  $adoptSec%8.2f s  (pure metadata)")
+      record(Entry("catalog_adopt", nF.toLong, adoptSec))
+      spark.conf.set("spark.sql.catalog.graft",
+        "graft.sources.GraftSqlCatalog")
+      spark.conf.set("spark.sql.catalog.graft.root", segCatRoot)
+      var cdRep: SnapshotStore.ScanReport = null
+      var cdOut = 0L
+      val cdSec = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        cdOut = spark.sql("SELECT count(*) FROM graft.main.seg " +
+          s"WHERE id BETWEEN $sliceLo AND $sliceHi")
+          .collect()(0).getLong(0)
+        cdRep = GraftFileIndex.lastReport(dir).getOrElse(
+          sys.error("catalog front-door scan left no report"))
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      require(cdOut == nOut,
+        s"catalog front door must return the readWhere count: " +
+          s"$cdOut/$nOut")
+      require(cdRep.filesOpened == rep.filesOpened &&
+          cdRep.segmentsParsed == rep.segmentsParsed,
+        s"catalog front door must make readWhere's prune decision: " +
+          s"sql=$cdRep readWhere=$rep")
+      println(f"[scale] catalog_front_door          $cdOut%10d rows" +
+        f"  $cdSec%8.2f s  (opened ${cdRep.filesOpened}/" +
+        f"${cdRep.filesListed}, parsed ${cdRep.segmentsParsed}/" +
+        f"${cdRep.segmentsListed} segments)")
+      record(Entry("catalog_front_door", cdOut, cdSec,
+        filesListed = Some(cdRep.filesListed),
+        filesOpened = Some(cdRep.filesOpened),
+        segmentsListed = Some(cdRep.segmentsListed),
+        segmentsParsed = Some(cdRep.segmentsParsed)))
     }
 
     // corpus-level boilerplate stats at 20×: distinct-shingle explode →

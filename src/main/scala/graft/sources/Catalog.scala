@@ -365,6 +365,37 @@ object Catalog {
       s"version races under $root")
   }
 
+  /** ADOPT an existing TABLE-LAYER table into the catalog: the next
+    * catalog version names a staged COPY of the table's current
+    * manifest — pure metadata, zero data movement, and the table-layer
+    * version chain stays intact (mixed management: expiring table-layer
+    * versions remains [[SnapshotStore.vacuum]]'s job). The table dir
+    * must already live at `<root>/<table>`. This is how a 10⁵-file
+    * table built through the table-layer commit protocol becomes
+    * SQL-addressable by name without rewriting a byte. Refuses when the
+    * catalog already names the table. Returns the catalog version. */
+  def adopt(root: String, table: String): Int = {
+    val tr = tableRoot(root, table)
+    val m = SnapshotStore.snapshot(tr).getOrElse(sys.error(
+      s"adopt: no committed table-layer snapshot under $tr"))
+    var attempt = 0
+    while (attempt < SnapshotStore.MaxRetries) {
+      val cur = snapshot(root)
+      if (cur.exists(_.tables.contains(table)))
+        throw new TableExistsException(
+          s"catalog under $root already names $table")
+      val rel = s"_manifests/staged-${java.util.UUID.randomUUID()}.json"
+      Files.createDirectories(Paths.get(tr, rel).getParent)
+      Files.write(Paths.get(tr, rel),
+        SnapshotStore.render(m).getBytes(StandardCharsets.UTF_8))
+      val next = CatalogSnapshot(cur.map(_.version).getOrElse(-1) + 1,
+        cur.map(_.tables).getOrElse(Map.empty) + (table -> rel))
+      if (publishCat(root, next)) return next.version
+      attempt += 1
+    }
+    sys.error(s"catalog adopt lost ${SnapshotStore.MaxRetries} races")
+  }
+
   /** IDEMPOTENT append of ALREADY-WRITTEN data files — the driver half
     * of the DSv2 streaming sink (`writeStream.toTable`): executors
     * wrote `files` under `<root>/<table>/` themselves (the data never

@@ -64,7 +64,8 @@ import SnapshotStore.{Manifest, StatsPred}
   * `VERSION AS OF k` pins CATALOG version k (the cross-table-consistent
   * pin — not per-table versions, which the catalog layer deliberately
   * hides). */
-class GraftSqlCatalog extends TableCatalog {
+class GraftSqlCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var initOptions: Map[String, String] = Map.empty
@@ -208,6 +209,32 @@ class GraftSqlCatalog extends TableCatalog {
       newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
       "graft catalog: RENAME TABLE is not supported")
+
+  // ------------------------------------------------- stored procedures
+  // `CALL graft.system.<proc>(...)` — the maintenance half of the
+  // lifecycle, SQL-callable so create → mutate → compact → GC needs no
+  // Scala anywhere (the Spark 4 ProcedureCatalog API, the same door
+  // Iceberg exposes its actions through). Procedures live under the
+  // reserved `system` namespace; each returns its outcome as rows.
+
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] = {
+    if (!namespace.sameElements(Array(GraftProcedures.Ns)))
+      throw new NoSuchNamespaceException(namespace.toSeq)
+    GraftProcedures.names.map(n =>
+      Identifier.of(Array(GraftProcedures.Ns), n)).toArray
+  }
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures
+        .UnboundProcedure = {
+    require(ident.namespace.sameElements(Array(GraftProcedures.Ns)),
+      s"graft catalog: procedures live under the '${GraftProcedures.Ns}'" +
+        s" namespace (CALL graft.system.<name>(...)), got $ident")
+    GraftProcedures.load(root, ident.name).getOrElse(
+      throw new NoSuchTableException(Seq(
+        s"procedure $ident (have: ${GraftProcedures.names.mkString(",")})")))
+  }
 }
 
 /** One catalog-pinned table identity: the [[Manifest]] resolved at

@@ -346,6 +346,46 @@ class GraftSqlCatalogSpec extends SparkSpec {
       (0L to 9L).map(i => (i, Some(i))).toSet)
   }
 
+  test("CALL graft.system.optimize / vacuum: the maintenance half of " +
+      "the lifecycle from pure SQL — compaction folds layers and " +
+      "keeps content, vacuum sweeps expired versions' files") {
+    val root = freshCatalog()
+    Catalog.commit(root, Map("opt" ->
+      ((spark.range(0, 100).select(col("id"), (col("id") % 7).as("v"))
+        .repartition(6), Catalog.Overwrite))))
+    spark.sql("DELETE FROM graft.main.opt WHERE id >= 90") // layered
+    spark.sql("INSERT INTO graft.main.opt SELECT id, id % 7 AS v " +
+      "FROM range(200, 210)")
+    assert(Catalog.tableManifest(root, "opt").get.layers.size === 2)
+    val want = spark.sql("SELECT * FROM graft.main.opt")
+      .as[(Long, Long)].collect().toSet
+    // SQL OPTIMIZE: one file, layers folded, content identical
+    val out = spark.sql(
+      "CALL graft.system.optimize('opt', 1, NULL)").collect()
+    assert(out.length === 1 && out(0).getInt(2) === 1, out.toSeq)
+    val m = Catalog.tableManifest(root, "opt").get
+    assert(m.layers.isEmpty && m.files.size === 1)
+    assert(spark.sql("SELECT * FROM graft.main.opt")
+      .as[(Long, Long)].collect().toSet === want)
+    // z-ordered variant records the clustering spec's layout benefit:
+    // a range probe after CALL optimize(...,4,'id') prunes
+    spark.sql("CALL graft.system.optimize('opt', 4, 'id')")
+    val (_, rep) = Catalog.readTableWhere(spark, root, "opt",
+      SnapshotStore.StatsPred.Between("id", 0L, 20L))
+    assert(rep.filesOpened < rep.filesListed, rep.toString)
+    // SQL VACUUM: old catalog versions' unreachable files sweep
+    val deleted = spark.sql(
+      "CALL graft.system.vacuum(1, 0)").collect()(0).getInt(0)
+    assert(deleted > 0, "pre-optimize files must sweep")
+    assert(spark.sql("SELECT * FROM graft.main.opt")
+      .as[(Long, Long)].collect().toSet === want)
+    // unknown procedure refuses loudly
+    val e = intercept[Exception] {
+      spark.sql("CALL graft.system.nope(1)").collect()
+    }
+    assert(e.getMessage.contains("nope"), e.getMessage)
+  }
+
   test("MERGE/UPDATE enforce NOT NULL at runtime and refuse pinned " +
       "targets at analysis") {
     val root = freshCatalog()
