@@ -538,9 +538,14 @@ object GraftTable {
     // the base relation carries a LAYER-FREE manifest: this method
     // applies the layers itself, and a layered manifest inside the
     // relation would make [[GraftLayerFoldRule]] (when injected) fold
-    // them a second time
+    // them a second time. Emptiness is decided from the manifest-list
+    // TIER (inline files + the nFiles each SegmentRef carries) — this
+    // runs per ANALYSIS of every by-name statement, and calling
+    // allFiles here would parse every segment manifest (measured ~1 s
+    // of pure analyzer overhead per statement at 401 segments /
+    // 100k files) for a boolean the refs already answer.
     val base =
-      if (SnapshotStore.allFiles(root, m).isEmpty)
+      if (m.files.isEmpty && m.segments.forall(_.nFiles == 0))
         spark.createDataFrame(spark.sparkContext
           .emptyRDD[org.apache.spark.sql.Row], schema)
       else spark.baseRelationToDataFrame(

@@ -847,6 +847,13 @@ object SnapshotStore {
       schema: org.apache.spark.sql.types.StructType,
       p: StatsPred): Boolean = {
     import StatsPred._
+    // a ZERO-ROW file matches nothing, for ANY predicate — vacuously
+    // sound, and the case absent min/max stats would otherwise force
+    // open (an empty boundary partition written by an UPDATE/merge has
+    // no values to derive a range from). The size pseudo-column is
+    // excluded: its rows field is the byte size.
+    if ((stats - SizeKey).headOption.exists(_._2.rows == 0L))
+      return false
     def colInfo(n: String): Option[(ColStats,
         org.apache.spark.sql.types.DataType)] =
       for { cs <- stats.get(n); f <- schema.fields.find(_.name == n) }
@@ -1212,18 +1219,29 @@ object SnapshotStore {
             }
           }
         }
-        val cols = accs.toMap.map { case (name, a) =>
-          val mm =
-            if (!a.minMaxKnown) (None, None)
-            else (Option(a.min).flatMap(statString(a.prim, _)),
-              Option(a.max).flatMap(statString(a.prim, _)))
-          // an unusable min OR max poisons both (a one-sided range is
-          // not the contract the skip logic assumes)
-          val (mnS, mxS) =
-            if (mm._1.isEmpty || mm._2.isEmpty) (None, None) else mm
-          name -> ColStats(rows,
-            if (a.nullsKnown) Some(a.nulls) else None, mnS, mxS)
-        }
+        val cols =
+          if (rows == 0L)
+            // a ZERO-ROW file has no row groups to walk — record every
+            // top-level schema column explicitly with rows=0 so the
+            // skip logic can prove "nothing here matches anything"
+            // (an entry-less sidecar line would force a conservative
+            // open; empty boundary partitions of UPDATE/merge writes
+            // produce exactly these files)
+            reader.getFooter.getFileMetaData.getSchema.getFields.asScala
+              .map(f => f.getName -> ColStats(0L, Some(0L), None, None))
+              .toMap
+          else accs.toMap.map { case (name, a) =>
+            val mm =
+              if (!a.minMaxKnown) (None, None)
+              else (Option(a.min).flatMap(statString(a.prim, _)),
+                Option(a.max).flatMap(statString(a.prim, _)))
+            // an unusable min OR max poisons both (a one-sided range is
+            // not the contract the skip logic assumes)
+            val (mnS, mxS) =
+              if (mm._1.isEmpty || mm._2.isEmpty) (None, None) else mm
+            name -> ColStats(rows,
+              if (a.nullsKnown) Some(a.nulls) else None, mnS, mxS)
+          }
         // FILE SIZE rides the sidecar as a reserved pseudo-column (rows
         // = byte size): the harvest already opens the file, so this is
         // free at commit time, and it removes the per-file stat walk an
