@@ -157,6 +157,7 @@ object SparkEntry {
     "q136_sql_merge"       -> (Relational.q136SqlMerge _),
     "q137_sql_update"      -> (Relational.q137SqlUpdate _),
     "q138_named_stream"    -> (Relational.q138NamedStream _),
+    "q139_meta_tables"     -> (Relational.q139MetaTables _),
   )
 
   /** The cohort-retention-matrix oracle, shared by q93 (the batch
@@ -1050,6 +1051,26 @@ object SparkEntry {
              AS BIGINT) AS cents
          FROM orders WHERE o_orderkey % 3 IN (1, 2)
          GROUP BY 1 ORDER BY 1""",
+    // SQL metadata tables: history op/version/layer sequence, time-
+    // traveled pre-delete files rowcount, the add-only layer's rowcount,
+    // and the detail summary — the oracle restates the constants the
+    // four-statement lifecycle must produce, with the two data-derived
+    // counts recomputed from orders.
+    "q139_meta_tables" ->
+      """WITH a AS (SELECT COUNT(*) AS c FROM orders
+             WHERE o_orderkey % 4 = 0),
+           b AS (SELECT COUNT(*) AS c FROM orders
+             WHERE o_orderkey % 10 = 0)
+         SELECT part, k, op, v1, v2 FROM (
+           SELECT 'h' AS part, CAST(0 AS BIGINT) AS k, 'CREATE' AS op,
+                  CAST(0 AS BIGINT) AS v1, CAST(0 AS BIGINT) AS v2
+           UNION ALL SELECT 'h', 1, 'APPEND', 1, 0
+           UNION ALL SELECT 'h', 2, 'DELETE', 2, 1
+           UNION ALL SELECT 'h', 3, 'APPEND', 3, 2
+           UNION ALL SELECT 'f0', -1, 'rows', (SELECT c FROM a), 0
+           UNION ALL SELECT 'f', 2, 'rows', (SELECT c FROM b), 0
+           UNION ALL SELECT 'd', -2, 'detail', 3, 2
+         ) ORDER BY part, k""",
     // OPTIMIZE: content-hash invariance through the compaction rewrite —
     // the oracle is the pre-optimize content (thirds 0+1), recomputed.
     "q118_optimize" ->

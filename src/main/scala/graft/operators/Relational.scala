@@ -2593,6 +2593,94 @@ object Relational {
     df
   }
 
+  /** q139: SQL METADATA TABLES ([[graft.sources.GraftMetaTables]]) —
+    * the Iceberg/Delta introspection surface over the named catalog:
+    * `graft.main.t.history` (one row per commit that changed t,
+    * operation classified from pure manifest algebra), `t.files`
+    * (every referenced file with sidecar-carried rows/sizes and
+    * base/segment/layer attribution), `t.detail` (one-row summary) —
+    * all VERSION AS OF-travelable and pinned per statement like every
+    * other front door. The gate drives a four-statement SQL lifecycle
+    * (CREATE, INSERT, DELETE, INSERT — the last landing as an add-only
+    * layer on the now-layered table) and reads it back ENTIRELY through
+    * the metadata tables: the history op/version/layer sequence, the
+    * pre-delete files rowcount via time travel (post-delete base counts
+    * are layout-dependent — deleteTransform drops provably-all-matching
+    * files), the add-only layer's rowcount, and the detail summary. The
+    * oracle restates the expected constants from orders. Everything is
+    * manifest-derived — zero data-file reads in the whole gated query
+    * (the builder require()s the plan is scan-free). */
+  private val metaTablesRoot =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def q139MetaTables(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.Catalog
+    val root = metaTablesRoot.getOrElseUpdate(sfDir, {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-metatables-").toString
+      spark.conf.set("spark.sql.catalog.graft",
+        "graft.sources.GraftSqlCatalog")
+      spark.conf.set("spark.sql.catalog.graft.root", dir)
+      val view = "q139_src_" +
+        java.lang.Integer.toHexString(sfDir.hashCode)
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .createOrReplaceTempView(view)
+      val (kMin, kMax) = Tables.orders(spark, sfDir)
+        .agg(min(col("o_orderkey")), max(col("o_orderkey")))
+        .as[(Long, Long)](org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong)).head()
+      val span = kMax - kMin
+      val (lo, hi) = (kMin + span / 4, kMin + span / 2)
+      val shift = span + 1
+      spark.sql("CREATE TABLE graft.main.meta " +
+        "(o_orderkey BIGINT, o_totalprice DOUBLE) USING graft") // v0
+      spark.sql(s"INSERT INTO graft.main.meta SELECT o_orderkey, " +
+        s"o_totalprice FROM $view WHERE o_orderkey % 4 = 0")     // v1
+      spark.sql(s"DELETE FROM graft.main.meta WHERE o_orderkey " +
+        s"BETWEEN $lo AND $hi")                                  // v2
+      spark.sql(s"INSERT INTO graft.main.meta SELECT o_orderkey + " +
+        s"$shift, o_totalprice FROM $view WHERE o_orderkey % 10 = 0") // v3
+      require(Catalog.versions(dir) == (0 to 3),
+        s"expected 4 catalog versions, got ${Catalog.versions(dir)}")
+      val m = Catalog.tableManifest(dir, "meta").get
+      require(m.layers.size == 2 && m.layers(0).pred.nonEmpty &&
+          m.layers(0).files.isEmpty && m.layers(1).key.isEmpty &&
+          m.layers(1).pred.isEmpty,
+        s"expected pred layer + add-only layer, got ${m.layers}")
+      dir
+    })
+    spark.conf.set("spark.sql.catalog.graft",
+      "graft.sources.GraftSqlCatalog")
+    spark.conf.set("spark.sql.catalog.graft.root", root)
+    val df = spark.sql(
+      """SELECT part, k, op, v1, v2 FROM (
+           SELECT 'h' AS part, CAST(catalog_version AS BIGINT) AS k,
+                  operation AS op, CAST(table_version AS BIGINT) AS v1,
+                  CAST(n_layers AS BIGINT) AS v2
+           FROM graft.main.meta.history
+           UNION ALL
+           SELECT 'f0', CAST(-1 AS BIGINT), 'rows',
+                  CAST(SUM(rows) AS BIGINT), CAST(0 AS BIGINT)
+           FROM graft.main.meta.files VERSION AS OF 1
+           UNION ALL
+           SELECT 'f', CAST(2 AS BIGINT), 'rows',
+                  CAST(SUM(rows) AS BIGINT), CAST(0 AS BIGINT)
+           FROM graft.main.meta.files WHERE layer = 2
+           UNION ALL
+           SELECT 'd', CAST(-2 AS BIGINT), 'detail',
+                  CAST(table_version AS BIGINT),
+                  CAST(n_layers AS BIGINT)
+           FROM graft.main.meta.detail
+         ) ORDER BY part, k""")
+    // the whole gated query is manifest metadata — no data-file scan
+    require(!df.queryExecution.executedPlan.toString
+        .contains("GraftFileIndex"),
+      "metadata tables must not scan data files")
+    df
+  }
+
   def q118Optimize(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.sources.SnapshotStore
     val root = optimizeRoot.getOrElseUpdate(sfDir, {

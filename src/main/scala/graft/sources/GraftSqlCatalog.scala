@@ -107,6 +107,18 @@ class GraftSqlCatalog extends TableCatalog
       Catalog.snapshot(root).exists(_.tables.contains(ident.name))
 
   private def load(ident: Identifier, version: Option[Int]): Table = {
+    // metadata tables: `graft.main.<t>.history|files|detail` arrives as
+    // (namespace=[main, <t>], name=<kind>) — unambiguous because the
+    // real namespace is flat `main`
+    if (ident.namespace.length == 2 && ident.namespace()(0) == Ns &&
+        GraftMetaTables.kinds(ident.name)) {
+      val r = root
+      val t = ident.namespace()(1)
+      if (Catalog.tableManifest(r, t, version).isEmpty)
+        throw new NoSuchTableException(ident)
+      val pinned = version.getOrElse(Catalog.versions(r).last)
+      return GraftMetaTable(r, t, ident.name, pinned)
+    }
     checkNs(ident.namespace)
     val r = root
     val m = Catalog.tableManifest(r, ident.name, version)
@@ -588,6 +600,18 @@ class GraftCatalogRelationRule(spark: SparkSession)
             val foldPlan = folded.queryExecution.analyzed
             Project(foldPlan.output.zip(r.output).map { case (n, o) =>
               Alias(n, o.name)(exprId = o.exprId) }, foldPlan)
+          // metadata tables (t.history / t.files / t.detail): the rows
+          // are a driver-side manifest walk — substitute a local
+          // relation, re-aliased to the v2 relation's ExprIds like any
+          // other fold. Computed HERE (analysis time) so the rows honor
+          // the same per-statement snapshot pin as data reads.
+          case mt: GraftMetaTable =>
+            val df = spark.createDataFrame(
+              scala.jdk.CollectionConverters.SeqHasAsJava(
+                GraftMetaTables.rows(mt)).asJava, mt.schema())
+            val plan = df.queryExecution.analyzed
+            Project(plan.output.zip(r.output).map { case (n, o) =>
+              Alias(n, o.name)(exprId = o.exprId) }, plan)
           case _ => r
         }
       // `spark.readStream.table("graft.main.t")`: swap the v2 streaming
