@@ -334,7 +334,8 @@ class GraftDataSource extends RelationProvider
                 s"graft stream: no committed catalog under $catRoot"))))
         new GraftCatalogRowSource(sqlContext.sparkSession, catRoot, t,
           starting,
-          parameters.get("skipChangeCommits").exists(_.trim.toBoolean))
+          parameters.get("skipChangeCommits").exists(_.trim.toBoolean),
+          GraftChangeSource.maxVersions(parameters))
       case _ =>
         GraftChangeSource.create(sqlContext, parameters, metadataPath)
     }

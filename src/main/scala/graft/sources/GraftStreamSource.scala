@@ -37,7 +37,8 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType,
   * derived frame). The frame is re-rooted as a streaming LogicalRDD —
   * lazy, computed by the micro-batch itself. */
 class GraftChangeSource(spark: SparkSession, root: String,
-    startingVersion: Int) extends Source {
+    startingVersion: Int, maxVersionsPerTrigger: Option[Int] = None)
+    extends Source {
 
   private val tableSchema: StructType = {
     val m = SnapshotStore.snapshot(root).getOrElse(sys.error(
@@ -51,9 +52,25 @@ class GraftChangeSource(spark: SparkSession, root: String,
   private def head: Int = SnapshotStore.versions(root).lastOption
     .getOrElse(sys.error(s"graft stream: table vanished under $root"))
 
+  /** Rate-limit cursor: the highest version this source has HANDED to a
+    * batch (getBatch advances it — including the re-initialization
+    * getBatch MicroBatchExecution issues on every checkpoint restart,
+    * which is what keeps a restarted limited stream from re-offering
+    * already-committed versions). Offsets stay exact either way; the
+    * limit only paces how far each trigger advances. */
+  private var lastEnd: Int = startingVersion
+
   override def getOffset: Option[Offset] = {
     val h = head
-    if (h > startingVersion) Some(GraftVersionOffset(h)) else None
+    // cap the next batch at `maxVersionsPerTrigger` version steps past
+    // the last handed-out end — a stream starting from an OLD version
+    // of a big table backfills in bounded micro-batches instead of one
+    // batch covering the whole history (the Delta maxFilesPerTrigger
+    // idea, expressed in this store's version currency)
+    val capped = maxVersionsPerTrigger
+      .fold(h)(n => math.min(h.toLong, lastEnd.toLong + n).toInt)
+    if (capped > startingVersion) Some(GraftVersionOffset(capped))
+    else None
   }
 
   private def ver(o: Offset): Int = o match {
@@ -66,6 +83,7 @@ class GraftChangeSource(spark: SparkSession, root: String,
     val to = ver(end)
     require(from <= to,
       s"graft stream: offset went backwards ($from > $to) under $root")
+    lastEnd = math.max(lastEnd, to)
     if (from == to) {
       // zero-version batch (restart bookkeeping): empty frame
       return org.apache.spark.sql.graftshim.asStreamingFrame(
@@ -112,8 +130,19 @@ object GraftChangeSource {
       "graft stream: missing 'path' (use .load(<table root>))"))
     val starting = resolveStarting(sqlContext, parameters, root,
       metadataPath)
-    new GraftChangeSource(sqlContext.sparkSession, root, starting)
+    new GraftChangeSource(sqlContext.sparkSession, root, starting,
+      maxVersions(parameters))
   }
+
+  /** Parse-and-validate the shared `maxVersionsPerTrigger` option. */
+  private[sources] def maxVersions(
+      parameters: Map[String, String]): Option[Int] =
+    parameters.get("maxVersionsPerTrigger").map { s =>
+      val n = s.trim.toInt
+      require(n > 0,
+        s"graft stream: maxVersionsPerTrigger must be positive, got $n")
+      n
+    }
 
   /** Resolve-and-PIN the stream's starting version (the Delta
     * initial-snapshot-pin pattern): the default starting version is
@@ -193,7 +222,8 @@ final case class GraftVersionOffset(v: Int) extends Offset {
   * yields the same rows. Vacuumed-past-the-cursor versions fail
   * loudly, same retention contract as the path source. */
 class GraftCatalogRowSource(spark: SparkSession, catRoot: String,
-    table: String, startingVersion: Int, skipChangeCommits: Boolean)
+    table: String, startingVersion: Int, skipChangeCommits: Boolean,
+    maxVersionsPerTrigger: Option[Int] = None)
     extends Source {
 
   override val schema: StructType = {
@@ -205,9 +235,17 @@ class GraftCatalogRowSource(spark: SparkSession, catRoot: String,
   private def head: Int = Catalog.versions(catRoot).lastOption
     .getOrElse(sys.error(s"graft stream: catalog vanished under $catRoot"))
 
+  /** Rate-limit cursor — see [[GraftChangeSource.lastEnd]]; same
+    * restart-safety contract (MicroBatchExecution's re-init getBatch
+    * advances it before the first post-restart getOffset). */
+  private var lastEnd: Int = startingVersion
+
   override def getOffset: Option[Offset] = {
     val h = head
-    if (h > startingVersion) Some(GraftVersionOffset(h)) else None
+    val capped = maxVersionsPerTrigger
+      .fold(h)(n => math.min(h.toLong, lastEnd.toLong + n).toInt)
+    if (capped > startingVersion) Some(GraftVersionOffset(capped))
+    else None
   }
 
   private def ver(o: Offset): Int = o match {
@@ -247,6 +285,7 @@ class GraftCatalogRowSource(spark: SparkSession, catRoot: String,
     val to = ver(end)
     require(from <= to,
       s"graft stream: offset went backwards ($from > $to)")
+    lastEnd = math.max(lastEnd, to)
     val empty = () => org.apache.spark.sql.graftshim.asStreamingFrame(
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
