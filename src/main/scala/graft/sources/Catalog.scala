@@ -519,6 +519,57 @@ object Catalog {
       s"version races under $root")
   }
 
+  /** RESTORE one table to its content at catalog version
+    * `toCatalogVersion` — Delta's `RESTORE TABLE ... VERSION AS OF`:
+    * a NEW catalog commit whose manifest for the table is a staged COPY
+    * of the target version's (files/segments/layers/blooms/stats all by
+    * reference — data files are immutable, so restore is PURE METADATA,
+    * O(manifest bytes) regardless of table size). History is preserved:
+    * every interim version stays travelable, and the restore itself
+    * appends a version rather than rewriting any. The copy's table
+    * version advances past the current head's (a restore is a new
+    * commit, not a cursor rewind) and its writer-txn clears (txn marks
+    * exactly one commit's idempotency; a copy must not replay-dedup
+    * against the commit it copied). Returns the new CATALOG version. */
+  def restoreTable(root: String, table: String,
+      toCatalogVersion: Int): Int = {
+    val tr = tableRoot(root, table)
+    val target = snapshot(root, Some(toCatalogVersion)).getOrElse(
+      sys.error(s"restore: catalog under $root has no version " +
+        s"$toCatalogVersion"))
+    val targetRel = target.tables.getOrElse(table, sys.error(
+      s"restore: table $table does not exist at catalog version " +
+        s"$toCatalogVersion"))
+    val targetM = SnapshotStore.parse(new String(Files.readAllBytes(
+      Paths.get(tr, targetRel)), StandardCharsets.UTF_8))
+    var attempt = 0
+    while (attempt < SnapshotStore.MaxRetries) {
+      val cur = snapshot(root).getOrElse(sys.error(
+        s"restore on a catalog with no committed versions: $root"))
+      val headRel = cur.tables.getOrElse(table, sys.error(
+        s"restore: catalog under $root no longer names $table"))
+      val headM = SnapshotStore.parse(new String(Files.readAllBytes(
+        Paths.get(tr, headRel)), StandardCharsets.UTF_8))
+      // no-op when the head already HAS the target's content (compare
+      // everything but the commit bookkeeping — a restore of a restore
+      // must not stack versions)
+      def content(m: SnapshotStore.Manifest) =
+        m.copy(version = 0, base = 0, txn = "", ts = 0L)
+      if (content(headM) == content(targetM)) return cur.version
+      val next = targetM.copy(version = headM.version + 1,
+        base = headM.version, txn = "")
+      val rel = s"_manifests/staged-${java.util.UUID.randomUUID()}.json"
+      Files.createDirectories(Paths.get(tr, rel).getParent)
+      Files.write(Paths.get(tr, rel),
+        SnapshotStore.render(next).getBytes(StandardCharsets.UTF_8))
+      if (publishCat(root, CatalogSnapshot(cur.version + 1,
+          cur.tables + (table -> rel)))) return cur.version + 1
+      attempt += 1
+    }
+    sys.error(s"catalog restore lost ${SnapshotStore.MaxRetries} " +
+      s"version races under $root")
+  }
+
   /** UPDATE as the LAYER PAIR in ONE catalog transaction — the
     * O(changes)-write lane under SQL UPDATE when the predicate
     * translates to the stats language: the next manifest is

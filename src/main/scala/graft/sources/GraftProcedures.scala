@@ -37,12 +37,13 @@ private[sources] object GraftProcedures {
 
   val Ns = "system"
 
-  val names: Seq[String] = Seq("vacuum", "optimize")
+  val names: Seq[String] = Seq("vacuum", "optimize", "restore")
 
   def load(root: String, name: String): Option[UnboundProcedure] =
     name match {
       case "vacuum"   => Some(VacuumProc(root))
       case "optimize" => Some(OptimizeProc(root))
+      case "restore"  => Some(RestoreProc(root))
       case _          => None
     }
 
@@ -129,6 +130,31 @@ private[sources] object GraftProcedures {
       }
       sys.error(s"optimize lost ${SnapshotStore.MaxRetries} CAS races " +
         s"on $root/$table")
+    }
+  }
+
+  /** `CALL graft.system.restore('t', v)` → [[Catalog.restoreTable]]:
+    * roll one table back to its content at catalog version `v` as a
+    * NEW commit — pure metadata (the staged manifest copies the target
+    * by reference), history preserved, every interim version still
+    * travelable. Returns `(catalog_version)` of the restore commit. */
+  private final case class RestoreProc(root: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "restore"
+    override def description(): String =
+      "restore a table to its content at a catalog version (new " +
+        "commit, pure metadata, history preserved)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("table", StringType),
+      in("to_version", IntegerType))
+    private val outSchema = StructType(Seq(
+      StructField("catalog_version", IntegerType)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val v = Catalog.restoreTable(root, table, input.getInt(1))
+      result(outSchema, new GenericInternalRow(Array[Any](v)))
     }
   }
 }

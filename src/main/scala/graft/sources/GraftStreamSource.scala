@@ -5,6 +5,58 @@ import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType,
   StructField, StructType}
 
+/** Shared VERSION-PACED ADMISSION CONTROL for both streaming sources —
+  * the v1-Source-plus-SupportsAdmissionControl pattern KafkaSource
+  * uses: MicroBatchExecution prefers `latestOffset(start, limit)` over
+  * `getOffset` (the start offset is the checkpoint cursor, so pacing
+  * needs no restart bookkeeping at all), and a source implementing
+  * [[org.apache.spark.sql.connector.read.streaming
+  * .SupportsTriggerAvailableNow]] is used UNWRAPPED under
+  * `Trigger.AvailableNow` — `prepareForTriggerAvailableNow` pins the
+  * drain target at trigger start and the stream then advances
+  * `maxVersionsPerTrigger` steps per batch UNTIL that target: a paced
+  * FULL drain (the Delta semantics), where the default wrapper would
+  * have stopped after one capped batch. */
+private[sources] trait GraftVersionPacing
+    extends org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{
+    Offset => OffsetV2, ReadLimit}
+
+  /** Current head (table or catalog version) — can only grow. */
+  protected def headVersion: Int
+  /** The stream's pinned starting version ("changes through it are
+    * already emitted"). */
+  protected def pacingStart: Int
+  protected def maxVersionsPerTrigger: Option[Int]
+
+  @volatile private var drainTarget: Option[Int] = None
+
+  private def versionOf(o: OffsetV2): Int = o match {
+    case GraftVersionOffset(v) => v
+    case other => other.json.trim.toInt // SerializedOffset on restart
+  }
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    drainTarget = Some(headVersion)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def initialOffset(): OffsetV2 = GraftVersionOffset(pacingStart)
+
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    // under AvailableNow the target is FIXED at trigger start (commits
+    // racing the drain wait for the next trigger); live triggers chase
+    // the moving head
+    val target = drainTarget.getOrElse(headVersion)
+    val from = Option(start).map(versionOf).getOrElse(pacingStart)
+    val capped = maxVersionsPerTrigger.fold(target)(n =>
+      math.min(target.toLong, from.toLong + n).toInt)
+    val end = math.max(capped, from) // a stale target never goes backwards
+    if (end > pacingStart) GraftVersionOffset(end) else null
+  }
+}
+
 /** Snapshot-store CHANGE-FEED STREAMING SOURCE — the Delta
   * streaming-source shape on this store's primitives:
   *
@@ -37,8 +89,9 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType,
   * derived frame). The frame is re-rooted as a streaming LogicalRDD —
   * lazy, computed by the micro-batch itself. */
 class GraftChangeSource(spark: SparkSession, root: String,
-    startingVersion: Int, maxVersionsPerTrigger: Option[Int] = None)
-    extends Source {
+    startingVersion: Int,
+    override protected val maxVersionsPerTrigger: Option[Int] = None)
+    extends Source with GraftVersionPacing {
 
   private val tableSchema: StructType = {
     val m = SnapshotStore.snapshot(root).getOrElse(sys.error(
@@ -52,25 +105,15 @@ class GraftChangeSource(spark: SparkSession, root: String,
   private def head: Int = SnapshotStore.versions(root).lastOption
     .getOrElse(sys.error(s"graft stream: table vanished under $root"))
 
-  /** Rate-limit cursor: the highest version this source has HANDED to a
-    * batch (getBatch advances it — including the re-initialization
-    * getBatch MicroBatchExecution issues on every checkpoint restart,
-    * which is what keeps a restarted limited stream from re-offering
-    * already-committed versions). Offsets stay exact either way; the
-    * limit only paces how far each trigger advances. */
-  private var lastEnd: Int = startingVersion
+  override protected def headVersion: Int = head
+  override protected def pacingStart: Int = startingVersion
 
+  // the engine routes through latestOffset (SupportsAdmissionControl,
+  // where maxVersionsPerTrigger paces each batch against the
+  // checkpoint cursor); this is the plain v1 fallback
   override def getOffset: Option[Offset] = {
     val h = head
-    // cap the next batch at `maxVersionsPerTrigger` version steps past
-    // the last handed-out end — a stream starting from an OLD version
-    // of a big table backfills in bounded micro-batches instead of one
-    // batch covering the whole history (the Delta maxFilesPerTrigger
-    // idea, expressed in this store's version currency)
-    val capped = maxVersionsPerTrigger
-      .fold(h)(n => math.min(h.toLong, lastEnd.toLong + n).toInt)
-    if (capped > startingVersion) Some(GraftVersionOffset(capped))
-    else None
+    if (h > startingVersion) Some(GraftVersionOffset(h)) else None
   }
 
   private def ver(o: Offset): Int = o match {
@@ -83,7 +126,6 @@ class GraftChangeSource(spark: SparkSession, root: String,
     val to = ver(end)
     require(from <= to,
       s"graft stream: offset went backwards ($from > $to) under $root")
-    lastEnd = math.max(lastEnd, to)
     if (from == to) {
       // zero-version batch (restart bookkeeping): empty frame
       return org.apache.spark.sql.graftshim.asStreamingFrame(
@@ -223,8 +265,8 @@ final case class GraftVersionOffset(v: Int) extends Offset {
   * loudly, same retention contract as the path source. */
 class GraftCatalogRowSource(spark: SparkSession, catRoot: String,
     table: String, startingVersion: Int, skipChangeCommits: Boolean,
-    maxVersionsPerTrigger: Option[Int] = None)
-    extends Source {
+    override protected val maxVersionsPerTrigger: Option[Int] = None)
+    extends Source with GraftVersionPacing {
 
   override val schema: StructType = {
     val m = Catalog.tableManifest(catRoot, table).getOrElse(sys.error(
@@ -235,17 +277,13 @@ class GraftCatalogRowSource(spark: SparkSession, catRoot: String,
   private def head: Int = Catalog.versions(catRoot).lastOption
     .getOrElse(sys.error(s"graft stream: catalog vanished under $catRoot"))
 
-  /** Rate-limit cursor — see [[GraftChangeSource.lastEnd]]; same
-    * restart-safety contract (MicroBatchExecution's re-init getBatch
-    * advances it before the first post-restart getOffset). */
-  private var lastEnd: Int = startingVersion
+  override protected def headVersion: Int = head
+  override protected def pacingStart: Int = startingVersion
 
+  // plain v1 fallback; the engine paces through latestOffset
   override def getOffset: Option[Offset] = {
     val h = head
-    val capped = maxVersionsPerTrigger
-      .fold(h)(n => math.min(h.toLong, lastEnd.toLong + n).toInt)
-    if (capped > startingVersion) Some(GraftVersionOffset(capped))
-    else None
+    if (h > startingVersion) Some(GraftVersionOffset(h)) else None
   }
 
   private def ver(o: Offset): Int = o match {
@@ -285,7 +323,6 @@ class GraftCatalogRowSource(spark: SparkSession, catRoot: String,
     val to = ver(end)
     require(from <= to,
       s"graft stream: offset went backwards ($from > $to)")
-    lastEnd = math.max(lastEnd, to)
     val empty = () => org.apache.spark.sql.graftshim.asStreamingFrame(
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))

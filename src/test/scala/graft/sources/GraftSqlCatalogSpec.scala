@@ -403,4 +403,48 @@ class GraftSqlCatalogSpec extends SparkSpec {
     assert(Catalog.versions(root) === Seq(0))
     assert(Catalog.readTable(spark, root, "nn").count() === 3)
   }
+
+  test("CALL graft.system.restore: pure-metadata rollback as a NEW " +
+      "commit — history preserved, interim versions travelable, " +
+      "refusals loud") {
+    val root = freshCatalog()
+    Catalog.commit(root, Map("r" ->
+      ((spark.range(0, 10).toDF("id"), Catalog.Overwrite))))     // v0
+    spark.sql("INSERT INTO graft.main.r SELECT id + 100 FROM range(5)") // v1
+    spark.sql("DELETE FROM graft.main.r WHERE id < 3")           // v2
+    val dataFiles = java.nio.file.Files.walk(
+      java.nio.file.Paths.get(root)).filter(
+        _.toString.endsWith(".parquet")).count()
+    val out = spark.sql("CALL graft.system.restore('r', 0)").collect()
+    assert(out.head.getInt(0) === 3, out.toSeq.toString) // new commit v3
+    // restore wrote NO data files (pure metadata)
+    val dataFilesAfter = java.nio.file.Files.walk(
+      java.nio.file.Paths.get(root)).filter(
+        _.toString.endsWith(".parquet")).count()
+    assert(dataFilesAfter === dataFiles)
+    // head content == v0 content
+    assert(spark.sql("SELECT * FROM graft.main.r").as[Long]
+      .collect().toSet === (0L until 10L).toSet)
+    // interim history is preserved and still travelable
+    assert(spark.sql(
+      "SELECT * FROM graft.main.r VERSION AS OF 2").as[Long]
+      .collect().toSet === ((3L until 10L) ++ (100L until 105L)).toSet)
+    // restoring to the current content is a no-op (no new version)
+    val again = spark.sql("CALL graft.system.restore('r', 0)").collect()
+    assert(again.head.getInt(0) === 3)
+    assert(Catalog.versions(root) === (0 to 3))
+    // the table can move on after a restore
+    spark.sql("INSERT INTO graft.main.r SELECT id + 500 FROM range(2)") // v4
+    assert(spark.sql("SELECT COUNT(*) FROM graft.main.r")
+      .as[Long].head() === 12L)
+    // refusals: unknown version, table absent at target
+    intercept[Exception] {
+      spark.sql("CALL graft.system.restore('r', 99)").collect()
+    }
+    Catalog.commit(root, Map("late" ->
+      ((spark.range(2).toDF("id"), Catalog.Overwrite))))         // v5
+    intercept[Exception] {
+      spark.sql("CALL graft.system.restore('late', 0)").collect()
+    }
+  }
 }

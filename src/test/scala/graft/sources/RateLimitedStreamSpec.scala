@@ -52,8 +52,9 @@ class RateLimitedStreamSpec extends SparkSpec {
     // three appended versions, each its own micro-batch of 5 rows —
     // never one 15-row catch-up batch
     assert(got.map(_._2) === Seq(5L, 5L, 5L), got.toString)
-    // restart with versions committed while down: the re-init getBatch
-    // advances the limit cursor, so the next batch continues FORWARD
+    // restart with versions committed while down: latestOffset receives
+    // the CHECKPOINT cursor as its start, so the next batch continues
+    // FORWARD (no re-offering of committed versions)
     Catalog.commit(root, Map("t" ->
       ((spark.range(400, 404).toDF("id"), Catalog.Append))))  // v4
     Catalog.commit(root, Map("t" ->
@@ -119,5 +120,40 @@ class RateLimitedStreamSpec extends SparkSpec {
     }
     assert((e.getMessage + Option(e.getCause).map(_.getMessage)
       .getOrElse("")).contains("must be positive"), e.getMessage)
+  }
+
+  test("Trigger.AvailableNow + maxVersionsPerTrigger drains the WHOLE " +
+      "backlog in paced batches then stops (SupportsTriggerAvailableNow " +
+      "— the default one-batch wrapper would stop after one capped " +
+      "step)") {
+    val root = freshCatalog()
+    Catalog.commit(root, Map("an" ->
+      ((spark.range(0, 3).toDF("id"), Catalog.Overwrite))))   // v0
+    (1 to 5).foreach { k =>
+      Catalog.commit(root, Map("an" ->
+        ((spark.range(k * 10L, k * 10L + 3).toDF("id"),
+          Catalog.Append))))                                  // v1..v5
+    }
+    val batches = new ConcurrentLinkedQueue[java.lang.Long]()
+    val ckpt = Files.createTempDirectory("ratelim-an").toString
+    val q = spark.readStream
+      .option("startingVersion", "0")
+      .option("maxVersionsPerTrigger", "2")
+      .table("graft.main.an")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        val n = df.count()
+        if (n > 0) batches.add(java.lang.Long.valueOf(n)); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow must self-stop")
+    val sizes = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(batches.iterator).asScala.map(_.toLong).toSeq
+    // five appended versions of 3 rows at 2 versions per trigger:
+    // 6/6/3 — the full backlog, paced, then self-stop
+    assert(sizes === Seq(6L, 6L, 3L), sizes.toString)
   }
 }
