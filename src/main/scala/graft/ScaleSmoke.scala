@@ -1229,6 +1229,41 @@ object ScaleSmoke {
         filesOpened = Some(cdRep.filesOpened),
         segmentsListed = Some(cdRep.segmentsListed),
         segmentsParsed = Some(cdRep.segmentsParsed)))
+      // METADATA TABLES at 10⁵ files: `t.files` lists EVERY referenced
+      // file with its sidecar-carried rows — the deliberate full-
+      // metadata walk (all segment manifests + stats sidecars parse),
+      // paid only when a user asks for the complete inventory; the
+      // SUM(rows) require doubles as a stats-coverage check (a file
+      // missing from any sidecar would null out of the sum). `t.history`
+      // prices the O(catalog versions) walk.
+      var mfFiles = 0L
+      var mfRows = 0L
+      val mfSec = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val r = spark.sql("SELECT COUNT(*), CAST(SUM(rows) AS BIGINT) " +
+          "FROM graft.main.seg.files").collect()(0)
+        mfFiles = r.getLong(0); mfRows = r.getLong(1)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      require(mfFiles == nF.toLong + 64,
+        s"files metadata table must list every referenced file: " +
+          s"$mfFiles vs ${nF + 64}")
+      require(mfRows == (nF.toLong + 64) * rowsPerFile,
+        s"every file must carry sidecar rows (stats coverage): $mfRows" +
+          s" vs ${(nF.toLong + 64) * rowsPerFile}")
+      println(f"[scale] meta_files_table            $mfFiles%10d files" +
+        f"  $mfSec%8.2f s  (full metadata walk, rows covered)")
+      record(Entry("meta_files_table", mfFiles, mfSec))
+      var mhN = 0L
+      val mhSec = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        mhN = spark.sql("SELECT COUNT(*) FROM graft.main.seg.history")
+          .collect()(0).getLong(0)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"[scale] meta_history_table          $mhN%10d rows " +
+        f"  $mhSec%8.2f s")
+      record(Entry("meta_history_table", mhN, mhSec))
     }
 
     // corpus-level boilerplate stats at 20×: distinct-shingle explode →
