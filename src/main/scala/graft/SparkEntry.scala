@@ -158,6 +158,7 @@ object SparkEntry {
     "q137_sql_update"      -> (Relational.q137SqlUpdate _),
     "q138_named_stream"    -> (Relational.q138NamedStream _),
     "q139_meta_tables"     -> (Relational.q139MetaTables _),
+    "q140_sql_changes"     -> (Relational.q140SqlChanges _),
   )
 
   /** The cohort-retention-matrix oracle, shared by q93 (the batch
@@ -1071,6 +1072,37 @@ object SparkEntry {
            UNION ALL SELECT 'f', 2, 'rows', (SELECT c FROM b), 0
            UNION ALL SELECT 'd', -2, 'detail', 3, 2
          ) ORDER BY part, k""",
+    // SQL change feed: the oracle replays the five-statement CDC
+    // lifecycle (create/insert/delete/insert/update) as set algebra
+    // straight from orders — per-version added/removed rows with the
+    // same lo/hi/shift arithmetic the staging derives (integer floor
+    // division matches Scala Long '/' for the non-negative span).
+    "q140_sql_changes" ->
+      """WITH bounds AS (
+           SELECT MIN(o_orderkey) AS kmin,
+                  MAX(o_orderkey) - MIN(o_orderkey) AS span
+           FROM orders),
+         prm AS (SELECT kmin + span // 4 AS lo, kmin + span // 2 AS hi,
+                        span + 1 AS shift FROM bounds),
+         s1 AS (SELECT o_orderkey AS k, o_totalprice AS pr FROM orders
+                WHERE o_orderkey % 7 = 0),
+         d2 AS (SELECT k, pr FROM s1, prm WHERE k BETWEEN lo AND hi),
+         s2 AS (SELECT k, pr FROM s1, prm WHERE k NOT BETWEEN lo AND hi),
+         t3 AS (SELECT o_orderkey + shift AS k, o_totalprice AS pr
+                FROM orders, prm WHERE o_orderkey % 11 = 0),
+         s3 AS (SELECT k, pr FROM s2 UNION ALL SELECT k, pr FROM t3),
+         u4 AS (SELECT k, pr FROM s3 WHERE k % 3 = 0)
+         SELECT k AS o_orderkey, pr AS o_totalprice, change,
+                CAST(n_rows AS BIGINT) AS n_rows,
+                CAST(commit_v AS BIGINT) AS commit_v
+         FROM (
+           SELECT k, pr, 'added' AS change, 1 AS n_rows, 1 AS commit_v
+           FROM s1
+           UNION ALL SELECT k, pr, 'removed', 1, 2 FROM d2
+           UNION ALL SELECT k, pr, 'added', 1, 3 FROM t3
+           UNION ALL SELECT k, pr, 'removed', 1, 4 FROM u4
+           UNION ALL SELECT k, pr + 1, 'added', 1, 4 FROM u4
+         ) ORDER BY commit_v, change, o_orderkey""",
     // OPTIMIZE: content-hash invariance through the compaction rewrite —
     // the oracle is the pre-optimize content (thirds 0+1), recomputed.
     "q118_optimize" ->

@@ -2681,6 +2681,81 @@ object Relational {
     df
   }
 
+  /** q140: the SQL CHANGE FEED — `SELECT ... FROM graft.main.t.changes`
+    * ([[graft.sources.GraftChangesTable]]): the full CDC lifecycle
+    * (CREATE → INSERT → DELETE → INSERT → UPDATE) read back as tagged
+    * per-catalog-version diffs, every row hash-checked against the
+    * oracle's replay of the same five statements straight from orders.
+    * The builder REQUIREs the optimization-time branch-pruning
+    * property: a `_commit_version` predicate deletes other versions'
+    * scans from the optimized plan (each branch tags the version as a
+    * LITERAL, so Catalyst's constant folding + empty-relation
+    * propagation — not a runtime filter — implements version-range
+    * selection; at 10³ versions a consumer reading the last commit
+    * plans one diff, not 10³).
+    */
+  private val sqlChangesRoot =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def q140SqlChanges(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.Catalog
+    val root = sqlChangesRoot.getOrElseUpdate(sfDir, {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-sqlchg-").toString
+      spark.conf.set("spark.sql.catalog.graft",
+        "graft.sources.GraftSqlCatalog")
+      spark.conf.set("spark.sql.catalog.graft.root", dir)
+      val view = "q140_src_" +
+        java.lang.Integer.toHexString(sfDir.hashCode)
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .createOrReplaceTempView(view)
+      val (kMin, kMax) = Tables.orders(spark, sfDir)
+        .agg(min(col("o_orderkey")), max(col("o_orderkey")))
+        .as[(Long, Long)](org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong)).head()
+      val span = kMax - kMin
+      val (lo, hi) = (kMin + span / 4, kMin + span / 2)
+      val shift = span + 1
+      spark.sql("CREATE TABLE graft.main.chg " +
+        "(o_orderkey BIGINT, o_totalprice DOUBLE) USING graft")  // v0
+      spark.sql(s"INSERT INTO graft.main.chg SELECT o_orderkey, " +
+        s"o_totalprice FROM $view WHERE o_orderkey % 7 = 0")     // v1
+      spark.sql(s"DELETE FROM graft.main.chg WHERE o_orderkey " +
+        s"BETWEEN $lo AND $hi")                                  // v2
+      spark.sql(s"INSERT INTO graft.main.chg SELECT o_orderkey + " +
+        s"$shift, o_totalprice FROM $view WHERE o_orderkey % 11 = 0") // v3
+      spark.sql("UPDATE graft.main.chg SET " +
+        "o_totalprice = o_totalprice + 1 WHERE o_orderkey % 3 = 0") // v4
+      require(Catalog.versions(dir) == (0 to 4),
+        s"expected 5 catalog versions, got ${Catalog.versions(dir)}")
+      dir
+    })
+    spark.conf.set("spark.sql.catalog.graft",
+      "graft.sources.GraftSqlCatalog")
+    spark.conf.set("spark.sql.catalog.graft.root", root)
+    // the scale property: a version predicate prunes other branches'
+    // SCANS out of the optimized plan (literal fold, not row filter)
+    def scans(sql: String): Int =
+      spark.sql(sql).queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources
+          .LogicalRelation => l
+      }.size
+    val fullScans = scans("SELECT * FROM graft.main.chg.changes")
+    val oneScans = scans("SELECT * FROM graft.main.chg.changes " +
+      "WHERE _commit_version <= 1")
+    require(oneScans < fullScans,
+      s"version predicate must prune branch scans " +
+        s"($oneScans !< $fullScans)")
+    spark.sql(
+      """SELECT o_orderkey, o_totalprice, _change AS change,
+           CAST(_n_rows AS BIGINT) AS n_rows,
+           CAST(_commit_version AS BIGINT) AS commit_v
+         FROM graft.main.chg.changes
+         ORDER BY commit_v, change, o_orderkey""")
+  }
+
   def q118Optimize(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.sources.SnapshotStore
     val root = optimizeRoot.getOrElseUpdate(sfDir, {

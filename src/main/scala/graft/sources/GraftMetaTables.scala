@@ -239,3 +239,129 @@ final case class GraftMetaTable(catRoot: String, tableName: String,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
 }
+
+/** SQL CHANGE FEED — `SELECT * FROM graft.main.t.changes`: every row
+  * the table gained or lost, per catalog version, since its creation
+  * (Delta's `table_changes` / Iceberg's changelog scan, served as a
+  * metadata-suffix table like `t.history`). Output is the table's data
+  * columns (at the pinned catalog version) plus
+  *
+  *   - `_change` — 'added' | 'removed'
+  *   - `_n_rows` — the row's multiplicity delta (bag semantics)
+  *   - `_commit_version` — the CATALOG version whose commit introduced
+  *     the change (the same axis `t.history` and `VERSION AS OF` speak)
+  *
+  * Unlike the other metadata suffixes this is a real DATA scan — one
+  * adjacent-version [[SnapshotStore.diffFrames]] per catalog version
+  * that touched the table, unioned. Two properties make it scale:
+  * adjacent versions SHARE most files, whose identical counts cancel in
+  * the diff's aggregate (the consumer pays O(changed data), not
+  * O(versions × table)); and each branch tags `_commit_version` as a
+  * LITERAL, so a `WHERE _commit_version = k` / `BETWEEN` predicate
+  * constant-folds every other branch to `Filter(false)` and Catalyst's
+  * empty-relation propagation deletes those branches' scans from the
+  * plan outright — version-range selection is optimization-time
+  * pruning, not runtime filtering (spec-pinned). */
+final case class GraftChangesTable(catRoot: String, tableName: String,
+    catVersion: Int, dataSchema: StructType) extends Table {
+
+  override def name(): String =
+    s"graft.main.$tableName.changes@v$catVersion"
+
+  override def schema(): StructType = GraftChangesTable.fullSchema(dataSchema)
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+}
+
+object GraftChangesTable {
+
+  val ChangeCol  = "_change"
+  val NRowsCol   = "_n_rows"
+  val VersionCol = "_commit_version"
+
+  private val MetaCols = Seq(ChangeCol, NRowsCol, VersionCol)
+
+  def fullSchema(dataSchema: StructType): StructType = {
+    MetaCols.foreach(c => require(!dataSchema.fieldNames.contains(c),
+      s"graft: t.changes reserves column name '$c' but the table " +
+        "schema already defines it"))
+    StructType(dataSchema.fields.toSeq ++ Seq(
+      StructField(ChangeCol, StringType, nullable = true),
+      StructField(NRowsCol, LongType, nullable = true),
+      StructField(VersionCol, IntegerType, nullable = true)))
+  }
+
+  /** The feed plan: walk catalog versions ≤ the pin (one snapshot parse
+    * each — the metadata-first step rule `t.history` and the streaming
+    * source share), keep those whose commit changed this table, and
+    * union one tagged branch per kept version: the (re)creation version
+    * contributes its full content as 'added'; every later version
+    * contributes the adjacent diff against the previous manifest.
+    * Branch reads resolve through [[Catalog.readTable]] at the branch's
+    * catalog version, so layered states fold exactly as a pinned read
+    * would. Schema evolution between versions aligns on the common
+    * columns ([[SnapshotStore.SchemaChange.Common]]) — a feed consumer
+    * reading across an ADD COLUMNS sees the new column NULL-filled on
+    * pre-evolution branches (`unionByName(allowMissingColumns)`). */
+  def planFor(spark: org.apache.spark.sql.SparkSession,
+      t: GraftChangesTable): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val vs = Catalog.versions(t.catRoot).filter(_ <= t.catVersion)
+    var prevRel: Option[String] = None
+    var prev: Option[org.apache.spark.sql.DataFrame] = None
+    val branches = vs.flatMap { v =>
+      val snap = Catalog.snapshot(t.catRoot, Some(v)).getOrElse(
+        sys.error(s"graft: catalog version $v vanished under " +
+          t.catRoot))
+      val rel = snap.tables.get(t.tableName)
+      if (rel == prevRel) None
+      else rel match {
+        case None =>
+          // dropped: the feed records the drop as the removal of the
+          // last state, so the net signed sum TELESCOPES to the live
+          // table across the whole lifetime — including through a
+          // drop + re-create (which restarts as a fresh creation
+          // branch). Reads the pre-drop pin; like any time travel it
+          // needs the files to not have been vacuumed yet.
+          val out = prev.map { p =>
+            val cols = p.columns.toSeq
+            p.groupBy(cols.map(col): _*)
+              .agg(count(lit(1)).as(NRowsCol))
+              .withColumn(ChangeCol, lit("removed"))
+              .withColumn(VersionCol, lit(v))
+          }
+          prevRel = None; prev = None; out
+        case Some(_) =>
+          val cur = Catalog.readTable(spark, t.catRoot, t.tableName,
+            Some(v))
+          val branch = prev match {
+            case None =>
+              val cols = cur.columns.toSeq
+              cur.groupBy(cols.map(col): _*)
+                .agg(count(lit(1)).as(NRowsCol))
+                .withColumn(ChangeCol, lit("added"))
+            case Some(p) =>
+              SnapshotStore.diffFrames(p, cur,
+                  SnapshotStore.SchemaChange.Common,
+                  s"${t.tableName}@catalog v$v")
+                .withColumnRenamed("change", ChangeCol)
+                .withColumnRenamed("n_rows", NRowsCol)
+          }
+          prevRel = rel; prev = Some(cur)
+          Some(branch.withColumn(VersionCol, lit(v)))
+      }
+    }
+    val full = fullSchema(t.dataSchema)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], full)
+    if (branches.isEmpty) empty
+    else {
+      val u = branches.reduce(
+        _.unionByName(_, allowMissingColumns = true))
+      // project to the PINNED schema's column order; branches older
+      // than an ADD COLUMNS lack the new column and union filled NULLs
+      u.select(full.fieldNames.toSeq.map(col): _*)
+    }
+  }
+}

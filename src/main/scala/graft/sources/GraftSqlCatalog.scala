@@ -111,13 +111,16 @@ class GraftSqlCatalog extends TableCatalog
     // (namespace=[main, <t>], name=<kind>) — unambiguous because the
     // real namespace is flat `main`
     if (ident.namespace.length == 2 && ident.namespace()(0) == Ns &&
-        GraftMetaTables.kinds(ident.name)) {
+        (GraftMetaTables.kinds(ident.name) || ident.name == "changes")) {
       val r = root
       val t = ident.namespace()(1)
-      if (Catalog.tableManifest(r, t, version).isEmpty)
-        throw new NoSuchTableException(ident)
+      val m = Catalog.tableManifest(r, t, version)
+        .getOrElse(throw new NoSuchTableException(ident))
       val pinned = version.getOrElse(Catalog.versions(r).last)
-      return GraftMetaTable(r, t, ident.name, pinned)
+      return if (ident.name == "changes")
+        GraftChangesTable(r, t, pinned,
+          org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
+      else GraftMetaTable(r, t, ident.name, pinned)
     }
     checkNs(ident.namespace)
     val r = root
@@ -610,6 +613,17 @@ class GraftCatalogRelationRule(spark: SparkSession)
               scala.jdk.CollectionConverters.SeqHasAsJava(
                 GraftMetaTables.rows(mt)).asJava, mt.schema())
             val plan = df.queryExecution.analyzed
+            Project(plan.output.zip(r.output).map { case (n, o) =>
+              Alias(n, o.name)(exprId = o.exprId) }, plan)
+          // `t.changes` — the SQL change feed: a REAL data plan (one
+          // adjacent-version diff per touching catalog version,
+          // unioned), substituted at analysis so its branch reads pin
+          // the same per-statement snapshot as every other front door.
+          // `_commit_version` is a per-branch literal, so version
+          // predicates above prune whole branches at optimization.
+          case ct: GraftChangesTable =>
+            val plan = GraftChangesTable.planFor(spark, ct)
+              .queryExecution.analyzed
             Project(plan.output.zip(r.output).map { case (n, o) =>
               Alias(n, o.name)(exprId = o.exprId) }, plan)
           case _ => r

@@ -2684,17 +2684,24 @@ object SnapshotStore {
   }
 
   def diff(spark: SparkSession, root: String, from: Int, to: Int,
-      onSchemaChange: SchemaChange = SchemaChange.Error): DataFrame = {
+      onSchemaChange: SchemaChange = SchemaChange.Error): DataFrame =
+    diffFrames(read(spark, root, Some(from)), read(spark, root, Some(to)),
+      onSchemaChange, s"v$from..v$to")
+
+  /** [[diff]] of two already-resolved version frames — the shared core,
+    * also driven by the SQL `t.changes` surface whose versions are
+    * CATALOG-pinned manifests ([[Catalog.readTable]]) that the
+    * table-root version chain never numbers. */
+  private[sources] def diffFrames(a0: DataFrame, b0: DataFrame,
+      onSchemaChange: SchemaChange, label: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val a0 = read(spark, root, Some(from))
-    val b0 = read(spark, root, Some(to))
     val (a, b) =
       if (a0.schema == b0.schema) (a0, b0)
       else onSchemaChange match {
         case SchemaChange.Error =>
           throw new IllegalArgumentException(
-            s"diff across schema change: v$from=[${a0.schema.toDDL}] " +
-              s"v$to=[${b0.schema.toDDL}] (pass SchemaChange.Common to " +
+            s"diff across schema change: $label from=[${a0.schema.toDDL}] " +
+              s"to=[${b0.schema.toDDL}] (pass SchemaChange.Common to " +
               "align on the shared columns)")
         case SchemaChange.Common =>
           val bTypes = b0.schema.fields.map(f => f.name -> f.dataType).toMap
@@ -2702,7 +2709,7 @@ object SnapshotStore {
             case f if bTypes.get(f.name).contains(f.dataType) => f.name
           }
           require(shared.nonEmpty,
-            s"diff v$from..v$to: no common columns to align on")
+            s"diff $label: no common columns to align on")
           (a0.select(shared.map(col): _*), b0.select(shared.map(col): _*))
       }
     val cols = a.columns.toSeq
