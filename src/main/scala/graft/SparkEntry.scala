@@ -159,6 +159,7 @@ object SparkEntry {
     "q138_named_stream"    -> (Relational.q138NamedStream _),
     "q139_meta_tables"     -> (Relational.q139MetaTables _),
     "q140_sql_changes"     -> (Relational.q140SqlChanges _),
+    "q141_sql_colmap"      -> (Relational.q141SqlColmap _),
   )
 
   /** The cohort-retention-matrix oracle, shared by q93 (the batch
@@ -1103,6 +1104,24 @@ object SparkEntry {
            UNION ALL SELECT k, pr, 'removed', 1, 4 FROM u4
            UNION ALL SELECT k, pr + 1, 'added', 1, 4 FROM u4
          ) ORDER BY commit_v, change, o_orderkey""",
+    // Column mapping: the oracle replays CREATE → (rename/drop are
+    // invisible to content) → INSERT(shifted, doubled) → UPDATE(+1 in
+    // the window) from orders, under the RENAMED output names.
+    "q141_sql_colmap" ->
+      """WITH bounds AS (
+           SELECT MIN(o_orderkey) AS kmin,
+                  MAX(o_orderkey) - MIN(o_orderkey) AS span
+           FROM orders),
+         prm AS (SELECT kmin + span // 4 AS lo, kmin + span // 2 AS hi,
+                        span + 1 AS shift FROM bounds),
+         s AS (SELECT o_orderkey AS k, o_totalprice AS pr FROM orders
+               UNION ALL
+               SELECT o_orderkey + shift, o_totalprice * 2
+               FROM orders, prm WHERE o_orderkey % 9 = 0)
+         SELECT k AS o_orderkey,
+                CASE WHEN k BETWEEN lo AND hi THEN pr + 1 ELSE pr END
+                  AS price
+         FROM s, prm ORDER BY o_orderkey""",
     // OPTIMIZE: content-hash invariance through the compaction rewrite —
     // the oracle is the pre-optimize content (thirds 0+1), recomputed.
     "q118_optimize" ->

@@ -2756,6 +2756,88 @@ object Relational {
          ORDER BY commit_v, change, o_orderkey""")
   }
 
+  /** q141: COLUMN MAPPING through the SQL catalog — `ALTER TABLE ...
+    * RENAME COLUMN` / `DROP COLUMN` as PURE METADATA over frozen
+    * physical file names ([[graft.sources.SnapshotStore.logicalSchema]]):
+    * the builder REQUIREs both ALTERs left the file list byte-identical
+    * and the physical schema frozen, that a post-rename INSERT landed
+    * physical-named files (schemaDdl unchanged), that a post-rename
+    * UPDATE through the renamed column took the O(changes) layer-pair
+    * lane, and PRUNING PARITY: a logical-name range probe still skips
+    * files through the physical stats sidecar. The oracle replays the
+    * lifecycle from orders under the renamed output names. At 100 TB
+    * the two ALTERs cost one manifest write each — no data touched.
+    */
+  private val sqlColmapRoot =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def q141SqlColmap(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.{Catalog, SnapshotStore}
+    val root = sqlColmapRoot.getOrElseUpdate(sfDir, {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-sqlcmap-").toString
+      spark.conf.set("spark.sql.catalog.graft",
+        "graft.sources.GraftSqlCatalog")
+      spark.conf.set("spark.sql.catalog.graft.root", dir)
+      val base = Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .repartitionByRange(8, col("o_orderkey"))
+      Catalog.commit(dir, Map("cm" -> ((base, Catalog.Overwrite)))) // v0
+      val m0 = Catalog.tableManifest(dir, "cm").get
+      spark.sql(
+        "ALTER TABLE graft.main.cm RENAME COLUMN o_totalprice TO price")
+      spark.sql("ALTER TABLE graft.main.cm DROP COLUMN o_orderpriority")
+      val m2 = Catalog.tableManifest(dir, "cm").get
+      require(m2.files == m0.files && m2.schemaDdl == m0.schemaDdl,
+        "RENAME/DROP COLUMN must be pure metadata (same files, frozen " +
+          s"physical schema): ${m2.files.size} vs ${m0.files.size}")
+      require(m2.logical == Seq("o_totalprice" -> "price") &&
+          m2.dropped == Seq("o_orderpriority"),
+        s"unexpected mapping: ${m2.logical} / ${m2.dropped}")
+      val (kMin, kMax) = Tables.orders(spark, sfDir)
+        .agg(min(col("o_orderkey")), max(col("o_orderkey")))
+        .as[(Long, Long)](org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong)).head()
+      val span = kMax - kMin
+      val (lo, hi) = (kMin + span / 4, kMin + span / 2)
+      val shift = span + 1
+      val view = "q141_src_" +
+        java.lang.Integer.toHexString(sfDir.hashCode)
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .createOrReplaceTempView(view)
+      spark.sql(s"INSERT INTO graft.main.cm SELECT o_orderkey + " +
+        s"$shift, o_totalprice * 2 FROM $view " +
+        s"WHERE o_orderkey % 9 = 0")                               // v3
+      val m3 = Catalog.tableManifest(dir, "cm").get
+      require(m3.schemaDdl == m0.schemaDdl,
+        "post-rename INSERT must write PHYSICAL-named files under " +
+          "the frozen schema")
+      spark.sql(s"UPDATE graft.main.cm SET price = price + 1 " +
+        s"WHERE o_orderkey BETWEEN $lo AND $hi")                   // v4
+      val m4 = Catalog.tableManifest(dir, "cm").get
+      require(m4.layers.exists(_.pred.nonEmpty),
+        s"translatable UPDATE through the mapping must take the " +
+          s"layer-pair lane: ${m4.layers}")
+      // pruning parity: a LOGICAL range probe outside the base's top
+      // range must skip base files through the physical sidecar
+      val (_, report) = Catalog.readTableWhere(spark, dir, "cm",
+        SnapshotStore.StatsPred.Between("o_orderkey", kMin,
+          kMin + span / 8))
+      require(report.filesOpened < report.filesListed,
+        s"stats pruning must survive the mapping: $report")
+      dir
+    })
+    spark.conf.set("spark.sql.catalog.graft",
+      "graft.sources.GraftSqlCatalog")
+    spark.conf.set("spark.sql.catalog.graft.root", root)
+    spark.sql(
+      """SELECT o_orderkey, price FROM graft.main.cm
+         ORDER BY o_orderkey""")
+  }
+
   def q118Optimize(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.sources.SnapshotStore
     val root = optimizeRoot.getOrElseUpdate(sfDir, {

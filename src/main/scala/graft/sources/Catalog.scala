@@ -170,7 +170,10 @@ object Catalog {
       else
         spark.read.schema(schema)
           .parquet(files.map(f => Paths.get(tr, f).toString): _*)
-    SnapshotStore.applyLayers(spark, tr, m, schema, base)
+    // mapped tables present the logical view (rename/drop projection)
+    // over the physical fold — identity when unmapped
+    SnapshotStore.presentLogical(
+      SnapshotStore.applyLayers(spark, tr, m, schema, base), m)
   }
 
   /** [[readTable]] with [[SnapshotStore.readWhere]]-style file skipping
@@ -178,10 +181,14 @@ object Catalog {
     * tables, segment-level summary pruning — the same shared
     * two-level prune). */
   def readTableWhere(spark: SparkSession, root: String, table: String,
-      pred: SnapshotStore.StatsPred, version: Option[Int] = None)
+      pred0: SnapshotStore.StatsPred, version: Option[Int] = None)
       : (DataFrame, SnapshotStore.ScanReport) = {
     val m = tableManifest(root, table, version).getOrElse(
       sys.error(s"catalog under $root has no table $table"))
+    // predicates arrive in LOGICAL names; stats/blooms/files speak
+    // physical — translate once, prune and filter physically, present
+    // logically at the end
+    val pred = SnapshotStore.predToPhysical(pred0, m)
     val schema = StructType.fromDDL(m.schemaDdl)
     val tr = tableRoot(root, table)
     val (keep, _, report0) = SnapshotStore.pruneScan(tr, m, schema, pred)
@@ -199,8 +206,9 @@ object Catalog {
     val report = report0.copy(
       filesListed = report0.filesListed + lyListed,
       filesOpened = report0.filesOpened + lyOpened)
-    (SnapshotStore.applyLayers(spark, tr, mp, schema, base)
-      .filter(SnapshotStore.predColumn(pred)), report)
+    (SnapshotStore.presentLogical(
+      SnapshotStore.applyLayers(spark, tr, mp, schema, base)
+        .filter(SnapshotStore.predColumn(pred)), m), report)
   }
 
   /** Atomically commit `writes` (table → frame + mode) as ONE catalog
@@ -212,7 +220,7 @@ object Catalog {
       writes: Map[String, (DataFrame, Mode)]): Int = {
     require(writes.nonEmpty, "empty catalog commit")
     // 1. the expensive, coordination-free part: data files + stats, once
-    val staged = writes.map { case (t, (df, mode)) =>
+    val staged = writes.map { case (t, (df0, mode)) =>
       // whitelist, not blacklist: "." / ".." / "" / backslashes would
       // make tableRoot escape or collide with the catalog's own dirs
       require(t.matches("[A-Za-z0-9._-]+") && t != "." && t != ".." &&
@@ -220,6 +228,19 @@ object Catalog {
         s"bad table name: '$t' (need [A-Za-z0-9._-]+, not '.'/'..', " +
           "no leading '_')")
       val tr = tableRoot(root, t)
+      // a mapped table's APPEND arrives in LOGICAL names; files must
+      // carry the frozen PHYSICAL names (translation at staging is
+      // race-safe: physical names never change, so a concurrent
+      // rename between staging and publish cannot invalidate it).
+      // Overwrites stay as-given — a full rewrite MATERIALIZES the
+      // mapping (logical names become the new physical schema).
+      val df = mode match {
+        case Append => tableManifest(root, t) match {
+          case Some(m0) => SnapshotStore.toPhysical(df0, m0)
+          case None => df0
+        }
+        case Overwrite => df0
+      }
       val files = SnapshotStore.writeData(df, tr)
       val stats = SnapshotStore.harvestStats(df.sparkSession, tr, files)
       (t, mode, df.schema, files, stats)
@@ -253,9 +274,11 @@ object Catalog {
               statsFile = statsFile)
           case Append =>
             baseM.foreach(m0 => require(
-              SnapshotStore.appendCompatible(m0.schemaDdl, schema),
+              SnapshotStore.appendCompatible(
+                SnapshotStore.appendPhysicalDdl(m0), schema),
               s"catalog append schema mismatch on $t: table has " +
-                s"[${m0.schemaDdl}], append has [$ddl]"))
+                s"[${SnapshotStore.appendPhysicalDdl(m0)}], " +
+                s"append has [$ddl]"))
             baseM match {
               case Some(m0) if m0.layers.nonEmpty =>
                 // a LAYERED table (predicate delete / merge-on-read in
@@ -301,7 +324,9 @@ object Catalog {
                     bloomMemos.getOrElseUpdate(t,
                       SnapshotStore.newBloomMemo()),
                     baseM.map(_.blooms).getOrElse(Nil)),
-                  cluster = baseM.map(_.cluster).getOrElse(Nil))
+                  cluster = baseM.map(_.cluster).getOrElse(Nil),
+                  logical = baseM.map(_.logical).getOrElse(Nil),
+                  dropped = baseM.map(_.dropped).getOrElse(Nil))
             }
         }
         val rel = s"_manifests/staged-${java.util.UUID.randomUUID()}.json"
@@ -444,6 +469,14 @@ object Catalog {
         s"catalog under $root has no table $table"))
       val baseM = SnapshotStore.parse(new String(Files.readAllBytes(
         Paths.get(tr, baseRel)), StandardCharsets.UTF_8))
+      // staged files were executor-encoded with the LOGICAL schema; a
+      // mapped table needs physical names (the builder-side guard in
+      // GraftSqlTable refuses earlier — this backstops a mapping that
+      // landed between analysis and the epoch commit)
+      require(baseM.logical.isEmpty && baseM.dropped.isEmpty,
+        s"streaming append into $table with a column mapping " +
+          "(RENAME/DROP COLUMN) — run CALL graft.system.optimize to " +
+          "materialize the mapping first")
       require(SnapshotStore.appendCompatible(baseM.schemaDdl, schema),
         s"streaming append schema mismatch on $table: table has " +
           s"[${baseM.schemaDdl}], batch has [$schemaDdl]")
@@ -583,8 +616,17 @@ object Catalog {
     * `updated` was computed FROM `expectedRel`, so a concurrent commit
     * to the table fails the swap with None and the caller recomputes. */
   def updateWhereIf(root: String, table: String, expectedRel: String,
-      pred: SnapshotStore.StatsPred, updated: DataFrame): Option[Int] = {
+      pred0: SnapshotStore.StatsPred, updated0: DataFrame)
+      : Option[Int] = {
     val tr = tableRoot(root, table)
+    // the caller computed pred/updated against the LOGICAL view of
+    // expectedRel's manifest; layer files and the stats walk are
+    // physical — translate both against that same manifest (race-safe:
+    // any concurrent commit fails the CAS below anyway)
+    val expM = SnapshotStore.parse(new String(Files.readAllBytes(
+      Paths.get(tr, expectedRel)), StandardCharsets.UTF_8))
+    val pred = SnapshotStore.predToPhysical(pred0, expM)
+    val updated = SnapshotStore.toPhysical(updated0, expM)
     val files = SnapshotStore.writeData(updated, tr)
     val stats = SnapshotStore.harvestStats(updated.sparkSession, tr, files)
     val layerStats =
@@ -620,7 +662,7 @@ object Catalog {
     * manifest. Pure metadata; pinned catalog readers are untouched.
     * Returns the committed catalog version. */
   def deleteWhere(root: String, table: String,
-      pred: SnapshotStore.StatsPred): Int = {
+      pred0: SnapshotStore.StatsPred): Int = {
     val tr = tableRoot(root, table)
     var attempt = 0
     while (attempt < SnapshotStore.MaxRetries) {
@@ -630,6 +672,8 @@ object Catalog {
         sys.error(s"catalog under $root has no table $table"))
       val baseM = SnapshotStore.parse(new String(Files.readAllBytes(
         Paths.get(tr, baseRel)), StandardCharsets.UTF_8))
+      // LOGICAL predicate → physical (stats walk + stored layer pred)
+      val pred = SnapshotStore.predToPhysical(pred0, baseM)
       val next = SnapshotStore.deleteTransform(tr, baseM, pred)
       val rel = s"_manifests/staged-${java.util.UUID.randomUUID()}.json"
       Files.createDirectories(Paths.get(tr, rel).getParent)
@@ -665,9 +709,15 @@ object Catalog {
       val baseM = SnapshotStore.parse(new String(Files.readAllBytes(
         Paths.get(tr, baseRel)), StandardCharsets.UTF_8))
       val schema = StructType.fromDDL(baseM.schemaDdl)
-      val dup = added.map(_.name).intersect(schema.fieldNames.toSeq)
+      // "taken" covers the PHYSICAL names (including dropped columns,
+      // whose bytes persist in old files and would leak back under a
+      // re-used name — OPTIMIZE materializes the mapping and frees the
+      // name) and the LOGICAL names of the user view
+      val taken = schema.fieldNames.toSeq ++ baseM.logical.map(_._2)
+      val dup = added.map(_.name).intersect(taken)
       require(dup.isEmpty,
-        s"evolveSchema: column(s) already exist on $table: " +
+        s"evolveSchema: column name(s) already in use on $table " +
+          s"(current or dropped — OPTIMIZE to free dropped names): " +
           dup.mkString(", "))
       val widened = StructType(schema.fields.toSeq ++ added)
       val next = baseM.copy(version = baseM.version + 1,
@@ -681,6 +731,82 @@ object Catalog {
       attempt += 1
     }
     sys.error(s"catalog evolveSchema lost ${SnapshotStore.MaxRetries} " +
+      s"version races under $root")
+  }
+
+  /** `ALTER TABLE ... RENAME COLUMN` — PURE METADATA at any table size
+    * ([[SnapshotStore.logicalSchema]]'s frozen-physical-name model):
+    * the next catalog version's manifest carries the same
+    * files/segments/layers/blooms/stats with one more (physical →
+    * logical) pair; no file is touched, every sidecar keeps pruning,
+    * pinned readers keep the old name. Returns the catalog version. */
+  def renameColumn(root: String, table: String, from: String,
+      to: String): Int =
+    alterMapping(root, table, "renameColumn") { baseM =>
+      val logi = SnapshotStore.logicalSchema(baseM)
+      require(logi.fieldNames.contains(from),
+        s"renameColumn: no column '$from' on $table " +
+          s"(have: ${logi.fieldNames.mkString(", ")})")
+      require(from != to, s"renameColumn: '$from' to itself")
+      // `from` is a logical name: find its physical twin, replace or
+      // add the pair; a rename BACK to the own physical name erases it
+      val phys = baseM.logical.find(_._2 == from).map(_._1)
+        .getOrElse(from)
+      val taken = (logi.fieldNames.toSeq ++
+        StructType.fromDDL(baseM.schemaDdl).fieldNames)
+        .filterNot(_ == phys)
+      require(!taken.contains(to),
+        s"renameColumn: name '$to' already in use on $table " +
+          "(current, physical, or dropped — OPTIMIZE frees old names)")
+      val kept = baseM.logical.filterNot(_._1 == phys)
+      baseM.copy(logical =
+        if (to == phys) kept else kept :+ (phys -> to))
+    }
+
+  /** `ALTER TABLE ... DROP COLUMN` — pure metadata like
+    * [[renameColumn]]: the physical column (and its bytes) stay in the
+    * files but leave the logical view; Catalyst column pruning keeps
+    * them unread. The name stays RESERVED (re-adding it would resurrect
+    * old values from pre-drop files) until a rewrite materializes the
+    * mapping. Returns the catalog version. */
+  def dropColumn(root: String, table: String, name: String): Int =
+    alterMapping(root, table, "dropColumn") { baseM =>
+      val logi = SnapshotStore.logicalSchema(baseM)
+      require(logi.fieldNames.contains(name),
+        s"dropColumn: no column '$name' on $table " +
+          s"(have: ${logi.fieldNames.mkString(", ")})")
+      require(logi.length > 1,
+        s"dropColumn: cannot drop the last column of $table")
+      val phys = baseM.logical.find(_._2 == name).map(_._1)
+        .getOrElse(name)
+      baseM.copy(logical = baseM.logical.filterNot(_._1 == phys),
+        dropped = baseM.dropped :+ phys)
+    }
+
+  /** Shared CAS loop for the metadata-only column-mapping commits. */
+  private def alterMapping(root: String, table: String, op: String)
+      (transform: SnapshotStore.Manifest => SnapshotStore.Manifest)
+      : Int = {
+    val tr = tableRoot(root, table)
+    var attempt = 0
+    while (attempt < SnapshotStore.MaxRetries) {
+      val cur = snapshot(root).getOrElse(sys.error(
+        s"$op on a catalog with no committed versions: $root"))
+      val baseRel = cur.tables.getOrElse(table,
+        sys.error(s"catalog under $root has no table $table"))
+      val baseM = SnapshotStore.parse(new String(Files.readAllBytes(
+        Paths.get(tr, baseRel)), StandardCharsets.UTF_8))
+      val next = transform(baseM).copy(version = baseM.version + 1,
+        base = baseM.version, txn = "")
+      val rel = s"_manifests/staged-${java.util.UUID.randomUUID()}.json"
+      Files.createDirectories(Paths.get(tr, rel).getParent)
+      Files.write(Paths.get(tr, rel),
+        SnapshotStore.render(next).getBytes(StandardCharsets.UTF_8))
+      if (publishCat(root, CatalogSnapshot(cur.version + 1,
+          cur.tables + (table -> rel)))) return cur.version + 1
+      attempt += 1
+    }
+    sys.error(s"catalog $op lost ${SnapshotStore.MaxRetries} " +
       s"version races under $root")
   }
 

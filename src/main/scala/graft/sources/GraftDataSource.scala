@@ -551,6 +551,11 @@ object GraftTable {
           .emptyRDD[org.apache.spark.sql.Row], schema)
       else spark.baseRelationToDataFrame(
         relation(spark, root, m.copy(layers = Nil)))
-    SnapshotStore.applyLayers(spark, root, m, schema, base)
+    // mapped (catalog rename/drop) manifests present the logical view
+    // above the physical fold; logical predicates from above push
+    // through the aliases into the physical scan, so stats pruning in
+    // [[GraftFileIndex]] sees file-space names unchanged
+    SnapshotStore.presentLogical(
+      SnapshotStore.applyLayers(spark, root, m, schema, base), m)
   }
 }

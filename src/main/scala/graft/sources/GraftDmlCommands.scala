@@ -54,7 +54,10 @@ private[sources] object GraftDml {
     val rel = snap.tables.getOrElse(table, sys.error(
       s"catalog under $catRoot has no table $table"))
     val m = Catalog.tableManifest(catRoot, table, Some(snap.version)).get
-    val schema = StructType.fromDDL(m.schemaDdl)
+    // DML speaks the LOGICAL view: conditions/assignments name logical
+    // columns, rewrites produce logical frames (the Catalog write
+    // paths translate to physical at their boundary)
+    val schema = SnapshotStore.logicalSchema(m)
     require(schema.fieldNames.toSeq == targetOutput.map(_.name),
       s"graft DML: schema of $table changed between analysis " +
         s"[${targetOutput.map(_.name).mkString(",")}] and execution " +

@@ -94,7 +94,11 @@ object GraftMetaTables {
       val filesGrew = p.files.toSet.subsetOf(m.files.toSet) &&
         p.segments.map(_.path).toSet
           .subsetOf(m.segments.map(_.path).toSet)
-      if (sameData && m.schemaDdl != p.schemaDdl) "ADD COLUMNS"
+      if (sameData && m.schemaDdl == p.schemaDdl &&
+          m.dropped.size > p.dropped.size) "DROP COLUMN"
+      else if (sameData && m.schemaDdl == p.schemaDdl &&
+          m.logical != p.logical) "RENAME COLUMN"
+      else if (sameData && m.schemaDdl != p.schemaDdl) "ADD COLUMNS"
       else if (sameData && m.blooms != p.blooms) "INDEX"
       else if (sameData && m.cluster != p.cluster) "CLUSTER"
       // predicate delete: pred layer(s) appended; inline files may
@@ -218,7 +222,9 @@ object GraftMetaTables {
     Seq(Row(s"graft.main.${t.tableName}", m.version, t.catVersion,
       nFiles(m), m.layers.size, m.segments.size, m.blooms.size,
       if (m.cluster.isEmpty) null else m.cluster.mkString(","),
-      total, m.schemaDdl))
+      // the USER-facing schema (rename/drop mapping applied) — the
+      // physical layout is an implementation detail
+      total, SnapshotStore.logicalSchema(m).toDDL))
   }
 }
 
@@ -308,8 +314,38 @@ object GraftChangesTable {
       t: GraftChangesTable): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, count, lit}
     val vs = Catalog.versions(t.catRoot).filter(_ <= t.catVersion)
+    // every branch's data columns re-align to the PINNED version's
+    // logical names (same physical-identity walk as the adjacent-diff
+    // alignment below), so a feed read after a RENAME shows the whole
+    // history under the current name instead of NULL-splitting it
+    val pinM = Catalog.tableManifest(t.catRoot, t.tableName,
+      Some(t.catVersion)).getOrElse(sys.error(
+        s"graft: table ${t.tableName} absent at catalog version " +
+          s"${t.catVersion}"))
     var prevRel: Option[String] = None
-    var prev: Option[org.apache.spark.sql.DataFrame] = None
+    var prev: Option[(Manifest, org.apache.spark.sql.DataFrame)] = None
+    // align the previous version's logical view to the NEXT version's
+    // names through the shared PHYSICAL identity, so a RENAME COLUMN
+    // branch diffs the same column against itself (and cancels) rather
+    // than seeing disjoint schemas; columns dropped in the next
+    // version leave both sides. Falls back to logical-name identity
+    // when a rewrite re-based the physical names.
+    def alignTo(df: org.apache.spark.sql.DataFrame, pm: Manifest,
+        cm: Manifest): org.apache.spark.sql.DataFrame = {
+      if (pm.logical == cm.logical && pm.dropped == cm.dropped) df
+      else {
+        val pInv = pm.logical.map(_.swap).toMap
+        val cRen = cm.logical.toMap
+        val cPhys = org.apache.spark.sql.types.StructType
+          .fromDDL(cm.schemaDdl).fieldNames.toSet
+        df.select(df.columns.toSeq.flatMap { c =>
+          val phys = pInv.getOrElse(c, c)
+          if (cm.dropped.contains(phys)) None
+          else if (!cPhys.contains(phys)) Some(col(c))
+          else Some(col(c).as(cRen.getOrElse(phys, phys)))
+        }: _*)
+      }
+    }
     val branches = vs.flatMap { v =>
       val snap = Catalog.snapshot(t.catRoot, Some(v)).getOrElse(
         sys.error(s"graft: catalog version $v vanished under " +
@@ -324,15 +360,17 @@ object GraftChangesTable {
           // drop + re-create (which restarts as a fresh creation
           // branch). Reads the pre-drop pin; like any time travel it
           // needs the files to not have been vacuumed yet.
-          val out = prev.map { p =>
+          val out = prev.map { case (pm, p) =>
             val cols = p.columns.toSeq
-            p.groupBy(cols.map(col): _*)
+            alignTo(p.groupBy(cols.map(col): _*)
               .agg(count(lit(1)).as(NRowsCol))
               .withColumn(ChangeCol, lit("removed"))
-              .withColumn(VersionCol, lit(v))
+              .withColumn(VersionCol, lit(v)), pm, pinM)
           }
           prevRel = None; prev = None; out
         case Some(_) =>
+          val curM = Catalog.tableManifest(t.catRoot, t.tableName,
+            Some(v)).get
           val cur = Catalog.readTable(spark, t.catRoot, t.tableName,
             Some(v))
           val branch = prev match {
@@ -341,15 +379,16 @@ object GraftChangesTable {
               cur.groupBy(cols.map(col): _*)
                 .agg(count(lit(1)).as(NRowsCol))
                 .withColumn(ChangeCol, lit("added"))
-            case Some(p) =>
-              SnapshotStore.diffFrames(p, cur,
+            case Some((pm, p)) =>
+              SnapshotStore.diffFrames(alignTo(p, pm, curM), cur,
                   SnapshotStore.SchemaChange.Common,
                   s"${t.tableName}@catalog v$v")
                 .withColumnRenamed("change", ChangeCol)
                 .withColumnRenamed("n_rows", NRowsCol)
           }
-          prevRel = rel; prev = Some(cur)
-          Some(branch.withColumn(VersionCol, lit(v)))
+          prevRel = rel; prev = Some((curM, cur))
+          Some(alignTo(branch.withColumn(VersionCol, lit(v)), curM,
+            pinM))
       }
     }
     val full = fullSchema(t.dataSchema)

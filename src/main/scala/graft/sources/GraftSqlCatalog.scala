@@ -118,8 +118,7 @@ class GraftSqlCatalog extends TableCatalog
         .getOrElse(throw new NoSuchTableException(ident))
       val pinned = version.getOrElse(Catalog.versions(r).last)
       return if (ident.name == "changes")
-        GraftChangesTable(r, t, pinned,
-          org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
+        GraftChangesTable(r, t, pinned, SnapshotStore.logicalSchema(m))
       else GraftMetaTable(r, t, ident.name, pinned)
     }
     checkNs(ident.namespace)
@@ -191,10 +190,16 @@ class GraftSqlCatalog extends TableCatalog
     * keep the narrow schema. Only top-level nullable adds; every other
     * change kind is refused with its reason (type changes break the
     * immutable-files contract, renames would orphan stats/blooms). */
+  /** `ALTER TABLE`: ADD COLUMNS (data-less widening), RENAME COLUMN
+    * and DROP COLUMN (pure-metadata column mapping — physical file
+    * names freeze at creation, so stats/bloom sidecars keep pruning
+    * and no file is rewritten; see [[SnapshotStore.logicalSchema]]).
+    * Each change commits its own catalog version (Spark sends one
+    * statement's changes together; mixed batches apply in order). */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     checkNs(ident.namespace)
-    val added = changes.map {
+    changes.foreach {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           "graft catalog: nested column adds are not supported: " +
@@ -205,14 +210,24 @@ class GraftSqlCatalog extends TableCatalog
         require(a.position == null,
           "graft catalog: column position is not supported (new " +
             "columns append at the end)")
-        org.apache.spark.sql.types.StructField(
-          a.fieldNames()(0), a.dataType, nullable = true)
+        Catalog.evolveSchema(root, ident.name, Seq(
+          org.apache.spark.sql.types.StructField(
+            a.fieldNames()(0), a.dataType, nullable = true)))
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          "graft catalog: nested column renames are not supported: " +
+            r.fieldNames.mkString("."))
+        Catalog.renameColumn(root, ident.name, r.fieldNames()(0),
+          r.newName)
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          "graft catalog: nested column drops are not supported: " +
+            d.fieldNames.mkString("."))
+        Catalog.dropColumn(root, ident.name, d.fieldNames()(0))
       case other => throw new UnsupportedOperationException(
-        s"graft catalog: only ADD COLUMNS is supported, got $other " +
-          "(type changes break immutable files; renames would orphan " +
-          "stats and bloom sidecars)")
+        s"graft catalog: unsupported ALTER TABLE change $other " +
+          "(type changes break immutable files)")
     }
-    Catalog.evolveSchema(root, ident.name, added)
     loadTable(ident)
   }
 
@@ -266,8 +281,10 @@ final case class GraftSqlTable(catRoot: String, tableName: String,
   override def name(): String = s"graft.main.$tableName" +
     pinnedVersion.map(v => s"@v$v").getOrElse("")
 
+  // the LOGICAL view (rename/drop mapping applied) — what SQL sees;
+  // identical to the physical schema for unmapped tables
   override def schema(): StructType =
-    StructType.fromDDL(manifest.schemaDdl)
+    SnapshotStore.logicalSchema(manifest)
 
   // BATCH_READ declares intent; the actual scan is the v1 relation the
   // resolution rule swaps in (a session without the rule fails loudly
@@ -342,6 +359,16 @@ final case class GraftSqlTable(catRoot: String, tableName: String,
                   ts.fields.map(_.dataType)),
               s"graft catalog: streaming write schema [${in.toDDL}] " +
                 s"does not align to table [${ts.toDDL}]")
+            // executors encode files with the LOGICAL schema; a mapped
+            // table needs physical names — refuse until a rewrite
+            // (CALL graft.system.optimize) materializes the mapping
+            require(table.manifest.logical.isEmpty &&
+                table.manifest.dropped.isEmpty,
+              s"graft catalog: streaming append into " +
+                s"${table.tableName} with a column mapping " +
+                "(RENAME/DROP COLUMN) is not supported — run CALL " +
+                "graft.system.optimize to materialize the mapping " +
+                "first")
             new GraftStreamingWrite(table.catRoot, table.tableName,
               ts, info.queryId())
           }

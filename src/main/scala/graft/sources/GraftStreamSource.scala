@@ -268,11 +268,15 @@ class GraftCatalogRowSource(spark: SparkSession, catRoot: String,
     override protected val maxVersionsPerTrigger: Option[Int] = None)
     extends Source with GraftVersionPacing {
 
-  override val schema: StructType = {
-    val m = Catalog.tableManifest(catRoot, table).getOrElse(sys.error(
+  // the stream's schema pins at source creation (v1 Source contract);
+  // a mapped table streams under its CURRENT logical names — physical
+  // file names are frozen, so files from any version in range read
+  // correctly under the creation-time physical schema
+  private val createM = Catalog.tableManifest(catRoot, table)
+    .getOrElse(sys.error(
       s"graft stream: catalog under $catRoot has no table $table"))
-    StructType.fromDDL(m.schemaDdl)
-  }
+
+  override val schema: StructType = SnapshotStore.logicalSchema(createM)
 
   private def head: Int = Catalog.versions(catRoot).lastOption
     .getOrElse(sys.error(s"graft stream: catalog vanished under $catRoot"))
@@ -363,8 +367,12 @@ class GraftCatalogRowSource(spark: SparkSession, catRoot: String,
     }
     if (files.isEmpty) return empty()
     import org.apache.spark.sql.functions.col
-    val df = spark.read.schema(schema).parquet(files.map(f =>
-      java.nio.file.Paths.get(tableRoot, f).toString): _*)
+    // read PHYSICAL (file-space) names, then present the logical view
+    // of the creation-time manifest — identity for unmapped tables
+    val phys = StructType.fromDDL(createM.schemaDdl)
+    val df = SnapshotStore.presentLogical(
+      spark.read.schema(phys).parquet(files.map(f =>
+        java.nio.file.Paths.get(tableRoot, f).toString): _*), createM)
       .select(schema.fields.map(f =>
         col(f.name).cast(f.dataType)).toSeq: _*)
     org.apache.spark.sql.graftshim.asStreamingFrame(df)

@@ -93,7 +93,8 @@ object SnapshotStore {
       files: Seq[String], txn: String = "", statsFile: String = "",
       segments: Seq[SegmentRef] = Nil, layers: Seq[MergeLayer] = Nil,
       blooms: Seq[BloomIndex] = Nil, cluster: Seq[String] = Nil,
-      ts: Long = 0L)
+      ts: Long = 0L, logical: Seq[(String, String)] = Nil,
+      dropped: Seq[String] = Nil)
 
   /** One FILE-LEVEL BLOOM INDEX over a column — the point-lookup
     * complement to the min/max sidecar: after a z-order/range layout
@@ -177,6 +178,88 @@ object SnapshotStore {
       fileSizes(root, readSegmentManifest(root, ref))
     }
 
+  // ------------------------------------------------------ column mapping
+  // Catalog-level RENAME COLUMN / DROP COLUMN are PURE METADATA because
+  // physical file-column names FREEZE at each column's first commit (the
+  // field-ID idea of Iceberg/Delta column mapping, with the name itself
+  // as the immutable ID): `schemaDdl` always describes the files on
+  // disk, so every stats sidecar, bloom index, layer key, clustering
+  // spec, and pruning decision keeps operating in physical space
+  // untouched; `logical` carries (physical → logical) renames where the
+  // user-facing name differs, and `dropped` lists physical columns the
+  // logical view projects out (their bytes stay in the files; Catalyst
+  // column pruning keeps them unread). Copy-on-write rewrites
+  // (OVERWRITE / MERGE / CALL optimize) write logical-named files and
+  // publish mapping-free manifests — the rewrite MATERIALIZES the
+  // mapping, which is also what unblocks re-using a dropped name.
+
+  /** The user-facing schema of a manifest: physical minus `dropped`,
+    * renamed through `logical`. Identity for unmapped manifests. */
+  def logicalSchema(m: Manifest): StructType = {
+    val ren = m.logical.toMap
+    StructType(StructType.fromDDL(m.schemaDdl).fields.toSeq
+      .filterNot(f => m.dropped.contains(f.name))
+      .map(f => ren.get(f.name).map(n => f.copy(name = n)).getOrElse(f)))
+  }
+
+  /** Present a PHYSICAL-space frame (column order/names of
+    * `m.schemaDdl`) as the logical view. No-op for unmapped manifests. */
+  def presentLogical(df: DataFrame, m: Manifest): DataFrame =
+    if (m.logical.isEmpty && m.dropped.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.col
+      val ren = m.logical.toMap
+      df.select(StructType.fromDDL(m.schemaDdl).fields.toSeq
+        .filterNot(f => m.dropped.contains(f.name))
+        .map(f => col(f.name).as(ren.getOrElse(f.name, f.name))): _*)
+    }
+
+  /** Rename a LOGICAL-space frame's columns to their physical names
+    * (write-path inverse of [[presentLogical]] — column set/order is
+    * the caller's contract). No-op for unmapped manifests. */
+  def toPhysical(df: DataFrame, m: Manifest): DataFrame =
+    if (m.logical.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.col
+      val inv = m.logical.map(_.swap).toMap
+      df.select(df.columns.toSeq.map(c =>
+        col(c).as(inv.getOrElse(c, c))): _*)
+    }
+
+  /** Rewrite a predicate's LOGICAL column names to physical so the
+    * stats/bloom walk (physical-keyed) and the pre-presentation row
+    * filter see file-space names. Predicates over dropped columns
+    * cannot arise (the logical view does not expose them). */
+  def predToPhysical(p: StatsPred, m: Manifest): StatsPred =
+    if (m.logical.isEmpty) p
+    else {
+      val inv = m.logical.map(_.swap).toMap
+      def f(c: String): String = inv.getOrElse(c, c)
+      def go(q: StatsPred): StatsPred = q match {
+        case StatsPred.Eq(c, v)          => StatsPred.Eq(f(c), v)
+        case StatsPred.Lt(c, v)          => StatsPred.Lt(f(c), v)
+        case StatsPred.Le(c, v)          => StatsPred.Le(f(c), v)
+        case StatsPred.Gt(c, v)          => StatsPred.Gt(f(c), v)
+        case StatsPred.Ge(c, v)          => StatsPred.Ge(f(c), v)
+        case StatsPred.Between(c, a, b)  => StatsPred.Between(f(c), a, b)
+        case StatsPred.In(c, vs)         => StatsPred.In(f(c), vs)
+        case StatsPred.IsNull(c)         => StatsPred.IsNull(f(c))
+        case StatsPred.IsNotNull(c)      => StatsPred.IsNotNull(f(c))
+        case StatsPred.And(a, b)         => StatsPred.And(go(a), go(b))
+        case StatsPred.Or(a, b)          => StatsPred.Or(go(a), go(b))
+      }
+      go(p)
+    }
+
+  /** The schema an APPEND into a mapped table must carry after
+    * [[toPhysical]]: physical minus dropped (new files simply omit
+    * dropped columns; physical-space reads NULL-fill them and the
+    * logical view projects them away). */
+  private[sources] def appendPhysicalDdl(m: Manifest): String =
+    if (m.dropped.isEmpty) m.schemaDdl
+    else StructType(StructType.fromDDL(m.schemaDdl).fields.toSeq
+      .filterNot(f => m.dropped.contains(f.name))).toDDL
+
   private def manifestDir(root: String): Path =
     Paths.get(root, "_manifests")
 
@@ -256,7 +339,20 @@ object SnapshotStore {
       else m.cluster.map(c => "\"" + esc(c) + "\"")
         .mkString(""""cluster":[""", ",", "],")
     val ts = if (m.ts != 0L) s""""ts":${m.ts},""" else ""
-    s"""{"version":${m.version},"base":${m.base},$ts$blm$clu""" +
+    // column mapping (catalog RENAME/DROP COLUMN): optional like txn —
+    // "colmap" pairs map a PHYSICAL file-column name to its current
+    // LOGICAL name; "dropcols" lists physical columns projected out of
+    // the logical view. schemaDdl stays the PHYSICAL schema always.
+    val cmap =
+      if (m.logical.isEmpty) ""
+      else m.logical.map { case (p, l) =>
+        s"""{"phys":"${esc(p)}","log":"${esc(l)}"}"""
+      }.mkString(""""colmap":[""", ",", "],")
+    val dcols =
+      if (m.dropped.isEmpty) ""
+      else m.dropped.map(c => "\"" + esc(c) + "\"")
+        .mkString(""""dropcols":[""", ",", "],")
+    s"""{"version":${m.version},"base":${m.base},$ts$blm$clu$cmap$dcols""" +
       s""""txn":"${esc(m.txn)}",""" +
       s""""statsfile":"${esc(m.statsFile)}",""" +
       s""""schema":"${esc(m.schemaDdl)}",$segs$lys"files":[$fs]}"""
@@ -350,8 +446,16 @@ object SnapshotStore {
     // parse as 0 = "unknown, counts as arbitrarily old" for time travel)
     val ts = """"ts":(\d+)""".r.findFirstMatchIn(s)
       .map(_.group(1).toLong).getOrElse(0L)
+    // column mapping — optional like txn (absent = identity view)
+    val cmapRe = (s"""\\{"phys":$strLit,"log":$strLit\\}""").r
+    val logical = cmapRe.findAllMatchIn(s).map(m =>
+      (unesc(m.group(1)), unesc(m.group(2)))).toSeq
+    val dropped = s""""dropcols":\\[(.*?)\\]""".r.findFirstMatchIn(s)
+      .map(m => strLit.r.findAllMatchIn(m.group(1))
+        .map(c => unesc(c.group(1))).toSeq).getOrElse(Nil)
     Manifest(intField("version"), intField("base"), unesc(schema), files,
-      txn, statsFile, segments, layers, blooms, cluster, ts)
+      txn, statsFile, segments, layers, blooms, cluster, ts, logical,
+      dropped)
   }
 
   // ------------------------------------------------------------- resolve

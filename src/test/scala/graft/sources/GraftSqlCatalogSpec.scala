@@ -175,9 +175,14 @@ class GraftSqlCatalogSpec extends SparkSpec {
       spark.sql(
         "ALTER TABLE graft.main.ev ADD COLUMNS (must STRING NOT NULL)")
     }
-    intercept[Exception] {
-      spark.sql("ALTER TABLE graft.main.ev RENAME COLUMN g TO h")
+    intercept[Exception] { // type changes break immutable files
+      spark.sql("ALTER TABLE graft.main.ev ALTER COLUMN g TYPE STRING")
     }
+    // RENAME COLUMN is supported since the column-mapping round
+    // (ColumnMappingSpec pins its semantics); here just the door:
+    spark.sql("ALTER TABLE graft.main.ev RENAME COLUMN g TO grp")
+    assert(spark.sql("SELECT grp FROM graft.main.ev").columns
+      .toSeq === Seq("grp"))
   }
 
   test("CREATE TABLE AS SELECT composes createTable + insert through " +
