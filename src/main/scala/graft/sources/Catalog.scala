@@ -138,7 +138,7 @@ object Catalog {
       parseCat(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
     }
 
-  private def tableRoot(root: String, table: String): String =
+  private[sources] def tableRoot(root: String, table: String): String =
     Paths.get(root, table).toString
 
   /** The table's manifest as pinned by a catalog version. None when the

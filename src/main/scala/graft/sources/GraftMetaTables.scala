@@ -373,22 +373,44 @@ object GraftChangesTable {
             Some(v)).get
           val cur = Catalog.readTable(spark, t.catRoot, t.tableName,
             Some(v))
-          val branch = prev match {
-            case None =>
-              val cols = cur.columns.toSeq
-              cur.groupBy(cols.map(col): _*)
-                .agg(count(lit(1)).as(NRowsCol))
-                .withColumn(ChangeCol, lit("added"))
-            case Some((pm, p)) =>
-              SnapshotStore.diffFrames(alignTo(p, pm, curM), cur,
-                  SnapshotStore.SchemaChange.Common,
-                  s"${t.tableName}@catalog v$v")
-                .withColumnRenamed("change", ChangeCol)
-                .withColumnRenamed("n_rows", NRowsCol)
+          // adjacent-pair manifest-delta recognizer first
+          // ([[SnapshotStore.incrementalDiffFrames]]): a recognized
+          // commit contributes a branch that scans only what it
+          // touched; a provably-empty commit (pure metadata)
+          // contributes NO branch at all. Catalog frames are LOGICAL
+          // presentations, so the fast path only applies to unmapped
+          // manifests (where logical == physical); anything else falls
+          // back to the generic two-sided diff, unchanged.
+          val inc = prev match {
+            case Some((pm, p)) if pm.logical.isEmpty &&
+                pm.dropped.isEmpty && curM.logical.isEmpty &&
+                curM.dropped.isEmpty =>
+              SnapshotStore.incrementalDiffFrames(spark,
+                Catalog.tableRoot(t.catRoot, t.tableName), pm, curM, p)
+            case _ => SnapshotStore.IncDiff.Unrecognized
+          }
+          val branch = inc match {
+            case SnapshotStore.IncDiff.Empty => None
+            case SnapshotStore.IncDiff.Frame(df) =>
+              Some(df.withColumnRenamed("change", ChangeCol)
+                .withColumnRenamed("n_rows", NRowsCol))
+            case SnapshotStore.IncDiff.Unrecognized => Some(prev match {
+              case None =>
+                val cols = cur.columns.toSeq
+                cur.groupBy(cols.map(col): _*)
+                  .agg(count(lit(1)).as(NRowsCol))
+                  .withColumn(ChangeCol, lit("added"))
+              case Some((pm, p)) =>
+                SnapshotStore.diffFrames(alignTo(p, pm, curM), cur,
+                    SnapshotStore.SchemaChange.Common,
+                    s"${t.tableName}@catalog v$v")
+                  .withColumnRenamed("change", ChangeCol)
+                  .withColumnRenamed("n_rows", NRowsCol)
+            })
           }
           prevRel = rel; prev = Some((curM, cur))
-          Some(alignTo(branch.withColumn(VersionCol, lit(v)), curM,
-            pinM))
+          branch.map(b => alignTo(b.withColumn(VersionCol, lit(v)),
+            curM, pinM))
       }
     }
     val full = fullSchema(t.dataSchema)

@@ -2788,9 +2788,31 @@ object SnapshotStore {
   }
 
   def diff(spark: SparkSession, root: String, from: Int, to: Int,
-      onSchemaChange: SchemaChange = SchemaChange.Error): DataFrame =
-    diffFrames(read(spark, root, Some(from)), read(spark, root, Some(to)),
-      onSchemaChange, s"v$from..v$to")
+      onSchemaChange: SchemaChange = SchemaChange.Error): DataFrame = {
+    val prev = read(spark, root, Some(from))
+    // adjacent-version diffs (the change-feed consumer's shape) first try
+    // the manifest-delta recognizer: a commit whose manifest delta is one
+    // of the recognized O(changes) shapes diffs ONLY the touched rows —
+    // same result (spec-pinned vs the generic two-sided diff), none of
+    // the shared files scanned. Anything else falls back to the generic
+    // full two-sided aggregate.
+    val inc =
+      if (to == from + 1)
+        (snapshot(root, Some(from)), snapshot(root, Some(to))) match {
+          case (Some(pm), Some(cm)) =>
+            incrementalDiffFrames(spark, root, pm, cm, prev)
+          case _ => IncDiff.Unrecognized
+        }
+      else IncDiff.Unrecognized
+    inc match {
+      case IncDiff.Frame(df) => df
+      case IncDiff.Empty     => emptyDiffFrame(spark,
+        StructType.fromDDL(snapshot(root, Some(to)).get.schemaDdl))
+      case IncDiff.Unrecognized =>
+        diffFrames(prev, read(spark, root, Some(to)),
+          onSchemaChange, s"v$from..v$to")
+    }
+  }
 
   /** [[diff]] of two already-resolved version frames — the shared core,
     * also driven by the SQL `t.changes` surface whose versions are
@@ -2838,6 +2860,190 @@ object SnapshotStore {
       .withColumn("n_rows", abs(col("n_to") - col("n_from")))
       .select((cols.map(col) :+ col("change") :+ col("n_rows")): _*)
   }
+
+  /** Outcome of the adjacent-version manifest-delta recognizer:
+    * [[IncDiff.Frame]] — the diff restricted to the rows the commit
+    * could have touched (bag-equal to the generic two-sided
+    * [[diffFrames]] by the decomposition argument below);
+    * [[IncDiff.Empty]] — the commit provably changed no row (pure
+    * metadata: bloom/cluster/rename bookkeeping); [[IncDiff
+    * .Unrecognized]] — fall back to the generic diff. */
+  private[sources] sealed trait IncDiff
+  private[sources] object IncDiff {
+    case object Unrecognized extends IncDiff
+    case object Empty extends IncDiff
+    final case class Frame(df: DataFrame) extends IncDiff
+  }
+
+  /** diffFrames-shaped empty frame (cols + change + n_rows) as a
+    * LocalRelation, so empty-relation propagation deletes it from any
+    * surrounding union at optimization time. */
+  private[sources] def emptyDiffFrame(spark: SparkSession,
+      schema: StructType): DataFrame =
+    spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      StructType(schema.fields.toSeq ++ Seq(
+        org.apache.spark.sql.types.StructField("change",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_rows",
+          org.apache.spark.sql.types.LongType))))
+
+  /** ADJACENT-version incremental diff — the O(changes) fast path of
+    * [[diff]] and the SQL `t.changes` feed. Given the two manifests and
+    * the already-resolved PREVIOUS version frame, recognize the commit's
+    * manifest delta and, when it is one of the shapes below, produce the
+    * diff by scanning ONLY what the commit touched. The decomposition
+    * argument (why each shape is bag-equal to the generic
+    * `diffFrames(folded_prev, folded_cur)`): if bags A = C ⊎ Rprev and
+    * B = C ⊎ Rcur share the part C, then for every row x the count
+    * delta n_B(x) − n_A(x) = n_Rcur(x) − n_Rprev(x) — the shared part
+    * cancels IDENTICALLY, so `diffFrames(Rprev, Rcur)` equals
+    * `diffFrames(A, B)` row-for-row including multiplicities. Each
+    * recognized shape exhibits such a C:
+    *
+    *   - metadata-only commit (same files, segments, layers): C is
+    *     everything — the diff is EMPTY, zero scans (a rename/bloom/
+    *     cluster commit no longer pays two full table scans to learn
+    *     nothing).
+    *   - appended ADD-ONLY layer (same files/segments): Rprev = ∅,
+    *     Rcur = the layer's files — one scan of the appended rows.
+    *   - appended PREDICATE-DELETE layer (files may shrink —
+    *     [[deleteTransform]] drops stats-proven fully-matching files,
+    *     whose rows the predicate would have removed anyway, so
+    *     folded_cur = folded_prev.filter(!coalesce(p, false)) exactly):
+    *     Rprev = folded_prev.filter(coalesce(p, false)), Rcur = ∅ — the
+    *     predicate pushes into the previous fold's base scan (the q131
+    *     fold-pushdown property), so the scan is pruned, not full.
+    *   - predicate layer + add-only layer (the UPDATE pair, committed
+    *     together or across two adjacent recognizer calls): Rprev =
+    *     folded_prev.filter(coalesce(p, false)), Rcur = the add layer's
+    *     files; kept as a real [[diffFrames]] of the two candidate
+    *     frames so an identity update (SET x = x) still cancels exactly
+    *     as the generic diff would.
+    *   - appended KEYED layer (merge-on-read upsert): Rprev =
+    *     folded_prev semi-joined to the layer's keys (every layer key
+    *     suppresses the older row — update or tombstone), Rcur = the
+    *     layer's non-tombstoned rows; [[diffFrames]] of the candidates
+    *     so a re-upsert of an identical payload cancels.
+    *   - same layer chain, BOTH chains empty, file set changed
+    *     (copy-on-write merge / OPTIMIZE / compaction / plain append):
+    *     Rprev = files only in prev, Rcur = files only in cur — a
+    *     compaction that rewrote k of N files diffs k files' rows to an
+    *     empty result instead of scanning 2N files.
+    *
+    * Column-name-referencing shapes (predicate, keyed) additionally
+    * require both manifests UNMAPPED (`logical`/`dropped` empty):
+    * layer predicates and keys speak PHYSICAL names, and `prevFolded`
+    * arrives in the caller's presentation (logical for the catalog
+    * surface) — with an active mapping the names could disagree, so the
+    * recognizer declines rather than translate. Anything else —
+    * schema evolution, overwrite onto a layered chain, multi-shape
+    * suffixes beyond [pred, addOnly] — returns
+    * [[IncDiff.Unrecognized]] and the caller runs the generic diff;
+    * the fast path is an optimization, never a semantics change. */
+  private[sources] def incrementalDiffFrames(spark: SparkSession,
+      tableRoot: String, pm: Manifest, cm: Manifest,
+      prevFolded: DataFrame): IncDiff = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, not}
+    // structural schema equality — names, types, order. NULLABILITY is
+    // deliberately ignored: append widening and fold/rewrite lanes
+    // shift nullable flags between versions without changing a single
+    // row, and the diff semantics never depend on declared nullability.
+    def shape(ddl: String) = StructType.fromDDL(ddl).fields.toSeq
+      .map(f => (f.name, f.dataType))
+    if (shape(cm.schemaDdl) != shape(pm.schemaDdl))
+      return IncDiff.Unrecognized
+    if (cm.segments != pm.segments) return IncDiff.Unrecognized
+    if (!cm.layers.startsWith(pm.layers)) return IncDiff.Unrecognized
+    val schema = StructType.fromDDL(cm.schemaDdl)
+    val cols = schema.fieldNames.toSeq
+    val unmapped = pm.logical.isEmpty && pm.dropped.isEmpty &&
+      cm.logical.isEmpty && cm.dropped.isEmpty
+    val sameFiles = cm.files == pm.files
+    // a predicate-delete commit may also DROP files — but only ones the
+    // stats sidecar PROVES fully-matching ([[deleteTransform]]'s
+    // mustMatch rule: their rows are exactly what the predicate filter
+    // would remove, so folded_cur = folded_prev.filter(!p) still holds).
+    // Re-prove it here instead of trusting the writer: a dropped file
+    // without that proof makes the delta unrecognizable.
+    def shrankByMustMatch(p: MergeLayer): Boolean = {
+      val dropped = pm.files.filterNot(cm.files.toSet)
+      dropped.nonEmpty && cm.files.toSet.subsetOf(pm.files.toSet) && {
+        val stats = fileStats(tableRoot, pm)
+        val pred = parsePred(p.pred)
+        dropped.forall(f =>
+          stats.get(f).exists(s => mustMatch(s, schema, pred)))
+      }
+    }
+    def readFiles(files: Seq[String], s: StructType): DataFrame =
+      spark.read.schema(s)
+        .parquet(files.map(f => Paths.get(tableRoot, f).toString): _*)
+    // replicate diffFrames' output shape exactly: grouped multiplicity,
+    // (cols..., change, n_rows)
+    def tag(df: DataFrame, change: String): DataFrame =
+      df.groupBy(cols.map(col): _*)
+        .agg(count(lit(1)).as("n_rows"))
+        .select((cols.map(col) :+ lit(change).as("change") :+
+          col("n_rows")): _*)
+    def layerRows(l: MergeLayer): DataFrame =
+      readFiles(l.files, schema)
+    def predOf(l: MergeLayer) = predColumn(parsePred(l.pred))
+    def isAddOnly(l: MergeLayer) =
+      l.key.isEmpty && l.pred.isEmpty && l.files.nonEmpty
+    def isPred(l: MergeLayer) = l.pred.nonEmpty
+    def isKeyed(l: MergeLayer) = l.key.nonEmpty && l.files.nonEmpty
+    cm.layers.drop(pm.layers.length) match {
+      case Seq() =>
+        if (sameFiles) IncDiff.Empty
+        else if (pm.layers.isEmpty && cm.layers.isEmpty) {
+          val pmAll = allFiles(tableRoot, pm)
+          val cmAll = allFiles(tableRoot, cm)
+          val (pSet, cSet) = (pmAll.toSet, cmAll.toSet)
+          val pOnly = pmAll.filterNot(cSet)
+          val cOnly = cmAll.filterNot(pSet)
+          if (pOnly.isEmpty && cOnly.isEmpty) IncDiff.Empty
+          else {
+            // each side reads under ITS OWN manifest's declared schema
+            // (nullability may differ across the pair; Common aligns)
+            def side(fs: Seq[String], ddl: String) =
+              if (fs.isEmpty) emptyFrame(spark, StructType.fromDDL(ddl))
+              else readFiles(fs, StructType.fromDDL(ddl))
+            IncDiff.Frame(diffFrames(side(pOnly, pm.schemaDdl),
+              side(cOnly, cm.schemaDdl), SchemaChange.Common,
+              s"files v${pm.version}..v${cm.version}"))
+          }
+        } else IncDiff.Unrecognized
+      case Seq(a) if isAddOnly(a) && sameFiles =>
+        IncDiff.Frame(tag(layerRows(a), "added"))
+      case Seq(p) if isPred(p) && unmapped &&
+          (sameFiles || shrankByMustMatch(p)) =>
+        IncDiff.Frame(
+          tag(prevFolded.filter(coalesce(predOf(p), lit(false))),
+            "removed"))
+      case Seq(p, a) if isPred(p) && isAddOnly(a) && unmapped &&
+          (sameFiles || shrankByMustMatch(p)) =>
+        IncDiff.Frame(diffFrames(
+          prevFolded.filter(coalesce(predOf(p), lit(false))),
+          layerRows(a), SchemaChange.Common,
+          s"update v${pm.version}..v${cm.version}"))
+      case Seq(k) if isKeyed(k) && sameFiles && unmapped =>
+        val lySchema = StructType(schema.fields :+
+          org.apache.spark.sql.types.StructField(LayerDelCol,
+            org.apache.spark.sql.types.BooleanType, nullable = true))
+        val ly = readFiles(k.files, lySchema)
+        IncDiff.Frame(diffFrames(
+          prevFolded.join(ly.select(col(k.key)), Seq(k.key), "left_semi"),
+          ly.filter(not(coalesce(col(LayerDelCol), lit(false))))
+            .drop(LayerDelCol),
+          SchemaChange.Common,
+          s"upsert v${pm.version}..v${cm.version}"))
+      case _ => IncDiff.Unrecognized
+    }
+  }
+
+  /** Empty frame with exactly `schema` as a LocalRelation. */
+  private[sources] def emptyFrame(spark: SparkSession,
+      schema: StructType): DataFrame =
+    spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
 
   // --------------------------------------------------------- change feed
 
