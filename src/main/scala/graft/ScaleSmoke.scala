@@ -771,6 +771,7 @@ object ScaleSmoke {
         enabled("grouped_topk_hot") || enabled("cdc_apply") ||
         enabled("robust_outliers") || enabled("stats_pruned_scan") ||
         enabled("merge_on_read") || enabled("catalog_read") ||
+        enabled("change_feed_incremental") ||
         enabled("bloom_probe")) locally {
       val copies = spark.range(mult.toLong).toDF("copy")
       // persisted: four entries share it, and zorder alone reads it three
@@ -1008,6 +1009,70 @@ object ScaleSmoke {
         record(Entry("catalog_read", nOut, sec,
           filesListed = Some(rep.filesListed),
           filesOpened = Some(rep.filesOpened)))
+      }
+      // INCREMENTAL CHANGE FEED at mult× (r19 optimization): a
+      // range-clustered table takes a small append then a narrow
+      // predicate delete; the feed over both commits must cost
+      // O(changed data) — the append branch reads ONLY the appended
+      // files and the delete branch's removed-candidates come through
+      // the stats tier (readWhere at the previous version), so the
+      // UNION's input-file set is a fraction of the table. The generic
+      // two-sided shape (both versions fully scanned per commit, the
+      // pre-r19 plan) is timed beside it in the same JVM as the
+      // honest before/after.
+      if (enabled("change_feed_incremental")) locally {
+        import graft.sources.SnapshotStore
+        val dir = java.nio.file.Files
+          .createTempDirectory("scale-incfeed").toString
+        val nOrd = orders.count()
+        SnapshotStore.commitOverwrite(
+          orders.repartitionByRange(64, col("o_orderkey")), dir)   // v0
+        val Array(kMin, kMax) = orders
+          .agg(min(col("o_orderkey")), max(col("o_orderkey")))
+          .head().toSeq.map(_.asInstanceOf[Long]).toArray
+        SnapshotStore.commitAppend(
+          orders.filter(pmod(col("o_orderkey"), lit(1000)) === 0)
+            .withColumn("o_orderkey", col("o_orderkey") + kMax + 1L)
+            .repartition(2),  // a small append lands small (guide §6)
+          dir)                                                     // v1
+        val span = kMax - kMin
+        SnapshotStore.deleteWhere(spark, dir,
+          SnapshotStore.StatsPred.Between("o_orderkey",
+            kMin + span / 2, kMin + span / 2 + span / 100))        // v2
+        val total = SnapshotStore.snapshot(dir).get.files.size
+        var nOut = 0L
+        var inFiles = 0
+        val sec = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          val feed = SnapshotStore.changeFeed(spark, dir, 0, 2)
+          inFiles = feed.inputFiles.length
+          nOut = feed.count()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        require(inFiles * 4 <= total,
+          s"incremental feed must read O(changed) files: read " +
+            s"$inFiles of $total")
+        println(f"[scale] change_feed_incremental     $nOut%10d rows" +
+          f"  $sec%8.2f s  (input files $inFiles/$total)")
+        record(Entry("change_feed_incremental", nOut, sec,
+          filesListed = Some(total), filesOpened = Some(inFiles)))
+        // the pre-r19 generic shape, same versions, same JVM
+        val secGen = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          val gen = (0 until 2).map { v =>
+            SnapshotStore.diffFrames(
+              SnapshotStore.read(spark, dir, Some(v)),
+              SnapshotStore.read(spark, dir, Some(v + 1)),
+              SnapshotStore.SchemaChange.Common, s"generic v$v")
+              .withColumn("version", lit(v + 1))
+          }.reduce(_.unionByName(_))
+          val n = gen.count()
+          require(n == nOut, s"generic feed disagrees: $n vs $nOut")
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        println(f"[scale] change_feed_generic         $nOut%10d rows" +
+          f"  $secGen%8.2f s")
+        record(Entry("change_feed_generic", nOut, secGen))
       }
       // FILE-LEVEL BLOOM INDEX at mult×: orders lands clustered on
       // o_totalprice (⊥ o_orderkey — per-file key ranges span the

@@ -324,6 +324,7 @@ object GraftChangesTable {
           s"${t.catVersion}"))
     var prevRel: Option[String] = None
     var prev: Option[(Manifest, org.apache.spark.sql.DataFrame)] = None
+    var prevV: Int = -1   // catalog version of the kept `prev` state
     // align the previous version's logical view to the NEXT version's
     // names through the shared PHYSICAL identity, so a RENAME COLUMN
     // branch diffs the same column against itself (and cancels) rather
@@ -386,7 +387,11 @@ object GraftChangesTable {
                 pm.dropped.isEmpty && curM.logical.isEmpty &&
                 curM.dropped.isEmpty =>
               SnapshotStore.incrementalDiffFrames(spark,
-                Catalog.tableRoot(t.catRoot, t.tableName), pm, curM, p)
+                Catalog.tableRoot(t.catRoot, t.tableName), pm, curM, p,
+                // predicate-delete candidates through the stats tier,
+                // pinned at the PREVIOUS kept catalog version
+                prunedPrev = Some(pr => Catalog.readTableWhere(spark,
+                  t.catRoot, t.tableName, pr, Some(prevV))._1))
             case _ => SnapshotStore.IncDiff.Unrecognized
           }
           val branch = inc match {
@@ -408,7 +413,7 @@ object GraftChangesTable {
                   .withColumnRenamed("n_rows", NRowsCol)
             })
           }
-          prevRel = rel; prev = Some((curM, cur))
+          prevRel = rel; prev = Some((curM, cur)); prevV = v
           branch.map(b => alignTo(b.withColumn(VersionCol, lit(v)),
             curM, pinM))
       }

@@ -2800,7 +2800,9 @@ object SnapshotStore {
       if (to == from + 1)
         (snapshot(root, Some(from)), snapshot(root, Some(to))) match {
           case (Some(pm), Some(cm)) =>
-            incrementalDiffFrames(spark, root, pm, cm, prev)
+            incrementalDiffFrames(spark, root, pm, cm, prev,
+              prunedPrev = Some(p =>
+                readWhere(spark, root, p, Some(from))._1))
           case _ => IncDiff.Unrecognized
         }
       else IncDiff.Unrecognized
@@ -2818,7 +2820,7 @@ object SnapshotStore {
     * also driven by the SQL `t.changes` surface whose versions are
     * CATALOG-pinned manifests ([[Catalog.readTable]]) that the
     * table-root version chain never numbers. */
-  private[sources] def diffFrames(a0: DataFrame, b0: DataFrame,
+  private[graft] def diffFrames(a0: DataFrame, b0: DataFrame,
       onSchemaChange: SchemaChange, label: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val (a, b) =
@@ -2942,7 +2944,8 @@ object SnapshotStore {
     * the fast path is an optimization, never a semantics change. */
   private[sources] def incrementalDiffFrames(spark: SparkSession,
       tableRoot: String, pm: Manifest, cm: Manifest,
-      prevFolded: DataFrame): IncDiff = {
+      prevFolded: DataFrame,
+      prunedPrev: Option[StatsPred => DataFrame] = None): IncDiff = {
     import org.apache.spark.sql.functions.{coalesce, col, count, lit, not}
     // structural schema equality — names, types, order. NULLABILITY is
     // deliberately ignored: append widening and fold/rewrite lanes
@@ -2987,6 +2990,17 @@ object SnapshotStore {
     def layerRows(l: MergeLayer): DataFrame =
       readFiles(l.files, schema)
     def predOf(l: MergeLayer) = predColumn(parsePred(l.pred))
+    // the removed-candidate frame of a predicate-delete layer: with a
+    // caller-supplied PRUNED reader (readWhere / readTableWhere pinned
+    // at the previous version) the candidates come through the stats
+    // tier — O(intersecting files) opened, not O(table) — and the
+    // residual filter those readers apply IS the candidate predicate;
+    // without one, filter the previous fold (predicate still pushes
+    // into its base scan's row groups)
+    def removedCand(l: MergeLayer): DataFrame = prunedPrev match {
+      case Some(rd) => rd(parsePred(l.pred))
+      case None => prevFolded.filter(coalesce(predOf(l), lit(false)))
+    }
     def isAddOnly(l: MergeLayer) =
       l.key.isEmpty && l.pred.isEmpty && l.files.nonEmpty
     def isPred(l: MergeLayer) = l.pred.nonEmpty
@@ -3016,13 +3030,10 @@ object SnapshotStore {
         IncDiff.Frame(tag(layerRows(a), "added"))
       case Seq(p) if isPred(p) && unmapped &&
           (sameFiles || shrankByMustMatch(p)) =>
-        IncDiff.Frame(
-          tag(prevFolded.filter(coalesce(predOf(p), lit(false))),
-            "removed"))
+        IncDiff.Frame(tag(removedCand(p), "removed"))
       case Seq(p, a) if isPred(p) && isAddOnly(a) && unmapped &&
           (sameFiles || shrankByMustMatch(p)) =>
-        IncDiff.Frame(diffFrames(
-          prevFolded.filter(coalesce(predOf(p), lit(false))),
+        IncDiff.Frame(diffFrames(removedCand(p),
           layerRows(a), SchemaChange.Common,
           s"update v${pm.version}..v${cm.version}"))
       case Seq(k) if isKeyed(k) && sameFiles && unmapped =>
